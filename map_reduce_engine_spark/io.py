@@ -1,0 +1,102 @@
+"""Sources and sinks.
+
+Reference surface (SURVEY.md §2 A1/A2/A12): line-oriented text source
+(``RecordReader.java:11-38``, directory enumeration ``JobConfiguration.java:52-69``)
+and a ``key\\tvalue`` text sink (``ReduceRunner.java:113-122``,
+``RecordWriter.java:9-45``). We expose those plus the full Spark reader/writer
+family (parquet/csv/json/orc) — the engine's default interchange format is
+parquet (columnar scan + predicate pushdown; the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Sources
+# --------------------------------------------------------------------------
+
+
+def read_text(spark: SparkSession, path: str, with_provenance: bool = False) -> DataFrame:
+    """Line-oriented text source: one row per line, column ``value``.
+
+    Mirrors the reference record model — "reading one record is equivalent to
+    reading a line" (``RecordReader.java:22-29``); a directory input unions all
+    its files into one record stream (``Communicator.java:180-183``). Spark
+    globs directories natively; ``with_provenance`` adds the source file path
+    (the reference loses file identity after chunking — we keep it optional).
+    """
+    df = spark.read.text(path)
+    if with_provenance:
+        df = df.withColumn("input_file", F.input_file_name())
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True, sep: str = ",") -> DataFrame:
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ``events`` fixture table (nanosecond parquet timestamps).
+
+    Spark has no TIMESTAMP(NANOS) parquet type; read nanos as int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
+    division (a double division would lose precision at ~1.7e18 ns epochs),
+    matching DuckDB's nanos->micros truncation. TIMESTAMP_NTZ keeps the value
+    timezone-independent for oracle comparison.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # timestampadd on an NTZ base is pure arithmetic — independent of the
+    # session timezone (timestamp_micros(..).cast("timestamp_ntz") would
+    # shift by the session offset on non-UTC driver sessions).
+    return df.withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic fixture table by name (TESTDATA.md layout)."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Sinks
+# --------------------------------------------------------------------------
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """The reference's final-output contract: ``key\\tvalue`` text lines.
+
+    ``ReduceRunner.java:113-122`` writes one tab-separated line per pair into
+    ``finaloutput``; one file per reducer. Here: one file per partition, order
+    unspecified (the reference's order is Hashtable enumeration — also
+    unspecified). Compare as sorted multisets.
+    """
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws("\t", *cols).alias("value")).write.mode(mode).text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,52 @@
+"""Engine operators: text analysis, dedup, similarity search, multimodal.
+
+Everything here is built on DataFrame expressions (JVM-side, codegen'd)
+unless semantics force an Arrow-batched Pandas UDF — the 100 TB rule is
+"stay declarative so Catalyst can push, prune, and pick join strategies".
+"""
+
+from map_reduce_engine_spark.operators.text import (
+    wordcount,
+    wordlength,
+    tokenize,
+    token_stats,
+    quality_score,
+    langid,
+    fingerprint,
+)
+from map_reduce_engine_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_clusters,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    jaccard_pairs,
+    simhash,
+)
+from map_reduce_engine_spark.operators.similarity import (
+    with_norm,
+    cosine_topk,
+    embedding_near_dup,
+    random_hyperplane_buckets,
+    ann_topk,
+)
+
+__all__ = [
+    "wordcount",
+    "wordlength",
+    "tokenize",
+    "token_stats",
+    "quality_score",
+    "langid",
+    "fingerprint",
+    "dedup_exact",
+    "duplicate_clusters",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "jaccard_pairs",
+    "simhash",
+    "with_norm",
+    "cosine_topk",
+    "embedding_near_dup",
+    "random_hyperplane_buckets",
+    "ann_topk",
+]

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash-LSH, exact Jaccard, SimHash.
+
+The reference has no dedup (its only aggregate machinery is the map/reduce
+UDF pair, SURVEY.md §2 Part B); these are the north-star LLM-pipeline
+operators (§2 Part C). All are pure DataFrame expressions — hashing with
+``xxhash64`` (64-bit, JVM-side, deterministic across partitioning), no
+Python in the hot path — so each stage is one shuffle-bounded distributed
+pass that scales to 100 TB:
+
+- exact dedup          : 1 shuffle (window or agg on the dedup key)
+- minhash signatures   : 1 shuffle (explode tokens → N min-aggregates)
+- LSH candidate pairs  : 1 shuffle (band-bucket self-join; no O(n^2))
+- jaccard verification : shuffle on token for the inverted-index join,
+                         restricted to candidates when provided
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators.text import tokens_col
+
+
+def dedup_exact(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
+    """Keep one canonical row per distinct ``subset`` value.
+
+    The survivor is the first row under ``order_by`` (deterministic, unlike
+    ``dropDuplicates`` whose survivor is arbitrary — important for oracle
+    comparison and for reproducible pipelines). One shuffle on ``subset``.
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_clusters(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
+    """Groups of exact duplicates: (subset..., n_dups, min_id)."""
+    return (
+        df.groupBy(*subset)
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash over the document's token set.
+
+    One distributed pass: distinct (id, token) → ``num_hashes`` min-aggregates
+    of seeded xxhash64 in a single hash aggregate (partial+final, one shuffle
+    on id). Seeding via an extra literal column keeps one hash family per
+    slot without any Python.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
+        .distinct()
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id1, id2) candidate near-dup pairs via LSH banding.
+
+    Two docs are candidates iff any band of ``rows_per_band`` consecutive
+    signature slots hashes identically. The self-join is on (band, bucket) —
+    buckets are small, so the join output stays near-linear instead of the
+    O(n^2) all-pairs blowup. This is the 100 TB-safe step; exact verification
+    (``jaccard_pairs``) runs only on these candidates.
+    """
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig_df.select(F.col("id"), F.explode(band_entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float,
+    candidates: DataFrame | None = None,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join: (id1, id2, jaccard).
+
+    Inverted-index formulation: explode distinct tokens, self-join on token
+    (shuffle co-located on token — never a cross join), count intersections,
+    then |A∪B| = |A|+|B|-|A∩B|. ``candidates`` (from MinHash LSH) restricts
+    the pair space at scale; ``max_id`` bounds the corpus for oracle-sized
+    exact runs.
+    """
+    base = df
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    toks = (
+        base.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+    pairs = (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    return pairs.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over the token multiset.
+
+    Classic Charikar sketch: each token votes +1/-1 on each of 64 bit lanes
+    according to its 64-bit hash; the sketch bit is the vote sign. Hamming
+    distance between sketches approximates cosine distance between token
+    vectors. Implemented as 64 conditional-sum aggregates in one hash
+    aggregate (one shuffle) — no Python, no per-row UDF.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sketch: Column = F.lit(0).cast("bigint")
+    for bit in range(64):
+        sketch = sketch.bitwiseOR(
+            F.when(F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(F.lit(0).cast("bigint"))
+        )
+    return agg.select("id", sketch.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Scale path: block on 4 x 16-bit sketch segments (pigeonhole — any pair
+    within Hamming distance 3 shares at least one exact segment), self-join
+    per segment, then verify with ``bit_count(xor)``. Linear-ish like LSH
+    banding; never all-pairs.
+    """
+    sk = simhash(df, id_col, text_col)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftright(F.col("simhash"), s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for s in range(4)
+        ]
+    )
+    blocked = sk.select("id", "simhash", F.explode(segs).alias("e")).select(
+        "id", "simhash", F.col("e.seg").alias("seg"), F.col("e.key").alias("key")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, ["seg", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operators (SURVEY.md §2 Part C): brute-force cosine top-k as the
+correctness baseline, and a random-hyperplane (SimHash-for-vectors) LSH
+bucketed variant as the 100 TB scale path. Vector math uses ``zip_with`` /
+``aggregate`` higher-order functions — evaluated JVM-side per row, no Python,
+no UDF — in double precision (parity with the DuckDB oracle's double sums).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vecd(col: Column) -> Column:
+    """array<float> → array<double> (accumulate in double like the oracle)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
+    return df.withColumn(out, l2_norm(_vecd(F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id, cosine).
+
+    Brute force with the small query set broadcast — each corpus partition
+    scores all queries locally (no shuffle of the corpus), then a per-query
+    top-k. Self-matches excluded. Ranking key is (rounded cosine desc,
+    neighbor id) so results are deterministic under any partitioning and
+    any summation order.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        _vecd(F.col(vec_col)).alias("qv"),
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vecd(F.col(vec_col)).alias("cv"),
+    ).withColumn("cnorm", l2_norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col(query_id))
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+    out: str = "bucket",
+) -> DataFrame:
+    """Assign each vector an LSH bucket: sign pattern against random planes.
+
+    Planes are a fixed seeded Gaussian sample embedded as literal arrays —
+    identical on every executor, no broadcast variable, no Python at eval
+    time. Vectors with the same bucket are likely cosine-near neighbors;
+    bucket count 2^n_planes bounds per-bucket join fan-out at scale.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    plane_cols = [
+        F.array(*[F.lit(float(v)) for v in row]) for row in planes
+    ]
+    vec = _vecd(F.col(vec_col))
+    bits = [
+        F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in plane_cols
+    ]
+    bucket: Column = F.lit(0).cast("bigint")
+    for i, bit in enumerate(bits):
+        bucket = bucket.bitwiseOR(F.shiftleft(bit.cast("bigint"), i))
+    return df.withColumn(out, bucket)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to the query's LSH bucket.
+
+    The scale path for 100 TB corpora: bucket both sides (one pass each),
+    equi-join on bucket (shuffle co-location, no cross join), exact cosine
+    within buckets, per-query top-k. Recall trades off with n_planes; use
+    ``cosine_topk`` for ground truth / recall@k evaluation.
+    """
+    cb = random_hyperplane_buckets(corpus, id_col, vec_col, n_planes, seed, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        _vecd(F.col(vec_col)).alias("cv"),
+        "bucket",
+    ).withColumn("cnorm", l2_norm(F.col("cv")))
+    qb = random_hyperplane_buckets(queries, id_col, vec_col, n_planes, seed, dim).select(
+        F.col(id_col).alias("query_id"),
+        _vecd(F.col(vec_col)).alias("qv"),
+        "bucket",
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    scored = (
+        cb.join(qb, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold).
+
+    LSH-bucketed self-join — near-dups at cosine >= 0.95 collide in the same
+    sign-pattern bucket with high probability, so the pair space stays
+    near-linear. For exhaustive small-scale verification set n_planes=0
+    (single bucket → exact all-pairs).
+    """
+    b = random_hyperplane_buckets(df, id_col, vec_col, n_planes, seed, dim) if n_planes > 0 else df.withColumn("bucket", F.lit(0))
+    b = b.select(
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v"), "bucket"
+    ).withColumn("norm", l2_norm(F.col("v")))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.round(dot(F.col("x.v"), F.col("y.v")) / (F.col("x.norm") * F.col("y.norm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

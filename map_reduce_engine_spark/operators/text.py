@@ -1,0 +1,163 @@
+"""Text-analysis operators.
+
+The reference's two shipped queries are text jobs: WordCount
+(``wordcount-src/WordCount.java:13-35``: whitespace-tokenize, emit (word, 1),
+sum per word) and WordLength (``wordlength-src/WordLength.java:13-40``: emit
+(len(word), word), count per length). Here they are single declarative
+pipelines — scan → split/explode → hash aggregate — which Catalyst executes
+as partial+final aggregation with whole-stage codegen; the reference's
+map-side sort, hash partitioner, and AddInterface combine (SURVEY.md §2
+A6/A7/A11) are all subsumed by the sort-based shuffle + HashAggregate.
+
+Beyond parity, the LLM-pipeline text ops: per-document token stats, quality
+scoring, n-gram language ID, and content fingerprinting — all pure
+`pyspark.sql.functions` expressions (no Python in the hot path), so they run
+JVM-side and scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace-run tokenizer. StringTokenizer semantics (WordCount.java:15-23):
+# split on any whitespace run, never emit empty tokens — hence trim + filter.
+TOKEN_PATTERN = r"\s+"
+
+
+def tokens_col(col: str | Column) -> Column:
+    """Array-of-tokens expression for a text column (empty-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), TOKEN_PATTERN), lambda t: t != F.lit(""))
+
+
+def tokenize(df: DataFrame, col: str, out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_col(col))
+
+
+def wordcount(df: DataFrame, col: str) -> DataFrame:
+    """(word, cnt) — the reference's flagship query, reference parity.
+
+    WordCount.java:13-24 (map: tokenize → (word, 1)), :27-35 (reduce: sum).
+    Plan: parquet scan (only ``col`` read) → explode → partial hash agg →
+    shuffle on word → final hash agg. No Python anywhere.
+    """
+    return (
+        df.select(F.explode(tokens_col(col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def wordlength(df: DataFrame, col: str) -> DataFrame:
+    """(length, cnt) — token-length histogram, reference parity.
+
+    WordLength.java:13-27 (map: (len, word)), :30-40 (reduce: count).
+    """
+    return (
+        df.select(F.explode(tokens_col(col)).alias("word"))
+        .select(F.length("word").alias("length"))
+        .groupBy("length")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics (token count, avg token length, chars).
+
+    Token counting for pipeline budgeting: whitespace tokens plus a BPE-ish
+    subword proxy (4 chars/token heuristic upper-bounded by char count).
+    """
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            F.when(F.size(toks) > 0, F.length(F.concat_ws("", toks)) / F.size(toks)).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4)).alias("est_bpe_tokens"),
+    )
+
+
+# Stopword markers per language for the n-gram/marker-word language-ID
+# heuristic. Deliberately tiny and deterministic — accuracy is a data concern,
+# the operator contract is determinism + scale.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "que", "y", "en"],
+}
+
+
+def _marker_score(text_col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text_col), F.lit(pat))
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language stopword hit counts.
+
+    Returns (id, predicted_lang, score). Ties and zero-hit rows resolve to
+    'und' (deterministic). Pure regexp expressions — JVM-side.
+    """
+    scores = [
+        _marker_score(F.col(text_col), words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    # first language (in fixed order) achieving the max, if max > 0
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("score"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality features + composite score in [0, 1].
+
+    Features mirror common pretraining-data filters: length band, mean word
+    length band, alpha ratio, non-space punctuation ratio. All closed-form
+    column expressions; composes with `filter` pushdown upstream.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    n_tokens = F.size(toks)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_tokens > 0, F.length(F.concat_ws("", toks)) / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 2) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic content fingerprint of whitespace-normalized text.
+
+    md5 of lower(trimmed, whitespace-collapsed) text — the canonical key for
+    exact dedup across formatting variants. 128-bit so collisions are not a
+    concern at 100 TB document counts.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,118 @@
+"""Deduplication conformance queries (north-star extensions, SURVEY.md §2 Part C).
+
+Exact dedup and exact Jaccard have closed-form SQL oracles; the MinHash-LSH
+and SimHash paths are approximate/hash-family-dependent (not SQL-expressible
+without re-implementing xxhash64 in the oracle), so they carry rows-only
+checks — their *verification stage* (exact Jaccard on candidates) is the
+oracle-checked component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators import dedup as dd
+from map_reduce_engine_spark.queries.base import register, t
+
+
+@register(
+    "dedup_exact_clusters",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+    doc="exact duplicate groups over document text (hash-groupBy dedup)",
+)
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dd.duplicate_clusters(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return df.select(F.col("min_id").alias("canonical_id"), F.col("n_dups").alias("n_copies"))
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="exact dedup keeping the deterministic survivor (min doc_id) per text",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dd.dedup_exact(t(spark, sf_dir, "documents"), subset=["text"], order_by=["doc_id"])
+    return df.select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    """,
+    doc="dedup on normalized-content fingerprint (formatting-insensitive exact dedup)",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE doc_id < 300 AND trim(text) <> ''
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS i
+      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2,
+           round(i / (s1.n + s2.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE i / (s1.n + s2.n - i) >= 0.5
+    """,
+    doc="exact token-set Jaccard similarity join (inverted index, no cross join)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.5, max_id=300)
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,  # hash-family-dependent candidates; verification is exact Jaccard
+    doc="MinHash-LSH near-dup: band-bucket candidates → exact-Jaccard verify >= 0.7",
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    return dd.jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7, candidates=cands)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # xxhash64-family dependent
+    doc="SimHash near-dup pairs: 64-bit sketch, pigeonhole blocking, Hamming <= 3",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,156 @@
+"""Event-stream conformance queries over the ``events`` fixture.
+
+The reference is strictly batch (SURVEY.md §2 Part B streaming row: none);
+these queries define the engine's event-time surface in batch form —
+tumbling/sliding windows, sessionization, JSON extraction — with exact
+DuckDB oracles. The same logic runs incrementally through
+``streaming/windows.py`` (Structured Streaming with watermarks); batch and
+streaming share semantics by construction (Spark's unified model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.queries.base import register, t
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+    doc="JSON scalar extraction from the props column",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h event-time window aggregate (F.window; streaming-shared semantics)",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value", "avg_value")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, event_type, value FROM events
+    ), e AS (
+      SELECT b AS window_start, event_type, value FROM g
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE AS window_start, event_type, value FROM g
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+    doc="sliding 1h/30min window: each event contributes to two overlapping windows",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30min): lag + cumulative-sum session ids",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_user_activity",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(sum(value), 2) AS total_value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="per-user activity rollup (grouping-key shuffle agg)",
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )

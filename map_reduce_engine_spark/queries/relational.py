@@ -1,0 +1,538 @@
+"""Relational operator conformance queries (SURVEY.md §2 Part B).
+
+The reference computes none of these natively — its only mechanism is the
+user map/reduce pair (SURVEY.md §2 Part B: joins/windows/sorts are
+"UDF-expressible only") — so these queries define the idiomatic surface our
+engine exposes instead. Each is a declarative DataFrame pipeline: Catalyst
+does pushdown/pruning and picks join strategies (broadcast for the dim
+tables), AQE right-sizes shuffles at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.queries.base import register, t
+
+
+# --------------------------------------------------------------------------
+# Aggregation (partial+final hash agg — the reference's A10/A11 analogue)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)      AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: multi-agg groupBy (BASELINE.md Q4 shape). "
+    "Money products go through exact DECIMAL so the sum is engine-independent "
+    "(double summation order differs between engines), then cast to double.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+                " * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)"
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped scan-heavy filter + scalar agg (predicate pushdown showcase)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.expr("l_shipdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+            & F.expr("l_shipdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            & F.col("l_discount").between(0.04, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="projection + predicate: both pushed to the parquet scan (SURVEY §2 Part B)",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_returnflag") == "R")
+        & F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        # round at the product's exact decimal precision (2-dec price × 2-dec
+        # discount → 4 decimals): the rounded value sits ON the grid, never at
+        # a midpoint, so Spark and the oracle agree bit-for-bit.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="count-distinct inside groupBy (expand + two-phase agg)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup totals (absent in reference; Part B aggregations)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="full cube over two dimensions",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit grouping sets via SQL",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("mre_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM mre_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="pivot: rows → columns on linestatus",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# Joins (absent in reference — SURVEY §2 Part B "Joins: none")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_customer_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="3-way fact join + agg: shuffle join on orderkey, customer side broadcast-able",
+)
+def join_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_region_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="snowflake dim chain: two broadcast joins, no shuffle of the dims",
+)
+def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@register(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_counts",
+    oracle="""
+    SELECT o.o_orderkey, count(l.l_orderkey) AS n_items,
+           round(coalesce(sum(l.l_quantity), 0), 2) AS total_qty
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    doc="left outer join preserving empty orders (count of non-null)",
+)
+def outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.count(li.l_orderkey).alias("n_items"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="global top-k: Spark plans TakeOrderedAndProject (no full sort)",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (absent in reference — Part B)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_nation",
+    oracle="""
+    SELECT * FROM (
+      SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+             row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+    doc="top-k per group via ranking window",
+)
+def window_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(coalesce(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev_price,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+    doc="running aggregate + lag with explicit frame (deterministic order)",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (reference: implicit UNION ALL of input files only)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="union all (the reference's multi-file input semantics, Communicator.java:180-183)",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 150000).select("o_orderkey", "o_orderstatus")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
+    return a.unionAll(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="intersect (distinct semantics)",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="except (distinct semantics)",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll is multiset minus
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (reference: "whatever Java the UDF author writes")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           substring(p_name, 1, 12)                         AS name_prefix,
+           concat_ws('|', p_brand, p_type)                  AS brand_type,
+           length(p_name)                                   AS name_len,
+           abs(p_size - 25)                                 AS size_dev,
+           round(p_retailprice * 1.1, 3)                    AS marked_up,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+           coalesce(nullif(p_brand, 'Brand#11'), 'OTHER')   AS brand_masked
+    FROM part
+    """,
+    doc="string/math/conditional scalar function passthrough",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 3).alias("marked_up"),
+        F.when(F.col("p_size") < 10, "S").when(F.col("p_size") < 30, "M").otherwise("L").alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#11")), F.lit("OTHER")).alias("brand_masked"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS y,
+           month(o_orderdate)                        AS m,
+           day(o_orderdate)                          AS d,
+           quarter(o_orderdate)                      AS q,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
+    FROM orders
+    """,
+    doc="date/time extraction + truncation",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
+    )

@@ -1,0 +1,129 @@
+"""Similarity-search conformance queries over the ``embeddings`` fixture.
+
+Brute-force cosine top-k is the oracle-checked ground truth (the DuckDB side
+computes the same double-precision dot products via list functions); the LSH
+bucketed ANN path is approximate by design and carries a rows-only check —
+its quality is measured as recall@k against the brute-force result in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators import similarity as sim
+from map_reduce_engine_spark.queries.base import register, t
+
+# DuckDB cosine between two FLOAT[] lists, accumulated in double precision
+# (parity with operators/similarity.py which casts to double before the
+# zip_with/aggregate dot product).
+_DUCK_COS = (
+    "list_dot_product(a::DOUBLE[], b::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a::DOUBLE[], a::DOUBLE[])) * sqrt(list_dot_product(b::DOUBLE[], b::DOUBLE[])))"
+)
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DUCK_COS.replace('a::', 'q.qv::').replace('b::', 'e.embedding::')}, 6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="exact cosine top-10 neighbors for 5 probe vectors (brute force, broadcast queries)",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT x.vec_id AS id1, y.vec_id AS id2,
+           round({_DUCK_COS.replace('a::', 'x.embedding::').replace('b::', 'y.embedding::')}, 6) AS cosine
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE x.vec_id < 400 AND y.vec_id < 400
+      AND round({_DUCK_COS.replace('a::', 'x.embedding::').replace('b::', 'y.embedding::')}, 6) >= 0.99
+    """,
+    doc="embedding-cosine near-duplicate pairs (exact all-pairs on a bounded slice)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    # n_planes=0 → exact all-pairs within the bounded slice (oracle-comparable);
+    # the LSH-bucketed scale path is exercised by ann_topk below.
+    return sim.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.99, n_planes=0)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall measured against knn_cosine_topk
+    doc="ANN top-k via random-hyperplane LSH buckets (the 100 TB scale path)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.ann_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10, n_planes=8)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           len(embedding)::BIGINT AS dim
+    FROM embeddings
+    """,
+    doc="vector metadata pass: L2 norms + dimensionality (zip_with/aggregate math)",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda acc, x: acc + x * x)), 6).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+@register(
+    "label_centroid_distance",
+    oracle="""
+    WITH centroids AS (
+      SELECT label, avg(e) AS c, i
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY label, i
+    )
+    SELECT c.label, n.n_vectors, c.centroid_sq_norm
+    FROM (SELECT label, round(sum(c * c), 6) AS centroid_sq_norm
+          FROM centroids GROUP BY label) c
+    JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) n
+      ON c.label = n.label
+    """,
+    doc="per-label centroid statistics (grouped vector aggregation)",
+)
+def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    # explode to (label, i, e), average per (label, i), then fold back per label
+    ex = emb.select(
+        "label", F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))).alias("i", "e")
+    )
+    cent = ex.groupBy("label", "i").agg(F.avg("e").alias("c"))
+    n_per_label = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    sq = cent.groupBy("label").agg(F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_sq_norm"))
+    return n_per_label.join(sq, "label").select("label", "n_vectors", "centroid_sq_norm")

@@ -1,0 +1,206 @@
+"""Text conformance queries: reference parity (WordCount/WordLength) +
+LLM-pipeline text analysis (SURVEY.md §2 Part C).
+
+``wordcount``/``wordlength`` are the reference's two shipped jobs
+(``WordCount.java:13-35``, ``WordLength.java:13-40``) over the ``documents``
+fixture; ``wordcount_mapreduce`` runs the same job through the map/reduce
+UDF compat surface (mapreduce.py) to prove the compat path computes
+identically to the declarative path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark import mapreduce
+from map_reduce_engine_spark.operators import text as text_ops
+from map_reduce_engine_spark.queries.base import register, t
+
+# DuckDB-side tokenizer mirroring operators/text.py::tokens_col
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+_WORDCOUNT_SQL = f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents WHERE trim(text) <> '')
+    WHERE word <> ''
+    GROUP BY word
+"""
+
+
+@register(
+    "wordcount",
+    oracle=_WORDCOUNT_SQL,
+    doc="reference flagship: WordCount.java:13-35 as scan→explode→hash agg",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.wordcount(t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "wordlength",
+    oracle=f"""
+    SELECT length(word)::BIGINT AS length, count(*) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents WHERE trim(text) <> '')
+    WHERE word <> ''
+    GROUP BY 1
+    """,
+    doc="reference job 2: WordLength.java:13-40 token-length histogram",
+)
+def wordlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_ops.wordlength(t(spark, sf_dir, "documents"), "text")
+    return df.select(F.col("length").cast("bigint").alias("length"), "cnt")
+
+
+@register(
+    "wordcount_mapreduce",
+    oracle=_WORDCOUNT_SQL,
+    doc="same job through the map/reduce UDF compat surface (MapRunner/ReduceRunner analogue)",
+)
+def wordcount_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    out = mapreduce.wordcount_job(docs)
+    return out.select(F.col("key").alias("word"), F.col("value").alias("cnt"))
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           round(length(regexp_replace(text, '\\s', '', 'g'))
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len,
+           ceil(length(text) / 4)::BIGINT AS est_bpe_tokens
+    FROM documents
+    WHERE trim(text) <> ''
+    """,
+    doc="per-document token statistics (token counting for pipeline budgeting)",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    df = text_ops.token_stats(docs, "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "avg_token_len",
+        F.col("est_bpe_tokens").cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+           round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / length(text), 4) AS punct_ratio,
+           round(
+             (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+           + (CASE WHEN length(regexp_replace(text, '\\s', '', 'g'))
+                        / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2 AND 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+           + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) >= 0.6 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+           + (CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / length(text) <= 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+           , 2) AS quality
+    FROM documents
+    WHERE trim(text) <> ''
+    """,
+    doc="document quality scoring (pretraining-data filter features)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    df = text_ops.quality_score(docs, "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "alpha_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+@register(
+    "langid",
+    oracle="""
+    SELECT doc_id,
+      CASE
+        WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+        ELSE 'und'
+      END AS predicted_lang,
+      greatest(s_en, s_fr, s_de, s_es)::BIGINT AS score
+    FROM (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b'))    AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))   AS s_fr,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein)\\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\\b(el|los|que|y|en)\\b'))    AS s_es
+      FROM documents
+    )
+    """,
+    doc="marker-word language ID (deterministic n-gram heuristic)",
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.langid(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="per-language corpus stats over document metadata",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="md5 content fingerprint of whitespace-normalized text",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    doc="multimodal binary-column convention: payload bytes + typed metadata (decode stubbed)",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.multimodal import attach_media_meta
+
+    docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    df = attach_media_meta(docs, "payload", kind="text", mime="text/plain")
+    return df.select(
+        "doc_id",
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.sha256").alias("payload_sha256"),
+    )

@@ -1,0 +1,74 @@
+"""Mirror of the driver's correctness gate: every registered query runs on
+Spark AND on the DuckDB oracle; results must match as order-insensitive
+multisets with identical column names.
+
+Strict equality (no float tolerance) on purpose — the driver compares value
+hashes, so any drift my tolerance would hide still fails the real gate.
+Queries are responsible for rounding float aggregates identically on both
+sides (queries/base.py conventions).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from map_reduce_engine_spark.queries import REGISTRY
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and represent exactly
+        return repr(v + 0.0)
+    return repr(v)
+
+
+def _normalize(rows, columns):
+    """Sort columns by name (like the driver), then rows — a canonical multiset."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_normalize_cell(row[i]) for i in order) for row in rows]
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(q.oracle)
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    s_cols, s_norm = _normalize(spark_rows, spark_cols)
+    d_cols, d_norm = _normalize(duck_rows, duck_cols)
+    assert len(s_norm) == len(d_norm), f"{name}: row count {len(s_norm)} != {len(d_norm)}"
+    if s_norm != d_norm:
+        diffs = [
+            (a, b) for a, b in zip(s_norm, d_norm) if a != b
+        ][:5]
+        pytest.fail(f"{name}: value mismatch, first diffs (spark, duck): {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    # stable schema: running twice yields the same schema + count
+    df2 = q.fn(spark, sf_dir)
+    assert df2.schema == df.schema
+    assert df2.count() == n
