@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: BASELINE.md Q1-Q8 (+ extras) at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect). Per BASELINE.md, timing is the median of 3 warm runs
+after 1 warmup. Q8 (MinHash near-dup) runs at sf0.01 per BASELINE.md — the
+fixture corpus is drawn from a ~30-word vocabulary, so near-dup candidate
+volume is intentionally adversarial.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from map_reduce_engine_spark.queries import REGISTRY  # noqa: E402
+from map_reduce_engine_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF001_DIR = str(Path(SF_DIR).parent / "sf0.01") if "sf" in Path(SF_DIR).name else SF_DIR
+
+# (bench name, registry name, sf_dir override)
+HEADLINE = [
+    ("q1_wordcount", "wordcount", None),
+    ("q2_wordlength", "wordlength", None),
+    ("q3_filter_project", "filter_project", None),
+    ("q4_group_agg", "q1_pricing_summary", None),
+    ("q5_join_revenue", "join_customer_revenue", None),
+    ("q6_topk_per_nation", "window_topk_per_nation", None),
+    ("q7_dedup_exact", "dedup_exact_survivors", None),
+    ("q8_minhash_neardup", "minhash_near_dup", SF001_DIR),
+    ("q9_knn_cosine", "knn_cosine_topk", None),
+    ("q10_sessionization", "events_sessionization", None),
+]
+
+
+def run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="mre-bench")
+    timings: dict[str, float] = {}
+    for bench_name, reg_name, sf_override in HEADLINE:
+        fn = REGISTRY[reg_name].fn
+        sf = sf_override or SF_DIR
+        run_once(spark, fn, sf)  # warmup
+        timings[bench_name] = round(statistics.median(run_once(spark, fn, sf) for _ in range(3)), 3)
+        print(f"# {bench_name}: {timings[bench_name]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf_label = Path(SF_DIR).name.replace("sf", "")
+    try:
+        sf_value = float(sf_label)
+    except ValueError:
+        sf_value = sf_label
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_value,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

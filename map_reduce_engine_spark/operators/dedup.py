@@ -116,15 +116,43 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard similarity join: (id1, id2, jaccard).
 
-    Inverted-index formulation: explode distinct tokens, self-join on token
-    (shuffle co-located on token — never a cross join), count intersections,
-    then |A∪B| = |A|+|B|-|A∩B|. ``candidates`` (from MinHash LSH) restricts
-    the pair space at scale; ``max_id`` bounds the corpus for oracle-sized
-    exact runs.
+    Two physical strategies, picked by whether a candidate set exists:
+
+    - With ``candidates`` (the MinHash-LSH scale path): join each candidate
+      pair to the two docs' distinct-token arrays and compute
+      ``|A∩B| / (|A|+|B|-|A∩B|)`` with ``array_intersect`` — cost is
+      O(candidates), never quadratic in corpus size. This is the 100 TB path:
+      an inverted-index self-join would explode on high-document-frequency
+      tokens (a token present in f docs contributes f^2 join rows).
+    - Without candidates (oracle-sized exact runs bounded by ``max_id``):
+      inverted-index formulation — explode distinct tokens, self-join on
+      token, count intersections. Exact and shuffle-co-located, but
+      quadratic in per-token document frequency; keep the corpus bounded.
     """
     base = df
     if max_id is not None:
         base = base.where(F.col(id_col) < max_id)
+
+    if candidates is not None:
+        toks_arr = base.select(
+            F.col(id_col).alias("id"), F.array_distinct(tokens_col(text_col)).alias("toks")
+        )
+        joined = (
+            candidates.join(
+                toks_arr.select(F.col("id").alias("id1"), F.col("toks").alias("t1")), "id1"
+            ).join(
+                toks_arr.select(F.col("id").alias("id2"), F.col("toks").alias("t2")), "id2"
+            )
+        )
+        inter = F.size(F.array_intersect("t1", "t2"))
+        union = F.size("t1") + F.size("t2") - inter
+        return (
+            joined.select(
+                "id1", "id2", F.round(inter / union, 6).alias("jaccard")
+            )
+            .where(F.col("jaccard") >= min_jaccard)
+        )
+
     toks = (
         base.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
         .distinct()
@@ -138,8 +166,6 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
     pairs = (
         inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
         .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
