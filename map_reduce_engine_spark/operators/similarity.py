@@ -114,32 +114,64 @@ def ann_topk(
     n_planes: int = 12,
     seed: int = 42,
     dim: int = 64,
+    multi_probe: bool = True,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: exact scoring restricted to the query's LSH bucket.
+    """Approximate top-k: exact scoring restricted to the query's LSH buckets.
 
-    The scale path for 100 TB corpora: bucket both sides (one pass each),
-    equi-join on bucket (shuffle co-location, no cross join), exact cosine
-    within buckets, per-query top-k. Recall trades off with n_planes; use
-    ``cosine_topk`` for ground truth / recall@k evaluation.
+    The scale path for 100 TB corpora — classic multi-table LSH:
+    ``n_tables`` independent sign-pattern hash tables (different seeds), a
+    candidate passes if it collides with the query in ANY table. Per-table
+    collision probability p compounds to 1-(1-p)^L recall. Both sides are
+    bucketed in one pass each (the corpus carries L (table, bucket) entries),
+    then an equi-join on (table, bucket) — shuffle co-location, never a cross
+    join. ``multi_probe`` additionally probes every bucket at Hamming
+    distance 1 in each table — a (1+n_planes)x fan-out on the tiny query
+    side only, recovering neighbors that fall just across one hyperplane.
+    Exact cosine within candidates, per-query top-k. Use ``cosine_topk`` for
+    ground truth / recall@k evaluation.
     """
-    cb = random_hyperplane_buckets(corpus, id_col, vec_col, n_planes, seed, dim).select(
+    def with_table_buckets(df: DataFrame) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            out = random_hyperplane_buckets(
+                out, id_col, vec_col, n_planes, seed + t, dim, out=f"_b{t}"
+            )
+        entries = F.array(*[
+            F.struct(F.lit(t).alias("table"), F.col(f"_b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ])
+        return out.withColumn("_tb", F.explode(entries)).select(
+            *df.columns, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+        )
+
+    cb = with_table_buckets(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _vecd(F.col(vec_col)).alias("cv"),
+        "table",
         "bucket",
     ).withColumn("cnorm", l2_norm(F.col("cv")))
-    qb = random_hyperplane_buckets(queries, id_col, vec_col, n_planes, seed, dim).select(
+    qb = with_table_buckets(queries).select(
         F.col(id_col).alias("query_id"),
         _vecd(F.col(vec_col)).alias("qv"),
+        "table",
         "bucket",
     ).withColumn("qnorm", l2_norm(F.col("qv")))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i)) for i in range(n_planes)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     scored = (
-        cb.join(qb, "bucket")
+        cb.join(qb, ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -154,3 +154,16 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle=None,  # window starts are instants (session-TZ rendering); batch twin is oracle-checked
+    doc="Structured Streaming tumbling-window agg drained via availableNow (streaming extension)",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, tumbling_counts
+
+    name = "mre_stream_tumbling"
+    run_to_memory(tumbling_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
+    return spark.table(name)

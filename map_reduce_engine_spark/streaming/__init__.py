@@ -1,0 +1,26 @@
+"""Structured Streaming surface (extension beyond the reference).
+
+The reference is strictly batch (SURVEY.md §2 Part B, streaming row: none —
+jobs run to completion and clean up, ``MasterNode.java:415-421``). This
+package adds the event-stream operators a modern pipeline needs, built on
+Spark's unified model so each streaming aggregation shares semantics with
+its batch twin in ``queries/events.py``.
+"""
+
+from map_reduce_engine_spark.streaming.windows import (
+    events_stream,
+    tumbling_counts,
+    sliding_counts,
+    session_window_agg,
+    run_to_memory,
+    stateful_running_total,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_window_agg",
+    "run_to_memory",
+    "stateful_running_total",
+]

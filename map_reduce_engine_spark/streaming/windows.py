@@ -1,0 +1,150 @@
+"""Streaming window operators over the events fixture.
+
+Batch/streaming parity: ``tumbling_counts`` on a stream produces exactly the
+rows of ``queries/events.py::events_tumbling_window`` on the same data once
+the stream is drained (verified in tests/test_streaming.py). Watermarks
+bound state for late data; at 100 TB-scale ingest the same code runs against
+a Kafka source — only the ``readStream`` format changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+# Schema of events.parquet with the nanos timestamp read as int64
+# (spark.sql.legacy.parquet.nanosAsLong — see io.read_events).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file source; one file = one
+    micro-batch under availableNow). Timestamp conversion identical to the
+    batch reader (timezone-independent NTZ arithmetic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ — event
+    # time is a UTC instant here; run streaming sessions with a UTC session
+    # timezone when comparing against the NTZ batch twins.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts/sums with a late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value", "avg_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_window_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the batch
+    lag+cumsum sessionization in queries/events.py."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total DOUBLE, n BIGINT"
+_STATEFUL_OUT_SCHEMA = "user_id BIGINT, total DOUBLE, n BIGINT"
+
+
+def _running_total_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user (sum, count) across batches.
+
+    The applyInPandasWithState pattern for operators Spark lacks natively —
+    state is a tuple row, updated per micro-batch, emitted incrementally.
+    """
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [key[0]], "total": [round(total, 2)], "n": [n]})
+
+
+def stateful_running_total(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via arbitrary stateful processing
+    (``applyInPandasWithState`` — update mode, no timeout)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_total_fn,
+            outputStructType=_STATEFUL_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain a (bounded) stream into an in-memory table synchronously —
+    the local test harness; production sinks are parquet/Kafka/foreachBatch."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,59 @@
+"""Streaming surface tests: batch/streaming parity + stateful op.
+
+The strongest property Spark's unified model gives us: a streaming windowed
+aggregation drained over a bounded source must equal its batch twin on the
+same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_engine_spark.queries import REGISTRY
+from map_reduce_engine_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    session_window_agg,
+    stateful_running_total,
+    tumbling_counts,
+)
+
+
+def _table_rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    run_to_memory(tumbling_counts(stream), "t_tumble", output_mode="complete")
+    got = _table_rows(spark, "t_tumble")
+
+    batch = REGISTRY["events_tumbling_window"].fn(spark, sf_dir)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_stream(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    run_to_memory(session_window_agg(stream), "t_sess", output_mode="complete")
+    rows = spark.sql("SELECT * FROM t_sess").collect()
+    assert len(rows) > 0
+    # session invariants: start <= end, positive event counts
+    assert all(r.session_start <= r.session_end and r.n_events > 0 for r in rows)
+    # total events across sessions == total events in the table
+    batch_total = REGISTRY["events_user_activity"].fn(spark, sf_dir).agg({"n_events": "sum"}).collect()[0][0]
+    assert sum(r.n_events for r in rows) == batch_total
+
+
+def test_stateful_running_total(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    run_to_memory(stateful_running_total(stream), "t_state", output_mode="update")
+    rows = {r.user_id: (r.total, r.n) for r in spark.sql("SELECT * FROM t_state").collect()}
+    batch = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in REGISTRY["events_user_activity"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(batch)
+    for uid, (total, n) in rows.items():
+        assert n == batch[uid][1]
+        assert total == pytest.approx(batch[uid][0], abs=0.011)  # both rounded to 2dp
