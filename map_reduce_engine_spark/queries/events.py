@@ -167,3 +167,42 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mre_stream_tumbling"
     run_to_memory(tumbling_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "streaming_sliding_window",
+    oracle=None,  # approximate twin of events_sliding_window (oracle-checked in batch)
+    doc="Structured Streaming sliding-window agg with watermark (streaming extension)",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, sliding_counts
+
+    name = "mre_stream_sliding"
+    run_to_memory(sliding_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "streaming_session_window",
+    oracle=None,  # gap-based session windows are not ANSI-SQL-expressible in one statement
+    doc="Native session windows (30 min gap) over the event stream (streaming extension)",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, session_window_agg
+
+    name = "mre_stream_session"
+    run_to_memory(session_window_agg(events_stream(spark, sf_dir)), name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "streaming_stateful_running_total",
+    oracle=None,  # custom stateful op (applyInPandasWithState) — rows-only check
+    doc="Custom stateful streaming operator: per-user running totals via applyInPandasWithState",
+)
+def streaming_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, stateful_running_total
+
+    name = "mre_stream_state"
+    run_to_memory(stateful_running_total(events_stream(spark, sf_dir)), name, output_mode="update")
+    return spark.table(name)
