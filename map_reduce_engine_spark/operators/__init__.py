@@ -28,6 +28,7 @@ from map_reduce_engine_spark.operators.similarity import (
     embedding_near_dup,
     random_hyperplane_buckets,
     ann_topk,
+    ivf_topk,
 )
 
 __all__ = [
@@ -49,4 +50,5 @@ __all__ = [
     "embedding_near_dup",
     "random_hyperplane_buckets",
     "ann_topk",
+    "ivf_topk",
 ]

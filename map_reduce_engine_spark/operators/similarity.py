@@ -181,6 +181,82 @@ def ann_topk(
     )
 
 
+def _nearest_cells(vec: Column, centers, n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids for a unit vector, computed
+    JVM-side against literal centroid arrays: on the unit sphere
+    argmin ||v-c||^2 = argmin (||c||^2 - 2*dot(v,c))."""
+    scored = F.array(*[
+        F.struct(
+            (F.lit(float(np.dot(c, c))) - 2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centers)
+    ])
+    return F.slice(F.array_sort(scored), 1, n).getField("cell")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    clustered alternative to ``ann_topk``'s hash-based LSH.
+
+    Train: distributed KMeans (``pyspark.ml``) on unit-normalized vectors
+    (cosine NN == euclidean NN on the unit sphere); only the ``n_cells``
+    centroids come back to the driver. Serve: each corpus vector is assigned
+    to its nearest centroid and each query probes its ``n_probe`` nearest
+    cells — assignment is pure JVM expressions over literal centroid arrays
+    (no model.transform, no VectorUDT in the big join), so the candidate
+    join is an equi-join on ``cell`` exactly like a production IVF index.
+    Unlike data-independent LSH planes, centroids adapt to the corpus
+    distribution — better recall/candidate-count on clustered embeddings.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
+
+    train = corpus.select(array_to_vector(unit(_vecd(F.col(vec_col)))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    centers = model.clusterCenters()
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _vecd(F.col(vec_col)).alias("cv")
+    ).withColumns({
+        "cnorm": l2_norm(F.col("cv")),
+        "cell": _nearest_cells(unit(F.col("cv")), centers, 1)[0],
+    })
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("qv")
+    ).withColumns({
+        "qnorm": l2_norm(F.col("qv")),
+        "cell": F.explode(_nearest_cells(unit(F.col("qv")), centers, n_probe)),
+    })
+    scored = (
+        cb.join(qb, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

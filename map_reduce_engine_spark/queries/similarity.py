@@ -79,6 +79,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_ann_topk",
+    oracle=None,  # approximate by design; recall measured against knn_cosine_topk
+    doc="ANN top-k via IVF cells (distributed KMeans centroids, n_probe nearest cells)",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,

@@ -1,0 +1,80 @@
+"""Source/sink round-trips: the reference's text-in / TSV-out contract
+(SURVEY.md A1/A2/A12) plus the csv/json/parquet reader-writer family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark import io as mio
+from map_reduce_engine_spark.operators import wordcount
+
+
+def test_text_source_line_model(spark, tmp_path):
+    """One row per line; a directory input unions all its files into one
+    record stream (Communicator.java:180-183 semantics)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha beta\ngamma\n")
+    (d / "b.txt").write_text("delta\n")
+    df = mio.read_text(spark, str(d))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha beta", "delta", "gamma"]
+
+
+def test_text_source_provenance(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("x\n")
+    rows = mio.read_text(spark, str(d), with_provenance=True).collect()
+    assert rows[0].input_file.endswith("a.txt")
+
+
+def test_tsv_sink_key_value_contract(spark, tmp_path):
+    """A12: final output is key\tvalue text lines, order unspecified —
+    compare as sorted multisets, exactly like the reference's finaloutput."""
+    out = tmp_path / "out"
+    df = spark.createDataFrame([("a", 2), ("b", 1)], ["key", "value"])
+    mio.write_tsv(df, str(out))
+    lines = sorted(r.value for r in spark.read.text(str(out)).collect())
+    assert lines == ["a\t2", "b\t1"]
+
+
+def test_wordcount_end_to_end_text_to_tsv(spark, tmp_path):
+    """The reference's flagship job end-to-end: text dir in → wordcount →
+    TSV out (WordCount.java:13-35 / report pp.7-8 output layout)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "t.txt").write_text("the cat the dog\nthe bird\n")
+    out = tmp_path / "final"
+    mio.write_tsv(wordcount(mio.read_text(spark, str(d)), "value"), str(out))
+    got = dict(
+        line.value.split("\t") for line in spark.read.text(str(out)).collect()
+    )
+    assert got == {"the": "3", "cat": "1", "dog": "1", "bird": "1"}
+
+
+def test_csv_round_trip(spark, tmp_path):
+    p = tmp_path / "c"
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    df.write.option("header", True).csv(str(p))
+    back = mio.read_csv(spark, str(p), schema="id INT, s STRING")
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_json_round_trip(spark, tmp_path):
+    p = tmp_path / "j"
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["id", "vec"])
+    df.write.json(str(p))
+    back = mio.read_json(spark, str(p), schema="id BIGINT, vec ARRAY<DOUBLE>")
+    assert {(r.id, tuple(r.vec)) for r in back.collect()} == {(1, (1.0, 2.0)), (2, (3.0, 4.0))}
+
+
+def test_parquet_round_trip_partitioned(spark, tmp_path):
+    p = tmp_path / "p"
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "grp"])
+    mio.write_parquet(df, str(p), partition_by=["grp"])
+    back = mio.read_parquet(spark, str(p))
+    assert back.count() == 3
+    # partition pruning: filtering on the partition column scans one dir
+    pruned = back.where(F.col("grp") == "a")
+    assert pruned.count() == 2

@@ -14,6 +14,7 @@ from map_reduce_engine_spark.io import read_table
 from map_reduce_engine_spark.operators import (
     cosine_topk,
     ann_topk,
+    ivf_topk,
     dedup_exact,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -87,6 +88,20 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     # the contract is approximate — quality, not equality.
     assert recall >= 0.3, f"ANN recall collapsed: {recall}"
     # every approx neighbor must be a real corpus vector, never the query itself
+    assert all(q != n for q, n in approx_set)
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 cells; centroids adapt to the corpus so recall should
+    # beat data-independent LSH at comparable candidate volume
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
     assert all(q != n for q, n in approx_set)
 
 

@@ -16,7 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.io import read_table
-from map_reduce_engine_spark.operators import ann_topk, cosine_topk, wordcount
+from map_reduce_engine_spark.operators import ann_topk, cosine_topk, ivf_topk, wordcount
 from map_reduce_engine_spark.queries import REGISTRY
 
 
@@ -76,6 +76,17 @@ def test_ann_join_is_equi_join_on_bucket(spark, sf_dir):
     p = plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_ivf_join_is_equi_join_on_cell(spark, sf_dir):
+    """IVF candidate generation must equi-join on the cell id; centroid
+    assignment is literal-array math, so no Python eval either."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding", k=5, n_cells=8, n_probe=2)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
