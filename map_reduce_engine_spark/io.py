@@ -100,3 +100,28 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    by: list[str],
+    path: str | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: pre-shuffles data into ``buckets`` files per
+    partition hashed on ``by``.
+
+    The co-located-join primitive at 100 TB: two tables bucketed on the same
+    key with the same bucket count join with NO exchange on either side —
+    the shuffle is paid once at write time instead of per query. Requires a
+    catalog table (``saveAsTable``); ``path`` makes it external.
+    """
+    writer = df.write.mode(mode).bucketBy(buckets, *by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -22,6 +22,10 @@ from map_reduce_engine_spark.operators.dedup import (
     jaccard_pairs,
     simhash,
 )
+from map_reduce_engine_spark.operators.temporal import (
+    asof_join,
+    range_self_join,
+)
 from map_reduce_engine_spark.operators.similarity import (
     with_norm,
     cosine_topk,
@@ -51,4 +55,6 @@ __all__ = [
     "random_hyperplane_buckets",
     "ann_topk",
     "ivf_topk",
+    "asof_join",
+    "range_self_join",
 ]

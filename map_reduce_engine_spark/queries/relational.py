@@ -536,3 +536,37 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("bigint").alias("q"),
         F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
     )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT l_suppkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="skew-resistant two-level salted aggregation (operators/skew.py) — "
+    "identical results to a plain groupBy, hot keys spread over n_salts reducers",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_orderkey"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+        F.round("max_price", 2).alias("max_price"),
+    )
