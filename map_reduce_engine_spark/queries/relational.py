@@ -477,6 +477,55 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="intersect all (multiset semantics — min of per-side multiplicities)",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="except all (multiset semantics — multiplicity subtraction)",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "approx_distinct_sketch",
+    oracle=None,  # HLL++ estimates are engine-specific; error bound asserted in tests
+    doc="approx_count_distinct (HyperLogLog++) per group — the mergeable sketch "
+    "that replaces exact count-distinct at 100 TB (no expand, fixed-size state)",
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (reference: "whatever Java the UDF author writes")
 # --------------------------------------------------------------------------

@@ -72,3 +72,22 @@ def test_rows_only_runs(name, spark, sf_dir):
     df2 = q.fn(spark, sf_dir)
     assert df2.schema == df.schema
     assert df2.count() == n
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir, duck):
+    """HLL++ at rsd=0.02 must land within 5x the nominal error of exact
+    count-distinct (loose bound — the point is the sketch is sane)."""
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in REGISTRY["approx_distinct_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.sql(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.10 * exact[k]), (k, est, exact[k])
