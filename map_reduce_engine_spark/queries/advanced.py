@@ -1,0 +1,439 @@
+"""Advanced relational conformance queries: the SQL entry point, subqueries,
+exact percentiles, analytic windows, conditional aggregation, multi-way
+join shapes, array higher-order functions, and the multimodal feature path.
+
+The reference has no SQL layer at all (SURVEY.md §2: its only query language
+is the map/reduce UDF pair, `MapRunner.java:36-128` / `ReduceRunner.java:37-172`)
+— these queries define the declarative surface our engine exposes instead.
+The ``sql_*`` entries deliberately go through ``spark.sql`` over registered
+views to exercise Catalyst's subquery decorrelation (correlated EXISTS /
+scalar subqueries rewrite to semi / aggregate joins — strategies the
+reference could never pick).
+
+Scale notes (100 TB posture):
+- every money aggregate goes through exact DECIMAL so results are
+  engine-independent AND partition-order-independent (double summation
+  reorders under AQE re-planning; decimal doesn't);
+- the dim-side of every join (region/nation/part filters, subquery results)
+  is broadcast-sized, so only the fact tables shuffle;
+- single-partition windows (global month series) only ever run over
+  pre-aggregated, cardinality-bounded frames (#months), never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators import multimodal
+from map_reduce_engine_spark.queries.base import register, t
+
+# exact-decimal money sum (engine- and partition-order-independent)
+_DEC_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+)
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the spark.sql entry point."""
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# Subqueries through the SQL surface (Catalyst decorrelation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped correlated EXISTS — Catalyst decorrelates to a "
+    "left-semi join on the fact key (no per-row subquery execution)",
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_not_exists_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    GROUP BY o_orderstatus
+    """,
+    doc="correlated NOT EXISTS → left-anti join after decorrelation",
+)
+def sql_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2')
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17-shaped correlated scalar subquery (small-quantity revenue "
+    "vs per-part average) — decorrelates to an aggregate + join; the "
+    "threshold compare is exact because l_quantity is integral "
+    "(sum exact in double, one IEEE division both engines)",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2')
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                          WHERE r_name IN ('EUROPE', 'ASIA'))
+    GROUP BY n_name
+    """,
+    doc="uncorrelated IN-subquery over a broadcast-sized dim (region) — "
+    "rewrites to a semi join; only supplier scans at scale",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                              WHERE r_name IN ('EUROPE', 'ASIA'))
+        GROUP BY n_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / medians (spill-friendly sort-based agg, not collect)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 1)                       AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4)      AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)      AS p90_price,
+           count(*)                                           AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact median + interpolated percentiles per group (both engines use "
+    "the p*(n-1) linear-interpolation definition; identical IEEE operands → "
+    "identical results before rounding)",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic windows: lag deltas, ntile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+    FROM monthly
+    """,
+    doc="month-over-month revenue delta via lag(). The unpartitioned window "
+    "runs over the pre-aggregated month series (bounded cardinality — "
+    "~84 rows regardless of fact-table size), never over raw orders",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        # date_trunc coerces NTZ→LTZ (session tz); casting straight back to
+        # NTZ renders in the same tz, so the wall-time truncation is
+        # timezone-independent (same pattern as scalar_datetime).
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month")
+    ).agg(
+        F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    oracle="""
+    SELECT quartile, count(*) AS n,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (SELECT c_acctbal,
+                 ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer)
+    GROUP BY quartile
+    """,
+    doc="ntile quartile bucketing with a deterministic total order "
+    "(tiebreak on c_custkey — both engines use the standard earlier-tiles-"
+    "get-extras distribution)",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation (FILTER / CASE-WHEN inside aggregates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(sum(CASE WHEN l_quantity >= 30
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS high_qty_price,
+           round(count(*) FILTER (WHERE l_discount > 0.05) * 1.0 / count(*), 4)
+             AS frac_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="conditional aggregates — one scan computes every branch "
+    "(no self-joins / multiple passes)",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    discounted = F.count(F.when(F.col("l_discount") > 0.05, True))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_total"),
+        discounted.alias("n_discounted"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_quantity >= 30"
+            " THEN CAST(l_extendedprice AS DECIMAL(12,2))"
+            " ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+        ).alias("high_qty_price"),
+        F.round(discounted * F.lit(1.0) / F.count("*"), 4).alias("frac_discounted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join shapes (TPC-H Q3 / Q5 analogues)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {_DEC_REVENUE} AS revenue, o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped top-k revenue join: the filtered customer segment "
+    "broadcasts, only orders⋈lineitem shuffles; top-k plans as "
+    "TakeOrderedAndProject (no global sort), tiebreak on l_orderkey",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-07-01 00:00:00'")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-07-01 00:00:00'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT n_name, {_DEC_REVENUE} AS revenue, count(*) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped 6-way join (local-supplier regional revenue). "
+    "region/nation/supplier/customer are broadcast-sized after pruning; "
+    "the only shuffle is orders⋈lineitem on the order key; the "
+    "c_nationkey = s_nationkey condition makes it a genuine cyclic join "
+    "graph that Catalyst reorders",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Array higher-order functions (JVM-side lambda exprs, no Python UDF)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "array_hof_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::BIGINT AS n_dims,
+           len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val
+    FROM embeddings
+    """,
+    doc="higher-order array functions over the embedding column — "
+    "size/filter/min/max run as JVM lambda expressions inside codegen "
+    "(the 100 TB path for vector columns; no Python boundary)",
+)
+def array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction — the full binary-payload path, oracle-checked
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           list_transform(range(8),
+             i -> CAST(('0x' || substr(sha256(text), 2*i + 1, 2))::INT AS DOUBLE) / 255.0)
+             AS features
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    doc="binary payload → feature vector via Arrow-batched mapInPandas "
+    "(operators/multimodal.py). The deterministic 'fake' decoder "
+    "(sha256-derived features) lets the oracle recompute the identical "
+    "vectors in SQL, so the whole Python-boundary plumbing — encode, "
+    "batch shapes, array<double> schema — is value-checked, not just "
+    "rows-only. Real codecs plug into MEDIA_DECODERS in deployment",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    feats = multimodal.extract_features(docs, "doc_id", "payload", decoder="fake")
+    return feats.select(F.col("id").alias("doc_id"), "features")

@@ -64,6 +64,24 @@ def wordcount_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordlength_mapreduce",
+    oracle=f"""
+    SELECT length(word)::BIGINT AS length, count(*) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents WHERE trim(text) <> '')
+    WHERE word <> ''
+    GROUP BY 1
+    """,
+    doc="reference job 2 through the map/reduce UDF compat surface — proves "
+    "the typed-key path (long keys, WordLength.java:13-40) matches the "
+    "declarative operator",
+)
+def wordlength_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    out = mapreduce.wordlength_job(docs)
+    return out.select(F.col("key").cast("bigint").alias("length"), F.col("value").alias("cnt"))
+
+
+@register(
     "token_stats",
     oracle="""
     SELECT doc_id,
