@@ -196,6 +196,47 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    oracle=None,  # survivor rows are arbitrary per key — rows-only check
+    doc="Streaming exact dedup via dropDuplicatesWithinWatermark — bounded "
+    "state (keys expire past the watermark), the only dedup shape that "
+    "survives an unbounded stream",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, streaming_dedup
+
+    name = "mre_stream_dedup"
+    deduped = streaming_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"])
+    run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle=None,  # float sum over stream micro-batches — rows-only check
+    doc="Stream-static join: the event stream enriched per micro-batch "
+    "against a batch dimension (per-user historical averages); no join "
+    "state kept, the 100 TB Kafka⋈parquet-dim shape",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, stream_static_enrich
+
+    name = "mre_stream_static_join"
+    dim = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("user_avg"))
+    )
+    enriched = stream_static_enrich(events_stream(spark, sf_dir), dim, "user_id")
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") - F.col("user_avg")), 2).alias("total_dev"),
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "streaming_stateful_running_total",
     oracle=None,  # custom stateful op (applyInPandasWithState) — rows-only check
     doc="Custom stateful streaming operator: per-user running totals via applyInPandasWithState",

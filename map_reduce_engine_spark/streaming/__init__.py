@@ -14,6 +14,8 @@ from map_reduce_engine_spark.streaming.windows import (
     session_window_agg,
     run_to_memory,
     stateful_running_total,
+    streaming_dedup,
+    stream_static_enrich,
 )
 
 __all__ = [
@@ -23,4 +25,6 @@ __all__ = [
     "session_window_agg",
     "run_to_memory",
     "stateful_running_total",
+    "streaming_dedup",
+    "stream_static_enrich",
 ]

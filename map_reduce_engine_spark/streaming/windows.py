@@ -137,6 +137,27 @@ def stateful_running_total(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires state
+    once the watermark passes — the only dedup that survives an unbounded
+    stream (plain dropDuplicates state grows forever). The streaming twin of
+    operators/dedup.dedup_exact.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension table.
+
+    The dim side is planned per micro-batch (broadcast when small) — no
+    state is kept for it, so this scales to any stream length; the 100 TB
+    analogue is joining a Kafka stream against a parquet/Delta dim snapshot.
+    """
+    return stream.join(dim, on, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain a (bounded) stream into an in-memory table synchronously —
     the local test harness; production sinks are parquet/Kafka/foreachBatch."""

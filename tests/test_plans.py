@@ -90,6 +90,50 @@ def test_ivf_join_is_equi_join_on_cell(spark, sf_dir):
     assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+# ------------------------------------------------------------- subqueries
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must decorrelate to a semi join on the fact key —
+    never a per-row subquery re-execution."""
+    p = plan(REGISTRY["sql_exists_subquery"].fn(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_not_exists_subquery_decorrelates_to_anti_join(spark, sf_dir):
+    p = plan(REGISTRY["sql_not_exists_subquery"].fn(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q3_plans_broadcast_and_topk(spark, sf_dir):
+    """Q3 shape: the filtered customer dim broadcasts; the top-10 plans as
+    TakeOrderedAndProject, not a global sort."""
+    p = plan(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's 6-way join: every dimension (region/nation/supplier/customer)
+    broadcasts; only orders⋈lineitem may shuffle."""
+    p = plan(REGISTRY["q5_regional_revenue"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_multimodal_features_prunes_before_python(spark, sf_dir):
+    """The multimodal path is the sanctioned Python boundary — it must use
+    Arrow-batched MapInPandas (never row-at-a-time BatchEvalPython), and
+    only doc_id+text may be scanned (payload pruning)."""
+    p = plan(REGISTRY["multimodal_features"].fn(spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    read_schema = next(line for line in p.splitlines() if "ReadSchema:" in line)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
 # ------------------------------------------------------------- JVM-side
 
 
@@ -106,6 +150,10 @@ def test_ivf_join_is_equi_join_on_cell(spark, sf_dir):
         "langid",
         "minhash_near_dup",
         "simhash_near_pairs",
+        "percentile_stats",
+        "array_hof_stats",
+        "conditional_agg",
+        "q5_regional_revenue",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):

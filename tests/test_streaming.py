@@ -45,6 +45,48 @@ def test_session_window_stream(spark, sf_dir):
     assert sum(r.n_events for r in rows) == batch_total
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from map_reduce_engine_spark.io import read_events
+    from map_reduce_engine_spark.streaming import streaming_dedup
+
+    stream = events_stream(spark, sf_dir)
+    run_to_memory(
+        streaming_dedup(stream, ["user_id", "event_type"]), "t_dedup", output_mode="append"
+    )
+    n = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
+    # schema is preserved (full rows survive, one arbitrary survivor per key)
+    assert set(spark.table("t_dedup").columns) == set(read_events(spark, sf_dir).columns)
+    batch_distinct = read_events(spark, sf_dir).select("user_id", "event_type").distinct().count()
+    assert n == batch_distinct
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from map_reduce_engine_spark.io import read_events
+
+    got = {
+        r.event_type: (r.n, r.total_dev)
+        for r in REGISTRY["streaming_stream_static_join"].fn(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(F.round(F.avg("value"), 4).alias("user_avg"))
+    want = {
+        r.event_type: (r.n, r.total_dev)
+        for r in ev.join(dim, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") - F.col("user_avg")), 2).alias("total_dev"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, dev) in got.items():
+        assert n == want[et][0]
+        assert dev == pytest.approx(want[et][1], abs=0.02)  # float sum order differs per micro-batch
+
+
 def test_stateful_running_total(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     run_to_memory(stateful_running_total(stream), "t_state", output_mode="update")
