@@ -408,6 +408,233 @@ def array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Reshaping: unpivot (wide→long)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT p_brand, metric, round(val, 4) AS val
+    FROM (
+      SELECT p_brand,
+             round(avg(p_retailprice), 4) AS avg_price,
+             round(avg(p_size), 4)        AS avg_size,
+             CAST(count(*) AS DOUBLE)     AS n_parts
+      FROM part GROUP BY p_brand
+    ) UNPIVOT (val FOR metric IN (avg_price, avg_size, n_parts))
+    """,
+    doc="wide→long unpivot of a per-brand metric summary (the inverse of "
+    "pivot_agg) — melts after aggregation, so the reshape touches "
+    "#brands×#metrics rows, never the fact table",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            F.count("*").cast("double").alias("n_parts"),
+        )
+    )
+    return wide.unpivot(
+        ids=["p_brand"],
+        values=["avg_price", "avg_size", "n_parts"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("p_brand", "metric", F.round("val", 4).alias("val"))
+
+
+# --------------------------------------------------------------------------
+# Window frames: RANGE frames, first/last/nth value
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           count(*) OVER (ORDER BY c_acctbal
+                          RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)::BIGINT
+             AS n_within_100
+    FROM customer
+    """,
+    doc="value-based RANGE frame (peers within 100.0 of the current account "
+    "balance) — a frame ROWS BETWEEN cannot express; ties are handled "
+    "identically by both engines because RANGE frames are value-determined",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal").rangeBetween(-100, Window.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.count("*").over(w).cast("bigint").alias("n_within_100"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth order per customer over an unbounded frame with a "
+    "deterministic tiebreak (orderdate, orderkey)",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-typed columns (flattened to rows for engine-independent comparison)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT o_orderpriority AS k, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="map-typed column round trip: build map<priority,count> per status "
+    "with map_from_entries, then explode one map's entries back to rows — "
+    "proves construct/access/explode of MapType; the oracle states the "
+    "equivalent flat result",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    per_status = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("o_orderpriority", "n"))
+            ).alias("prio_counts")
+        )
+    )
+    return (
+        per_status.where(F.col("o_orderstatus") == "F")
+        .select(F.explode("prio_counts").alias("k", "n_orders"))
+        .select("k", "n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: bigram counts (token-sequence n-grams, JVM-side)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks WHERE len(ts) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+    """,
+    doc="top-50 token bigrams — n-gram generation as a JVM-side transform "
+    "over the token array (no Python), then explode + hash agg + top-k",
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("ts")).where(F.size("ts") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 2),
+                lambda i: F.concat_ws(" ", F.col("ts")[i], F.col("ts")[i + 1]),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate quantile sketch (rows-only; bound-checked in tests)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "approx_quantile_sketch",
+    oracle=None,  # sketch algorithms differ per engine; bound-checked vs exact in tests
+    doc="approx_percentile (Greenwald-Khanna sketch) per return flag — the "
+    "mergeable-sketch path for quantiles at 100 TB (single pass, bounded "
+    "memory, partial+final merge like any aggregate)",
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: video frame-sampling plan (metadata-driven explode)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, (octet_length(encode(text)) // 1000 + 1), 30)) AS frame_idx
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    doc="video frame-sampling plumbing: one payload row → n sampled-frame "
+    "rows via a JVM-side sequence+explode driven by payload size only "
+    "(decode stubbed; a real ffmpeg sampler slots into the same shape). "
+    "Frame count derives from byte length, so the oracle recomputes it "
+    "from octet_length",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    return multimodal.frame_sample_plan(docs, "doc_id", "payload", every_n=30).select(
+        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal feature extraction — the full binary-payload path, oracle-checked
 # --------------------------------------------------------------------------
 

@@ -74,6 +74,26 @@ def test_rows_only_runs(name, spark, sf_dir):
     assert df2.count() == n
 
 
+def test_approx_quantile_within_bound(spark, sf_dir, duck):
+    """Greenwald-Khanna at accuracy=10000 must land within 1% relative error
+    of the exact percentile (generous — nominal error is 1/10000)."""
+    approx = {
+        r.l_returnflag: (r.approx_p50, r.approx_p90)
+        for r in REGISTRY["approx_quantile_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        row[0]: (row[1], row[2])
+        for row in duck.sql(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5),"
+            " quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for flag, (p50, p90) in approx.items():
+        assert abs(p50 - exact[flag][0]) <= 0.01 * exact[flag][0], (flag, p50, exact[flag])
+        assert abs(p90 - exact[flag][1]) <= 0.01 * exact[flag][1], (flag, p90, exact[flag])
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir, duck):
     """HLL++ at rsd=0.02 must land within 5x the nominal error of exact
     count-distinct (loose bound — the point is the sketch is sane)."""
