@@ -78,3 +78,24 @@ def test_parquet_round_trip_partitioned(spark, tmp_path):
     # partition pruning: filtering on the partition column scans one dir
     pruned = back.where(F.col("grp") == "a")
     assert pruned.count() == 2
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-style partitioned layout must prune at plan time: the partition
+    filter appears as PartitionFilters on the scan, and the number of
+    scanned files equals the one matching partition's files — the mechanism
+    that turns a 100 TB table scan into a single-partition read."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    p = tmp_path / "pp"
+    df = spark.range(100).withColumn("lang", F.when(F.col("id") % 2 == 0, "en").otherwise("de"))
+    mio.write_parquet(df, str(p), partition_by=["lang"])
+    pruned = mio.read_parquet(spark, str(p)).where(F.col("lang") == "en")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = next(line for line in plan.splitlines() if "PartitionFilters:" in line)
+    assert "lang" in pf
+    assert pruned.count() == 50
