@@ -586,6 +586,68 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fuzzy string matching (edit distance over a bounded key domain)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "levenshtein_brand_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand1, c.p_brand AS brand2,
+           levenshtein(a.p_brand, c.p_brand)::BIGINT AS dist
+    FROM b a JOIN b c ON a.p_brand < c.p_brand
+    WHERE levenshtein(a.p_brand, c.p_brand) <= 2
+    """,
+    doc="fuzzy key matching via edit distance. Scale shape: distinct-reduce "
+    "each side to its bounded key domain FIRST (|brands| ≪ |part|), then "
+    "the pair join is domain² not rows² — the safe way to fuzzy-join "
+    "low-cardinality keys at any table size",
+)
+def levenshtein_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = brands.select(F.col("p_brand").alias("brand1"))
+    b = brands.select(F.col("p_brand").alias("brand2"))
+    return (
+        a.join(F.broadcast(b), F.col("brand1") < F.col("brand2"))
+        .withColumn("dist", F.levenshtein("brand1", "brand2").cast("bigint"))
+        .where(F.col("dist") <= 2)
+        .select("brand1", "brand2", "dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered array aggregation (deterministic collect_list)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ordered_order_history",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+    doc="per-customer order history as a sorted array — collect_list is "
+    "order-nondeterministic under shuffling, so sort_array canonicalizes "
+    "(the only safe way to emit array aggregates from a distributed agg)",
+)
+def ordered_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate quantile sketch (rows-only; bound-checked in tests)
 # --------------------------------------------------------------------------
 
