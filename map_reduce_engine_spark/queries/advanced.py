@@ -377,6 +377,134 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_DEC_REVENUE} AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item ranking: which customers returned "
+    "the most revenue in a quarter. Fact join shuffles on orderkey only; "
+    "customer+nation broadcast; top-20 via TakeOrderedAndProject with a "
+    "c_custkey tiebreak",
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1997-07-01 00:00:00'")
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                              ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+             AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14-shaped promo revenue share: conditional ratio over one "
+    "month of shipments; part broadcasts, one scan computes both branches",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-03-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = (
+        "CAST(sum(CASE WHEN p_type = 'PROMO'"
+        " THEN CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+        " ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)"
+    )
+    total = (
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+    )
+    return joined.agg(
+        F.round(F.lit(100.0) * F.expr(promo) / F.expr(total), 4).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event funnel (sequence analytics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL)::BIGINT AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_purchase > t_signup)::BIGINT
+             AS n_converted
+    FROM (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    """,
+    doc="two-step funnel (signup → later purchase) as one conditional-min "
+    "aggregation per user — sequence analytics without self-joining the "
+    "event stream (the self-join shape explodes at 100 TB; this is one "
+    "shuffle on user_id)",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), True)).alias("n_signup"),
+        F.count(
+            F.when(
+                F.col("t_signup").isNotNull() & (F.col("t_purchase") > F.col("t_signup")),
+                True,
+            )
+        ).alias("n_converted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Array higher-order functions (JVM-side lambda exprs, no Python UDF)
 # --------------------------------------------------------------------------
