@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Regenerate QUERIES.md from the live query registry.
+
+Usage: python scripts/gen_queries_md.py  (from the repo root)
+"""
+
+from __future__ import annotations
+
+import inspect
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from map_reduce_engine_spark.queries import REGISTRY  # noqa: E402
+
+SECTIONS = {
+    "text": (
+        "Reference parity + text analysis",
+        "WordCount/WordLength (the reference's two shipped jobs, WordCount.java / WordLength.java), "
+        "the map/reduce UDF compat path, and the LLM-pipeline text analyzers (SURVEY §2 Part C).",
+    ),
+    "relational": (
+        "Relational core (SURVEY §2 Part B)",
+        "Aggregations, joins, windows, sorts/top-k, set ops, scalar functions — all absent in the "
+        "reference (UDF-expressible only); idiomatic DataFrame surface here.",
+    ),
+    "advanced": (
+        "Advanced relational + SQL surface",
+        "Subqueries via spark.sql (Catalyst decorrelation), percentiles, analytic windows, reshaping, "
+        "array/map types, fuzzy matching, multi-way TPC-H shapes, multimodal plumbing.",
+    ),
+    "events": (
+        "Event analytics + Structured Streaming",
+        "Batch window/sessionization twins and their streaming counterparts (watermarks, streaming dedup, "
+        "stream-static join, arbitrary stateful op) — extension beyond the strictly-batch reference.",
+    ),
+    "dedup": (
+        "Deduplication (SURVEY §2 Part C)",
+        "Exact, fingerprint, n-gram Jaccard, MinHash-LSH, SimHash.",
+    ),
+    "similarity": (
+        "Similarity search (SURVEY §2 Part C)",
+        "Brute-force cosine top-k baseline, LSH-ANN and IVF-ANN scale paths, embedding near-dup.",
+    ),
+    "temporal": (
+        "Temporal joins",
+        "As-of join and tolerance range join — operators Spark lacks natively, composed from "
+        "bucketed equi-joins + window dedup.",
+    ),
+}
+
+ORDER = ["text", "relational", "advanced", "events", "dedup", "similarity", "temporal"]
+
+
+def main() -> None:
+    out = [
+        "# QUERIES — conformance registry cross-reference",
+        "",
+        "Generated from `map_reduce_engine_spark/queries/` (one line per registry",
+        "entry; regenerate with the snippet in the footer). Every entry is run by",
+        "the driver at sf0.01: **oracle** entries hash-compare against the listed",
+        "DuckDB SQL twin; **rows-only** entries (approximate / hash-family-dependent",
+        "/ streaming) get schema+count stability checks plus the bound/parity tests",
+        "noted in their module.",
+        "",
+    ]
+    mods: dict[str, list] = {}
+    for name, q in REGISTRY.items():
+        mod = inspect.getmodule(q.fn).__name__.split(".")[-1]
+        mods.setdefault(mod, []).append((name, q))
+    total = orc = 0
+    for mod in ORDER:
+        title, blurb = SECTIONS[mod]
+        out += [f"## {title}", "", blurb, "", "| query | check | what it proves |", "|---|---|---|"]
+        for name, q in mods.get(mod, []):
+            kind = "oracle" if q.oracle else "rows-only"
+            total += 1
+            orc += q.oracle is not None
+            doc = " ".join(q.doc.split())
+            out.append(f"| `{name}` | {kind} | {doc} |")
+        out.append("")
+    out += [
+        f"**Totals: {total} queries, {orc} oracle-checked, {total - orc} rows-only.**",
+        "",
+        "_Regenerate: run the script in `scripts/gen_queries_md.py`._",
+        "",
+    ]
+    Path("QUERIES.md").write_text("\n".join(out))
+    print(f"wrote QUERIES.md: {total} queries, {orc} oracle-checked")
+
+
+if __name__ == "__main__":
+    main()
