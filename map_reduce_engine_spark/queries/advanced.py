@@ -714,6 +714,71 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates + histogram binning
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                    AS sd_qty,
+           round(var_samp(l_quantity), 4)                       AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)          AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2)    AS covar_qty_price,
+           round(skewness(l_quantity), 4)                       AS skew_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates (stddev/variance/correlation/covariance/"
+    "skewness) per group — single-pass mergeable moments, the same "
+    "partial+final shape as any hash aggregate",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; same definition spelled out (bucket width
+    -- 600000/12 = 50000 is exact in double, so the division agrees bit-for-bit)
+    SELECT (CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 13
+                 ELSE 1 + floor(o_totalprice / 50000.0) END)::BIGINT AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    doc="equi-width histogram via width_bucket — binning as a scalar "
+    "expression feeding one hash aggregate (no per-bucket passes); the "
+    "100 TB-safe way to build distributions",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy string matching (edit distance over a bounded key domain)
 # --------------------------------------------------------------------------
 

@@ -80,6 +80,14 @@ def test_parquet_round_trip_partitioned(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_orc_round_trip(spark, tmp_path):
+    p = tmp_path / "o"
+    df = spark.createDataFrame([(1, "x", 1.5), (2, "y", 2.5)], ["id", "s", "v"])
+    df.write.orc(str(p))
+    back = spark.read.orc(str(p))
+    assert {tuple(r) for r in back.collect()} == {(1, "x", 1.5), (2, "y", 2.5)}
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     """Hive-style partitioned layout must prune at plan time: the partition
     filter appears as PartitionFilters on the scan, and the number of

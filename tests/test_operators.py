@@ -56,6 +56,34 @@ def test_minhash_candidates_superset_of_exact_dups(spark, sf_dir):
     assert missing == 0
 
 
+def test_results_invariant_under_repartitioning(spark, sf_dir):
+    """Partitioning is an execution detail — dedup survivors, MinHash
+    signatures, and SimHash sketches must be identical whether the input
+    arrives in 1 partition or 16 (the AddInterface merge-associativity
+    contract, SURVEY.md A11, generalized)."""
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators import dedup as dd
+
+    docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+
+    def survivors(shaped):
+        return {
+            r.doc_id
+            for r in dd.dedup_exact(shaped, subset=["text"], order_by=["doc_id"]).collect()
+        }
+
+    assert survivors(docs.coalesce(1)) == survivors(docs.repartition(16))
+    sig1 = {
+        (r.id, tuple(r.sig))
+        for r in dd.minhash_signatures(docs.coalesce(1), "doc_id", "text", 16).collect()
+    }
+    sig16 = {
+        (r.id, tuple(r.sig))
+        for r in dd.minhash_signatures(docs.repartition(16), "doc_id", "text", 16).collect()
+    }
+    assert sig1 == sig16
+
+
 def test_minhash_signatures_stable(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     s1 = {(r.id, tuple(r.sig)) for r in minhash_signatures(docs, "doc_id", "text").collect()}
