@@ -861,6 +861,70 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC / upsert (MERGE-INTO emulation on immutable storage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    doc="MERGE INTO emulation (operators/cdc.py): a derived update set "
+    "(every 10th customer gets +100 balance) upserts into the dimension as "
+    "anti-join ∪ source — the immutable-storage MERGE; with Delta/Iceberg "
+    "jars the same operator becomes native MERGE INTO",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import cdc
+
+    cust = t(spark, sf_dir, "customer")
+    source = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    merged = cdc.merge_upsert(cust, source, keys=["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "cdc_latest_version",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="CDC log compaction (operators/cdc.py): replay an append-only "
+    "change log to its latest version per key — one window shuffle on the "
+    "key, the read-side of upsert",
+)
+def cdc_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import cdc
+
+    orders = t(spark, sf_dir, "orders")
+    latest = cdc.latest_version_per_key(orders, key="o_custkey", version_col="o_orderkey")
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal: video frame-sampling plan (metadata-driven explode)
 # --------------------------------------------------------------------------
 

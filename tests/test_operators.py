@@ -84,6 +84,34 @@ def test_results_invariant_under_repartitioning(spark, sf_dir):
     assert sig1 == sig16
 
 
+def test_scd2_and_merge_delete(spark):
+    from map_reduce_engine_spark.operators import cdc
+
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", "2020-01-01", None, True),
+            (2, "bob", "2020-01-01", None, True),
+            (2, "rob", "2019-01-01", "2020-01-01", False),  # prior version
+        ],
+        "k INT, name STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    )
+    updates = spark.createDataFrame(
+        [(2, "bobby", "2021-06-01")], "k INT, name STRING, eff STRING"
+    )
+    out = cdc.scd2_apply(dim, updates, key="k", effective_col="eff").collect()
+    rows = {(r.k, r.name): (r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert rows[(1, "alice")] == ("2020-01-01", None, True)        # untouched current
+    assert rows[(2, "rob")] == ("2019-01-01", "2020-01-01", False)  # old history kept
+    assert rows[(2, "bob")] == ("2020-01-01", "2021-06-01", False)  # closed out
+    assert rows[(2, "bobby")] == ("2021-06-01", None, True)         # new current
+    assert len(rows) == 4
+
+    target = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k INT, v STRING")
+    tomb = spark.createDataFrame([(2,)], "k INT")
+    left = {r.k for r in cdc.merge_delete(target, tomb, ["k"]).collect()}
+    assert left == {1, 3}
+
+
 def test_minhash_signatures_stable(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     s1 = {(r.id, tuple(r.sig)) for r in minhash_signatures(docs, "doc_id", "text").collect()}
