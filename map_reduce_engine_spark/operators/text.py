@@ -161,3 +161,37 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# PII-shaped patterns for corpus scrubbing. Deliberately simple and
+# deterministic (regexp only, JVM-side); swap in stricter patterns or a
+# vetted library downstream — the pipeline shape (single regexp_replace
+# pass per pattern, no Python) is what matters at 100 TB.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "long_digits": r"\d{6,}",  # phone/account/ssn-shaped digit runs
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Redact PII-shaped substrings; emit scrubbed text + per-pattern hit flags.
+
+    One chained ``regexp_replace`` per pattern (a single projection — the
+    scan stays one pass), plus ``rlike`` hit flags so the pipeline can audit
+    redaction rates without a second scan.
+    """
+    scrubbed = F.col(text_col)
+    flags = []
+    for name, pat in PII_PATTERNS.items():
+        flags.append(F.col(text_col).rlike(pat).alias(f"had_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        *flags,
+    )

@@ -203,6 +203,27 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '[REDACTED]', 'g'),
+             '\d{6,}', '[REDACTED]', 'g') AS scrubbed_text,
+           regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS had_email,
+           regexp_matches(text, '\d{6,}') AS had_long_digits
+    FROM documents
+    """,
+    doc="PII scrubbing (pretraining-corpus redaction): chained regexp_replace "
+    "for email/digit-run shapes in one projection pass, with rlike hit "
+    "flags for redaction-rate auditing — no second scan, no Python",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return text_ops.pii_scrub(docs, "doc_id", "text")
+
+
+@register(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
