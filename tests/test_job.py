@@ -1,0 +1,68 @@
+"""Job-submission surface tests: the reference's startjob path end-to-end
+(SURVEY.md A13 / §3.1) — text dir in, module-resolved map/reduce UDFs,
+key\tvalue TSV out."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_engine_spark.job import Job, load_job_module, startjob
+from map_reduce_engine_spark.mapreduce import wordcount_mapper, wordcount_reducer
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("the cat the dog\nthe bird\n")
+    (d / "b.txt").write_text("cat  dog\n")  # multi-space run: one separator
+    return d
+
+
+def _read_tsv(spark, path):
+    return dict(line.value.split("\t") for line in spark.read.text(str(path)).collect())
+
+
+def test_job_api_end_to_end(spark, input_dir, tmp_path):
+    out = tmp_path / "out"
+    Job(
+        name="wc",
+        input_dir=str(input_dir),
+        output_dir=str(out),
+        map_fn=wordcount_mapper,
+        reduce_fn=wordcount_reducer,
+        num_reducers=2,
+    ).run(spark)
+    assert _read_tsv(spark, out) == {"the": "3", "cat": "2", "dog": "2", "bird": "1"}
+
+
+def test_startjob_resolves_module(spark, input_dir, tmp_path):
+    """The reference's jar+reflection discovery as module import."""
+    out = tmp_path / "out2"
+    startjob(
+        spark,
+        "wc",
+        "map_reduce_engine_spark.examples.wordcount_job",
+        str(input_dir),
+        str(out),
+        num_reducers=1,
+    )
+    assert _read_tsv(spark, out) == {"the": "3", "cat": "2", "dog": "2", "bird": "1"}
+
+
+def test_startjob_wordlength_typed_keys(spark, input_dir, tmp_path):
+    out = tmp_path / "out3"
+    startjob(
+        spark,
+        "wl",
+        "map_reduce_engine_spark.examples.wordlength_job",
+        str(input_dir),
+        str(out),
+    )
+    # lengths: the(3)x3, cat(3)x2, dog(3)x2, bird(4)x1 → {3: 7, 4: 1}
+    assert _read_tsv(spark, out) == {"3": "7", "4": "1"}
+
+
+def test_load_job_module_errors_clearly():
+    with pytest.raises(AttributeError, match="map_fn and reduce_fn"):
+        load_job_module("map_reduce_engine_spark.examples")
