@@ -224,6 +224,51 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="reproducible train/val/test corpus split by key modulus — "
+    "deterministic under any partitioning and re-run (unlike random "
+    "sampling), the way dataset splits stay stable across pipeline runs",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=None,  # Bernoulli sampling is seeded-RNG-dependent; invariants tested below
+    doc="seeded per-stratum Bernoulli sampling (sampleBy on lang) — corpus "
+    "downsampling that keeps language balance; deterministic for a fixed "
+    "seed and input partitioning",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    sampled = docs.sampleBy("lang", fractions={lang: 0.25 for lang in langs}, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,

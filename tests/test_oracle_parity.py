@@ -94,6 +94,20 @@ def test_approx_quantile_within_bound(spark, sf_dir, duck):
         assert abs(p90 - exact[flag][1]) <= 0.01 * exact[flag][1], (flag, p90, exact[flag])
 
 
+def test_stratified_sample_fractions(spark, sf_dir, duck):
+    """Seeded Bernoulli sampling per language must land near the requested
+    25% fraction in every stratum (binomial 5-sigma bound)."""
+    got = {
+        r.lang: r.n_sampled
+        for r in REGISTRY["stratified_sample"].fn(spark, sf_dir).collect()
+    }
+    totals = dict(duck.sql("SELECT lang, count(*) FROM documents GROUP BY 1").fetchall())
+    for lang, total in totals.items():
+        n = got.get(lang, 0)
+        mean, sd = 0.25 * total, (total * 0.25 * 0.75) ** 0.5
+        assert abs(n - mean) <= 5 * sd + 1, (lang, n, total)
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir, duck):
     """HLL++ at rsd=0.02 must land within 5x the nominal error of exact
     count-distinct (loose bound — the point is the sketch is sane)."""
