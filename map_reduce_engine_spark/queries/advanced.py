@@ -378,6 +378,48 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(big.sum_qty, 1) AS sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) big
+      ON big.l_orderkey = o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q18-shaped large-volume orders: the HAVING pre-aggregate "
+    "shrinks lineitem to qualifying orders BEFORE any join (same "
+    "aggregate-first discipline as join_customer_revenue), then top-10 via "
+    "TakeOrderedAndProject with an orderkey tiebreak",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 1).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "q10_returned_customers",
     oracle=f"""
     SELECT c_custkey, c_name, {_DEC_REVENUE} AS revenue,

@@ -33,6 +33,32 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_schema_agg",
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY k_bucket
+    """,
+    doc="schema-full JSON parsing (from_json with an explicit schema, not "
+    "path extraction) feeding an aggregate — the one-pass shape for "
+    "semi-structured columns; at scale the parse cost is paid once per "
+    "row inside codegen, never per extracted field",
+)
+def events_json_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"), "value"
+    ).where(F.col("p.k").isNotNull())
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
     "events_tumbling_window",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
