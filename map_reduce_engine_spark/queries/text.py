@@ -224,6 +224,42 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_doc_freq",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS token FROM d
+    ),
+    n AS (SELECT count(*) AS n_docs FROM d)
+    SELECT token, count(*) AS df,
+           round(ln(n_docs / count(*)), 4) AS idf
+    FROM toks, n
+    GROUP BY token, n_docs
+    """,
+    doc="document frequency + IDF per token (the inverted-index statistics "
+    "for search/tf-idf). The corpus size joins in as a 1-row broadcast "
+    "(cross join of an aggregate), so no driver-side count() action sits "
+    "in the operator path",
+)
+def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens_col("text")).alias("token")
+    ).distinct()
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"),
+        )
+    )
+
+
+@register(
     "corpus_split",
     oracle="""
     SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars

@@ -154,6 +154,12 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "array_hof_stats",
         "conditional_agg",
         "q5_regional_revenue",
+        "q18_large_orders",
+        "events_json_schema_agg",
+        "pii_scrub",
+        "corpus_split",
+        "token_doc_freq",
+        "merge_upsert_customers",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
