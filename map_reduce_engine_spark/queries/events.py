@@ -222,6 +222,38 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ewma_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*)    OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * CASE WHEN rn = 1 THEN power(0.5, n - 1)
+                                  ELSE 0.5 * power(0.5, n - rn) END), 6) AS ewma,
+           max(n) AS n_events
+    FROM seq
+    GROUP BY user_id
+    """,
+    doc="per-user EWMA (alpha=0.5) — an order-dependent recurrence with no "
+    "single-statement SQL form, run as the sanctioned grouped-map Python "
+    "path (applyInPandas, operators/sequential.py). The oracle recomputes "
+    "it closed-form (sum of power-weighted terms); alpha=0.5 keeps every "
+    "halving step FP-exact so both formulations agree to rounding",
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sequential import ewma_per_group
+
+    ev = t(spark, sf_dir, "events")
+    out = ewma_per_group(
+        ev, group_col="user_id", order_cols=["ts", "event_id"], value_col="value", alpha=0.5
+    )
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n_events")
+
+
+@register(
     "streaming_dedup",
     oracle=None,  # survivor rows are arbitrary per key — rows-only check
     doc="Streaming exact dedup via dropDuplicatesWithinWatermark — bounded "
