@@ -109,6 +109,36 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle="""
+    SELECT min(doc_id) AS component, count(*) AS size
+    FROM documents
+    GROUP BY text
+    HAVING count(*) > 1
+    """,
+    doc="transitive dedup clustering (operators/graph.py): exact-duplicate "
+    "pairs → connected components via iterative min-label propagation "
+    "(the Pregel pattern in DataFrame joins). On exact-dup edges the "
+    "components provably equal the group-by-text clusters, which is the "
+    "oracle; the same operator clusters MinHash/SimHash candidate pairs "
+    "at scale",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    # exact-duplicate pairs: min doc per text ↔ every other doc of that text
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("id1"))
+    pairs = (
+        docs.join(canon, "text")
+        .where(F.col("doc_id") != F.col("id1"))
+        .select("id1", F.col("doc_id").alias("id2"))
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(F.count("*").alias("size"))
+
+
+@register(
     "simhash_near_pairs",
     oracle=None,  # xxhash64-family dependent
     doc="SimHash near-dup pairs: 64-bit sketch, pigeonhole blocking, Hamming <= 3",

@@ -84,6 +84,19 @@ def test_results_invariant_under_repartitioning(spark, sf_dir):
     assert sig1 == sig16
 
 
+def test_connected_components_transitive(spark):
+    """A path graph (1-2, 2-3, 3-4) plus a disjoint edge (10-11) must yield
+    two components with min-id labels — proves transitive closure beyond
+    the clique case the oracle covers."""
+    from map_reduce_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id1 BIGINT, id2 BIGINT"
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
 def test_scd2_and_merge_delete(spark):
     from map_reduce_engine_spark.operators import cdc
 
