@@ -34,8 +34,28 @@ from map_reduce_engine_spark.operators.similarity import (
     ann_topk,
     ivf_topk,
 )
+from map_reduce_engine_spark.operators.cdc import (
+    merge_upsert,
+    merge_delete,
+    scd2_apply,
+    latest_version_per_key,
+)
+from map_reduce_engine_spark.operators.graph import (
+    connected_components,
+    dedup_components,
+)
+from map_reduce_engine_spark.operators.sequential import ewma_per_group
+from map_reduce_engine_spark.operators.text import pii_scrub
 
 __all__ = [
+    "merge_upsert",
+    "merge_delete",
+    "scd2_apply",
+    "latest_version_per_key",
+    "connected_components",
+    "dedup_components",
+    "ewma_per_group",
+    "pii_scrub",
     "wordcount",
     "wordlength",
     "tokenize",
