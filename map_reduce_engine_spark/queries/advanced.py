@@ -756,6 +756,67 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Argmax aggregates + distribution-rank windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "argmax_agg",
+    oracle="""
+    -- tiebreak encoded into one exact integer key: cents (2-dec balance
+    -- scaled, exact in BIGINT) shifted above the custkey range
+    SELECT c_nationkey,
+           arg_max(c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+             AS richest_custkey,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="argmax aggregates (max_by): the customer holding each nation's "
+    "maximum balance in ONE aggregation pass — no self-join back to find "
+    "the row attaining the max; the (balance, custkey) tiebreak is encoded "
+    "as a single exact integer because the oracle's arg_max takes only "
+    "scalar ordering keys",
+)
+def argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    order_key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(10000000).cast("bigint")
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", order_key).alias("richest_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "percent_rank_dist",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution ranks (percent_rank/cume_dist) within each priority "
+    "class, deterministic total order per partition — partitioned so the "
+    "window parallelizes (a GLOBAL distribution rank at 100 TB goes "
+    "through approx_percentile instead); both engines use the standard "
+    "(rank-1)/(n-1) and rank/n definitions",
+)
+def percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Statistical aggregates + histogram binning
 # --------------------------------------------------------------------------
 
