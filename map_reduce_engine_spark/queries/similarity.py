@@ -139,3 +139,37 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_per_label = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
     sq = cent.groupBy("label").agg(F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_sq_norm"))
     return n_per_label.join(sq, "label").select("label", "n_vectors", "centroid_sq_norm")
+
+
+@register(
+    "ann_recall_report",
+    oracle=None,  # quality metric over hash-family-dependent methods — deterministic but not SQL-expressible
+    doc="recall@10 of each ANN method (multi-table LSH, IVF) against the "
+    "exact brute-force neighbors for 5 probes, computed entirely as joins "
+    "and aggregates — the quality dashboard a production ANN deployment "
+    "watches; deterministic for the seeded hash families",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    reports = []
+    # the tuned operating points test_operators.py validates: few planes on
+    # 64-dim near-uniform vectors (more planes → vanishing buckets), 4/16
+    # cells probed for IVF
+    for method, df in (
+        ("lsh", sim.ann_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=6)),
+        ("ivf", sim.ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_cells=16, n_probe=4)),
+    ):
+        hits = df.select("query_id", "neighbor_id").join(exact, ["query_id", "neighbor_id"])
+        reports.append(
+            hits.agg(
+                F.lit(method).alias("method"),
+                F.round(F.count("*") / F.lit(n_exact), 4).alias("recall_at_10"),
+            )
+        )
+    out = reports[0].unionByName(reports[1])
+    return out
