@@ -139,6 +139,32 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_pipeline",
+    oracle=None,  # composes the hash-family-dependent MinHash stage
+    doc="the full near-dedup pipeline end-to-end: MinHash-LSH candidates → "
+    "exact-Jaccard verify (≥0.7) → connected components → one canonical "
+    "survivor per cluster; returns per-cluster (canonical id, size). "
+    "This is the composition a 100 TB corpus dedup actually runs — every "
+    "stage is an equi-join or bounded iteration, nothing quadratic",
+)
+def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    verified = dd.jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, candidates=cands
+    ).select("id1", "id2")
+    cc = connected_components(verified)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("component").alias("canonical_id"), "cluster_size")
+    )
+
+
+@register(
     "simhash_near_pairs",
     oracle=None,  # xxhash64-family dependent
     doc="SimHash near-dup pairs: 64-bit sketch, pigeonhole blocking, Hamming <= 3",
