@@ -46,11 +46,30 @@ def duplicate_clusters(df: DataFrame, subset: list[str], id_col: str) -> DataFra
     )
 
 
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Array of word n-gram shingles for a text column (JVM-side transform).
+
+    Shingles are the standard MinHash unit: token sets treat documents as
+    bags of words (two docs with the same vocabulary in different order
+    look identical), while n-gram shingles encode local word order. Texts
+    shorter than ``n`` tokens contribute their full token sequence as one
+    shingle.
+    """
+    ts = tokens_col(text_col)
+    short = F.array(F.concat_ws(" ", ts))
+    full = F.transform(
+        F.sequence(F.lit(0), F.size(ts) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(ts, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(ts) < n, short).otherwise(full)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash over the document's token set.
 
@@ -61,9 +80,13 @@ def minhash_signatures(
     measured ~35% cheaper than hashing the string per slot at sf0.1, and the
     gap widens with token/shingle length (string hashing is O(len), long
     re-hashing is O(1)).
+
+    ``shingle_n`` switches the hashed unit from unigram tokens to word
+    n-gram shingles (order-sensitive near-dup, the classic formulation).
     """
+    unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
+        df.select(F.col(id_col).alias("id"), F.explode(unit).alias("token"))
         .distinct()
         .select("id", F.xxhash64("token").alias("h"))
     )
@@ -117,6 +140,7 @@ def jaccard_pairs(
     min_jaccard: float,
     candidates: DataFrame | None = None,
     max_id: int | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity join: (id1, id2, jaccard).
 
@@ -137,9 +161,10 @@ def jaccard_pairs(
     if max_id is not None:
         base = base.where(F.col(id_col) < max_id)
 
+    unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
     if candidates is not None:
         toks_arr = base.select(
-            F.col(id_col).alias("id"), F.array_distinct(tokens_col(text_col)).alias("toks")
+            F.col(id_col).alias("id"), F.array_distinct(unit).alias("toks")
         )
         joined = (
             candidates.join(

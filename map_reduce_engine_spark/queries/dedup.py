@@ -139,6 +139,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_shingle_near_dup",
+    oracle=None,  # hash-family-dependent candidates
+    doc="MinHash-LSH near-dup over word 3-gram SHINGLES (order-sensitive — "
+    "the classic formulation): two docs sharing vocabulary in different "
+    "order are near-dups under token sets but not under shingles; "
+    "verification is exact shingle-Jaccard >= 0.7 on candidates",
+)
+def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    return dd.jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, candidates=cands, shingle_n=3
+    )
+
+
+@register(
     "neardup_pipeline",
     oracle=None,  # composes the hash-family-dependent MinHash stage
     doc="the full near-dedup pipeline end-to-end: MinHash-LSH candidates → "

@@ -84,6 +84,28 @@ def test_results_invariant_under_repartitioning(spark, sf_dir):
     assert sig1 == sig16
 
 
+def test_shingles_are_order_sensitive(spark):
+    """Two texts with identical vocabulary in different order: token-set
+    Jaccard is 1.0 (indistinguishable) but shingle Jaccard must drop —
+    the reason shingled MinHash is the classic near-dup formulation."""
+    from map_reduce_engine_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "f e d c b a")], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id1 BIGINT, id2 BIGINT")
+    tok = dd.jaccard_pairs(df, "doc_id", "text", 0.0, candidates=pairs).collect()[0]
+    shi = dd.jaccard_pairs(df, "doc_id", "text", 0.0, candidates=pairs, shingle_n=3).collect()[0]
+    assert tok.jaccard == 1.0
+    assert shi.jaccard == 0.0  # no common 3-gram between the two orders
+
+    # shingled signatures of the two docs must differ (token ones cannot)
+    sig = {r.id: tuple(r.sig) for r in dd.minhash_signatures(df, "doc_id", "text", 16, shingle_n=3).collect()}
+    assert sig[1] != sig[2]
+    sig_tok = {r.id: tuple(r.sig) for r in dd.minhash_signatures(df, "doc_id", "text", 16).collect()}
+    assert sig_tok[1] == sig_tok[2]
+
+
 def test_connected_components_transitive(spark):
     """A path graph (1-2, 2-3, 3-4) plus a disjoint edge (10-11) must yield
     two components with min-id labels — proves transitive closure beyond
