@@ -289,3 +289,34 @@ def embedding_near_dup(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization (int8) — the 100 TB storage/bandwidth lever
+# --------------------------------------------------------------------------
+
+
+def quantize_int8(df: DataFrame, vec_col: str, out: str = "qvec", scale_col: str = "qscale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x smaller than float32.
+
+    ``q_i = round(x_i / s) with s = max|x| / 127``; the scale rides along as
+    one float per vector. At 100 TB the embedding column dominates storage
+    and shuffle bandwidth — int8 quarters both, and candidate scoring on
+    quantized vectors (``cosine_int8``) typically costs <1% recall@k.
+    All JVM-side array transforms; no Python.
+    """
+    vec = _vecd(F.col(vec_col))
+    absmax = F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        out,
+        F.transform(vec, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def cosine_int8(qvec_a: Column, scale_a: Column, qvec_b: Column, scale_b: Column) -> Column:
+    """Cosine between two int8-quantized vectors (scales cancel in cosine,
+    so this is exactly the cosine of the dequantized vectors)."""
+    fa = F.transform(qvec_a, lambda x: x.cast("double"))
+    fb = F.transform(qvec_b, lambda x: x.cast("double"))
+    return dot(fa, fb) / (l2_norm(fa) * l2_norm(fb))

@@ -173,3 +173,40 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = reports[0].unionByName(reports[1])
     return out
+
+
+@register(
+    "knn_cosine_int8",
+    oracle=None,  # HALF_UP vs banker's rounding differ at exact .5 quantization ties; bound-tested instead
+    doc="brute-force cosine top-10 over int8-QUANTIZED embeddings (4x "
+    "smaller storage/shuffle than float32; scales cancel in cosine). "
+    "Operator-level test bounds the quantization error at <2% absolute "
+    "cosine; this query is the quantized twin of knn_cosine_topk",
+)
+def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.similarity import cosine_int8, quantize_int8
+
+    emb = quantize_int8(t(spark, sf_dir, "embeddings"), "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qv"), F.col("qscale").alias("qs")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cv"), F.col("qscale").alias("cs")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_int8(F.col("qv"), F.col("qs"), F.col("cv"), F.col("cs")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )

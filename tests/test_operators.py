@@ -196,6 +196,32 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert all(q != n for q, n in approx_set)
 
 
+def test_int8_quantization_preserves_cosine(spark, sf_dir):
+    """int8 quantization must keep pairwise cosine within 2% absolute of the
+    float value (the storage/bandwidth-for-accuracy trade at 100 TB)."""
+    from map_reduce_engine_spark.operators.similarity import (
+        cosine_int8,
+        cosine_topk,
+        quantize_int8,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    q = quantize_int8(emb, "embedding")
+    # quantized schema: tinyint array + one float scale
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    a = q.select(F.col("vec_id").alias("id1"), F.col("qvec").alias("v1"), F.col("qscale").alias("s1"))
+    b = q.select(F.col("vec_id").alias("id2"), F.col("qvec").alias("v2"), F.col("qscale").alias("s2"))
+    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2")).select(
+        "id1", "id2", cosine_int8(F.col("v1"), F.col("s1"), F.col("v2"), F.col("s2")).alias("qcos")
+    )
+    exact = cosine_topk(emb, emb, "vec_id", "embedding", k=49)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in pairs.collect():
+        want = ex.get((r.id1, r.id2)) or ex.get((r.id2, r.id1))
+        assert want is not None
+        assert abs(r.qcos - want) < 0.02, (r.id1, r.id2, r.qcos, want)
+
+
 def test_cosine_topk_self_excluded_and_k_bounded(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
