@@ -1086,3 +1086,272 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = multimodal.extract_features(docs, "doc_id", "payload", decoder="fake")
     return feats.select(F.col("id").alias("doc_id"), "features")
+
+
+# --------------------------------------------------------------------------
+# Wider TPC-H join shapes (Q7 / Q8 / Q13 / Q19 / Q22)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year, {_DEC_REVENUE} AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7-shaped bilateral trade volume between two nations by ship "
+    "year. Both dimension sides are nation-pruned BEFORE joining (2/25 of "
+    "customers and suppliers), so they broadcast; the symmetric OR pair "
+    "collapses to supp_nation <> cust_nation once both sides are "
+    "restricted to the two nations. The only shuffle is "
+    "lineitem ⋈ orders on the order key",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(100.0
+             * CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             4) AS mkt_share_pct,
+           count(*) AS n_items
+    FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+      AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8-shaped national market share: NATION_1's fraction of "
+    "AMERICA-region ECONOMY-part revenue by order year. Numerator and "
+    "denominator are computed in the SAME exact-decimal aggregation pass "
+    "(one scan, one shuffle); part / supplier+nation / customer+nation+"
+    "region dims all broadcast after pruning",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    nation_vol = (
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_1'"
+        " THEN CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+        " ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.expr(nation_vol) / F.expr(_DEC_REVENUE), 4
+            ).alias("mkt_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution (zero-order "
+    "customers included). Instead of the literal outer-join-then-count "
+    "(which expands customer × orders before aggregating), orders are "
+    "pre-aggregated to one row per customer and the outer join only fills "
+    "in the zeros — the aggregate-first discipline that keeps the shuffle "
+    "order-grained at 100 TB",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c_orders = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q19_discount_revenue",
+    oracle=f"""
+    SELECT {_DEC_REVENUE} AS revenue, count(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="TPC-H Q19-shaped disjunctive-predicate join: three OR'd "
+    "(brand, size, quantity) branches. The part side is pre-filtered to "
+    "the union of the three brands (that single-column predicate pushes "
+    "to the parquet scan) and broadcast; the residual OR evaluates inside "
+    "the broadcast-hash-join, so lineitem is scanned exactly once",
+)
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & branch)
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 2, 3, 11, 12, 13, 21)
+      AND c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 11, 12, 13, 21))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22-shaped idle-customer analysis: above-average-balance "
+    "customers in seven nations with no orders at all. The average is an "
+    "exact-decimal sum / count (bit-identical across engines and partition "
+    "orders) broadcast as a 1-row cross join; the no-orders test is a "
+    "left-anti join on the customer key — Catalyst's decorrelation target "
+    "for NOT EXISTS",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = [1, 2, 3, 11, 12, 13, 21]
+    pool = t(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
+    dec_bal = "CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)"
+    avg_bal = (
+        pool.where(F.col("c_acctbal") > 0.0)
+        .agg((F.expr(dec_bal) / F.count("*")).alias("avg_bal"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.expr(dec_bal).alias("totacctbal"))
+    )
