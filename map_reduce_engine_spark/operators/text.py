@@ -97,27 +97,29 @@ def _marker_score(text_col: Column, words: list[str]) -> Column:
     return F.regexp_count(F.lower(text_col), F.lit(pat))
 
 
+def _langid_exprs(text_col: Column) -> tuple[Column, Column]:
+    """(predicted_lang, score) column pair for marker-word language ID."""
+    langs = list(LANG_MARKERS)
+    scores = {lang: _marker_score(text_col, LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    # first language (in fixed order) achieving the max, if max > 0
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred, best.cast("bigint")
+
+
 def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: argmax of per-language stopword hit counts.
 
     Returns (id, predicted_lang, score). Ties and zero-hit rows resolve to
     'und' (deterministic). Pure regexp expressions — JVM-side.
     """
-    scores = [
-        _marker_score(F.col(text_col), words).alias(f"score_{lang}")
-        for lang, words in LANG_MARKERS.items()
-    ]
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    # first language (in fixed order) achieving the max, if max > 0
-    pred = F.lit("und")
-    for lang in reversed(langs):
-        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
-    return scored.select(
+    pred, score = _langid_exprs(F.col(text_col))
+    return df.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
-        best.cast("bigint").alias("score"),
+        score.alias("score"),
     )
 
 
@@ -128,8 +130,19 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     length band, alpha ratio, non-space punctuation ratio. All closed-form
     column expressions; composes with `filter` pushdown upstream.
     """
-    text = F.col(text_col)
-    toks = tokens_col(text_col)
+    q = _quality_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["quality"].alias("quality"),
+    )
+
+
+def _quality_exprs(text: Column) -> dict[str, Column]:
+    """Quality-feature columns keyed by name (shared by quality_score/enrich)."""
+    toks = tokens_col(text)
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
@@ -143,13 +156,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 2).alias("quality"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "quality": F.round(score, 2),
+    }
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
