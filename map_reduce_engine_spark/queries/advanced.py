@@ -466,6 +466,96 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_DEC_REVENUE} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15-shaped top supplier: the revenue 'view' (per-supplier "
+    "quarterly aggregate) is computed once and self-joined against its own "
+    "max — Catalyst plans the scalar-subquery max as a 1-row broadcast, so "
+    "lineitem is scanned and shuffled exactly once for the view; supplier "
+    "broadcasts onto the (tiny) aggregated side. Ref: absent in reference — "
+    "UDF-expressible only (SURVEY.md §2 Part B, joins row).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(_DEC_REVENUE).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue
+        )
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) pa
+      ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+    """,
+    doc="TPC-H Q17-shaped small-quantity-order revenue: the correlated "
+    "'avg quantity for this part' subquery is decorrelated into a "
+    "per-part pre-aggregate joined back to lineitem on partkey — the "
+    "aggregate side is |parts|-sized (bounded), so at 100 TB it broadcasts "
+    "or shuffles cheaply while raw lineitem shuffles once on l_partkey; "
+    "the brand filter pushes into both scans via the part join. Ref: absent "
+    "in reference — UDF-expressible only (SURVEY.md §2 Part B).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.a_partkey)
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.expr(
+                    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "q14_promo_revenue",
     oracle="""
     SELECT round(
