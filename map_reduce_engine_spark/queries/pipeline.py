@@ -1,0 +1,353 @@
+"""Training-data pipeline conformance queries (SURVEY.md §2 Part C).
+
+The operations a large-scale pretraining-corpus pipeline runs between raw
+ingest and the tokenizer: repetition-based quality filters (Gopher-style),
+train/test contamination checks, sequence packing, domain-mixture
+re-weighting, deterministic sampling, and winnowing fingerprints. None of
+these exist in the reference (its only query language is the map/reduce UDF
+pair, SURVEY.md §2 Part B) — each is defined here as a declarative DataFrame
+pipeline with a DuckDB oracle twin.
+
+Scale notes (100 TB posture):
+- everything is per-document or per-(bounded-cardinality) group — no global
+  windows over raw rows; packing windows partition by ``source`` so state
+  never exceeds one domain's documents per task;
+- n-gram explosion happens AFTER the per-doc tokenize projection, so the
+  shuffle carries (doc_id, gram) pairs, never full texts;
+- contamination joins shuffle distinct shingles only (map-side distinct
+  first), and the mixture/packing aggregates reduce to |sources| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators.text import tokens_col
+from map_reduce_engine_spark.queries.base import register, t
+
+# DuckDB-side tokenizer mirroring operators/text.py::tokens_col
+_DUCK_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality filters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS gram
+      FROM toks WHERE len(l) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT                        AS n_bigrams,
+           max(c)::BIGINT                        AS top_bigram_cnt,
+           round(max(c) / sum(c), 4)             AS top_bigram_frac,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4)
+                                                 AS dup_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition quality filter: per-document fraction of "
+    "bigrams covered by the single most-frequent bigram and by any repeated "
+    "bigram — the standard signals for dropping boilerplate/spam docs from "
+    "a pretraining corpus. The shuffle carries (doc_id, bigram) pairs after "
+    "per-doc projection; both aggregates are one hash-agg pass. Absent in "
+    "reference (UDF-expressible only, SURVEY.md §2 Part B).",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", tokens_col("text").alias("l")).where(F.size("l") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))")
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_cnt"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/test contamination check
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 100 >= 90 AS is_test, {_DUCK_TOKS} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, is_test,
+             unnest(list_transform(range(1, len(l) - 3),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]))
+               AS shingle
+      FROM toks WHERE len(l) >= 5
+    ),
+    train_shingles AS (
+      SELECT DISTINCT shingle FROM shingles WHERE NOT is_test
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           count(ts.shingle)::BIGINT AS n_contaminated,
+           round(count(ts.shingle) / count(*), 4) AS contamination_rate
+    FROM shingles s LEFT JOIN train_shingles ts ON s.shingle = ts.shingle
+    WHERE s.is_test
+    GROUP BY s.doc_id
+    """,
+    doc="train/test contamination check: 5-gram shingle overlap between the "
+    "held-out split (doc_id%100>=90, matching corpus_split) and the train "
+    "side — the benchmark-leakage audit every eval pipeline needs. Both "
+    "sides are map-side-distinct before the join, so the shuffle carries "
+    "unique (shingle) rows, never documents; the join key is the shingle "
+    "string (hash-partitioned, skew-free for natural text).",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", (F.col("doc_id") % 100 >= 90).alias("is_test"), tokens_col("text").alias("l")
+    ).where(F.size("l") >= 5)
+    shingles = toks.select(
+        "doc_id",
+        "is_test",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 4),"
+                " i -> concat_ws(' ', l[i-1], l[i], l[i+1], l[i+2], l[i+3]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    train = shingles.where(~F.col("is_test")).select("shingle").distinct()
+    test = shingles.where(F.col("is_test"))
+    return (
+        test.join(train.withColumn("hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("contamination_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (token-budget bin assignment)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH est AS (
+      SELECT source, doc_id, ceil(n_chars / 4)::BIGINT AS est_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        / 2048) AS BIGINT) AS bin_id
+      FROM est
+    )
+    SELECT source, bin_id,
+           count(*)               AS n_docs,
+           sum(est_tokens)::BIGINT AS n_tokens,
+           min(doc_id)         AS first_doc,
+           max(doc_id)         AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+    doc="sequence packing: assign documents to fixed token-budget (2048) "
+    "training bins by running-sum position, partitioned per source domain — "
+    "the pre-tokenizer packing step that turns a corpus into uniform-length "
+    "training examples. The window partitions by source (bounded state per "
+    "task, no global ordering), so it scales horizontally with domains; "
+    "within a domain order is the stable doc_id, making bin assignment "
+    "reproducible across runs and re-partitioning.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    est = docs.select(
+        "source", "doc_id", F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = est.withColumn(
+        "bin_id", F.floor((F.sum("est_tokens").over(w) - 1) / 2048).cast("bigint")
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("est_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain mixture re-weighting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "domain_mixture",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS total_docs, count(*) AS n_sources FROM per_source
+    )
+    SELECT source, n_docs,
+           round(n_docs / total_docs, 4) AS share,
+           round(least(1.0, (1.0 / n_sources) / (n_docs / total_docs)), 4)
+             AS keep_rate,
+           CAST(ceil(n_docs * least(1.0, (1.0 / n_sources) / (n_docs / total_docs)))
+                AS BIGINT) AS expected_docs
+    FROM per_source, tot
+    """,
+    doc="domain-mixture re-weighting: per-source corpus share and the "
+    "downsampling rate that moves the mixture toward uniform across "
+    "domains (capped at 1.0 — undersized domains are never upsampled). "
+    "The totals join in as a 1-row broadcast over the |sources|-row "
+    "aggregate, so the plan is one shuffle on source regardless of scale.",
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total_docs"), F.count("*").alias("n_sources")
+    )
+    share = F.col("n_docs") / F.col("total_docs")
+    keep = F.least(F.lit(1.0), (F.lit(1.0) / F.col("n_sources")) / share)
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(share, 4).alias("share"),
+            F.round(keep, 4).alias("keep_rate"),
+            F.ceil(F.col("n_docs") * keep).cast("bigint").alias("expected_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling (oracle-checked twin of stratified_sample)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hash_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    WHERE ((doc_id % 1000003) * 2654435761) % 1000 < 250
+    GROUP BY lang
+    """,
+    doc="deterministic 25% corpus sample via Knuth multiplicative hashing "
+    "on the document key — unlike seeded Bernoulli sampling (stratified_"
+    "sample) this is engine- and partitioning-independent, so the SAME "
+    "documents are kept on every engine, run, and cluster size; the "
+    "property that makes sample membership auditable at 100 TB. The "
+    "modulus keeps the product within 64-bit range on any engine.",
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    keep = ((F.col("doc_id") % 1000003) * 2654435761) % 1000 < 250
+    return (
+        docs.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash + sliding-window min)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS l FROM documents WHERE trim(text) <> ''
+    ),
+    hashes AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(l[i:i+3], ' ')), 1, 8))::BIGINT AS h
+      FROM toks, unnest(range(1, len(l) - 2)) AS u(i)
+      WHERE len(l) >= 4
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashes
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_fingerprints,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM winnowed GROUP BY doc_id
+    """,
+    doc="winnowing document fingerprints (Schleimer et al., SIGMOD'03): "
+    "hash every token 4-gram (md5-prefix rolling hash, engine-portable), "
+    "then keep the minimum hash of each sliding window of 4 positions — "
+    "the selected set is a position-robust fingerprint for plagiarism/"
+    "near-dup detection that guarantees a match for any shared run of "
+    "≥7 tokens. The window partitions by doc_id (per-document state only), "
+    "and the fingerprint set is ~1/4 the gram count before the final agg.",
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", tokens_col("text").alias("l")).where(F.size("l") >= 4)
+    hashes = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(l) - 3),"
+                " i -> cast(conv(substr(md5(concat_ws(' ', l[i-1], l[i], l[i+1], l[i+2])), 1, 8),"
+                " 16, 10) as bigint))"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winnowed = hashes.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return winnowed.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
