@@ -71,6 +71,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic fixture table by name (TESTDATA.md layout)."""
     if name == "events":
@@ -125,3 +129,58 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: range-partition on ``cluster_by`` then sort
+    rows within each file on the same keys.
+
+    The data-skipping primitive for non-partition columns at 100 TB: each
+    parquet file (and row group) covers a narrow, non-overlapping key range,
+    so its min/max footer statistics let later scans with predicates on
+    ``cluster_by`` skip whole files — the poor man's Z-order for a single
+    sort dimension. The range exchange samples key quantiles, so skewed keys
+    still yield balanced files.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ~``target_file_mb``-sized files. Returns the output file count.
+
+    The maintenance job every long-lived 100 TB table needs — streaming and
+    per-task writers accumulate thousands of KB-sized files whose open/seek
+    overhead dominates scan time and whose footers bloat planning. Sizing is
+    computed from the dataset's actual on-disk bytes (driver-side file
+    listing — metadata only, never data), and the rewrite is a single
+    shuffle-free coalesce when shrinking the file count.
+    """
+    from pathlib import Path
+
+    total_bytes = sum(f.stat().st_size for f in Path(src).rglob("*.parquet"))
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(src)
+    df.coalesce(int(n_files)).write.mode(mode).parquet(dest)
+    return len([f for f in Path(dest).rglob("*.parquet")])

@@ -107,3 +107,35 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     pf = next(line for line in plan.splitlines() if "PartitionFilters:" in line)
     assert "lang" in pf
     assert pruned.count() == 50
+
+
+def test_compact_small_files(spark, tmp_path):
+    """A fragmented dataset (many tiny files) compacts to the computed
+    target count and preserves content exactly."""
+    src, dest = tmp_path / "frag", tmp_path / "compact"
+    spark.range(10_000).repartition(64).write.parquet(str(src))
+    from pathlib import Path
+
+    assert len(list(Path(src).rglob("*.parquet"))) == 64
+    n = mio.compact_small_files(spark, str(src), str(dest), target_file_mb=128)
+    assert n == 1  # 10k longs ≪ 128 MB → one file
+    assert spark.read.parquet(str(dest)).count() == 10_000
+    assert spark.read.parquet(str(dest)).agg(F.sum("id")).first()[0] == 49_995_000
+
+
+def test_write_clustered_file_ranges_disjoint(spark, tmp_path):
+    """Range-clustered files carry narrow, non-overlapping key ranges —
+    the min/max footer stats later scans skip on."""
+    p = tmp_path / "clustered"
+    df = spark.range(10_000).withColumn("k", (F.col("id") * 7919) % 10_000)
+    mio.write_clustered(df, str(p), cluster_by=["k"], n_files=4)
+    per_file = (
+        spark.read.parquet(str(p))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next  # disjoint → every file skippable by range
