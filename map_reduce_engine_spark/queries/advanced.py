@@ -76,6 +76,60 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_recursive_gapfill",
+    oracle="""
+    WITH RECURSIVE months(m, hi) AS (
+      SELECT date_trunc('month', min(o_orderdate))::TIMESTAMP,
+             date_trunc('month', max(o_orderdate))::TIMESTAMP
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           round(coalesce(rev.revenue, 0.0::DOUBLE), 2) AS revenue,
+           coalesce(rev.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE) generating the full month "
+    "scaffold between the corpus min/max order dates, left-joined to the "
+    "monthly revenue aggregate — time-series gap-filling with zero rows for "
+    "silent months. The recursion depth is #months (bounded, driver-safe); "
+    "the scaffold side is tiny so the join broadcasts it against the "
+    "|months|-row aggregate. date_trunc results are cast straight back to "
+    "TIMESTAMP_NTZ so wall-time truncation is session-timezone-independent.",
+)
+def sql_recursive_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT cast(date_trunc('month', min(o_orderdate)) as timestamp_ntz),
+                 cast(date_trunc('month', max(o_orderdate)) as timestamp_ntz)
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        ),
+        rev AS (
+          SELECT cast(date_trunc('month', o_orderdate) as timestamp_ntz) AS m,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month,
+               round(coalesce(rev.revenue, 0.0), 2) AS revenue,
+               coalesce(rev.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
+
+
+@register(
     "sql_not_exists_subquery",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders
