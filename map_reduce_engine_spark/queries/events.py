@@ -305,3 +305,61 @@ def streaming_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFr
     name = "mre_stream_state"
     run_to_memory(stateful_running_total(events_stream(spark, sf_dir)), name, output_mode="update")
     return spark.table(name)
+
+
+@register(
+    "streaming_interval_join",
+    oracle=None,  # stream-stream join (two unbounded sides) — rows-only check
+    doc="Stream-stream interval join with watermarks on BOTH sides: "
+    "purchases attributed to the click by the same user within the "
+    "following hour. The time-bound join condition is what lets Spark "
+    "expire buffered rows on both sides — the only unbounded⋈unbounded "
+    "join shape with bounded state (streaming/windows.py).",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    name = "mre_stream_interval_join"
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(clicks, purchases, max_delay="1 hour")
+    run_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.countDistinct("right_event_id").alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "streaming_foreach_batch_sink",
+    oracle=None,  # sink-side effect (files on disk) — rows-only check
+    doc="foreachBatch exactly-once parquet sink: each micro-batch lands in "
+    "its own batch_id=N directory with overwrite, so an at-least-once "
+    "replay of a batch rewrites the same directory instead of duplicating "
+    "rows (streaming/windows.py::foreach_batch_idempotent_sink).",
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        foreach_batch_idempotent_sink,
+    )
+
+    dest = tempfile.mkdtemp(prefix="mre_fes_")
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    foreach_batch_idempotent_sink(ev, dest)
+    back = spark.read.option("basePath", dest).parquet(dest)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("batch_id").alias("n_batches"),
+    )

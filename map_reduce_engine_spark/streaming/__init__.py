@@ -16,9 +16,13 @@ from map_reduce_engine_spark.streaming.windows import (
     stateful_running_total,
     streaming_dedup,
     stream_static_enrich,
+    stream_stream_interval_join,
+    foreach_batch_idempotent_sink,
 )
 
 __all__ = [
+    "stream_stream_interval_join",
+    "foreach_batch_idempotent_sink",
     "events_stream",
     "tumbling_counts",
     "sliding_counts",

@@ -158,6 +158,58 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inne
     return stream.join(dim, on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval bound:
+    a right row matches a left row arriving in ``[left.ts, left.ts + max_delay]``.
+
+    Both sides carry watermarks AND the join condition bounds the time skew,
+    so Spark can expire buffered state on both sides — the only configuration
+    under which an unbounded⋈unbounded join has bounded memory. The canonical
+    use: attribute purchases to the click that preceded them within the
+    window (absent in the reference — it has no two-input operator at all,
+    SURVEY.md §2 joins row).
+    """
+    lt = left.withWatermark("ts", watermark).alias("l")
+    rt = right.withWatermark("ts", watermark).alias("r")
+    return lt.join(
+        rt,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {max_delay}"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
+def foreach_batch_idempotent_sink(stream_df: DataFrame, dest: str) -> None:
+    """Exactly-once file sink from at-least-once micro-batches.
+
+    ``foreachBatch`` hands us (batch_df, batch_id); writing each batch to its
+    own ``batch_id=N`` subdirectory with overwrite makes replays idempotent —
+    a re-delivered batch N simply rewrites the same directory, so downstream
+    readers of ``dest`` never see duplicates. This is the standard pattern
+    for transactional-ish parquet sinks without a table format; with
+    Delta/Iceberg the same callback would run MERGE INTO (operators/cdc.py
+    implements the batch-side MERGE emulation).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{dest}/batch_id={batch_id}")
+
+    q = stream_df.writeStream.foreachBatch(_write).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain a (bounded) stream into an in-memory table synchronously —
     the local test harness; production sinks are parquet/Kafka/foreachBatch."""
