@@ -628,3 +628,94 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="skew-resistant salted equi-join (operators/skew.py::salted_join): "
+    "the fact side gets a random salt, the dim side explodes across all "
+    "salts, so a hot supplier key spreads over n_salts reducers instead of "
+    "one straggler task — for the regime where dim is too big to broadcast "
+    "but far smaller than fact. The oracle is the PLAIN join: salting must "
+    "be invisible in the result",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    sup = t(spark, sf_dir, "supplier")
+    joined = salted_join(li, sup, on=["s_suppkey"], n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_key
+      FROM documents
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_key
+      FROM documents
+    )
+    SELECT coalesce(e.lang_key, '<null>') AS lang_key,
+           count(*) AS n_matched
+    FROM enriched e JOIN dim d ON e.lang_key IS NOT DISTINCT FROM d.lang_key
+    GROUP BY 1
+    """,
+    doc="null-safe equality join (Spark `<=>` = ANSI IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of silently dropping — the corner "
+    "of join semantics where engines disagree by default; standard equality "
+    "would discard every 7th row here. Still plans as a hash equi-join "
+    "(null-safe equality is a valid shuffle key)",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")).alias("lang_key"),
+    )
+    dim = keyed.select("lang_key").distinct().withColumnRenamed("lang_key", "d_key")
+    return (
+        keyed.join(dim, keyed.lang_key.eqNullSafe(dim.d_key))
+        .groupBy(F.coalesce("lang_key", F.lit("<null>")).alias("lang_key"))
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+@register(
+    "mode_median_agg",
+    oracle="""
+    SELECT l_returnflag,
+           mode(l_quantity ORDER BY l_quantity)  AS mode_qty,
+           round(median(l_quantity), 1) AS median_qty,
+           round(median(l_extendedprice), 3) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact mode and median aggregates per group (Spark 3.4+ mode/median "
+    "builtins; DuckDB twins). mode ties break to the lowest value on both "
+    "engines (Spark mode(deterministic=true), DuckDB ORDER BY). Exact "
+    "medians need the full value multiset per group — fine for bounded "
+    "group counts; the unbounded-cardinality variant is percentile_approx "
+    "(approx_quantile_sketch)",
+)
+def mode_median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("mode(l_quantity, true)").alias("mode_qty"),
+        F.round(F.median("l_quantity"), 1).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 3).alias("median_price"),
+    )
