@@ -48,9 +48,15 @@ SECTIONS = {
         "As-of join and tolerance range join — operators Spark lacks natively, composed from "
         "bucketed equi-joins + window dedup.",
     ),
+    "pipeline": (
+        "Training-data pipeline (SURVEY §2 Part C)",
+        "The ops between raw ingest and the tokenizer: repetition quality filters, train/test "
+        "contamination checks, sequence packing, domain-mixture re-weighting, deterministic "
+        "hash sampling, winnowing fingerprints.",
+    ),
 }
 
-ORDER = ["text", "relational", "advanced", "events", "dedup", "similarity", "temporal"]
+ORDER = ["text", "relational", "advanced", "events", "dedup", "similarity", "temporal", "pipeline"]
 
 
 def main() -> None:
