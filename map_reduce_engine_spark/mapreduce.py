@@ -181,3 +181,37 @@ def wordlength_job(df: DataFrame, col: str = "value") -> DataFrame:
         out_key_type="long",
         out_value_type="long",
     )
+
+
+def inverted_index_mapper(line: str) -> Iterable[tuple[str, int]]:
+    """map: ``<doc_id>\\t<text>`` line → (word, doc_id) per token.
+
+    The classic third MapReduce example after WordCount/WordLength. Document
+    identity rides in the record itself (the reference's map sees only the
+    line — provenance must be encoded in it, exactly as Hadoop inverted-index
+    jobs prepend the doc key).
+    """
+    doc_id, _, text = line.partition("\t")
+    for w in text.split():
+        yield (w, int(doc_id))
+
+
+def inverted_index_reducer(key: str, values: list) -> Iterable[tuple[str, str]]:
+    """reduce: (word, [doc_id...]) → (word, ascending-unique posting list)."""
+    yield (key, ",".join(str(d) for d in sorted(set(values))))
+
+
+def inverted_index_job(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted index over (id, text) rows via the compat surface."""
+    lines = df.select(
+        F.concat_ws("\t", F.col(id_col).cast("string"), F.col(text_col)).alias("value")
+    )
+    return map_reduce(
+        lines,
+        inverted_index_mapper,
+        inverted_index_reducer,
+        map_key_type="text",
+        map_value_type="long",
+        out_key_type="text",
+        out_value_type="text",
+    )

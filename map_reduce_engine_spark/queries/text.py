@@ -324,3 +324,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media.n_bytes").alias("n_bytes"),
         F.col("media.sha256").alias("payload_sha256"),
     )
+
+
+@register(
+    "inverted_index_mapreduce",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT unnest({_DUCK_TOKENS}) AS word, doc_id
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT word AS key, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS value
+    FROM pairs GROUP BY word
+    """,
+    doc="inverted index through the map/reduce UDF compat surface — the "
+    "classic third MapReduce job (map: (word, doc_id) with provenance "
+    "encoded in the record, reduce: ascending-unique posting list). "
+    "Proves the compat path handles text-valued reduce output (the "
+    "reference's Text Writable, Text.java:28-32)",
+)
+def inverted_index_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return mapreduce.inverted_index_job(docs)

@@ -66,3 +66,24 @@ def test_startjob_wordlength_typed_keys(spark, input_dir, tmp_path):
 def test_load_job_module_errors_clearly():
     with pytest.raises(AttributeError, match="map_fn and reduce_fn"):
         load_job_module("map_reduce_engine_spark.examples")
+
+
+def test_startjob_inverted_index(spark, tmp_path):
+    """Third example job: doc-id-prefixed lines → posting lists."""
+    d = tmp_path / "in_ii"
+    d.mkdir()
+    (d / "docs.txt").write_text("2\tthe cat\n1\tthe dog\n3\tcat nap\n")
+    out = tmp_path / "out_ii"
+    startjob(
+        spark,
+        "ii",
+        "map_reduce_engine_spark.examples.invertedindex_job",
+        str(d),
+        str(out),
+    )
+    assert _read_tsv(spark, out) == {
+        "the": "1,2",
+        "cat": "2,3",
+        "dog": "1",
+        "nap": "3",
+    }
