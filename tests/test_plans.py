@@ -160,6 +160,18 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "corpus_split",
         "token_doc_freq",
         "merge_upsert_customers",
+        "repetition_stats",
+        "contamination_check",
+        "pack_sequences",
+        "domain_mixture",
+        "hash_sample",
+        "winnowing_fingerprint",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "salted_skew_join",
+        "null_safe_join",
+        "mode_median_agg",
+        "sql_recursive_gapfill",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
@@ -204,3 +216,21 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     sort of the full table feeding a limit."""
     p = plan(REGISTRY["topk_orders"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_contamination_join_is_equi_join(spark, sf_dir):
+    """The shingle-overlap join must be a hash/sort-merge equi-join on the
+    shingle string with aggregation below it (map-side distinct) — never a
+    cartesian and never raw documents through the shuffle."""
+    p = plan(REGISTRY["contamination_check"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The packing window must partition by source — a global (unpartitioned)
+    running sum would serialize the corpus through one task at 100 TB."""
+    p = plan(REGISTRY["pack_sequences"].fn(spark, sf_dir))
+    assert "Window" in p
+    # an unpartitioned window plans a SinglePartition exchange — forbidden here
+    assert "SinglePartition" not in p
