@@ -1499,3 +1499,40 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), F.expr(dec_bal).alias("totacctbal"))
     )
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_linenumber) / sum(l_linenumber), 6)
+             AS weighted_avg_qty,
+           sum(l_linenumber)::BIGINT AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="custom UDAF through the Arrow grouped-aggregate pandas_udf surface "
+    "— the user-defined-aggregation story beside the map/reduce compat "
+    "path (the reference's reduce+AddInterface, ReduceRunner.java:90-108). "
+    "Weighted mean over integer-valued columns so the float sum is exact "
+    "under any accumulation order (values ≪ 2^53), keeping the result "
+    "partition-independent. The declarative twin (sum-of-products ratio) "
+    "is the oracle; production code should prefer that form — this entry "
+    "exists to conformance-test the UDAF boundary itself.",
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.udaf import weight_sum, weighted_avg
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_avg(F.col("l_quantity"), F.col("l_linenumber").cast("double")).alias("wavg"),
+            weight_sum(F.col("l_linenumber")).alias("total_weight"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("wavg", 6).alias("weighted_avg_qty"),
+            "total_weight",
+        )
+    )
