@@ -535,6 +535,39 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_sketch_rollup",
+    oracle=None,  # DataSketches HLL binary sketches are engine-specific; 5% bound asserted in tests
+    doc="DataSketches HLL: per-priority customer sketches (hll_sketch_agg) "
+    "UNIONED into a grand-total estimate (hll_union_agg) in a second "
+    "aggregate — the property approx_count_distinct can't give: sketches "
+    "are storable/mergeable state, so daily partitions aggregate once and "
+    "any rollup (week/month/all) re-aggregates the sketches, never the "
+    "100 TB of raw rows. Per-group estimates + the unioned overall "
+    "estimate in one result",
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sketches = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_orders",
+    )
+    overall = sketches.agg(
+        F.lit("__all__").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+    return per_group.unionByName(overall)
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (reference: "whatever Java the UDF author writes")
 # --------------------------------------------------------------------------

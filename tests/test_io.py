@@ -139,3 +139,48 @@ def test_write_clustered_file_ranges_disjoint(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next  # disjoint → every file skippable by range
+
+
+def test_chunked_text_source_record_model(spark, tmp_path):
+    """The reference's NUM_RECORDS_PER_CHUNK split (MasterNode.java:89-126)
+    as a Python DataSource: one Spark partition per chunk, rows carry
+    (chunk_id, record_id) provenance, content identical to spark.read.text."""
+    from map_reduce_engine_spark.sources import ChunkedTextDataSource
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("l0\nl1\nl2\nl3\nl4\n")  # 5 lines → chunks of 2: 3 chunks
+    (d / "b.txt").write_text("m0\nm1\n")  # 2 lines → 1 chunk
+    spark.dataSource.register(ChunkedTextDataSource)
+    df = (
+        spark.read.format("chunked_text")
+        .option("records_per_chunk", "2")
+        .load(str(d))
+    )
+    rows = df.collect()
+    assert {r.value for r in rows} == {"l0", "l1", "l2", "l3", "l4", "m0", "m1"}
+    # chunking: ceil(5/2) + ceil(2/2) = 4 chunks, one partition each
+    assert {r.chunk_id for r in rows} == {0, 1, 2, 3}
+    assert df.rdd.getNumPartitions() == 4
+    # record ids are per-file line numbers; chunk 1 = lines 2,3 of a.txt
+    chunk1 = sorted((r.record_id, r.value) for r in rows if r.chunk_id == 1)
+    assert chunk1 == [(2, "l2"), (3, "l3")]
+
+
+def test_chunked_text_wordcount_parity(spark, tmp_path):
+    """WordCount over the chunked source equals WordCount over the native
+    text reader — ingestion strategy must not change query results."""
+    from map_reduce_engine_spark.operators import wordcount
+    from map_reduce_engine_spark.sources import ChunkedTextDataSource
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "t.txt").write_text("the cat the dog\nthe bird\n")
+    spark.dataSource.register(ChunkedTextDataSource)
+    chunked = (
+        spark.read.format("chunked_text").option("records_per_chunk", "1").load(str(d))
+    )
+    native = mio.read_text(spark, str(d))
+    got = {(r.word, r.cnt) for r in wordcount(chunked, "value").collect()}
+    want = {(r.word, r.cnt) for r in wordcount(native, "value").collect()}
+    assert got == want == {("the", 3), ("cat", 1), ("dog", 1), ("bird", 1)}

@@ -125,3 +125,27 @@ def test_approx_distinct_within_rsd(spark, sf_dir, duck):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.10 * exact[k]), (k, est, exact[k])
+
+
+def test_hll_sketch_union_within_bound(spark, sf_dir, duck):
+    """The unioned DataSketches HLL estimate must land within 5% of the
+    exact overall distinct count, and the per-group estimates within 5%
+    of their exact twins — the mergeability property that lets sketches
+    pre-aggregate per partition at 100 TB."""
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    rows = {
+        r.o_orderpriority: r.approx_customers
+        for r in REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.sql(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    exact["__all__"] = duck.sql(
+        "SELECT count(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
