@@ -395,3 +395,53 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "concurrent_peak_per_user",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT user_id, ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+    ),
+    swept AS (
+      SELECT user_id,
+             CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrency
+      FROM pts
+    )
+    SELECT user_id, max(concurrency) AS peak_concurrency
+    FROM swept GROUP BY user_id
+    """,
+    doc="sweep-line interval concurrency: each event opens a 30-minute "
+    "activity interval; +1/-1 boundary points, a running sum ordered by "
+    "time gives instantaneous concurrency, max per user is the peak. Ties "
+    "order (t, delta) so closes precede opens at the same instant — "
+    "half-open intervals on both engines. The window partitions by user "
+    "(bounded per-task state); the global variant would partition by a "
+    "time bucket with clipped intervals",
+)
+def concurrent_peak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    opens = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    closes = ev.select(
+        "user_id",
+        F.expr("ts + INTERVAL 30 MINUTE").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = opens.unionByName(closes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select(
+        "user_id", F.sum("delta").over(w).cast("bigint").alias("concurrency")
+    )
+    return swept.groupBy("user_id").agg(
+        F.max("concurrency").alias("peak_concurrency")
+    )

@@ -345,3 +345,59 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return mapreduce.inverted_index_job(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM d)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+      GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.token)
+               AS rk
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, tfidf, rk::BIGINT AS rk
+    FROM scored WHERE rk <= 2
+    """,
+    doc="per-document top-2 TF-IDF terms: term frequency joined to the "
+    "corpus document-frequency table (built once — the token_doc_freq "
+    "statistics), scored, then a per-doc ranked window with a token "
+    "tiebreak. The df side is |vocabulary|-sized (broadcastable); the "
+    "window partitions by doc_id — the keyword-extraction step of a "
+    "search/labeling pipeline",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", F.explode(text_ops.tokens_col("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.select("doc_id", "token").groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 2)
+        .select("doc_id", "token", F.round("score", 6).alias("tfidf"), "rk")
+    )
