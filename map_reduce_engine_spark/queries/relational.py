@@ -752,3 +752,73 @@ def mode_median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), 1).alias("median_qty"),
         F.round(F.median("l_extendedprice"), 3).alias("median_price"),
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice) / count(*), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="incremental aggregate maintenance (operators/incremental.py): "
+    "history (orders < 1997) is pre-aggregated to per-key STATE, the new "
+    "batch (>= 1997) aggregates separately, and the two states merge with "
+    "one key-wise fold — the materialized-view pattern where each day "
+    "touches one partition, never the 100 TB of history. avg is DERIVED "
+    "from sum/count state (never stored — not mergeable). The oracle is "
+    "the one-shot aggregate over everything: incremental folding must be "
+    "invisible in the result. This is the reference's AddInterface merge "
+    "(ReduceRunner.java:154-172) persisted as a table",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.incremental import agg_state, merge_agg_state
+
+    orders = t(spark, sf_dir, "orders")
+    aggs = {
+        "total_price": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_orderkey"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    cutoff = "o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+    base = agg_state(orders.where(F.expr(cutoff)), ["o_orderpriority"], aggs)
+    delta = agg_state(orders.where(~F.expr(cutoff)), ["o_orderpriority"], aggs)
+    state = merge_agg_state(base, delta, ["o_orderpriority"], aggs)
+    return state.select(
+        "o_orderpriority",
+        F.round("total_price", 2).alias("total_price"),
+        "n_orders",
+        F.round("max_price", 2).alias("max_price"),
+        F.round(F.col("total_price") / F.col("n_orders"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "hinted_join_strategy",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="join-strategy hint surface: MERGE hint forces a sort-merge join "
+    "where Catalyst would broadcast (asserted in test_plans) — the manual "
+    "override for when statistics mislead the planner (a misestimated "
+    "'small' side that would OOM the broadcast at 100 TB). The hint "
+    "changes the physical strategy only; the oracle proves the result is "
+    "identical",
+)
+def hinted_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").hint("merge")
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -234,3 +234,11 @@ def test_pack_sequences_window_is_partitioned(spark, sf_dir):
     assert "Window" in p
     # an unpartitioned window plans a SinglePartition exchange — forbidden here
     assert "SinglePartition" not in p
+
+
+def test_merge_hint_overrides_broadcast(spark, sf_dir):
+    """nation is broadcast-sized; the MERGE hint must still force a
+    sort-merge join — the manual escape hatch when stats mislead."""
+    p = plan(REGISTRY["hinted_join_strategy"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
