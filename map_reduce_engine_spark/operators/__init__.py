@@ -42,6 +42,7 @@ from map_reduce_engine_spark.operators.cdc import (
 )
 from map_reduce_engine_spark.operators.graph import (
     connected_components,
+    pagerank,
     dedup_components,
 )
 from map_reduce_engine_spark.operators.sequential import ewma_per_group
@@ -53,6 +54,7 @@ __all__ = [
     "scd2_apply",
     "latest_version_per_key",
     "connected_components",
+    "pagerank",
     "dedup_components",
     "ewma_per_group",
     "pii_scrub",

@@ -87,3 +87,67 @@ def dedup_components(
     """
     cc = connected_components(pairs, src=src, dst=dst)
     return cc.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) — GraphX-convention PageRank on a directed edge list.
+
+    rank(v) = (1 - d) + d * Σ_{u→v} rank(u) / out_degree(u), iterated a
+    fixed number of rounds (the GraphX staticPageRank formulation — ranks
+    are per-node scores ≥ (1-d), not a probability distribution; nodes with
+    no in-links converge to exactly 1-d).
+
+    Scale shape: out-degrees are computed once; each round is one equi-join
+    of ranks to edges on the source + one hash aggregate on the
+    destination — two shuffles per round, both on node keys. At 100 TB the
+    edge list is pre-partitioned on ``src`` once (or bucketed at write
+    time) so the per-round join reuses the partitioning and only the
+    aggregate shuffles. Each round's ranks (|V| rows) are eagerly
+    local-checkpointed: without lineage truncation the nested per-round
+    plan grows exponentially in the optimizer and OOMs the driver long
+    before the data does — the canonical iterative-algorithm trap (on a
+    cluster with a checkpoint dir, ``checkpoint()`` adds executor-failure
+    tolerance on top). The driver holds nothing but the loop counter.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contribs = (
+            e.join(out_deg, "src")
+            .join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+        )
+        new_ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("contrib").alias("in_sum")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1536,3 +1536,30 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_weight",
         )
     )
+
+
+@register(
+    "pagerank_customer_supplier",
+    oracle=None,  # iterative fixpoint — no single-statement SQL form; closed-form tests in test_operators
+    doc="static PageRank (10 rounds, GraphX convention) over the directed "
+    "customer→supplier purchase graph (distinct order edges). The classic "
+    "driver-orchestrated iterative algorithm: two node-keyed shuffles per "
+    "round, per-round cache with explicit unpersist, nothing driver-"
+    "resident but the loop counter (operators/graph.py::pagerank — same "
+    "loop shape as connected components and IVF's KMeans)",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -288,3 +288,36 @@ def test_wordcount_property(spark_global, lines):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+def test_pagerank_two_cycle_converges_to_one(spark):
+    """A ⇄ B: rank = 0.15 + 0.85*rank fixpoint → 1.0 for both."""
+    from map_reduce_engine_spark.operators import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(e, iterations=30).collect()}
+    assert got.keys() == {"a", "b"}
+    for v in got.values():
+        assert abs(v - 1.0) < 1e-6
+
+
+def test_pagerank_chain_closed_form(spark):
+    """a → b: a has no in-links (rank 0.15); b = 0.15 + 0.85*0.15."""
+    from map_reduce_engine_spark.operators import pagerank
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    assert abs(got["a"] - 0.15) < 1e-9
+    assert abs(got["b"] - (0.15 + 0.85 * 0.15)) < 1e-9
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    """Three spokes pointing at a hub: the hub out-ranks every spoke."""
+    from map_reduce_engine_spark.operators import pagerank
+
+    e = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub")], ["src", "dst"]
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    assert got["hub"] > got["s1"] == got["s2"] == got["s3"]
+    assert abs(got["hub"] - (0.15 + 0.85 * 3 * 0.15)) < 1e-9
