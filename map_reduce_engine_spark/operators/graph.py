@@ -58,7 +58,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels.cache()
+        # eager localCheckpoint: materializes AND truncates lineage, so the
+        # per-round plan stays constant-size (nested iterative plans grow
+        # exponentially in the optimizer otherwise)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
