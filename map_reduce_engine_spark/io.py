@@ -160,6 +160,52 @@ def write_clustered(
     )
 
 
+def morton_col(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns.
+
+    Bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1 — a JVM-side
+    expression tree (no Python), 2*``bits`` wide. Inputs are masked to
+    ``bits`` bits; callers should pre-scale values onto that grid (rank or
+    min-max bucketing) for an even curve.
+    """
+    a = (F.col(a) if isinstance(a, str) else a).cast("bigint") % (1 << bits)
+    b = (F.col(b) if isinstance(b, str) else b).cast("bigint") % (1 << bits)
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out.bitwiseOR(F.shiftleft(F.shiftright(a, i) % 2, 2 * i)).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet over TWO dimensions.
+
+    ``write_clustered`` gives perfect skipping on one sort dimension and
+    none on the others; interleaving the key bits onto a Z-curve gives
+    *partial* range-locality on BOTH columns — each file covers a compact
+    2-D tile, so min/max footer stats prune scans filtered on either
+    column. The standard layout trick (Delta/Iceberg OPTIMIZE ZORDER) built
+    from public expressions: morton key → range partition → in-file sort.
+    """
+    z = morton_col(cols[0], cols[1], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     src: str,

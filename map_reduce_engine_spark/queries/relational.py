@@ -822,3 +822,50 @@ def hinted_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           count(*) AS n_rows,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_keys,
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_pk,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_price,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS orphan_fk
+    FROM orders
+    """,
+    doc="data-quality audit in one pass: row count, null keys, primary-key "
+    "duplicates, domain violations, and referential orphans (orders whose "
+    "customer is missing — an anti-join, so the check scales as one "
+    "shuffle, never a per-row lookup). The gate every ingest partition "
+    "runs before promotion; violations land in a quarantine table instead "
+    "of failing the pipeline",
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    orphans = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_fk"))
+    stats = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+    )
+    return (
+        stats.crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit("orders").alias("tbl"),
+            "n_rows",
+            "null_keys",
+            "dup_pk",
+            "nonpositive_price",
+            "orphan_fk",
+        )
+    )

@@ -18,9 +18,11 @@ from map_reduce_engine_spark.streaming.windows import (
     stream_static_enrich,
     stream_stream_interval_join,
     foreach_batch_idempotent_sink,
+    stateful_user_stats,
 )
 
 __all__ = [
+    "stateful_user_stats",
     "stream_stream_interval_join",
     "foreach_batch_idempotent_sink",
     "events_stream",

@@ -221,3 +221,69 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .start()
     )
     q.awaitTermination()
+
+
+class _UserStatsProcessor:
+    """Per-user running (count, total, max) via the Spark 4 arbitrary-state
+    API — ``transformWithStateInPandas`` with typed ValueState.
+
+    The successor to applyInPandasWithState: explicit state variables with
+    schemas (+ optional TTL), timers, and multiple state types per
+    processor. Same bounded-state contract: O(1) state per key, updated per
+    micro-batch.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", "n BIGINT, total DOUBLE, mx DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._state.exists():
+            n, total, mx = self._state.get()
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in rows:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total": [round(total, 2)],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` (update
+    mode) — the Spark 4 typed-state twin of ``stateful_running_total``.
+
+    Environment gate: the processor protocol speaks protobuf to the JVM;
+    containers without ``google.protobuf`` can define this plan but the
+    stream will fail at start (tests skip accordingly). Production clusters
+    ship protobuf with Spark 4.
+    """
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401  (API gate)
+
+    # _UserStatsProcessor first in the MRO so its concrete init/
+    # handleInputRows override the ABC's abstract declarations
+    class Processor(_UserStatsProcessor, StatefulProcessor):
+        pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Processor(),
+            outputStructType="user_id BIGINT, n BIGINT, total DOUBLE, max_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

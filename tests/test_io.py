@@ -184,3 +184,27 @@ def test_chunked_text_wordcount_parity(spark, tmp_path):
     got = {(r.word, r.cnt) for r in wordcount(chunked, "value").collect()}
     want = {(r.word, r.cnt) for r in wordcount(native, "value").collect()}
     assert got == want == {("the", 3), ("cat", 1), ("dog", 1), ("bird", 1)}
+
+
+def test_zorder_write_skips_on_both_dims(spark, tmp_path):
+    """Z-ordered files cover compact 2-D tiles: a narrow predicate on
+    EITHER dimension must touch a strict subset of files (range-clustering
+    on one column would leave the other dimension unskippable)."""
+    p = tmp_path / "zorder"
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("bigint").alias("y")
+    )
+    mio.write_zordered(df, str(p), cols=("x", "y"), n_files=16, bits=7)
+    back = spark.read.parquet(str(p))
+    total = back.select(F.input_file_name()).distinct().count()
+    assert total == 16
+
+    def files_touched(pred):
+        return back.where(pred).select(F.input_file_name()).distinct().count()
+
+    # row-group stats aside, file min/max on a compact tile must prune:
+    assert files_touched(F.col("x") < 10) < total
+    assert files_touched(F.col("y") < 10) < total
+    # content integrity
+    assert back.count() == 10_000
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]

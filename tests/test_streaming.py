@@ -163,3 +163,54 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(dest).count()
     assert n1 == n2 > 0
     assert spark.read.parquet(dest).select("event_id").distinct().count() == n1
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM; the container
+    # lacks a working google.protobuf — gate, don't fail (env limitation,
+    # not an API one)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas requires google.protobuf (not in this container)",
+)
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The Spark 4 typed-state processor's final per-user stats must equal
+    the batch aggregate over the same bounded source (last update wins)."""
+    from map_reduce_engine_spark.io import read_events
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        stateful_user_stats,
+    )
+    from pyspark.sql import functions as F
+
+    run_to_memory(stateful_user_stats(events_stream(spark, sf_dir)), "t_tws", "update")
+    # update mode emits one row per (user, micro-batch); keep the final row
+    got = {
+        (r.user_id, r.n, r.total, r.max_value)
+        for r in spark.sql(
+            """SELECT user_id, n, total, max_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rk
+                 FROM t_tws) WHERE rk = 1"""
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.n, r.total, r.max_value)
+        for r in read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
