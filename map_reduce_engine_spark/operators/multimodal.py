@@ -124,3 +124,89 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode.
+
+    Real deployment: PIL ``Image.open(...).resize((w, h)).tobytes()``. The
+    fake derives size-dependent bytes from (payload sha, target dims) so
+    output width is deterministic and the batch plumbing is testable.
+    """
+    seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    out_len = max(1, (width * height) // 64)
+    return (seed * (out_len // len(seed) + 1))[:out_len]
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """payload → resized payload via Arrow-batched mapInPandas (decode stubbed).
+
+    Output: (id, payload: binary, width, height) — the standard vision
+    pre-processing step (resize to model input dims) as a columnar batch
+    pass. At 100 TB the op is scan → batch UDF → write with NO shuffle at
+    all (narrow transformation); partition sizing comes from the input
+    splits, so executors stream batches without materializing whole files.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [_fake_resize(p, width, height) for p in pdf[payload_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    chunk_seconds: int = 30,
+) -> DataFrame:
+    """Audio chunking plumbing (decode stubbed): one row per fixed-length
+    window, with byte offsets a real PCM slicer would read.
+
+    Metadata-only (length arithmetic + explode, all JVM-side): duration is
+    derived from payload size, windows are half-open [start_s, end_s). The
+    ASR-pipeline pre-step: 30 s windows feed speech models; byte ranges let
+    the downstream decode read ONLY its slice of the blob.
+    """
+    bytes_per_sec = sample_rate * bytes_per_sample
+    dur_s = (F.length(F.col(payload_col)) / F.lit(bytes_per_sec)).cast("double")
+    n_chunks = F.ceil(dur_s / chunk_seconds).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias("chunk_idx"),
+        dur_s.alias("duration_s"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * chunk_seconds).alias("start_s"),
+        F.least((F.col("chunk_idx") + 1) * F.lit(float(chunk_seconds)), F.col("duration_s")).alias("end_s"),
+        (F.col("chunk_idx") * chunk_seconds * bytes_per_sec).cast("bigint").alias("byte_start"),
+        F.least(
+            ((F.col("chunk_idx") + 1) * F.lit(chunk_seconds) * bytes_per_sec).cast("bigint"),
+            (F.col("duration_s") * bytes_per_sec).cast("bigint"),
+        ).alias("byte_end"),
+    )

@@ -1563,3 +1563,64 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=10)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # resized bytes come from the stubbed decoder (sha-derived) — not SQL-expressible
+    doc="vision pre-processing plumbing: payload → resized payload at model "
+    "input dims via Arrow-batched mapInPandas (decode stubbed, "
+    "deterministic). A narrow transformation — scan → batch UDF → write "
+    "with no shuffle; operator test pins batch shape and determinism "
+    "(operators/multimodal.py::resize_images)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.multimodal import resize_images
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    out = resize_images(docs, "doc_id", "payload", width=32, height=32)
+    return out.select(
+        "id", F.length("payload").cast("bigint").alias("n_bytes"), "width", "height"
+    )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS nb FROM documents
+    )
+    SELECT doc_id,
+           u.chunk_idx::BIGINT AS chunk_idx,
+           (u.chunk_idx * 60)::BIGINT AS start_s,
+           round(least((u.chunk_idx + 1) * 60.0, nb / 1.0), 4) AS end_s,
+           (u.chunk_idx * 60)::BIGINT AS byte_start,
+           least((u.chunk_idx + 1) * 60, nb)::BIGINT AS byte_end
+    FROM p, unnest(range(0, greatest(CAST(ceil(nb / 60.0) AS BIGINT), 1))) AS u(chunk_idx)
+    """,
+    doc="audio chunking plumbing (ASR pre-step): fixed 60 s windows with "
+    "byte offsets derived from payload size only — JVM-side length "
+    "arithmetic + explode, so a downstream decoder reads ONLY its slice. "
+    "Fake PCM params (1 B/s) make windows span the fixture payloads; the "
+    "oracle recomputes the half-open window algebra exactly "
+    "(operators/multimodal.py::audio_chunk_plan)",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.multimodal import audio_chunk_plan
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    out = audio_chunk_plan(
+        docs, "doc_id", "payload", sample_rate=1, bytes_per_sample=1, chunk_seconds=60
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_s").cast("bigint").alias("start_s"),
+        F.round("end_s", 4).alias("end_s"),
+        "byte_start",
+        "byte_end",
+    )

@@ -321,3 +321,39 @@ def test_pagerank_star_ranks_hub_highest(spark):
     got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
     assert got["hub"] > got["s1"] == got["s2"] == got["s3"]
     assert abs(got["hub"] - (0.15 + 0.85 * 3 * 0.15)) < 1e-9
+
+
+def test_resize_images_batch_plumbing(spark):
+    """Stubbed resize: deterministic output bytes, exact target-dim length,
+    Arrow-batched (no row pickling) — the plumbing a PIL decode drops into."""
+    from map_reduce_engine_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imgbytes-1"), (2, b"imgbytes-2")], ["doc_id", "payload"]
+    )
+    out = resize_images(df, "doc_id", "payload", width=32, height=32).collect()
+    assert {r.id for r in out} == {1, 2}
+    for r in out:
+        assert (r.width, r.height) == (32, 32)
+        assert len(r.payload) == (32 * 32) // 64
+    # determinism: same payload → same resized bytes
+    again = {r.id: bytes(r.payload) for r in resize_images(df, "doc_id", "payload", 32, 32).collect()}
+    assert {r.id: bytes(r.payload) for r in out} == again
+
+
+def test_audio_chunk_plan_windows(spark):
+    """30 s chunking over a 75 s blob: 3 windows, last one clipped, byte
+    ranges contiguous and bounded by the payload size."""
+    from map_reduce_engine_spark.operators.multimodal import audio_chunk_plan
+
+    bps = 16_000 * 2
+    payload = b"\0" * (75 * bps)  # 75 seconds of fake PCM
+    df = spark.createDataFrame([(7, payload)], ["doc_id", "payload"])
+    rows = sorted(
+        audio_chunk_plan(df, "doc_id", "payload").collect(), key=lambda r: r.chunk_idx
+    )
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert [(r.start_s, r.end_s) for r in rows] == [(0, 30.0), (30, 60.0), (60, 75.0)]
+    assert rows[0].byte_start == 0 and rows[-1].byte_end == 75 * bps
+    for a, b in zip(rows, rows[1:]):
+        assert a.byte_end == b.byte_start
