@@ -99,10 +99,24 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.select(F.concat_ws("\t", *cols).alias("value")).write.mode(mode).text(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Parquet sink. ``compression``: snappy (default), zstd, gzip, lz4, none.
+
+    At 100 TB the codec is a real knob: zstd typically cuts cold-storage
+    bytes ~30% vs snappy for ~equal scan speed on modern CPUs — pick zstd
+    for archival tables, snappy for hot shuffle-adjacent ones.
+    """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 

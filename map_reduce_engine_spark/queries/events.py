@@ -445,3 +445,62 @@ def concurrent_peak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("user_id").agg(
         F.max("concurrency").alias("peak_concurrency")
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_trunc('day', ts))::TIMESTAMP AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, day_offset,
+           count(*) AS n_active,
+           round(count(*) * 1.0 /
+                 max(count(*)) OVER (PARTITION BY cohort_day), 4) AS retention
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="cohort retention: users grouped by first-seen day, distinct "
+    "activity counted per day-offset, retention = active/day-0 via a "
+    "window over the per-cohort aggregate (cohort cardinality is bounded "
+    "by #days — the window never sees raw events). The firsts table is a "
+    "per-user aggregate joined back broadcast-style; day truncation round-"
+    "trips through TIMESTAMP_NTZ so results are session-TZ-independent",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+    )
+    per = (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_day")
+    return per.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") * 1.0 / F.max("n_active").over(w), 4).alias("retention"),
+    )

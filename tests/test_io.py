@@ -208,3 +208,20 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
     # content integrity
     assert back.count() == 10_000
     assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
+def test_parquet_compression_codecs(spark, tmp_path):
+    """zstd and snappy files round-trip identically; zstd compresses the
+    repetitive fixture harder (the archival-tier codec choice)."""
+    from pathlib import Path
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.lit("x" * 50).alias("pad")
+    )
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        p = tmp_path / codec
+        mio.write_parquet(df.coalesce(1), str(p), compression=codec)
+        assert spark.read.parquet(str(p)).count() == 50_000
+        sizes[codec] = sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
+    assert sizes["zstd"] < sizes["snappy"]

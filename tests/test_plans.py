@@ -242,3 +242,15 @@ def test_merge_hint_overrides_broadcast(spark, sf_dir):
     p = plan(REGISTRY["hinted_join_strategy"].fn(spark, sf_dir))
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """With AQE on (session factory default), a small aggregate's executed
+    plan must coalesce the 32 static shuffle partitions down to the data's
+    actual size — the runtime re-plan that keeps 100 TB configs from
+    drowning small stages in empty tasks."""
+    df = REGISTRY["lang_stats"].fn(spark, sf_dir)
+    df.collect()
+    p = plan(df, "simple")
+    assert "isFinalPlan=true" in p
+    assert "AQEShuffleRead coalesced" in p
