@@ -504,3 +504,46 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active") * 1.0 / F.max("n_active").over(w), 4).alias("retention"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead() pairs each event with its successor (window "
+    "partitioned by user — bounded state), then one aggregate; transition "
+    "probabilities normalize per source state via a window over the "
+    "|event_types|² aggregate, never raw events. The funnel-free way to "
+    "see where users actually go next",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    per = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return per.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 4).alias("p"),
+    )

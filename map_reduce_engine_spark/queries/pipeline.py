@@ -351,3 +351,36 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+@register(
+    "consistent_group_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk::BIGINT AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="consistent per-group sampling: keep the k=5 documents with the "
+    "smallest md5 of their key per language — a deterministic, engine- "
+    "and-partitioning-independent 'reservoir' (re-runs and backfills pick "
+    "the SAME sample, and growing the corpus only ever swaps members in "
+    "hash order, never reshuffles everything — the property random "
+    "reservoir sampling lacks). One ranked window per group, top-k via "
+    "rank filter",
+)
+def consistent_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .where(F.col("rk") <= 5)
+    )
