@@ -869,3 +869,36 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_fk",
         )
     )
+
+
+@register(
+    "null_ordering_sort",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS k,
+           row_number() OVER (ORDER BY (CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
+                              DESC NULLS LAST, doc_id) AS rk
+    FROM documents
+    ORDER BY rk
+    LIMIT 25
+    """,
+    doc="explicit null ordering (DESC NULLS LAST) in a top-k sort — the "
+    "ORDER BY corner where engine defaults diverge (Spark: NULLS LAST on "
+    "ASC / FIRST on DESC; ANSI leaves it implementation-defined), so "
+    "portable pipelines must spell it out. The top-25 cut plans as "
+    "TakeOrderedAndProject (per-partition heaps); the ranked window runs "
+    "AFTER the limit, over 25 rows — never an unpartitioned window over "
+    "the raw table",
+)
+def null_ordering_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("n_chars"))
+    top = (
+        docs.select("doc_id", k.alias("k"))
+        .orderBy(F.col("k").desc_nulls_last(), "doc_id")
+        .limit(25)
+    )
+    w = Window.orderBy(F.col("k").desc_nulls_last(), "doc_id")
+    return top.select(
+        "doc_id", "k", F.row_number().over(w).cast("bigint").alias("rk")
+    ).orderBy("rk")

@@ -225,3 +225,32 @@ def test_parquet_compression_codecs(spark, tmp_path):
         assert spark.read.parquet(str(p)).count() == 50_000
         sizes[codec] = sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
     assert sizes["zstd"] < sizes["snappy"]
+
+
+def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
+    """Ingest hygiene: PERMISSIVE mode quarantines malformed rows into
+    _corrupt_record (for a dead-letter table); DROPMALFORMED silently
+    drops them — both must parse the clean rows identically."""
+    f = tmp_path / "m.csv"
+    f.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = "id INT, qty INT, _corrupt_record STRING"
+    permissive = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(f))
+    )
+    rows = permissive.collect()
+    good = {(r.id, r.qty) for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {(1, 10), (3, 30)}
+    assert len(bad) == 1 and "notanumber" in bad[0]._corrupt_record
+
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema("id INT, qty INT")
+        .csv(str(f))
+    )
+    assert {(r.id, r.qty) for r in dropped.collect()} == {(1, 10), (3, 30)}
