@@ -186,18 +186,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reproducible across runs and re-partitioning.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.packing import pack_bins
+
     docs = t(spark, sf_dir, "documents")
     est = docs.select(
         "source", "doc_id", F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = est.withColumn(
-        "bin_id", F.floor((F.sum("est_tokens").over(w) - 1) / 2048).cast("bigint")
-    )
+    packed = pack_bins(est, "source", "doc_id", "est_tokens", budget=2048)
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("est_tokens").alias("n_tokens"),
@@ -332,20 +327,12 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the fingerprint set is ~1/4 the gram count before the final agg.",
 )
 def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.packing import winnow_fingerprints
+
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
-    toks = docs.select("doc_id", tokens_col("text").alias("l")).where(F.size("l") >= 4)
-    hashes = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(l) - 3),"
-                " i -> cast(conv(substr(md5(concat_ws(' ', l[i-1], l[i], l[i+1], l[i+2])), 1, 8),"
-                " 16, 10) as bigint))"
-            )
-        ).alias("pos", "h"),
+    winnowed = winnow_fingerprints(docs, "doc_id", "text", k=4, w=4).withColumnRenamed(
+        "id", "doc_id"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    winnowed = hashes.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
     return winnowed.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),

@@ -1,0 +1,71 @@
+"""Property tests for the training-pipeline operators (hypothesis).
+
+These pin the GUARANTEES the conformance queries rely on, over arbitrary
+inputs — not just the fixture corpus:
+- winnowing: any two documents sharing a contiguous token run of length
+  ≥ w + k - 1 share at least one selected fingerprint (Schleimer et al.,
+  SIGMOD'03 — the property that makes winnowed fingerprints a sound
+  near-dup blocking key);
+- packing: bins respect the budget up to the last item's overhang, and bin
+  ids are contiguous from 0 per group.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    prefix_a=st.lists(st.sampled_from(WORDS), min_size=0, max_size=6),
+    shared=st.lists(st.sampled_from(WORDS), min_size=7, max_size=10),  # ≥ w+k-1 = 7
+    suffix_b=st.lists(st.sampled_from(WORDS), min_size=0, max_size=6),
+)
+def test_winnowing_shared_run_guarantee(spark_global, prefix_a, shared, suffix_b):
+    """Docs built around a shared ≥7-token run must share a fingerprint."""
+    from map_reduce_engine_spark.operators.packing import winnow_fingerprints
+
+    doc_a = " ".join(prefix_a + shared)
+    doc_b = " ".join(shared + suffix_b)
+    df = spark_global.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect()
+    set_a = {r.fp for r in fps if r.id == 1}
+    set_b = {r.fp for r in fps if r.id == 2}
+    assert set_a & set_b, (doc_a, doc_b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=150), min_size=1, max_size=40),
+    budget=st.integers(min_value=150, max_value=300),  # every item fits the budget
+)
+def test_packing_budget_and_contiguity(spark_global, sizes, budget):
+    """With every item within budget: each bin's total < budget + its max
+    item (boundary-straddle bound) and bin ids are contiguous from 0
+    (oversized items legitimately skip ids — see pack_bins docstring)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.packing import pack_bins
+
+    df = spark_global.createDataFrame(
+        [("g", i, s) for i, s in enumerate(sizes)], ["grp", "ord", "size"]
+    )
+    packed = pack_bins(df, "grp", "ord", "size", budget=budget)
+    bins = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("size").alias("total"), F.max("size").alias("mx"))
+        .collect()
+    )
+    ids = sorted(r.bin_id for r in bins)
+    assert ids == list(range(len(ids)))  # contiguous from 0
+    for r in bins:
+        assert r.total < budget + r.mx, (r.bin_id, r.total, budget, r.mx)
