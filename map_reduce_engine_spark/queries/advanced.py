@@ -1624,3 +1624,68 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_start",
         "byte_end",
     )
+
+
+@register(
+    "sql_lateral_explode",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(len(list_filter(l, x -> x <> '')), 0)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_rows
+    FROM toks
+    LEFT JOIN LATERAL (
+      SELECT unnest(list_filter(l, x -> x <> '')) AS tok
+    ) AS u ON TRUE
+    GROUP BY doc_id, l
+    """,
+    doc="LATERAL VIEW OUTER explode through the SQL surface: empty "
+    "documents keep one null-token row instead of vanishing — the "
+    "outer-generator semantics that preserve row accounting through "
+    "tokenization (count(*) = n_tokens except 1 for empty docs). Catalyst "
+    "plans Generate(explode_outer) inline with the scan — no join, no "
+    "shuffle",
+)
+def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               cast(size(filter(split(trim(text), '\\\\s+'), x -> x <> '')) as bigint)
+                 AS n_tokens,
+               count(*) AS n_rows
+        FROM documents
+        LATERAL VIEW OUTER explode(filter(split(trim(text), '\\\\s+'), x -> x <> '')) u AS tok
+        GROUP BY doc_id, text
+        """
+    )
+
+
+@register(
+    "collated_group",
+    oracle="""
+    SELECT lower(source) AS source_ci,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY lower(source)
+    """,
+    doc="case-insensitive grouping via Spark 4 COLLATE (UTF8_LCASE): the "
+    "collation travels with the column type, so GROUP BY / joins / "
+    "comparisons become case-insensitive WITHOUT wrapping every reference "
+    "in lower() — the oracle is the classic lower() rewrite; output is "
+    "canonicalized to lower for comparison. At scale collation-aware "
+    "grouping hashes the collation key directly (one pass, no double "
+    "projection)",
+)
+def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.expr("collate(source, 'UTF8_LCASE')").alias("source_ci"), "lang")
+        .groupBy("source_ci")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
+        .select(F.lower("source_ci").alias("source_ci"), "n_docs", "n_langs")
+    )
