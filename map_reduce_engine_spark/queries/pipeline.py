@@ -371,3 +371,105 @@ def consistent_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
         .where(F.col("rk") <= 5)
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH clean AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE trim(text) <> '' AND len({_DUCK_TOKS}) >= 5
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             ceil(n_chars / 4)::BIGINT AS est_tokens
+      FROM deduped
+    ),
+    packed AS (
+      SELECT split, source, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (PARTITION BY split, source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        / 2048) AS BIGINT) AS bin_id
+      FROM split
+    ),
+    bins AS (
+      SELECT split, source, count(DISTINCT bin_id) AS n_bins
+      FROM packed GROUP BY split, source
+    )
+    SELECT p.split,
+           count(*) AS n_docs,
+           sum(p.est_tokens)::BIGINT AS total_tokens,
+           (SELECT sum(n_bins) FROM bins b WHERE b.split = p.split)::BIGINT AS n_bins
+    FROM packed p
+    GROUP BY p.split
+    """,
+    doc="END-TO-END corpus preparation: clean (non-empty, ≥5 tokens) → "
+    "exact near-normalized dedup (whitespace/case-insensitive fingerprint, "
+    "min-id survivor) → deterministic train/val/test split → per-(split, "
+    "source) sequence packing at 2048 tokens → per-split summary. The "
+    "capstone composition a user of the reference would run as N chained "
+    "map/reduce jobs with manual intermediate files — here one declarative "
+    "plan (4 logical stages, 3 shuffles: fingerprint, packing window, "
+    "summary agg) that Catalyst pipelines end-to-end; every stage is "
+    "individually conformance-tested (quality_score, dedup_fingerprint, "
+    "corpus_split, pack_sequences)",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators.packing import pack_bins
+
+    docs = t(spark, sf_dir, "documents")
+    clean = docs.where(
+        (F.trim("text") != "") & (F.size(tokens_col("text")) >= 5)
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    split = deduped.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_tokens"),
+    )
+    packed = pack_bins(
+        split.withColumn("grp", F.concat_ws("|", "split", "source")),
+        "grp",
+        "doc_id",
+        "est_tokens",
+        budget=2048,
+    )
+    bins = packed.groupBy("split", "source").agg(
+        F.countDistinct("bin_id").alias("n_bins")
+    )
+    bins_per_split = bins.groupBy("split").agg(F.sum("n_bins").alias("n_bins"))
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("total_tokens"),
+        )
+        .join(bins_per_split, "split")
+        .select("split", "n_docs", "total_tokens", "n_bins")
+    )
