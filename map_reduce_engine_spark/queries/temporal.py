@@ -82,3 +82,117 @@ def range_join_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_self_join(
         ev, key_cols=["user_id"], id_col="event_id", time_col="ts", tolerance_sec=1800
     )
+
+
+@register(
+    "timeseries_interpolate",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 40
+    ),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts))::TIMESTAMP AS lo,
+             date_trunc('hour', max(ts))::TIMESTAMP AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ),
+    tagged AS (
+      SELECT user_id, ts, value, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT user_id, ts, NULL, 1 FROM grid
+    ),
+    filled AS (
+      SELECT user_id, ts, is_grid,
+        last_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        first_value(value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM tagged
+    )
+    SELECT user_id, ts,
+           round(CASE
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             WHEN prev_ts = next_ts THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * date_diff('microsecond', prev_ts, ts)
+                  / date_diff('microsecond', prev_ts, next_ts)
+           END, 4) AS value_interp
+    FROM filled WHERE is_grid = 1
+    """,
+    doc="time-series resample + linear interpolation: an hourly grid per "
+    "user (F.sequence over the user's [first, last] hour — no recursion, "
+    "no driver loop), unioned with raw events, then IGNORE NULLS window "
+    "scans find the surrounding observations and interpolate by elapsed-"
+    "microseconds fraction (timestampdiff — pure NTZ arithmetic, session-TZ-"
+    "independent). Windows partition per user (bounded state). The "
+    "gap-filling shape every timeseries engine ships as `interpolate()`; "
+    "user_id < 40 bounds the fixture grid size",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 40).select(
+        "user_id", "ts", "value"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("ts"),
+    )
+    tagged = ev.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.withColumn("value", F.lit(None).cast("double")).withColumn(
+            "is_grid", F.lit(1)
+        )
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("prev_val"),
+        F.last(ev_ts, ignorenulls=True).over(back).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(ev_ts, ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    # MICROSECOND diffs: timestamps are micro-precision, so the fraction is
+    # exact and identical across engines (SECOND-level date_diff truncates
+    # differently in Spark vs DuckDB)
+    frac = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.expr(
+        "timestampdiff(MICROSECOND, prev_ts, next_ts)"
+    )
+    interp = (
+        F.when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(F.col("prev_ts") == F.col("next_ts"), F.col("prev_val"))
+        .otherwise(F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac)
+    )
+    return (
+        filled.where(F.col("is_grid") == 1)
+        .select("user_id", "ts", F.round(interp, 4).alias("value_interp"))
+    )

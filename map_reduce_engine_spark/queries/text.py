@@ -401,3 +401,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 2)
         .select("doc_id", "token", F.round("score", 6).alias("tfidf"), "rk")
     )
+
+
+@register(
+    "bpe_pretoken_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT
+             AS n_pretokens,
+           length(text)::BIGINT AS n_chars,
+           round(length(text) * 1.0 /
+                 greatest(len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 1), 4)
+             AS chars_per_pretoken
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenization count: the GPT-2 pre-tokenizer regex "
+    "family (letter runs / digit runs / punctuation runs, each with an "
+    "optional leading space), lookahead-free so it runs identically on "
+    "Java regex and RE2. Pre-token count upper-bounds the BPE token count "
+    "(merges only fuse within a pre-token), so this is the cheap, "
+    "vocabulary-independent token budgeter — one regexp_extract_all per "
+    "row inside codegen, no UDF, no tokenizer model shipped to executors",
+)
+def bpe_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.size(F.expr(r"regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_pretokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(
+            F.length("text") * 1.0 / F.greatest(n, F.lit(1)), 4
+        ).alias("chars_per_pretoken"),
+    )
