@@ -1,0 +1,89 @@
+"""Empty/degenerate-input behavior of core operators.
+
+At 100 TB, empty inputs are not hypothetical — a partition filter that
+matches nothing, a day with no events, a source with no documents. Every
+operator must return an empty (or correctly-degenerate) result with the
+right schema, never throw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark import mapreduce
+from map_reduce_engine_spark.operators import dedup as dd
+from map_reduce_engine_spark.operators import wordcount
+from map_reduce_engine_spark.operators.packing import pack_bins, winnow_fingerprints
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_wordcount_empty(spark):
+    out = wordcount(_empty_docs(spark), "text")
+    assert out.columns == ["word", "cnt"]
+    assert out.count() == 0
+
+
+def test_wordcount_whitespace_only(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+    assert wordcount(df, "text").count() == 0
+
+
+def test_mapreduce_empty(spark):
+    df = spark.createDataFrame([], "value string")
+    out = mapreduce.wordcount_job(df)
+    assert out.count() == 0
+    assert out.columns == ["key", "value"]
+
+
+def test_minhash_empty_and_short(spark):
+    empty = dd.minhash_signatures(_empty_docs(spark), "doc_id", "text", num_hashes=8)
+    assert empty.count() == 0
+    # a 1-token doc still gets a full-width signature
+    one = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    sig = dd.minhash_signatures(one, "doc_id", "text", num_hashes=8).first()
+    assert len(sig.sig) == 8
+
+
+def test_dedup_exact_empty(spark):
+    out = dd.dedup_exact(_empty_docs(spark), ["text"], ["doc_id"])
+    assert out.count() == 0
+
+
+def test_pack_bins_empty(spark):
+    df = spark.createDataFrame([], "grp string, ord bigint, size bigint")
+    assert pack_bins(df, "grp", "ord", "size", budget=100).count() == 0
+
+
+def test_winnow_empty_and_too_short(spark):
+    assert winnow_fingerprints(_empty_docs(spark), "doc_id", "text").count() == 0
+    # fewer tokens than k → no grams, no fingerprints, no error
+    short = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert winnow_fingerprints(short, "doc_id", "text", k=4, w=4).count() == 0
+
+
+def test_connected_components_empty(spark):
+    from map_reduce_engine_spark.operators import connected_components
+
+    edges = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components(edges).count() == 0
+
+
+def test_pagerank_empty(spark):
+    from map_reduce_engine_spark.operators import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=2).count() == 0
+
+
+def test_incremental_merge_with_empty_delta(spark):
+    from map_reduce_engine_spark.operators.incremental import agg_state, merge_agg_state
+
+    base_rows = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "v"])
+    aggs = {"total": ("sum", "v"), "n": ("count", "v")}
+    base = agg_state(base_rows, ["k"], aggs)
+    delta = agg_state(spark.createDataFrame([], "k string, v double"), ["k"], aggs)
+    merged = {r.k: (r.total, r.n) for r in merge_agg_state(base, delta, ["k"], aggs).collect()}
+    assert merged == {"a": (1.0, 1), "b": (2.0, 1)}
