@@ -902,3 +902,55 @@ def null_ordering_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "k", F.row_number().over(w).cast("bigint").alias("rk")
     ).orderBy("rk")
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*)::BIGINT AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order, o_custkey)  AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey)   AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey)    AS m_score
+      FROM per_cust
+    )
+    SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+           m_score::BIGINT AS m_score, count(*) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/monetary "
+    "aggregate, quartile scores via ntile, segment sizes. The ntile "
+    "windows are global BUT run over the per-customer AGGREGATE "
+    "(|customers| rows, already reduced), with deterministic custkey "
+    "tiebreaks so quartile assignment is reproducible across engines and "
+    "partitionings. Monetary goes through exact DECIMAL so ordering ties "
+    "are engine-independent",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "monetary"
+        ),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+    ).agg(F.count("*").alias("n_customers"))
