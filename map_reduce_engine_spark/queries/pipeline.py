@@ -460,16 +460,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_tokens",
         budget=2048,
     )
-    bins = packed.groupBy("split", "source").agg(
-        F.countDistinct("bin_id").alias("n_bins")
+    # one partial aggregate per (split, source), then a rollup to split level
+    # — no join, two chained shuffles (the second over |splits|×|sources| rows)
+    per_group = packed.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("est_tokens").alias("total_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
     )
-    bins_per_split = bins.groupBy("split").agg(F.sum("n_bins").alias("n_bins"))
-    return (
-        packed.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("est_tokens").alias("total_tokens"),
-        )
-        .join(bins_per_split, "split")
-        .select("split", "n_docs", "total_tokens", "n_bins")
+    return per_group.groupBy("split").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("n_bins").alias("n_bins"),
     )
