@@ -214,3 +214,34 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rocksdb_state_store_backend(spark, sf_dir):
+    """The streaming aggregations must run unchanged on the RocksDB state
+    store — the scale-grade backend (state spills to local disk instead of
+    executor heap, incremental checkpoints). Same query, same results;
+    only the provider conf differs."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(
+            tumbling_counts(events_stream(spark, sf_dir)), "t_rocks", "complete"
+        )
+        got = _table_rows(spark, "t_rocks")
+        batch = {
+            tuple(r)
+            for r in REGISTRY["events_tumbling_window"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        # identical to the batch twin (same invariant as the default backend)
+        assert {(r[0], r[1], r[2], r[3], r[4]) for r in got} == batch
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
