@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # RocksDB streaming state: spills to local disk with incremental
+        # checkpoints — the backend that survives 100 TB-scale state (the
+        # default HDFS-backed store keeps all state on the executor heap)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
