@@ -547,3 +547,35 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 4).alias("p"),
     )
+
+
+@register(
+    "events_ewma_arrow",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*)    OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * CASE WHEN rn = 1 THEN power(0.5, n - 1)
+                                  ELSE 0.5 * power(0.5, n - rn) END), 6) AS ewma,
+           max(n) AS n_events
+    FROM seq
+    GROUP BY user_id
+    """,
+    doc="per-user EWMA through Spark 4's Arrow-native grouped path "
+    "(applyInArrow — the group arrives as a pyarrow.Table, no pandas "
+    "materialization at all). Same closed-form oracle as "
+    "events_ewma_per_user; together the two entries prove the pandas and "
+    "arrow grouped boundaries compute identically",
+)
+def events_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sequential import ewma_per_group_arrow
+
+    ev = t(spark, sf_dir, "events")
+    out = ewma_per_group_arrow(
+        ev, group_col="user_id", order_cols=["ts", "event_id"], value_col="value", alpha=0.5
+    )
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n_events")
