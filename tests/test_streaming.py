@@ -245,3 +245,40 @@ def test_rocksdb_state_store_backend(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a query with a checkpointLocation that
+    is stopped and restarted must process ONLY files that arrived while it
+    was down — no reprocessing, no loss."""
+    from pyspark.sql import functions as F
+
+    src, dest, ckpt = (str(tmp_path / d) for d in ("src", "dest", "ckpt"))
+    spark.createDataFrame([(1,), (2,)], ["v"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("v bigint").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(dest).count() == 2
+    # new file arrives while the query is down
+    spark.createDataFrame([(3,), (4,), (5,)], ["v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    out = spark.read.parquet(dest)
+    assert out.count() == 5  # 2 original + 3 new, nothing twice
+    assert {r.v for r in out.collect()} == {1, 2, 3, 4, 5}
+    # a third restart with no new data writes nothing
+    run_once()
+    assert spark.read.parquet(dest).count() == 5
