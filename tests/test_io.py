@@ -254,3 +254,54 @@ def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
         .csv(str(f))
     )
     assert {(r.id, r.qty) for r in dropped.collect()} == {(1, 10), (3, 30)}
+
+
+def test_wordcount_format_independent(spark, tmp_path):
+    """The same corpus through text, csv, json, and parquet sources must
+    produce identical wordcounts — ingestion format is an IO concern, never
+    a semantics concern."""
+    from map_reduce_engine_spark.operators import wordcount
+
+    rows = [("the cat sat",), ("the dog ran",)]
+    df = spark.createDataFrame(rows, ["value"])
+    paths = {}
+    for fmt in ("text", "csv", "json", "parquet"):
+        p = str(tmp_path / fmt)
+        if fmt == "text":
+            df.write.text(p)
+        elif fmt == "csv":
+            df.write.option("header", True).csv(p)
+        elif fmt == "json":
+            df.write.json(p)
+        else:
+            df.write.parquet(p)
+        paths[fmt] = p
+    results = {}
+    for fmt, p in paths.items():
+        if fmt == "text":
+            back = mio.read_text(spark, p)
+        elif fmt == "csv":
+            back = mio.read_csv(spark, p, schema="value string")
+        elif fmt == "json":
+            back = mio.read_json(spark, p, schema="value string")
+        else:
+            back = mio.read_parquet(spark, p)
+        results[fmt] = {(r.word, r.cnt) for r in wordcount(back, "value").collect()}
+    want = {("the", 2), ("cat", 1), ("sat", 1), ("dog", 1), ("ran", 1)}
+    assert all(got == want for got in results.values()), results
+
+
+def test_tokenizer_unicode_robust(spark):
+    """Tokenization must handle non-ASCII scripts, emoji, and exotic
+    whitespace without mangling bytes (the 100 TB corpus is not ASCII)."""
+    from map_reduce_engine_spark.operators import wordcount
+
+    df = spark.createDataFrame(
+        [("héllo wörld héllo",), ("日本語 テキスト",), ("emoji 🚀 emoji",), ("tab\tsep ok",)],
+        ["value"],
+    )
+    got = {(r.word, r.cnt) for r in wordcount(df, "value").collect()}
+    assert ("héllo", 2) in got and ("wörld", 1) in got
+    assert ("日本語", 1) in got and ("テキスト", 1) in got
+    assert ("🚀", 1) in got and ("emoji", 2) in got
+    assert ("tab", 1) in got and ("sep", 1) in got  # \t splits
