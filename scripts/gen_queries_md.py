@@ -30,6 +30,12 @@ SECTIONS = {
         "Subqueries via spark.sql (Catalyst decorrelation), percentiles, analytic windows, reshaping, "
         "array/map types, fuzzy matching, multi-way TPC-H shapes, multimodal plumbing.",
     ),
+    "tpch": (
+        "TPC-H completion (Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21)",
+        "The remaining TPC-H query shapes — correlated scalar subqueries, EXISTS/NOT-EXISTS "
+        "self-joins, scalar-subquery thresholds, count-distinct with NOT IN — adapted to the "
+        "fixture schema (no partsupp / commit / receipt columns); completes all 22 shapes.",
+    ),
     "events": (
         "Event analytics + Structured Streaming",
         "Batch window/sessionization twins and their streaming counterparts (watermarks, streaming dedup, "
@@ -56,7 +62,20 @@ SECTIONS = {
     ),
 }
 
-ORDER = ["text", "relational", "advanced", "events", "dedup", "similarity", "temporal", "pipeline"]
+ORDER = [
+    "text",
+    "relational",
+    "advanced",
+    "tpch",
+    "events",
+    "dedup",
+    "similarity",
+    "temporal",
+    "pipeline",
+]
+
+# every registry module must have a section — fail loudly instead of dropping rows
+assert set(ORDER) == set(SECTIONS)
 
 
 def main() -> None:
@@ -75,6 +94,8 @@ def main() -> None:
     for name, q in REGISTRY.items():
         mod = inspect.getmodule(q.fn).__name__.split(".")[-1]
         mods.setdefault(mod, []).append((name, q))
+    missing = set(mods) - set(ORDER)
+    assert not missing, f"registry modules without a QUERIES.md section: {missing}"
     total = orc = 0
     for mod in ORDER:
         title, blurb = SECTIONS[mod]
