@@ -472,3 +472,179 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_tokens").alias("total_tokens"),
         F.sum("n_bins").alias("n_bins"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle + sharding, token-budget selection,
+# length-bucketed batching
+# --------------------------------------------------------------------------
+
+# engine-portable 32-bit hash: md5 prefix as bigint (see base.py conventions)
+_DUCK_EPOCH_H = "('0x' || substr(md5('epoch7:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+_SPARK_EPOCH_H = (
+    "cast(conv(substr(md5(concat('epoch7:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " as bigint)"
+)
+
+
+@register(
+    "epoch_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_DUCK_EPOCH_H} AS hv FROM documents
+    )
+    SELECT doc_id,
+           (hv % 8)::BIGINT AS shard,
+           (row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id))::BIGINT
+             AS pos_in_shard
+    FROM h
+    """,
+    doc="deterministic epoch shuffle + sharding: every document gets a "
+    "pseudorandom but REPRODUCIBLE position — hash('epoch7:'||id) picks "
+    "both the shard (h % 8) and the order within it. Global epoch order "
+    "is (shard, pos_in_shard) lexicographic, so the total order is "
+    "computed with ONE shard-partitioned window — never a global "
+    "row_number, whose single-partition sort is the classic 100 TB "
+    "anti-pattern. Same seed → same order on any engine, run, or "
+    "cluster size (the md5-prefix hash is engine-portable, unlike "
+    "xxhash64 which DuckDB lacks); a new epoch is just a new salt",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.expr(_SPARK_EPOCH_H).alias("hv")).withColumn(
+        "shard", F.col("hv") % 8
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             len({_DUCK_TOKS})::BIGINT AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+      FROM n
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+    doc="corpus selection under a per-domain token budget: rank each "
+    "source's documents (longest-first, id tiebreak — any deterministic "
+    "quality order slots in), take the running-token prefix that fits "
+    "800 tokens. The greedy knapsack every pretraining mixture runs when "
+    "a domain over-delivers. One shuffle on source; the running sum is a "
+    "source-partitioned window, so per-task state is one domain's docs — "
+    "at 100 TB budgets bind per (source, date) partition keeping groups "
+    "bounded. All-integer output: no float rounding to disagree on",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    n = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        n.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 800)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS})::BIGINT AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 16 THEN 16
+                  WHEN n_tokens <= 32 THEN 32
+                  WHEN n_tokens <= 64 THEN 64
+                  ELSE 128 END AS bucket,
+             (row_number() OVER (PARTITION BY
+                 CASE WHEN n_tokens <= 16 THEN 16
+                      WHEN n_tokens <= 32 THEN 32
+                      WHEN n_tokens <= 64 THEN 64
+                      ELSE 128 END
+                 ORDER BY doc_id) - 1) // 8 AS batch_idx
+      FROM n
+    )
+    SELECT bucket::BIGINT AS bucket,
+           batch_idx::BIGINT AS batch_idx,
+           count(*)::BIGINT AS n_docs,
+           max(n_tokens) AS max_len,
+           sum(n_tokens)::BIGINT AS batch_tokens,
+           (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS pad_tokens
+    FROM b GROUP BY bucket, batch_idx
+    ORDER BY bucket, batch_idx
+    """,
+    doc="length-bucketed batching: bucket documents by token length "
+    "(16/32/64/128 ceilings), number fixed-size batches of 8 within each "
+    "bucket, and account padding waste exactly — pad_tokens = "
+    "n_docs*max_len - sum(len), the tokens a padded-batch trainer burns. "
+    "The op every packing-free finetune/inference pipeline runs to keep "
+    "padding ~O(bucket width) instead of O(global max). Bucketing is a "
+    "pure projection; batch numbering is a bucket-partitioned window "
+    "(4 buckets × bounded rows per task at any corpus size when "
+    "composed with a shard key, as in epoch_shuffle_shards). Integer "
+    "outputs only — bit-identical on any engine",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    n = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .otherwise(128)
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        n.withColumn("bucket", bucket)
+        .withColumn("batch_idx", ((F.row_number().over(w) - F.lit(1)) / 8).cast("bigint"))
+        .groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("batch_tokens"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).alias("pad_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "batch_idx",
+            "n_docs",
+            "max_len",
+            "batch_tokens",
+            "pad_tokens",
+        )
+        .orderBy("bucket", "batch_idx")
+    )
