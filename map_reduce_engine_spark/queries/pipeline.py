@@ -648,3 +648,217 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality filter funnel, priority sampling, unigram LM scoring, dataset card
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT trim(text) <> '' AS c1,
+             len({_DUCK_TOKS}) >= 5 AS c2,
+             2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= length(text)
+               AS c3,
+             10 * len(list_distinct({_DUCK_TOKS})) >= 3 * len({_DUCK_TOKS}) AS c4
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS s0,
+             count(*) FILTER (c1) AS s1,
+             count(*) FILTER (c1 AND c2) AS s2,
+             count(*) FILTER (c1 AND c2 AND c3) AS s3,
+             count(*) FILTER (c1 AND c2 AND c3 AND c4) AS s4
+      FROM d
+    )
+    SELECT 'ingest' AS stage, s0 AS survivors FROM s
+    UNION ALL SELECT 'nonempty', s1 FROM s
+    UNION ALL SELECT 'min_tokens', s2 FROM s
+    UNION ALL SELECT 'alpha_ratio', s3 FROM s
+    UNION ALL SELECT 'type_token_ratio', s4 FROM s
+    """,
+    doc="staged quality-filter funnel with per-stage survivor accounting: "
+    "nonempty → ≥5 tokens → ≥50% alphabetic chars → type-token ratio ≥0.3 "
+    "(Gopher-style repetition gate). Every production corpus pipeline "
+    "publishes this table — it is how you notice one filter silently "
+    "eating the corpus. All thresholds compare in INTEGER arithmetic "
+    "(2*alpha ≥ len, 10*distinct ≥ 3*tokens): no float ratio for engines "
+    "to round differently. One scan, one 5-counter aggregate (conditional "
+    "partial aggs, no shuffle of document text), then a 5-row unpivot.",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    c1 = F.trim("text") != ""
+    c2 = c1 & (F.size(toks) >= 5)
+    c3 = c2 & (
+        2 * F.length(F.regexp_replace("text", "[^A-Za-z]", "")) >= F.length("text")
+    )
+    c4 = c3 & (10 * F.size(F.array_distinct(toks)) >= 3 * F.size(toks))
+    agg = docs.agg(
+        F.count("*").alias("s0"),
+        F.sum(c1.cast("long")).alias("s1"),
+        F.sum(c2.cast("long")).alias("s2"),
+        F.sum(c3.cast("long")).alias("s3"),
+        F.sum(c4.cast("long")).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'ingest', s0, 'nonempty', s1, 'min_tokens', s2, "
+            "'alpha_ratio', s3, 'type_token_ratio', s4) as (stage, survivors)"
+        )
+    )
+
+
+_DUCK_WPS_H = "('0x' || substr(md5('wps:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+_SPARK_WPS_H = (
+    "cast(conv(substr(md5(concat('wps:', cast(doc_id as string))), 1, 8), 16, 10)"
+    " as bigint)"
+)
+
+
+@register(
+    "weighted_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             {_DUCK_WPS_H}::DOUBLE / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+               AS rank
+      FROM keyed
+    )
+    SELECT source, rank::BIGINT AS rank, doc_id, n_chars
+    FROM ranked WHERE rank <= 8
+    """,
+    doc="priority sampling (Duffield, Lund & Thorup, JACM'07): per-source "
+    "weighted sample of 8 docs — key = uniform_hash/weight, keep the 8 "
+    "smallest keys, so selection probability scales with weight (n_chars "
+    "here; any quality score slots in). Unlike rand()-seeded sampling the "
+    "sample is engine/partitioning/run-independent: the md5-prefix hash is "
+    "portable, and the key arithmetic is one int→double conversion plus "
+    "one IEEE-exact division — bit-identical on every engine, unlike "
+    "ln/pow-based Efraimidis-Spirakis keys. Per-source top-k is a "
+    "partitioned window (bounded state); no global sort.",
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.expr(_SPARK_WPS_H).cast("double") / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 8)
+        .select("source", "rank", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "unigram_lm_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    lm AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source,
+             avg(-ln(lm.cnt::DOUBLE / (SELECT count(*) FROM toks)))
+               AS doc_surprisal
+      FROM toks t JOIN lm USING (tok)
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(doc_surprisal), 4) AS avg_surprisal
+    FROM scored GROUP BY source
+    """,
+    doc="unigram language-model surprisal score: fit the corpus unigram LM "
+    "(one token-count aggregate), score each document as its mean negative "
+    "log-probability, report per-source averages. The classic cheap "
+    "quality/outlier signal — boilerplate scores low, lorem-ipsum noise "
+    "scores high — and the self-scoring degenerate case of the perplexity "
+    "filters (CCNet-style) every corpus pipeline runs. Two shuffles "
+    "(LM fit, per-doc score); the LM join broadcasts at any corpus size "
+    "where the vocabulary ≪ corpus (Heaps' law). Rounded to 4 decimals "
+    "after two averaging levels: summation-order float noise (~1e-13) "
+    "cannot reach the rounded grid.",
+)
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", "source", F.explode(tokens_col("text")).alias("tok"))
+    total = toks.count()
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("cnt").cast("double") / F.lit(total))).alias("doc_surprisal"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_surprisal"), 4).alias("avg_surprisal"),
+    )
+
+
+@register(
+    "dataset_card",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({_DUCK_TOKS})::BIGINT AS n_tokens,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(sum(n_tokens)::DOUBLE / count(*), 2) AS avg_tokens,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_rate
+    FROM d GROUP BY source
+    """,
+    doc="per-source dataset card: doc/token counts, token-length profile, "
+    "language spread, and exact-duplicate rate (1 - distinct normalized "
+    "fingerprints / docs). The summary table a dataset release publishes "
+    "next to the data. One scan + one aggregate; the two COUNT DISTINCTs "
+    "are per-source partial aggregates (lang is tiny, fingerprints "
+    "map-side-dedup before the shuffle). Ratios divide exact integers — "
+    "IEEE division is exactly rounded, so bits match across engines "
+    "before the display rounding.",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count("*"), 2).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count("*"), 4
+        ).alias("dup_rate"),
+    )
