@@ -862,3 +862,177 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count("*"), 4
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE 1 + ((n_tokens - 64 + 31) // 32) END AS n_chunks
+      FROM n
+    )
+    SELECT doc_id,
+           unnest(range(n_chunks))::BIGINT AS chunk_idx,
+           (unnest(range(n_chunks)) * 32)::BIGINT AS chunk_start,
+           least(64, n_tokens - unnest(range(n_chunks)) * 32)::BIGINT
+             AS chunk_len
+    FROM c
+    """,
+    doc="sliding-window document chunking (64-token windows, stride 32): "
+    "the projection every RAG/embedding pipeline runs before encoding — "
+    "each doc yields ceil-spaced overlapping chunks, the last one "
+    "truncated. Chunk count/starts/lengths are pure integer arithmetic "
+    "from the per-doc token count: a narrow (doc_id, n_tokens) projection "
+    "explodes to chunk rows with NO shuffle at all — chunking is "
+    "embarrassingly parallel and stays inside one whole-stage-codegen "
+    "span per input partition.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    n = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+    )
+    n_chunks = F.when(F.col("n_tokens") <= 64, F.lit(1)).otherwise(
+        1 + F.floor((F.col("n_tokens") - 64 + 31) / 32)
+    )
+    return (
+        n.withColumn("n_chunks", n_chunks)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * 32).cast("bigint").alias("chunk_start"),
+            F.least(F.lit(64), F.col("n_tokens") - F.col("chunk_idx") * 32)
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM lm
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM lm)
+    SELECT pct::BIGINT AS coverage_pct,
+           (SELECT min(rank) FROM ranked, tot
+            WHERE cum * 100 >= total * pct)::BIGINT AS vocab_size
+    FROM (SELECT unnest([50, 90, 99]) AS pct)
+    """,
+    doc="tokenizer vocabulary coverage curve: the smallest top-frequency "
+    "vocabulary covering 50/90/99% of token occurrences — the number every "
+    "tokenizer-budget decision starts from (Zipf: a tiny head covers half "
+    "the corpus, the 99% tail is huge). The ordered cumulative window runs "
+    "over the VOCABULARY (Heaps' law: ~corpus^0.5 distinct tokens), never "
+    "the corpus — the only global sort in the plan is over that bounded "
+    "set, and the answer is 3 rows from one conditional-min aggregate.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.orderBy(F.desc("cnt"), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = lm.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("tok"))).alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total = lm.agg(F.sum("cnt")).collect()[0][0]
+    agg = ranked.agg(
+        *[
+            F.min(F.when(F.col("cum") * 100 >= total * pct, F.col("rank"))).alias(
+                f"v{pct}"
+            )
+            for pct in (50, 90, 99)
+        ]
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, bigint(50), bigint(v50), bigint(90), bigint(v90), "
+            "bigint(99), bigint(v99)) as (coverage_pct, vocab_size)"
+        )
+    )
+
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({_DUCK_TOKS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_tokens
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.shared_tokens,
+           ((10000 * s.shared_tokens)
+            // (sa.n + sb.n - s.shared_tokens))::BIGINT AS jaccard_bp
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    """,
+    doc="pairwise source-vocabulary Jaccard similarity: which corpus "
+    "sources speak the same language (vocabulary overlap), the diagnostic "
+    "behind mixture weighting and source-level dedup decisions. Operates "
+    "on the distinct (source, token) projection — map-side distinct "
+    "before any shuffle — and the token self-join fans out at most "
+    "|sources|^2 rows per token, bounded by the source count, not the "
+    "corpus. Jaccard is reported in integer basis points (10000·|A∩B| "
+    "div |A∪B|) — pure integer arithmetic, nothing for engines to round "
+    "differently.",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    v = docs.select("source", F.explode(tokens_col("text")).alias("tok")).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("shared_tokens"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared_tokens",
+            F.expr(
+                "(10000 * shared_tokens) div (sa.n + sb.n - shared_tokens)"
+            ).alias("jaccard_bp"),
+        )
+    )
