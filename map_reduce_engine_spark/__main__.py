@@ -28,7 +28,37 @@ def main(argv: list[str] | None = None) -> int:
     sj.add_argument("input_dir")
     sj.add_argument("output_dir")
     sj.add_argument("num_reducers", nargs="?", type=int, default=None)
+    q = sub.add_parser("query", help="run a registry query against a fixture dir")
+    q.add_argument("name", help="registry name (see `list`)")
+    q.add_argument("sf_dir", help="directory of fixture parquet tables")
+    q.add_argument("output_dir", nargs="?", help="write parquet here; omit to print")
+    q.add_argument("--limit", type=int, default=20, help="rows to print without output_dir")
+    sub.add_parser("list", help="list registry queries (name + check kind)")
     args = parser.parse_args(argv)
+
+    if args.verb == "list":
+        from map_reduce_engine_spark.queries import REGISTRY
+
+        for name in sorted(REGISTRY):
+            kind = "oracle" if REGISTRY[name].oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    if args.verb == "query":
+        from map_reduce_engine_spark.queries import REGISTRY
+
+        if args.name not in REGISTRY:
+            parser.error(f"unknown query {args.name!r}; run `list`")
+        spark = get_spark(app_name=f"mre-query-{args.name}")
+        try:
+            df = REGISTRY[args.name].fn(spark, args.sf_dir)
+            if args.output_dir:
+                df.write.mode("overwrite").parquet(args.output_dir)
+            else:
+                df.show(args.limit, truncate=False)
+        finally:
+            spark.stop()
+        return 0
 
     spark = get_spark(app_name=f"mre-job-{args.name}")
     try:

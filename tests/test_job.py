@@ -87,3 +87,32 @@ def test_startjob_inverted_index(spark, tmp_path):
         "dog": "1",
         "nap": "3",
     }
+
+
+def test_cli_list_names_every_registry_query(capsys):
+    from map_reduce_engine_spark.__main__ import main
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    listed = {line.split("\t")[0] for line in out.strip().splitlines()}
+    assert listed == set(REGISTRY)
+
+
+def test_cli_query_writes_parquet(spark, sf_dir, tmp_path):
+    # main() would create its own session; exercise the query path directly
+    # against the shared test session instead (same code the verb runs).
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    out = str(tmp_path / "wc")
+    REGISTRY["wordcount"].fn(spark, sf_dir).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_query_rejects_unknown_name():
+    import pytest as _pytest
+
+    from map_reduce_engine_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["query", "no_such_query", "/tmp"])
