@@ -1689,3 +1689,44 @@ def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
         .select(F.lower("source_ci").alias("source_ci"), "n_docs", "n_langs")
     )
+
+
+@register(
+    "event_value_trend",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(regr_slope(value,
+                 date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000000.0)
+                 * 86400, 4) AS slope_per_day,
+           round(regr_intercept(value,
+                 date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000000.0),
+                 4) AS intercept,
+           round(regr_r2(value,
+                 date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000000.0),
+                 6) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="per-group OLS trend via the SQL regression aggregates "
+    "(regr_slope/regr_intercept/regr_r2): is each event type's value "
+    "drifting over the month, the drift-detection primitive behind data "
+    "quality monitors. Single-pass mergeable co-moments — the same "
+    "partial+final hash-agg shape as sum, no window, no sort. The time "
+    "axis is MICROSECOND-exact seconds since a fixed epoch near the data "
+    "(2024-01-01): centering keeps the normal equations well-conditioned "
+    "so engine-order float noise (~1e-10) stays far below the rounding "
+    "grid; slope is reported per-day to put it on an O(1) scale.",
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = (
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        / 1000000.0
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("value", x) * 86400, 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
