@@ -1730,3 +1730,59 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 4).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"),
     )
+
+
+@register(
+    "ab_welch_test",
+    oracle="""
+    WITH half AS (
+      SELECT event_type, value,
+             (ts >= TIMESTAMP '2024-01-16') AS is_b
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (NOT is_b)::BIGINT AS n_a,
+             count(*) FILTER (is_b)::BIGINT AS n_b,
+             avg(value) FILTER (NOT is_b) AS m_a,
+             avg(value) FILTER (is_b) AS m_b,
+             var_samp(value) FILTER (NOT is_b) AS v_a,
+             var_samp(value) FILTER (is_b) AS v_b
+      FROM half GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(m_a, 4) AS mean_a,
+           round(m_b, 4) AS mean_b,
+           round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS welch_t
+    FROM g
+    """,
+    doc="Welch two-sample t statistic per event type (first vs second half "
+    "of the month): the significance test behind every A/B readout and "
+    "drift alarm. Means/variances are single-pass mergeable moments with "
+    "conditional (FILTER) partial aggregation, so both arms come out of "
+    "ONE hash aggregate over one scan — no self-join of the two periods. "
+    "The t statistic is derived driver-free from the 6 aggregate columns.",
+)
+def ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    is_b = F.col("ts") >= F.expr("TIMESTAMP_NTZ'2024-01-16 00:00:00'")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(~is_b, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.avg(F.when(~is_b, F.col("value"))).alias("m_a"),
+        F.avg(F.when(is_b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(~is_b, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(is_b, F.col("value"))).alias("v_b"),
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("m_b") - F.col("m_a"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            4,
+        ).alias("welch_t"),
+    )
