@@ -64,6 +64,22 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
     return F.when(F.size(ts) < n, short).otherwise(full)
 
 
+_MASK31 = (1 << 31) - 1
+
+
+def minhash_family(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic 31-bit affine hash-family constants (a_i odd, b_i).
+
+    Derived from fixed multiplicative-hash constants so the family is the
+    same on every engine, run, and language — the property that lets the
+    DuckDB oracle recompute identical signatures. 31-bit operands keep
+    ``a*base + b`` under 2^62: no bigint overflow under ANSI mode anywhere.
+    """
+    a = [((2654435761 * (i + 1)) & _MASK31) | 1 for i in range(num_hashes)]
+    b = [((2246822519 * (i + 1) + 40503) & _MASK31) for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -73,25 +89,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash over the document's token set.
 
-    One distributed pass: distinct (id, token) → ``num_hashes`` min-aggregates
-    of seeded xxhash64 in a single hash aggregate (partial+final, one shuffle
-    on id). Each token string is hashed ONCE to a 64-bit base; the per-slot
-    family hashes re-hash that fixed-width long with the slot index as seed —
-    measured ~35% cheaper than hashing the string per slot at sf0.1, and the
-    gap widens with token/shingle length (string hashing is O(len), long
-    re-hashing is O(1)).
+    One distributed pass: explode (id, token) → ``num_hashes`` min-aggregates
+    in a single hash aggregate (partial+final, one shuffle on id). No
+    pre-distinct: min() is duplicate-insensitive, so deduping tokens first
+    would only add a shuffle. Each token string is hashed ONCE to a 31-bit
+    base (md5-prefix — engine-portable, unlike xxhash64 which only Spark
+    has); the per-slot family hashes are affine re-hashes of that base
+    (``(a_i*base + b_i) & (2^31-1)``, ``minhash_family``) — integer ops are
+    cheaper than per-slot string hashing AND let the DuckDB oracle recompute
+    bit-identical signatures, making the whole LSH pipeline oracle-checkable.
 
     ``shingle_n`` switches the hashed unit from unigram tokens to word
     n-gram shingles (order-sensitive near-dup, the classic formulation).
     """
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(unit).alias("token"))
-        .distinct()
-        .select("id", F.xxhash64("token").alias("h"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_MASK31))
     )
+    toks = df.select(F.col(id_col).alias("id"), F.explode(unit).alias("token")).select(
+        "id", base.alias("h")
+    )
+    av, bv = minhash_family(num_hashes)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        F.min((F.lit(av[i]) * F.col("h") + F.lit(bv[i])).bitwiseAND(F.lit(_MASK31))).alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     sig = toks.groupBy("id").agg(*mins)
@@ -106,16 +130,21 @@ def minhash_candidate_pairs(
     """(id1, id2) candidate near-dup pairs via LSH banding.
 
     Two docs are candidates iff any band of ``rows_per_band`` consecutive
-    signature slots hashes identically. The self-join is on (band, bucket) —
-    buckets are small, so the join output stays near-linear instead of the
-    O(n^2) all-pairs blowup. This is the 100 TB-safe step; exact verification
+    signature slots matches EXACTLY — the join key is (band, slice-of-sig),
+    not a hash of the slice, so candidacy is engine-reproducible (no
+    bucket-hash collisions to differ on) and the self-join is still an
+    equi-join: Spark hash-partitions array keys like any other. Buckets are
+    small, so the join output stays near-linear instead of the O(n^2)
+    all-pairs blowup. This is the 100 TB-safe step; exact verification
     (``jaccard_pairs``) runs only on these candidates.
     """
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+                F.array(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
             for b in range(bands)
         ]

@@ -1,10 +1,11 @@
 """Deduplication conformance queries (north-star extensions, SURVEY.md §2 Part C).
 
-Exact dedup and exact Jaccard have closed-form SQL oracles; the MinHash-LSH
-and SimHash paths are approximate/hash-family-dependent (not SQL-expressible
-without re-implementing xxhash64 in the oracle), so they carry rows-only
-checks — their *verification stage* (exact Jaccard on candidates) is the
-oracle-checked component.
+Exact dedup, exact Jaccard, AND the full MinHash-LSH pipeline are
+oracle-checked: the MinHash family is engine-portable (md5-prefix base +
+31-bit affine re-hashes, ``operators.dedup.minhash_family``), so the DuckDB
+oracle recomputes identical signatures → bands → candidates → verified
+pairs. SimHash and the CC-clustering composition stay rows-only (bit-level
+conditional sums / iterative fixpoints are not reasonably SQL-expressible).
 """
 
 from __future__ import annotations
@@ -96,10 +97,76 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.5, max_id=300)
 
 
+_DUCK_L = r"string_split_regex(trim(text), '\s+')"
+_DUCK_SHINGLE3 = (
+    "CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')] "
+    "ELSE list_transform(range(1, len(l) - 1), "
+    "i -> array_to_string(l[i:i+2], ' ')) END"
+)
+
+
+def _minhash_oracle(unit_sql: str) -> str:
+    """DuckDB twin of the FULL MinHash-LSH pipeline (not just the verify).
+
+    Recomputes the exact signatures (md5-prefix base, 31-bit affine family —
+    ``operators.dedup.minhash_family``), the exact band buckets (slice
+    equality), the exact candidate set, and the exact-Jaccard filter. Engines
+    agree because every step is integer arithmetic on a portable hash.
+    """
+    from map_reduce_engine_spark.operators.dedup import minhash_family
+
+    av, bv = minhash_family(64)
+    slots = ",\n             ".join(
+        f"min(({av[i]} * h + {bv[i]}) & 2147483647) AS h{i}" for i in range(64)
+    )
+    bands_sql = "\n      UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"[h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}] AS bucket FROM sig"
+        for b in range(16)
+    )
+    return f"""
+    WITH docs_l AS (
+      SELECT doc_id AS id, {_DUCK_L} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    docs_t AS (SELECT id, {unit_sql} AS units FROM docs_l),
+    toks AS (
+      SELECT id, ('0x' || substr(md5(u), 1, 8))::BIGINT & 2147483647 AS h
+      FROM docs_t, unnest(units) AS t(u)
+    ),
+    sig AS (
+      SELECT id, {slots}
+      FROM toks GROUP BY id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sets AS (SELECT id, list_distinct(units) AS s FROM docs_t),
+    scored AS (
+      SELECT c.id1, c.id2,
+             round(len(list_intersect(s1.s, s2.s))::DOUBLE
+                   / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))),
+                   6) AS jaccard
+      FROM cands c
+      JOIN sets s1 ON s1.id = c.id1
+      JOIN sets s2 ON s2.id = c.id2
+    )
+    SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
+    """
+
+
 @register(
     "minhash_near_dup",
-    oracle=None,  # hash-family-dependent candidates; verification is exact Jaccard
-    doc="MinHash-LSH near-dup: band-bucket candidates → exact-Jaccard verify >= 0.7",
+    oracle=_minhash_oracle("l"),
+    doc="MinHash-LSH near-dup: band-bucket candidates → exact-Jaccard verify "
+    ">= 0.7. FULLY oracle-checked: the portable hash family (md5-prefix "
+    "base + 31-bit affine re-hashes) lets DuckDB recompute identical "
+    "signatures, buckets, candidates, and verified pairs",
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
@@ -140,7 +207,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_shingle_near_dup",
-    oracle=None,  # hash-family-dependent candidates
+    oracle=_minhash_oracle(_DUCK_SHINGLE3),
     doc="MinHash-LSH near-dup over word 3-gram SHINGLES (order-sensitive — "
     "the classic formulation): two docs sharing vocabulary in different "
     "order are near-dups under token sets but not under shingles; "
