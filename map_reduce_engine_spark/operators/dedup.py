@@ -80,6 +80,22 @@ def minhash_family(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def portable_base31(col: Column) -> Column:
+    """31-bit engine-portable string hash: first 8 hex chars of md5, masked.
+
+    The common denominator across engines (Spark, DuckDB, Python all expose
+    md5); every approximate-dedup sketch in this module derives its per-slot
+    hashes from this one base via ``minhash_family`` affine re-hashes, which
+    is what makes the whole family oracle-recomputable. DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647``.
+    """
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_MASK31))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -103,13 +119,8 @@ def minhash_signatures(
     n-gram shingles (order-sensitive near-dup, the classic formulation).
     """
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
-    base = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit(_MASK31))
-    )
     toks = df.select(F.col(id_col).alias("id"), F.explode(unit).alias("token")).select(
-        "id", base.alias("h")
+        "id", portable_base31(F.col("token")).alias("h")
     )
     av, bv = minhash_family(num_hashes)
     mins = [
@@ -236,28 +247,42 @@ def jaccard_pairs(
     return pairs.where(F.col("jaccard") >= min_jaccard)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over the token multiset.
+SIMHASH_BITS = 63
 
-    Classic Charikar sketch: each token votes +1/-1 on each of 64 bit lanes
-    according to its 64-bit hash; the sketch bit is the vote sign. Hamming
-    distance between sketches approximates cosine distance between token
-    vectors. Implemented as 64 conditional-sum aggregates in one hash
-    aggregate (one shuffle) — no Python, no per-row UDF.
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 63-bit SimHash over the token multiset.
+
+    Classic Charikar sketch: each token votes +1/-1 on each bit lane; the
+    sketch bit is the vote sign. Hamming distance between sketches
+    approximates cosine distance between token vectors. Implemented as 63
+    conditional-sum aggregates in one hash aggregate (one shuffle) — no
+    Python, no per-row UDF.
+
+    Lane i's vote is bit 30 of the i-th affine re-hash of the portable
+    31-bit token base (``portable_base31`` + ``minhash_family``) — all
+    integer arithmetic, so the DuckDB oracle recomputes identical sketches.
+    63 lanes, not 64: the sketch stays in the positive signed-bigint range,
+    which both engines shift/mask identically (DuckDB raises on 1<<63).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(text_col)).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", portable_base31(F.col("tok")).alias("h"))
+    av, bv = minhash_family(SIMHASH_BITS)
+    half = F.lit(1 << 30)
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{bit}")
-        for bit in range(64)
+            F.when(
+                (F.lit(av[i]) * F.col("h") + F.lit(bv[i])).bitwiseAND(F.lit(_MASK31)) >= half,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("id").agg(*votes)
     sketch: Column = F.lit(0).cast("bigint")
-    for bit in range(64):
+    for bit in range(SIMHASH_BITS):
         sketch = sketch.bitwiseOR(
             F.when(F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(F.lit(0).cast("bigint"))
         )
@@ -267,10 +292,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Scale path: block on 4 x 16-bit sketch segments (pigeonhole — any pair
-    within Hamming distance 3 shares at least one exact segment), self-join
-    per segment, then verify with ``bit_count(xor)``. Linear-ish like LSH
-    banding; never all-pairs.
+    Scale path: block on 4 sketch segments of 16 bits (the top one holds 15
+    live bits under the 63-bit sketch; pigeonhole — any pair within Hamming
+    distance 3 shares at least one exact segment), self-join per segment,
+    then verify with ``bit_count(xor)``. Linear-ish like LSH banding; never
+    all-pairs.
     """
     sk = simhash(df, id_col, text_col)
     segs = F.array(

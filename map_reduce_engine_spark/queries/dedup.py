@@ -248,10 +248,56 @@ def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of the full SimHash pipeline (sketch → blocking → verify).
+
+    Recomputes the 63-bit sketches lane by lane with the same portable base
+    hash and affine family (``operators.dedup.simhash``), the same 16-bit
+    segment blocking, and the same ``bit_count(xor)`` Hamming verify.
+    """
+    from map_reduce_engine_spark.operators.dedup import SIMHASH_BITS, minhash_family
+
+    av, bv = minhash_family(SIMHASH_BITS)
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (({av[i]} * h + {bv[i]}) & 2147483647) >= 1073741824 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sketch = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH docs_l AS (
+      SELECT doc_id AS id, {_DUCK_L} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+      SELECT id, ('0x' || substr(md5(u), 1, 8))::BIGINT & 2147483647 AS h
+      FROM docs_l, unnest(l) AS t(u)
+    ),
+    votes AS (SELECT id, {votes} FROM toks GROUP BY id),
+    sk AS (SELECT id, {sketch} AS simhash FROM votes),
+    blocked AS (
+      SELECT id, simhash, s AS seg, (simhash >> (s * 16)) & 65535 AS key
+      FROM sk, unnest([0, 1, 2, 3]) AS t(s)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM blocked a JOIN blocked b
+        ON a.seg = b.seg AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
 @register(
     "simhash_near_pairs",
-    oracle=None,  # xxhash64-family dependent
-    doc="SimHash near-dup pairs: 64-bit sketch, pigeonhole blocking, Hamming <= 3",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup pairs: 63-bit sketch, pigeonhole blocking, Hamming "
+    "<= 3. FULLY oracle-checked: lane votes are affine re-hashes of the "
+    "portable md5-prefix base, so DuckDB recomputes identical sketches, "
+    "blocks, and Hamming distances",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
