@@ -308,10 +308,12 @@ def quantize_int8(df: DataFrame, vec_col: str, out: str = "qvec", scale_col: str
     vec = _vecd(F.col(vec_col))
     absmax = F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
     scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return df.withColumn(scale_col, scale).withColumn(
-        out,
-        F.transform(vec, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
-    )
+    # Clamp before the cast: absmax/(absmax/127) can land a hair above 127
+    # in fp, and a tinyint cast would wrap it to -128.
+    q = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.col(scale_col)))
+    ).cast("tinyint")
+    return df.withColumn(scale_col, scale).withColumn(out, F.transform(vec, q))
 
 
 def cosine_int8(qvec_a: Column, scale_a: Column, qvec_b: Column, scale_b: Column) -> Column:

@@ -177,11 +177,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_int8",
-    oracle=None,  # HALF_UP vs banker's rounding differ at exact .5 quantization ties; bound-tested instead
+    # Fully oracle-checked: DuckDB rounds doubles half-away-from-zero like
+    # Spark's HALF_UP, quantized dot products are exact integers (order-
+    # independent), and both engines clamp to [-127, 127] by construction.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vec,
+             coalesce(list_max(list_transform(vec, x -> abs(x))), 0.0) AS absmax
+      FROM v
+    ),
+    sc AS (
+      SELECT vec_id, vec,
+             CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 1.0 END AS scale
+      FROM s
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(vec, x -> greatest(-127.0, least(127.0, round(x / scale)))) AS qvec
+      FROM sc
+    ),
+    n AS (
+      SELECT vec_id, qvec, sqrt(list_dot_product(qvec, qvec)) AS nrm FROM qv
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qvec, c.qvec) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
     doc="brute-force cosine top-10 over int8-QUANTIZED embeddings (4x "
     "smaller storage/shuffle than float32; scales cancel in cosine). "
-    "Operator-level test bounds the quantization error at <2% absolute "
-    "cosine; this query is the quantized twin of knn_cosine_topk",
+    "FULLY oracle-checked: quantized dot products are exact integers, so "
+    "float summation order is moot; operator-level test additionally "
+    "bounds the quantization error at <2% absolute cosine",
 )
 def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators.similarity import cosine_int8, quantize_int8
