@@ -141,22 +141,29 @@ def minhash_candidate_pairs(
     """(id1, id2) candidate near-dup pairs via LSH banding.
 
     Two docs are candidates iff any band of ``rows_per_band`` consecutive
-    signature slots matches EXACTLY — the join key is (band, slice-of-sig),
-    not a hash of the slice, so candidacy is engine-reproducible (no
-    bucket-hash collisions to differ on) and the self-join is still an
-    equi-join: Spark hash-partitions array keys like any other. Buckets are
-    small, so the join output stays near-linear instead of the O(n^2)
-    all-pairs blowup. This is the 100 TB-safe step; exact verification
-    (``jaccard_pairs``) runs only on these candidates.
+    signature slots hashes identically. The bucket key is a portable affine
+    combination of the band's slots — ``(sum_r m_r*s_r & 2^31-1) & 2^31-1``
+    with ``m_r`` from ``minhash_family`` — one bigint instead of a
+    ``rows_per_band``-element array slice: 4x fewer shuffle key bytes at
+    scale, and the oracle recomputes the identical bucket (a rare 2^-31
+    collision adds a candidate pair in BOTH engines, and exact verification
+    filters it the same way). Buckets are small, so the join output stays
+    near-linear instead of the O(n^2) all-pairs blowup. This is the
+    100 TB-safe step; exact verification (``jaccard_pairs``) runs only on
+    these candidates.
     """
+    mix, _ = minhash_family(rows_per_band)
+    mask = F.lit(_MASK31)
+
+    def bucket_col(b: int) -> Column:
+        acc: Column = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            acc = acc + (F.lit(mix[r]) * F.col("sig")[b * rows_per_band + r]).bitwiseAND(mask)
+        return acc.bitwiseAND(mask)
+
     band_entries = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.array(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket_col(b).alias("bucket"))
             for b in range(bands)
         ]
     )

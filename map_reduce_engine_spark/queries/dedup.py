@@ -109,9 +109,10 @@ def _minhash_oracle(unit_sql: str) -> str:
     """DuckDB twin of the FULL MinHash-LSH pipeline (not just the verify).
 
     Recomputes the exact signatures (md5-prefix base, 31-bit affine family —
-    ``operators.dedup.minhash_family``), the exact band buckets (slice
-    equality), the exact candidate set, and the exact-Jaccard filter. Engines
-    agree because every step is integer arithmetic on a portable hash.
+    ``operators.dedup.minhash_family``), the exact band buckets (the same
+    affine combination of the band's slots the Spark side shuffles on), the
+    exact candidate set, and the exact-Jaccard filter. Engines agree because
+    every step is integer arithmetic on a portable hash.
     """
     from map_reduce_engine_spark.operators.dedup import minhash_family
 
@@ -119,9 +120,11 @@ def _minhash_oracle(unit_sql: str) -> str:
     slots = ",\n             ".join(
         f"min(({av[i]} * h + {bv[i]}) & 2147483647) AS h{i}" for i in range(64)
     )
+    mix, _ = minhash_family(4)
     bands_sql = "\n      UNION ALL ".join(
-        f"SELECT id, {b} AS band, "
-        f"[h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}] AS bucket FROM sig"
+        f"SELECT id, {b} AS band, ("
+        + " + ".join(f"(({mix[r]} * h{4 * b + r}) & 2147483647)" for r in range(4))
+        + ") & 2147483647 AS bucket FROM sig"
         for b in range(16)
     )
     return f"""
