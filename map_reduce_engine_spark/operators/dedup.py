@@ -106,9 +106,11 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — MinHash over the document's token set.
 
     One distributed pass: explode (id, token) → ``num_hashes`` min-aggregates
-    in a single hash aggregate (partial+final, one shuffle on id). No
-    pre-distinct: min() is duplicate-insensitive, so deduping tokens first
-    would only add a shuffle. Each token string is hashed ONCE to a 31-bit
+    in a single hash aggregate (partial+final, one shuffle on id). Tokens are
+    deduped per-document BEFORE the explode (``array_distinct`` — row-local,
+    no extra shuffle): min() is duplicate-insensitive, so repeated tokens
+    only add md5 work and aggregate input. Each token string is hashed ONCE
+    to a 31-bit
     base (md5-prefix — engine-portable, unlike xxhash64 which only Spark
     has); the per-slot family hashes are affine re-hashes of that base
     (``(a_i*base + b_i) & (2^31-1)``, ``minhash_family``) — integer ops are
@@ -119,9 +121,9 @@ def minhash_signatures(
     n-gram shingles (order-sensitive near-dup, the classic formulation).
     """
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
-    toks = df.select(F.col(id_col).alias("id"), F.explode(unit).alias("token")).select(
-        "id", portable_base31(F.col("token")).alias("h")
-    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(unit)).alias("token")
+    ).select("id", portable_base31(F.col("token")).alias("h"))
     av, bv = minhash_family(num_hashes)
     mins = [
         F.min((F.lit(av[i]) * F.col("h") + F.lit(bv[i])).bitwiseAND(F.lit(_MASK31))).alias(
@@ -137,6 +139,7 @@ def minhash_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id1, id2) candidate near-dup pairs via LSH banding.
 
@@ -151,7 +154,18 @@ def minhash_candidate_pairs(
     near-linear instead of the O(n^2) all-pairs blowup. This is the
     100 TB-safe step; exact verification (``jaccard_pairs``) runs only on
     these candidates.
+
+    ``materialize`` persists the signature input (MEMORY_AND_DISK) before
+    the self-join: both join sides share one lineage, so without it Spark
+    recomputes the whole corpus-scan → 64-min-aggregate pipeline once PER
+    SIDE. Signatures are ~64 bigints/doc — orders of magnitude smaller than
+    the corpus — so materializing them once is the right trade at any scale
+    (the classic MinHash formulation writes the signature matrix out); the
+    candidate output is persisted too since the caller invariably feeds it
+    to exact verification.
     """
+    if materialize:
+        sig_df = sig_df.persist()
     mix, _ = minhash_family(rows_per_band)
     mask = F.lit(_MASK31)
 
@@ -172,12 +186,13 @@ def minhash_candidate_pairs(
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+    return pairs.persist() if materialize else pairs
 
 
 def jaccard_pairs(
