@@ -244,6 +244,9 @@ def jaccard_pairs(
             .where(F.col("jaccard") >= min_jaccard)
         )
 
+    # Not persisted: the explode+distinct ends in an exchange, so Spark's
+    # ReuseExchange already shares it across the self-join sides and sizes;
+    # caching here measured slower than the reuse.
     toks = (
         base.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token"))
         .distinct()
@@ -319,8 +322,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     distance 3 shares at least one exact segment), self-join per segment,
     then verify with ``bit_count(xor)``. Linear-ish like LSH banding; never
     all-pairs.
+
+    Sketches are persisted before the self-join: both sides share one
+    lineage, so without it the corpus-scan + 63-vote aggregate runs once per
+    side. A sketch is one bigint per doc — materializing it is the right
+    trade at any corpus size.
     """
-    sk = simhash(df, id_col, text_col)
+    sk = simhash(df, id_col, text_col).persist()
     segs = F.array(
         *[
             F.struct(
