@@ -52,23 +52,29 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the ``events`` fixture table (nanosecond parquet timestamps).
+    """Read the ``events`` fixture table, normalizing ``ts`` to TIMESTAMP_NTZ.
 
-    Spark has no TIMESTAMP(NANOS) parquet type; read nanos as int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
-    division (a double division would lose precision at ~1.7e18 ns epochs),
-    matching DuckDB's nanos->micros truncation. TIMESTAMP_NTZ keeps the value
-    timezone-independent for oracle comparison.
+    Fixture generations have shipped ``ts`` as either TIMESTAMP(MICROS)
+    (current) or as int64 epoch-nanos (older runs, where Spark lacks a
+    TIMESTAMP(NANOS) parquet type and must read nanos as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``). Sniff the physical type and
+    normalize so every downstream query sees one schema. TIMESTAMP_NTZ keeps
+    the value timezone-independent for oracle comparison.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # timestampadd on an NTZ base is pure arithmetic — independent of the
-    # session timezone (timestamp_micros(..).cast("timestamp_ntz") would
-    # shift by the session offset on non-UTC driver sessions).
-    return df.withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-    )
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        # Integer division (not double — precision loss at ~1.7e18 ns epochs);
+        # timestampadd on an NTZ base is pure arithmetic, independent of the
+        # session timezone.
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    if ts_type == "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df  # already timestamp_ntz
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -18,18 +18,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
-# Schema of events.parquet with the nanos timestamp read as int64
-# (spark.sql.legacy.parquet.nanosAsLong — see io.read_events).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet for this fixture generation.
+
+    ``readStream`` needs a user-supplied schema; sniff it from the batch
+    reader so both the current TIMESTAMP(MICROS) fixtures and older
+    int64-epoch-nanos ones (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) work unchanged.
+    """
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,9 +34,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch under availableNow). Timestamp conversion identical to the
     batch reader (timezone-independent NTZ arithmetic)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     # the file stream source wants a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
@@ -47,7 +45,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ — event
     # time is a UTC instant here; run streaming sessions with a UTC session
     # timezone when comparing against the NTZ batch twins.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
