@@ -1538,15 +1538,51 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """DuckDB twin of 10-round static PageRank, loop UNROLLED into CTEs.
+
+    Each round is the same join+aggregate the Spark operator runs; the
+    fixed iteration count makes the "iterative fixpoint" a straight-line
+    query. FP portability: the damping constants are computed as
+    ``1 - 0.85::DOUBLE`` so both engines use bit-identical doubles
+    (the literal ``0.15`` is a DIFFERENT double than ``1.0 - 0.85``), and
+    the result is rounded at 1e-5 — coarse enough that cross-engine
+    last-ulp differences in float-sum order never straddle a boundary.
+    """
+    rounds = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT n.node, (1 - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(s.in_sum, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.d) AS in_sum
+        FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        for i in range(iterations)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes){rounds}
+    SELECT node, round(rank, 5) AS rank FROM r{iterations}
+    """
+
+
 @register(
     "pagerank_customer_supplier",
-    oracle=None,  # iterative fixpoint — no single-statement SQL form; closed-form tests in test_operators
+    oracle=_pagerank_oracle(),
     doc="static PageRank (10 rounds, GraphX convention) over the directed "
     "customer→supplier purchase graph (distinct order edges). The classic "
     "driver-orchestrated iterative algorithm: two node-keyed shuffles per "
     "round, per-round cache with explicit unpersist, nothing driver-"
     "resident but the loop counter (operators/graph.py::pagerank — same "
-    "loop shape as connected components and IVF's KMeans)",
+    "loop shape as connected components and IVF's KMeans). FULLY "
+    "oracle-checked against the loop unrolled into 10 chained SQL CTEs",
 )
 def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators.graph import pagerank
@@ -1562,7 +1598,9 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iterations=10)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    # round at 1e-5, matching the oracle: float-sum order differs across
+    # engines, so the last ulp of each rank is not portable
+    return ranks.select("node", F.round("rank", 5).alias("rank"))
 
 
 @register(

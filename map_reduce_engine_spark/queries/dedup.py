@@ -1,11 +1,12 @@
 """Deduplication conformance queries (north-star extensions, SURVEY.md §2 Part C).
 
-Exact dedup, exact Jaccard, AND the full MinHash-LSH pipeline are
-oracle-checked: the MinHash family is engine-portable (md5-prefix base +
-31-bit affine re-hashes, ``operators.dedup.minhash_family``), so the DuckDB
-oracle recomputes identical signatures → bands → candidates → verified
-pairs. SimHash and the CC-clustering composition stay rows-only (bit-level
-conditional sums / iterative fixpoints are not reasonably SQL-expressible).
+Exact dedup, exact Jaccard, SimHash, the full MinHash-LSH pipeline, AND the
+end-to-end clustering composition are oracle-checked: the hash family is
+engine-portable (md5-prefix base + 31-bit affine re-hashes,
+``operators.dedup.minhash_family``), so the DuckDB oracle recomputes
+identical signatures → bands → candidates → verified pairs, and a
+recursive-CTE transitive closure reproduces the connected-components
+fixpoint for the cluster rollup.
 """
 
 from __future__ import annotations
@@ -105,13 +106,13 @@ _DUCK_SHINGLE3 = (
 )
 
 
-def _minhash_oracle(unit_sql: str) -> str:
-    """DuckDB twin of the FULL MinHash-LSH pipeline (not just the verify).
+def _minhash_ctes(unit_sql: str) -> str:
+    """Shared CTE body of the DuckDB MinHash-LSH twin (through ``scored``).
 
     Recomputes the exact signatures (md5-prefix base, 31-bit affine family —
     ``operators.dedup.minhash_family``), the exact band buckets (the same
     affine combination of the band's slots the Spark side shuffles on), the
-    exact candidate set, and the exact-Jaccard filter. Engines agree because
+    exact candidate set, and the exact-Jaccard score. Engines agree because
     every step is integer arithmetic on a portable hash.
     """
     from map_reduce_engine_spark.operators.dedup import minhash_family
@@ -127,8 +128,7 @@ def _minhash_oracle(unit_sql: str) -> str:
         + ") & 2147483647 AS bucket FROM sig"
         for b in range(16)
     )
-    return f"""
-    WITH docs_l AS (
+    return f"""docs_l AS (
       SELECT doc_id AS id, {_DUCK_L} AS l
       FROM documents WHERE trim(text) <> ''
     ),
@@ -158,8 +158,45 @@ def _minhash_oracle(unit_sql: str) -> str:
       FROM cands c
       JOIN sets s1 ON s1.id = c.id1
       JOIN sets s2 ON s2.id = c.id2
-    )
+    )"""
+
+
+def _minhash_oracle(unit_sql: str) -> str:
+    """DuckDB twin of the FULL MinHash-LSH pipeline (signatures → verified pairs)."""
+    return f"""
+    WITH {_minhash_ctes(unit_sql)}
     SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
+    """
+
+
+def _neardup_pipeline_oracle() -> str:
+    """DuckDB twin of the END-TO-END near-dedup pipeline.
+
+    Extends the MinHash-LSH CTEs with the clustering stage: verified pairs →
+    undirected edges → transitive closure (recursive CTE; UNION set semantics
+    terminate it) → per-node component = min reachable id — exactly the
+    fixpoint ``operators.graph.connected_components`` converges to — then the
+    per-component size rollup.
+    """
+    return f"""
+    WITH RECURSIVE {_minhash_ctes("l")},
+    verified AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.7),
+    und AS (
+      SELECT id1 AS a, id2 AS b FROM verified
+      UNION
+      SELECT id2, id1 FROM verified
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT component AS canonical_id, count(*) AS cluster_size
+    FROM comp GROUP BY component
     """
 
 
@@ -227,12 +264,14 @@ def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_pipeline",
-    oracle=None,  # composes the hash-family-dependent MinHash stage
+    oracle=_neardup_pipeline_oracle(),
     doc="the full near-dedup pipeline end-to-end: MinHash-LSH candidates → "
     "exact-Jaccard verify (≥0.7) → connected components → one canonical "
     "survivor per cluster; returns per-cluster (canonical id, size). "
     "This is the composition a 100 TB corpus dedup actually runs — every "
-    "stage is an equi-join or bounded iteration, nothing quadratic",
+    "stage is an equi-join or bounded iteration, nothing quadratic. FULLY "
+    "oracle-checked: the portable MinHash family plus a recursive-CTE "
+    "transitive closure lets DuckDB recompute the identical clusters",
 )
 def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators.graph import connected_components
