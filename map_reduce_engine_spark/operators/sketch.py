@@ -1,0 +1,85 @@
+"""Portable frequency sketches: count-min-sketch on the engine-portable
+hash family.
+
+The reference's only aggregation machinery is the AddInterface sum-merge
+(``ReduceRunner.java:154-172``); sketches are the scale-path extension of
+that idea — a CMS table is itself nothing but a fixed-size grid of
+additive counters, so it merges across partitions/days/shards with plain
+``sum`` (the same partial+final aggregation Catalyst already runs). Depth
+``d`` rows x width ``w`` counters bound the table at d*w rows REGARDLESS
+of corpus size: the 100 TB property. Point estimates are
+``min_d counts[d][bucket_d(x)]`` — always >= the true count, with error
+<= N/w at confidence 1-(1/2)^d.
+
+Hashes derive from ``operators.dedup.portable_base31`` (md5-prefix) and
+the ``minhash_family`` 31-bit affine re-hashes — all integer arithmetic,
+so a DuckDB oracle recomputes the identical sketch bit-for-bit (unlike
+engine-specific HLL/CMS binaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators.dedup import _MASK31, minhash_family, portable_base31
+
+
+def _bucket(h: Column, a: int, b: int, width: int) -> Column:
+    # HIGH bits of the affine hash, not `% width`: multiplication pushes
+    # entropy upward, and with odd `a` the low bits of a*h depend only on
+    # the low bits of h — `% width` would make every depth row collide for
+    # the same token pairs, defeating the min-over-depth. width must be a
+    # power of two.
+    shift = 31 - (width.bit_length() - 1)
+    return F.shiftright((F.lit(a) * h + F.lit(b)).bitwiseAND(F.lit(_MASK31)), shift)
+
+
+def cms_table(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(d, bucket, c) — the CMS counter grid over one row per item OCCURRENCE.
+
+    One explode (depth entries per occurrence) + one hash aggregate; the
+    output is at most ``depth * width`` rows. Partial aggregation absorbs
+    most of the explode before the shuffle (bucket keys repeat heavily).
+    """
+    av, bv = minhash_family(depth)
+    h = portable_base31(F.col(item_col))
+    entries = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _bucket(h, av[d], bv[d], width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame, probes: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(item, cms_estimate) — min-over-depth counter lookup for each probe item.
+
+    ``probes`` is expected to be small (heavy-hitter candidates); the join
+    against the <= depth*width-row sketch is broadcast-sized from both sides.
+    """
+    av, bv = minhash_family(depth)
+    h = portable_base31(F.col(item_col))
+    entries = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _bucket(h, av[d], bv[d], width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    probe_buckets = probes.select(
+        F.col(item_col).alias("item"), F.explode(entries).alias("e")
+    ).select("item", F.col("e.d").alias("d"), F.col("e.bucket").alias("bucket"))
+    return (
+        probe_buckets.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -81,6 +81,82 @@ def wordlength_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key").cast("bigint").alias("length"), F.col("value").alias("cnt"))
 
 
+def _cms_oracle(depth: int = 4, width: int = 1024, topk: int = 20) -> str:
+    """DuckDB twin of the count-min-sketch heavy-hitter query.
+
+    Same affine family constants (``minhash_family``), same md5-prefix base
+    hash, same counter grid — all integer arithmetic, so the sketch and the
+    min-over-depth estimates match Spark bit-for-bit.
+    """
+    from map_reduce_engine_spark.operators.dedup import minhash_family
+
+    av, bv = minhash_family(depth)
+    fam = ", ".join(f"({d}, {av[d]}, {bv[d]})" for d in range(depth))
+    shift = 31 - (width.bit_length() - 1)
+    return f"""
+    WITH toks AS (
+      SELECT w AS token FROM (
+        SELECT unnest({_DUCK_TOKENS}) AS w FROM documents WHERE trim(text) <> ''
+      ) WHERE w <> ''
+    ),
+    h AS (
+      SELECT token, ('0x' || substr(md5(token), 1, 8))::BIGINT & 2147483647 AS h
+      FROM toks
+    ),
+    fam(d, a, b) AS (VALUES {fam}),
+    sk AS (
+      SELECT d, ((a * h + b) & 2147483647) >> {shift} AS bucket, count(*) AS c
+      FROM h CROSS JOIN fam GROUP BY 1, 2
+    ),
+    exact AS (SELECT token, min(h) AS h, count(*) AS n FROM h GROUP BY token),
+    top AS (
+      SELECT token, h, n FROM (
+        SELECT token, h, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+        FROM exact
+      ) WHERE rk <= {topk}
+    ),
+    est AS (
+      SELECT t.token, min(s.c) AS cms_estimate
+      FROM top t
+      CROSS JOIN fam
+      JOIN sk s ON s.d = fam.d
+              AND s.bucket = ((fam.a * t.h + fam.b) & 2147483647) >> {shift}
+      GROUP BY t.token
+    )
+    SELECT t.token, t.n AS exact_n, e.cms_estimate
+    FROM top t JOIN est e USING (token)
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    doc="count-min-sketch heavy hitters (operators/sketch.py): token "
+    "frequencies sketched into a 4x1024 additive counter grid — bounded at "
+    "depth*width rows regardless of corpus size, mergeable across shards "
+    "with plain sum (the AddInterface contract, ReduceRunner.java:154-172, "
+    "as a sketch) — then the top-20 exact heavy hitters probed back for "
+    "their min-over-depth estimates (always >= exact; error <= N/width). "
+    "FULLY oracle-checked: the portable hash family makes the entire grid "
+    "bit-identical in DuckDB, unlike engine-specific sketch binaries",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators import sketch as sk
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(F.explode(text_ops.tokens_col("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    sketch = sk.cms_table(toks, "token", depth=4, width=1024)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("token"))
+    top = exact.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    est = sk.cms_point_estimates(sketch, top.select("token"), "token", depth=4, width=1024)
+    return top.join(est, top.token == est.item).select("token", "exact_n", "cms_estimate")
+
+
 @register(
     "token_stats",
     oracle="""

@@ -357,3 +357,27 @@ def test_audio_chunk_plan_windows(spark):
     assert rows[0].byte_start == 0 and rows[-1].byte_end == 75 * bps
     for a, b in zip(rows, rows[1:]):
         assert a.byte_end == b.byte_start
+
+
+def test_cms_sketch_overestimates_and_bounded(spark):
+    """CMS invariants: every point estimate >= the true count, the counter
+    grid never exceeds depth*width rows, and the grid total per depth row
+    equals the number of item occurrences (additive counters)."""
+    from map_reduce_engine_spark.operators.sketch import cms_point_estimates, cms_table
+
+    items = spark.createDataFrame(
+        [(w,) for w in (["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 5 + ["delta"] * 1)],
+        ["token"],
+    )
+    sketch = cms_table(items, "token", depth=4, width=64).cache()
+    assert sketch.count() <= 4 * 64
+    per_depth = {r.d: r.total for r in sketch.groupBy("d").agg(F.sum("c").alias("total")).collect()}
+    assert per_depth == {0: 86, 1: 86, 2: 86, 3: 86}
+    probes = items.select("token").distinct()
+    est = {
+        r.item: r.cms_estimate
+        for r in cms_point_estimates(sketch, probes, "token", depth=4, width=64).collect()
+    }
+    truth = {"alpha": 50, "beta": 30, "gamma": 5, "delta": 1}
+    for tok, n in truth.items():
+        assert est[tok] >= n
