@@ -141,8 +141,6 @@ def _cms_oracle(depth: int = 4, width: int = 1024, topk: int = 20) -> str:
     "bit-identical in DuckDB, unlike engine-specific sketch binaries",
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from map_reduce_engine_spark.operators import sketch as sk
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
@@ -151,8 +149,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = sk.cms_table(toks, "token", depth=4, width=1024)
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
-    w = Window.orderBy(F.desc("exact_n"), F.asc("token"))
-    top = exact.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    # global top-k as orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, no single-partition global window)
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(20)
     est = sk.cms_point_estimates(sketch, top.select("token"), "token", depth=4, width=1024)
     return top.join(est, top.token == est.item).select("token", "exact_n", "cms_estimate")
 
