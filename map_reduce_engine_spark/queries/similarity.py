@@ -1,10 +1,12 @@
 """Similarity-search conformance queries over the ``embeddings`` fixture.
 
 Brute-force cosine top-k is the oracle-checked ground truth (the DuckDB side
-computes the same double-precision dot products via list functions); the LSH
-bucketed ANN path is approximate by design and carries a rows-only check —
-its quality is measured as recall@k against the brute-force result in
-tests/test_similarity.py.
+computes the same double-precision dot products via list functions), and the
+multi-table LSH ANN path is oracle-checked too — its seeded hyperplane
+literals regenerate identically in the DuckDB twin. IVF stays rows-only
+(distributed KMeans centroids aren't reasonably SQL-expressible); both
+approximate methods additionally report recall@k against brute force
+(ann_recall_report, tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -66,10 +68,79 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.99, n_planes=0)
 
 
+def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of the multi-table multi-probe LSH ANN query.
+
+    The hyperplanes are a SEEDED numpy Gaussian sample embedded as literal
+    arrays on the Spark side (``operators.similarity.random_hyperplane_
+    buckets``); regenerating them here with the same seeds and emitting
+    them as ``repr``-round-tripped double literals makes both engines hash
+    against bit-identical planes. Sign bits agree because DuckDB's
+    ``list_dot_product`` accumulates in the same left-to-right double order
+    as Spark's ``F.aggregate`` (already relied on by knn_cosine_topk), and
+    a Gaussian dot product never lands within an ulp of zero on this
+    fixture. Candidate set, multi-probe fan-out, cosine, and ranking then
+    mirror the Spark plan clause for clause.
+    """
+    import numpy as np
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for p, row in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in row)
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    per_table = []
+    for t_ in range(n_tables):
+        planes = np.random.RandomState(seed + t_).standard_normal((n_planes, dim))
+        per_table.append(
+            f"SELECT vec_id, {t_} AS tbl, {bucket_expr(planes)} AS bucket, v FROM emb"
+        )
+    cb = "\n      UNION ALL ".join(per_table)
+    probes = ", ".join(str(x) for x in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      {cb}
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, tbl, xor(bucket, px.x) AS bucket
+      FROM cb CROSS JOIN unnest([{probes}]) AS px(x)
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+      FROM qp JOIN cb c ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+      WHERE c.vec_id <> qp.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM cand cd
+      JOIN emb a ON a.vec_id = cd.query_id
+      JOIN emb b ON b.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design; recall measured against knn_cosine_topk
-    doc="ANN top-k via random-hyperplane LSH buckets (the 100 TB scale path)",
+    oracle=_ann_lsh_oracle(),
+    doc="ANN top-k via multi-table multi-probe random-hyperplane LSH buckets "
+    "(the 100 TB scale path). FULLY oracle-checked: the seeded plane "
+    "literals regenerate identically in the DuckDB twin, so buckets, "
+    "probes, candidates, and ranked cosines all match bit-for-bit",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
