@@ -758,6 +758,66 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_report",
+    oracle="""
+    WITH g AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+             quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99
+      FROM g
+    )
+    SELECT s.n_rows::BIGINT AS n_rows,
+           s.n_keys::BIGINT AS n_keys,
+           s.max_n::BIGINT AS max_group,
+           round(s.p50, 4) AS p50_group,
+           round(s.p99, 4) AS p99_group,
+           (SELECT min(key) FROM g WHERE n = s.max_n) AS top_key,
+           round(s.max_n::DOUBLE / s.n_rows, 6) AS top_share,
+           round((s.max_n * s.n_keys)::DOUBLE / s.n_rows, 6) AS skew_vs_avg
+    FROM s
+    """,
+    doc="key-distribution profiling report on the join/agg key (o_custkey): "
+    "group-size percentiles, the hottest key (min id among ties — "
+    "deterministic), its share of all rows, and max-group vs average-group "
+    "ratio. The operational query a 100 TB deployment runs BEFORE picking a "
+    "strategy — skew_vs_avg >> 1 argues for salting (salted_skew_agg/join) "
+    "or AQE skew splitting; top_share bounds what one straggler task would "
+    "process. One hash aggregate over the keys, a tiny all-agg rollup, and "
+    "a broadcast argmax join-back; percentiles rounded at 1e-4 because "
+    "linear-interpolation FP term order differs across engines",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = g.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    )
+    top = (
+        g.join(F.broadcast(stats.select("max_n")), F.col("n") == F.col("max_n"))
+        .agg(F.min("key").alias("top_key"))
+    )
+    return stats.crossJoin(top).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("max_n").cast("bigint").alias("max_group"),
+        F.round("p50", 4).alias("p50_group"),
+        F.round("p99", 4).alias("p99_group"),
+        "top_key",
+        F.round(F.col("max_n").cast("double") / F.col("n_rows"), 6).alias("top_share"),
+        F.round(
+            (F.col("max_n") * F.col("n_keys")).cast("double") / F.col("n_rows"), 6
+        ).alias("skew_vs_avg"),
+    )
+
+
+@register(
     "null_safe_join",
     oracle="""
     WITH enriched AS (
