@@ -254,3 +254,33 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     p = plan(df, "simple")
     assert "isFinalPlan=true" in p
     assert "AQEShuffleRead coalesced" in p
+
+
+def test_cms_probe_broadcasts_and_topk_has_no_global_window(spark, sf_dir):
+    """cms_heavy_hitters: the <=depth*width-row sketch probe must broadcast,
+    the global top-20 must plan TakeOrderedAndProject (per-partition heaps),
+    and no single-partition global Window may appear."""
+    p = plan(REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_skew_report_argmax_broadcasts(spark, sf_dir):
+    """key_skew_report: the argmax join-back against the 1-row stats side
+    must broadcast, never shuffle the key histogram."""
+    p = plan(REGISTRY["key_skew_report"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_and_components_plans_stay_bounded(spark, sf_dir):
+    """Iterative operators must localCheckpoint each round: the FINAL plan
+    of a 10-round PageRank must be round-local (scan of the checkpoint +
+    one join + one agg), not a 10-deep nested join tree."""
+    df = REGISTRY["pagerank_customer_supplier"].fn(spark, sf_dir)
+    p = plan(df, mode="simple")
+    # a checkpointed final round references ExistingRDD, and the plan stays
+    # small — a nested unrolled plan would repeat the parquet scan 10+ times
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+    assert p.count("parquet") <= 2
