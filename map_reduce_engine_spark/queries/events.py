@@ -579,3 +579,50 @@ def events_ewma_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, group_col="user_id", order_cols=["ts", "event_id"], value_col="value", alpha=0.5
     )
     return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n_events")
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(adev) AS mad, min(med) AS med FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           count(*) AS n,
+           sum(CASE WHEN d.adev > 3 * 1.4826::DOUBLE * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           round(min(m.med), 4) AS med,
+           round(min(m.mad), 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust outlier detection per event_type: modified z-score on the "
+    "median absolute deviation (|x - med| > 3 * 1.4826 * MAD — the robust "
+    "stddev analogue that one fat-tailed sensor can't poison, unlike "
+    "mean/stddev z-scores). Two-pass: per-group median, broadcast back for "
+    "deviations, per-group MAD, broadcast back for flags — each pass one "
+    "hash aggregate on the same grouping key. Thresholds compare "
+    "identically across engines because medians interpolate with the same "
+    "midpoint average and both sides evaluate the identical constant fold",
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad"), F.min("med").alias("med")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+        F.round(F.min("med"), 4).alias("med"),
+        F.round(F.min("mad"), 4).alias("mad"),
+    )
