@@ -1080,3 +1080,49 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_score").cast("bigint").alias("f_score"),
         F.col("m_score").cast("bigint").alias("m_score"),
     ).agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "part_pair_cooccurrence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    bounded AS (
+      SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 32
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN bounded bd ON bd.l_orderkey = a.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, support FROM pairs
+    ORDER BY support DESC, p1, p2 LIMIT 20
+    """,
+    doc="market-basket co-occurrence: top-20 part pairs bought together "
+    "(distinct per order, basket-size capped at 32 — the a-priori guard "
+    "that keeps the per-order pair fan-out bounded; an order with B items "
+    "contributes B*(B-1)/2 join rows, so one pathological 10k-item basket "
+    "would otherwise emit 50M pairs). The classic MapReduce co-occurrence "
+    "workload as one equi-self-join on the basket key (shuffle-co-located, "
+    "never cartesian) + hash agg + TakeOrderedAndProject",
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    bounded = items.groupBy("l_orderkey").agg(F.count("*").alias("basket")).where(
+        F.col("basket") <= 32
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .join(bounded.select("l_orderkey"), "l_orderkey")
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    return pairs.orderBy(F.desc("support"), "p1", "p2").limit(20)
