@@ -510,3 +510,79 @@ def bpe_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") * 1.0 / F.greatest(n, F.lit(1)), 4
         ).alias("chars_per_pretoken"),
     )
+
+
+@register(
+    "tfidf_doc_similarity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE trim(text) <> '' AND doc_id < 300),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM d)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    w AS (
+      SELECT tf.doc_id, tf.token, tf.tf * ln(n.n_docs::DOUBLE / df.df) AS w
+      FROM tf JOIN df USING (token), n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm n1 ON n1.doc_id = id1
+    JOIN nrm n2 ON n2.doc_id = id2
+    WHERE dot / (n1.nrm * n2.nrm) >= 0.5
+    """,
+    doc="sparse TF-IDF document-similarity join on a bounded slice: the "
+    "lexical complement to dense-embedding cosine. Weights tf*ln(N/df); "
+    "pair dot products via the inverted index (docs pair only on SHARED "
+    "tokens — shuffle-co-located on the token key, never a cross join), "
+    "norms from one per-doc aggregate, threshold 0.5. Same "
+    "high-document-frequency caveat as ngram_jaccard_pairs: a token in f "
+    "docs yields f^2 join rows, so the unbounded-scale variant prunes "
+    "stopword-grade tokens by df cap first (idf weighting already damps "
+    "their contribution). Rounded at 1e-4: float-sum order differs across "
+    "engines",
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where((F.trim("text") != "") & (F.col("doc_id") < 300))
+    )
+    toks = docs.select("doc_id", F.explode(text_ops.tokens_col("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    w = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nrm2"))
+    cos = F.col("dot") / (F.col("nrm1") * F.col("nrm2"))
+    return (
+        dots.join(F.broadcast(n1), "id1")
+        .join(F.broadcast(n2), "id2")
+        .where(cos >= 0.5)
+        .select("id1", "id2", F.round(cos, 4).alias("cosine"))
+    )
