@@ -1126,3 +1126,56 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
     )
     return pairs.orderBy(F.desc("support"), "p1", "p2").limit(20)
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           tri.n_triangles::BIGINT AS n_triangles
+    FROM tri
+    """,
+    doc="triangle counting on the co-purchase graph (parts bought together "
+    "in >= 2 orders): the classic distributed-graph benchmark as two "
+    "self-equi-joins over an ORIENTED edge list (u < v), so each triangle "
+    "is counted exactly once with no permutation blowup. The support>=2 "
+    "edge filter is the pruning step; at 100 TB the id-orientation is "
+    "upgraded to degree-orientation (orient each edge toward the "
+    "higher-degree endpoint), which provably bounds the join fan-out at "
+    "O(m^1.5) even on power-law graphs",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(tri)
