@@ -626,3 +626,102 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("med"), 4).alias("med"),
         F.round(F.min("mad"), 4).alias("mad"),
     )
+
+
+@register(
+    "value_drift_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sigma
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, h.h, (h.x - s.mu - 0.5 * s.sigma) / s.sigma AS z
+      FROM hourly h JOIN stats s USING (event_type)
+    ),
+    psum AS (
+      SELECT event_type, h,
+             sum(z) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM z
+    ),
+    pre AS (
+      SELECT event_type, h, p,
+             min(p) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+      FROM psum
+    ),
+    cusum AS (
+      SELECT event_type, h, round(p - least(minp, 0.0), 4) AS s FROM pre
+    ),
+    ranked AS (
+      SELECT event_type, h, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s DESC, h) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_hours
+      FROM cusum
+    )
+    SELECT event_type, n_hours::BIGINT AS n_hours, s AS max_cusum,
+           h::TIMESTAMP AS drift_hour, s > 5.0 AS drifted
+    FROM ranked WHERE rk = 1
+    """,
+    doc="CUSUM drift detection on hourly event-value means: the one-sided "
+    "cusum recursion S_t = max(0, S_{t-1} + z_t) rewritten as prefix_sum - "
+    "min(0, running_min(prefix_sum)) — two stacked windows instead of an "
+    "inexpressible recursion, so the whole detector stays JVM-side "
+    "(partitioned by event_type: bounded window state, no driver loop). "
+    "Reports each type's peak cusum, when it peaked (earliest hour on "
+    "ties), and a >5-sigma-units drift flag — the monitoring query a "
+    "pipeline runs on ingest quality metrics",
+)
+def value_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    z = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        ((F.col("x") - F.col("mu") - 0.5 * F.col("sigma")) / F.col("sigma")).alias("z"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = z.select(
+        "event_type", "h", F.sum("z").over(w).alias("p")
+    ).withColumn("minp", F.min("p").over(w))
+    cusum = pre.select(
+        "event_type", "h", F.round(F.col("p") - F.least("minp", F.lit(0.0)), 4).alias("s")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("s"), "h")
+    wc = Window.partitionBy("event_type")
+    ranked = cusum.select(
+        "event_type",
+        "h",
+        "s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wc).cast("bigint").alias("n_hours"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("max_cusum"),
+        # stays TIMESTAMP_NTZ: casting to (LTZ) timestamp would shift the
+        # wall time by the session offset on non-UTC drivers
+        F.col("h").alias("drift_hour"),
+        (F.col("s") > 5.0).alias("drifted"),
+    )
