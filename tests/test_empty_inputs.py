@@ -87,3 +87,14 @@ def test_incremental_merge_with_empty_delta(spark):
     delta = agg_state(spark.createDataFrame([], "k string, v double"), ["k"], aggs)
     merged = {r.k: (r.total, r.n) for r in merge_agg_state(base, delta, ["k"], aggs).collect()}
     assert merged == {"a": (1.0, 1), "b": (2.0, 1)}
+
+
+def test_cms_sketch_empty(spark):
+    from map_reduce_engine_spark.operators.sketch import cms_point_estimates, cms_table
+
+    empty = spark.createDataFrame([], "token string")
+    sketch = cms_table(empty, "token")
+    assert sketch.count() == 0
+    # probing a non-empty set against an empty sketch yields no estimates
+    probes = spark.createDataFrame([("x",)], ["token"])
+    assert cms_point_estimates(sketch, probes, "token").count() == 0
