@@ -1179,3 +1179,57 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return edges.agg(F.count("*").alias("n_edges")).crossJoin(tri)
+
+
+@register(
+    "reduce_side_join_mapreduce",
+    oracle="""
+    SELECT c_custkey AS key, c_name || '|' || count(o_orderkey) AS value
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="the classic reduce-side join through the map/reduce UDF compat "
+    "surface — SURVEY.md §2 Part B notes the reference could express a "
+    "join ONLY this way (tag + union + group, 'no shipped example does "
+    "it'), so this entry closes that parity gap explicitly: customer and "
+    "orders records are tagged and unioned into one line stream (the "
+    "reference's directory-union input model, Communicator.java:180-183), "
+    "the mapper keys every line by custkey, and the reducer pairs the one "
+    "C record with its O records (left-outer: customers with no orders "
+    "keep count 0). Oracle is the plain SQL LEFT JOIN — the declarative "
+    "plan Catalyst would pick instead (join_customer_revenue); same "
+    "result, ~10x less shuffle IO, which is exactly the argument for the "
+    "DataFrame path",
+)
+def reduce_side_join_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark import mapreduce
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.concat_ws("\t", F.lit("C"), "c_custkey", "c_name").alias("value")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.concat_ws("\t", F.lit("O"), "o_custkey").alias("value")
+    )
+    lines = cust.unionAll(orders)
+
+    def join_mapper(line: str):
+        parts = line.split("\t")
+        if parts[0] == "C":
+            yield int(parts[1]), "C:" + parts[2]
+        else:
+            yield int(parts[1]), "O"
+
+    def join_reducer(key: int, values: list):
+        name = next(v[2:] for v in values if v.startswith("C:"))
+        n_orders = sum(1 for v in values if v == "O")
+        yield key, f"{name}|{n_orders}"
+
+    return mapreduce.map_reduce(
+        lines,
+        join_mapper,
+        join_reducer,
+        map_key_type="long",
+        map_value_type="text",
+        out_key_type="long",
+        out_value_type="text",
+    )
