@@ -1233,3 +1233,47 @@ def reduce_side_join_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_key_type="long",
         out_value_type="text",
     )
+
+
+@register(
+    "map_side_join_mapreduce",
+    oracle="""
+    SELECT n_name AS key, count(*)::VARCHAR AS value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="the OTHER classic MapReduce join — map-side/broadcast: the small "
+    "nation table rides to every mapper (Hadoop's DistributedCache idiom; "
+    "here a Spark broadcast variable captured in the map closure), so each "
+    "customer record is enriched during the map with NO join shuffle at "
+    "all; the only shuffle is the count aggregation. The regime where the "
+    "dim fits in memory — exactly when Catalyst would pick "
+    "BroadcastHashJoin for the declarative plan. Oracle is that plain "
+    "join+count",
+)
+def map_side_join_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark import mapreduce
+
+    nation_map = {
+        r.n_nationkey: r.n_name for r in t(spark, sf_dir, "nation").collect()
+    }
+    bc = spark.sparkContext.broadcast(nation_map)
+    lines = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("value")
+    )
+
+    def enrich_mapper(line: str):
+        yield bc.value[int(line)], 1
+
+    def count_reducer(key: str, values: list):
+        yield key, str(sum(values))
+
+    return mapreduce.map_reduce(
+        lines,
+        enrich_mapper,
+        count_reducer,
+        map_key_type="text",
+        map_value_type="long",
+        out_key_type="text",
+        out_value_type="text",
+    )
