@@ -1277,3 +1277,56 @@ def map_side_join_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_key_type="text",
         out_value_type="text",
     )
+
+
+@register(
+    "secondary_sort_mapreduce",
+    oracle="""
+    SELECT o_custkey AS key,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey) AS value
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="the third classic MapReduce idiom — secondary sort: values must "
+    "arrive at the reducer in a meaningful order (here each customer's "
+    "order priorities chronologically). The reference only sorts map "
+    "output BY KEY (OutputCollector.sortByKeys, MapRunner.java:83-84), so "
+    "Hadoop-era code either built composite keys with a custom "
+    "partitioner+comparator or sorted inside the reducer — this entry "
+    "does the in-reducer sort on a (date, orderkey) sort key embedded in "
+    "the value, the workaround the reference's API forces. The "
+    "declarative twin is one string_agg ORDER BY / sort_array — "
+    "ordered_order_history — where the shuffle itself delivers the order",
+)
+def secondary_sort_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark import mapreduce
+
+    lines = t(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            "\t",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            "o_orderpriority",
+        ).alias("value")
+    )
+
+    def tag_mapper(line: str):
+        custkey, date, okey, prio = line.split("\t")
+        yield int(custkey), f"{date}|{okey}|{prio}"
+
+    def sorted_reducer(key: int, values: list):
+        # in-reducer secondary sort: (date, zero-padded orderkey) prefix
+        # makes plain string sort == chronological order
+        ordered = sorted(values)
+        yield key, ",".join(v.split("|", 2)[2] for v in ordered)
+
+    return mapreduce.map_reduce(
+        lines,
+        tag_mapper,
+        sorted_reducer,
+        map_key_type="long",
+        map_value_type="text",
+        out_key_type="long",
+        out_value_type="text",
+    )
