@@ -586,3 +586,65 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.5)
         .select("id1", "id2", F.round(cos, 4).alias("cosine"))
     )
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, token FROM (
+        SELECT source, unnest({_DUCK_TOKENS}) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> ''
+    ),
+    sc AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+    corpus AS (SELECT token, sum(c) AS cc FROM sc GROUP BY 1),
+    ctot AS (SELECT sum(cc) AS nn FROM corpus)
+    SELECT sc.source,
+           stot.n::BIGINT AS n_tokens,
+           count(*) AS vocab,
+           round(sum((sc.c::DOUBLE / stot.n)
+                     * ln((sc.c::DOUBLE / stot.n) / (corpus.cc::DOUBLE / ctot.nn))), 4)
+             AS kl_from_corpus
+    FROM sc
+    JOIN stot USING (source)
+    JOIN corpus USING (token), ctot
+    GROUP BY sc.source, stot.n
+    """,
+    doc="per-source KL divergence from the corpus token distribution — the "
+    "domain-shift measure a mixture-weighting pipeline monitors (a source "
+    "drifting from the corpus mix shows up as rising KL before any "
+    "downstream metric moves). Q(token) can never be zero because every "
+    "source token is in the corpus by construction, so the sum is total. "
+    "Two hash aggregates on (source, token) + a broadcast of the "
+    "|vocabulary|-sized corpus table; rounded at 1e-4 (float-sum order "
+    "differs across engines)",
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "source", F.explode(text_ops.tokens_col("text")).alias("token")
+    ).where(F.col("token") != "")
+    sc = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sc.groupBy("token").agg(F.sum("c").alias("cc"))
+    nn = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cc").cast("double") / F.col("nn")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_from_corpus"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "kl_from_corpus",
+        )
+    )
