@@ -648,3 +648,47 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_from_corpus",
         )
     )
+
+
+@register(
+    "source_length_deciles",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> round(x, 4)) AS bs
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT source,
+             1 + len(list_filter(b.bs, x -> x < n_chars)) AS decile
+      FROM documents, b
+    )
+    SELECT source, decile::BIGINT AS decile, count(*) AS n_docs
+    FROM bucketed GROUP BY source, decile
+    """,
+    doc="per-source equi-depth length profile: bucket every document "
+    "against the GLOBAL n_chars decile boundaries, then count per "
+    "(source, decile) — the cross-distribution comparison that shows "
+    "which sources skew long/short relative to the corpus (a flat profile "
+    "~= corpus-like; mass piled in deciles 1-2 = a short-doc source). "
+    "Boundaries are ONE tiny percentile aggregate broadcast to the scan — "
+    "no per-row window, unlike ntile, so it scales to any corpus. "
+    "Boundaries rounded at 1e-4 on both engines, making bucket membership "
+    "of integer lengths decided by identical constants",
+)
+def source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.array(
+            *[F.round(F.expr(f"percentile(n_chars, {i / 10.0})"), 4) for i in range(1, 10)]
+        ).alias("bs")
+    )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda x: x < F.col("n_chars")))
+        ).cast("bigint").alias("decile"),
+    )
+    return bucketed.groupBy("source", "decile").agg(F.count("*").alias("n_docs"))
