@@ -69,3 +69,35 @@ def test_packing_budget_and_contiguity(spark_global, sizes, budget):
     assert ids == list(range(len(ids)))  # contiguous from 0
     for r in bins:
         assert r.total < budget + r.mx, (r.bin_id, r.total, budget, r.mx)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    tokens=st.lists(st.sampled_from(WORDS), min_size=1, max_size=200),
+)
+def test_cms_never_underestimates(spark_global, tokens):
+    """CMS guarantee: for ANY multiset, every point estimate >= the true
+    count (counters only ever add), and the total per depth row is exactly
+    the occurrence count (additive, mergeable state)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.sketch import cms_point_estimates, cms_table
+
+    items = spark_global.createDataFrame([(w,) for w in tokens], ["token"])
+    sketch = cms_table(items, "token", depth=4, width=32).cache()
+    per_depth = {
+        r.d: r.total
+        for r in sketch.groupBy("d").agg(F.sum("c").alias("total")).collect()
+    }
+    assert set(per_depth.values()) == {len(tokens)}
+    probes = items.distinct()
+    est = {
+        r.item: r.cms_estimate
+        for r in cms_point_estimates(sketch, probes, "token", depth=4, width=32).collect()
+    }
+    truth = Counter(tokens)
+    for tok, n in truth.items():
+        assert est[tok] >= n
+    sketch.unpersist()
