@@ -34,9 +34,16 @@ def connected_components(
     ``edges`` is an undirected pair list; isolated nodes absent from it are
     (by definition) their own singleton components and simply don't appear.
     """
-    # undirected: materialize both directions once
+    # undirected: materialize both directions ONCE. Without this persist the
+    # per-round join would recompute the edge list's ENTIRE upstream lineage
+    # every iteration — for near-dup clustering that is the whole
+    # MinHash-verify pipeline, turning an O(rounds) loop into
+    # O(rounds * pipeline). Eager localCheckpoint also truncates the lineage
+    # so round plans don't grow.
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    und = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))).localCheckpoint(
+        eager=True
+    )
 
     labels = (
         und.select(F.col("a").alias("node"))
