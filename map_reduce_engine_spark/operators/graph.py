@@ -125,8 +125,13 @@ def pagerank(
     cluster with a checkpoint dir, ``checkpoint()`` adds executor-failure
     tolerance on top). The driver holds nothing but the loop counter.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # materialize the edge list and degree table once — the per-round join
+    # would otherwise recompute their entire upstream lineage (e.g. the
+    # fact-table join that produced the edges) every iteration
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
