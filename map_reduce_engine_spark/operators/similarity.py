@@ -224,7 +224,15 @@ def ivf_topk(
 
     unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
 
+    # Train centroids on a bounded seeded sample — the standard IVF recipe
+    # (FAISS trains on ~tens of points per centroid): at 100 TB the full
+    # corpus can't be KMeans input, and centroid quality saturates long
+    # before that. Deterministic for a fixed seed and corpus.
+    target = max(50 * n_cells, 1000)
+    n_rows = corpus.count()
     train = corpus.select(array_to_vector(unit(_vecd(F.col(vec_col)))).alias("features"))
+    if n_rows > target:
+        train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     centers = model.clusterCenters()
 
