@@ -121,6 +121,18 @@ def minhash_signatures(
     n-gram shingles (order-sensitive near-dup, the classic formulation).
     """
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
+    # Physical-strategy note (measured at sf0.1): this explode + 64-min
+    # groupBy formulation IS the fast one. The tempting "row-local, zero
+    # shuffle" alternatives — 64 array_min(transform(hs)) columns, or one
+    # F.aggregate walking the token array with a zip_with accumulator —
+    # both lose: the first re-inlines the md5 transform into every slot
+    # (CollapseProject → 64x hash work), and higher-order-function lambdas
+    # run INTERPRETED per element (no whole-stage codegen) with a fresh
+    # 64-element array allocated per token step — 3x slower end-to-end.
+    # The groupBy's exchange is NOT corpus-sized: map-side partial
+    # aggregation collapses each document's tokens to one 64-column row
+    # before the shuffle, so the exchange carries ~|documents| rows while
+    # every expression stays inside codegen.
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(unit)).alias("token")
     ).select("id", portable_base31(F.col("token")).alias("h"))
