@@ -73,7 +73,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
         )
     if ts_type == "timestamp":
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # NOT cast("timestamp_ntz"): that renders the instant in the SESSION
+        # timezone (correct only while session.py pins UTC). unix_micros reads
+        # the instant's epoch directly, so the reader is self-contained — the
+        # NTZ value is the UTC wall-clock under any session timezone.
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return df  # already timestamp_ntz
 
 

@@ -30,7 +30,11 @@ def _bucket(h: Column, a: int, b: int, width: int) -> Column:
     # entropy upward, and with odd `a` the low bits of a*h depend only on
     # the low bits of h — `% width` would make every depth row collide for
     # the same token pairs, defeating the min-over-depth. width must be a
-    # power of two.
+    # power of two: a non-power-of-two would silently shift into
+    # 2^floor(log2(width)) buckets, wasting the rest of the table and
+    # skewing the documented error bound.
+    if width <= 0 or width & (width - 1):
+        raise ValueError(f"CMS width must be a power of two, got {width}")
     shift = 31 - (width.bit_length() - 1)
     return F.shiftright((F.lit(a) * h + F.lit(b)).bitwiseAND(F.lit(_MASK31)), shift)
 

@@ -1094,16 +1094,87 @@ def ordered_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantile_sketch",
-    oracle=None,  # sketch algorithms differ per engine; bound-checked vs exact in tests
+    oracle="""
+    WITH seq AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*)    OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    px AS (
+      SELECT l_returnflag, p,
+             round(sum(CASE WHEN rn = CAST(floor((n - 1) * p) AS BIGINT) + 1
+                            THEN v * (1.0 - ((n - 1) * p - floor((n - 1) * p))) ELSE 0.0 END
+                      + CASE WHEN rn = CAST(ceil((n - 1) * p) AS BIGINT) + 1
+                             THEN v * ((n - 1) * p - floor((n - 1) * p)) ELSE 0.0 END), 6)
+               AS exact_v
+      FROM seq CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p)
+      GROUP BY l_returnflag, p
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN p = 0.5 THEN exact_v END) AS exact_p50,
+           max(CASE WHEN p = 0.9 THEN exact_v END) AS exact_p90,
+           TRUE AS p50_within, TRUE AS p90_within
+    FROM px GROUP BY l_returnflag
+    """,
     doc="approx_percentile (Greenwald-Khanna sketch) per return flag — the "
     "mergeable-sketch path for quantiles at 100 TB (single pass, bounded "
-    "memory, partial+final merge like any aggregate)",
+    "memory, partial+final merge like any aggregate). GK output is "
+    "engine-specific, so the conformance artifact is a deterministic "
+    "verdict: Spark computes BOTH the sketch estimate and the exact "
+    "interpolated percentile (explicit row_number formula — the identical "
+    "IEEE expression the oracle runs, so the doubles match bit-for-bit "
+    "before rounding) and emits within-1%% booleans; the oracle recomputes "
+    "the exact side and the same booleans literally",
 )
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", F.col("l_extendedprice").alias("v"))
+    seq = li.select(
+        "l_returnflag",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("v"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def exact_at(p: float):
+        # identical arithmetic to the oracle SQL: pos = (n-1)*p, linear
+        # interpolation between the two bracketing order statistics; each row
+        # contributes at most one nonzero double, so the sum is order-exact
+        pos = (F.col("n") - 1) * F.lit(p)
+        frac = pos - F.floor(pos)
+        lo = F.floor(pos).cast("bigint") + 1
+        hi = F.ceil(pos).cast("bigint") + 1
+        return F.round(
+            F.sum(
+                F.when(F.col("rn") == lo, F.col("v") * (F.lit(1.0) - frac)).otherwise(0.0)
+                + F.when(F.col("rn") == hi, F.col("v") * frac).otherwise(0.0)
+            ),
+            6,
+        )
+
+    exact = seq.groupBy("l_returnflag").agg(
+        exact_at(0.5).alias("exact_p50"), exact_at(0.9).alias("exact_p90")
+    )
+    approx = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+        )
+    )
+    joined = exact.join(F.broadcast(approx), "l_returnflag")
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.01 * F.col(e) + 1.0  # noqa: E731
+    return joined.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        within("a50", "exact_p50").alias("p50_within"),
+        within("a90", "exact_p90").alias("p90_within"),
     )
 
 

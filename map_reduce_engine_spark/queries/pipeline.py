@@ -963,12 +963,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("tok"))).alias("rank"),
         F.sum("cnt").over(w).alias("cum"),
     )
-    total = lm.agg(F.sum("cnt")).collect()[0][0]
-    agg = ranked.agg(
+    # corpus token total folded into the plan as a broadcast scalar (the
+    # pattern at corpus_mixture below) — no driver-side collect, one job
+    total = lm.agg(F.sum("cnt").alias("total"))
+    agg = ranked.crossJoin(F.broadcast(total)).agg(
         *[
-            F.min(F.when(F.col("cum") * 100 >= total * pct, F.col("rank"))).alias(
-                f"v{pct}"
-            )
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * pct, F.col("rank"))
+            ).alias(f"v{pct}")
             for pct in (50, 90, 99)
         ]
     )

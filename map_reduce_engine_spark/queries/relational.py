@@ -520,52 +520,110 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_sketch",
-    oracle=None,  # HLL++ estimates are engine-specific; error bound asserted in tests
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           TRUE AS within_error
+    FROM orders GROUP BY o_orderpriority
+    """,
     doc="approx_count_distinct (HyperLogLog++) per group — the mergeable sketch "
-    "that replaces exact count-distinct at 100 TB (no expand, fixed-size state)",
+    "that replaces exact count-distinct at 100 TB (no expand, fixed-size state). "
+    "The HLL++ register values are engine-specific, so the conformance "
+    "artifact is a deterministic verdict: Spark computes BOTH the sketch "
+    "estimate and the exact count and emits within_error = |approx-exact| <= "
+    "max(3, 10%*exact); the oracle recomputes the exact side and the same "
+    "boolean literally (TRUE iff the sketch honours its documented bound — a "
+    "broken sketch hash-mismatches the driver ledger)",
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count("*").alias("n_orders"),
         )
+    )
+    bound = F.greatest(F.lit(3.0), 0.10 * F.col("exact_customers"))
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        "n_orders",
+        (F.abs(F.col("approx_customers") - F.col("exact_customers")) <= bound).alias(
+            "within_error"
+        ),
     )
 
 
 @register(
     "hll_sketch_rollup",
-    oracle=None,  # DataSketches HLL binary sketches are engine-specific; 5% bound asserted in tests
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           TRUE AS within_error
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__all__' AS o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           TRUE AS within_error
+    FROM orders
+    """,
     doc="DataSketches HLL: per-priority customer sketches (hll_sketch_agg) "
     "UNIONED into a grand-total estimate (hll_union_agg) in a second "
     "aggregate — the property approx_count_distinct can't give: sketches "
     "are storable/mergeable state, so daily partitions aggregate once and "
     "any rollup (week/month/all) re-aggregates the sketches, never the "
-    "100 TB of raw rows. Per-group estimates + the unioned overall "
-    "estimate in one result",
+    "100 TB of raw rows. The sketch binaries are engine-specific, so the "
+    "conformance artifact is a deterministic verdict: each row carries the "
+    "exact distinct count plus within_error = |estimate-exact| <= "
+    "max(3, 5%*exact); the oracle recomputes the exact side (including the "
+    "overall distinct, which is NOT the sum of per-group distincts — "
+    "customers span priorities) and the same boolean literally",
 )
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sketches = (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_agg("o_custkey").alias("sk"),
-            F.count("*").alias("n_orders"),
-        )
+    orders = t(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count("*").alias("n_orders"),
     )
     per_group = sketches.select(
         "o_orderpriority",
         F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
         "n_orders",
     )
-    overall = sketches.agg(
-        F.lit("__all__").alias("o_orderpriority"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
-        F.sum("n_orders").alias("n_orders"),
+    overall = (
+        sketches.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
+        .crossJoin(
+            F.broadcast(
+                orders.agg(
+                    F.countDistinct("o_custkey").alias("exact_customers"),
+                    F.count("*").alias("n_orders"),
+                )
+            )
+        )
+        .select(
+            F.lit("__all__").alias("o_orderpriority"),
+            "approx_customers",
+            "exact_customers",
+            "n_orders",
+        )
     )
-    return per_group.unionByName(overall)
+    unioned = per_group.unionByName(overall)
+    bound = F.greatest(F.lit(3.0), 0.05 * F.col("exact_customers"))
+    return unioned.select(
+        "o_orderpriority",
+        "exact_customers",
+        "n_orders",
+        (F.abs(F.col("approx_customers") - F.col("exact_customers")) <= bound).alias(
+            "within_error"
+        ),
+    )
 
 
 _KMV_K = 64
@@ -1170,7 +1228,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
-        .persist()
+        # localCheckpoint, not persist(): materializes once for the three-way
+        # self-join AND is reclaimed by the ContextCleaner when the DF goes out
+        # of scope — a persist() here would leak a cache-manager entry per
+        # invocation for the life of the session (bench runs the whole registry
+        # in one session). Same policy as operators/graph.py.
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -1220,7 +1283,13 @@ def reduce_side_join_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield int(parts[1]), "O"
 
     def join_reducer(key: int, values: list):
-        name = next(v[2:] for v in values if v.startswith("C:"))
+        # next(..., None), not bare next(): an orders key with no customer
+        # record would otherwise raise (StopIteration inside a generator →
+        # RuntimeError). TPC-H guarantees referential integrity, but the
+        # reducer shouldn't rely on it — dangling keys are skipped.
+        name = next((v[2:] for v in values if v.startswith("C:")), None)
+        if name is None:
+            return
         n_orders = sum(1 for v in values if v == "O")
         yield key, f"{name}|{n_orders}"
 

@@ -367,16 +367,42 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample",
-    oracle=None,  # Bernoulli sampling is seeded-RNG-dependent; invariants tested below
-    doc="seeded per-stratum Bernoulli sampling (sampleBy on lang) — corpus "
-    "downsampling that keeps language balance; deterministic for a fixed "
-    "seed and input partitioning",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    WHERE ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < 250
+    GROUP BY lang
+    """,
+    doc="deterministic per-stratum 25% sampling: the keep/drop decision is a "
+    "portable md5 hash of (lang, doc_id) — salting by the stratum gives "
+    "each language an independent hash stream, so every stratum lands near "
+    "its target fraction regardless of how doc_ids correlate with lang. "
+    "Unlike seeded Bernoulli (sampleBy), membership is engine-, run- and "
+    "partitioning-independent, and no driver-side stratum discovery is "
+    "needed (the former distinct().collect() is gone): the filter is one "
+    "row-local expression, embarrassingly parallel at 100 TB",
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    sampled = docs.sampleBy("lang", fractions={lang: 0.25 for lang in langs}, seed=42)
-    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.where(h % 1000 < 250)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
 
 
 @register(
@@ -540,7 +566,8 @@ def bpe_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots
     JOIN nrm n1 ON n1.doc_id = id1
     JOIN nrm n2 ON n2.doc_id = id2
-    WHERE dot / (n1.nrm * n2.nrm) >= 0.5
+    WHERE n1.nrm > 0 AND n2.nrm > 0
+      AND dot / (n1.nrm * n2.nrm) >= 0.5
     """,
     doc="sparse TF-IDF document-similarity join on a bounded slice: the "
     "lexical complement to dense-embedding cosine. Weights tf*ln(N/df); "
@@ -583,7 +610,11 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dots.join(F.broadcast(n1), "id1")
         .join(F.broadcast(n2), "id2")
-        .where(cos >= 0.5)
+        # nrm > 0 on BOTH engines before the threshold: a doc whose every
+        # token appears in all docs has norm 0, and 0/0 is NULL in Spark
+        # (row dropped) but NaN in DuckDB (NaN > 0.5 there) — filter the
+        # degenerate rows identically so the twins can't diverge
+        .where((F.col("nrm1") > 0) & (F.col("nrm2") > 0) & (cos >= 0.5))
         .select("id1", "id2", F.round(cos, 4).alias("cosine"))
     )
 

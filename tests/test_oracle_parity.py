@@ -75,11 +75,11 @@ def test_rows_only_runs(name, spark, sf_dir):
 
 
 def test_approx_quantile_within_bound(spark, sf_dir, duck):
-    """Greenwald-Khanna at accuracy=10000 must land within 1% relative error
-    of the exact percentile (generous — nominal error is 1/10000)."""
-    approx = {
-        r.l_returnflag: (r.approx_p50, r.approx_p90)
-        for r in REGISTRY["approx_quantile_sketch"].fn(spark, sf_dir).collect()
+    """The query self-verifies (GK estimate vs exact interpolated percentile,
+    1% bound) — every verdict boolean must be True, and the explicit
+    interpolation formula must agree with DuckDB's quantile_cont."""
+    rows = {
+        r.l_returnflag: r for r in REGISTRY["approx_quantile_sketch"].fn(spark, sf_dir).collect()
     }
     exact = {
         row[0]: (row[1], row[2])
@@ -88,10 +88,11 @@ def test_approx_quantile_within_bound(spark, sf_dir, duck):
             " quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY 1"
         ).fetchall()
     }
-    assert set(approx) == set(exact)
-    for flag, (p50, p90) in approx.items():
-        assert abs(p50 - exact[flag][0]) <= 0.01 * exact[flag][0], (flag, p50, exact[flag])
-        assert abs(p90 - exact[flag][1]) <= 0.01 * exact[flag][1], (flag, p90, exact[flag])
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        assert r.p50_within and r.p90_within, (flag, r)
+        assert abs(r.exact_p50 - exact[flag][0]) <= 1e-4, (flag, r.exact_p50, exact[flag])
+        assert abs(r.exact_p90 - exact[flag][1]) <= 1e-4, (flag, r.exact_p90, exact[flag])
 
 
 def test_stratified_sample_fractions(spark, sf_dir, duck):
@@ -109,12 +110,13 @@ def test_stratified_sample_fractions(spark, sf_dir, duck):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir, duck):
-    """HLL++ at rsd=0.02 must land within 5x the nominal error of exact
-    count-distinct (loose bound — the point is the sketch is sane)."""
+    """The query self-verifies (HLL++ estimate vs exact count-distinct,
+    max(3, 10%) bound) — every within_error verdict must be True and the
+    exact side must match DuckDB."""
     from map_reduce_engine_spark.queries import REGISTRY
 
-    approx = {
-        r.o_orderpriority: r.approx_customers
+    rows = {
+        r.o_orderpriority: r
         for r in REGISTRY["approx_distinct_sketch"].fn(spark, sf_dir).collect()
     }
     exact = dict(
@@ -122,9 +124,10 @@ def test_approx_distinct_within_rsd(spark, sf_dir, duck):
             "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY 1"
         ).fetchall()
     )
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(3, 0.10 * exact[k]), (k, est, exact[k])
+    assert set(rows) == set(exact)
+    for k, r in rows.items():
+        assert r.within_error, (k, r)
+        assert r.exact_customers == exact[k], (k, r.exact_customers, exact[k])
 
 
 def test_hll_sketch_union_within_bound(spark, sf_dir, duck):
@@ -135,8 +138,7 @@ def test_hll_sketch_union_within_bound(spark, sf_dir, duck):
     from map_reduce_engine_spark.queries import REGISTRY
 
     rows = {
-        r.o_orderpriority: r.approx_customers
-        for r in REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+        r.o_orderpriority: r for r in REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
     }
     exact = dict(
         duck.sql(
@@ -147,5 +149,6 @@ def test_hll_sketch_union_within_bound(spark, sf_dir, duck):
         "SELECT count(DISTINCT o_custkey) FROM orders"
     ).fetchone()[0]
     assert set(rows) == set(exact)
-    for k, est in rows.items():
-        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    for k, r in rows.items():
+        assert r.within_error, (k, r)
+        assert r.exact_customers == exact[k], (k, r.exact_customers, exact[k])
