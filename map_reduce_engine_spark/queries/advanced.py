@@ -1676,12 +1676,22 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    oracle=None,  # resized bytes come from the stubbed decoder (sha-derived) — not SQL-expressible
+    oracle="""
+    SELECT doc_id AS id,
+           16::BIGINT AS n_bytes,
+           32::INTEGER AS width,
+           32::INTEGER AS height,
+           substr(sha256(text || '32x32'), 1, 32) AS payload_prefix
+    FROM documents
+    """,
     doc="vision pre-processing plumbing: payload → resized payload at model "
     "input dims via Arrow-batched mapInPandas (decode stubbed, "
     "deterministic). A narrow transformation — scan → batch UDF → write "
     "with no shuffle; operator test pins batch shape and determinism "
-    "(operators/multimodal.py::resize_images)",
+    "(operators/multimodal.py::resize_images). The stub derives output "
+    "bytes from sha256(payload + 'WxH') repeated to (W*H)/64 bytes, so the "
+    "oracle reproduces the CONTENT, not just the shape: 32x32 → 16 bytes = "
+    "the digest's first half, whose hex is substr(sha256_hex, 1, 32)",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators.multimodal import resize_images
@@ -1691,7 +1701,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = resize_images(docs, "doc_id", "payload", width=32, height=32)
     return out.select(
-        "id", F.length("payload").cast("bigint").alias("n_bytes"), "width", "height"
+        "id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 16))).alias("payload_prefix"),
     )
 
 

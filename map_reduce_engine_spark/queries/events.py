@@ -184,41 +184,119 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_tumbling_window",
-    oracle=None,  # window starts are instants (session-TZ rendering); batch twin is oracle-checked
-    doc="Structured Streaming tumbling-window agg drained via availableNow (streaming extension)",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window agg drained via availableNow "
+    "(streaming extension). Oracle = the batch twin's SQL: the stream runs "
+    "on naive-as-UTC instants (events_stream) and the output converts back "
+    "to NTZ by raw epoch (ntz_of_instant), so a drained bounded stream "
+    "hash-matches the batch aggregate on any session timezone",
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, tumbling_counts
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        ntz_of_instant,
+        run_to_memory,
+        tumbling_counts,
+    )
 
     name = "mre_stream_tumbling"
     run_to_memory(tumbling_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
-    return spark.table(name)
+    return spark.table(name).select(
+        ntz_of_instant("window_start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+        "avg_value",
+    )
 
 
 @register(
     "streaming_sliding_window",
-    oracle=None,  # approximate twin of events_sliding_window (oracle-checked in batch)
-    doc="Structured Streaming sliding-window agg with watermark (streaming extension)",
+    oracle="""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, event_type, value FROM events
+    ), e AS (
+      SELECT b AS window_start, event_type, value FROM g
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE AS window_start, event_type, value FROM g
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding-window agg with watermark (streaming "
+    "extension). Oracle = the batch twin's SQL (each event lands in two "
+    "overlapping 1h/30min windows); NTZ conversion as in "
+    "streaming_tumbling_window",
 )
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, sliding_counts
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        ntz_of_instant,
+        run_to_memory,
+        sliding_counts,
+    )
 
     name = "mre_stream_sliding"
     run_to_memory(sliding_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
-    return spark.table(name)
+    return spark.table(name).select(
+        ntz_of_instant("window_start").alias("window_start"), "event_type", "n", "sum_value"
+    )
 
 
 @register(
     "streaming_session_window",
-    oracle=None,  # gap-based session windows are not ANSI-SQL-expressible in one statement
-    doc="Native session windows (30 min gap) over the event stream (streaming extension)",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Native session windows (30 min gap) over the event stream "
+    "(streaming extension). The oracle unrolls Spark's session_window "
+    "semantics as lag+cumsum: a NEW session starts when the gap to the "
+    "previous event is >= 30 min (session_window merges only while the new "
+    "event falls STRICTLY inside start+gap), and session_end is last event "
+    "+ gap — Spark's window.end, not max(ts) as in the batch "
+    "events_sessionization twin",
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_engine_spark.streaming import events_stream, run_to_memory, session_window_agg
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        ntz_of_instant,
+        run_to_memory,
+        session_window_agg,
+    )
 
     name = "mre_stream_session"
     run_to_memory(session_window_agg(events_stream(spark, sf_dir)), name, output_mode="complete")
-    return spark.table(name)
+    return spark.table(name).select(
+        ntz_of_instant("session_start").alias("session_start"),
+        ntz_of_instant("session_end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
 
 
 @register(
@@ -255,10 +333,15 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup",
-    oracle=None,  # survivor rows are arbitrary per key — rows-only check
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
     doc="Streaming exact dedup via dropDuplicatesWithinWatermark — bounded "
     "state (keys expire past the watermark), the only dedup shape that "
-    "survives an unbounded stream",
+    "survives an unbounded stream. WHICH row survives per key is "
+    "arbitrary, so the conformance output projects to the key columns "
+    "(distinct-collapsed in case a multi-batch drain re-emits an expired "
+    "key): the deterministic contract is the exact KEY SET",
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.streaming import events_stream, run_to_memory, streaming_dedup
@@ -266,15 +349,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mre_stream_dedup"
     deduped = streaming_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"])
     run_to_memory(deduped, name, output_mode="append")
-    return spark.table(name)
+    return spark.table(name).select("user_id", "event_type").distinct()
 
 
 @register(
     "streaming_stream_static_join",
-    oracle=None,  # float sum over stream micro-batches — rows-only check
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, round(avg(value), 4) AS user_avg FROM events GROUP BY user_id
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value - user_avg), 2) AS total_dev
+    FROM events JOIN dim USING (user_id)
+    GROUP BY event_type
+    """,
     doc="Stream-static join: the event stream enriched per micro-batch "
     "against a batch dimension (per-user historical averages); no join "
-    "state kept, the 100 TB Kafka⋈parquet-dim shape",
+    "state kept, the 100 TB Kafka⋈parquet-dim shape. Drained bounded "
+    "stream == the batch join, so the oracle is the plain SQL twin "
+    "(per-row deviations from the 4-dp-rounded dim average, summed and "
+    "rounded at 2 dp like every other float aggregate in the registry)",
 )
 def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.streaming import events_stream, run_to_memory, stream_static_enrich
@@ -296,20 +391,42 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_running_total",
-    oracle=None,  # custom stateful op (applyInPandasWithState) — rows-only check
-    doc="Custom stateful streaming operator: per-user running totals via applyInPandasWithState",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator: per-user running totals via "
+    "applyInPandasWithState. Update mode re-emits a key's latest state "
+    "each batch, so the conformance output keeps only each user's FINAL "
+    "row (max n per user — n is monotone in batches); a fully drained "
+    "stream then equals the batch per-user aggregate, which is the oracle",
 )
 def streaming_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.streaming import events_stream, run_to_memory, stateful_running_total
 
     name = "mre_stream_state"
     run_to_memory(stateful_running_total(events_stream(spark, sf_dir)), name, output_mode="update")
-    return spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.round("total", 2).alias("total"), "n")
+    )
 
 
 @register(
     "streaming_interval_join",
-    oracle=None,  # stream-stream join (two unbounded sides) — rows-only check
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id,
+           count(*) AS n_attributed,
+           count(DISTINCT p.event_id) AS n_purchases
+    FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
     doc="Stream-stream interval join with watermarks on BOTH sides: "
     "purchases attributed to the click by the same user within the "
     "following hour. The time-bound join condition is what lets Spark "
@@ -341,11 +458,19 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_foreach_batch_sink",
-    oracle=None,  # sink-side effect (files on disk) — rows-only check
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           1::BIGINT AS n_batches
+    FROM events GROUP BY event_type
+    """,
     doc="foreachBatch exactly-once parquet sink: each micro-batch lands in "
     "its own batch_id=N directory with overwrite, so an at-least-once "
     "replay of a batch rewrites the same directory instead of duplicating "
-    "rows (streaming/windows.py::foreach_batch_idempotent_sink).",
+    "rows (streaming/windows.py::foreach_batch_idempotent_sink). The "
+    "read-back aggregate is deterministic: every event lands exactly once, "
+    "and availableNow over the single-file source drains in exactly one "
+    "micro-batch, so n_batches is literally 1 in the oracle",
 )
 def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -9,6 +9,7 @@ its batch twin in ``queries/events.py``.
 
 from map_reduce_engine_spark.streaming.windows import (
     events_stream,
+    ntz_of_instant,
     tumbling_counts,
     sliding_counts,
     session_window_agg,
@@ -22,6 +23,7 @@ from map_reduce_engine_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ntz_of_instant",
     "stateful_user_stats",
     "stream_stream_interval_join",
     "foreach_batch_idempotent_sink",

@@ -42,13 +42,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ — event
-    # time is a UTC instant here; run streaming sessions with a UTC session
-    # timezone when comparing against the NTZ batch twins.
+    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ. Convert
+    # naive-as-UTC via pure epoch arithmetic — NOT cast("timestamp"), which
+    # renders through the session timezone and would shift every window
+    # boundary on non-UTC sessions. With this, instant epoch == naive epoch,
+    # so `ntz_of_instant` below recovers the batch twin's NTZ values exactly
+    # under ANY session timezone.
     ts_type = schema["ts"].dataType.typeName()
     if ts_type in ("long", "bigint"):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            ),
+        )
+    return raw  # already an instant (epoch micros preserved as stored)
+
+
+def ntz_of_instant(name: str):
+    """Instant column → TIMESTAMP_NTZ by raw epoch (session-TZ-independent).
+
+    The inverse of the ``events_stream`` conversion: streaming operators run
+    on instants (watermarks require them); conformance outputs convert back
+    to NTZ so they hash-match the batch twins' DuckDB oracles on any session
+    timezone. Takes the column NAME (the epoch arithmetic is a SQL expr)."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({name}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
 
 
 def tumbling_counts(
