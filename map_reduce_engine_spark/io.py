@@ -61,38 +61,65 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize so every downstream query sees one schema. TIMESTAMP_NTZ keeps
     the value timezone-independent for oracle comparison.
     """
+    # Long branch: integer division (not double — precision loss at ~1.7e18 ns
+    # epochs). Timestamp branch: NOT cast("timestamp_ntz"), which renders the
+    # instant in the SESSION timezone — unix_micros reads the raw epoch, so
+    # the reader is self-contained under any session timezone. Both live in
+    # _normalize_ts, shared by every fixture table with a timestamp column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = df.schema["ts"].dataType.typeName()
-    if ts_type in ("long", "bigint"):
-        # Integer division (not double — precision loss at ~1.7e18 ns epochs);
-        # timestampadd on an NTZ base is pure arithmetic, independent of the
-        # session timezone.
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
-    if ts_type == "timestamp":
-        # NOT cast("timestamp_ntz"): that renders the instant in the SESSION
-        # timezone (correct only while session.py pins UTC). unix_micros reads
-        # the instant's epoch directly, so the reader is self-contained — the
-        # NTZ value is the UTC wall-clock under any session timezone.
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
-    return df  # already timestamp_ntz
+    return _normalize_ts(df, "ts")
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+# Fixture timestamp columns by table — every one goes through the same
+# tolerant normalization as events.ts, so a driver fixture regeneration that
+# changes a physical timestamp encoding (micros ↔ nanos-as-long ↔ tz-instant)
+# can't break the whole registry at once.
+_FIXTURE_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one fixture timestamp column to TIMESTAMP_NTZ, whatever the
+    parquet physically holds (see read_events for the per-case rationale)."""
+    t = df.schema[col].dataType.typeName()
+    if t in ("long", "bigint"):  # int64 epoch-nanos generations
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    if t == "timestamp":  # tz-instant generations: raw epoch, session-TZ-free
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    if t == "date":  # date generations: midnight wall-clock
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df  # already timestamp_ntz
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic fixture table by name (TESTDATA.md layout)."""
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one synthetic fixture table by name (TESTDATA.md layout),
+    normalizing any timestamp column to TIMESTAMP_NTZ."""
+    ts_cols = _FIXTURE_TS_COLS.get(name, ())
+    if ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in ts_cols:
+        if col in df.columns:
+            df = _normalize_ts(df, col)
+    return df
 
 
 # --------------------------------------------------------------------------

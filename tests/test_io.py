@@ -305,3 +305,48 @@ def test_tokenizer_unicode_robust(spark):
     assert ("日本語", 1) in got and ("テキスト", 1) in got
     assert ("🚀", 1) in got and ("emoji", 2) in got
     assert ("tab", 1) in got and ("sep", 1) in got  # \t splits
+
+
+def test_read_table_normalizes_all_fixture_tables(spark, sf_dir):
+    """Every fixture table reads through the tolerant path; every declared
+    timestamp column lands as TIMESTAMP_NTZ regardless of the physical
+    encoding this fixture generation shipped."""
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        df = mio.read_table(spark, sf_dir, name)
+        assert df.count() > 0, name
+        for col in mio._FIXTURE_TS_COLS.get(name, ()):
+            assert df.schema[col].dataType.typeName() == "timestamp_ntz", (name, col)
+
+
+def test_read_table_tolerates_timestamp_encoding_drift(spark, tmp_path):
+    """Driver fixture regenerations have shipped the same column as
+    TIMESTAMP(MICROS), int64 epoch-nanos, a tz-instant, and could ship DATE;
+    read_table must normalize ALL of them to the SAME TIMESTAMP_NTZ values
+    (this exact drift broke the events reader once — io.read_events)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    naive = datetime.datetime(2024, 1, 15, 7, 30, 45, 123456)
+    nanos = int(naive.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+    variants = {
+        "us": pa.table({"event_id": [1], "ts": pa.array([naive], pa.timestamp("us"))}),
+        "ns_long": pa.table({"event_id": [1], "ts": pa.array([nanos], pa.int64())}),
+        "tz": pa.table(
+            {"event_id": [1], "ts": pa.array([naive], pa.timestamp("us", tz="UTC"))}
+        ),
+        "date": pa.table({"event_id": [1], "ts": pa.array([naive.date()], pa.date32())}),
+    }
+    got = {}
+    for tag, tbl in variants.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+        df = mio.read_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz", tag
+        got[tag] = df.collect()[0].ts
+    assert got["us"] == got["ns_long"] == got["tz"] == naive, got
+    assert got["date"] == datetime.datetime(2024, 1, 15), got  # midnight wall-clock
