@@ -131,7 +131,17 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # the edges⋈degrees join is loop-invariant: attach out_deg to each edge
+    # ONCE, so every round is a single equi-join (ranks⋈weighted-edges) + one
+    # aggregate instead of two joins + one aggregate. Division stays rank /
+    # out_deg (not a precomputed reciprocal) so the arithmetic is bit-identical
+    # to the unrolled-CTE oracle
+    we = (
+        e.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -143,8 +153,7 @@ def pagerank(
 
     for _ in range(iterations):
         contribs = (
-            e.join(out_deg, "src")
-            .join(ranks, e.src == ranks.node)
+            we.join(ranks, we.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
