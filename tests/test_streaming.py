@@ -282,3 +282,45 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # a third restart with no new data writes nothing
     run_once()
     assert spark.read.parquet(dest).count() == 5
+
+
+def test_user_stats_processor_logic_without_protocol():
+    """The typed-state processor's LOGIC, decoupled from the protobuf
+    transport the sandbox lacks: drive _UserStatsProcessor with a stubbed
+    state handle across multiple "micro-batches" and check it reproduces
+    the batch aggregate — so only the wire protocol remains untested here
+    (test_transform_with_state skips on missing google.protobuf)."""
+    import pandas as pd
+
+    from map_reduce_engine_spark.streaming.windows import _UserStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = _UserStatsProcessor()
+    proc.init(FakeHandle())
+    batches = [
+        pd.DataFrame({"value": [1.5, 2.5]}),
+        pd.DataFrame({"value": [4.0]}),
+    ]
+    last = None
+    for b in batches:  # one handleInputRows call per micro-batch
+        last = pd.concat(list(proc.handleInputRows((7,), iter([b]), None)))
+    assert last.iloc[0].to_dict() == {"user_id": 7, "n": 3, "total": 8.0, "max_value": 4.0}
