@@ -1125,7 +1125,11 @@ def ordered_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolated percentile (explicit row_number formula — the identical "
     "IEEE expression the oracle runs, so the doubles match bit-for-bit "
     "before rounding) and emits within-1%% booleans; the oracle recomputes "
-    "the exact side and the same booleans literally",
+    "the exact side and the same booleans literally. NOTE the exact side "
+    "is the conformance HARNESS, not a production path: its per-group sort "
+    "shuffles everything into |groups| tasks, which is exactly the "
+    "non-scalable plan the GK sketch exists to replace — at 100 TB you run "
+    "approx_percentile alone (single pass, mergeable, bounded memory)",
 )
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
