@@ -21,6 +21,7 @@ from map_reduce_engine_spark.operators.dedup import (
     minhash_candidate_pairs,
     jaccard_pairs,
     simhash,
+    repeated_span_coverage,
 )
 from map_reduce_engine_spark.operators.temporal import (
     asof_join,
@@ -49,6 +50,7 @@ from map_reduce_engine_spark.operators.sequential import ewma_per_group
 from map_reduce_engine_spark.operators.text import pii_scrub
 
 __all__ = [
+    "repeated_span_coverage",
     "merge_upsert",
     "merge_delete",
     "scd2_apply",

@@ -365,3 +365,65 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, n_tokens, covered_tokens, coverage_bp) — substring-level dedup
+    signal: the fraction of each document's token positions covered by a
+    ``k``-token span that also occurs in ANOTHER document.
+
+    The span-granular complement of whole-document MinHash/SimHash (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    repeated SPANS — boilerplate, licenses, templates — survive document
+    dedup and measurably hurt LMs). Exact suffix-array substring dedup
+    doesn't distribute; fixed-k shingle coverage is the scalable proxy: a
+    repeated substring of length >= k is covered exactly, shorter ones are
+    ignored.
+
+    Scale shape: one explode to (doc, pos, k-gram-hash) rows; document
+    frequency per hash with a map-side distinct BEFORE the shuffle (the
+    shuffle carries unique (doc, hash) pairs); the k-fold position explode
+    runs only on occurrences of REPEATED shingles (for clean corpora a small
+    minority); coverage is a distinct + count per doc. Every shuffle keys on
+    the k-gram hash or the doc id — no all-pairs anything. The md5-prefix
+    hash family keeps the whole pipeline engine-portable (the DuckDB twin
+    recomputes it bit-identically).
+    """
+    from map_reduce_engine_spark.operators.packing import winnow_hashes_col
+    from map_reduce_engine_spark.operators.text import tokens_col
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("l")
+    ).select("id", "l", F.size("l").cast("bigint").alias("n_tokens"))
+    occ = (
+        base.where(F.size("l") >= k)
+        .select("id", F.posexplode(winnow_hashes_col("l", k=k)).alias("pos0", "h"))
+        .select("id", (F.col("pos0") + 1).alias("i"), "h")
+    )
+    rep = (
+        occ.select("id", "h")
+        .distinct()  # map-side combine: the shuffle carries unique (doc, hash)
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        occ.join(rep, "h")
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(covered, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr("(10000 * coalesce(covered_tokens, 0)) div n_tokens").alias("coverage_bp"),
+        )
+    )

@@ -344,3 +344,46 @@ def _simhash_oracle() -> str:
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "repeated_span_coverage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_L} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(l[i:i+7], ' ')), 1, 8))::BIGINT AS h
+      FROM d, unnest(range(1, len(l) - 6)) AS u(i)
+      WHERE len(l) >= 8
+    ),
+    rep AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.i + o.k AS p
+      FROM g JOIN rep USING (h) CROSS JOIN unnest(range(0, 8)) AS o(k)
+    ),
+    c AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id)
+    SELECT d.doc_id AS id, len(d.l)::BIGINT AS n_tokens,
+           coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+           ((10000 * coalesce(c.covered_tokens, 0)) // len(d.l))::BIGINT AS coverage_bp
+    FROM d LEFT JOIN c USING (doc_id)
+    """,
+    doc="substring-level dedup signal (Lee et al. ACL'22): per document, the "
+    "fraction of token positions covered by an 8-token span that also "
+    "occurs in another document — the repeated-SPAN (boilerplate/template/"
+    "license) measure that whole-document MinHash/SimHash misses. Fixed-k "
+    "shingle coverage is the distributable proxy for suffix-array "
+    "substring dedup: shuffles key on the md5-prefix gram hash (map-side "
+    "distinct first) and the doc id; the k-fold position explode runs only "
+    "on repeated-shingle occurrences. Integer output (basis points, "
+    "integer division) — nothing for engines to round differently. NOTE "
+    "the fixture corpus draws from a ~30-word vocabulary, so coverage "
+    "saturates near 100%% here; discrimination shows on natural corpora",
+)
+def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.repeated_span_coverage(docs, "doc_id", "text", k=8)

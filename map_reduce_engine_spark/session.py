@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: when one join side is selective,
+        # inject a bloom filter of its keys into the other side's scan — the
+        # semi-join reduction that cuts shuffle bytes on 100 TB fact⋈filtered-
+        # dim joins without any query change (explicit: don't rely on the
+        # deployment's default)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # RocksDB streaming state: spills to local disk with incremental
         # checkpoints — the backend that survives 100 TB-scale state (the
         # default HDFS-backed store keeps all state on the executor heap)
@@ -78,5 +84,9 @@ TABLES = (
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
-    """Read every synthetic table under ``sf_dir`` (TESTDATA.md layout)."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    """Read every synthetic table under ``sf_dir`` (TESTDATA.md layout),
+    through the drift-tolerant reader (io.read_table) so a fixture
+    regeneration with a different timestamp encoding reads identically."""
+    from map_reduce_engine_spark.io import read_table
+
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}

@@ -381,3 +381,26 @@ def test_cms_sketch_overestimates_and_bounded(spark):
     truth = {"alpha": 50, "beta": 30, "gamma": 5, "delta": 1}
     for tok, n in truth.items():
         assert est[tok] >= n
+
+
+def test_repeated_span_coverage_exact_counts(spark):
+    """Known-answer check: docs 1 and 2 share one exact 8-token span, doc 3
+    shares nothing — coverage counts exactly the shared span's positions."""
+    from map_reduce_engine_spark.operators.dedup import repeated_span_coverage
+
+    span = "a b c d e f g h"  # 8 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{span} x1 y1 z1"),          # 11 tokens, 8 covered
+            (2, f"p2 q2 {span}"),             # 10 tokens, 8 covered
+            (3, "unique words only here none repeated at all now ok"),  # 10, 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: (r.n_tokens, r.covered_tokens, r.coverage_bp)
+        for r in repeated_span_coverage(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == (11, 8, 10000 * 8 // 11), got
+    assert got[2] == (10, 8, 8000), got
+    assert got[3] == (10, 0, 0), got
