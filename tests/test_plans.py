@@ -284,3 +284,39 @@ def test_pagerank_and_components_plans_stay_bounded(spark, sf_dir):
     # small — a nested unrolled plan would repeat the parquet scan 10+ times
     assert "ExistingRDD" in p or "LocalTableScan" in p
     assert p.count("parquet") <= 2
+
+
+def test_runtime_bloom_filter_join_pruning_available(spark, sf_dir):
+    """The session must support runtime bloom-filter semi-join reduction:
+    with the size thresholds lowered to fixture scale, a selective-dim ⋈
+    fact join must inject a bloom filter into the fact scan side (at
+    production thresholds this fires automatically on 100 TB fact joins)."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B"
+        )
+        # disable broadcast so the join is a shuffle join (bloom injection
+        # targets the shuffle-join shape; broadcast joins don't need it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        p = plan(joined)
+        assert "might_contain" in p or "bloom_filter" in p.lower(), p[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
