@@ -1913,3 +1913,37 @@ def ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_t"),
     )
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS p FROM documents
+    ),
+    s AS (
+      SELECT doc_id, u.i, trim(p[u.i]) AS sent
+      FROM parts, unnest(range(1, len(p) + 1)) AS u(i)
+    )
+    SELECT doc_id AS id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sentence_idx,
+           len(string_split_regex(sent, '\s+'))::BIGINT AS n_tokens,
+           length(sent)::BIGINT AS n_chars
+    FROM s WHERE sent <> ''
+    """,
+    doc="Python user-defined TABLE function (Spark 4 @udtf) with LATERAL "
+    "correlation: one typed relation per document (per-sentence stats) — "
+    "the UDTF member of the UDF family next to the scalar/Pandas UDFs, "
+    "grouped-map compat path, and Pandas UDAF. The Spark-4-native form of "
+    "the reference's one-to-many map emit (MapRunner.java) with typed "
+    "multi-column output. Single Python boundary over the scan, no "
+    "shuffle; sentence splitting is regex-portable so the oracle "
+    "reproduces it exactly. API-parity artifact — anything declaratively "
+    "expressible (explode/inline/posexplode) stays JVM-side instead",
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.udtf import sentence_stats
+
+    docs = t(spark, sf_dir, "documents")
+    out = sentence_stats(spark, docs, "doc_id", "text")
+    return out.select(F.col("id"), "sentence_idx", "n_tokens", "n_chars")

@@ -404,3 +404,16 @@ def test_repeated_span_coverage_exact_counts(spark):
     assert got[1] == (11, 8, 10000 * 8 // 11), got
     assert got[2] == (10, 8, 8000), got
     assert got[3] == (10, 0, 0), got
+
+
+def test_udtf_sentence_stats_lateral(spark):
+    """Python UDTF + LATERAL correlation: per-sentence relations with typed
+    columns; empty docs yield no rows, unpunctuated docs one row."""
+    from map_reduce_engine_spark.operators.udtf import sentence_stats
+
+    df = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, "no punctuation here"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    got = sorted(tuple(r) for r in sentence_stats(spark, df, "doc_id", "text").collect())
+    assert got == [(1, 1, 2, 11), (1, 2, 3, 11), (1, 3, 1, 4), (2, 1, 3, 19)], got
