@@ -850,3 +850,55 @@ def value_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("drift_hour"),
         (F.col("s") > 5.0).alias("drifted"),
     )
+
+
+@register(
+    "streaming_state_introspection",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="State-store introspection (Spark 4 statestore data source): run the "
+    "tumbling aggregation with a real checkpoint, then read the RocksDB "
+    "state back as a DataFrame and reconstruct the aggregate from the raw "
+    "state buffers (count, sum, and avg's sum/count pair). The oracle is "
+    "the batch aggregate itself — proving the persisted streaming STATE, "
+    "not just the sink output, carries exactly the right values. This is "
+    "the debugging/backfill door a production streaming deployment needs: "
+    "state is queryable data, not a black box (complete mode retains all "
+    "windows; the buffer flattens positionally because avg's sum/count "
+    "reuse field names)",
+)
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from map_reduce_engine_spark.streaming import events_stream, ntz_of_instant, tumbling_counts
+
+    ckpt = tempfile.mkdtemp(prefix="mre_state_")
+    q = (
+        tumbling_counts(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    flat = st.select(
+        F.col("key.window.start").alias("ws"),
+        F.col("key.event_type").alias("event_type"),
+        "value.*",
+    ).toDF("ws", "event_type", "n", "sum_raw", "avg_sum", "avg_cnt")
+    return flat.select(
+        ntz_of_instant("ws").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("sum_raw", 2).alias("sum_value"),
+        F.round(F.col("avg_sum") / F.col("avg_cnt").cast("double"), 4).alias("avg_value"),
+    )
