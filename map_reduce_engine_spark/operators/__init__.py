@@ -34,6 +34,7 @@ from map_reduce_engine_spark.operators.similarity import (
     random_hyperplane_buckets,
     ann_topk,
     ivf_topk,
+    pq_topk,
 )
 from map_reduce_engine_spark.operators.cdc import (
     merge_upsert,
@@ -50,6 +51,7 @@ from map_reduce_engine_spark.operators.sequential import ewma_per_group
 from map_reduce_engine_spark.operators.text import pii_scrub
 
 __all__ = [
+    "pq_topk",
     "repeated_span_coverage",
     "merge_upsert",
     "merge_delete",

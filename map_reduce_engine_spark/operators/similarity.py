@@ -330,3 +330,145 @@ def cosine_int8(qvec_a: Column, scale_a: Column, qvec_b: Column, scale_b: Column
     fa = F.transform(qvec_a, lambda x: x.cast("double"))
     fb = F.transform(qvec_b, lambda x: x.cast("double"))
     return dot(fa, fb) / (l2_norm(fa) * l2_norm(fb))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory/bandwidth-bound ANN regime
+# --------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    seed: int,
+    max_iter: int,
+) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks on a bounded seeded sample.
+
+    Same training recipe as ivf_topk: only ``m * n_codes`` tiny centroids
+    ever reach the driver; at 100 TB the sample bound (not the corpus)
+    fixes training cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    target = max(50 * n_codes, 1000)
+    n_rows = corpus.count()
+    sample = corpus.select(_vecd(F.col(vec_col)).alias("v"))
+    if n_rows > target:
+        sample = sample.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
+    sample = sample.localCheckpoint(eager=True)  # one scan, m reuses
+    dim = len(sample.first()["v"])
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = sample.select(
+            array_to_vector(F.slice(F.col("v"), j * d + 1, d)).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with asymmetric
+    distance (ADC) — the regime where the index must be SMALLER than the
+    vectors: each corpus vector is stored as ``m`` one-byte codes (8 bytes
+    for a 64-dim float32 vector: 32× compression), and queries score
+    against codes through per-subspace lookup tables without ever touching
+    the original floats.
+
+    Train: ``m`` per-subspace KMeans codebooks (bounded seeded sample, only
+    ``m*n_codes`` centroids to the driver). Encode: one JVM-side projection
+    assigns each subvector its nearest code — array_position/array_sort over
+    literal centroid arrays, no model.transform in the big scan. Serve: the
+    (tiny) query side precomputes LUT[j][c] = <q_j, codebook_j[c]> as
+    literal-expression arrays, broadcasts, and the corpus-side score is m
+    element_at lookups + adds per (query, vector) — a sequential scan over
+    8-byte codes, which at 100 TB is bandwidth-, not compute-, bound (the
+    FAISS IndexPQ shape; compose with IVF cells exactly like ivf_topk for
+    the IVFPQ shape). Estimated norms come from the codebook at encode
+    time, so serving reads ONLY (id, codes, est_norm).
+    """
+    books = _train_pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter)
+    dim = len(books[0][0]) * m
+    d = dim // m
+
+    def nearest_code(sub: Column, book: list[list[float]]) -> Column:
+        # argmin over codes of ||sub - c||^2 == argmin of (c·c - 2 sub·c);
+        # array_sort on (distance, code) structs — all literal arithmetic
+        scored = F.array(*[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in c)))
+                    - 2.0 * dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                ).alias("dist"),
+                F.lit(ci).alias("code"),
+            )
+            for ci, c in enumerate(book)
+        ])
+        return F.array_sort(scored)[0].getField("code")
+
+    sub = lambda v, j: F.slice(v, j * d + 1, d)  # noqa: E731
+    cv = _vecd(F.col(vec_col))
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[nearest_code(sub(cv, j), books[j]) for j in range(m)]).alias("codes"),
+    ).withColumn(
+        "est_norm",
+        F.sqrt(
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(float(sum(x * x for x in c))) for c in books[j]]),
+                    F.col("codes").getItem(j) + 1,
+                )
+                for j in range(m)
+            )
+        ),
+    )
+
+    qv = _vecd(F.col(vec_col))
+    luts = {
+        f"lut{j}": F.array(*[
+            dot(sub(qv, j), F.array(*[F.lit(float(x)) for x in c])) for c in books[j]
+        ])
+        for j in range(m)
+    }
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_norm(qv).alias("qnorm"),
+        *[luts[f"lut{j}"].alias(f"lut{j}") for j in range(m)],
+    )
+
+    est_dot = sum(
+        F.element_at(F.col(f"lut{j}"), F.col("codes").getItem(j) + 1) for j in range(m)
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qb))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                est_dot / F.nullif(F.col("qnorm") * F.col("est_norm"), F.lit(0.0)), 6
+            ).alias("cosine_est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_est").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_est", "rank")
+    )

@@ -417,3 +417,25 @@ def test_udtf_sentence_stats_lateral(spark):
     )
     got = sorted(tuple(r) for r in sentence_stats(spark, df, "doc_id", "text").collect())
     assert got == [(1, 1, 2, 11), (1, 2, 3, 11), (1, 3, 1, 4), (2, 1, 3, 19)], got
+
+
+def test_pq_recall_and_compression_contract(spark, sf_dir):
+    """PQ with 16 subspaces must keep recall@10 >= 0.25 aggregate against
+    brute force on the fixture embeddings, and every query returns exactly
+    k rows ranked by estimated cosine."""
+    from map_reduce_engine_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    rows = pq_topk(emb, queries, "vec_id", "embedding", k=10, m=16, n_codes=16).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"PQ recall collapsed: {recall}"
+    from collections import Counter
+    per_q = Counter(r.query_id for r in rows)
+    assert all(v == 10 for v in per_q.values()), per_q
+    assert all(q != n for q, n in approx)
