@@ -246,6 +246,9 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ivf' AS method, 0.4::DOUBLE AS floor, TRUE AS floor_met,
            50::BIGINT AS n_exact
+    UNION ALL
+    SELECT 'pq' AS method, 0.25::DOUBLE AS floor, TRUE AS floor_met,
+           50::BIGINT AS n_exact
     """,
     doc="recall@10 of each ANN method (multi-table LSH, IVF) against the "
     "exact brute-force neighbors for 5 probes, computed entirely as joins "
@@ -253,8 +256,8 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watches. The recall VALUE depends on the seeded hash family / trained "
     "centroids (not SQL-reproducible without re-deriving both), so the "
     "conformance artifact is the deterministic verdict: recall >= the "
-    "method's floor (the same floors test_operators.py enforces: LSH 0.3, "
-    "IVF 0.4) plus the exact-neighbor count the denominators came from; a "
+    "method's floor (LSH 0.3, IVF 0.4, PQ 0.25)"
+    " plus the exact-neighbor count the denominators came from; a "
     "recall collapse flips floor_met and hash-mismatches the ledger",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +278,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.4,
             sim.ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_cells=16, n_probe=4),
         ),
+        ("pq", 0.25, sim.pq_topk(emb, queries, "vec_id", "embedding", k=10, m=16, n_codes=16)),
     ):
         hits = df.select("query_id", "neighbor_id").join(exact, ["query_id", "neighbor_id"])
         reports.append(
@@ -285,7 +289,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(n_exact).cast("bigint").alias("n_exact"),
             )
         )
-    return reports[0].unionByName(reports[1])
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @register(
