@@ -345,30 +345,39 @@ def _train_pq_codebooks(
     seed: int,
     max_iter: int,
 ) -> list[list[list[float]]]:
-    """Per-subspace KMeans codebooks on a bounded seeded sample.
+    """Per-subspace KMeans codebooks trained driver-side on a bounded
+    seeded sample (the FAISS recipe: train small and local, serve
+    distributed).
 
-    Same training recipe as ivf_topk: only ``m * n_codes`` tiny centroids
-    ever reach the driver; at 100 TB the sample bound (not the corpus)
-    fixes training cost.
+    The sample is BOUNDED (~60 points per code) regardless of corpus size —
+    at 100 TB the collect ships a few hundred KB, same class as the IVF
+    centroid/LSH-plane literals SCALE.md already sanctions — and ``m``
+    independent Lloyd's runs on a few-thousand-row numpy array cost
+    milliseconds, vs ``m`` sequential distributed KMeans jobs whose
+    scheduling overhead dwarfs the arithmetic at ANY scale. Deterministic:
+    seeded sample, seeded init, fixed iteration count.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     target = max(50 * n_codes, 1000)
     n_rows = corpus.count()
     sample = corpus.select(_vecd(F.col(vec_col)).alias("v"))
     if n_rows > target:
         sample = sample.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
-    sample = sample.localCheckpoint(eager=True)  # one scan, m reuses
-    dim = len(sample.first()["v"])
+    X = np.array(sample.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    dim = X.shape[1]
     d = dim // m
     books = []
     for j in range(m):
-        sub = sample.select(
-            array_to_vector(F.slice(F.col("v"), j * d + 1, d)).alias("features")
-        )
-        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        sub = X[:, j * d : (j + 1) * d]
+        rng = np.random.RandomState(seed + j)
+        centers = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = sub[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        books.append([[float(x) for x in c] for c in centers])
     return books
 
 
@@ -390,70 +399,89 @@ def pq_topk(
     against codes through per-subspace lookup tables without ever touching
     the original floats.
 
-    Train: ``m`` per-subspace KMeans codebooks (bounded seeded sample, only
-    ``m*n_codes`` centroids to the driver). Encode: one JVM-side projection
-    assigns each subvector its nearest code — array_position/array_sort over
-    literal centroid arrays, no model.transform in the big scan. Serve: the
-    (tiny) query side precomputes LUT[j][c] = <q_j, codebook_j[c]> as
-    literal-expression arrays, broadcasts, and the corpus-side score is m
-    element_at lookups + adds per (query, vector) — a sequential scan over
-    8-byte codes, which at 100 TB is bandwidth-, not compute-, bound (the
-    FAISS IndexPQ shape; compose with IVF cells exactly like ivf_topk for
-    the IVFPQ shape). Estimated norms come from the codebook at encode
-    time, so serving reads ONLY (id, codes, est_norm).
+    Train: ``m`` per-subspace KMeans codebooks (bounded seeded sample,
+    driver-side Lloyd's — the FAISS recipe). Encode: ONE Arrow-batched
+    ``mapInPandas`` pass assigns every subvector its nearest code as a
+    vectorized numpy argmin over all ``m`` subspaces at once — this is the
+    sanctioned vectorized-math Python boundary: the JVM-expression
+    alternative is m*n_codes literal dot products per row, whose codegen
+    compile time alone dwarfs the arithmetic. Serve: the (tiny) query side
+    precomputes LUT[j][c] = <q_j, codebook_j[c]> as literal-expression
+    arrays, broadcasts, and the corpus-side score is m element_at lookups +
+    adds per (query, vector) — pure JVM, a sequential scan over m-byte
+    codes, which at 100 TB is bandwidth-, not compute-, bound (the FAISS
+    IndexPQ shape; compose with IVF cells exactly like ivf_topk for the
+    IVFPQ shape). Estimated norms come from the codebook at encode time, so
+    serving reads ONLY (id, codes, est_norm).
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     books = _train_pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter)
     dim = len(books[0][0]) * m
     d = dim // m
+    B = np.array(books, dtype=np.float64)  # (m, n_codes, d)
+    Bsq = (B**2).sum(axis=2)  # (m, n_codes) — ||c||^2 per code
 
-    def nearest_code(sub: Column, book: list[list[float]]) -> Column:
-        # argmin over codes of ||sub - c||^2 == argmin of (c·c - 2 sub·c);
-        # array_sort on (distance, code) structs — all literal arithmetic
-        scored = F.array(*[
-            F.struct(
-                (
-                    F.lit(float(sum(x * x for x in c)))
-                    - 2.0 * dot(sub, F.array(*[F.lit(float(x)) for x in c]))
-                ).alias("dist"),
-                F.lit(ci).alias("code"),
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("est_norm", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, m, d)
+            # ||x_j - c||^2 argmin via (c·c - 2 x_j·c); einsum over all
+            # subspaces at once: (n, m, n_codes)
+            dots = np.einsum("nmd,mcd->nmc", X, B)
+            codes = (Bsq[None, :, :] - 2.0 * dots).argmin(axis=2)  # (n, m)
+            est_norm = np.sqrt(np.take_along_axis(Bsq[None, :, :].repeat(len(X), 0), codes[:, :, None], axis=2).sum(axis=(1, 2)))
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].values,
+                    "codes": list(codes.astype("int32")),
+                    "est_norm": est_norm,
+                }
             )
-            for ci, c in enumerate(book)
-        ])
-        return F.array_sort(scored)[0].getField("code")
 
-    sub = lambda v, j: F.slice(v, j * d + 1, d)  # noqa: E731
-    cv = _vecd(F.col(vec_col))
     encoded = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.array(*[nearest_code(sub(cv, j), books[j]) for j in range(m)]).alias("codes"),
-    ).withColumn(
-        "est_norm",
-        F.sqrt(
-            sum(
-                F.element_at(
-                    F.array(*[F.lit(float(sum(x * x for x in c))) for c in books[j]]),
-                    F.col("codes").getItem(j) + 1,
-                )
-                for j in range(m)
-            )
-        ),
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(encode, schema=enc_schema)
+
+    # Query-side LUTs through the same Arrow pass (the literal-expression
+    # alternative is m*n_codes py4j-built dot expressions, whose DRIVER-side
+    # construction alone costs seconds); the query side is tiny by contract.
+    lut_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qnorm", T.DoubleType()),
+            T.StructField("luts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
     )
 
-    qv = _vecd(F.col(vec_col))
-    luts = {
-        f"lut{j}": F.array(*[
-            dot(sub(qv, j), F.array(*[F.lit(float(x)) for x in c])) for c in books[j]
-        ])
-        for j in range(m)
-    }
+    def make_luts(batches):
+        for pdf in batches:
+            Q = np.array(pdf["v"].tolist(), dtype=np.float64)
+            qn = np.sqrt((Q**2).sum(axis=1))
+            lut = np.einsum("nmd,mcd->nmc", Q.reshape(-1, m, d), B)  # (n, m, n_codes)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"].values,
+                    "qnorm": qn,
+                    "luts": [[list(row) for row in q_lut] for q_lut in lut],
+                }
+            )
+
     qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        l2_norm(qv).alias("qnorm"),
-        *[luts[f"lut{j}"].alias(f"lut{j}") for j in range(m)],
-    )
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(make_luts, schema=lut_schema)
 
     est_dot = sum(
-        F.element_at(F.col(f"lut{j}"), F.col("codes").getItem(j) + 1) for j in range(m)
+        F.element_at(F.element_at("luts", j + 1), F.col("codes").getItem(j) + 1)
+        for j in range(m)
     )
     scored = (
         encoded.crossJoin(F.broadcast(qb))

@@ -173,7 +173,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     out = sim.ivf_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
-    )
+    ).localCheckpoint(eager=True)  # feeds two subtrees (count + recall join): run once
     exact = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
         "query_id", "neighbor_id"
     )
@@ -263,8 +263,10 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    exact = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
-        "query_id", "neighbor_id"
+    exact = (
+        sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # joined once per method: run once
     )
     n_exact = exact.count()
     reports = []
@@ -392,7 +394,9 @@ def knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = sim.pq_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10, m=16, n_codes=16)
+    out = sim.pq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10, m=16, n_codes=16
+    ).localCheckpoint(eager=True)  # feeds two subtrees (count + recall join): run once
     exact = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
         "query_id", "neighbor_id"
     )
