@@ -181,20 +181,6 @@ def ann_topk(
     )
 
 
-def _nearest_cells(vec: Column, centers, n: int) -> Column:
-    """Array of the ``n`` nearest centroid ids for a unit vector, computed
-    JVM-side against literal centroid arrays: on the unit sphere
-    argmin ||v-c||^2 = argmin (||c||^2 - 2*dot(v,c))."""
-    scored = F.array(*[
-        F.struct(
-            (F.lit(float(np.dot(c, c))) - 2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centers)
-    ])
-    return F.slice(F.array_sort(scored), 1, n).getField("cell")
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,9 +195,12 @@ def ivf_topk(
     """Approximate top-k via IVF (inverted-file) partitioning — the
     clustered alternative to ``ann_topk``'s hash-based LSH.
 
-    Train: distributed KMeans (``pyspark.ml``) on unit-normalized vectors
-    (cosine NN == euclidean NN on the unit sphere); only the ``n_cells``
-    centroids come back to the driver. Serve: each corpus vector is assigned
+    Train: seeded Lloyd's on a BOUNDED unit-normalized sample, driver-side
+    (cosine NN == euclidean NN on the unit sphere) — the FAISS recipe:
+    centroid quality saturates at ~tens of points per centroid, the sample
+    collect ships a few hundred KB at ANY corpus size, and a local numpy
+    fit costs milliseconds where a distributed KMeans pays multi-second
+    scheduling overhead per job. Serve: each corpus vector is assigned
     to its nearest centroid and each query probes its ``n_probe`` nearest
     cells — assignment is pure JVM expressions over literal centroid arrays
     (no model.transform, no VectorUDT in the big join), so the candidate
@@ -219,35 +208,84 @@ def ivf_topk(
     Unlike data-independent LSH planes, centroids adapt to the corpus
     distribution — better recall/candidate-count on clustered embeddings.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import pandas as pd
+    from pyspark.sql import types as T
 
     unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
 
-    # Train centroids on a bounded seeded sample — the standard IVF recipe
-    # (FAISS trains on ~tens of points per centroid): at 100 TB the full
-    # corpus can't be KMeans input, and centroid quality saturates long
-    # before that. Deterministic for a fixed seed and corpus.
     target = max(50 * n_cells, 1000)
     n_rows = corpus.count()
-    train = corpus.select(array_to_vector(unit(_vecd(F.col(vec_col)))).alias("features"))
+    train = corpus.select(unit(_vecd(F.col(vec_col))).alias("v"))
     if n_rows > target:
         train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
-    centers = model.clusterCenters()
+    X = np.array(train.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    centers = _lloyd_kmeans(X, n_cells, seed, max_iter)
+
+    # Cell assignment through one Arrow-batched pass per side (same
+    # rationale as pq_topk: the JVM-literal alternative builds n_cells
+    # dot-product expressions through py4j, whose driver-side construction
+    # cost dwarfs the arithmetic). On the unit sphere
+    # argmin ||u-c||^2 == argmin (||c||^2 - 2 u·c).
+    C = np.array(centers, dtype=np.float64)  # (n_cells, dim)
+    Csq = (C**2).sum(axis=1)
+
+    def _cells(V: "np.ndarray", n: int) -> "np.ndarray":
+        norms = np.sqrt((V**2).sum(axis=1))
+        U = V / np.where(norms > 0, norms, 1.0)[:, None]
+        d2 = Csq[None, :] - 2.0 * (U @ C.T)  # (n_rows, n_cells)
+        return np.argsort(d2, kind="stable", axis=1)[:, :n], norms
+
+    cb_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+            T.StructField("cnorm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_corpus(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
+            cells, norms = _cells(V, 1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].values,
+                    "cv": list(V),
+                    "cnorm": norms,
+                    "cell": cells[:, 0].astype("int32"),
+                }
+            )
+
+    qb_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("qnorm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_queries(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
+            cells, norms = _cells(V, n_probe)
+            n = len(V)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["id"].values, n_probe),
+                    "qv": [v for v in V for _ in range(n_probe)],
+                    "qnorm": np.repeat(norms, n_probe),
+                    "cell": cells.reshape(-1).astype("int32"),
+                }
+            )
 
     cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _vecd(F.col(vec_col)).alias("cv")
-    ).withColumns({
-        "cnorm": l2_norm(F.col("cv")),
-        "cell": _nearest_cells(unit(F.col("cv")), centers, 1)[0],
-    })
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(assign_corpus, schema=cb_schema)
     qb = queries.select(
-        F.col(id_col).alias("query_id"), _vecd(F.col(vec_col)).alias("qv")
-    ).withColumns({
-        "qnorm": l2_norm(F.col("qv")),
-        "cell": F.explode(_nearest_cells(unit(F.col("qv")), centers, n_probe)),
-    })
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(assign_queries, schema=qb_schema)
     scored = (
         cb.join(qb, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -337,6 +375,26 @@ def cosine_int8(qvec_a: Column, scale_a: Column, qvec_b: Column, scale_b: Column
 # --------------------------------------------------------------------------
 
 
+def _lloyd_kmeans(X: "np.ndarray", k: int, seed: int, max_iter: int) -> list[list[float]]:
+    """Seeded Lloyd's iterations on a (bounded, already-sampled) numpy array.
+
+    Deterministic: seeded distinct-point init, fixed iteration count. Shared
+    by the IVF cell trainer and the PQ codebook trainer — the driver-side
+    training half of the FAISS recipe (train small and local, serve
+    distributed). Empty clusters keep their previous center.
+    """
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+    return [[float(x) for x in c] for c in centers]
+
+
 def _train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str,
@@ -365,20 +423,10 @@ def _train_pq_codebooks(
     X = np.array(sample.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
     dim = X.shape[1]
     d = dim // m
-    books = []
-    for j in range(m):
-        sub = X[:, j * d : (j + 1) * d]
-        rng = np.random.RandomState(seed + j)
-        centers = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(n_codes):
-                pts = sub[assign == c]
-                if len(pts):
-                    centers[c] = pts.mean(axis=0)
-        books.append([[float(x) for x in c] for c in centers])
-    return books
+    return [
+        _lloyd_kmeans(X[:, j * d : (j + 1) * d], n_codes, seed + j, max_iter)
+        for j in range(m)
+    ]
 
 
 def pq_topk(
