@@ -320,3 +320,44 @@ def test_runtime_bloom_filter_join_pruning_available(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_pq_plan_two_arrow_passes_and_broadcast(spark, sf_dir):
+    """PQ serving: exactly two Arrow boundaries (corpus encode + query
+    LUTs), the code scan joins the broadcast LUT side (nested-loop by
+    design — the sequential code scan), and nothing degenerates into an
+    unbatched cartesian."""
+    from map_reduce_engine_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    p = plan(pq_topk(emb, queries, "vec_id", "embedding", k=10, m=16, n_codes=16), "simple")
+    assert p.count("MapInPandas") == 2, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_plan_arrow_assignment_and_equi_join(spark, sf_dir):
+    """IVF serving: Arrow-batched cell assignment on both sides and the
+    candidate join is an EQUI-join on the cell key (hash-joinable), never
+    nested-loop/cartesian."""
+    from map_reduce_engine_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    p = plan(ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_cells=16, n_probe=4), "simple")
+    assert p.count("MapInPandas") == 2, p[:1500]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "cell" in p
+
+
+def test_repeated_span_plan_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """Substring-dedup coverage: every join keys on the gram hash or doc id
+    (no all-pairs), and the df count partial-aggregates before its
+    shuffle."""
+    from map_reduce_engine_spark.operators.dedup import repeated_span_coverage
+
+    docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    p = plan(repeated_span_coverage(docs, "doc_id", "text", k=8))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
