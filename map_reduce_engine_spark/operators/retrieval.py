@@ -1,0 +1,147 @@
+"""Retrieval scoring and broadcast model inference.
+
+Two capability classes a training-data pipeline bolts onto the corpus the
+reference covers with generic map/reduce jobs (SURVEY.md §2 Part C):
+
+- **BM25 keyword retrieval** (``bm25_scores``): the standard Okapi BM25
+  ranking function over an inverted-index-shaped plan. The query-term set is
+  tiny (broadcast); corpus-side work is two hash aggregates (document
+  lengths, per-(doc, term) tf restricted to the query terms BEFORE the
+  aggregate) — the shape that stays linear at 100 TB.
+- **Hashing-trick linear model inference** (``hashed_linear_score``): a
+  logistic-regression quality filter applied with the weight vector as a
+  broadcast table — the deployment shape of a fastText/CCNet-style quality
+  classifier. Featurization (token → bucket) is the engine-portable
+  md5-prefix hash, so inference is pure JVM column math: no model file
+  shipped to executors, no Python in the hot path.
+
+Both emit deterministic, DuckDB-recomputable outputs (the portable hash +
+fixed affine pseudo-weights), so the driver oracle hash-checks them end to
+end like every other query in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators.dedup import portable_base31
+from map_reduce_engine_spark.operators.text import tokens_col
+
+_MASK31 = (1 << 31) - 1
+
+# Fixed affine constants for the pseudo-trained weight vector (Knuth
+# multiplicative constants, same family as operators.dedup.minhash_family).
+# A real deployment loads learned weights from a table; the affine derivation
+# keeps the demo deterministic and oracle-recomputable without a model file.
+WEIGHT_A = (2654435761 * 11) & _MASK31 | 1
+WEIGHT_B = (2246822519 * 13 + 40503) & _MASK31
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 against a fixed query-term set.
+
+    Plan shape (the one you'd want at 100 TB):
+
+    - ``dl``: one hash aggregate over the token stream → per-doc length;
+      corpus totals (N, avgdl) ride along via a broadcast crossJoin, so the
+      scalar never becomes a driver-side collect.
+    - ``tf``: the explode is filtered to the query terms BEFORE the
+      aggregate — corpus-size work shrinks to matching postings at the scan,
+      exactly an inverted-index probe.
+    - ``dft`` (document frequency) is at most |query| rows → broadcast.
+    - Final ranking is ``orderBy → limit`` = TakeOrderedAndProject (per
+      partition top-k, then a k-sized merge on the driver — no global sort).
+
+    idf uses the +1 variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive, Lucene's choice). Ties broken by ``id_col`` so output order is
+    deterministic across engines.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(query_terms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), id_col).limit(topk)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    bias: float = -3.0,
+    scale: float = 0.2,
+) -> DataFrame:
+    """Logistic quality score via hashing-trick features × broadcast weights.
+
+    The inference pattern for a linear text classifier at corpus scale:
+    tokens hash into ``dim`` buckets (portable md5-prefix base, the same
+    hash family as the dedup sketches), per-(doc, bucket) counts aggregate
+    map-side, and the ``dim``-row weight vector joins in as a BROADCAST
+    table — the generic "model parameters as a small dimension table"
+    deployment, no per-row Python, no model artifact on executors.
+
+    Weights here are pseudo-trained: ``w_j = (affine(j)/2^31 − 0.5)·scale``
+    with fixed constants, so the DuckDB oracle regenerates the identical
+    vector from ``generate_series`` and hash-checks the scores end to end.
+    """
+    spark = df.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                ((F.lit(WEIGHT_A) * F.col("id") + F.lit(WEIGHT_B)) % F.lit(_MASK31 + 1))
+                / F.lit(float(_MASK31 + 1))
+                - 0.5
+            )
+            * scale
+        ).alias("w"),
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    feats = (
+        toks.select(F.col(id_col), (portable_base31(F.col("token")) % dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("x"))
+    )
+    logits = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg((F.sum(F.col("x") * F.col("w")) + F.lit(bias)).alias("logit"))
+    )
+    return logits.select(
+        F.col(id_col),
+        F.round(F.col("logit"), 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6).alias("prob"),
+        (F.col("logit") >= 0).alias("keep"),
+    )

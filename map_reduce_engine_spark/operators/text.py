@@ -207,3 +207,57 @@ def pii_scrub(
         scrubbed.alias("scrubbed_text"),
         *flags,
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence pairs with PMI, without a positional self-join.
+
+    The word2vec/PMI preprocessing step: count ordered token pairs within a
+    forward window of ``window`` positions, then score association as
+    ``pmi = ln((C(w1,w2)/T) / ((C(w1)/U) * (C(w2)/U)))`` (T = total pairs,
+    U = total tokens).
+
+    The naive plan posexplodes the token stream and self-joins on
+    ``(doc, pos + d)`` — a corpus-sized shuffle join per offset. Here the
+    pair stream is built inside one projection instead: for each offset d,
+    ``transform(sequence(1, n-d), i -> (tok[i], tok[i+d]))``, concatenated
+    and exploded — zero joins, the pair generation stays in whole-stage
+    codegen, and the only shuffles are the two hash aggregates (pair counts,
+    unigram counts). Unigram and total tables are vocabulary-sized →
+    broadcast. Scales as O(window · tokens) work with no corpus-side join.
+    """
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    per_offset = [
+        f"transform(sequence(1, greatest(size(toks) - {d}, 0)), "
+        f"i -> struct(element_at(toks, i) AS w1, element_at(toks, i + {d}) AS w2))"
+        for d in range(1, window + 1)
+    ]
+    pairs = toks.select(
+        F.explode(F.expr("concat(" + ", ".join(per_offset) + ")")).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
+    uni = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = pair_counts.agg(F.sum("pair_cnt").alias("t_pairs")).crossJoin(
+        uni.agg(F.sum("cnt").alias("u_tokens"))
+    )
+    pmi = F.log(
+        (F.col("pair_cnt") / F.col("t_pairs"))
+        / ((F.col("c1") / F.col("u_tokens")) * (F.col("c2") / F.col("u_tokens")))
+    )
+    return (
+        pair_counts.where(F.col("pair_cnt") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "pair_cnt", F.round(pmi, 6).alias("pmi"))
+    )

@@ -20,5 +20,6 @@ from map_reduce_engine_spark.queries import temporal  # noqa: F401
 from map_reduce_engine_spark.queries import advanced  # noqa: F401
 from map_reduce_engine_spark.queries import tpch  # noqa: F401
 from map_reduce_engine_spark.queries import pipeline  # noqa: F401
+from map_reduce_engine_spark.queries import retrieval  # noqa: F401
 
 __all__ = ["REGISTRY", "Query"]

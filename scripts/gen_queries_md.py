@@ -60,6 +60,12 @@ SECTIONS = {
         "contamination checks, sequence packing, domain-mixture re-weighting, deterministic "
         "hash sampling, winnowing fingerprints.",
     ),
+    "retrieval": (
+        "Retrieval scoring + model inference (SURVEY §2 Part C)",
+        "BM25 keyword retrieval, hashing-trick linear-classifier inference (broadcast weight "
+        "table), and skip-gram PMI association statistics — the audit/filter/tokenizer-prep "
+        "passes a corpus pipeline runs between cleaning and training.",
+    ),
 }
 
 ORDER = [
@@ -72,6 +78,7 @@ ORDER = [
     "similarity",
     "temporal",
     "pipeline",
+    "retrieval",
 ]
 
 # every registry module must have a section — fail loudly instead of dropping rows

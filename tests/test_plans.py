@@ -172,6 +172,9 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "null_safe_join",
         "mode_median_agg",
         "sql_recursive_gapfill",
+        "bm25_doc_scores",
+        "quality_linear_score",
+        "token_pmi",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
@@ -361,3 +364,35 @@ def test_repeated_span_plan_no_cartesian_and_partial_aggs(spark, sf_dir):
     p = plan(repeated_span_coverage(docs, "doc_id", "text", k=8))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_bm25_plan_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25's df/corpus-stat sides are tiny (|query| rows, 1 row) — they
+    must broadcast, the term filter must sit under the tf aggregate (no
+    corpus-sized shuffle of non-matching tokens), and the final ranking
+    must be TakeOrderedAndProject, not a global sort."""
+    p = plan(REGISTRY["bm25_doc_scores"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_linear_score_weight_join_broadcasts(spark, sf_dir):
+    """Model inference = feature counts ⋈ 1024-row weight vector: the
+    weight side must be a broadcast hash join on the bucket key — the fact
+    side never shuffles for the model."""
+    p = plan(REGISTRY["quality_linear_score"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_token_pmi_has_no_corpus_side_join(spark, sf_dir):
+    """Pair generation must stay inside a projection (transform over the
+    token array) — no positional self-join. Every join in the plan must be
+    a broadcast (vocabulary-sized sides); a SortMergeJoin/ShuffledHashJoin
+    would mean the corpus-sized pair stream is being joined."""
+    p = plan(REGISTRY["token_pmi"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
