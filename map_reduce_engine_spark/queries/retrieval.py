@@ -3,11 +3,12 @@
 The pipeline steps between "corpus is clean" and "corpus is training data":
 keyword retrieval (BM25 — audit/evaluation probes into the corpus), quality
 filtering by a trained linear classifier (the fastText/CCNet deployment
-shape: hashing-trick features × a broadcast weight table), and skip-gram
+shape: hashing-trick features × a broadcast weight table), skip-gram
 PMI (the word2vec-style association statistics that feed tokenizer and
-phrase-mining decisions). All pure `pyspark.sql.functions` column math over
-the engine-portable md5-prefix hash family — each oracle recomputes the
-identical numbers in DuckDB.
+phrase-mining decisions), and BPE tokenizer training (iterative merge
+learning over the word-frequency dictionary). All pure
+`pyspark.sql.functions` column math — each oracle recomputes the identical
+numbers in DuckDB (iterative rounds unroll into materialized CTEs).
 """
 
 from __future__ import annotations
@@ -154,3 +155,113 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return text_ops.skipgram_pairs(docs, "doc_id", "text", window=2, min_count=5)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/bpe.py::bpe_train``.
+
+    Same discipline as the pagerank oracle (queries/advanced.py): the
+    iterative loop is a FIXED number of rounds, so each round unrolls into
+    the identical relational steps — pair window, weighted argmax with the
+    (count desc, lhs, rhs) tiebreak, greedy leftmost-run merge, renumber.
+
+    Every per-round CTE is ``AS MATERIALIZED``: several are referenced more
+    than once, and DuckDB's default inlining would expand the round chain
+    exponentially (~3^rounds copies of the whole tree — observed as a
+    minutes-long hang at 6 rounds).
+    """
+    parts = [f"tok AS ({_DUCK_TOK_STREAM})"]
+    parts.append(
+        "words AS (SELECT token AS word, count(*)::BIGINT AS wcnt FROM tok GROUP BY token)"
+    )
+    parts.append(
+        """s0 AS (
+      SELECT word, wcnt, p.pos, p.sym FROM (
+        SELECT word, wcnt,
+               unnest(list_transform(generate_series(1, length(word) + 1),
+                 i -> struct_pack(pos := i,
+                                  sym := CASE WHEN i <= length(word)
+                                              THEN substr(word, i, 1)
+                                              ELSE '</w>' END))) AS p
+        FROM words)
+    )"""
+    )
+    selects = []
+    prev = "s0"
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+      SELECT word, wcnt, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM {prev}
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT sym AS l, nxt AS rc, sum(wcnt)::BIGINT AS pair_cnt
+      FROM p{r} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY pair_cnt DESC, sym, nxt
+      LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT p.word, p.wcnt, p.pos, p.sym, p.nxt,
+             (p.sym = b.l AND p.nxt = b.rc) AS cand
+      FROM p{r} p, b{r} b
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM (
+          SELECT word, pos,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM m{r} WHERE cand
+        )
+      ) WHERE rn % 2 = 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT word, wcnt,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN is_merge THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT m.word, m.wcnt, m.pos, m.sym, m.nxt,
+               k.pos IS NOT NULL AS is_merge,
+               ka.pos IS NOT NULL AS absorbed
+        FROM m{r} m
+        LEFT JOIN k{r} k ON k.word = m.word AND k.pos = m.pos
+        LEFT JOIN k{r} ka ON ka.word = m.word AND ka.pos = m.pos - 1
+      ) WHERE NOT absorbed
+    )"""
+        )
+        selects.append(
+            f"SELECT {r}::BIGINT AS round, l AS lhs, rc AS rhs, l || rc AS merged, pair_cnt FROM b{r}"
+        )
+        prev = f"s{r}"
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(6),
+    doc="BPE tokenizer training (Sennrich et al., ACL'16) as an iterative "
+    "DataFrame loop: 6 merge rounds over the word-frequency dictionary. "
+    "The corpus is aggregated ONCE into (word, count); every round then "
+    "runs on the exploded symbol table — vocabulary-sized by Heaps' law, "
+    "corpus-size-independent (how real BPE trainers scale). Per round: "
+    "per-word lead() window (bounded state), weighted pair aggregate, "
+    "deterministic argmax (TakeOrderedAndProject + 1-row broadcast), and "
+    "the greedy leftmost non-overlapping merge encoded with run-grouping "
+    "windows — the sequential scan, made relational and engine-portable. "
+    "Oracle = the same 6 rounds unrolled into CTEs, like the pagerank "
+    "oracle. Lineage is localCheckpoint-truncated per round "
+    "(operators/graph.py discipline)",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    words = (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    return bpe.bpe_train(words, n_merges=6)

@@ -439,3 +439,33 @@ def test_pq_recall_and_compression_contract(spark, sf_dir):
     per_q = Counter(r.query_id for r in rows)
     assert all(v == 10 for v in per_q.values()), per_q
     assert all(q != n for q, n in approx)
+
+
+def test_bpe_classic_example(spark):
+    """The Sennrich et al. toy dictionary: merges must follow the weighted
+    pair counts with the deterministic (count desc, lhs, rhs) tiebreak."""
+    from map_reduce_engine_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["word", "wcnt"],
+    )
+    merges = [tuple(r) for r in bpe_train(words, n_merges=4).orderBy("round").collect()]
+    # (e,s)=9 from newest+widest, then (es,t)=9, (est,</w>)=9, then (l,o)=7
+    assert merges[0] == (1, "e", "s", "es", 9)
+    assert merges[1] == (2, "es", "t", "est", 9)
+    assert merges[2] == (3, "est", "</w>", "est</w>", 9)
+    assert merges[3] == (4, "l", "o", "lo", 7)
+
+
+def test_bpe_overlapping_pairs_greedy_leftmost(spark):
+    """'aaaa' has three overlapping (a,a) pairs: the count is the raw pair
+    count (3), but the greedy leftmost merge yields exactly two 'aa'
+    symbols — round 2's candidates prove it ((aa,</w>) wins the lexical
+    tiebreak against (aa,aa), both count 1)."""
+    from map_reduce_engine_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame([("aaaa", 1)], ["word", "wcnt"])
+    merges = [tuple(r) for r in bpe_train(words, n_merges=2).orderBy("round").collect()]
+    assert merges[0] == (1, "a", "a", "aa", 3)
+    assert merges[1] == (2, "aa", "</w>", "aa</w>", 1)

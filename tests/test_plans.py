@@ -396,3 +396,14 @@ def test_token_pmi_has_no_corpus_side_join(spark, sf_dir):
     assert "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bpe_plan_stays_bounded_and_jvm_side(spark, sf_dir):
+    """6 merge rounds must not nest: each round localCheckpoints, so the
+    final merge table is a union of checkpointed 1-row scans — the corpus
+    parquet scan must not be re-planned per round, and no Python eval."""
+    df = REGISTRY["bpe_train_merges"].fn(spark, sf_dir)
+    p = plan(df, mode="simple")
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+    assert p.count("parquet") == 0  # all rounds run off checkpoints
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
