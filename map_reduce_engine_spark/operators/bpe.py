@@ -57,6 +57,25 @@ def bpe_train(words: DataFrame, n_merges: int = 6) -> DataFrame:
     tiebreak is (count desc, left asc, right asc), so the same dictionary
     yields the same merges on every engine, run, and partitioning.
     """
+    merge_rows, _ = _train_rounds(words, n_merges)
+    return reduce(DataFrame.unionByName, merge_rows)
+
+
+def bpe_segment(words: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Word-type segmentation after ``n_merges`` learned merges.
+
+    Returns the final (word, wcnt, pos, sym) symbol table — every word
+    type's subword sequence. This is the ENCODE side of BPE: because
+    tokenization is per word type, encoding a 100 TB corpus means
+    segmenting the vocabulary-sized dictionary once and joining the result
+    back to the token stream — the corpus itself never re-enters the merge
+    loop.
+    """
+    _, syms = _train_rounds(words, n_merges)
+    return syms
+
+
+def _train_rounds(words: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
     syms = word_symbols(words).localCheckpoint(eager=True)
     w_pos = Window.partitionBy("word").orderBy("pos")
     merge_rows = []
@@ -119,4 +138,4 @@ def bpe_train(words: DataFrame, n_merges: int = 6) -> DataFrame:
             .withColumn("pos", F.row_number().over(w_pos))
             .localCheckpoint(eager=True)
         )
-    return reduce(DataFrame.unionByName, merge_rows)
+    return merge_rows, syms

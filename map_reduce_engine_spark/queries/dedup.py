@@ -387,3 +387,55 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return dd.repeated_span_coverage(docs, "doc_id", "text", k=8)
+
+
+@register(
+    "incremental_batch_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id >= 250
+    )
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                WHEN b.rn > 1 THEN 'dup_in_batch'
+                ELSE 'novel' END AS status
+    FROM batch b LEFT JOIN hist h ON b.fingerprint = h.fingerprint
+    """,
+    doc="incremental dedup of a new batch against an existing corpus index "
+    "— the daily-crawl shape: the historical side is its DISTINCT "
+    "fingerprint set (map-side dedup before the shuffle, and at 100 TB "
+    "it is the stored fingerprint index, not a rescan), the new batch "
+    "left-joins it on the fingerprint and a batch-internal window keeps "
+    "the min-id survivor among the remaining novels. One shuffle on "
+    "fingerprint for the join + one for the window; history is never "
+    "rewritten. Statuses: dup_of_history / dup_in_batch / novel",
+)
+def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    hist = fp.where(F.col("doc_id") < 250).select("fingerprint").distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = fp.where(F.col("doc_id") >= 250).withColumn("rn", F.row_number().over(w))
+    return (
+        batch.join(
+            hist.withColumn("in_hist", F.lit(True)), "fingerprint", "left"
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_hist"), F.lit("dup_of_history"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

@@ -157,7 +157,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.skipgram_pairs(docs, "doc_id", "text", window=2, min_count=5)
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, final_select: str | None = None) -> str:
     """Unrolled-CTE DuckDB twin of ``operators/bpe.py::bpe_train``.
 
     Same discipline as the pagerank oracle (queries/advanced.py): the
@@ -236,7 +236,8 @@ def _bpe_oracle(n_merges: int) -> str:
             f"SELECT {r}::BIGINT AS round, l AS lhs, rc AS rhs, l || rc AS merged, pair_cnt FROM b{r}"
         )
         prev = f"s{r}"
-    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    body = final_select.format(final=prev) if final_select else "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n    ".join(parts) + "\n" + body
 
 
 @register(
@@ -265,3 +266,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("wcnt"))
     )
     return bpe.bpe_train(words, n_merges=6)
+
+
+@register(
+    "bpe_subword_vocab",
+    oracle=_bpe_oracle(
+        6,
+        final_select="""SELECT sym, sum(wcnt)::BIGINT AS occurrences,
+       count(DISTINCT word)::BIGINT AS n_word_types
+    FROM {final} GROUP BY sym""",
+    ),
+    doc="the ENCODE side of BPE: the subword vocabulary after 6 learned "
+    "merges — each symbol's weighted corpus occurrences and the number of "
+    "word types containing it. Tokenization is per WORD TYPE, so encoding "
+    "a 100 TB corpus segments the vocabulary-sized dictionary once "
+    "(operators/bpe.py::bpe_segment) and joins back to the token stream; "
+    "the corpus never re-enters the merge loop. Shares the training "
+    "rounds (and the unrolled-CTE oracle) with bpe_train_merges",
+)
+def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    words = (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    syms = bpe.bpe_segment(words, n_merges=6)
+    return syms.groupBy("sym").agg(
+        F.sum("wcnt").cast("bigint").alias("occurrences"),
+        F.countDistinct("word").cast("bigint").alias("n_word_types"),
+    )
