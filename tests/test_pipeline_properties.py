@@ -101,3 +101,58 @@ def test_cms_never_underestimates(spark_global, tokens):
     for tok, n in truth.items():
         assert est[tok] >= n
     sketch.unpersist()
+
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE trainer (Sennrich et al., ACL'16): greedy
+    leftmost non-overlapping merges, argmax tiebreak (count desc, lhs, rhs).
+    ASCII inputs, so Python string order == Spark/DuckDB binary order."""
+    symtab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in words.items():
+            syms = symtab[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w, syms in symtab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symtab[w] = out
+    return merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_bpe_matches_reference_trainer(spark_global, entries):
+    """The relational BPE loop must produce EXACTLY the merges of a direct
+    sequential implementation on any dictionary — same argmax tiebreak,
+    same greedy leftmost non-overlapping application (the run-grouping
+    window encoding), including overlapping-pair words like 'aaaa'."""
+    from map_reduce_engine_spark.operators.bpe import bpe_train
+
+    words = dict(entries)  # last count wins on duplicate words, like a dict
+    expected = _ref_bpe(words, 3)
+    df = spark_global.createDataFrame(list(words.items()), ["word", "wcnt"])
+    got = [tuple(r) for r in bpe_train(df, n_merges=3).orderBy("round").collect()]
+    assert got == expected, (words, got, expected)
