@@ -175,6 +175,8 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "bm25_doc_scores",
         "quality_linear_score",
         "token_pmi",
+        "incremental_batch_dedup",
+        "bpe_subword_vocab",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
