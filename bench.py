@@ -78,7 +78,9 @@ def main() -> None:
     for bench_name, reg_name, sf_override in HEADLINE + SENTINELS:
         fn = REGISTRY[reg_name].fn
         sf = sf_override or SF_DIR
-        run_once(spark, fn, sf)  # warmup
+        run_once(spark, fn, sf)  # warmup ×2: the first run pays codegen +
+        run_once(spark, fn, sf)  # JIT; the second absorbs stragglers so the
+        # 3 timed runs measure steady state (median-of-3 semantics unchanged)
         timings[bench_name] = round(statistics.median(run_once(spark, fn, sf) for _ in range(3)), 3)
         print(f"# {bench_name}: {timings[bench_name]}s", file=sys.stderr)
     headline_names = {b for b, _, _ in HEADLINE}

@@ -178,6 +178,25 @@ def minhash_candidate_pairs(
     """
     if materialize:
         sig_df = sig_df.persist()
+    buckets = band_buckets(sig_df, bands, rows_per_band)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    return pairs.persist() if materialize else pairs
+
+
+def band_buckets(sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket entries for a signature table.
+
+    The bucket is the portable affine combination of the band's slots (see
+    ``minhash_candidate_pairs``) — the key the stored signature index is
+    partitioned on in an incremental deployment.
+    """
     mix, _ = minhash_family(rows_per_band)
     mask = F.lit(_MASK31)
 
@@ -193,18 +212,32 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig_df.select(F.col("id"), F.explode(band_entries).alias("e")).select(
+    return sig_df.select(F.col("id"), F.explode(band_entries).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
+
+
+def minhash_cross_candidates(
+    sig_new: DataFrame,
+    sig_hist: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id1=new, id2=historical) candidate pairs across two signature sets.
+
+    The incremental formulation of LSH banding: the historical side is the
+    stored band-bucket index (here recomputed from its signatures; in a
+    deployment it is a persisted table bucketed on (band, bucket)), and the
+    NEW batch's entries equi-join it — candidate volume scales with the
+    batch, never the history size, and the history is never self-joined.
+    """
+    a = band_buckets(sig_new, bands, rows_per_band).alias("a")
+    b = band_buckets(sig_hist, bands, rows_per_band).alias("b")
+    return (
         a.join(b, ["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    return pairs.persist() if materialize else pairs
 
 
 def jaccard_pairs(

@@ -106,7 +106,7 @@ _DUCK_SHINGLE3 = (
 )
 
 
-def _minhash_ctes(unit_sql: str) -> str:
+def _minhash_ctes(unit_sql: str, cands_cond: str = "a.id < b.id") -> str:
     """Shared CTE body of the DuckDB MinHash-LSH twin (through ``scored``).
 
     Recomputes the exact signatures (md5-prefix base, 31-bit affine family —
@@ -147,7 +147,7 @@ def _minhash_ctes(unit_sql: str) -> str:
     cands AS (
       SELECT DISTINCT a.id AS id1, b.id AS id2
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ON a.band = b.band AND a.bucket = b.bucket AND {cands_cond}
     ),
     sets AS (SELECT id, list_distinct(units) AS s FROM docs_t),
     scored AS (
@@ -437,5 +437,59 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("rn") > 1, F.lit("dup_in_batch"))
             .otherwise(F.lit("novel"))
             .alias("status"),
+        )
+    )
+
+
+@register(
+    "incremental_near_dup",
+    oracle=f"""
+    WITH {_minhash_ctes("l", cands_cond="a.id >= 250 AND b.id < 250")},
+    m AS (
+      SELECT id1, id2, jaccard,
+             count(*) OVER (PARTITION BY id1) AS nm,
+             row_number() OVER (PARTITION BY id1 ORDER BY jaccard DESC, id2) AS rn
+      FROM scored WHERE jaccard >= 0.7
+    )
+    SELECT id1 AS doc_id, nm::BIGINT AS n_hist_matches,
+           id2 AS best_match_id, jaccard AS best_jaccard
+    FROM m WHERE rn = 1
+    """,
+    doc="incremental NEAR-dup of a new batch against a historical MinHash "
+    "index — the fuzzy twin of incremental_batch_dedup: the historical "
+    "side is the stored band-bucket index (recomputed here from doc_id < "
+    "250; a deployment reads the persisted table bucketed on (band, "
+    "bucket)), the new batch's band entries equi-join it, and exact "
+    "Jaccard verifies only cross-batch candidates — candidate volume "
+    "scales with the BATCH, the history is never self-joined or "
+    "rescanned. Output: each new doc with >= 0.7 matches, its match "
+    "count and best (highest-Jaccard, min-id tiebreak) historical "
+    "document. Same portable hash family as minhash_near_dup, so the "
+    "oracle recomputes the identical pipeline",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64).persist()
+    cands = dd.minhash_cross_candidates(
+        sigs.where(F.col("id") >= 250), sigs.where(F.col("id") < 250)
+    )
+    scored = dd.jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, candidates=cands
+    )
+    w = Window.partitionBy("id1")
+    return (
+        scored.withColumn("nm", F.count("*").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("jaccard"), "id2")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id1").alias("doc_id"),
+            F.col("nm").cast("bigint").alias("n_hist_matches"),
+            F.col("id2").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
         )
     )

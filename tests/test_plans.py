@@ -409,3 +409,13 @@ def test_bpe_plan_stays_bounded_and_jvm_side(spark, sf_dir):
     assert "ExistingRDD" in p or "LocalTableScan" in p
     assert p.count("parquet") == 0  # all rounds run off checkpoints
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_near_dup_joins_are_equi(spark, sf_dir):
+    """The batch→history candidate join must be an equi-join on
+    (band, bucket) — never a cartesian or broadcast nested loop — and the
+    verification join runs only on candidate ids."""
+    p = plan(REGISTRY["incremental_near_dup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
