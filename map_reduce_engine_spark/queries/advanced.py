@@ -1947,3 +1947,64 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     out = sentence_stats(spark, docs, "doc_id", "text")
     return out.select(F.col("id"), "sentence_idx", "n_tokens", "n_chars")
+
+
+def _poisson_bootstrap_oracle(b: int = 32, alpha: float = 0.05) -> str:
+    """DuckDB twin of operators/bootstrap.py::bootstrap_mean_ci on orders.
+
+    Identical Poisson(1) CASE ladder (same repr() threshold literals), the
+    same portable uniform hash, and the same spelled-out row_number
+    interpolation — every CI value draws on <= 2 replicate means, so float
+    summation order cannot drift the comparison.
+    """
+    import math
+
+    from map_reduce_engine_spark.operators.bootstrap import poisson1_weight_sql
+
+    u_sql = (
+        "(('0x' || substr(md5(k::VARCHAR || ':' || r::VARCHAR), 1, 8))::BIGINT"
+        " & 2147483647) / 2147483648.0"
+    )
+
+    def interp(p: float) -> str:
+        idx = 1.0 + (b - 1) * p
+        lo_rn, frac = int(math.floor(idx)), idx - math.floor(idx)
+        hi_rn = min(lo_rn + 1, b)
+        lo = f"max(CASE WHEN rn = {lo_rn} THEN m END)"
+        hi = f"max(CASE WHEN rn = {hi_rn} THEN m END)"
+        return f"round({lo} + {frac!r} * ({hi} - {lo}), 4)"
+
+    return f"""
+    WITH base AS (SELECT o_orderkey AS k, o_totalprice::DOUBLE AS x FROM orders),
+    rep AS (SELECT k, x, r FROM base, unnest(generate_series(0, {b - 1})) AS t(r)),
+    weighted AS (SELECT r, {poisson1_weight_sql(u_sql)} AS w, x FROM rep),
+    means AS (SELECT r, sum(w * x) / sum(w) AS m FROM weighted GROUP BY r),
+    ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+    ci AS (SELECT {interp(alpha / 2)} AS ci_lo, {interp(1 - alpha / 2)} AS ci_hi FROM ranked),
+    pt AS (SELECT round(avg(x), 4) AS point_mean FROM base)
+    SELECT pt.point_mean, ci.ci_lo, ci.ci_hi, {b}::BIGINT AS n_replicates
+    FROM pt, ci
+    """
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=_poisson_bootstrap_oracle(),
+    doc="Poisson-bootstrap 95% CI for mean order value — resampling-based "
+    "uncertainty at corpus scale: the classic bootstrap's B resamples "
+    "become independent per-row Poisson(1) weights (exact as n grows), so "
+    "ONE pass computes all 32 replicate means — explode 32 replicate ids "
+    "per row, weight by the Poisson inverse-CDF of a portable-hash "
+    "uniform, one hash aggregate keyed by replicate (32 rows out at ANY "
+    "input size). Weights are deterministic (md5-prefix of key:replicate) "
+    "— reproducible across engines/runs/partitionings, which is what "
+    "makes a bootstrap on 100 TB auditable. The only global window runs "
+    "over the 32 replicate means; CI uses the spelled-out rank "
+    "interpolation (queries/base.py percentile convention)",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.bootstrap import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", n_replicates=32
+    )

@@ -177,6 +177,7 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "token_pmi",
         "incremental_batch_dedup",
         "bpe_subword_vocab",
+        "poisson_bootstrap_ci",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
