@@ -52,6 +52,8 @@ SENTINELS = [
     ("q11_pagerank", "pagerank_customer_supplier", None),
     ("q12_components", "dedup_components", None),
     ("q13_tpch_q9", "q9_product_profit", None),
+    ("q14_bpe_train", "bpe_train_merges", None),
+    ("q15_bm25", "bm25_doc_scores", None),
 ]
 
 
