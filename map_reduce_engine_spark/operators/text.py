@@ -233,9 +233,14 @@ def skipgram_pairs(
     broadcast. Scales as O(window · tokens) work with no corpus-side join.
     """
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    # size guard via if(), NOT greatest(size-d, 0): Spark's sequence(1, 0)
+    # yields a DESCENDING [1, 0] (unlike DuckDB's empty generate_series),
+    # and element_at(_, 0) then throws on any document of <= d tokens
     per_offset = [
-        f"transform(sequence(1, greatest(size(toks) - {d}, 0)), "
-        f"i -> struct(element_at(toks, i) AS w1, element_at(toks, i + {d}) AS w2))"
+        f"if(size(toks) > {d}, "
+        f"transform(sequence(1, size(toks) - {d}), "
+        f"i -> struct(element_at(toks, i) AS w1, element_at(toks, i + {d}) AS w2)), "
+        f"cast(array() as array<struct<w1:string,w2:string>>))"
         for d in range(1, window + 1)
     ]
     pairs = toks.select(

@@ -469,3 +469,18 @@ def test_bpe_overlapping_pairs_greedy_leftmost(spark):
     merges = [tuple(r) for r in bpe_train(words, n_merges=2).orderBy("round").collect()]
     assert merges[0] == (1, "a", "a", "aa", 3)
     assert merges[1] == (2, "aa", "</w>", "aa</w>", 1)
+
+
+def test_skipgram_short_documents(spark):
+    """Documents shorter than the window must contribute nothing — Spark's
+    sequence(1, 0) is DESCENDING [1, 0] (unlike DuckDB's empty
+    generate_series), so an unguarded transform would hit element_at(_, 0)
+    and throw on any 1- or 2-token document."""
+    from map_reduce_engine_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c d")], ["doc_id", "text"]
+    )
+    rows = skipgram_pairs(df, "doc_id", "text", window=2, min_count=1).collect()
+    got = sorted((r.w1, r.w2, r.pair_cnt) for r in rows)
+    assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("b", "d", 1), ("c", "d", 1)]
