@@ -51,6 +51,11 @@ def winnow_hashes_col(arr_col: str, k: int = 4) -> Column:
     Engine-portable (md5 is identical everywhere, unlike xxhash64), so
     fingerprints computed by different engines agree — the property the
     DuckDB oracle twin relies on.
+
+    PRECONDITION: callers must filter ``size(arr) >= k`` first — Spark's
+    ``sequence(1, 0)`` is a descending [1, 0], not empty, so a shorter
+    array would index position 0/-1 (see operators/text.py::skipgram_pairs
+    for the guarded pattern).
     """
     grams = ", ".join(f"{arr_col}[i{'+' + str(j) if j else ''}-1]" for j in range(k))
     return F.expr(
