@@ -175,3 +175,48 @@ def pagerank(
         )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """(node, dist) — undirected BFS hop distances from a seed set.
+
+    The third iterative-graph primitive next to connected components and
+    PageRank: frontier expansion, one equi-join + anti-join per round.
+    Each round joins the current frontier to the (materialized-once)
+    undirected edge list, drops already-visited nodes with an anti-join on
+    the distance table, and eagerly ``localCheckpoint``s both — the same
+    lineage-truncation discipline as the other loops (the driver holds
+    only the round counter). Rounds are FIXED at ``max_depth`` so the
+    DuckDB oracle unrolls the identical expansion; an empty frontier makes
+    the remaining rounds no-ops rather than early-exiting (no per-round
+    driver count job).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for r in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(
+            nxt.withColumn("dist", F.lit(r).cast("bigint")).select("node", "dist")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

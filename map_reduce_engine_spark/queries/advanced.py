@@ -2008,3 +2008,74 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(
         t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", n_replicates=32
     )
+
+
+def _bfs_oracle(max_depth: int = 4) -> str:
+    """DuckDB twin of undirected BFS from 'c1', rounds unrolled into CTEs.
+
+    Per-round CTEs are AS MATERIALIZED (each distance table is referenced
+    by the next frontier's anti-join AND the next union — default inlining
+    would expand the round chain exponentially, the bpe_train_merges
+    lesson). Visited-set exclusion is a LEFT JOIN ... IS NULL, never
+    NOT IN (identical anti-join semantics to Spark's left_anti).
+    """
+    parts = [
+        """und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+      UNION
+      SELECT dst, src FROM (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+    )""",
+        "d0 AS MATERIALIZED (SELECT 'c1' AS node, 0::BIGINT AS dist)",
+        "f0 AS MATERIALIZED (SELECT node FROM d0)",
+    ]
+    for r in range(1, max_depth + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+      SELECT t.node FROM (
+        SELECT DISTINCT u.b AS node FROM f{r - 1} f JOIN und u ON u.a = f.node
+      ) t LEFT JOIN d{r - 1} d ON d.node = t.node WHERE d.node IS NULL
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT node, dist FROM d{r - 1}
+      UNION ALL SELECT node, {r}::BIGINT FROM f{r}
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\nSELECT node, dist FROM d{max_depth}"
+    )
+
+
+@register(
+    "bfs_reach",
+    oracle=_bfs_oracle(4),
+    doc="undirected BFS hop distances from customer c1 over the "
+    "customer–supplier copurchase graph, 4 rounds — the third iterative "
+    "graph primitive (after connected components and PageRank): per round "
+    "one frontier⋈edges equi-join + one anti-join against the visited "
+    "set, edges materialized once, every round localCheckpoint-truncated. "
+    "Fixed depth makes the expansion unrollable into the oracle's "
+    "materialized CTEs; an empty frontier makes later rounds no-ops "
+    "instead of a per-round driver count. The reachability/ego-network "
+    "primitive behind influence radius and contamination-spread audits",
+)
+def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import bfs_distances
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("c1",)], ["node"])
+    return bfs_distances(edges, seeds, max_depth=4)

@@ -1399,3 +1399,89 @@ def secondary_sort_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_key_type="long",
         out_value_type="text",
     )
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    bounded AS (
+      SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 32
+    ),
+    bi AS (
+      SELECT i.l_orderkey, i.l_partkey FROM items i
+      JOIN bounded bd ON bd.l_orderkey = i.l_orderkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM bi),
+    isup AS (SELECT l_partkey, count(*)::BIGINT AS s FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS support
+      FROM bi a JOIN bi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, support FROM pairs
+      UNION ALL
+      SELECT p2, p1, support FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.support,
+           round(r.support * 1.0 / sa.s, 6) AS confidence,
+           round((r.support * 1.0 / sa.s) * n.n_baskets / sc.s, 6) AS lift
+    FROM rules r
+    JOIN isup sa ON sa.l_partkey = r.antecedent
+    JOIN isup sc ON sc.l_partkey = r.consequent, n
+    """,
+    doc="association rules over order baskets (support >= 3, both "
+    "directions): confidence = P(consequent | antecedent), lift = "
+    "confidence / P(consequent) — the rule-mining layer on top of "
+    "part_pair_cooccurrence. Same a-priori posture: distinct items per "
+    "basket, basket size capped at 32 so per-order pair fan-out stays "
+    "bounded; the item-support table is |parts|-sized → BROADCAST on "
+    "both rule ends, and the basket total rides along as a 1-row "
+    "broadcast. Ratios divide exact integers (IEEE-exact), rounded at 6",
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    bounded = (
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("basket"))
+        .where(F.col("basket") <= 32)
+        .select("l_orderkey")
+    )
+    bi = items.join(bounded, "l_orderkey")
+    n = bi.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
+    isup = bi.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("s"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "support"
+        )
+    )
+    sa = isup.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("sa"))
+    sc = isup.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("sc"))
+    conf = F.col("support") * 1.0 / F.col("sa")
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf * F.col("n_baskets") / F.col("sc"), 6).alias("lift"),
+        )
+    )

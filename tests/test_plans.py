@@ -420,3 +420,23 @@ def test_incremental_near_dup_joins_are_equi(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_bfs_plan_stays_bounded(spark, sf_dir):
+    """4 BFS rounds must not nest: edges materialize once and every round
+    localCheckpoints, so the final distance table is checkpoint-scan
+    unions — no per-round parquet re-plan."""
+    df = REGISTRY["bfs_reach"].fn(spark, sf_dir)
+    p = plan(df, mode="simple")
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+    assert p.count("parquet") == 0
+
+
+def test_association_rules_broadcast_supports(spark, sf_dir):
+    """Both rule-end support joins and the basket total are tiny — they
+    must broadcast; the only shuffle joins are the basket self-join."""
+    p = plan(REGISTRY["association_rules"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
+    )
