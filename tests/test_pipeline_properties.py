@@ -156,3 +156,34 @@ def test_bpe_matches_reference_trainer(spark_global, entries):
     df = spark_global.createDataFrame(list(words.items()), ["word", "wcnt"])
     got = [tuple(r) for r in bpe_train(df, n_merges=3).orderBy("round").collect()]
     assert got == expected, (words, got, expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_skipgram_counts_match_reference(spark_global, texts):
+    """Pair counts from the array-transform generation must equal a direct
+    Python enumeration of forward window-2 pairs — including empty,
+    1-token, and 2-token documents (the descending-sequence edge)."""
+    from collections import Counter
+
+    from map_reduce_engine_spark.operators.text import skipgram_pairs
+
+    expected = Counter()
+    for text in texts:
+        toks = text.split()
+        for i, w1 in enumerate(toks):
+            for d in (1, 2):
+                if i + d < len(toks):
+                    expected[(w1, toks[i + d])] += 1
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = skipgram_pairs(df, "doc_id", "text", window=2, min_count=1).collect()
+    got = {(r.w1, r.w2): r.pair_cnt for r in rows}
+    assert got == dict(expected), (texts, got, dict(expected))
