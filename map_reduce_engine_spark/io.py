@@ -75,6 +75,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """Spark 4 built-in XML source (the former spark-xml package, merged
+    upstream) — feed-shaped ingest without a parsing UDF."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode(mode).save(path)
+
+
 # Fixture timestamp columns by table — every one goes through the same
 # tolerant normalization as events.ts, so a driver fixture regeneration that
 # changes a physical timestamp encoding (micros ↔ nanos-as-long ↔ tz-instant)

@@ -1038,3 +1038,78 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_bp"),
         )
     )
+
+
+@register(
+    "mixture_upsample",
+    oracle="""
+    WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    tot AS (
+      SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS s FROM c
+    ),
+    f AS (
+      SELECT c.source, (tot.total * 1.0 / tot.s) / c.n AS factor
+      FROM c, tot
+    ),
+    d AS (
+      SELECT doc_id, d.source, factor,
+             floor(factor)::INT AS nfull,
+             factor - floor(factor) AS frac,
+             (('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT & 2147483647)
+               / 2147483648.0 AS u
+      FROM documents d JOIN f ON f.source = d.source
+    ),
+    copies AS (
+      SELECT doc_id, source, nfull + CASE WHEN u < frac THEN 1 ELSE 0 END AS n_copies
+      FROM d
+    )
+    SELECT doc_id, source, unnest(generate_series(1, n_copies))::INT AS copy_id
+    FROM copies WHERE n_copies >= 1
+    """,
+    doc="epoch-weighted mixture resampling toward uniform source shares, "
+    "UP and down in one formula: repeat factor = target_share/actual "
+    "(may exceed 1 — books-style upsampling), each doc gets "
+    "floor(factor) full copies plus one more iff its portable-hash "
+    "uniform falls under the fractional part — so a 0.4x source keeps a "
+    "deterministic 40% and a 2.5x source emits 2 copies plus a "
+    "deterministic extra 50%. Copy manifest is engine/run/partitioning "
+    "independent (md5 hash, not RNG); the factor table is "
+    "|sources|-sized → broadcast; explode fan-out equals the target "
+    "epoch count. Completes domain_mixture (downsample-only) with the "
+    "upsampling half every pretraining mixture needs",
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("total"), F.count("*").cast("bigint").alias("s")
+    )
+    f = c.crossJoin(F.broadcast(tot)).select(
+        "source", ((F.col("total") * 1.0 / F.col("s")) / F.col("n")).alias("factor")
+    )
+    d = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(f), "source")
+        .withColumn("nfull", F.floor("factor").cast("int"))
+        .withColumn("frac", F.col("factor") - F.floor("factor"))
+        .withColumn(
+            "u",
+            portable_base31(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            / F.lit(float(1 << 31)),
+        )
+        .withColumn(
+            "n_copies",
+            F.col("nfull") + F.when(F.col("u") < F.col("frac"), 1).otherwise(0),
+        )
+    )
+    return (
+        d.where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_id0"),
+        )
+        .select("doc_id", "source", F.col("copy_id0").cast("int").alias("copy_id"))
+    )

@@ -350,3 +350,19 @@ def test_read_table_tolerates_timestamp_encoding_drift(spark, tmp_path):
         got[tag] = df.collect()[0].ts
     assert got["us"] == got["ns_long"] == got["tz"] == naive, got
     assert got["date"] == datetime.datetime(2024, 1, 15), got  # midnight wall-clock
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4's built-in XML source: a nation-table roundtrip preserves
+    rows and types survive re-read (long keys come back as BIGINT)."""
+    from map_reduce_engine_spark.io import read_table, read_xml, write_xml
+
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

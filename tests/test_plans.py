@@ -178,6 +178,7 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "incremental_batch_dedup",
         "bpe_subword_vocab",
         "poisson_bootstrap_ci",
+        "mixture_upsample",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
