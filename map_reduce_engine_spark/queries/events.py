@@ -902,3 +902,57 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("sum_raw", 2).alias("sum_value"),
         F.round(F.col("avg_sum") / F.col("avg_cnt").cast("double"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS p
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT t.path FROM (
+        SELECT unnest(list_transform(
+          generate_series(1, greatest(len(p) - 2, 0)),
+          i -> p[i] || '>' || p[i + 1] || '>' || p[i + 2]
+        )) AS path FROM paths
+      ) t
+    )
+    SELECT path, count(*)::BIGINT AS cnt
+    FROM tri GROUP BY path
+    ORDER BY cnt DESC, path LIMIT 20
+    """,
+    doc="clickstream path mining: top-20 three-step event-type paths "
+    "across user journeys. Each user's journey is one ordered array "
+    "(deterministic (ts, event_id) tiebreak), trigram paths are an array "
+    "transform inside the projection — the positional self-join the "
+    "naive plan needs (two corpus-sized shuffle joins) never exists, the "
+    "same zero-join construction as token_pmi. One shuffle per user for "
+    "the journey collect (bounded per-user state), one hash agg for "
+    "path counts, TakeOrderedAndProject for the top-20",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, event_type))),"
+            " s -> s.event_type)"
+        ).alias("p")
+    )
+    tri = paths.select(
+        F.explode(
+            F.expr(
+                "if(size(p) > 2, transform(sequence(1, size(p) - 2),"
+                " i -> concat_ws('>', element_at(p, i), element_at(p, i + 1),"
+                " element_at(p, i + 2))), cast(array() as array<string>))"
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(20)
+    )

@@ -179,6 +179,8 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "bpe_subword_vocab",
         "poisson_bootstrap_ci",
         "mixture_upsample",
+        "event_path_trigrams",
+        "association_rules",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
