@@ -1113,3 +1113,61 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("copy_id0").cast("int").alias("copy_id"))
     )
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    cand AS (
+      SELECT d.doc_id AS anchor_id, j,
+             (('0x' || substr(md5('neg:' || d.doc_id || ':' || j), 1, 8))::BIGINT
+              & 2147483647) % n.n_docs AS neg_id
+      FROM documents d, n, unnest(generate_series(1, 4)) AS t(j)
+    )
+    SELECT c.anchor_id, c.j::BIGINT AS j, c.neg_id AS negative_id,
+           nd.source AS negative_source
+    FROM cand c JOIN documents nd ON nd.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id
+    """,
+    doc="deterministic negative sampling for contrastive training "
+    "(word2vec/CLIP-style): each anchor gets 4 pseudo-random negatives "
+    "drawn by portable hash of (anchor, slot) modulo the corpus size — "
+    "the manifest is reproducible across engines, runs, and "
+    "partitionings (auditable training data, unlike RNG draws), "
+    "self-pairs filtered, and the candidate ids resolve through an "
+    "equi-join against the corpus (ids that do not exist drop out "
+    "gracefully rather than assuming dense keys). Corpus size rides "
+    "along as a 1-row broadcast; the fan-out is k× the anchor count, "
+    "never quadratic",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    cand = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("j", F.explode(F.expr("sequence(1, 4)")))
+        .withColumn(
+            "neg_id",
+            portable_base31(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.col("n_docs"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    nd = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("negative_source"))
+    return cand.join(nd, "neg_id").select(
+        "anchor_id",
+        F.col("j").cast("bigint").alias("j"),
+        F.col("neg_id").alias("negative_id"),
+        "negative_source",
+    )
