@@ -298,3 +298,62 @@ def bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wcnt").cast("bigint").alias("occurrences"),
         F.countDistinct("word").cast("bigint").alias("n_word_types"),
     )
+
+
+@register(
+    "bpe_fertility",
+    oracle=_bpe_oracle(
+        6,
+        final_select=r"""SELECT st.source,
+       sum(st.c * sw.n_sub)::BIGINT AS total_subwords,
+       sum(st.c)::BIGINT AS total_words,
+       round(sum(st.c * sw.n_sub) * 1.0 / sum(st.c), 4) AS fertility
+    FROM (
+      SELECT source, token AS word, count(*)::BIGINT AS c FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> '' GROUP BY source, token
+    ) st
+    JOIN (SELECT word, count(*)::BIGINT AS n_sub FROM {final} GROUP BY word) sw
+      ON sw.word = st.word
+    GROUP BY st.source""",
+    ),
+    doc="per-source tokenizer fertility (subwords emitted per word) after "
+    "the 6 learned BPE merges — the number that decides whether a "
+    "tokenizer is fair to a domain/language (high fertility = more "
+    "compute per word). Segmentation runs once on the vocabulary-sized "
+    "dictionary; the per-word subword count joins the per-(source, word) "
+    "counts as a vocabulary-sized BROADCAST, and the ratio divides exact "
+    "integer sums (IEEE-exact). Shares the training rounds and "
+    "unrolled-CTE oracle with bpe_train_merges",
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    words = (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    n_sub = (
+        bpe.bpe_segment(words, n_merges=6)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_sub"))
+    )
+    st = (
+        docs.select("source", F.explode(text_ops.tokens_col("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        st.join(F.broadcast(n_sub), "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("n_sub")).cast("bigint").alias("total_subwords"),
+            F.sum("c").cast("bigint").alias("total_words"),
+            F.round(
+                F.sum(F.col("c") * F.col("n_sub")) * 1.0 / F.sum("c"), 4
+            ).alias("fertility"),
+        )
+    )

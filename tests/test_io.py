@@ -366,3 +366,20 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
         "n_nationkey", "n_name", "n_regionkey"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet file generations: a reader with
+    mergeSchema must union the columns (missing ones null-filled) — the
+    posture that lets a 100 TB table gain a column without rewriting
+    history."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("x"))
+    v2 = spark.range(3, 6).select(F.col("id"), F.lit("a").alias("x"), F.lit(1).alias("y"))
+    v1.write.parquet(str(tmp_path / "t" / "g=1"))
+    v2.write.parquet(str(tmp_path / "t" / "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) >= {"id", "x", "y"}
+    rows = {r.id: (r.x, r.y) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[5] == ("a", 1)

@@ -182,6 +182,7 @@ def test_multimodal_features_prunes_before_python(spark, sf_dir):
         "event_path_trigrams",
         "association_rules",
         "contrastive_negatives",
+        "bpe_fertility",
     ],
 )
 def test_hot_paths_have_no_python_eval(spark, sf_dir, name):
