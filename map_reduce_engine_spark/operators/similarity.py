@@ -548,3 +548,121 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_est", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup) — cluster-local near-dup pruning
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 32,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540).
+
+    Cluster the embedding space (bounded seeded sample → driver-side Lloyd's,
+    the same trainer ``ivf_topk`` uses), assign every vector to its nearest
+    centroid in one Arrow-batched pass, then compare vectors ONLY within a
+    cell: grown ``n_cells`` ∝ corpus size keeps per-cell population bounded,
+    so the candidate pair space is Σ|cell|² ≈ O(n·cell_size) instead of the
+    all-pairs O(n²) — the paper's scaling trick, and the same equi-join-on-
+    ``cell`` shuffle shape as a production IVF index. A row is dropped when
+    its cell contains a smaller-id row with cosine >= ``threshold``
+    (deterministic min-id survivor, matching the exact-dedup convention).
+
+    Returns one row per input id: ``(id_col, cell, is_kept, keeper_id)``
+    with ``keeper_id`` the smallest qualifying same-cell neighbor (NULL for
+    kept rows). Reference parity: the reference engine has no embedding
+    operators at all (SURVEY §2 Part C north-star extension).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
+
+    # Bounded-sample centroid training (rationale at ivf_topk): quality
+    # saturates at ~tens of points per centroid; the collect is a few
+    # hundred KB at ANY corpus size.
+    target = max(50 * n_cells, 1000)
+    n_rows = df.count()
+    train = df.select(unit(_vecd(F.col(vec_col))).alias("v"))
+    if n_rows > target:
+        train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
+    X = np.array(train.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    # Canonicalize sample order (toPandas order is partition-dependent and
+    # the seeded init picks rows by index) so the trained centroids — and
+    # therefore the whole dedup decision — are invariant under input
+    # repartitioning. The sample is bounded, so the driver-side sort is
+    # O(target log target) regardless of corpus size.
+    X = X[np.lexsort(X.T[::-1])]
+    centers = _lloyd_kmeans(X, min(n_cells, len(X)), seed, max_iter)
+
+    C = np.array(centers, dtype=np.float64)
+    Csq = (C**2).sum(axis=1)
+
+    asg_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        # One vectorized pass per Arrow batch (same shape as ivf_topk's
+        # corpus assigner): on the unit sphere argmin ||u-c||² ==
+        # argmin (||c||² - 2 u·c).
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
+            norms = np.sqrt((V**2).sum(axis=1))
+            U = V / np.where(norms > 0, norms, 1.0)[:, None]
+            d2 = Csq[None, :] - 2.0 * (U @ C.T)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "v": list(V),
+                    "norm": norms,
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    cb = (
+        df.select(F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v"))
+        .mapInPandas(assign, schema=asg_schema)
+        # feeds both sides of the self-join plus the final outer join:
+        # materialize once, keep lineage flat
+        .localCheckpoint(eager=True)
+    )
+    x, y = cb.alias("x"), cb.alias("y")
+    keepers = (
+        x.join(y, "cell")
+        .where(F.col("x.id") > F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id"),
+            F.col("y.id").alias("cand"),
+            (
+                dot(F.col("x.v"), F.col("y.v"))
+                / F.nullif(F.col("x.norm") * F.col("y.norm"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .groupBy("id")
+        .agg(F.min("cand").alias("keeper_id"))
+    )
+    return (
+        cb.select("id", "cell")
+        .join(keepers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("keeper_id").isNull().alias("is_kept"),
+            "keeper_id",
+        )
+    )

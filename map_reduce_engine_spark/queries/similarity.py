@@ -408,3 +408,65 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         (F.coalesce("recall", F.lit(0.0)) >= 0.2).alias("floor_met"),
     )
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_total, TRUE AS partition_ok, TRUE AS dropped_valid
+    FROM embeddings
+    """,
+    doc="SemDeDup semantic dedup (arXiv:2303.09540): KMeans-cell-local "
+    "cosine pruning with deterministic min-id survivors. Cell assignment "
+    "depends on the trained centroids (not SQL-reproducible), so the "
+    "conformance artifact is a verdict row: kept+dropped exactly "
+    "partitions the corpus (every id once), and every dropped id is "
+    "re-verified against its keeper through an INDEPENDENT JVM-side "
+    "exact-cosine recompute >= tau (the drop decision itself came from the "
+    "numpy-side Arrow pass — two disjoint code paths must agree). The "
+    "fixture embeddings carry no planted near-dups (max pairwise cosine "
+    "~0.51), so tau=0.4 exercises a non-empty drop path.",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    res = sim.semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=16, threshold=0.4
+    ).localCheckpoint(eager=True)  # feeds three aggregates: run once
+
+    vec = emb.select(
+        F.col("vec_id").alias("kid"),
+        sim._vecd(F.col("embedding")).alias("kv"),
+    ).withColumn("knorm", sim.l2_norm(F.col("kv")))
+    dvec = emb.select(
+        F.col("vec_id").alias("did"),
+        sim._vecd(F.col("embedding")).alias("dv"),
+    ).withColumn("dnorm", sim.l2_norm(F.col("dv")))
+    dropped_ok = (
+        res.where(~F.col("is_kept"))
+        .join(dvec, F.col("vec_id") == F.col("did"))
+        .join(vec, F.col("keeper_id") == F.col("kid"))
+        .select(
+            (
+                sim.dot(F.col("dv"), F.col("kv"))
+                / F.nullif(F.col("dnorm") * F.col("knorm"), F.lit(0.0))
+                >= 0.4
+            ).alias("ok")
+        )
+        .agg(F.coalesce(F.bool_and("ok"), F.lit(True)).alias("dropped_valid"))
+    )
+    stats = res.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_ids"),
+    )
+    total = emb.agg(F.count("*").alias("n_total"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(dropped_ok))
+        .select(
+            "n_total",
+            ((F.col("n_rows") == F.col("n_total")) & (F.col("n_ids") == F.col("n_total"))).alias(
+                "partition_ok"
+            ),
+            "dropped_valid",
+        )
+    )

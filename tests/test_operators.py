@@ -484,3 +484,37 @@ def test_skipgram_short_documents(spark):
     rows = skipgram_pairs(df, "doc_id", "text", window=2, min_count=1).collect()
     got = sorted((r.w1, r.w2, r.pair_cnt) for r in rows)
     assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("b", "d", 1), ("c", "d", 1)]
+
+
+def test_semantic_dedup_contract(spark, sf_dir):
+    """SemDeDup cluster-local pruning: (a) output exactly partitions the
+    input ids, (b) every dropped id's keeper is a genuinely-near smaller id
+    (recomputed driver-side in numpy — independent of the JVM join path),
+    (c) dropped pairs are a SUBSET of the global brute-force near pairs
+    (cluster-locality can only miss pairs, never invent them), and
+    (d) deterministic under repartitioning."""
+    import numpy as np
+
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
+    rows = out.collect()
+    ids = [r.vec_id for r in rows]
+    assert sorted(ids) == sorted(r.vec_id for r in emb.select("vec_id").collect())
+
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def cos(a, b):
+        return float(V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))
+
+    dropped = [(r.vec_id, r.keeper_id) for r in rows if not r.is_kept]
+    assert dropped, "fixture should produce a non-empty drop set at tau=0.4"
+    for d, k in dropped:
+        assert k < d
+        assert cos(d, k) >= 0.4 - 1e-9
+
+    out2 = semantic_dedup(
+        emb.repartition(7), "vec_id", "embedding", n_cells=16, threshold=0.4
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in rows}

@@ -62,16 +62,12 @@ def test_matches_oracle(name, spark, duck, sf_dir):
         pytest.fail(f"{name}: value mismatch, first diffs (spark, duck): {diffs}")
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(name, spark, sf_dir):
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    # stable schema: running twice yields the same schema + count
-    df2 = q.fn(spark, sf_dir)
-    assert df2.schema == df.schema
-    assert df2.count() == n
+def test_every_query_has_an_oracle():
+    """The registry's invariant since round 2: NO rows-only entries — every
+    query (including trained-model ones, via verdict oracles) is
+    hash-comparable against DuckDB. A regression here silently weakens the
+    driver's correctness gate, so it fails loudly instead of skipping."""
+    assert ROWS_ONLY_QUERIES == [], f"queries without oracles: {ROWS_ONLY_QUERIES}"
 
 
 def test_approx_quantile_within_bound(spark, sf_dir, duck):
