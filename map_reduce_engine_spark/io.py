@@ -96,6 +96,32 @@ def write_xml(
     ).mode(mode).save(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingest via the built-in ``binaryFile`` source: one row per
+    file with ``(path, modificationTime, length, content: binary)``.
+
+    The multimodal ingest edge (SURVEY §2 Part C): image/audio/video blobs
+    enter the engine as opaque binary rows and flow straight into
+    ``operators.multimodal`` (metadata extraction, pluggable decode). The
+    source is splittable across executors by FILE (never within one), so at
+    100 TB ingest parallelism equals file count — pair with
+    ``compact_small_files`` after decode, and cap
+    ``spark.sql.files.maxPartitionBytes`` so many small blobs coalesce into
+    one task instead of one task per file.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 # Fixture timestamp columns by table — every one goes through the same
 # tolerant normalization as events.ts, so a driver fixture regeneration that
 # changes a physical timestamp encoding (micros ↔ nanos-as-long ↔ tz-instant)
@@ -305,3 +331,24 @@ def compact_small_files(
     df = spark.read.parquet(src)
     df.coalesce(int(n_files)).write.mode(mode).parquet(dest)
     return len([f for f in Path(dest).rglob("*.parquet")])
+
+
+def write_rebalanced(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    cols: list[str] | None = None,
+) -> None:
+    """Parquet sink behind an AQE ``REBALANCE`` exchange: output files come
+    out near-uniform in size regardless of upstream partition skew.
+
+    ``repartition(n)`` needs a hand-picked ``n`` that goes stale as data
+    grows; ``coalesce`` can't split a hot partition at all. The REBALANCE
+    hint lets AQE pick the partition count from the actual runtime map
+    statistics AND split oversized partitions (skewedPartitionFactor), so
+    the same write keeps producing ~advisory-sized files from sf0.001 to
+    100 TB. With ``cols`` the exchange hashes on those columns first (file-
+    level locality for downstream scans) while still splitting skewed keys.
+    """
+    hinted = df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+    hinted.write.mode(mode).parquet(path)

@@ -383,3 +383,61 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "x", "y"}
     rows = {r.id: (r.x, r.y) for r in merged.collect()}
     assert rows[0] == ("a", None) and rows[5] == ("a", 1)
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingest: one row per file with (path, length, content),
+    glob filtering, and recursive lookup — the multimodal ingest edge."""
+    d = tmp_path / "media"
+    (d / "nested").mkdir(parents=True)
+    (d / "a.img").write_bytes(b"\x89IMG\x00fake-image-bytes")
+    (d / "b.img").write_bytes(b"\x89IMG\x01other-bytes")
+    (d / "notes.txt").write_text("not media")
+    (d / "nested" / "c.img").write_bytes(b"\x89IMG\x02deep")
+
+    flat = mio.read_binary_files(spark, str(d), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in flat.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # glob excluded notes.txt, no recursion
+    assert rows["a.img"] == b"\x89IMG\x00fake-image-bytes"
+    assert {f.name for f in flat.schema.fields} >= {"path", "modificationTime", "length", "content"}
+
+    deep = mio.read_binary_files(spark, str(d), glob="*.img", recursive=True)
+    assert deep.count() == 3
+    lens = {r.path.rsplit("/", 1)[-1]: r.length for r in deep.collect()}
+    assert lens["c.img"] == len(b"\x89IMG\x02deep")
+
+
+def test_rebalanced_write_plan_and_roundtrip(spark, sf_dir, tmp_path):
+    """write_rebalanced must put an AQE RebalancePartitions exchange in the
+    plan (uniform output files under skew) and round-trip the data."""
+    df = mio.read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hinted = df.hint("rebalance", "o_custkey")
+    assert "rebalance" in hinted._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    out = tmp_path / "rebalanced"
+    mio.write_rebalanced(df, str(out), cols=["o_custkey"])
+    back = spark.read.parquet(str(out))
+    assert back.count() == df.count()
+    assert {f.name for f in back.schema.fields} == {"o_orderkey", "o_custkey"}
+
+
+def test_binary_ingest_feeds_multimodal_pipeline(spark, tmp_path):
+    """End-to-end multimodal edge: files on disk → binaryFile rows →
+    attach_media_meta → extract_features (fake decoder) without ever
+    materializing payloads on the driver."""
+    from map_reduce_engine_spark.operators.multimodal import attach_media_meta, extract_features
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x89IMG-x" * 10)
+    (d / "y.img").write_bytes(b"\x89IMG-y" * 20)
+
+    raw = mio.read_binary_files(spark, str(d), glob="*.img").withColumn(
+        "file_id", F.xxhash64("path")  # extract_features keys on a long id
+    )
+    tagged = attach_media_meta(raw, "content", kind="image", mime="image/x-fake")
+    feats = extract_features(tagged, id_col="file_id", payload_col="content", decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r.features) > 0  # deterministic fake features, real plumbing
