@@ -956,3 +956,89 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "path")
         .limit(20)
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum(value) AS sv,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket)::TIMESTAMP AS bucket,
+             sum(n)::BIGINT AS n, sum(sv) AS sv,
+             min(min_value) AS min_value, max(max_value) AS max_value
+      FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+      SELECT date_trunc('month', bucket)::TIMESTAMP AS bucket,
+             sum(n)::BIGINT AS n, sum(sv) AS sv,
+             min(min_value) AS min_value, max(max_value) AS max_value
+      FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS level, bucket, n, round(sv, 2) AS sum_value, round(min_value, 4) AS min_value, round(max_value, 4) AS max_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, n, round(sv, 2), round(min_value, 4), round(max_value, 4) FROM daily
+    UNION ALL
+    SELECT 'month', bucket, n, round(sv, 2), round(min_value, 4), round(max_value, 4) FROM monthly
+    """,
+    doc="hypertable-style multi-resolution rollup (the TimescaleDB "
+    "continuous-aggregate pattern): hour buckets aggregate the fact table "
+    "ONCE; day and month levels then reaggregate the next-finer PARTIALS "
+    "(count/sum/min/max are all merge-reaggregable — the AddInterface "
+    "contract, ReduceRunner.java:154-172, applied hierarchically). At "
+    "100 TB the hourly table is what you persist (fact-table-sized scans "
+    "happen once per refresh window); every coarser grain is a "
+    "bucket-count-sized rollup of it, and AVG derives at read time as "
+    "sum/count rather than being stored (averages don't reaggregate). "
+    "Spark date_trunc on NTZ coerces to session-TZ instants, so each "
+    "truncation casts straight back to timestamp_ntz (wall-time buckets, "
+    "tz-independent).",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # Materialize each grain before the branches below reuse it: Spark does
+    # NOT share common subplans across union branches, so without this the
+    # fact table would be scanned once PER LEVEL (verified in the physical
+    # plan) — exactly what the continuous-aggregate pattern exists to avoid.
+    # In production the hourly table is a persisted parquet table; here the
+    # eager localCheckpoint is its in-session stand-in.
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).localCheckpoint(eager=True)
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").cast("timestamp_ntz").alias("bucket")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ).localCheckpoint(eager=True)
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").cast("timestamp_ntz").alias("bucket")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+    def fin(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            "n",
+            F.round("sv", 2).alias("sum_value"),
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+
+    return fin(hourly, "hour").unionAll(fin(daily, "day")).unionAll(fin(monthly, "month"))

@@ -1485,3 +1485,124 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(conf * F.col("n_baskets") / F.col("sc"), 6).alias("lift"),
         )
     )
+
+
+_KMV_SET_SQL = """
+    WITH sides AS (
+      SELECT DISTINCT CASE WHEN o_orderpriority LIKE '1-%' THEN 'a' ELSE 'b' END AS side,
+             ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT & 2147483647 AS h
+      FROM orders
+      WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    ),
+    sk AS (
+      SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk FROM sides
+    ),
+    topk AS (SELECT side, h, rk FROM sk WHERE rk <= 64),
+    side_stats AS (
+      SELECT side, max(CASE WHEN rk = 64 THEN h END) AS hk FROM topk GROUP BY side
+    ),
+    u AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (SELECT DISTINCT h FROM topk)
+    ),
+    uk AS (SELECT h, rk FROM u WHERE rk <= 64),
+    union_stat AS (SELECT max(CASE WHEN rk = 64 THEN h END) AS hk FROM uk),
+    rho AS (
+      SELECT count(*)::DOUBLE / 64 AS r
+      FROM uk
+      WHERE h IN (SELECT h FROM topk WHERE side='a') AND h IN (SELECT h FROM topk WHERE side='b')
+    ),
+    exact AS (
+      SELECT
+        count(DISTINCT CASE WHEN o_orderpriority LIKE '1-%' THEN o_custkey END) AS exact_a,
+        count(DISTINCT CASE WHEN o_orderpriority LIKE '2-%' THEN o_custkey END) AS exact_b,
+        count(DISTINCT o_custkey) AS exact_union
+      FROM orders
+      WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    )
+    SELECT
+      round((63 * 2147483648)::DOUBLE / (SELECT hk FROM side_stats WHERE side='a'), 4) AS a_est,
+      round((63 * 2147483648)::DOUBLE / (SELECT hk FROM side_stats WHERE side='b'), 4) AS b_est,
+      round((63 * 2147483648)::DOUBLE / (SELECT hk FROM union_stat), 4) AS union_est,
+      round((SELECT r FROM rho) * (63 * 2147483648)::DOUBLE / (SELECT hk FROM union_stat), 4) AS intersect_est,
+      exact_a, exact_b, exact_union,
+      exact_a + exact_b - exact_union AS exact_intersect
+    FROM exact
+"""
+
+
+@register(
+    "kmv_set_ops",
+    oracle=_KMV_SET_SQL,
+    doc="KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07): distinct-count "
+    "estimates for two sets AND their union/intersection from two k=64 "
+    "sketches alone — the union sketch is the k smallest of the combined "
+    "sketch hashes, and |A∩B| ≈ ρ·|A∪B| where ρ is the fraction of the "
+    "union sketch present in both side sketches. The query that answers "
+    "'how many users overlap between these two 100 TB partitions' by "
+    "shipping 2×64 integers instead of re-scanning either side. Portable "
+    "md5-prefix hashes make every intermediate (side sketches, union "
+    "sketch, ρ, estimates) bit-identical in the DuckDB oracle; exact "
+    "counts ride along for quality comparison. Per-side rank-k is a "
+    "per-side window (production: bounded k-heap UDAF, see "
+    "kmv_distinct_sketch); the union ranking windows over <= 2k sketch "
+    "rows — driver-size data, not corpus data.",
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    k = 64
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")
+    )
+    sides = orders.select(
+        F.when(F.col("o_orderpriority").like("1-%"), F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        portable_base31(F.col("o_custkey").cast("string")).alias("h"),
+    ).distinct()
+    wside = Window.partitionBy("side").orderBy("h")
+    topk = (
+        sides.withColumn("rk", F.row_number().over(wside))
+        .where(F.col("rk") <= k)
+        .localCheckpoint(eager=True)  # <= 2k rows; feeds 4 subtrees below
+    )
+    side_stats = topk.groupBy("side").agg(F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"))
+    a_hk = side_stats.where(F.col("side") == "a").select(F.col("hk").alias("a_hk"))
+    b_hk = side_stats.where(F.col("side") == "b").select(F.col("hk").alias("b_hk"))
+    # global window over the <= 2k distinct sketch hashes (bounded, not corpus)
+    uk = (
+        topk.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rk") <= k)
+    )
+    union_hk = uk.agg(F.max(F.when(F.col("rk") == k, F.col("h"))).alias("u_hk"))
+    in_both = (
+        uk.join(topk.where(F.col("side") == "a").select("h"), "h", "left_semi")
+        .join(topk.where(F.col("side") == "b").select("h"), "h", "left_semi")
+        .agg((F.count("*").cast("double") / k).alias("rho"))
+    )
+    exact = orders.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderpriority").like("1-%"), F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority").like("2-%"), F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    scale = float((k - 1) * 2147483648)
+    return (
+        exact.crossJoin(F.broadcast(a_hk))
+        .crossJoin(F.broadcast(b_hk))
+        .crossJoin(F.broadcast(union_hk))
+        .crossJoin(F.broadcast(in_both))
+        .select(
+            F.round(F.lit(scale) / F.col("a_hk"), 4).alias("a_est"),
+            F.round(F.lit(scale) / F.col("b_hk"), 4).alias("b_est"),
+            F.round(F.lit(scale) / F.col("u_hk"), 4).alias("union_est"),
+            F.round(F.col("rho") * F.lit(scale) / F.col("u_hk"), 4).alias("intersect_est"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias("exact_intersect"),
+        )
+    )

@@ -445,3 +445,31 @@ def test_association_rules_broadcast_supports(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2 or (
         "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
     )
+
+
+def test_semantic_dedup_cell_local_equi_join(spark, sf_dir):
+    """SemDeDup: one Arrow-batched assignment pass, and the candidate pair
+    space is an EQUI-join on the cell id — never all-pairs."""
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    p = plan(semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "cell" in p
+
+
+def test_hypertable_rollup_scans_fact_table_once(spark, sf_dir):
+    """Continuous-aggregate discipline: the day/month levels reaggregate
+    the materialized hourly PARTIALS — the events fact table never appears
+    in the final plan more than the one (checkpointed) time."""
+    p = plan(REGISTRY["hypertable_rollup"].fn(spark, sf_dir), "simple")
+    assert "FileScan" not in p and "Scan parquet" not in p  # all grains read checkpoints
+
+
+def test_kmv_set_ops_windows_only_sketch_rows(spark, sf_dir):
+    """KMV set algebra: the only corpus-sized work is the per-side distinct
+    + rank; everything downstream (union sketch, rho, estimates) joins
+    bounded sketch rows, broadcast from both sides."""
+    p = plan(REGISTRY["kmv_set_ops"].fn(spark, sf_dir), "simple")
+    assert "BroadcastExchange" in p  # singleton stats broadcast into the verdict row
+    assert "CartesianProduct" not in p
