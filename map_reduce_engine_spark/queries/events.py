@@ -1042,3 +1042,87 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return fin(hourly, "hour").unionAll(fin(daily, "day")).unionAll(fin(monthly, "month"))
+
+
+@register(
+    "watermark_late_audit",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, event_type, ts,
+             ts + to_seconds((('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT & 2147483647) % 3600) AS arrival
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY arrival, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      FROM a
+    ),
+    g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_events,
+             (count(*) FILTER (WHERE ts < mx - INTERVAL 30 MINUTE))::BIGINT AS n_late
+      FROM w GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_late, (10000 * n_late) // n_events AS late_bp
+    FROM g
+    """,
+    doc="watermark late-data audit: which rows a 30-minute watermark would "
+    "DROP, per event type — the pre-deployment question every streaming "
+    "pipeline answers before picking withWatermark(delay). Arrival order "
+    "is simulated with a deterministic portable-hash jitter (<=1h) since "
+    "the fixture's event_id is perfectly time-ordered; the watermark "
+    "before each event is the running max event time over arrival order "
+    "minus the delay (Spark's semantics, tightened to per-event instead "
+    "of per-micro-batch — an upper bound on real drops). The running max "
+    "is computed as a TWO-LEVEL prefix scan: per arrival-hour partitions "
+    "(bounded window state) plus a prefix max over the tiny hour-summary "
+    "table — never one global window over the corpus; the oracle's "
+    "single global window is the small-scale equivalent. Rate reported "
+    "in integer basis points (nothing for engines to round).",
+)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    jit = portable_base31(F.col("event_id").cast("string")) % 3600
+    a = (
+        ev.withColumn("__jit", jit)
+        .withColumn("arrival", F.expr("timestampadd(SECOND, __jit, ts)"))
+        .drop("__jit")
+    )
+    a = a.withColumn("bucket", F.date_trunc("hour", "arrival").cast("timestamp_ntz"))
+
+    # level 1: running max WITHIN each arrival-hour (bounded window state)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = a.withColumn("run_mx", F.max("ts").over(w_in))
+    # level 2: prefix max over the hour-summary table (rows = distinct
+    # arrival hours — time-range-bounded, not corpus-bounded), broadcast back
+    bs = a.groupBy("bucket").agg(F.max("ts").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prev = bs.withColumn("prev_mx", F.max("bmax").over(w_b)).select("bucket", "prev_mx")
+    scored = a.join(F.broadcast(prev), "bucket").withColumn(
+        "wm_base",
+        F.greatest(
+            F.coalesce("run_mx", F.col("prev_mx")),
+            F.coalesce("prev_mx", F.col("run_mx")),
+        ),
+    )
+    late = (
+        F.col("wm_base").isNotNull()
+        & (F.col("ts") < F.expr("timestampadd(MINUTE, -30, wm_base)"))
+    ).cast("int")
+    g = scored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_late",
+        F.expr("10000 * n_late div n_events").alias("late_bp"),
+    )
