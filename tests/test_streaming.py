@@ -324,3 +324,89 @@ def test_user_stats_processor_logic_without_protocol():
     for b in batches:  # one handleInputRows call per micro-batch
         last = pd.concat(list(proc.handleInputRows((7,), iter([b]), None)))
     assert last.iloc[0].to_dict() == {"user_id": 7, "n": 3, "total": 8.0, "max_value": 4.0}
+
+
+def test_watermark_drop_accounting_matches_model(spark, tmp_path):
+    """Pin Spark's REAL watermark drop accounting against a deterministic
+    model, micro-batch by micro-batch (maxFilesPerTrigger=1 under
+    availableNow, file order by mtime):
+
+    - batch 0 (full time range) sets the watermark;
+    - batch 1 (one fresh event) advances it and EVICTS finalized windows;
+    - batch 2 (old events) arrives entirely behind the watermark.
+
+    Empirically pinned semantics (this is what the test documents):
+    numRowsDroppedByWatermark counts the late GROUPS reaching the state
+    operator after partial aggregation — i.e. distinct late windows per
+    micro-batch — not raw input rows. Late rows whose windows are still
+    in state (pre-eviction) are merged, not dropped, which is why the
+    batch `watermark_late_audit` query is an UPPER BOUND on real drops."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    f1 = [(i, base + dt.timedelta(minutes=7 * i)) for i in range(0, 200, 2)]
+    f2 = [(1001, base + dt.timedelta(hours=23, minutes=30))]
+    f3 = [(i, base + dt.timedelta(minutes=7 * i)) for i in range(1, 100, 2)]
+
+    d = tmp_path / "in"
+    d.mkdir()
+    now = time.time()
+    for i, (name, rows) in enumerate((("a", f1), ("b", f2), ("c", f3))):
+        p = str(d / f"{name}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now - 100 + i * 10,) * 2)  # mtime = micro-batch order
+
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    # naive-as-UTC instant via raw epoch arithmetic (streaming/windows.py
+    # convention): watermarks need TIMESTAMP, never cast("timestamp")
+    tsi = F.timestamp_micros(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    agg = (
+        raw.withColumn("tsi", tsi)
+        .withWatermark("tsi", "30 minutes")
+        .groupBy(F.window("tsi", "1 hour"))
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm_drops")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    per_batch = {
+        p.batchId: p.stateOperators[0].numRowsDroppedByWatermark
+        for p in q.recentProgress
+        if p.stateOperators
+    }
+    # watermark entering batch 2 derives from f2's max event time
+    wm = max(ts for _, ts in f2) - dt.timedelta(minutes=30)
+    hour = lambda ts: ts.replace(minute=0, second=0, microsecond=0)  # noqa: E731
+    expected_late_windows = {
+        hour(ts) for _, ts in f3 if hour(ts) + dt.timedelta(hours=1) <= wm
+    }
+    assert per_batch.get(0, 0) == 0  # nothing late before a watermark exists
+    assert per_batch.get(1, 0) == 0  # fresh event only
+    assert per_batch.get(2) == len(expected_late_windows)
