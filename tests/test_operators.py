@@ -518,3 +518,22 @@ def test_semantic_dedup_contract(spark, sf_dir):
         emb.repartition(7), "vec_id", "embedding", n_cells=16, threshold=0.4
     )
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in rows}
+
+
+def test_kmv_set_ops_estimate_quality(spark, sf_dir):
+    """KMV set-algebra estimates must land near the exact counts (k=64 →
+    ~12.5% stderr; assert a loose 3-sigma band) and respect set algebra:
+    the oracle equality check alone can't catch a sketch that degenerates
+    identically in both engines."""
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    row = REGISTRY["kmv_set_ops"].fn(spark, sf_dir).collect()[0]
+    for est, exact in (
+        (row.a_est, row.exact_a),
+        (row.b_est, row.exact_b),
+        (row.union_est, row.exact_union),
+        (row.intersect_est, row.exact_intersect),
+    ):
+        assert exact > 0 and abs(est - exact) / exact < 0.4, (est, exact)
+    assert row.intersect_est <= row.union_est
+    assert max(row.a_est, row.b_est) <= row.union_est * 1.01
