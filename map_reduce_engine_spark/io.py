@@ -352,3 +352,25 @@ def write_rebalanced(
     """
     hinted = df.hint("rebalance", *cols) if cols else df.hint("rebalance")
     hinted.write.mode(mode).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leave every other partition untouched.
+
+    The incremental-ingest idiom at 100 TB — a daily job rewrites day=D
+    without touching (or even listing) the other ~36,500 day partitions,
+    and reruns are idempotent. Spark's default ("static") overwrite would
+    truncate the WHOLE table first; the dynamic mode is set per-write here
+    so the engine never depends on the deployment's global default.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
