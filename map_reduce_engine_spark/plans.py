@@ -1,0 +1,127 @@
+"""Plan-quality introspection: the pre-flight "would this survive 100 TB?"
+check as an engine API.
+
+The repo's plan-gating philosophy (tests/test_plans.py, PLANS.md) applied
+programmatically: before submitting a pipeline against a 100 TB table, run
+``plan_report(df)`` / ``assert_scalable(df)`` and catch the classic
+scale-killers — cartesian products, nested-loop joins that should be hash
+joins, row-at-a-time Python eval in the hot path — at plan time, not three
+hours into the job. The reference has no optimizer and therefore nothing to
+audit (SURVEY §4); this is the tooling its operators gain for free by being
+expressed against Catalyst.
+
+String-level plan inspection is the stable public surface (the same thing
+``df.explain()`` shows a human); no Catalyst internals are touched.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+# Arrow-batched Python boundaries are sanctioned (the engine's own compat
+# and multimodal surfaces use them); only row-at-a-time eval is flagged.
+_ROW_PYTHON = ("BatchEvalPython",)
+_SANCTIONED_PYTHON = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+)
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@dataclass
+class PlanReport:
+    cartesian_products: int = 0
+    nested_loop_joins: int = 0
+    row_python_evals: int = 0
+    arrow_python_stages: int = 0
+    shuffle_exchanges: int = 0
+    broadcast_exchanges: int = 0
+    wholestage_codegen_spans: int = 0
+    scans: int = 0
+    scans_with_pushed_filters: int = 0
+    warnings: list[str] = field(default_factory=list)
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    """Inspect the physical plan for the scale-relevant signals."""
+    p = physical_plan(df, "formatted")
+    r = PlanReport()
+    r.cartesian_products = p.count("CartesianProduct")
+    r.nested_loop_joins = p.count("BroadcastNestedLoopJoin")
+    r.row_python_evals = sum(p.count(m) for m in _ROW_PYTHON)
+    r.arrow_python_stages = sum(p.count(m) for m in _SANCTIONED_PYTHON)
+    # "Exchange" alone also matches "BroadcastExchange" — count shuffles as
+    # the non-broadcast remainder of exchange operators.
+    r.broadcast_exchanges = p.count("BroadcastExchange")
+    r.shuffle_exchanges = p.count("Exchange") - r.broadcast_exchanges
+    # Codegen spans: formatted mode carries "codegen id : n" markers, but
+    # under AQE they exist only once the final plan is materialized — for an
+    # already-executed df the simple-mode "*(n)" stage markers appear too.
+    simple = physical_plan(df, "simple")
+    r.wholestage_codegen_spans = len(
+        set(re.findall(r"codegen id : (\d+)", p)) | set(re.findall(r"\*\((\d+)\)", simple))
+    )
+    scans = re.findall(r"PushedFilters: (\[[^\]]*\])", p)
+    r.scans = p.count("Scan parquet") + p.count("Scan orc") + p.count("Scan csv")
+    r.scans_with_pushed_filters = sum(1 for s in scans if s != "[]")
+
+    if r.cartesian_products:
+        r.warnings.append(
+            f"{r.cartesian_products} CartesianProduct: O(n*m) pair space — add an "
+            "equi-join key (blocking key / bucket / cell) or broadcast a bounded side"
+        )
+    if r.nested_loop_joins:
+        r.warnings.append(
+            f"{r.nested_loop_joins} BroadcastNestedLoopJoin: every row scores against "
+            "the broadcast side — acceptable only when that side is provably tiny "
+            "(e.g. a probe set); otherwise derive an equi-join key"
+        )
+    if r.row_python_evals:
+        r.warnings.append(
+            f"{r.row_python_evals} row-at-a-time Python eval (BatchEvalPython): "
+            "10-100x slower than Arrow-batched pandas UDFs; use pandas_udf / "
+            "mapInPandas or a built-in expression"
+        )
+    return r
+
+
+class PlanQualityError(AssertionError):
+    """A DataFrame's physical plan contains a scale-killer."""
+
+
+def assert_scalable(
+    df: DataFrame,
+    allow_nested_loop: bool = False,
+    allow_row_python: bool = False,
+) -> PlanReport:
+    """Raise ``PlanQualityError`` if the plan would not survive a scale-up.
+
+    ``allow_nested_loop`` sanctions broadcast-nested-loop joins for the
+    deliberate small-broadcast patterns (exact kNN's probe set); row-Python
+    eval has no sanctioned use in this engine's hot paths.
+    """
+    r = plan_report(df)
+    fatal = []
+    if r.cartesian_products:
+        fatal.append(r.warnings[0])
+    if r.nested_loop_joins and not allow_nested_loop:
+        fatal.append(next(w for w in r.warnings if "NestedLoop" in w))
+    if r.row_python_evals and not allow_row_python:
+        fatal.append(next(w for w in r.warnings if "BatchEvalPython" in w))
+    if fatal:
+        raise PlanQualityError("; ".join(fatal))
+    return r

@@ -473,3 +473,43 @@ def test_kmv_set_ops_windows_only_sketch_rows(spark, sf_dir):
     p = plan(REGISTRY["kmv_set_ops"].fn(spark, sf_dir), "simple")
     assert "BroadcastExchange" in p  # singleton stats broadcast into the verdict row
     assert "CartesianProduct" not in p
+
+
+# ------------------------------------------------- plan_report public API
+
+
+def test_plan_report_clean_query(spark, sf_dir):
+    """The pre-flight auditor passes the engine's own headline join and
+    reports the expected structure (broadcasts present, no scale-killers)."""
+    from map_reduce_engine_spark.plans import assert_scalable, plan_report
+
+    df = REGISTRY["join_customer_revenue"].fn(spark, sf_dir)
+    df.collect()  # AQE: codegen spans exist only in the final plan
+    r = plan_report(df)
+    assert r.cartesian_products == 0 and r.row_python_evals == 0
+    assert r.broadcast_exchanges >= 1
+    assert r.wholestage_codegen_spans >= 1
+    assert_scalable(df)  # must not raise
+
+
+def test_plan_report_flags_scale_killers(spark, sf_dir):
+    """A deliberately bad plan (row-Python UDF atop a no-key cross join)
+    trips both fatal checks; the sanctioned variants pass with flags."""
+    import pytest as _pytest
+    from pyspark.sql.types import IntegerType
+
+    from map_reduce_engine_spark.plans import PlanQualityError, assert_scalable, plan_report
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    slow_udf = F.udf(lambda v: int(v) + 1, IntegerType())
+    bad = a.crossJoin(b.hint("shuffle_replicate_nl")).select(slow_udf("x").alias("z"))
+    r = plan_report(bad)
+    assert r.cartesian_products >= 1 and r.row_python_evals >= 1
+    with _pytest.raises(PlanQualityError):
+        assert_scalable(bad, allow_row_python=True)  # cartesian is never OK
+
+    knn = REGISTRY["knn_cosine_topk"].fn(spark, sf_dir)
+    assert_scalable(knn, allow_nested_loop=True)  # sanctioned probe-set BNL
+    with _pytest.raises(PlanQualityError):
+        assert_scalable(knn)  # and flagged when not explicitly sanctioned
