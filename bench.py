@@ -54,6 +54,7 @@ SENTINELS = [
     ("q13_tpch_q9", "q9_product_profit", None),
     ("q14_bpe_train", "bpe_train_merges", None),
     ("q15_bm25", "bm25_doc_scores", None),
+    ("q16_semantic_dedup", "semantic_dedup", None),
 ]
 
 
