@@ -595,6 +595,10 @@ def semantic_dedup(
     if n_rows > target:
         train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
     X = np.array(train.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    if len(X) == 0:  # empty partition-filter result, empty source — no throw
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cell int, is_kept boolean, keeper_id bigint"
+        )
     # Canonicalize sample order (toPandas order is partition-dependent and
     # the seeded init picks rows by index) so the trained centroids — and
     # therefore the whole dedup decision — are invariant under input

@@ -98,3 +98,16 @@ def test_cms_sketch_empty(spark):
     # probing a non-empty set against an empty sketch yields no estimates
     probes = spark.createDataFrame([("x",)], ["token"])
     assert cms_point_estimates(sketch, probes, "token").count() == 0
+
+
+def test_semantic_dedup_empty_and_singleton(spark):
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(empty, "vec_id", "embedding", n_cells=4, threshold=0.5)
+    assert out.columns == ["vec_id", "cell", "is_kept", "keeper_id"]
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+    rows = semantic_dedup(one, "vec_id", "embedding", n_cells=4, threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0].is_kept and rows[0].keeper_id is None
