@@ -68,9 +68,21 @@ class Job:
             final_merge=self.final_merge,
         )
 
-    def run(self, spark: SparkSession) -> None:
-        """Execute and write the A12 ``key\\tvalue`` TSV output."""
-        write_tsv(self.dataframe(spark), self.output_dir)
+    def run(self, spark: SparkSession, audit: bool = False) -> None:
+        """Execute and write the A12 ``key\\tvalue`` TSV output.
+
+        ``audit=True`` runs the plan-quality auditor first (plans.py) and
+        refuses to submit a plan with a scale-killer — the pre-flight the
+        reference could never offer (it had no plan to inspect, SURVEY §4).
+        The compat surface's Arrow boundaries are sanctioned; only
+        cartesian products and row-at-a-time Python eval abort.
+        """
+        df = self.dataframe(spark)
+        if audit:
+            from map_reduce_engine_spark.plans import assert_scalable
+
+            assert_scalable(df)
+        write_tsv(df, self.output_dir)
 
 
 def load_job_module(module_path: str) -> tuple[Callable, Callable, dict]:

@@ -116,3 +116,26 @@ def test_cli_query_rejects_unknown_name():
 
     with _pytest.raises(SystemExit):
         main(["query", "no_such_query", "/tmp"])
+
+
+def test_job_audit_passes_clean_mapreduce(spark, tmp_path):
+    """run(audit=True) submits a clean compat-surface job (its Arrow
+    boundaries are sanctioned, not scale-killers)."""
+    from map_reduce_engine_spark.job import startjob
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "t.txt").write_text("a b a\n")
+    out = tmp_path / "out"
+    from map_reduce_engine_spark.job import Job, load_job_module
+
+    map_fn, reduce_fn, types = load_job_module(
+        "map_reduce_engine_spark.examples.wordcount_job"
+    )
+    job = Job(
+        name="wc", input_dir=str(d), output_dir=str(out),
+        map_fn=map_fn, reduce_fn=reduce_fn, **types,
+    )
+    job.run(spark, audit=True)
+    got = dict(l.value.split("\t") for l in spark.read.text(str(out)).collect())
+    assert got == {"a": "2", "b": "1"}
