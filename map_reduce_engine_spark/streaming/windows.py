@@ -187,8 +187,9 @@ def stream_stream_interval_join(
     key: str = "user_id",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` with an event-time interval bound:
+    """Stream-stream join on ``key`` with an event-time interval bound:
     a right row matches a left row arriving in ``[left.ts, left.ts + max_delay]``.
 
     Both sides carry watermarks AND the join condition bounds the time skew,
@@ -197,6 +198,12 @@ def stream_stream_interval_join(
     use: attribute purchases to the click that preceded them within the
     window (absent in the reference — it has no two-input operator at all,
     SURVEY.md §2 joins row).
+
+    ``how="left_outer"`` additionally emits a null-padded row for every
+    unmatched left row — but only once the watermark passes that row's
+    entire match interval (state expiry), since until then a match could
+    still arrive. Matches emit eagerly; nulls emit late by construction
+    (pinned in tests/test_streaming.py).
     """
     lt = left.withWatermark("ts", watermark).alias("l")
     rt = right.withWatermark("ts", watermark).alias("r")
@@ -205,6 +212,7 @@ def stream_stream_interval_join(
         F.expr(
             f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {max_delay}"
         ),
+        how,
     ).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),

@@ -459,3 +459,86 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == 150  # no reprocessing, no loss
     assert out.select("event_id").distinct().count() == 150  # exactly-once
+
+
+def test_left_outer_interval_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Streaming LEFT OUTER interval join: matches emit eagerly; unmatched
+    left rows emit null-padded ONLY after the watermark passes their whole
+    match interval (state expiry). A far-future matched pair in the final
+    files pushes the global watermark past every real row, so the drained
+    result must equal the batch left-outer join on the same data."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.streaming import stream_stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    future = t0 + dt.timedelta(days=10)
+    clicks = [(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=10)), (3, 2, t0 + dt.timedelta(minutes=20))]
+    purchases = [(101, 1, t0 + dt.timedelta(minutes=5))]
+    clicks_f = [(9, 9, future)]
+    purchases_f = [(999, 9, future + dt.timedelta(minutes=1))]
+
+    def write(dirname, fname, rows, age):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        p = str(d / fname)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (time.time() - age,) * 2)
+
+    write("clicks", "a.parquet", clicks, 100)
+    write("clicks", "b.parquet", clicks_f, 50)
+    write("purch", "a.parquet", purchases, 100)
+    write("purch", "b.parquet", purchases_f, 50)
+
+    def stream_of(dirname):
+        raw = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp_ntz")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(tmp_path / dirname))
+        )
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            ),
+        )
+
+    joined = stream_stream_interval_join(
+        stream_of("clicks"), stream_of("purch"),
+        key="user_id", max_delay="1 hour", watermark="30 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_louter")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.left_event_id, r.right_event_id)
+        for r in spark.table("t_louter").collect()
+    }
+    expected = {
+        (1, 1, 101),   # match within the interval
+        (1, 2, None),  # purchase predates this click -> null after expiry
+        (2, 3, None),  # no purchase at all -> null after expiry
+        (9, 9, 999),   # the watermark-advancing matched pair
+    }
+    assert got == expected
