@@ -801,12 +801,18 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     toks = docs.select("doc_id", "source", F.explode(tokens_col("text")).alias("tok"))
-    total = toks.count()
+    # corpus token total rides along as a 1-row broadcast (the repo-standard
+    # pattern) — not a driver-side .count(), which would run an extra job
+    # re-tokenizing the corpus just to fetch one scalar
+    total = toks.agg(F.count("*").cast("double").alias("__total"))
     lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     scored = (
         toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "source")
-        .agg(F.avg(-F.log(F.col("cnt").cast("double") / F.lit(total))).alias("doc_surprisal"))
+        .agg(
+            F.avg(-F.log(F.col("cnt").cast("double") / F.col("__total"))).alias("doc_surprisal")
+        )
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1170,4 +1176,84 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("j"),
         F.col("neg_id").alias("negative_id"),
         "negative_source",
+    )
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS tk
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pos AS (
+      SELECT doc_id, source, tk, unnest(generate_series(2, len(tk))) AS i FROM toks
+    ),
+    pairs AS (
+      SELECT doc_id, source, tk[i-1] AS w1, tk[i] AS w2 FROM pos
+    ),
+    big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS cc FROM pairs GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT u.tok) AS v
+              FROM (SELECT unnest(tk) AS tok FROM toks) u),
+    scored AS (
+      SELECT p.doc_id, p.source,
+             avg(-ln((b.cb + 0.5) / (c.cc + 0.5 * vocab.v))) AS doc_nll
+      FROM pairs p
+      JOIN big b USING (w1, w2)
+      JOIN ctx c USING (w1)
+      CROSS JOIN vocab
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source, count(*) AS n_docs, round(avg(doc_nll), 4) AS avg_nll
+    FROM scored GROUP BY source
+    """,
+    doc="bigram language-model quality score (the KenLM-style upgrade of "
+    "unigram_lm_surprisal, the CCNet/perplexity-filter shape): fit "
+    "add-0.5-smoothed bigram conditionals P(w2|w1) = (C(w1w2)+a)/(C(w1)+aV) "
+    "on the corpus itself, score each document as its mean bigram negative "
+    "log-probability, report per-source averages. Bigram pairs come from a "
+    "guarded transform(sequence(...)) over the token array inside one "
+    "codegen projection — zero positional self-joins (the token_pmi "
+    "discipline); the bigram/context/vocab tables are vocabulary-sized "
+    "broadcasts (Heaps' law), so the corpus shuffles only for the two "
+    "count aggregates. Docs with <2 tokens carry no bigrams and drop out "
+    "identically in both engines (Spark's descending sequence(2,1) is "
+    "guarded; DuckDB's generate_series(2,1) is empty).",
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tk = tokens_col("text")
+    empty_pairs = F.array().cast("array<struct<w1:string,w2:string>>")
+    bi = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(tk)),
+            lambda i: F.struct(
+                F.element_at(tk, i - 1).alias("w1"), F.element_at(tk, i).alias("w2")
+            ),
+        ),
+    ).otherwise(empty_pairs)
+    pairs = docs.select("doc_id", "source", F.explode(bi).alias("p")).select(
+        "doc_id", "source", "p.w1", "p.w2"
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("cc"))
+    vocab = (
+        docs.select(F.explode(tk).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                -F.log((F.col("cb") + 0.5) / (F.col("cc") + 0.5 * F.col("v")))
+            ).alias("doc_nll")
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("doc_nll"), 4).alias("avg_nll")
     )

@@ -590,11 +590,16 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    w = tf.join(F.broadcast(df_tbl), "token").select(
-        "doc_id",
-        "token",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    # doc total as a 1-row broadcast, not a driver .count() (extra scan job)
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n_docs"))
+    w = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("w"),
+        )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")
