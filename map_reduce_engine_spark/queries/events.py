@@ -1126,3 +1126,55 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late",
         F.expr("10000 * n_late div n_events").alias("late_bp"),
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id FROM events
+    ),
+    dau AS (
+      SELECT d, count(*)::BIGINT AS dau FROM daily GROUP BY d
+    ),
+    contrib AS (
+      SELECT DISTINCT d + to_days(i::INTEGER) AS w, user_id
+      FROM daily, unnest(generate_series(0, 6)) AS u(i)
+    ),
+    wau AS (
+      SELECT w AS d, count(*)::BIGINT AS wau FROM contrib GROUP BY w
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           (10000 * dau.dau) // wau.wau AS stickiness_bp
+    FROM dau JOIN wau USING (d)
+    """,
+    doc="rolling 7-day active users (DAU/WAU + stickiness): each distinct "
+    "(day, user) pair contributes to its own day and the 6 trailing "
+    "windows via a 7-way sequence explode — the classic engagement metric "
+    "WITHOUT a per-window distinct-count window function (which Spark "
+    "cannot express) and without rescanning events per window. The "
+    "shuffled unit is the deduped (day, user) pair — 7x a bounded "
+    "(days x users) grid, never raw events; stickiness is integer basis "
+    "points so engines cannot disagree on rounding. Windows are reported "
+    "for actual event days only (inner join back to DAU).",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+        )
+        .select(F.date_add("d", F.col("i")).alias("w"), "user_id")
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("w").alias("d")).agg(F.count("*").alias("wau"))
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau",
+        F.expr("10000 * dau div wau").alias("stickiness_bp"),
+    )
