@@ -35,6 +35,7 @@ from map_reduce_engine_spark.operators.similarity import (
     ann_topk,
     ivf_topk,
     pq_topk,
+    semantic_dedup,
 )
 from map_reduce_engine_spark.operators.cdc import (
     merge_upsert,
@@ -52,6 +53,7 @@ from map_reduce_engine_spark.operators.text import pii_scrub
 
 __all__ = [
     "pq_topk",
+    "semantic_dedup",
     "repeated_span_coverage",
     "merge_upsert",
     "merge_delete",
