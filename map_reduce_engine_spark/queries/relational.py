@@ -1606,3 +1606,35 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias("exact_intersect"),
         )
     )
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 6)            AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6)       AS corr_price_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6)    AS r2_price_on_qty
+    FROM lineitem
+    """,
+    doc="pairwise correlation/covariance/regression aggregates over the "
+    "fact table's numeric measures — the one-pass profiling sweep before "
+    "feature selection or anomaly modeling. Spark and DuckDB both compute "
+    "these with numerically-stable one-pass updates; rounding absorbs the "
+    "summation-order ulps. All six statistics come from ONE hash-aggregate "
+    "pass over the scan (no per-pair re-scan), which is the only shape "
+    "that survives a 100 TB fact table.",
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.corr(q, d), 6).alias("corr_qty_disc"),
+        F.round(F.corr(p, d), 6).alias("corr_price_disc"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope(p, q), 6).alias("slope_price_on_qty"),
+        F.round(F.regr_r2(p, q), 6).alias("r2_price_on_qty"),
+    )

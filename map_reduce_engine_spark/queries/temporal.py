@@ -196,3 +196,46 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.where(F.col("is_grid") == 1)
         .select("user_id", "ts", F.round(interp, 4).alias("value_interp"))
     )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             sum(value * date_diff('microsecond', ts, next_ts)) AS weighted,
+             sum(date_diff('microsecond', ts, next_ts))::BIGINT AS total_us
+      FROM seg WHERE next_ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, total_us, round(weighted / total_us, 4) AS twa_value
+    FROM w
+    """,
+    doc="time-weighted average per user (the TimescaleDB time_weight shape, "
+    "LOCF weighting): each observation holds until the next one, so its "
+    "weight is its holding duration — the correct mean for irregularly "
+    "sampled series where the arithmetic mean over-counts bursts. One "
+    "lead() per user partition (bounded window state) + one aggregate; "
+    "durations in MICROSECONDS so the fraction is exact on both engines "
+    "(second-level diffs truncate differently). Single-event users carry "
+    "no duration and drop out identically.",
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).where(F.col("next_ts").isNotNull())
+    dur = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("value") * dur).alias("weighted"),
+        F.sum(dur).cast("bigint").alias("total_us"),
+    )
+    return agg.select(
+        "user_id", "total_us", F.round(F.col("weighted") / F.col("total_us"), 4).alias("twa_value")
+    )
