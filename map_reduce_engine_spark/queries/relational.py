@@ -1638,3 +1638,72 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(p, q), 6).alias("slope_price_on_qty"),
         F.round(F.regr_r2(p, q), 6).alias("r2_price_on_qty"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_custkey,
+                 CASE WHEN o_orderkey % 13 = 0
+                      THEN round(o_totalprice * 0.9, 2) ELSE o_totalprice END,
+                 o_orderstatus)) AS row_hash
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_custkey, o_totalprice, o_orderstatus)) AS row_hash
+      FROM orders WHERE o_orderkey % 17 <> 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.row_hash <> n.row_hash THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change, count(*)::BIGINT AS n, min(k) AS sample_key
+    FROM j GROUP BY change
+    """,
+    doc="snapshot diff: classify every key across two table versions as "
+    "added / removed / changed / unchanged — the audit primitive behind "
+    "'what did yesterday's load actually do', complementing the CDC "
+    "operators (which consume a change log; this RECONSTRUCTS one from "
+    "two materialized snapshots). One full-outer equi-join on the key "
+    "with per-row md5 content hashes computed in the scan projection, so "
+    "the shuffle carries (key, 32-byte hash), never full rows — at 100 TB "
+    "that is the difference between diffing and re-shipping the table. "
+    "The two versions derive deterministically from the fixture (drops "
+    "simulate inserts/deletes, a price adjustment simulates updates).",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old_price = F.when(
+        F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 0.9, 2)
+    ).otherwise(F.col("o_totalprice"))
+    old = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", F.col("o_custkey"), old_price, F.col("o_orderstatus"))).alias(
+            "row_hash"
+        ),
+    )
+    new = orders.where(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws("|", F.col("o_custkey"), F.col("o_totalprice"), F.col("o_orderstatus"))
+        ).alias("row_hash"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("k"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("o.row_hash") != F.col("n.row_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return j.groupBy("change").agg(
+        F.count("*").alias("n"), F.min("k").alias("sample_key")
+    )
