@@ -87,3 +87,49 @@ def cms_point_estimates(
         .groupBy("item")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def kmv_tree_sketch(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    fanout: int = 8,
+) -> DataFrame:
+    """(group, kmin: array<bigint>, n_hashes) — KMV sketch per group via a
+    TREE of bounded partial sketches, the production shape the
+    ``kmv_distinct_sketch`` query docstring promises.
+
+    Level 1 salts each group into ``fanout`` shards and keeps the k
+    smallest distinct hashes per (group, shard) — each partial aggregate's
+    state is one shard's hash set, 1/fanout of the group. Level 2 merges by
+    keeping the k smallest of the union of partials (exactly the KMV merge
+    law), touching ``fanout * k`` bigints per group, never raw rows again.
+    The result is BIT-IDENTICAL to a single global k-smallest pass
+    (min-k is associative/commutative over set union), so the tree is a
+    pure execution-shape change — deepen it (salt again) for groups hot
+    enough that one shard still overflows a task.
+
+    ``n_hashes`` counts the group's distinct hashes (for the n < k exact
+    branch of the estimator). Estimate: ``(k-1) * 2^31 / kmin[k-1]`` when
+    ``n_hashes >= k`` else ``n_hashes`` — see the query for the DuckDB twin.
+    """
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    hashed = df.select(
+        F.col(group_col).alias("g"), portable_base31(F.col(item_col).cast("string")).alias("h")
+    ).distinct()
+    salted = hashed.withColumn("salt", (F.col("h") % fanout).cast("int"))
+    level1 = salted.groupBy("g", "salt").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin"),
+        F.count("*").alias("n"),
+    )
+    return (
+        level1.select("g", F.explode("kmin").alias("h"), "n")
+        .groupBy("g")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin"),
+            F.sum("n").alias("n_hashes"),
+        )
+        .select(F.col("g").alias(group_col), "kmin", "n_hashes")
+    )

@@ -1707,3 +1707,38 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("change").agg(
         F.count("*").alias("n"), F.min("k").alias("sample_key")
     )
+
+
+from map_reduce_engine_spark.queries.base import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "kmv_distinct_tree",
+    # BIT-IDENTICAL to kmv_distinct_sketch by the KMV merge law (k smallest
+    # of a union == k smallest overall), so it shares that query's oracle —
+    # the tree is an execution-shape change, not a semantic one.
+    oracle=_REG["kmv_distinct_sketch"].oracle,
+    doc="the kmv_distinct_sketch estimate computed through the PRODUCTION "
+    "execution shape its docstring promises: a tree of bounded partial "
+    "sketches (operators/sketch.py::kmv_tree_sketch) — level 1 keeps the "
+    "k smallest hashes per (group, salt) shard, level 2 merges the k "
+    "smallest of the union of partials. No per-group global sort, no "
+    "rank window; partial state is one shard's hashes and the merge "
+    "touches fanout*k bigints per group. Same oracle as the windowed "
+    "formulation because min-k is associative over set union.",
+)
+def kmv_distinct_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sketch import kmv_tree_sketch
+
+    orders = t(spark, sf_dir, "orders")
+    sk = kmv_tree_sketch(orders, "o_orderpriority", "o_custkey", k=_KMV_K, fanout=8)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    est = F.when(
+        F.col("n_hashes") < _KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float((_KMV_K - 1) * 2147483648)) / F.element_at("kmin", _KMV_K))
+    return (
+        sk.join(exact, "o_orderpriority")
+        .select("o_orderpriority", est.alias("kmv_estimate"), "exact_customers")
+    )

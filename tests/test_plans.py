@@ -513,3 +513,14 @@ def test_plan_report_flags_scale_killers(spark, sf_dir):
     assert_scalable(knn, allow_nested_loop=True)  # sanctioned probe-set BNL
     with _pytest.raises(PlanQualityError):
         assert_scalable(knn)  # and flagged when not explicitly sanctioned
+
+
+def test_kmv_tree_has_no_rank_window(spark, sf_dir):
+    """The tree-merged KMV path must contain NO window operator (the whole
+    point vs the rank-k formulation) — two hash aggregates only — and its
+    sketch must equal the windowed query's bit-for-bit."""
+    p = plan(REGISTRY["kmv_distinct_tree"].fn(spark, sf_dir), "simple")
+    assert "Window" not in p
+    a = {tuple(r) for r in REGISTRY["kmv_distinct_tree"].fn(spark, sf_dir).collect()}
+    b = {tuple(r) for r in REGISTRY["kmv_distinct_sketch"].fn(spark, sf_dir).collect()}
+    assert a == b
