@@ -214,11 +214,7 @@ def ivf_topk(
     unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
 
     target = max(50 * n_cells, 1000)
-    n_rows = corpus.count()
-    train = corpus.select(unit(_vecd(F.col(vec_col))).alias("v"))
-    if n_rows > target:
-        train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
-    X = np.array(train.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    X = _bounded_train_sample(corpus, id_col, unit(_vecd(F.col(vec_col))), target)
     centers = _lloyd_kmeans(X, n_cells, seed, max_iter)
 
     # Cell assignment through one Arrow-batched pass per side (same
@@ -395,8 +391,37 @@ def _lloyd_kmeans(X: "np.ndarray", k: int, seed: int, max_iter: int) -> list[lis
     return [[float(x) for x in c] for c in centers]
 
 
+def _bounded_train_sample(df: DataFrame, id_col: str, vec_expr, target: int) -> "np.ndarray":
+    """Content-deterministic bounded training sample for driver-side KMeans.
+
+    ``df.sample`` is per-partition Bernoulli and ``limit`` takes whichever
+    partitions answer first, so once the corpus exceeds ``target`` the
+    selected ROWS — not merely their order — change with physical layout,
+    and so would the trained centroids and every decision derived from
+    them. Sample by CONTENT instead: keep rows whose portable id hash
+    falls below the fraction cutoff (the same row set under any
+    partitioning), lexsort the collected vectors (toPandas order is
+    partition-dependent), and cap at ``2 * target`` sorted rows. The
+    collect stays a few hundred KB at any corpus size: the hash filter
+    admits ~1.2*target rows in expectation with binomial concentration.
+    """
+    from map_reduce_engine_spark.operators.dedup import _MASK31, portable_base31
+
+    n_rows = df.count()
+    train = df
+    if n_rows > target:
+        frac = min(1.0, (1.2 * target) / n_rows)
+        cut = int(frac * (_MASK31 + 1))
+        train = df.where(portable_base31(F.col(id_col).cast("string")) < F.lit(cut))
+    X = np.array(train.select(vec_expr.alias("v")).toPandas()["v"].tolist(), dtype=np.float64)
+    if len(X) == 0:
+        return X
+    return X[np.lexsort(X.T[::-1])][: 2 * target]
+
+
 def _train_pq_codebooks(
     corpus: DataFrame,
+    id_col: str,
     vec_col: str,
     m: int,
     n_codes: int,
@@ -412,15 +437,12 @@ def _train_pq_codebooks(
     centroid/LSH-plane literals SCALE.md already sanctions — and ``m``
     independent Lloyd's runs on a few-thousand-row numpy array cost
     milliseconds, vs ``m`` sequential distributed KMeans jobs whose
-    scheduling overhead dwarfs the arithmetic at ANY scale. Deterministic:
-    seeded sample, seeded init, fixed iteration count.
+    scheduling overhead dwarfs the arithmetic at ANY scale. Deterministic
+    and layout-invariant: content-hash sample (``_bounded_train_sample``),
+    seeded init, fixed iteration count.
     """
     target = max(50 * n_codes, 1000)
-    n_rows = corpus.count()
-    sample = corpus.select(_vecd(F.col(vec_col)).alias("v"))
-    if n_rows > target:
-        sample = sample.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
-    X = np.array(sample.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    X = _bounded_train_sample(corpus, id_col, _vecd(F.col(vec_col)), target)
     dim = X.shape[1]
     d = dim // m
     return [
@@ -465,7 +487,7 @@ def pq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    books = _train_pq_codebooks(corpus, vec_col, m, n_codes, seed, max_iter)
+    books = _train_pq_codebooks(corpus, id_col, vec_col, m, n_codes, seed, max_iter)
     dim = len(books[0][0]) * m
     d = dim // m
     B = np.array(books, dtype=np.float64)  # (m, n_codes, d)
@@ -588,23 +610,18 @@ def semantic_dedup(
 
     # Bounded-sample centroid training (rationale at ivf_topk): quality
     # saturates at ~tens of points per centroid; the collect is a few
-    # hundred KB at ANY corpus size.
+    # hundred KB at ANY corpus size. _bounded_train_sample selects rows by
+    # CONTENT (portable id-hash filter) and canonicalizes order, so the
+    # trained centroids — and therefore the whole dedup decision — are
+    # invariant under input repartitioning even above the sampling
+    # threshold.
     target = max(50 * n_cells, 1000)
-    n_rows = df.count()
-    train = df.select(unit(_vecd(F.col(vec_col))).alias("v"))
-    if n_rows > target:
-        train = train.sample(fraction=min(1.0, (1.2 * target) / n_rows), seed=seed)
-    X = np.array(train.limit(2 * target).toPandas()["v"].tolist(), dtype=np.float64)
+    X = _bounded_train_sample(df, id_col, unit(_vecd(F.col(vec_col))), target)
     if len(X) == 0:  # empty partition-filter result, empty source — no throw
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, cell int, is_kept boolean, keeper_id bigint"
+            [], f"{id_col} {id_type}, cell int, is_kept boolean, keeper_id {id_type}"
         )
-    # Canonicalize sample order (toPandas order is partition-dependent and
-    # the seeded init picks rows by index) so the trained centroids — and
-    # therefore the whole dedup decision — are invariant under input
-    # repartitioning. The sample is bounded, so the driver-side sort is
-    # O(target log target) regardless of corpus size.
-    X = X[np.lexsort(X.T[::-1])]
     centers = _lloyd_kmeans(X, min(n_cells, len(X)), seed, max_iter)
 
     C = np.array(centers, dtype=np.float64)
@@ -612,7 +629,10 @@ def semantic_dedup(
 
     asg_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            # id passes through untouched — carry the input's type so
+            # non-bigint ids (e.g. string doc ids) survive the Arrow hop
+            # with the same schema the empty-input early return emits.
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("v", T.ArrayType(T.DoubleType())),
             T.StructField("norm", T.DoubleType()),
             T.StructField("cell", T.IntegerType()),

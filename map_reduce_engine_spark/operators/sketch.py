@@ -124,11 +124,15 @@ def kmv_tree_sketch(
         F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin"),
         F.count("*").alias("n"),
     )
+    # Merge WITHOUT exploding: exploding kmin and summing n per exploded row
+    # would add each shard's n once per kept hash (n_hashes = sum(len(kmin)*n)),
+    # inflating the estimator's n < k exact branch. Shards partition disjoint
+    # hash residues (h % fanout on already-distinct hashes), so flattening the
+    # shard arrays never duplicates a hash and sort+slice is the exact union-k.
     return (
-        level1.select("g", F.explode("kmin").alias("h"), "n")
-        .groupBy("g")
+        level1.groupBy("g")
         .agg(
-            F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("kmin"))), 1, k).alias("kmin"),
             F.sum("n").alias("n_hashes"),
         )
         .select(F.col("g").alias(group_col), "kmin", "n_hashes")

@@ -56,18 +56,30 @@ class PlanReport:
     warnings: list[str] = field(default_factory=list)
 
 
+def _plan_ops(formatted: str) -> list[str]:
+    """One entry per physical operator node.
+
+    Formatted mode prints every operator twice (tree + numbered details);
+    raw substring counts therefore double every metric and let
+    "ReusedExchange" match "Exchange". The numbered detail headers
+    "(n) OpName" name each node exactly once — count on those.
+    """
+    return re.findall(r"^\(\d+\) (.+?)(?:\s*\[codegen id : \d+\])?$", formatted, re.M)
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     """Inspect the physical plan for the scale-relevant signals."""
     p = physical_plan(df, "formatted")
+    ops = _plan_ops(p)
     r = PlanReport()
-    r.cartesian_products = p.count("CartesianProduct")
-    r.nested_loop_joins = p.count("BroadcastNestedLoopJoin")
-    r.row_python_evals = sum(p.count(m) for m in _ROW_PYTHON)
-    r.arrow_python_stages = sum(p.count(m) for m in _SANCTIONED_PYTHON)
-    # "Exchange" alone also matches "BroadcastExchange" — count shuffles as
-    # the non-broadcast remainder of exchange operators.
-    r.broadcast_exchanges = p.count("BroadcastExchange")
-    r.shuffle_exchanges = p.count("Exchange") - r.broadcast_exchanges
+    r.cartesian_products = sum(o.startswith("CartesianProduct") for o in ops)
+    r.nested_loop_joins = sum(o.startswith("BroadcastNestedLoopJoin") for o in ops)
+    r.row_python_evals = sum(o.startswith(_ROW_PYTHON) for o in ops)
+    r.arrow_python_stages = sum(o.startswith(_SANCTIONED_PYTHON) for o in ops)
+    r.broadcast_exchanges = sum(o.startswith("BroadcastExchange") for o in ops)
+    # startswith("Exchange") excludes both BroadcastExchange and
+    # ReusedExchange (a reused result is free, not a second shuffle).
+    r.shuffle_exchanges = sum(o.startswith("Exchange") for o in ops)
     # Codegen spans: formatted mode carries "codegen id : n" markers, but
     # under AQE they exist only once the final plan is materialized — for an
     # already-executed df the simple-mode "*(n)" stage markers appear too.
@@ -76,7 +88,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         set(re.findall(r"codegen id : (\d+)", p)) | set(re.findall(r"\*\((\d+)\)", simple))
     )
     scans = re.findall(r"PushedFilters: (\[[^\]]*\])", p)
-    r.scans = p.count("Scan parquet") + p.count("Scan orc") + p.count("Scan csv")
+    r.scans = sum(o.startswith(("Scan parquet", "Scan orc", "Scan csv")) for o in ops)
     r.scans_with_pushed_filters = sum(1 for s in scans if s != "[]")
 
     if r.cartesian_products:

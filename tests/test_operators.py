@@ -537,3 +537,69 @@ def test_kmv_set_ops_estimate_quality(spark, sf_dir):
         assert exact > 0 and abs(est - exact) / exact < 0.4, (est, exact)
     assert row.intersect_est <= row.union_est
     assert max(row.a_est, row.b_est) <= row.union_est * 1.01
+
+
+def test_kmv_tree_small_group_exact_branch(spark):
+    """Regression (ADVICE r02): level-2 merge must NOT explode kmin while
+    summing n — that added each shard's count once per kept hash, inflating
+    n_hashes to sum(len(kmin)*n) and corrupting the n < k exact branch for
+    groups with fewer than k distinct items split across shards."""
+    from map_reduce_engine_spark.operators.sketch import kmv_tree_sketch
+
+    # 10 distinct items per group, duplicated, spread across many input
+    # partitions so level 1 genuinely produces multiple salt shards.
+    rows = [(g, f"item-{g}-{i}") for g in ("a", "b") for i in range(10)] * 3
+    df = spark.createDataFrame(rows, "g string, item string").repartition(8)
+    out = {r.g: r for r in kmv_tree_sketch(df, "g", "item", k=64, fanout=8).collect()}
+    for g in ("a", "b"):
+        assert out[g].n_hashes == 10, out[g]
+        assert len(out[g].kmin) == 10
+        assert out[g].kmin == sorted(out[g].kmin)
+
+
+def test_semantic_dedup_layout_invariant_above_sampling_threshold(spark):
+    """Regression (ADVICE r02): above the training-sample threshold the
+    sample must be selected by CONTENT, not df.sample/limit (both
+    partition-layout-dependent) — the kept/dropped decision has to be
+    identical under repartitioning even when sampling kicks in."""
+    import numpy as np
+
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 8))
+    rows = []
+    for i in range(1500):  # > target=1000 for n_cells=4 → sampling engages
+        v = base[i % 120] + 0.001 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vid bigint, emb array<double>")
+    a = {tuple(r) for r in semantic_dedup(df, "vid", "emb", n_cells=4, threshold=0.9).collect()}
+    b = {
+        tuple(r)
+        for r in semantic_dedup(
+            df.repartition(13), "vid", "emb", n_cells=4, threshold=0.9
+        ).collect()
+    }
+    assert a == b
+    assert any(not r[2] for r in a), "near-dup fixture should drop rows"
+
+
+def test_semantic_dedup_string_ids_and_empty_schema(spark):
+    """Non-bigint id columns: the empty-input early return and the main
+    path must emit the SAME schema, carrying the input id type through."""
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 1e-9]), ("doc-c", [0.0, 1.0])],
+        "doc_id string, emb array<double>",
+    )
+    full = semantic_dedup(df, "doc_id", "emb", n_cells=1, threshold=0.99)
+    empty = semantic_dedup(df.where("doc_id = 'nope'"), "doc_id", "emb")
+    # nullability may differ (isNull() is non-null); names+types must match
+    assert [(f.name, f.dataType) for f in full.schema] == [
+        (f.name, f.dataType) for f in empty.schema
+    ]
+    assert full.unionByName(empty).count() == 3  # union across both paths works
+    rows = {r.doc_id: r for r in full.collect()}
+    assert not rows["doc-b"].is_kept and rows["doc-b"].keeper_id == "doc-a"
+    assert empty.count() == 0
