@@ -105,6 +105,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank) — GraphX-convention PageRank on a directed edge list.
 
@@ -131,50 +132,142 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # the edges⋈degrees join is loop-invariant: attach out_deg to each edge
-    # ONCE, so every round is a single equi-join (ranks⋈weighted-edges) + one
-    # aggregate instead of two joins + one aggregate. Division stays rank /
-    # out_deg (not a precomputed reciprocal) so the arithmetic is bit-identical
-    # to the unrolled-CTE oracle
-    we = (
-        e.join(out_deg, "src")
-        .select("src", "dst", "out_deg")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    conf = spark.conf
+    session_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        # Per-round wall time on a fixed-round loop is dominated by STAGE
+        # SCHEDULING, not data: every surplus partition costs 10 rounds x
+        # 2 shuffles of task-launch latency. Size partitions to the graph
+        # (>= ~200k edges each, the same work-per-task target AQE's
+        # coalescing aims for), capped at the session setting so a 100 TB
+        # edge list still fans out to full cluster width.
+        num_partitions = max(1, min(session_parts, e.count() // 200_000 + 1))
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        # Loop-scoped AQE off: the round shapes are static and explicitly
+        # co-partitioned, so runtime re-planning has nothing to improve —
+        # it only adds a re-plan + extra job per stage per round (measured
+        # ~2.5x wall time at sf0.1). Restored in finally; cluster-wide
+        # queries outside the loop keep AQE.
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        # the edges⋈degrees join is loop-invariant: attach out_deg to each
+        # edge ONCE, so every round is a single equi-join
+        # (ranks⋈weighted-edges) + one aggregate instead of two joins + one
+        # aggregate. Division stays rank / out_deg (not a precomputed
+        # reciprocal) so the arithmetic is bit-identical to the
+        # unrolled-CTE oracle. Both loop inputs are hash-partitioned on
+        # their join keys BEFORE the checkpoint — localCheckpoint preserves
+        # outputPartitioning, so the per-round join re-shuffles neither the
+        # edge list nor the node table, only the rank updates.
+        we = (
+            e.join(out_deg, "src")
+            .select("src", "dst", "out_deg")
+            .repartition(num_partitions, "src")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .repartition(num_partitions, "node")
+            .localCheckpoint(eager=True)
+        )
 
-    for _ in range(iterations):
-        contribs = (
-            we.join(ranks, we.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+
+        for _ in range(iterations):
+            contribs = (
+                we.join(ranks, we.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("contrib"),
+                )
             )
-        )
-        new_ranks = (
-            nodes.join(
-                contribs.groupBy("node").agg(F.sum("contrib").alias("in_sum")),
-                "node",
-                "left",
+            new_ranks = (
+                nodes.join(
+                    contribs.groupBy("node").agg(F.sum("contrib").alias("in_sum")),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-        ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks
+
+
+def orient_by_degree(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """(a, b) — each undirected edge directed from its (degree, id)-smaller
+    endpoint to its larger one.
+
+    After this orientation every node's OUT-degree is bounded by
+    O(sqrt(m)): a node with out-degree d has d neighbors of degree >= its
+    own, impossible past sqrt(2m). Degrees are one aggregate over the edge
+    list; orientation is a join + comparison — the cheap preprocessing
+    that turns wedge enumeration from hub-bound to O(m^1.5)-bound.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """1-row (n_triangles) — degree-oriented triangle counting.
+
+    ``edges`` is a deduplicated undirected pair list (one row per edge, any
+    orientation). Each edge is re-oriented from its (degree, id)-smaller
+    endpoint to its larger one; two equi-joins over the oriented list then
+    count every triangle exactly once (the orientation is a total order,
+    so triangle {x<y<z} appears only as x→y, y→z, x→z).
+
+    Why degree orientation instead of plain id order: after orienting
+    toward the higher-degree endpoint, every node's OUT-degree is bounded
+    by O(sqrt(m)) — a node with out-degree d has d neighbors of degree
+    >= its own, which is impossible past sqrt(2m) — so the wedge join's
+    fan-out is O(m^1.5) on ANY graph, including power-law graphs where
+    id-ordering leaves a hub with millions of out-edges and one reducer
+    doing all the work (the compact-forward bound; cf. Latapy 2008).
+    Degrees are one aggregate; orientation is one join + a comparison.
+    """
+    # materialize once: the oriented list feeds all three legs of the
+    # wedge join (localCheckpoint, reclaimed by the ContextCleaner)
+    oriented = orient_by_degree(edges, src, dst).localCheckpoint(eager=True)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 def bfs_distances(

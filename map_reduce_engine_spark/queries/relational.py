@@ -1210,15 +1210,18 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tri
     """,
     doc="triangle counting on the co-purchase graph (parts bought together "
-    "in >= 2 orders): the classic distributed-graph benchmark as two "
-    "self-equi-joins over an ORIENTED edge list (u < v), so each triangle "
-    "is counted exactly once with no permutation blowup. The support>=2 "
-    "edge filter is the pruning step; at 100 TB the id-orientation is "
-    "upgraded to degree-orientation (orient each edge toward the "
-    "higher-degree endpoint), which provably bounds the join fan-out at "
-    "O(m^1.5) even on power-law graphs",
+    "in >= 2 orders): the classic distributed-graph benchmark via "
+    "DEGREE-ORIENTED wedge joins (operators/graph.py::triangle_count) — "
+    "each edge is re-oriented toward its higher-(degree, id) endpoint, "
+    "which bounds every node's out-degree at O(sqrt(m)) and therefore the "
+    "join fan-out at O(m^1.5) even on power-law graphs where plain "
+    "id-orientation leaves one hub doing all the work. The support>=2 "
+    "edge filter is the pruning step. The oracle keeps the simple "
+    "id-oriented formulation: the triangle COUNT is orientation-invariant",
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import triangle_count
+
     items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
     edges = (
@@ -1228,19 +1231,15 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
         .select("u", "v")
-        # localCheckpoint, not persist(): materializes once for the three-way
-        # self-join AND is reclaimed by the ContextCleaner when the DF goes out
-        # of scope — a persist() here would leak a cache-manager entry per
-        # invocation for the life of the session (bench runs the whole registry
-        # in one session). Same policy as operators/graph.py.
+        # localCheckpoint, not persist(): materializes once for the degree
+        # aggregate + three-way wedge join AND is reclaimed by the
+        # ContextCleaner when the DF goes out of scope — a persist() here
+        # would leak a cache-manager entry per invocation for the life of
+        # the session (bench runs the whole registry in one session). Same
+        # policy as operators/graph.py.
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    tri = triangle_count(edges, "u", "v")
     return edges.agg(F.count("*").alias("n_edges")).crossJoin(tri)
 
 

