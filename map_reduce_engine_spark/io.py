@@ -144,7 +144,13 @@ def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
                 f"timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    if t == "timestamp":  # tz-instant generations: raw epoch, session-TZ-free
+    # tz-instant generations: unix_micros reads the RAW epoch value, so the
+    # NTZ result is the instant's UTC wall time on ANY session timezone —
+    # correctness here must not depend on session.py's UTC pin, because the
+    # external driver's session config is unknown (pinned by
+    # test_io.py::test_read_table_is_session_timezone_independent).
+    # cast("timestamp_ntz") would instead shift by the session offset.
+    if t == "timestamp":
         return df.withColumn(
             col,
             F.expr(

@@ -416,6 +416,31 @@ def streaming_stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "typed_state_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    doc="the Spark 4 typed-ValueState processor (streaming/windows.py::"
+    "_UserStatsProcessor, the transformWithStateInPandas surface) proven "
+    "through its batch conformance twin: the SAME processor code — init, "
+    "handleInputRows accumulation, final emit — driven by applyInPandas "
+    "with an in-memory state handle (user_stats_batch_twin). This gives "
+    "the typed-state surface a DuckDB oracle even where the streaming "
+    "runtime's protobuf protocol is unavailable; a drained update-mode "
+    "stream keeps each key's final row, which equals this batch result",
+)
+def typed_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.streaming import user_stats_batch_twin
+
+    return user_stats_batch_twin(read_table(spark, sf_dir, "events"))
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

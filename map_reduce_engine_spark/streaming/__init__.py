@@ -20,10 +20,12 @@ from map_reduce_engine_spark.streaming.windows import (
     stream_stream_interval_join,
     foreach_batch_idempotent_sink,
     stateful_user_stats,
+    user_stats_batch_twin,
 )
 
 __all__ = [
     "ntz_of_instant",
+    "user_stats_batch_twin",
     "stateful_user_stats",
     "stream_stream_interval_join",
     "foreach_batch_idempotent_sink",

@@ -292,6 +292,59 @@ class _UserStatsProcessor:
         pass
 
 
+class _LocalValueState:
+    """In-memory ValueState with the exact get/update/exists surface the
+    Spark 4 typed-state handle exposes — the conformance shim that lets the
+    REAL processor run batch-side where the protobuf protocol is absent."""
+
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _LocalStateHandle:
+    def getValueState(self, name: str, schema: str) -> _LocalValueState:
+        return _LocalValueState()
+
+
+def user_stats_batch_twin(df: DataFrame) -> DataFrame:
+    """Batch conformance twin of ``stateful_user_stats``: the SAME
+    ``_UserStatsProcessor`` code (init → handleInputRows → final emit)
+    driven through ``applyInPandas`` with an in-memory state handle.
+
+    This is the oracle-checkable path for the typed-state surface in
+    environments where ``transformWithStateInPandas`` cannot start
+    (its processor protocol speaks protobuf to the JVM; absent here). A
+    fully drained update-mode stream keeps each key's LAST row, which
+    equals running the processor once over the key's whole history — so
+    batch twin, streamed final state, and the SQL aggregate all agree.
+    """
+    import pandas as pd  # noqa: F401  (processor emits pandas frames)
+
+    def _run_group(key, rows):
+        proc = _UserStatsProcessor()
+        proc.init(_LocalStateHandle())
+        out = None
+        for frame in proc.handleInputRows(key, iter([rows]), None):
+            out = frame
+        proc.close()
+        return out
+
+    return (
+        df.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_run_group, "user_id BIGINT, n BIGINT, total DOUBLE, max_value DOUBLE")
+    )
+
+
 def stateful_user_stats(stream: DataFrame) -> DataFrame:
     """Per-user running stats via ``transformWithStateInPandas`` (update
     mode) — the Spark 4 typed-state twin of ``stateful_running_total``.
