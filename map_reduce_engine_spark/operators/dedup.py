@@ -368,12 +368,15 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     then verify with ``bit_count(xor)``. Linear-ish like LSH banding; never
     all-pairs.
 
-    Sketches are persisted before the self-join: both sides share one
-    lineage, so without it the corpus-scan + 63-vote aggregate runs once per
-    side. A sketch is one bigint per doc — materializing it is the right
-    trade at any corpus size.
+    Sketches are materialized once before the self-join: both sides share
+    one lineage, so without it the corpus-scan + 63-vote aggregate runs
+    once per side. A sketch is one bigint per doc — materializing it is the
+    right trade at any corpus size. localCheckpoint (not persist) so the
+    ContextCleaner reclaims it when the result goes out of scope — a
+    persist() here leaks a cache entry per invocation for the life of the
+    session (the registry sweep runs 200+ queries in one session).
     """
-    sk = simhash(df, id_col, text_col).persist()
+    sk = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     segs = F.array(
         *[
             F.struct(

@@ -471,7 +471,12 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64).persist()
+    # localCheckpoint, not persist: reused by both the new and historical
+    # band sides within this query only; persist() would leak a session-long
+    # cache entry per invocation (same policy as operators/graph.py)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64).localCheckpoint(
+        eager=True
+    )
     cands = dd.minhash_cross_candidates(
         sigs.where(F.col("id") >= 250), sigs.where(F.col("id") < 250)
     )

@@ -241,17 +241,40 @@ def foreach_batch_idempotent_sink(stream_df: DataFrame, dest: str) -> None:
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+) -> None:
     """Drain a (bounded) stream into an in-memory table synchronously —
-    the local test harness; production sinks are parquet/Kafka/foreachBatch."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the local test harness; production sinks are parquet/Kafka/foreachBatch.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    the stream's planning (restored after the drain): a stateful streaming
+    job instantiates one state store PER shuffle partition PER operator,
+    and that count is frozen into the checkpoint for the query's life — so
+    it is sized to expected KEY CARDINALITY as an explicit per-job
+    decision, never inherited from whatever the session default happens to
+    be (200 default partitions = 200 state stores per micro-batch for a
+    150-user key space). Pass None to keep the session setting.
+    """
+    spark = stream_df.sparkSession
+    conf = spark.conf
+    old = conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old)
 
 
 class _UserStatsProcessor:
