@@ -93,17 +93,34 @@ def main() -> None:
         sf_value = float(sf_label)
     except ValueError:
         sf_value = sf_label
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_value,
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+    }
+    # Regression guard: per-query ratio vs the newest recorded round
+    # (BENCH_r{N}.json). Purely informational fields — consumers of the
+    # one-line contract read metric/value/queries/sf as before.
+    prev_files = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    if prev_files:
+        try:
+            prev_doc = json.loads(prev_files[-1].read_text())
+            # driver rounds wrap the bench line under "parsed"
+            prev = prev_doc.get("parsed", prev_doc)["queries"]
+            deltas = {
+                k: round(v / prev[k], 3) for k, v in timings.items() if prev.get(k)
             }
-        )
-    )
+            out["prev_round"] = prev_files[-1].name
+            out["deltas_vs_prev"] = deltas
+            regressed = {k: r for k, r in deltas.items() if r > 1.5}
+            out["regressed_over_1_5x"] = regressed
+            if regressed:
+                print(f"# REGRESSION >1.5x vs {prev_files[-1].name}: {regressed}", file=sys.stderr)
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 
