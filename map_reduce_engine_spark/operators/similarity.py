@@ -105,6 +105,43 @@ def random_hyperplane_buckets(
     return df.withColumn(out, bucket)
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, proj: array<double>) — Johnson-Lindenstrauss random projection.
+
+    Projects ``dim``-dimensional vectors onto ``out_dim`` seeded Gaussian
+    directions embedded as literal arrays (the ``random_hyperplane_buckets``
+    recipe, kept un-normalized: JL's 1/sqrt(out_dim) factor cancels in any
+    cosine/relative-distance use, and omitting it keeps the arithmetic a
+    plain dot product both engines replay bit-identically). A narrow
+    per-row map — no shuffle, no Python, no state — so at 100 TB it is a
+    pure scan-speed pass that cuts every downstream distance computation
+    and shuffle byte count by dim/out_dim (the JL lemma bounds the pairwise
+    distance distortion at O(sqrt(log n / out_dim))). The dimensionality
+    companion to ``int8`` quantization's per-component compression.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((out_dim, dim))
+    vec = _vecd(F.col(vec_col))
+    proj = F.array(
+        *[dot(vec, F.array(*[F.lit(float(v)) for v in row])) for row in planes]
+    )
+    return df.select(F.col(id_col).alias("id"), proj.alias("proj"))
+
+
+def jl_plane_literals(out_dim: int = 16, seed: int = 42, dim: int = 64) -> list[list[float]]:
+    """The exact plane matrix ``random_projection`` embeds — exposed so a
+    SQL twin can inline the identical literals."""
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((out_dim, dim))]
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -137,3 +137,47 @@ def kmv_tree_sketch(
         )
         .select(F.col("g").alias(group_col), "kmin", "n_hashes")
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    rate_denom: int = 8,
+) -> DataFrame:
+    """1-row (est_pairs, sampled_pairs, n_sampled_keys) — join cardinality
+    estimated by COORDINATED key sampling, without running the join.
+
+    Filter BOTH sides to keys whose portable hash lands in the bottom
+    1/rate_denom of the hash space — the SAME keys survive on both sides,
+    which is the property independent row-sampling lacks (row-sampling at
+    rate p keeps a matching pair with p² and the 1/p² correction has
+    enormous variance). Key-sampling keeps each surviving key's FULL
+    contribution c_a(k)·c_b(k), so the Horvitz-Thompson estimate
+    ``rate_denom · Σ_sampled c_a·c_b`` is unbiased, with variance driven
+    only by the key-size distribution. The pre-flight this enables at
+    100 TB: estimate a join's output rows / shuffle volume / skew from two
+    cheap filtered aggregates before paying for the real thing (the same
+    role the reference's fixed reducer-count heuristic plays at submission,
+    ``MasterNode.java`` — but data-driven). All arithmetic is on the
+    md5-prefix portable hash family, so a SQL oracle replays it exactly.
+    """
+    cut = (_MASK31 + 1) // rate_denom
+    ca = (
+        a.select(portable_base31(F.col(key_a).cast("string")).alias("h"), F.col(key_a).alias("k"))
+        .where(F.col("h") < cut)
+        .groupBy("k")
+        .agg(F.count("*").alias("ca"))
+    )
+    cb = (
+        b.select(portable_base31(F.col(key_b).cast("string")).alias("h"), F.col(key_b).alias("k"))
+        .where(F.col("h") < cut)
+        .groupBy("k")
+        .agg(F.count("*").alias("cb"))
+    )
+    return ca.join(cb, "k").agg(
+        (F.lit(rate_denom) * F.sum(F.col("ca") * F.col("cb"))).cast("bigint").alias("est_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("sampled_pairs"),
+        F.count("*").cast("bigint").alias("n_sampled_keys"),
+    )

@@ -2079,3 +2079,52 @@ def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = spark.createDataFrame([("c1",)], ["node"])
     return bfs_distances(edges, seeds, max_depth=4)
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH k AS (SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY 1),
+    s AS (
+      SELECT key, c FROM k
+      WHERE (('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT & 2147483647) < 268435456
+    ),
+    est AS (
+      SELECT (8 * sum(c * c))::BIGINT AS est_pairs,
+             sum(c * c)::BIGINT AS sampled_pairs,
+             count(*)::BIGINT AS n_sampled_keys
+      FROM s
+    ),
+    ex AS (SELECT sum(c * c)::BIGINT AS exact_pairs FROM k)
+    SELECT est_pairs, sampled_pairs, n_sampled_keys, exact_pairs,
+           round(est_pairs::DOUBLE / exact_pairs, 4) AS ratio
+    FROM est, ex
+    """,
+    doc="join-cardinality pre-flight (operators/sketch.py::"
+    "join_size_estimate): the size of the orders-orders self-join on "
+    "o_custkey (sum of per-customer order-count squares — the shuffle "
+    "volume a co-order analysis would pay) estimated from a coordinated "
+    "1/8 key sample: both sides keep exactly the keys whose portable hash "
+    "falls in the bottom eighth of the hash space, so each surviving key "
+    "contributes its FULL c_a*c_b and the Horvitz-Thompson scale-up is "
+    "unbiased. Output carries the estimate, the exact value, and their "
+    "ratio; the oracle replays the identical hash filter. "
+    "test_operators.py asserts the estimate lands within 3 sigma",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sketch import join_size_estimate
+
+    orders = t(spark, sf_dir, "orders")
+    est = join_size_estimate(orders, orders, "o_custkey", "o_custkey", rate_denom=8)
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_pairs",
+        "sampled_pairs",
+        "n_sampled_keys",
+        "exact_pairs",
+        F.round(F.col("est_pairs") / F.col("exact_pairs"), 4).alias("ratio"),
+    )

@@ -1741,3 +1741,58 @@ def kmv_distinct_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.join(exact, "o_orderpriority")
         .select("o_orderpriority", est.alias("kmv_estimate"), "exact_customers")
     )
+
+
+def _zorder_oracle() -> str:
+    """Morton interleave spelled as non-overlapping bit terms (addition ==
+    OR when no two terms share a bit), identical in both engines."""
+    terms = " + ".join(
+        f"(((xb >> {i}) & 1) * {1 << (2 * i)}) + (((yb >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(8)
+    )
+    return f"""
+    WITH b AS (
+      SELECT o_custkey % 256 AS xb,
+             (year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE)) % 256 AS yb
+      FROM orders
+    ),
+    z AS (SELECT xb, yb, ({terms}) AS zval FROM b)
+    SELECT (zval // 1024)::BIGINT AS tile,
+           count(*) AS n,
+           (max(xb) - min(xb))::BIGINT AS x_span,
+           (max(yb) - min(yb))::BIGINT AS y_span
+    FROM z GROUP BY 1
+    """
+
+
+@register(
+    "zorder_locality",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) layout profile over the orders table on "
+    "(customer bucket, order month): io.py::morton_col interleaves the "
+    "two 8-bit bucketized dimensions into a space-filling-curve key — the "
+    "clustering key write_zordered range-partitions and sorts files by "
+    "(the Delta/Iceberg OPTIMIZE ZORDER recipe from public expressions). "
+    "Output: per 1024-cell z-tile, the row count and the tile's x/y spans "
+    "— compact on BOTH dimensions, which is exactly why min/max footer "
+    "stats can prune scans filtered on EITHER column. Pure JVM bit "
+    "arithmetic, bit-identical in the oracle",
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.io import morton_col
+
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    b = orders.select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        ((F.year(d) * 12 + F.month(d)) % 256).alias("yb"),
+    )
+    z = b.withColumn("zval", morton_col(F.col("xb"), F.col("yb"), bits=8))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 10).cast("bigint").alias("tile"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("xb") - F.min("xb")).cast("bigint").alias("x_span"),
+            (F.max("yb") - F.min("yb")).cast("bigint").alias("y_span"),
+        )
+    )

@@ -470,3 +470,158 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_valid",
         )
     )
+
+
+def _jl_oracle() -> str:
+    """DuckDB twin of the JL projection: the identical seeded plane
+    literals inlined, the identical dot-product accumulation order."""
+    planes = sim.jl_plane_literals(out_dim=16, seed=7, dim=64)
+    plist = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[])"
+        for row in planes
+    )
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, [{plist}] AS p
+      FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+             round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 6) AS cos_orig,
+             round(list_dot_product(p1.p, p2.p) /
+                   (sqrt(list_dot_product(p1.p, p1.p)) * sqrt(list_dot_product(p2.p, p2.p))), 6) AS cos_proj
+      FROM embeddings e1
+      JOIN embeddings e2 ON e1.vec_id < e2.vec_id AND e2.vec_id < 20
+      JOIN pr p1 ON p1.vec_id = e1.vec_id
+      JOIN pr p2 ON p2.vec_id = e2.vec_id
+      WHERE e1.vec_id < 20
+    )
+    SELECT id1, id2, cos_orig, cos_proj, round(abs(cos_orig - cos_proj), 6) AS abs_err
+    FROM pairs
+    """
+
+
+@register(
+    "jl_distance_preservation",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64 → 16 dims "
+    "(operators/similarity.py::random_projection): a narrow, shuffle-free "
+    "per-row map over seeded Gaussian literal planes that cuts every "
+    "downstream distance computation and shuffle byte count 4x. "
+    "Conformance output: every probe pair's original vs projected cosine "
+    "and the absolute distortion — FULLY oracle-checked because the "
+    "DuckDB twin inlines the identical plane literals and replays the "
+    "identical accumulation order (test_operators.py asserts the JL "
+    "distortion bound actually holds)",
+)
+def jl_distance_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pr = sim.random_projection(emb, "vec_id", "embedding", out_dim=16, seed=7, dim=64)
+    probe = emb.where(F.col("vec_id") < 20)
+    e1 = probe.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = probe.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    p1 = pr.select(F.col("id").alias("id1"), F.col("proj").alias("q1"))
+    p2 = pr.select(F.col("id").alias("id2"), F.col("proj").alias("q2"))
+    vd = sim._vecd
+    pairs = (
+        e1.join(e2, F.col("id1") < F.col("id2"))
+        .join(p1, "id1")
+        .join(p2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                sim.dot(vd(F.col("v1")), vd(F.col("v2")))
+                / (sim.l2_norm(vd(F.col("v1"))) * sim.l2_norm(vd(F.col("v2")))),
+                6,
+            ).alias("cos_orig"),
+            F.round(
+                sim.dot(F.col("q1"), F.col("q2"))
+                / (sim.l2_norm(F.col("q1")) * sim.l2_norm(F.col("q2"))),
+                6,
+            ).alias("cos_proj"),
+        )
+    )
+    return pairs.select(
+        "id1", "id2", "cos_orig", "cos_proj",
+        F.round(F.abs(F.col("cos_orig") - F.col("cos_proj")), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "maxsim_late_interaction",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // 5 AS doc, embedding FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE doc < 2),
+    scored AS (
+      SELECT q.doc AS query_doc, v.doc AS cand_doc, q.vec_id AS qvec,
+             max(CAST(round(({_DUCK_COS.replace('a::', 'q.embedding::').replace('b::', 'v.embedding::')}) * 1000000, 0) AS BIGINT)) AS best
+      FROM q JOIN v ON v.doc <> q.doc
+      GROUP BY 1, 2, 3
+    ),
+    summed AS (
+      SELECT query_doc, cand_doc, sum(best) AS score_micro
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_doc, cand_doc, score_micro,
+             row_number() OVER (PARTITION BY query_doc
+                                ORDER BY score_micro DESC, cand_doc) AS rank
+      FROM summed
+    )
+    SELECT query_doc, cand_doc, score_micro::BIGINT AS score_micro, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="ColBERT-style late-interaction retrieval: documents are BAGS of "
+    "vectors (here vec_id div 5 groups 500 embeddings into 100 5-vector "
+    "docs) and score(q, d) = sum over query vectors of the max cosine "
+    "against any doc vector — the multi-vector semantics single-vector "
+    "ANN can't express. Shape: broadcast the (tiny) query bag, one "
+    "equi-free scoring join, then TWO aggregates (max per query-vector, "
+    "sum per doc pair) and a per-query top-k window. Scores are summed in "
+    "exact MICRO-cosine integers (bigint) so cross-engine float addition "
+    "order can't shift a rank. At 100 TB the scoring join runs per "
+    "candidate from a first-stage ANN, not the full corpus — this query "
+    "IS that second stage, restricted to 2 probe docs",
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("vec_id") / 5).cast("bigint").alias("doc"), "embedding"
+    )
+    vd = sim._vecd
+    q = emb.where(F.col("doc") < 2).select(
+        F.col("doc").alias("query_doc"),
+        F.col("vec_id").alias("qvec"),
+        vd(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("doc").alias("cand_doc"),
+        vd(F.col("embedding")).alias("cv"),
+    )
+    cos = sim.dot(F.col("qv"), F.col("cv")) / (
+        sim.l2_norm(F.col("qv")) * sim.l2_norm(F.col("cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_doc") != F.col("query_doc"))
+        .groupBy("query_doc", "cand_doc", "qvec")
+        .agg(F.max(F.round(cos * 1000000, 0).cast("bigint")).alias("best"))
+    )
+    summed = scored.groupBy("query_doc", "cand_doc").agg(
+        F.sum("best").alias("score_micro")
+    )
+    w = Window.partitionBy("query_doc").orderBy(F.desc("score_micro"), "cand_doc")
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_doc", "cand_doc", "score_micro", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

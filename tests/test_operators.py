@@ -603,3 +603,68 @@ def test_semantic_dedup_string_ids_and_empty_schema(spark):
     rows = {r.doc_id: r for r in full.collect()}
     assert not rows["doc-b"].is_kept and rows["doc-b"].keeper_id == "doc-a"
     assert empty.count() == 0
+
+
+def test_jl_projection_distortion_bound(spark, sf_dir):
+    """The JL projection must actually preserve pairwise cosine structure:
+    with 16 Gaussian directions the distortion std is ~1/sqrt(16), so the
+    mean absolute cosine error over probe pairs stays well under 0.2 and
+    no pair is torn apart entirely (oracle equality alone would pass even
+    for a useless projection)."""
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    rows = REGISTRY["jl_distance_preservation"].fn(spark, sf_dir).collect()
+    errs = [r.abs_err for r in rows]
+    assert len(errs) == 190
+    assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
+    assert max(errs) < 0.75, max(errs)
+
+
+def test_join_size_estimate_unbiased_and_exact_at_full_rate(spark):
+    """Coordinated key-sampling: rate_denom=1 keeps every key, so the
+    'estimate' must equal the exact join size; at 1/4 on a uniform key
+    space the estimate must land within a loose 3-sigma band."""
+    from map_reduce_engine_spark.operators.sketch import join_size_estimate
+
+    rows = [(k % 100, i) for i, k in enumerate(range(2000))]
+    df = spark.createDataFrame(rows, "key bigint, payload bigint")
+    exact = sum(20 * 20 for _ in range(100))  # 100 keys x 20 rows each
+    full = join_size_estimate(df, df, "key", "key", rate_denom=1).collect()[0]
+    assert full.est_pairs == exact == full.sampled_pairs
+    est = join_size_estimate(df, df, "key", "key", rate_denom=4).collect()[0]
+    assert est.n_sampled_keys > 0
+    assert abs(est.est_pairs - exact) / exact < 0.6, est
+
+
+def test_maxsim_prefers_duplicate_bag(spark):
+    """maxsim semantics: a candidate bag containing near-copies of every
+    query vector must outrank a bag matching only one of them."""
+    import numpy as np
+
+    from map_reduce_engine_spark.queries import REGISTRY
+    from map_reduce_engine_spark.io import read_table
+
+    # registry query at fixture scale: rank-1 candidate per query doc must
+    # dominate on summed max-cosine, and ranks must be 1..5 per query
+    out = REGISTRY["maxsim_late_interaction"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_doc, []).append(r)
+    for q_doc, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r.score_micro for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_zorder_tiles_are_compact_rectangles(spark, sf_dir):
+    """Each 1024-cell z-tile covers a 32x32 grid rectangle — spans over 31
+    on either bucketized dimension would mean the interleave is broken and
+    footer-stat pruning on that column is lost."""
+    from map_reduce_engine_spark.queries import REGISTRY
+
+    rows = REGISTRY["zorder_locality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.x_span <= 31, r
+        assert 0 <= r.y_span <= 31, r

@@ -563,6 +563,9 @@ _SANCTIONED_NESTED_LOOP = {
     "contrastive_negatives": "broadcasts the 1-row corpus count",
     "bm25_doc_scores": "broadcasts the 1-row avgdl aggregate",
     "token_pmi": "broadcasts the 1-row corpus token total",
+    "jl_distance_preservation": "pair join over a 20-vector probe set",
+    "maxsim_late_interaction": "broadcasts the 2-doc (10-vector) query bag",
+    "join_cardinality_estimate": "broadcasts the 1-row exact-side aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
