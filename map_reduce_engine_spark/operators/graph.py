@@ -28,57 +28,78 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) — component = smallest node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes absent from it are
     (by definition) their own singleton components and simply don't appear.
+
+    Loop discipline (shared with ``pagerank``): the edge list materializes
+    once, hash-partitioned on the join key so rounds re-shuffle only the
+    label updates; partition count is sized to the graph (capped at the
+    session setting); AQE is off for the loop scope — round shapes are
+    static and co-partitioned, so runtime re-planning only adds per-stage
+    latency — and each round's labels are eagerly local-checkpointed to
+    keep the plan constant-size.
     """
-    # undirected: materialize both directions ONCE. Without this persist the
+    # undirected: materialize both directions ONCE. Without this the
     # per-round join would recompute the edge list's ENTIRE upstream lineage
     # every iteration — for near-dup clustering that is the whole
     # MinHash-verify pipeline, turning an O(rounds) loop into
-    # O(rounds * pipeline). Eager localCheckpoint also truncates the lineage
-    # so round plans don't grow.
+    # O(rounds * pipeline).
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))).localCheckpoint(
-        eager=True
-    )
+    und0 = fwd.union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
 
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    labels.cache()
-    labels.count()  # materialize
+    spark = edges.sparkSession
+    conf = spark.conf
+    session_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, und0.count() // 200_000 + 1))
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        und = und0.repartition(num_partitions, "a").localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        # each node proposes its current label to every neighbor
-        proposals = (
-            und.join(labels, und.a == labels.node)
-            .select(F.col("b").alias("node"), F.col("component"))
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(proposals)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        # eager localCheckpoint: materializes AND truncates lineage, so the
-        # per-round plan stays constant-size (nested iterative plans grow
-        # exponentially in the optimizer otherwise)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+
+        for _ in range(max_iter):
+            # each node proposes its current label to every neighbor
+            proposals = (
+                und.join(labels, und.a == labels.node)
+                .select(F.col("b").alias("node"), F.col("component"))
+            )
+            new_labels = (
+                labels.select("node", "component")
+                .union(proposals)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            # eager localCheckpoint: materializes AND truncates lineage, so
+            # the per-round plan stays constant-size (nested iterative plans
+            # grow exponentially in the optimizer otherwise)
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 
@@ -290,26 +311,42 @@ def bfs_distances(
     the remaining rounds no-ops rather than early-exiting (no per-round
     driver count job).
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    dist = seeds.select(
-        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
-    ).localCheckpoint(eager=True)
-    frontier = dist.select("node")
-    for r in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(und, frontier.node == und.a)
-            .select(F.col("b").alias("node"))
+    spark = edges.sparkSession
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        und0 = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
             .distinct()
-            .join(dist, "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        dist = dist.union(
-            nxt.withColumn("dist", F.lit(r).cast("bigint")).select("node", "dist")
+        # same fixed-round loop discipline as pagerank/connected_components:
+        # graph-sized partitions, AQE off for the static loop shapes, edge
+        # list pre-partitioned on the join key once
+        session_parts = int(old_parts)
+        nparts = max(1, min(session_parts, und0.count() // 200_000 + 1))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(nparts))
+        und = und0.repartition(nparts, "a").localCheckpoint(eager=True)
+        dist = seeds.select(
+            F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
         ).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = dist.select("node")
+        for r in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(und, frontier.node == und.a)
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(dist, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            dist = dist.union(
+                nxt.withColumn("dist", F.lit(r).cast("bigint")).select("node", "dist")
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     return dist
