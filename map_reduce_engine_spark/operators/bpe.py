@@ -77,6 +77,28 @@ def bpe_segment(words: DataFrame, n_merges: int = 6) -> DataFrame:
 
 def _train_rounds(words: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
     syms = word_symbols(words).localCheckpoint(eager=True)
+    # Same fixed-round loop discipline as the graph operators: the loop
+    # state is the VOCABULARY-sized symbol table, so partitions are sized
+    # to it (capped at the session setting) and AQE is off for the loop
+    # scope — per-round wall time on static tiny-state shapes is stage
+    # scheduling, and every surplus partition costs n_merges rounds x
+    # several window/join stages of task-launch latency.
+    spark = words.sparkSession
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    nparts = max(1, min(int(old_parts), syms.count() // 200_000 + 1))
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(nparts))
+        merge_rows, syms = _train_rounds_inner(syms, n_merges)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    return merge_rows, syms
+
+
+def _train_rounds_inner(syms: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
     w_pos = Window.partitionBy("word").orderBy("pos")
     merge_rows = []
     for r in range(1, n_merges + 1):
