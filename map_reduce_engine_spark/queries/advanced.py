@@ -2128,3 +2128,152 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_pairs",
         F.round(F.col("est_pairs") / F.col("exact_pairs"), 4).alias("ratio"),
     )
+
+
+@register(
+    "ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+      FROM toks WHERE len(ts) >= 3
+    ),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN first_seen.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           round(sum(CASE WHEN first_seen.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS novelty
+    FROM sh JOIN first_seen ON first_seen.g = sh.g
+    GROUP BY sh.doc_id
+    """,
+    doc="per-document n-gram NOVELTY in arrival (doc_id) order: the share "
+    "of a document's distinct 3-gram shingles whose corpus-wide first "
+    "occurrence is this document — the streaming-ingest signal behind "
+    "'is this new batch adding information or repeating the corpus' "
+    "(novelty ~0 = the document is stitched from already-seen text even "
+    "when no single near-dup match exists). One distinct shingle explode, "
+    "one min-aggregate (first_doc), one equi-join back — the same "
+    "map-side-distinct shingle shape as contamination_check, linear in "
+    "corpus size",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ts")
+    ).where(F.size("ts") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.col("ts")[i], F.col("ts")[i + 1], F.col("ts")[i + 2]
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )
+
+
+def _textrank_oracle(iterations: int = 10) -> str:
+    """Unrolled TextRank twin: same round template as ``_pagerank_oracle``
+    but over the symmetric token co-occurrence graph."""
+    rounds = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT n.node, (1 - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(s.in_sum, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.d) AS in_sum
+        FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        for i in range(iterations)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    adj AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+      FROM toks WHERE len(ts) >= 2
+    ),
+    pairs AS (SELECT a, b FROM adj WHERE a <> b),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes){rounds},
+    final AS (
+      SELECT node AS word, round(rank, 5) AS rank,
+             row_number() OVER (ORDER BY round(rank, 5) DESC, node) AS rn
+      FROM r{iterations}
+    )
+    SELECT word, rank, rn::BIGINT AS rn FROM final WHERE rn <= 15
+    """
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over "
+    "the symmetric word co-occurrence graph (distinct adjacent token "
+    "pairs, both directions), top-15 words by rank. A pure COMPOSITION of "
+    "shipped operators — the bigram edge builder feeding operators/"
+    "graph.py::pagerank unchanged, proving the iterative-loop operator "
+    "composes with a text front-end. Oracle = the co-occurrence edges in "
+    "SQL feeding the same 10 unrolled PageRank rounds as the "
+    "pagerank_customer_supplier twin",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("ts")).where(F.size("ts") >= 2)
+    adj = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 2),
+                lambda i: F.struct(
+                    F.col("ts")[i].alias("a"), F.col("ts")[i + 1].alias("b")
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").where(F.col("a") != F.col("b")).distinct()
+    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, iterations=10)
+    w = Window.orderBy(F.desc("rank"), "word")
+    return (
+        ranks.select(F.col("node").alias("word"), F.round("rank", 5).alias("rank"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 15)
+    )
