@@ -441,6 +441,42 @@ def typed_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_chained_windows",
+    oracle="""
+    WITH l1 AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w1, user_id, count(*) AS n1
+      FROM events GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT time_bucket(INTERVAL 2 HOUR, w1) AS window_start,
+             count(*) AS n_user_windows,
+             sum(n1)::BIGINT AS n_events
+      FROM l1 GROUP BY 1
+    )
+    SELECT window_start, n_user_windows, n_events FROM l2
+    WHERE window_start + INTERVAL 2 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+    doc="TWO chained stateful aggregations in ONE streaming query "
+    "(streaming/windows.py::chained_window_rollup, Spark's multiple-"
+    "stateful-operators support): per-user 30-min tumbling counts "
+    "re-aggregated into 2-hour windows, the second aggregate reading the "
+    "first's window column as event time via window_time so one watermark "
+    "lineage evicts BOTH operators' state. Append mode emits a window only "
+    "when the watermark passes its end, so the drained stream equals the "
+    "two-level batch aggregate restricted to windows whose end <= "
+    "max(ts) - watermark — the deterministic cutoff the oracle replays "
+    "(the final no-data micro-batch advances the watermark and flushes "
+    "finalized state)",
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import chained_window_rollup, events_stream, run_to_memory
+
+    name = "mre_stream_chained"
+    run_to_memory(chained_window_rollup(events_stream(spark, sf_dir)), name, output_mode="append")
+    return spark.table(name)
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

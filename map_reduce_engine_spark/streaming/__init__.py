@@ -21,10 +21,12 @@ from map_reduce_engine_spark.streaming.windows import (
     foreach_batch_idempotent_sink,
     stateful_user_stats,
     user_stats_batch_twin,
+    chained_window_rollup,
 )
 
 __all__ = [
     "ntz_of_instant",
+    "chained_window_rollup",
     "user_stats_batch_twin",
     "stateful_user_stats",
     "stream_stream_interval_join",

@@ -315,6 +315,47 @@ class _UserStatsProcessor:
         pass
 
 
+def chained_window_rollup(
+    stream: DataFrame,
+    inner: str = "30 minutes",
+    outer: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TWO chained stateful aggregations in one streaming query: per-user
+    tumbling counts re-aggregated into coarser windows — Spark's
+    multiple-stateful-operators support (3.4+), which older engines forced
+    into two jobs with an intermediate sink.
+
+    The second aggregate reads the first's window column as its event time
+    via ``window_time`` (the watermark propagates through), so both
+    operators share one watermark lineage and both evict state. Append
+    mode is REQUIRED for a chained aggregation: a window emits only once
+    finalized, i.e. when the watermark passes its END — a drained
+    availableNow stream therefore emits exactly the windows whose end is
+    <= max(ts) - watermark (the no-data final batch advances the watermark
+    and flushes them), which is the deterministic cutoff the batch-twin
+    oracle replays.
+    """
+    lvl1 = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", inner).alias("w1"), "user_id")
+        .agg(F.count("*").alias("n1"))
+    )
+    return (
+        lvl1.groupBy(F.window(F.window_time("w1"), outer).alias("w2"))
+        .agg(
+            F.count("*").alias("n_user_windows"),
+            F.sum("n1").alias("n_events"),
+        )
+        .select(F.col("w2.start").alias("ws"), "n_user_windows", "n_events")
+        .select(
+            ntz_of_instant("ws").alias("window_start"),
+            "n_user_windows",
+            "n_events",
+        )
+    )
+
+
 class _LocalValueState:
     """In-memory ValueState with the exact get/update/exists surface the
     Spark 4 typed-state handle exposes — the conformance shim that lets the

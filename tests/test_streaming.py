@@ -542,3 +542,48 @@ def test_left_outer_interval_join_emits_nulls_after_watermark(spark, tmp_path):
         (9, 9, 999),   # the watermark-advancing matched pair
     }
     assert got == expected
+
+
+def test_chained_stateful_aggregations_share_watermark(spark, sf_dir):
+    """Two stateful aggregations chained in ONE query: the physical plan
+    must carry two stateful operators (both evicting off the shared
+    watermark lineage), and the drained append-mode output must equal the
+    two-level batch aggregate restricted to finalized windows."""
+    from map_reduce_engine_spark.streaming import chained_window_rollup, events_stream
+
+    out = chained_window_rollup(events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_chain")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert len(progress["stateOperators"]) == 2, progress["stateOperators"]
+
+    from map_reduce_engine_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    import datetime
+
+    cutoff = wm - datetime.timedelta(hours=2)  # watermark
+    l1 = ev.groupBy(
+        F.window("ts", "30 minutes").alias("w1"), "user_id"
+    ).agg(F.count("*").alias("n1"))
+    l2 = (
+        l1.groupBy(F.window(F.col("w1.start"), "2 hours").alias("w2"))
+        .agg(F.count("*").alias("n_user_windows"), F.sum("n1").alias("n_events"))
+        .where(F.col("w2.end") <= F.lit(cutoff))
+        .select(
+            F.col("w2.start").cast("timestamp_ntz").alias("window_start"),
+            "n_user_windows",
+            "n_events",
+        )
+    )
+    got = {tuple(r) for r in spark.table("t_chain").collect()}
+    want = {tuple(r) for r in l2.collect()}
+    assert got == want and got
