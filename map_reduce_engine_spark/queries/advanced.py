@@ -2277,3 +2277,75 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 15)
     )
+
+
+
+
+def _ams_oracle(depth: int = 128, group_size: int = 32) -> str:
+    """DuckDB twin of the AMS sketch: identical affine sign hashes (bit 30
+    of (a·h + b) & MASK31 as the coin), identical exact group-mean
+    division (group_size a power of two), identical lower-median pick."""
+    from map_reduce_engine_spark.operators.dedup import minhash_family
+
+    av, bv = minhash_family(depth)
+    terms = ",\n        ".join(
+        f"sum(1 - 2 * ((({av[d]} * h + {bv[d]}) & 2147483647) >> 30)) AS z{d}"
+        for d in range(depth)
+    )
+    n_groups = depth // group_size
+    means = ", ".join(
+        "("
+        + " + ".join(f"z{g * group_size + j} * z{g * group_size + j}" for j in range(group_size))
+        + f") / {group_size}.0"
+        for g in range(n_groups)
+    )
+    return f"""
+    WITH h AS (
+      SELECT (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT & 2147483647) AS h
+      FROM orders
+    ),
+    z AS (SELECT {terms} FROM h),
+    e AS (SELECT list_sort([{means}]) AS ms FROM z),
+    ex AS (
+      SELECT sum(c * c)::BIGINT AS exact_f2
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+    )
+    SELECT ms[{n_groups // 2}]::DOUBLE AS f2_median_low,
+           exact_f2,
+           round(ms[{n_groups // 2}] / exact_f2, 4) AS ratio
+    FROM e, ex
+    """
+
+
+@register(
+    "ams_f2_sketch",
+    oracle=_ams_oracle(),
+    doc="AMS second-moment (F2) sketch over the orders customer key "
+    "(operators/sketch.py::ams_f2_sketch), median-of-means form: 128 "
+    "one-counter estimators Z_d = sum of portable +-1 sign hashes with "
+    "E[Z_d^2] = F2 = the self-join size join_cardinality_estimate "
+    "samples for — here with 128 INTEGERS of state, merged by plain "
+    "addition under any partitioning (the AddInterface sum-merge shape), "
+    "no key ever stored; estimates average in groups of 32 (exact binary "
+    "division) and the lower-median group mean is the estimate. Output: "
+    "estimate, exact F2, ratio; the oracle replays the identical sign "
+    "hashes so the sketch is bit-identical cross-engine. The classic "
+    "sketch family is now complete: CMS (point frequency), KMV/HLL "
+    "(distinct count), AMS (second moment / skew). "
+    "test_operators.py asserts estimate quality",
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sketch import ams_f2_sketch as ams
+
+    orders = t(spark, sf_dir, "orders")
+    sk = ams(orders, "o_custkey", depth=128, group_size=32)
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.element_at("f2_group_means", 2).alias("f2_median_low"),
+        "exact_f2",
+        F.round(F.element_at("f2_group_means", 2) / F.col("exact_f2"), 4).alias("ratio"),
+    )

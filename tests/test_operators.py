@@ -668,3 +668,21 @@ def test_zorder_tiles_are_compact_rectangles(spark, sf_dir):
     for r in rows:
         assert 0 <= r.x_span <= 31, r
         assert 0 <= r.y_span <= 31, r
+
+
+def test_ams_f2_estimate_quality_and_partition_invariance(spark, sf_dir):
+    """The AMS estimate must land near exact F2 (32-mean groups → ~25%
+    stderr; assert a loose band) and, being a plain sum, must be
+    bit-identical under repartitioning."""
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.sketch import ams_f2_sketch
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = ams_f2_sketch(orders, "o_custkey").collect()[0].f2_group_means
+    b = ams_f2_sketch(orders.repartition(13), "o_custkey").collect()[0].f2_group_means
+    assert a == b
+    exact = (
+        orders.groupBy("o_custkey").count().agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    )
+    med = a[len(a) // 2 - 1]
+    assert exact > 0 and abs(med - exact) / exact < 0.75, (med, exact)
