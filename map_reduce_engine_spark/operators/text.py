@@ -266,3 +266,44 @@ def skipgram_pairs(
         .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "pair_cnt", F.round(pmi, 6).alias("pmi"))
     )
+
+
+def token_dropout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    drop_permille: int = 100,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, text, aug_text, n_tokens, n_dropped) — deterministic token
+    dropout, the cheapest text-augmentation for contrastive training.
+
+    Each token is dropped iff the portable hash of (id, position, seed)
+    lands below ``drop_permille``/1000 of the hash space — so the
+    augmentation is a pure column expression (no RNG, no Python), the same
+    view is regenerated bit-identically on any engine/partitioning/rerun
+    (an auditability property torch-style random masking can't give a
+    100 TB corpus), and distinct ``seed`` values yield independent views
+    for multi-positive contrastive batches. One filter + concat per row;
+    zero shuffles.
+    """
+    from map_reduce_engine_spark.operators.dedup import _MASK31, portable_base31
+
+    cut = (_MASK31 + 1) * drop_permille // 1000
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    keep = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: portable_base31(
+            F.concat_ws("|", F.col(id_col).cast("string"), s["i"].cast("string"), F.lit(str(seed)))
+        )
+        >= cut,
+    )
+    n_tokens = F.size(toks)
+    n_kept = F.size(keep)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias("aug_text"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (n_tokens - n_kept).cast("bigint").alias("n_dropped"),
+    )

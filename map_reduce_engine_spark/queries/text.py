@@ -728,3 +728,41 @@ def source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("decile"),
     )
     return bucketed.groupBy("source", "decile").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "token_dropout_augment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    marked AS (
+      SELECT doc_id, text, len(ts) AS n_tokens,
+             list_filter(
+               list_transform(range(1, len(ts) + 1),
+                              i -> {'t': ts[i],
+                                    'h': ('0x' || substr(md5(doc_id::VARCHAR || '|' || (i - 1)::VARCHAR || '|1'), 1, 8))::BIGINT & 2147483647}),
+               s -> s.h >= 214748364) AS keep
+      FROM toks
+    )
+    SELECT doc_id AS id, text,
+           array_to_string(list_transform(keep, s -> s.t), ' ') AS aug_text,
+           n_tokens::BIGINT AS n_tokens,
+           (n_tokens - len(keep))::BIGINT AS n_dropped
+    FROM marked
+    """,
+    doc="deterministic ~10% token dropout (operators/text.py::"
+    "token_dropout): each token drops iff the portable hash of "
+    "(doc_id, position, seed) lands below the rate cutoff — augmentation "
+    "as a pure column expression, bit-identically regenerable on any "
+    "engine/partitioning/rerun (the auditability RNG masking can't give "
+    "a 100 TB corpus) with independent views per seed for contrastive "
+    "positives. Zero shuffles; the oracle replays the identical "
+    "per-position hashes",
+)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.text import token_dropout
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return token_dropout(docs, "doc_id", "text", drop_permille=100, seed=1)

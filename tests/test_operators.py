@@ -686,3 +686,24 @@ def test_ams_f2_estimate_quality_and_partition_invariance(spark, sf_dir):
     )
     med = a[len(a) // 2 - 1]
     assert exact > 0 and abs(med - exact) / exact < 0.75, (med, exact)
+
+
+def test_token_dropout_seeded_views_and_determinism(spark, sf_dir):
+    """Augmentation contract: ~rate tokens drop, the same seed regenerates
+    the identical view under repartitioning, and different seeds give
+    genuinely different views (contrastive positives)."""
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.text import token_dropout
+
+    docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    v1 = {(r.id, r.aug_text) for r in token_dropout(docs, "doc_id", "text", seed=1).collect()}
+    v1b = {
+        (r.id, r.aug_text)
+        for r in token_dropout(docs.repartition(9), "doc_id", "text", seed=1).collect()
+    }
+    v2 = {(r.id, r.aug_text) for r in token_dropout(docs, "doc_id", "text", seed=2).collect()}
+    assert v1 == v1b
+    assert v1 != v2
+    rows = token_dropout(docs, "doc_id", "text", drop_permille=100, seed=1).collect()
+    total, dropped = sum(r.n_tokens for r in rows), sum(r.n_dropped for r in rows)
+    assert 0.06 < dropped / total < 0.14, dropped / total
