@@ -1257,3 +1257,108 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.round(F.avg("doc_nll"), 4).alias("avg_nll")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_groups,
+           sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS groups_below_k,
+           min(sz) AS min_group_size,
+           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS rows_at_risk,
+           round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 4)
+             AS at_risk_share
+    FROM g
+    """,
+    doc="k-anonymity audit (k=5) over the (nation, market segment) "
+    "quasi-identifier: group-size census reporting how many equivalence "
+    "classes fall below k, the smallest class, and the share of rows "
+    "re-identifiable through the quasi-identifier — the release gate a "
+    "training corpus with joined user metadata runs before export. One "
+    "hash aggregate over the quasi-identifier + one 5-counter rollup; "
+    "constant-size answer at any corpus size",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("sz"))
+    below = F.when(F.col("sz") < 5, 1).otherwise(0)
+    risk = F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(below).cast("bigint").alias("groups_below_k"),
+        F.min("sz").alias("min_group_size"),
+        F.sum(risk).cast("bigint").alias("rows_at_risk"),
+        F.round(F.sum(risk) / F.sum("sz"), 4).alias("at_risk_share"),
+    )
+
+
+@register(
+    "psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                  WHEN o_totalprice < 100000 THEN 1
+                  WHEN o_totalprice < 150000 THEN 2
+                  WHEN o_totalprice < 200000 THEN 3
+                  WHEN o_totalprice < 250000 THEN 4
+                  ELSE 5 END AS bucket,
+             CASE WHEN month(o_orderdate::DATE) <= 6 THEN 'h1' ELSE 'h2' END AS half
+      FROM orders
+    ),
+    c AS (
+      SELECT bucket,
+             sum(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS n2
+      FROM b GROUP BY 1
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c),
+    p AS (
+      SELECT bucket, (n1 + 1)::DOUBLE / (t1 + 6) AS p1, (n2 + 1)::DOUBLE / (t2 + 6) AS p2
+      FROM c, tot
+    )
+    SELECT count(*) AS n_buckets,
+           round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi
+    FROM p
+    """,
+    doc="population stability index between order-value distributions of "
+    "the year's two halves: fixed price buckets, add-one smoothing "
+    "(denominator +n_buckets) so empty cells can't produce log(0), "
+    "PSI = sum((p1-p2)*ln(p1/p2)). The standard pre-deploy drift gate "
+    "(<0.1 stable, >0.25 drifted) as two aggregates and a 6-row "
+    "broadcast — constant-size answer at any scale. Wall-clock month split "
+    "is computed on the DATE cast, so it is session-timezone independent",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(price < 50000, 0)
+        .when(price < 100000, 1)
+        .when(price < 150000, 2)
+        .when(price < 200000, 3)
+        .when(price < 250000, 4)
+        .otherwise(5)
+    )
+    half = F.when(F.month(F.col("o_orderdate").cast("date")) <= 6, "h1").otherwise("h2")
+    c = (
+        orders.select(bucket.alias("bucket"), half.alias("half"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "h1", 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("half") == "h2", 1).otherwise(0)).alias("n2"),
+        )
+    )
+    tot = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        ((F.col("n1") + 1) / (F.col("t1") + 6)).alias("p1"),
+        ((F.col("n2") + 1) / (F.col("t2") + 6)).alias("p2"),
+    )
+    return p.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(F.sum((F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))), 6).alias("psi"),
+    )

@@ -567,6 +567,7 @@ _SANCTIONED_NESTED_LOOP = {
     "maxsim_late_interaction": "broadcasts the 2-doc (10-vector) query bag",
     "join_cardinality_estimate": "broadcasts the 1-row exact-side aggregate",
     "ams_f2_sketch": "crossJoin of two 1-row aggregates (sketch + exact side)",
+    "psi_drift": "broadcasts the 1-row bucket totals",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
