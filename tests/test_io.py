@@ -501,3 +501,23 @@ def test_read_table_is_session_timezone_independent(spark, sf_dir):
             assert rows == utc_rows, tz
     finally:
         spark.conf.set(tz_conf, old)
+
+
+def test_morton_interleave_roundtrip_property(spark):
+    """Property: the Morton code is a bijection — de-interleaving the even
+    and odd bits recovers exactly (x % 2^bits, y % 2^bits) for arbitrary
+    inputs, so z-ordered layouts lose no key information."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 61).alias("x"), ((F.col("id") * 7) % 53).alias("y")
+    )
+    z = df.withColumn("z", mio.morton_col(F.col("x"), F.col("y"), bits=8))
+    even = sum(
+        (F.shiftright(F.col("z"), 2 * i) % 2) * (1 << i) for i in range(8)
+    )
+    odd = sum(
+        (F.shiftright(F.col("z"), 2 * i + 1) % 2) * (1 << i) for i in range(8)
+    )
+    bad = z.where((even != F.col("x")) | (odd != F.col("y"))).count()
+    assert bad == 0
