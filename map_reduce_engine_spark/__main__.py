@@ -34,6 +34,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("output_dir", nargs="?", help="write parquet here; omit to print")
     q.add_argument("--limit", type=int, default=20, help="rows to print without output_dir")
     sub.add_parser("list", help="list registry queries (name + check kind)")
+    cp = sub.add_parser(
+        "corpus-pipeline",
+        help="run the end-to-end corpus prep example (quality gate → exact "
+        "dedup → near dedup → split → partitioned write)",
+    )
+    cp.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    cp.add_argument("output_dir")
+    cp.add_argument("--min-quality", type=float, default=0.3)
+    cp.add_argument("--jaccard", type=float, default=0.85)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -56,6 +65,23 @@ def main(argv: list[str] | None = None) -> int:
                 df.write.mode("overwrite").parquet(args.output_dir)
             else:
                 df.show(args.limit, truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "corpus-pipeline":
+        from map_reduce_engine_spark.examples.corpus_pipeline_job import run
+
+        spark = get_spark(app_name="mre-corpus-pipeline")
+        try:
+            audit = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                min_quality=args.min_quality,
+                jaccard_threshold=args.jaccard,
+            )
+            audit.show(truncate=False)
         finally:
             spark.stop()
         return 0

@@ -139,3 +139,31 @@ def test_job_audit_passes_clean_mapreduce(spark, tmp_path):
     job.run(spark, audit=True)
     got = dict(l.value.split("\t") for l in spark.read.text(str(out)).collect())
     assert got == {"a": "2", "b": "1"}
+
+
+def test_corpus_pipeline_example_end_to_end(spark, tmp_path):
+    """The corpus-prep example job: every stage monotonically shrinks the
+    corpus, survivors are unique by text, the split partition is written,
+    and the audit accounts for every stage."""
+    from map_reduce_engine_spark.examples.corpus_pipeline_job import run
+
+    out = str(tmp_path / "corpus")
+    audit = {r.stage: (r.rows_in, r.rows_out) for r in run(
+        spark, "/root/testdata/sf0.001", out
+    ).collect()}
+    assert audit["0_input"][0] > 0
+    # monotone shrink through the gates
+    assert audit["1_quality_gate"][1] <= audit["1_quality_gate"][0]
+    assert audit["2_exact_dedup"][1] <= audit["2_exact_dedup"][0]
+    assert audit["3_near_dedup"][1] <= audit["3_near_dedup"][0]
+    assert audit["3_near_dedup"][1] > 0
+
+    from pyspark.sql import functions as F
+
+    written = spark.read.parquet(out)
+    assert set(r.split for r in written.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    assert written.count() == audit["4_split_write"][1]
+    # exact-dedup invariant survives the whole pipeline
+    assert written.groupBy("text").count().where(F.col("count") > 1).count() == 0
