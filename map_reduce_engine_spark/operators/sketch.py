@@ -208,24 +208,33 @@ def ams_f2_sketch(
     if depth % group_size:
         raise ValueError(f"depth {depth} must be a multiple of group_size {group_size}")
     av, bv = minhash_family(depth)
-    h = portable_base31(F.col(item_col).cast("string"))
-    signs = [
-        (
+    # hash ONCE per row in a projection below the aggregate — each aggregate
+    # expression evaluates its own child, so inlining portable_base31 into
+    # all `depth` signs would run the md5 `depth` times per row. The sign
+    # family is ONE transform over a literal (a, b) constant array, not
+    # `depth` separate aggregate columns: a 128-buffer HashAggregate costs
+    # seconds of codegen compile alone, while posexplode + a 128-group sum
+    # is two tiny expressions at ANY depth (partial aggregation absorbs the
+    # explode before the 128-row shuffle).
+    hashed = df.select(portable_base31(F.col(item_col).cast("string")).alias("h"))
+    pairs = F.expr(
+        "array(" + ",".join(f"struct({av[d]}L as a, {bv[d]}L as b)" for d in range(depth)) + ")"
+    )
+    signs = F.transform(
+        pairs,
+        lambda p: (
             F.lit(1)
-            - F.lit(2) * F.shiftright((F.lit(av[d]) * h + F.lit(bv[d])).bitwiseAND(F.lit(_MASK31)), 30)
-        ).cast("bigint")
-        for d in range(depth)
-    ]
-    z = df.agg(*[F.sum(signs[d]).alias(f"z{d}") for d in range(depth)])
-    n_groups = depth // group_size
-    means = [
-        (
-            sum(
-                (F.col(f"z{g * group_size + j}") * F.col(f"z{g * group_size + j}"))
-                for j in range(group_size)
-            )
-            / F.lit(float(group_size))
-        ).alias(f"m{g}")
-        for g in range(n_groups)
-    ]
-    return z.select(F.sort_array(F.array(*means)).alias("f2_group_means"))
+            - F.lit(2)
+            * F.shiftright((p["a"] * F.col("h") + p["b"]).bitwiseAND(F.lit(_MASK31)), 30)
+        ).cast("bigint"),
+    )
+    z = (
+        hashed.select(F.posexplode(signs).alias("d", "s"))
+        .groupBy("d")
+        .agg(F.sum("s").alias("z"))
+    )
+    means = (
+        z.groupBy((F.col("d") / group_size).cast("int").alias("g"))
+        .agg((F.sum(F.col("z") * F.col("z")) / F.lit(float(group_size))).alias("m"))
+    )
+    return means.agg(F.sort_array(F.collect_list("m")).alias("f2_group_means"))
