@@ -290,7 +290,11 @@ def token_dropout(
     from map_reduce_engine_spark.operators.dedup import _MASK31, portable_base31
 
     cut = (_MASK31 + 1) * drop_permille // 1000
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # blank/whitespace-only text: split('') yields [''], a phantom token —
+    # treat as zero tokens so counts stay honest on unfiltered corpora
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     keep = F.filter(
         F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
         lambda s: portable_base31(

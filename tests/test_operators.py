@@ -707,3 +707,60 @@ def test_token_dropout_seeded_views_and_determinism(spark, sf_dir):
     rows = token_dropout(docs, "doc_id", "text", drop_permille=100, seed=1).collect()
     total, dropped = sum(r.n_tokens for r in rows), sum(r.n_dropped for r in rows)
     assert 0.06 < dropped / total < 0.14, dropped / total
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_kmv_tree_merge_law_property(spark_global, rows):
+    """Property: the tree-merged KMV sketch equals a direct Python
+    computation of the k smallest distinct portable hashes AND the true
+    distinct count, for arbitrary multisets — the merge law
+    (min-k associative over set union) plus the n_hashes contract the
+    exploded-merge bug broke."""
+    import hashlib
+
+    from map_reduce_engine_spark.operators.sketch import kmv_tree_sketch
+
+    k = 8
+    if not rows:
+        return
+    df = spark_global.createDataFrame(rows, "g string, item bigint").repartition(5)
+    got = {r.g: r for r in kmv_tree_sketch(df, "g", "item", k=k, fanout=4).collect()}
+    by_group = {}
+    for g, item in rows:
+        h = int(hashlib.md5(str(item).encode()).hexdigest()[:8], 16) & 2147483647
+        by_group.setdefault(g, set()).add(h)
+    for g, hashes in by_group.items():
+        assert got[g].n_hashes == len(hashes), (g, got[g])
+        assert list(got[g].kmin) == sorted(hashes)[:k], (g, got[g])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=1, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_token_dropout_subsequence_property(spark_global, texts):
+    """Property: the augmented text is always an ordered subsequence of the
+    original tokens, and n_dropped accounts exactly for the removals."""
+    from map_reduce_engine_spark.operators.text import token_dropout
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    for r in token_dropout(df, "doc_id", "text", drop_permille=300, seed=3).collect():
+        orig = r.text.split()
+        aug = r.aug_text.split() if r.aug_text else []
+        assert r.n_tokens == len(orig)
+        assert r.n_dropped == len(orig) - len(aug)
+        it = iter(orig)
+        assert all(any(tok == o for o in it) for tok in aug), (orig, aug)
