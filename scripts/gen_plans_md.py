@@ -71,6 +71,13 @@ HEADLINE = [
         "checkpointed labels; shown is the final component-size aggregate",
     ),
     ("q9_product_profit", "TPC-H Q9: the most join-heavy shape — dims broadcast, one fact shuffle chain"),
+    # round-3 scale-relevant additions
+    ("jl_distance_preservation", "JL projection: literal-plane dot products, probe-pair join, no Python"),
+    ("maxsim_late_interaction", "multi-vector maxsim: broadcast query bag, two aggregates, integer scores"),
+    ("join_cardinality_estimate", "coordinated key sample: two filtered aggregates, never the join itself"),
+    ("ams_f2_sketch", "AMS F2: one transform over a constant array, posexplode, 128-row group sum"),
+    ("zorder_locality", "Morton interleave as pure bit arithmetic feeding one aggregate"),
+    ("streaming_chained_windows", "two chained stateful aggregations sharing one watermark lineage"),
 ]
 
 
