@@ -55,6 +55,10 @@ SENTINELS = [
     ("q14_bpe_train", "bpe_train_merges", None),
     ("q15_bm25", "bm25_doc_scores", None),
     ("q16_semantic_dedup", "semantic_dedup", None),
+    # round-3 sentinels: the iterative text-graph composition and the
+    # widest single-aggregate sketch
+    ("q17_textrank", "textrank_keywords", None),
+    ("q18_ams_f2", "ams_f2_sketch", None),
 ]
 
 

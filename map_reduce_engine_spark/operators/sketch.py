@@ -216,20 +216,29 @@ def ams_f2_sketch(
     # seconds of codegen compile alone, while posexplode + a 128-group sum
     # is two tiny expressions at ANY depth (partial aggregation absorbs the
     # explode before the 128-row shuffle).
-    hashed = df.select(portable_base31(F.col(item_col).cast("string")).alias("h"))
+    # Fold duplicate hashes FIRST: Z_d = Σ_k c_k · s_d(k) — the sign depends
+    # only on the key, so aggregating (h, count) before the depth-explode
+    # cuts the explode input from |rows| to |distinct keys| (and the md5 to
+    # once per occurrence, absorbed by partial aggregation).
+    hashed = (
+        df.select(portable_base31(F.col(item_col).cast("string")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
     pairs = F.expr(
         "array(" + ",".join(f"struct({av[d]}L as a, {bv[d]}L as b)" for d in range(depth)) + ")"
     )
-    signs = F.transform(
+    weighted = F.transform(
         pairs,
-        lambda p: (
+        lambda p: F.col("c")
+        * (
             F.lit(1)
             - F.lit(2)
             * F.shiftright((p["a"] * F.col("h") + p["b"]).bitwiseAND(F.lit(_MASK31)), 30)
         ).cast("bigint"),
     )
     z = (
-        hashed.select(F.posexplode(signs).alias("d", "s"))
+        hashed.select(F.posexplode(weighted).alias("d", "s"))
         .groupBy("d")
         .agg(F.sum("s").alias("z"))
     )
