@@ -2349,3 +2349,34 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_f2",
         F.round(F.element_at("f2_group_means", 2) / F.col("exact_f2"), 4).alias("ratio"),
     )
+
+
+@register(
+    "udtf_polymorphic_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents WHERE doc_id < 30 AND trim(text) <> ''
+    )
+    SELECT doc_id AS id, i::BIGINT AS pos,
+           ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+    FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+    WHERE len(ts) >= 3
+    """,
+    doc="POLYMORPHIC Python UDTF (operators/udtf.py::NgramColumns): the "
+    "output schema is computed at plan time by the UDTF's analyze() from "
+    "the call's constant n — here n=3 yields (pos, w1, w2, w3); n=2 the "
+    "same call site yields (pos, w1, w2) — the Spark 4 capability a "
+    "static returnType cannot express. Like every Python boundary, an "
+    "API-parity artifact (declarative n-grams stay JVM-side, "
+    "bigram_counts); the splitting is regex-portable so the DuckDB "
+    "oracle reproduces it exactly",
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.udtf import ngram_columns
+
+    docs = t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 30) & (F.trim("text") != "")
+    )
+    out = ngram_columns(spark, docs, "doc_id", "text", n=3)
+    return out.select("id", F.col("pos").cast("bigint").alias("pos"), "w1", "w2", "w3")

@@ -764,3 +764,18 @@ def test_token_dropout_subsequence_property(spark_global, texts):
         assert r.n_dropped == len(orig) - len(aug)
         it = iter(orig)
         assert all(any(tok == o for o in it) for tok in aug), (orig, aug)
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark):
+    """analyze() must compute the output schema from the constant n: the
+    SAME call site yields different column sets for different n."""
+    from map_reduce_engine_spark.operators.udtf import ngram_columns
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    two = ngram_columns(spark, df, "doc_id", "text", n=2)
+    three = ngram_columns(spark, df, "doc_id", "text", n=3)
+    assert two.columns == ["id", "pos", "w1", "w2"]
+    assert three.columns == ["id", "pos", "w1", "w2", "w3"]
+    assert two.count() == 3 and three.count() == 2
+    got = {(r.pos, r.w1, r.w2, r.w3) for r in three.collect()}
+    assert got == {(1, "a", "b", "c"), (2, "b", "c", "d")}

@@ -572,7 +572,7 @@ _SANCTIONED_NESTED_LOOP = {
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
 # query's entire purpose.
-_SANCTIONED_ROW_PYTHON = {"udtf_sentence_stats"}
+_SANCTIONED_ROW_PYTHON = {"udtf_sentence_stats", "udtf_polymorphic_ngrams"}
 
 
 def test_registry_all_scalable(spark, sf_dir):
