@@ -498,3 +498,64 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard").alias("best_jaccard"),
         )
     )
+
+
+@register(
+    "tokenset_dedup_best",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ') AS tokenset,
+             round(
+               (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN length(regexp_replace(text, '\s', '', 'g'))
+                          / len(string_split_regex(trim(text), '\s+')) BETWEEN 2 AND 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) >= 0.6 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) / length(text) <= 0.2 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+             , 2) AS quality
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ranked AS (
+      SELECT doc_id, quality, tokenset,
+             count(*) OVER (PARTITION BY tokenset) AS n_members,
+             row_number() OVER (PARTITION BY tokenset ORDER BY quality DESC, doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id AS survivor_id, quality AS survivor_quality,
+           n_members::BIGINT AS n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+    doc="bag-of-words dedup with a KEEP-BEST-COPY survivor policy: documents "
+    "sharing the same distinct-token SET (the cheap order-insensitive "
+    "near-dup key between exact fingerprints and MinHash) cluster "
+    "together, and each multi-member cluster keeps its highest-QUALITY "
+    "member (heuristic score, min-id tiebreak) instead of the min-id "
+    "convention — the policy production dedup actually wants: when copies "
+    "differ by truncation/boilerplate, keep the best one. One shuffle on "
+    "the tokenset key; quality is the same pure-expression score as "
+    "quality_score, so the oracle replays everything",
+)
+def tokenset_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators.text import quality_score, tokens_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    q = quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    keyed = docs.join(q, "doc_id").select(
+        "doc_id",
+        "quality",
+        F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ").alias("tokenset"),
+    )
+    w = Window.partitionBy("tokenset")
+    ranked = keyed.withColumn("n_members", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("quality"), "doc_id"))
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
