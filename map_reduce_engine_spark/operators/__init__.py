@@ -34,6 +34,7 @@ from map_reduce_engine_spark.operators.similarity import (
     random_hyperplane_buckets,
     ann_topk,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
     semantic_dedup,
 )
@@ -53,6 +54,7 @@ from map_reduce_engine_spark.operators.text import pii_scrub
 
 __all__ = [
     "pq_topk",
+    "ivfpq_topk",
     "semantic_dedup",
     "repeated_span_coverage",
     "merge_upsert",

@@ -734,3 +734,138 @@ def semantic_dedup(
             "keeper_id",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k via IVF cells + residual product quantization —
+    the FAISS IndexIVFPQ composition both component docstrings promise.
+
+    Train (driver-side, bounded content-hash sample): coarse centroids on
+    the unit sphere, then per-subspace codebooks over the sample's
+    RESIDUALS (u - centroid[cell]) — residual magnitudes are much smaller
+    than raw coordinates, so the same code budget quantizes finer than
+    plain PQ. Encode: ONE Arrow pass emits (cell, codes, est_norm) per
+    corpus vector — the serving index reads ~m bytes + 2 ints per vector.
+    Serve: each query probes its ``n_probe`` nearest cells; its (tiny)
+    probe rows carry q·centroid[cell] plus the GLOBAL per-subspace LUTs
+    (codebooks are shared across cells), broadcast into an EQUI-JOIN on
+    ``cell`` — candidate volume is the probed cells' population, never the
+    corpus, and the per-candidate score is q·c + Σ_j LUT[j][code_j]: m
+    array lookups + adds, pure JVM. The 100 TB shape: bounded index bytes
+    per vector (PQ), bounded candidates per query (IVF), one equi-join.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
+
+    target = max(50 * max(n_cells, n_codes), 1000)
+    X = _bounded_train_sample(corpus, id_col, unit(_vecd(F.col(vec_col))), target)
+    dim = X.shape[1]
+    d = dim // m
+    C = np.array(_lloyd_kmeans(X, n_cells, seed, max_iter), dtype=np.float64)
+    Csq = (C**2).sum(axis=1)
+    cells = (Csq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+    R = X - C[cells]
+    B = np.array(
+        [_lloyd_kmeans(R[:, j * d : (j + 1) * d], n_codes, seed + j, max_iter) for j in range(m)],
+        dtype=np.float64,
+    )  # (m, n_codes, d)
+    Bsq = (B**2).sum(axis=2)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("est_norm", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, dim)
+            norms = np.sqrt((V**2).sum(axis=1))
+            U = V / np.where(norms > 0, norms, 1.0)[:, None]
+            cell = (Csq[None, :] - 2.0 * (U @ C.T)).argmin(axis=1)
+            Rv = (U - C[cell]).reshape(-1, m, d)
+            dots = np.einsum("nmd,mcd->nmc", Rv, B)
+            codes = (Bsq[None, :, :] - 2.0 * dots).argmin(axis=2)  # (n, m)
+            decoded = np.take_along_axis(
+                B[None, :, :, :].repeat(len(U), 0), codes[:, :, None, None].repeat(d, 3), axis=2
+            )[:, :, 0, :].reshape(-1, dim)
+            est = C[cell] + decoded
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].values,
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                    "est_norm": np.sqrt((est**2).sum(axis=1)),
+                }
+            )
+
+    encoded = corpus.select(
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(encode, schema=enc_schema)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("qdotc", T.DoubleType()),
+            T.StructField("luts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def make_probes(batches):
+        for pdf in batches:
+            Q = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, dim)
+            norms = np.sqrt((Q**2).sum(axis=1))
+            U = Q / np.where(norms > 0, norms, 1.0)[:, None]
+            order = np.argsort(Csq[None, :] - 2.0 * (U @ C.T), kind="stable", axis=1)
+            lut = np.einsum("nmd,mcd->nmc", U.reshape(-1, m, d), B)  # (n, m, n_codes)
+            rows = {"query_id": [], "cell": [], "qdotc": [], "luts": []}
+            for i in range(len(U)):
+                lut_i = [[float(x) for x in row] for row in lut[i]]
+                for c in order[i, :n_probe]:
+                    rows["query_id"].append(int(pdf["id"].values[i]))
+                    rows["cell"].append(int(c))
+                    rows["qdotc"].append(float(U[i] @ C[c]))
+                    rows["luts"].append(lut_i)
+            yield pd.DataFrame(rows)
+
+    qb = queries.select(
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(make_probes, schema=probe_schema)
+
+    est_dot = F.col("qdotc") + sum(
+        F.element_at(F.element_at("luts", j + 1), F.col("codes").getItem(j) + 1)
+        for j in range(m)
+    )
+    scored = (
+        encoded.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(est_dot / F.nullif(F.col("est_norm"), F.lit(0.0)), 6).alias("cosine_est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_est").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_est", "rank")
+    )

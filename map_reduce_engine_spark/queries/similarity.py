@@ -625,3 +625,40 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_doc", "cand_doc", "score_micro", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle="""
+    SELECT vec_id AS query_id,
+           10::BIGINT AS n_results,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="ANN top-k via IVF cells + residual product quantization "
+    "(operators/similarity.py::ivfpq_topk) — the FAISS IndexIVFPQ "
+    "composition: coarse centroids bound the candidate set (equi-join on "
+    "cell, probed n_probe cells per query), residual PQ codes bound the "
+    "index bytes (~m per vector), and the per-candidate score is "
+    "q·centroid + m LUT lookups, pure JVM. Codebooks/centroids are "
+    "trained, so the conformance artifact is the per-query verdict: "
+    "exactly k results and recall@10 vs in-Spark brute force >= 0.2 "
+    "(measured 0.38-0.42 across fixture scales)",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.ivfpq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10, n_cells=16, n_probe=4
+    ).localCheckpoint(eager=True)  # feeds two subtrees (count + recall join): run once
+    exact = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = out.select("query_id", "neighbor_id").join(exact, ["query_id", "neighbor_id"])
+    per_q = out.groupBy("query_id").agg(F.count("*").alias("n_results"))
+    recall = hits.groupBy("query_id").agg((F.count("*") / F.lit(10.0)).alias("recall"))
+    return per_q.join(recall, "query_id", "left").select(
+        "query_id",
+        "n_results",
+        (F.coalesce("recall", F.lit(0.0)) >= 0.2).alias("floor_met"),
+    )

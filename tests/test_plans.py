@@ -538,6 +538,7 @@ _SANCTIONED_NESTED_LOOP = {
     "ann_recall_report": "exact-kNN ground-truth side of the recall report",
     "ivf_ann_topk": "recall verdict joins the exact ground-truth path",
     "pq_ann_topk": "recall verdict joins the exact ground-truth path",
+    "ivfpq_ann_topk": "recall verdict joins the exact ground-truth path",
     "semantic_dedup": "verdict recomputation over the bounded sample",
     "levenshtein_brand_pairs": "brand vocabulary is dimension-bounded",
     # scalar (1-row aggregate) crossJoin folded into every row
@@ -624,3 +625,18 @@ def test_triangle_count_degree_oriented(spark, sf_dir):
     # Registry query still agrees with its orientation-invariant oracle.
     row = REGISTRY["copurchase_triangles"].fn(spark, sf_dir).collect()[0]
     assert row.n_edges > 0 and row.n_triangles >= 0
+
+
+def test_ivfpq_join_is_equi_join_on_cell(spark, sf_dir):
+    """IVFPQ candidate generation must equi-join on the cell id (the IVF
+    property), with the PQ scoring as array lookups — no cartesian, no
+    nested loop, no Python beyond the two Arrow encode passes."""
+    from map_reduce_engine_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = ivfpq_topk(emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
