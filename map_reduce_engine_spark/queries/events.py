@@ -477,6 +477,64 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dynamic_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, ev_end,
+             CASE WHEN max(ev_end) OVER prev IS NULL
+                       OR ts >= max(ev_end) OVER prev
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sessions AS (
+      SELECT user_id, ts, ev_end,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ev_end) AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="session windows with a PER-EVENT gap (streaming/windows.py::"
+    "dynamic_session_window_agg): clicks expire after 10 minutes, other "
+    "events after 30 — session_window's Column-gap form, the per-row "
+    "session policy a fixed gap can't express. Each event contributes "
+    "[ts, ts+gap) and overlapping intervals merge; the oracle replays the "
+    "merge as a running max of interval ends (new session iff ts >= "
+    "cummax of previous ends; session_end = max interval end)",
+)
+def streaming_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        dynamic_session_window_agg,
+        events_stream,
+        ntz_of_instant,
+        run_to_memory,
+    )
+
+    name = "mre_stream_dynsession"
+    run_to_memory(
+        dynamic_session_window_agg(events_stream(spark, sf_dir)), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        ntz_of_instant("session_start").alias("session_start"),
+        ntz_of_instant("session_end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

@@ -13,6 +13,7 @@ from map_reduce_engine_spark.streaming.windows import (
     tumbling_counts,
     sliding_counts,
     session_window_agg,
+    dynamic_session_window_agg,
     run_to_memory,
     stateful_running_total,
     streaming_dedup,
@@ -35,6 +36,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_window_agg",
+    "dynamic_session_window_agg",
     "run_to_memory",
     "stateful_running_total",
     "streaming_dedup",

@@ -121,6 +121,36 @@ def session_window_agg(
     )
 
 
+def dynamic_session_window_agg(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows whose gap is computed PER EVENT from its columns —
+    clicks expire after 10 minutes, everything else after 30.
+
+    ``session_window`` accepts a Column gap: each event contributes the
+    interval [ts, ts + gap(event)) and overlapping intervals merge, so a
+    burst of short-lived clicks closes quickly while a purchase keeps the
+    session alive — per-row session policy with the same bounded state and
+    watermark eviction as the fixed-gap form. The batch/SQL twin is a
+    running max of interval ends (new session iff ts >= cummax of previous
+    ends), which is how the oracle replays the merge exactly.
+    """
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 _STATE_SCHEMA = "total DOUBLE, n BIGINT"
 _STATEFUL_OUT_SCHEMA = "user_id BIGINT, total DOUBLE, n BIGINT"
 
