@@ -1362,3 +1362,48 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_buckets"),
         F.round(F.sum((F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))), 6).alias("psi"),
     )
+
+
+@register(
+    "pii_pseudonymize_join",
+    oracle="""
+    WITH c AS (
+      SELECT md5('cust|' || c_custkey::VARCHAR) AS pseudo, c_mktsegment
+      FROM customer
+    ),
+    o AS (
+      SELECT md5('cust|' || o_custkey::VARCHAR) AS pseudo FROM orders
+    ),
+    j AS (
+      SELECT c.c_mktsegment, count(*) AS n_orders
+      FROM o JOIN c ON c.pseudo = o.pseudo
+      GROUP BY 1
+    ),
+    inj AS (
+      SELECT (count(DISTINCT pseudo) = count(*)) AS injective FROM c
+    )
+    SELECT j.c_mktsegment, j.n_orders, inj.injective
+    FROM j, inj
+    """,
+    doc="consistent pseudonymization: the PII key (custkey) is replaced by "
+    "a keyed-hash pseudonym IDENTICALLY on every table that carries it, so "
+    "analytic joins still work on the pseudonymized corpus — per-segment "
+    "order counts computed ENTIRELY through the pseudonym join equal the "
+    "raw-key join's, and the output carries an injectivity check "
+    "(distinct pseudonyms == distinct keys; a collision would merge "
+    "customers and skew counts). The release-side complement to pii_scrub "
+    "(which redacts free text) and k_anonymity_audit (which gates "
+    "quasi-identifiers); deterministic, so re-ingested batches map "
+    "consistently at any scale",
+)
+def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    pseudo = lambda col: F.md5(F.concat(F.lit("cust|"), F.col(col).cast("string")))  # noqa: E731
+    c = cust.select(pseudo("c_custkey").alias("pseudo"), "c_mktsegment")
+    o = orders.select(pseudo("o_custkey").alias("pseudo"))
+    j = o.join(c, "pseudo").groupBy("c_mktsegment").agg(F.count("*").alias("n_orders"))
+    inj = c.agg(
+        (F.countDistinct("pseudo") == F.count("*")).alias("injective")
+    )
+    return j.crossJoin(F.broadcast(inj))

@@ -569,6 +569,7 @@ _SANCTIONED_NESTED_LOOP = {
     "join_cardinality_estimate": "broadcasts the 1-row exact-side aggregate",
     "ams_f2_sketch": "crossJoin of two 1-row aggregates (sketch + exact side)",
     "psi_drift": "broadcasts the 1-row bucket totals",
+    "pii_pseudonymize_join": "broadcasts the 1-row injectivity check",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
