@@ -869,3 +869,82 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_est", "rank")
     )
+
+
+def binary_quantize(df: DataFrame, id_col: str, vec_col: str, dim: int = 64) -> DataFrame:
+    """(id, code, norm) — 1-bit-per-dimension binary quantization.
+
+    The most aggressive embedding compression tier below PQ: each
+    dimension contributes its SIGN bit, packing a 64-dim vector into one
+    BIGINT (256x smaller than float32). Hamming distance between codes is
+    a monotone proxy for angular distance (each agreeing sign halves the
+    orthant disagreement), computed as ``bit_count(xor)`` — pure integer
+    JVM work, the cheapest possible first-stage filter for a rerank
+    cascade. Deterministic, data-independent, merge-free: the code is a
+    per-row map any engine reproduces bit-identically.
+    """
+    vec = _vecd(F.col(vec_col))
+    bit = lambda i: F.when(F.element_at(vec, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    # two 32-bit halves, not one 64-bit word: bit 63 overflows engines with
+    # CHECKED shift arithmetic (DuckDB), and Hamming distance decomposes
+    # exactly as the sum of per-half popcounts
+    lo: Column = F.lit(0).cast("bigint")
+    hi: Column = F.lit(0).cast("bigint")
+    half = dim // 2
+    for i in range(half):
+        lo = lo.bitwiseOR(F.shiftleft(bit(i).cast("bigint"), i))
+    for i in range(half, dim):
+        hi = hi.bitwiseOR(F.shiftleft(bit(i).cast("bigint"), i - half))
+    return df.select(
+        F.col(id_col).alias("id"),
+        lo.alias("code_lo"),
+        hi.alias("code_hi"),
+        l2_norm(vec).alias("norm"),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance over binary sign codes.
+
+    (query_id, neighbor_id, hamming, rank) — candidates ranked by
+    ascending ``bit_count(code_q XOR code_c)`` with id tiebreak. The
+    serving scan reads ONE bigint per corpus vector; the (tiny) query-side
+    codes broadcast. The standard two-stage recipe reranks this tier's
+    top-k' with exact or PQ scores (compose with ``cosine_topk`` /
+    ``pq_topk``).
+    """
+    cb = binary_quantize(corpus, id_col, vec_col, dim).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("code_lo").alias("clo"),
+        F.col("code_hi").alias("chi"),
+    )
+    qb = binary_quantize(queries, id_col, vec_col, dim).select(
+        F.col("id").alias("query_id"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    scored = (
+        cb.crossJoin(F.broadcast(qb))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("clo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("chi").bitwiseXOR(F.col("qhi")))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", F.col("rank").cast("bigint").alias("rank"))
+    )

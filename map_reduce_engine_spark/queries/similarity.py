@@ -662,3 +662,45 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         (F.coalesce("recall", F.lit(0.0)) >= 0.2).alias("floor_met"),
     )
+
+
+@register(
+    "binary_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 33),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS lo,
+        list_sum(list_transform(range(33, 65),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, lo, hi FROM codes WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             (bit_count(xor(c.lo, q.lo)::BIT) + bit_count(xor(c.hi, q.hi)::BIT))::BIGINT AS hamming
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 30
+    """,
+    doc="binary-quantized first-stage retrieval (operators/similarity.py::"
+    "binary_quantize / hamming_topk): each embedding packs to 64 SIGN "
+    "bits (two 32-bit words — 256x smaller than float32) and candidates "
+    "rank by Hamming distance, pure integer xor+popcount per pair. "
+    "FULLY oracle-checked — the code is deterministic bit math both "
+    "engines replay exactly (unlike the trained ANN tiers' verdicts). "
+    "The cascade contract (top-30 here catches ~0.64 of the exact top-10, "
+    "asserted in test_operators.py) is the standard rerank recipe: this "
+    "tier scans one word per vector, the exact/PQ tier rescores only its "
+    "survivors",
+)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.hamming_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=30)

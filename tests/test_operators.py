@@ -779,3 +779,26 @@ def test_polymorphic_udtf_schema_follows_argument(spark):
     assert two.count() == 3 and three.count() == 2
     got = {(r.pos, r.w1, r.w2, r.w3) for r in three.collect()}
     assert got == {(1, "a", "b", "c"), (2, "b", "c", "d")}
+
+
+def test_binary_hamming_cascade_recall(spark, sf_dir):
+    """The binary tier is a first-stage FILTER: its top-30 by Hamming must
+    retain a usable share of the exact cosine top-10 (the rerank cascade
+    contract), and codes must be partition-invariant."""
+    from map_reduce_engine_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.hamming_topk(emb, q, "vec_id", "embedding", k=30).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    c1 = {tuple(r) for r in sim.binary_quantize(emb, "vec_id", "embedding").collect()}
+    c2 = {tuple(r) for r in sim.binary_quantize(emb.repartition(7), "vec_id", "embedding").collect()}
+    assert c1 == c2
