@@ -2380,3 +2380,127 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ngram_columns(spark, docs, "doc_id", "text", n=3)
     return out.select("id", F.col("pos").cast("bigint").alias("pos"), "w1", "w2", "w3")
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+             floor(o_totalprice / 2500)::BIGINT AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (SELECT bin, sum(cnt)::BIGINT AS cnt FROM b GROUP BY bin),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM merged),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum
+      FROM merged
+    ),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+    est AS (
+      SELECT ps.p,
+             min(cum.bin) AS hit_bin
+      FROM ps, tot, cum
+      WHERE cum.cum >= ceil(ps.p * tot.n)
+      GROUP BY ps.p
+    ),
+    est2 AS (
+      SELECT est.p,
+             (est.hit_bin * 2500
+              + 2500.0 * (ceil(est.p * tot.n) - coalesce(prev.cum, 0)) / cur.cnt) AS est_value
+      FROM est
+      JOIN cum cur ON cur.bin = est.hit_bin
+      LEFT JOIN cum prev ON prev.bin = (
+        SELECT max(bin) FROM cum WHERE bin < est.hit_bin
+      )
+      CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    exact AS (
+      SELECT ps.p, min(ranked.o_totalprice) AS exact_disc
+      FROM ps, tot, ranked
+      WHERE ranked.rn = ceil(ps.p * tot.n)
+      GROUP BY ps.p
+    )
+    SELECT est2.p, round(est2.est_value, 4) AS est_value, exact.exact_disc,
+           (abs(est2.est_value - exact.exact_disc) <= 2500.0) AS within_bin
+    FROM est2 JOIN exact ON exact.p = est2.p
+    """,
+    doc="mergeable histogram percentiles — the hypertable-style continuous "
+    "aggregate for quantiles: per-MONTH fixed-width bin counts are the "
+    "stored partials (additive, so day/month/all-time rollups re-aggregate "
+    "BIN COUNTS, never raw rows — the property approx_percentile's opaque "
+    "buffer can't give a user-managed store), merged bins yield p50/p90/"
+    "p99 by deterministic within-bin interpolation, and each row carries "
+    "the exact rank-based percentile plus a within-one-bin-width verdict. "
+    "Every step is integer/fixed arithmetic both engines replay exactly — "
+    "the sketch is bit-identical, not just statistically close",
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    width = 2500
+    # level 1: per-month bin-count partials (the stored rollup table)
+    partials = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+            F.floor(F.col("o_totalprice") / width).cast("bigint").alias("bin"),
+        )
+        .groupBy("mth", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # level 2: merge partials into the global histogram (additive)
+    merged = partials.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    from pyspark.sql import Window
+
+    cum = merged.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin")).cast("bigint")
+    ).localCheckpoint(eager=True)  # small (≤ a few hundred bins); feeds 3 probes
+    n = cum.agg(F.max("cum").alias("n"))
+    ps = orders.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    targets = ps.crossJoin(F.broadcast(n)).select(
+        "p", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("target")
+    )
+    hit = (
+        targets.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("p", "target")
+        .agg(F.min("bin").alias("hit_bin"))
+    )
+    prev = cum.select(F.col("bin").alias("hit_bin"), F.col("cum").alias("cur_cum"), "cnt")
+    prev_cum = (
+        hit.join(prev, "hit_bin")
+        .join(
+            cum.select(F.col("bin").alias("pbin"), F.col("cum").alias("pcum")),
+            F.col("pbin") < F.col("hit_bin"),
+            "left",
+        )
+        .groupBy("p", "target", "hit_bin", "cur_cum", "cnt")
+        .agg(F.max(F.coalesce("pcum", F.lit(0))).alias("prev_cum"))
+    )
+    est = prev_cum.select(
+        "p",
+        F.round(
+            F.col("hit_bin") * width
+            + width * (F.col("target") - F.coalesce("prev_cum", F.lit(0))) / F.col("cnt"),
+            4,
+        ).alias("est_value"),
+        "target",
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select("o_totalprice", F.row_number().over(w).alias("rn"))
+    exact = est.select("p", "target").join(
+        ranked, F.col("rn") == F.col("target")
+    ).select("p", F.col("o_totalprice").alias("exact_disc"))
+    return (
+        est.join(exact, "p")
+        .select(
+            "p",
+            "est_value",
+            "exact_disc",
+            (F.abs(F.col("est_value") - F.col("exact_disc")) <= float(width)).alias("within_bin"),
+        )
+    )

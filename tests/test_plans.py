@@ -571,6 +571,8 @@ _SANCTIONED_NESTED_LOOP = {
     "ams_f2_sketch": "crossJoin of two 1-row aggregates (sketch + exact side)",
     "psi_drift": "broadcasts the 1-row bucket totals",
     "pii_pseudonymize_join": "broadcasts the 1-row injectivity check",
+    "histogram_quantile_rollup": "probe joins over the bin table, bounded by "
+    "value-range/width (a few hundred rows at any corpus size)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
