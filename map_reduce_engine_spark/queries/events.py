@@ -1297,3 +1297,62 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("10000 * dau div wau").alias("stickiness_bp"),
     )
+
+
+@register(
+    "multitouch_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    assist AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             count(*) OVER (PARTITION BY p.event_id) AS n_assists
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    ),
+    credited AS (
+      SELECT user_id, purchase_id, click_id,
+             1000000 // n_assists AS credit_micro
+      FROM assist
+    )
+    SELECT user_id,
+           count(DISTINCT purchase_id) AS n_attr_purchases,
+           count(DISTINCT click_id) AS n_assisting_clicks,
+           sum(credit_micro)::BIGINT AS credit_micro_total
+    FROM credited GROUP BY user_id
+    """,
+    doc="linear multi-touch attribution: every click in the hour BEFORE a "
+    "purchase shares that purchase's credit equally (the marketing "
+    "counterpart of the last-touch asof join, asof_purchase_last_click). "
+    "Shape: user-keyed equi-join with an interval predicate (the "
+    "stream-stream interval join's batch shape), one window for the "
+    "per-purchase assist count, then per-user aggregation. Credit is "
+    "apportioned in INTEGER micro-units (1e6 div n — exact, identical in "
+    "both engines) so cross-engine float summation order can't shift a "
+    "total; at 100 TB the interval join bounds state exactly like "
+    "streaming_interval_join does with watermarks",
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    assist = p.join(c, "user_id").where(
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")) & (F.col("cts") < F.col("pts"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = assist.withColumn("n_assists", F.count("*").over(w)).withColumn(
+        "credit_micro", F.expr("1000000 div n_assists")
+    )
+    return credited.groupBy("user_id").agg(
+        F.countDistinct("purchase_id").alias("n_attr_purchases"),
+        F.countDistinct("click_id").alias("n_assisting_clicks"),
+        F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
+    )
