@@ -704,3 +704,117 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return sim.hamming_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=30)
+
+
+def _ranking_metrics_oracle() -> str:
+    """MRR/NDCG of the (fully deterministic) binary Hamming tier against
+    exact-cosine relevance, all in integer micro-units: per-rank DCG
+    contributions are round(1e6 / log2(rank+1)) — identical doubles
+    rounded identically — summed as BIGINTs, so no float-order drift."""
+    codes = """
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 33),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS lo,
+        list_sum(list_transform(range(33, 65),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS hi
+      FROM embeddings
+    """
+    return f"""
+    WITH codes AS ({codes}),
+    q AS (SELECT vec_id AS query_id, lo, hi FROM codes WHERE vec_id < 5),
+    ham AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             (bit_count(xor(c.lo, q.lo)::BIT) + bit_count(xor(c.hi, q.hi)::BIT)) AS hamming
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+      FROM ham
+    ),
+    exact_scored AS (
+      SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
+             round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 6) AS cosine
+      FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id
+    ),
+    rel AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS xr
+        FROM exact_scored
+      ) WHERE xr <= 10
+    ),
+    hits AS (
+      SELECT ranked.query_id, ranked.rank
+      FROM ranked JOIN rel ON rel.query_id = ranked.query_id
+                          AND rel.neighbor_id = ranked.neighbor_id
+      WHERE ranked.rank <= 30
+    ),
+    per_q AS (
+      SELECT query_id,
+             count(*) AS n_hits,
+             min(rank) AS first_hit_rank,
+             sum(CAST(round(1000000.0 / log2(rank + 1), 0) AS BIGINT))::BIGINT AS dcg_micro
+      FROM hits GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT sum(CAST(round(1000000.0 / log2(i + 1), 0) AS BIGINT))::BIGINT AS idcg_micro
+      FROM unnest(range(1, 11)) AS u(i)
+    )
+    SELECT q.query_id,
+           coalesce(per_q.n_hits, 0)::BIGINT AS n_hits,
+           coalesce(per_q.first_hit_rank, 0)::BIGINT AS first_hit_rank,
+           coalesce(per_q.dcg_micro, 0)::BIGINT AS dcg_micro,
+           round(coalesce(per_q.dcg_micro, 0)::DOUBLE / ideal.idcg_micro, 4) AS ndcg
+    FROM q LEFT JOIN per_q ON per_q.query_id = q.query_id, ideal
+    """
+
+
+@register(
+    "ann_ranking_metrics",
+    oracle=_ranking_metrics_oracle(),
+    doc="retrieval-quality metrics for the binary Hamming tier scored "
+    "against exact-cosine relevance (the top-10 brute-force neighbors): "
+    "per query, the hit count in the tier's top-30, the first relevant "
+    "rank (MRR's numerator), and DCG/NDCG — with every DCG contribution "
+    "converted to round(1e6/log2(rank+1)) INTEGER micro-units before "
+    "summation, so cross-engine float addition order cannot move a "
+    "metric. Both the ranking under evaluation (deterministic sign "
+    "codes) and the relevance set (exact cosine) are SQL-reproducible, "
+    "so the whole evaluation is FULLY oracle-checked — the eval harness "
+    "a production retrieval deployment runs nightly",
+)
+def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ranked = sim.hamming_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=30)
+    rel = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ranked.join(rel, ["query_id", "neighbor_id"]).select("query_id", "rank")
+    contrib = F.round(F.lit(1000000.0) / F.log2(F.col("rank") + 1), 0).cast("bigint")
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("rank").alias("first_hit_rank"),
+        F.sum(contrib).cast("bigint").alias("dcg_micro"),
+    )
+    ideal = (
+        spark.range(1, 11)
+        .agg(F.sum(F.round(F.lit(1000000.0) / F.log2(F.col("id") + 1), 0).cast("bigint")).alias("idcg_micro"))
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(per_q, "query_id", "left")
+        .crossJoin(F.broadcast(ideal))
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("first_hit_rank", F.lit(0)).cast("bigint").alias("first_hit_rank"),
+            F.coalesce("dcg_micro", F.lit(0)).cast("bigint").alias("dcg_micro"),
+            F.round(F.coalesce("dcg_micro", F.lit(0)) / F.col("idcg_micro"), 4).alias("ndcg"),
+        )
+    )

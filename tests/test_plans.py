@@ -536,6 +536,7 @@ _SANCTIONED_NESTED_LOOP = {
     "knn_cosine_int8": "probe set is a bounded query sample",
     "embedding_near_dup": "bounded probe set",
     "binary_hamming_topk": "one-word-per-vector scan against the broadcast query codes",
+    "ann_ranking_metrics": "eval over the bounded probe set (binary tier + exact relevance)",
     "ann_recall_report": "exact-kNN ground-truth side of the recall report",
     "ivf_ann_topk": "recall verdict joins the exact ground-truth path",
     "pq_ann_topk": "recall verdict joins the exact ground-truth path",
