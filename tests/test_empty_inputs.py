@@ -111,3 +111,45 @@ def test_semantic_dedup_empty_and_singleton(spark):
     one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
     rows = semantic_dedup(one, "vec_id", "embedding", n_cells=4, threshold=0.5).collect()
     assert len(rows) == 1 and rows[0].is_kept and rows[0].keeper_id is None
+
+
+def _empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+
+
+def test_round3_operators_empty_inputs(spark):
+    """Round-3 operators on empty inputs: right schema, zero rows (or the
+    correct degenerate value), never a throw."""
+    from map_reduce_engine_spark.operators.graph import orient_by_degree, triangle_count
+    from map_reduce_engine_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+        random_projection,
+    )
+    from map_reduce_engine_spark.operators.sketch import (
+        ams_f2_sketch,
+        join_size_estimate,
+        kmv_tree_sketch,
+    )
+    from map_reduce_engine_spark.operators.text import token_dropout
+
+    ev = _empty_vecs(spark)
+    assert random_projection(ev, "vec_id", "embedding").count() == 0
+    assert binary_quantize(ev, "vec_id", "embedding").count() == 0
+    assert hamming_topk(ev, ev, "vec_id", "embedding").count() == 0
+
+    ed = _empty_docs(spark)
+    assert token_dropout(ed, "doc_id", "text").count() == 0
+    assert kmv_tree_sketch(ed, "doc_id", "text").count() == 0
+
+    empty_kv = spark.createDataFrame([], "key bigint, v bigint")
+    js = join_size_estimate(empty_kv, empty_kv, "key", "key").collect()[0]
+    assert js.est_pairs is None or js.est_pairs == 0  # empty-sum semantics
+
+    # AMS over empty input: sums are empty → single row with empty/na means
+    ams = ams_f2_sketch(ed, "text")
+    assert ams.count() == 1  # degenerate single row, no throw
+
+    empty_edges = spark.createDataFrame([], "u bigint, v bigint")
+    assert orient_by_degree(empty_edges).count() == 0
+    assert triangle_count(empty_edges).collect()[0].n_triangles == 0
