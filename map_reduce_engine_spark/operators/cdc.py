@@ -84,3 +84,34 @@ def latest_version_per_key(df: DataFrame, key: str, version_col: str) -> DataFra
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_build(
+    log: DataFrame,
+    key: str,
+    order_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+    seq_col: str = "version_seq",
+) -> DataFrame:
+    """Build the full SCD2 history from an append-only change log.
+
+    Every log row becomes one dimension version: ``valid_from`` is the row's
+    own change timestamp (the first of ``order_cols``), ``valid_to`` is the
+    next version's — NULL (open interval) on the latest — and the latest row
+    per key carries ``is_current``.  ``order_cols`` must end in a unique
+    tiebreak column so version order is deterministic under ties.
+
+    Scale shape: one shuffle on the business key; the window frame is
+    bounded by versions-per-key, never table size.  This is the batch
+    "replay the log into a queryable history" half of CDC; ``scd2_apply``
+    is the incremental "merge one day's updates" half.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        log.withColumn(seq_col, F.row_number().over(w).cast("bigint"))
+        .withColumn(valid_from, F.col(order_cols[0]))
+        .withColumn(valid_to, F.lead(order_cols[0]).over(w))
+        .withColumn(current_flag, F.col(valid_to).isNull())
+    )

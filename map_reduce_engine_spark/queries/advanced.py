@@ -2504,3 +2504,45 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("est_value") - F.col("exact_disc")) <= float(width)).alias("within_bin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC: full SCD2 history build (change log -> versioned dimension)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_history_build",
+    oracle="""
+    SELECT user_id,
+           row_number() OVER w AS version_seq,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 full-history build (operators/cdc.py scd2_build): replay the "
+    "purchase change log into a versioned dimension — valid_from/valid_to "
+    "interval per version via lead(), latest row flagged current. One "
+    "shuffle on the business key; window frame bounded by versions-per-key.",
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.cdc import scd2_build
+
+    log = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    hist = scd2_build(log, key="user_id", order_cols=["ts", "event_id"])
+    return hist.select(
+        "user_id",
+        "version_seq",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.round("value", 2).alias("value"),
+    )

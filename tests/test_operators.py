@@ -802,3 +802,23 @@ def test_binary_hamming_cascade_recall(spark, sf_dir):
     c1 = {tuple(r) for r in sim.binary_quantize(emb, "vec_id", "embedding").collect()}
     c2 = {tuple(r) for r in sim.binary_quantize(emb.repartition(7), "vec_id", "embedding").collect()}
     assert c1 == c2
+
+
+def test_scd2_build_intervals_and_ties(spark):
+    """Full-history build: contiguous valid_from/valid_to chain per key, one
+    open current row, deterministic version order under an order-col tie
+    (the tiebreak column decides)."""
+    from map_reduce_engine_spark.operators.cdc import scd2_build
+
+    log = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 20, 101, "b"), (1, 20, 99, "tie-first"), (2, 5, 50, "x")],
+        "k INT, ts INT, id INT, attr STRING",
+    )
+    out = scd2_build(log, key="k", order_cols=["ts", "id"]).collect()
+    by_seq = {(r.k, r.version_seq): r for r in out}
+    assert by_seq[(1, 1)].attr == "a" and by_seq[(1, 1)].valid_to == 20
+    assert by_seq[(1, 2)].attr == "tie-first" and by_seq[(1, 2)].valid_to == 20
+    assert by_seq[(1, 3)].attr == "b" and by_seq[(1, 3)].valid_to is None
+    assert by_seq[(1, 3)].is_current and not by_seq[(1, 1)].is_current
+    assert by_seq[(2, 1)].is_current and by_seq[(2, 1)].valid_from == 5
+    assert sum(1 for r in out if r.k == 1 and r.is_current) == 1
