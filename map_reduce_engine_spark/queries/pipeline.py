@@ -1407,3 +1407,46 @@ def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("pseudo") == F.count("*")).alias("injective")
     )
     return j.crossJoin(F.broadcast(inj))
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, count(*) AS c,
+             ('0x' || substr(md5('dp:' || lang || '|' || source), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM documents GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT lang, source, c,
+             (h::DOUBLE + 0.5) / 2147483648.0::DOUBLE - 0.5::DOUBLE AS u
+      FROM g
+    )
+    SELECT lang, source,
+           round(c::DOUBLE - sign(u) * ln(1.0 - 2.0 * abs(u)), 3) AS noisy_count,
+           1.0::DOUBLE AS epsilon
+    FROM u
+    """,
+    doc="differentially-private release counts (Laplace mechanism, eps=1, "
+    "sensitivity 1) over the corpus (lang, source) census: noise drawn by "
+    "inverse-CDF from the engine-portable md5 hash of the group key, so the "
+    "release is deterministic, reproducible, and identical across engines "
+    "— the publish-side companion to k_anonymity_audit. One hash aggregate; "
+    "noise is a scalar expression per group, constant-size release",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    docs = t(spark, sf_dir, "documents")
+    eps = 1.0
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    h = portable_base31(F.concat(F.lit("dp:"), F.col("lang"), F.lit("|"), F.col("source")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(2147483648.0) - F.lit(0.5)
+    noise = -(1.0 / eps) * F.signum(u) * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+    return g.select(
+        "lang",
+        "source",
+        F.round(F.col("c").cast("double") + noise, 3).alias("noisy_count"),
+        F.lit(eps).alias("epsilon"),
+    )

@@ -1796,3 +1796,27 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("yb") - F.min("yb")).cast("bigint").alias("y_span"),
         )
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part s
+      WHERE s.p_retailprice <= p.p_retailprice AND s.p_size >= p.p_size
+        AND (s.p_retailprice < p.p_retailprice OR s.p_size > p.p_size)
+    )
+    """,
+    doc="Pareto frontier / skyline (operators/frontier.py): parts not "
+    "dominated on (cheapest price, largest size). Two-phase distributed "
+    "skyline — shuffle-free partition-local prune, then a global prune over "
+    "the bounded candidate set; the oracle is the quadratic NOT EXISTS "
+    "dominance formulation, structurally independent of the implementation",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.frontier import pareto_frontier_2d
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier_2d(part, min_col="p_retailprice", max_col="p_size")

@@ -822,3 +822,30 @@ def test_scd2_build_intervals_and_ties(spark):
     assert by_seq[(1, 3)].is_current and not by_seq[(1, 1)].is_current
     assert by_seq[(2, 1)].is_current and by_seq[(2, 1)].valid_from == 5
     assert sum(1 for r in out if r.k == 1 and r.is_current) == 1
+
+
+def test_pareto_frontier_matches_bruteforce_any_layout(spark):
+    """Two-phase skyline equals the quadratic definition, including kept
+    duplicate points and same-price ties, under different partitionings."""
+    import random
+
+    from map_reduce_engine_spark.operators.frontier import pareto_frontier_2d
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randint(0, 20)), rng.randint(0, 20)) for i in range(120)]
+    # cheaper than every random point -> undominatable from the left
+    pts += [(900, -1.0, 15), (901, -1.0, 15)]  # exact duplicate pair, both kept
+    pts += [(902, -1.0, 14)]                   # same price, smaller size -> dominated by 900
+
+    def dominated(r):
+        return any(
+            s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+            for s in pts
+        )
+
+    expect = {p[0] for p in pts if not dominated(p)}
+    assert 900 in expect and 901 in expect and 902 not in expect
+    df = spark.createDataFrame(pts, "id BIGINT, price DOUBLE, size INT")
+    for parts in (1, 7):
+        out = pareto_frontier_2d(df.repartition(parts), "price", "size")
+        assert {r.id for r in out.collect()} == expect
