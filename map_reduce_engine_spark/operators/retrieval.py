@@ -145,3 +145,50 @@ def hashed_linear_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6).alias("prob"),
         (F.col("logit") >= 0).alias("keep"),
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack et al.).
+
+    Each input carries (query_col, id_col, rank_col); a candidate's fused
+    score is ``sum over lists of 1/(rrf_k + rank)``, with absent candidates
+    contributing nothing.  Scores are computed in exact integer nano-units
+    (``1e9 div (rrf_k + rank)``) so the fusion is engine-portable — float
+    reciprocal sums differ at the ulp across engines, integer division does
+    not (see the maxsim_late_interaction precedent).
+
+    Scale shape: every per-list input is already top-k-per-query (bounded:
+    n_queries x k rows), so fusion is an outer join + hash aggregate over
+    candidate-list-sized data — never corpus-sized.  Output keeps the top
+    ``k`` fused candidates per query with a deterministic tiebreak.
+    """
+    contribs = [
+        df.select(
+            query_col,
+            id_col,
+            F.expr(f"1000000000L div ({rrf_k} + {rank_col})").alias(f"__c{i}"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    fused = contribs[0]
+    for i, nxt in enumerate(contribs[1:], start=1):
+        fused = fused.join(nxt, [query_col, id_col], "full_outer")
+    score = sum(
+        (F.coalesce(F.col(f"__c{i}"), F.lit(0).cast("bigint")) for i in range(len(contribs))),
+        start=F.lit(0).cast("bigint"),
+    )
+    scored = fused.select(query_col, id_col, score.alias("rrf_nano"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(F.col("rrf_nano").desc(), F.col(id_col))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fused_rank") <= k)
+    )

@@ -1356,3 +1356,86 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("click_id").alias("n_assisting_clicks"),
         F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH fs AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY user_id),
+    d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day)::BIGINT AS cumulative_users
+    FROM d
+    """,
+    doc="daily new vs cumulative distinct users: the running-distinct-count "
+    "curve computed WITHOUT a distinct-count window (inexpressible and "
+    "unscalable) — each user collapses to a first-seen day (one shuffle on "
+    "user_id), so the cumulative sum runs over a days-sized aggregate, "
+    "never raw events. The growth-accounting shape that survives 100 TB",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "seasonal_hourly_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, extract(hour FROM ts)::BIGINT AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents, value
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, hod, count(*) AS n,
+             sum(cents) AS s1, sum(cents * cents) AS s2
+      FROM e GROUP BY event_type, hod
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.hod, e.value,
+             (e.cents::DOUBLE - p.s1::DOUBLE / p.n::DOUBLE)
+               / sqrt((p.s2::DOUBLE - p.s1::DOUBLE * p.s1::DOUBLE / p.n::DOUBLE)
+                      / (p.n::DOUBLE - 1.0)) AS zval
+      FROM e JOIN prof p USING (event_type, hod)
+      WHERE p.n > 1
+    )
+    SELECT event_id, event_type, hod, value, round(zval, 4) AS zscore
+    FROM z WHERE abs(zval) > 2.5
+    """,
+    doc="hour-of-day seasonal anomaly detection: per (event_type, hour) "
+    "profile from exact integer cent sums (n, sum, sum-of-squares — one "
+    "hash aggregate, 120 profile rows at any scale), then each event's "
+    "z-score against its profile via a broadcast join back. Moments in "
+    "BIGINT cents make mean/variance bit-identical across engines; the "
+    "anomaly scan is a single pass, no window over raw data",
+)
+def seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "value",
+    )
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    zval = (F.col("cents").cast("double") - s1 / n) / F.sqrt(
+        (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    )
+    return (
+        ev.join(F.broadcast(prof.where(F.col("n") > 1)), ["event_type", "hod"])
+        .select("event_id", "event_type", "hod", "value", zval.alias("zval"))
+        .where(F.abs(F.col("zval")) > 2.5)
+        .select("event_id", "event_type", "hod", "value", F.round("zval", 4).alias("zscore"))
+    )

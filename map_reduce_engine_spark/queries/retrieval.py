@@ -357,3 +357,79 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+_RRF_COS = (
+    "list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * "
+    "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    cscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, round({_RRF_COS}, 6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    cr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cscored
+    ),
+    ctop AS (SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS ca FROM cr WHERE rank <= 50),
+    codes AS (
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 33),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS lo,
+        list_sum(list_transform(range(33, 65),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS hi
+      FROM embeddings
+    ),
+    hq AS (SELECT vec_id AS query_id, lo, hi FROM codes WHERE vec_id < 5),
+    hscored AS (
+      SELECT hq.query_id, c.vec_id AS neighbor_id,
+             (bit_count(xor(c.lo, hq.lo)::BIT) + bit_count(xor(c.hi, hq.hi)::BIT)) AS hamming
+      FROM hq JOIN codes c ON c.vec_id <> hq.query_id
+    ),
+    hr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+      FROM hscored
+    ),
+    htop AS (SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS cb FROM hr WHERE rank <= 50),
+    fused AS (
+      SELECT query_id, neighbor_id, (coalesce(ca, 0) + coalesce(cb, 0))::BIGINT AS rrf_nano
+      FROM ctop FULL OUTER JOIN htop USING (query_id, neighbor_id)
+    ),
+    out AS (
+      SELECT query_id, neighbor_id, rrf_nano,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, neighbor_id) AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, rrf_nano, fused_rank::BIGINT AS fused_rank
+    FROM out WHERE fused_rank <= 10
+    """,
+    doc="reciprocal-rank fusion (operators/retrieval.py::rrf_fuse): the "
+    "exact-cosine and binary-Hamming rankers' top-50 lists fuse per query "
+    "by sum of 1/(60+rank), computed in integer nano-units (BIGINT div) so "
+    "both engines agree bit-for-bit. The hybrid-retrieval primitive "
+    "(dense + sparse/binary) — fusion work is candidate-list-sized "
+    "(n_queries x 50), never corpus-sized, one outer join + window",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    cos50 = sim.cosine_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=50)
+    ham50 = sim.hamming_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=50)
+    return ret_ops.rrf_fuse(
+        [
+            cos50.select("query_id", "neighbor_id", "rank"),
+            ham50.select("query_id", "neighbor_id", "rank"),
+        ],
+        k=10,
+    )

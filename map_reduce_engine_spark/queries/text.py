@@ -766,3 +766,52 @@ def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return token_dropout(docs, "doc_id", "text", drop_permille=100, seed=1)
+
+
+@register(
+    "flesch_readability",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syllables,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           round(206.835::DOUBLE
+                 - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 3)
+             AS flesch
+    FROM m WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease score per document: word / sentence / "
+    "syllable-proxy (vowel-group) counts from three regexp passes — pure "
+    "JVM column math, one projection, no shuffle at all; the readability "
+    "feature a corpus quality-filter stack computes alongside "
+    "quality_score. Counts are exact integers so the score formula is "
+    "bit-identical across engines",
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    m = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("n_syllables"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)).cast("bigint"),
+        ).alias("n_sentences"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id", "n_words", "n_syllables", "n_sentences", F.round(flesch, 3).alias("flesch")
+    )

@@ -849,3 +849,21 @@ def test_pareto_frontier_matches_bruteforce_any_layout(spark):
     for parts in (1, 7):
         out = pareto_frontier_2d(df.repartition(parts), "price", "size")
         assert {r.id for r in out.collect()} == expect
+
+
+def test_rrf_fuse_integer_scores_and_absence(spark):
+    """A candidate on both lists outranks a better-single-list candidate;
+    absent entries contribute zero; scores are exact integer nano-units."""
+    from map_reduce_engine_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id INT, neighbor_id INT, rank INT"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id INT, neighbor_id INT, rank INT"
+    )
+    out = {r.neighbor_id: (r.rrf_nano, r.fused_rank) for r in rrf_fuse([a, b], k=10).collect()}
+    n61, n62 = 1000000000 // 61, 1000000000 // 62
+    assert out[11] == (n61 + n62, 1)      # on both lists -> wins
+    assert out[10] == (n61, 2)            # rank-1 on one list only
+    assert out[12] == (n62, 3)
