@@ -1439,3 +1439,112 @@ def seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("zval")) > 2.5)
         .select("event_id", "event_type", "hod", "value", F.round("zval", 4).alias("zscore"))
     )
+
+
+@register(
+    "ols_value_trend",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, extract(hour FROM ts)::BIGINT AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope_cents,
+           round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE)
+                 / n::DOUBLE, 6) AS intercept_cents,
+           round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+                 / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+    FROM m
+    """,
+    doc="closed-form OLS fit per event type (value-in-cents vs hour of "
+    "day): slope / intercept / R-squared from the five sufficient "
+    "statistics (sum x, y, xx, xy, yy), accumulated as exact BIGINTs in "
+    "ONE hash aggregate — the distributed regression recipe that needs no "
+    "iteration, no solver, and touches the data once at any scale. "
+    "Integer moments make the closed-form arithmetic bit-identical "
+    "across engines",
+)
+def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
+        F.round(cov_n * cov_n / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@register(
+    "forecast_backtest_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    f AS (
+      SELECT event_type, day, cents,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+      FROM daily
+    ),
+    e AS (
+      SELECT event_type, 10000 * abs(cents - fc) // cents AS ape_bp
+      FROM f WHERE fc IS NOT NULL AND cents > 0
+    )
+    SELECT event_type, count(*) AS n_days,
+           round(sum(ape_bp)::DOUBLE / count(*)::DOUBLE, 4) AS mape_bp
+    FROM e GROUP BY event_type
+    """,
+    doc="seasonal-naive forecast backtest: tomorrow's per-type daily "
+    "revenue forecast is the value 7 days earlier (the strongest cheap "
+    "baseline for weekly-seasonal series); accuracy reported as MAPE in "
+    "integer basis points. All windows run over the days-sized daily "
+    "aggregate — never raw events — and errors are exact BIGINT basis "
+    "points so the average is engine-exact. The forecast-quality gate a "
+    "metrics pipeline runs before trusting a model",
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("fc", F.lag("cents", 7).over(w))
+    e = f.where(F.col("fc").isNotNull() & (F.col("cents") > 0)).select(
+        "event_type",
+        F.expr("10000 * abs(cents - fc) div cents").alias("ape_bp"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.sum("ape_bp").cast("double") / F.count("*").cast("double"), 4).alias("mape_bp"),
+    )
