@@ -19,7 +19,7 @@ Spark shape for iterative algorithms at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -350,3 +350,70 @@ def bfs_distances(
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_parts)
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    rounds: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.):
+    (node, community) after a FIXED number of rounds.
+
+    Each round every node adopts the most frequent label among its
+    neighbors, ties broken toward the smallest label — both choices
+    deterministic, so the result is reproducible under any partitioning
+    and replayable by an unrolled-SQL oracle (the async/randomized variant
+    of the original paper trades that away for faster convergence).
+    Synchronous LPA can oscillate on bipartite structure, which is why the
+    contract is fixed-round, not run-to-convergence.
+
+    Loop discipline shared with ``pagerank``/``connected_components``:
+    edges materialize once (both directions), hash-partitioned on the join
+    key; AQE off and graph-sized shuffle partitions scoped to the loop;
+    per-round labels eagerly local-checkpointed.  Per round: one join +
+    one (node, label) hash aggregate + one per-node top-1 window over the
+    aggregate — all keyed shuffles bounded by the label-histogram size.
+    """
+    und0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    conf = spark.conf
+    session_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, und0.count() // 200_000 + 1))
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        und = und0.repartition(num_partitions, "a").localCheckpoint(eager=True)
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+        for _ in range(rounds):
+            counts = (
+                und.join(labels, und.a == labels.node)
+                .select(F.col("b").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels.select("node", F.col("label").alias("community"))

@@ -2546,3 +2546,66 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.round("value", 2).alias("value"),
     )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/graph.py::label_propagation``
+    (every round MATERIALIZED — see the bpe_train_merges precedent)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    und AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM und
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""
+    c{k} AS MATERIALIZED (
+      SELECT e.b AS node, l.label, count(*) AS cnt
+      FROM und e JOIN l{k - 1} l ON e.a = l.node
+      GROUP BY e.b, l.label
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",".join(parts) + f"\n    SELECT node, label AS community FROM l{rounds}"
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(4),
+    doc="label-propagation community detection (operators/graph.py::"
+    "label_propagation, 4 synchronous rounds) over the undirected "
+    "customer–supplier purchase graph: each node adopts its neighbors' "
+    "most frequent label, smallest-label tiebreak — fully deterministic, "
+    "so the loop unrolls into a materialized-CTE oracle like pagerank. "
+    "Per round one edge join + a (node,label) hash aggregate + a top-1 "
+    "window over the aggregate; same scoped-loop discipline as the other "
+    "iterative operators",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import label_propagation
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, src="src", dst="dst", rounds=4)

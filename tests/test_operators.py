@@ -867,3 +867,21 @@ def test_rrf_fuse_integer_scores_and_absence(spark):
     assert out[11] == (n61 + n62, 1)      # on both lists -> wins
     assert out[10] == (n61, 2)            # rank-1 on one list only
     assert out[12] == (n62, 3)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles converge to their min-member labels; the
+    result is identical under repartitioning (deterministic tie-breaks)."""
+    from map_reduce_engine_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "id1 BIGINT, id2 BIGINT",
+    )
+    got = {(r.node, r.community) for r in label_propagation(edges, rounds=4).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+    got7 = {
+        (r.node, r.community)
+        for r in label_propagation(edges.repartition(7), rounds=4).collect()
+    }
+    assert got7 == got
