@@ -574,6 +574,8 @@ _SANCTIONED_NESTED_LOOP = {
     "pii_pseudonymize_join": "broadcasts the 1-row injectivity check",
     "histogram_quantile_rollup": "probe joins over the bin table, bounded by "
     "value-range/width (a few hundred rows at any corpus size)",
+    "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
+    "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
