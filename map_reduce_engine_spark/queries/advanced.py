@@ -2609,3 +2609,61 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     return label_propagation(edges, src="src", dst="dst", rounds=4)
+
+
+# --------------------------------------------------------------------------
+# Spatial: grid-bucketed radius self-join (operators/spatial.py)
+# --------------------------------------------------------------------------
+
+_GEO_H = (
+    "(('0x' || substr(md5('{tag}:' || c_custkey), 1, 8))::BIGINT & 2147483647)::DOUBLE"
+)
+_GEO_DIST = """
+    2.0 * 6371.0 * asin(sqrt(
+      sin(radians(b.lat - a.lat) / 2.0) * sin(radians(b.lat - a.lat) / 2.0)
+      + cos(radians(a.lat)) * cos(radians(b.lat))
+        * sin(radians(b.lon - a.lon) / 2.0) * sin(radians(b.lon - a.lon) / 2.0)
+    ))
+"""
+
+
+@register(
+    "spatial_radius_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -10.0 + 20.0 * {_GEO_H.format(tag="lat")} / 2147483648.0 AS lat,
+             -20.0 + 40.0 * {_GEO_H.format(tag="lon")} / 2147483648.0 AS lon
+      FROM customer
+    )
+    SELECT a.id AS id1, b.id AS id2, round({_GEO_DIST}, 4) AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE round({_GEO_DIST}, 4) <= 100.0
+    """,
+    doc="spatial radius self-join (operators/spatial.py::grid_radius_pairs): "
+    "customer points (coordinates hash-derived in a ±10°/±20° band, "
+    "engine-replayable) paired within 100 km by snapping to a 1° grid, "
+    "exploding one side to its 3x3 cell neighborhood (fixed 9x fan-out) and "
+    "equi-joining on the home cell — candidates bounded by local density, "
+    "never n²; exact haversine only on co-cell pairs. The oracle is the "
+    "quadratic all-pairs formulation, structurally independent",
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+    from map_reduce_engine_spark.operators.spatial import grid_radius_pairs
+
+    cust = t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return portable_base31(
+            F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+        ).cast("double")
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-10.0) + F.lit(20.0) * h("lat") / F.lit(2147483648.0)).alias("lat"),
+        (F.lit(-20.0) + F.lit(40.0) * h("lon") / F.lit(2147483648.0)).alias("lon"),
+    )
+    return grid_radius_pairs(
+        pts, id_col="id", lat_col="lat", lon_col="lon", radius_km=100.0, cell_deg=1.0
+    )

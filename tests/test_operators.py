@@ -885,3 +885,40 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges.repartition(7), rounds=4).collect()
     }
     assert got7 == got
+
+
+def test_grid_radius_pairs_matches_bruteforce(spark):
+    """Grid-bucketed radius join finds exactly the brute-force pair set,
+    including pairs straddling a cell boundary."""
+    import math
+    import random
+
+    from map_reduce_engine_spark.operators.spatial import grid_radius_pairs
+
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(-2.0, 2.0), rng.uniform(-2.0, 2.0)) for i in range(80)]
+    pts += [(100, 0.9999, 0.0), (101, 1.0001, 0.0)]  # straddle the cy=0/1 boundary
+
+    def hav(a, b):
+        rl1, rl2 = math.radians(a[1]), math.radians(b[1])
+        dlat = math.radians(b[1] - a[1]) / 2.0
+        dlon = math.radians(b[2] - a[2]) / 2.0
+        h = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+        return 2.0 * 6371.0 * math.asin(math.sqrt(h))
+
+    expect = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if round(hav(a, b) if a[0] < b[0] else hav(b, a), 4) <= 100.0
+    }
+    assert (100, 101) in expect  # boundary pair is within ~0.02 km
+    df = spark.createDataFrame(pts, "id BIGINT, lat DOUBLE, lon DOUBLE")
+    for parts in (1, 7):
+        got = {
+            (r.id1, r.id2)
+            for r in grid_radius_pairs(
+                df.repartition(parts), "id", "lat", "lon", radius_km=100.0, cell_deg=1.0
+            ).collect()
+        }
+        assert got == expect
