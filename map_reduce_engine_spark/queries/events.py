@@ -1548,3 +1548,103 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.round(F.sum("ape_bp").cast("double") / F.count("*").cast("double"), 4).alias("mape_bp"),
     )
+
+
+@register(
+    "longest_activity_streak",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily
+    ),
+    islands AS (
+      SELECT user_id, day - rn::INTEGER AS grp,
+             count(*) AS streak_len, min(day) AS streak_start
+      FROM r GROUP BY user_id, day - rn::INTEGER
+    ),
+    best AS (
+      SELECT user_id, streak_len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS rk
+      FROM islands
+    )
+    SELECT user_id, streak_len AS longest_streak, streak_start
+    FROM best WHERE rk = 1
+    """,
+    doc="longest consecutive-day activity streak per user — the canonical "
+    "gaps-and-islands pattern: distinct (user, day) pairs, the day-minus-"
+    "row-number constant identifies each island, one aggregate sizes them. "
+    "All windows partition by user over deduped days (bounded by the "
+    "calendar, never raw events); earliest-start tiebreak keeps the "
+    "answer deterministic",
+)
+def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = daily.withColumn("rn", F.row_number().over(w))
+    islands = r.groupBy(
+        "user_id", F.date_sub(F.col("day"), F.col("rn")).alias("grp")
+    ).agg(F.count("*").alias("streak_len"), F.min("day").alias("streak_start"))
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("streak_len").alias("longest_streak"), "streak_start")
+    )
+
+
+@register(
+    "activity_bitmap_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-05', ts::DATE) AS di
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, di // 64 AS epoch,
+             bit_or(1::BIGINT << (di % 64)) AS bitmap,
+             min(di % 64) AS first_bit, max(di % 64) AS last_bit
+      FROM daily GROUP BY user_id, di // 64
+    )
+    SELECT user_id, epoch, bitmap,
+           bit_count(bitmap::BIT)::BIGINT AS active_days,
+           (last_bit - first_bit + 1) AS span_days,
+           10000 * bit_count(bitmap::BIT)::BIGINT // (last_bit - first_bit + 1)
+             AS density_bp
+    FROM b
+    """,
+    doc="per-user activity bitmaps in 64-day epochs: each active day sets "
+    "one bit (bit_or aggregate — associative and mergeable exactly like a "
+    "sketch partial, so shards/epochs roll up with pure integer OR), "
+    "activity metrics read back with bit_count. The roaring-bitmap-style "
+    "engagement representation: one BIGINT per (user, epoch) at any "
+    "scale; density in integer basis points",
+)
+def activity_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")).alias("di"),
+    ).distinct()
+    b = daily.groupBy(
+        "user_id", F.expr("di div 64").alias("epoch")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di % 64 AS INT))")).alias("bitmap"),
+        F.min(F.col("di") % 64).alias("first_bit"),
+        F.max(F.col("di") % 64).alias("last_bit"),
+    )
+    span = F.col("last_bit") - F.col("first_bit") + F.lit(1)
+    return b.select(
+        "user_id",
+        "epoch",
+        "bitmap",
+        F.bit_count("bitmap").cast("bigint").alias("active_days"),
+        span.alias("span_days"),
+        F.expr("10000 * bit_count(bitmap) div (last_bit - first_bit + 1)").alias("density_bp"),
+    )
