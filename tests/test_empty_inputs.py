@@ -153,3 +153,48 @@ def test_round3_operators_empty_inputs(spark):
     empty_edges = spark.createDataFrame([], "u bigint, v bigint")
     assert orient_by_degree(empty_edges).count() == 0
     assert triangle_count(empty_edges).collect()[0].n_triangles == 0
+
+
+def test_scd2_build_empty(spark):
+    from map_reduce_engine_spark.operators.cdc import scd2_build
+
+    log = spark.createDataFrame([], "k INT, ts INT, id INT")
+    out = scd2_build(log, key="k", order_cols=["ts", "id"])
+    assert out.count() == 0
+    assert {"version_seq", "valid_from", "valid_to", "is_current"} <= set(out.columns)
+
+
+def test_pareto_frontier_empty_and_singleton(spark):
+    from map_reduce_engine_spark.operators.frontier import pareto_frontier_2d
+
+    empty = spark.createDataFrame([], "id BIGINT, price DOUBLE, size INT")
+    assert pareto_frontier_2d(empty, "price", "size").count() == 0
+    one = spark.createDataFrame([(1, 2.0, 3)], "id BIGINT, price DOUBLE, size INT")
+    assert [r.id for r in pareto_frontier_2d(one, "price", "size").collect()] == [1]
+
+
+def test_grid_radius_pairs_empty(spark):
+    from map_reduce_engine_spark.operators.spatial import grid_radius_pairs
+
+    empty = spark.createDataFrame([], "id BIGINT, lat DOUBLE, lon DOUBLE")
+    out = grid_radius_pairs(empty, "id", "lat", "lon", radius_km=100.0, cell_deg=1.0)
+    assert out.columns == ["id1", "id2", "dist_km"]
+    assert out.count() == 0
+
+
+def test_label_propagation_empty(spark):
+    from map_reduce_engine_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([], "id1 BIGINT, id2 BIGINT")
+    out = label_propagation(edges, rounds=2)
+    assert out.columns == ["node", "community"]
+    assert out.count() == 0
+
+
+def test_rrf_fuse_empty_lists(spark):
+    from map_reduce_engine_spark.operators.retrieval import rrf_fuse
+
+    empty = spark.createDataFrame([], "query_id INT, neighbor_id INT, rank INT")
+    out = rrf_fuse([empty, empty], k=5)
+    assert out.count() == 0
+    assert {"rrf_nano", "fused_rank"} <= set(out.columns)
