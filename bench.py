@@ -59,6 +59,11 @@ SENTINELS = [
     # widest single-aggregate sketch
     ("q17_textrank", "textrank_keywords", None),
     ("q18_ams_f2", "ams_f2_sketch", None),
+    # round-3 late additions: the two new non-equi-shaped operators whose
+    # plans could silently degenerate (skyline must stay two-phase local
+    # prune, spatial must stay a cell equi-join — never all-pairs)
+    ("q19_pareto", "pareto_frontier_parts", None),
+    ("q20_spatial_join", "spatial_radius_join", None),
 ]
 
 
