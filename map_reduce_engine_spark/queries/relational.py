@@ -1820,3 +1820,66 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     return pareto_frontier_2d(part, min_col="p_retailprice", max_col="p_size")
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             AS price_cume
+    FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    """,
+    doc="cumulative-distribution window (cume_dist): each order's price "
+    "percentile within its priority class — rounding-free because "
+    "cume_dist is a ratio of exact tie-aware row counts, identical in "
+    "both engines. Completes the ranking-window surface "
+    "(row_number/rank/ntile/percent_rank/cume_dist)",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("price_cume"),
+    )
+
+
+@register(
+    "sql_all_quantified",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > ALL (
+      SELECT p_retailprice FROM part WHERE p_brand = 'Brand#19' AND p_size = 2
+    )
+    """,
+    doc="quantified ALL-subquery semantics: parts priced above EVERY "
+    "Brand#19 part. Spark SQL has no ALL/ANY quantifier, so the engine "
+    "rewrites it the scalable way — the subquery collapses to a 1-row "
+    "max() aggregate broadcast against the scan (the decorrelation every "
+    "warehouse planner performs); the oracle uses DuckDB's native ALL. "
+    "Empty-subquery (vacuous truth) and NULL caveats documented in the "
+    "implementation",
+)
+def sql_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    # > ALL (S): with S non-empty and NULL-free this is > max(S); an empty S
+    # is vacuously true (coalesce the max to -infinity); NULLs in S would
+    # make the predicate UNKNOWN — p_retailprice is NOT NULL in this schema.
+    bound = part.where((F.col("p_brand") == "Brand#19") & (F.col("p_size") == 2)).agg(
+        F.max("p_retailprice").alias("__bound")
+    )
+    return (
+        part.crossJoin(F.broadcast(bound))
+        .where(
+            F.col("p_retailprice")
+            > F.coalesce(F.col("__bound"), F.lit(float("-inf")))
+        )
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
