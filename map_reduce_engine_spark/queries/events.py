@@ -1648,3 +1648,96 @@ def activity_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.alias("span_days"),
         F.expr("10000 * bit_count(bitmap) div (last_bit - first_bit + 1)").alias("density_bp"),
     )
+
+
+@register(
+    "time_to_convert_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ),
+    d AS (
+      SELECT signup_ts::DATE AS cohort_day,
+             epoch_us(first_purchase_ts) - epoch_us(signup_ts) AS delta_us
+      FROM conv
+    ),
+    r AS (
+      SELECT cohort_day, delta_us,
+             row_number() OVER (PARTITION BY cohort_day ORDER BY delta_us) AS rn,
+             count(*) OVER (PARTITION BY cohort_day) AS nn
+      FROM d WHERE delta_us IS NOT NULL
+    ),
+    q AS (
+      SELECT cohort_day,
+             max(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1 THEN delta_us END) AS p50_us,
+             max(CASE WHEN rn = ((nn - 1) * 90) // 100 + 1 THEN delta_us END) AS p90_us
+      FROM r GROUP BY cohort_day
+    ),
+    c AS (
+      SELECT cohort_day,
+             count(*) AS n_signups,
+             count(delta_us) AS n_converted,
+             10000 * count(delta_us) // count(*) AS conversion_bp
+      FROM d GROUP BY cohort_day
+    )
+    SELECT c.cohort_day, c.n_signups, c.n_converted, c.conversion_bp,
+           q.p50_us, q.p90_us
+    FROM c LEFT JOIN q USING (cohort_day)
+    """,
+    doc="signup→purchase conversion funnel latency by signup-day cohort: "
+    "first signup per user, earliest subsequent purchase (one user-keyed "
+    "join), conversion rate in integer basis points and exact interpolated "
+    "latency percentiles in exact integer microseconds (DISCRETE "
+    "percentile — the value at row floor(p*(n-1))+1 — because continuous "
+    "interpolation differs at the ulp across engines at 1e11 magnitudes). All "
+    "aggregation is per-user-then-per-cohort — raw events are touched "
+    "once, windows never see them",
+)
+def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(p, on=(s.user_id == p.user_id) & (F.col("pts") >= F.col("signup_ts")), how="left")
+        .groupBy(s.user_id, "signup_ts")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    d = conv.select(
+        F.col("signup_ts").cast("date").alias("cohort_day"),
+        F.expr("timestampdiff(MICROSECOND, signup_ts, first_purchase_ts)").alias("delta_us"),
+    )
+    c = d.groupBy("cohort_day").agg(
+        F.count("*").alias("n_signups"),
+        F.count("delta_us").alias("n_converted"),
+        F.expr("10000 * count(delta_us) div count(*)").alias("conversion_bp"),
+    )
+    wq = Window.partitionBy("cohort_day").orderBy("delta_us")
+    r = (
+        d.where(F.col("delta_us").isNotNull())
+        .withColumn("rn", F.row_number().over(wq))
+        .withColumn("nn", F.count("*").over(Window.partitionBy("cohort_day")))
+    )
+    q = r.groupBy("cohort_day").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("((nn - 1) * 50) div 100 + 1"), F.col("delta_us"))
+        ).alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("((nn - 1) * 90) div 100 + 1"), F.col("delta_us"))
+        ).alias("p90_us"),
+    )
+    return c.join(q, "cohort_day", "left").select(
+        "cohort_day", "n_signups", "n_converted", "conversion_bp", "p50_us", "p90_us"
+    )
