@@ -559,3 +559,61 @@ def tokenset_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id AS id, {_DUCK_L} AS l
+      FROM documents WHERE doc_id < 300 AND trim(text) <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT id, unnest({_DUCK_SHINGLE3}) AS shingle FROM l
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2, i AS n_shared,
+           round(i / least(s1.n, s2.n), 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.id = id1
+    JOIN sizes s2 ON s2.id = id2
+    WHERE i / least(s1.n, s2.n) >= 0.6
+    """,
+    doc="asymmetric containment join on 3-gram shingle sets: "
+    "|A∩B| / min(|A|,|B|) — catches quote/subset relationships that "
+    "symmetric Jaccard dilutes (a paragraph fully contained in a long doc "
+    "scores ~1 here but near 0 on Jaccard), the containment tier of a "
+    "dedup stack (Broder's containment sketch setting). Same "
+    "inverted-index shape as ngram_jaccard_pairs: explode distinct "
+    "shingles, equi-self-join, never a cross join; production runs feed "
+    "LSH candidates instead of the id bound",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300) & (F.trim("text") != "")
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(dd.shingles_col("text", 3)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("i"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    cont = F.col("i") / F.least("n1", "n2")
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .where(cont >= 0.6)
+        .select("id1", "id2", F.col("i").alias("n_shared"), F.round(cont, 6).alias("containment"))
+    )

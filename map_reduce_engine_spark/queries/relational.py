@@ -1883,3 +1883,48 @@ def sql_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+@register(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH n AS (
+      SELECT r_name AS region, n_name AS nation,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT region, nation, cents AS revenue_cents,
+           10000 * cents // sum(cents) OVER (PARTITION BY region) AS share_bp,
+           10000 * cents // sum(cents) OVER () AS global_share_bp
+    FROM n
+    """,
+    doc="percent-of-parent hierarchy rollup: each nation's revenue share "
+    "within its region AND of the grand total, in integer basis points "
+    "over exact BIGINT cents (no float ratio can disagree). Dimensions "
+    "broadcast onto the fact scan; both share windows run over the "
+    "25-row nation aggregate — the drill-down ratio report at any fact "
+    "size",
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    n = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    return n.select(
+        "region",
+        "nation",
+        F.col("cents").alias("revenue_cents"),
+        F.expr("10000 * cents div sum(cents) OVER (PARTITION BY region)").alias("share_bp"),
+        F.expr("10000 * cents div sum(cents) OVER ()").alias("global_share_bp"),
+    )
