@@ -20,7 +20,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.operators.text import tokens_col
@@ -1450,3 +1450,137 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c").cast("double") + noise, 3).alias("noisy_count"),
         F.lit(eps).alias("epsilon"),
     )
+
+
+@register(
+    "chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, count(*) AS obs FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, sum(obs) AS rl FROM o GROUP BY lang),
+    cols_ AS (SELECT source, sum(obs) AS cs FROM o GROUP BY source),
+    tot AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+      SELECT o.lang, o.source, o.obs,
+             rl::DOUBLE * cs::DOUBLE / n::DOUBLE AS exp
+      FROM o JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot
+    )
+    SELECT count(*)::BIGINT AS n_cells,
+           sum(CAST(round(1000000.0 * (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp)
+               AS BIGINT)) AS chi2_micro,
+           ((SELECT count(*) FROM rows_) - 1) * ((SELECT count(*) FROM cols_) - 1)
+             AS dof
+    FROM cells
+    """,
+    doc="chi-square independence test for the (lang × source) contingency "
+    "table: observed/expected from one hash aggregate plus broadcast "
+    "marginals; each cell's contribution is rounded to integer "
+    "MICRO-units before summing, so the statistic is an exact BIGINT sum "
+    "(cross-engine float sums differ at the ulp; integer sums cannot). "
+    "Constant-size answer; the corpus-composition drift test alongside "
+    "psi_drift",
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rows_ = o.groupBy("lang").agg(F.sum("obs").alias("rl"))
+    cols_ = o.groupBy("source").agg(F.sum("obs").alias("cs"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "obs",
+            (F.col("rl").cast("double") * F.col("cs").cast("double") / F.col("n").cast("double")).alias("exp"),
+        )
+    )
+    contrib = F.round(
+        F.lit(1000000.0)
+        * (F.col("obs").cast("double") - F.col("exp"))
+        * (F.col("obs").cast("double") - F.col("exp"))
+        / F.col("exp")
+    ).cast("bigint")
+    dof_r = rows_.agg((F.count("*") - 1).alias("dr"))
+    dof_c = cols_.agg((F.count("*") - 1).alias("dc"))
+    return (
+        cells.agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(contrib).alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(dof_r))
+        .crossJoin(F.broadcast(dof_c))
+        .select("n_cells", "chi2_micro", (F.col("dr") * F.col("dc")).alias("dof"))
+    )
+
+
+@register(
+    "spearman_rank_corr",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, extract(hour FROM ts)::BIGINT AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+               + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+               + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+      FROM e
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+             AS spearman_rho
+    FROM m
+    """,
+    doc="Spearman rank correlation (value vs hour-of-day per event type): "
+    "tie-averaged ranks are kept EXACT by doubling them "
+    "(2*rank + ties - 1 is always an integer), then Pearson's closed "
+    "form runs on BIGINT sufficient statistics — one window pass + one "
+    "hash aggregate, deterministic across engines. The robust "
+    "(monotonic, outlier-insensitive) companion to correlation_matrix's "
+    "Pearson",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    r = e.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count("*").over(Window.partitionBy("event_type", "x")) - 1)
+        .cast("bigint")
+        .alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(Window.partitionBy("event_type", "y")) - 1)
+        .cast("bigint")
+        .alias("ry"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("event_type", "n", F.round(rho, 6).alias("spearman_rho"))

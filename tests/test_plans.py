@@ -577,6 +577,7 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "chi2_independence": "broadcasts the 1-row grand total and 1-row dof aggregates",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
