@@ -1741,3 +1741,67 @@ def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(q, "cohort_day", "left").select(
         "cohort_day", "n_signups", "n_converted", "conversion_bp", "p50_us", "p90_us"
     )
+
+
+@register(
+    "interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, count(gap_s) AS n,
+             sum(gap_s) AS s1, sum(gap_s * gap_s) AS s2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING count(gap_s) > 1
+    )
+    SELECT user_id, n,
+           round(sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                      / (n::DOUBLE - 1.0))
+                 / (s1::DOUBLE / n::DOUBLE), 6) AS cv,
+           round((sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                       / (n::DOUBLE - 1.0)) - s1::DOUBLE / n::DOUBLE)
+                 / (sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                         / (n::DOUBLE - 1.0)) + s1::DOUBLE / n::DOUBLE), 6)
+             AS burstiness
+    FROM m
+    """,
+    doc="inter-arrival burstiness per user (Goh-Barabási B = (σ-μ)/(σ+μ) "
+    "and the coefficient of variation): B≈0 is Poisson traffic, B→1 is "
+    "bursty human/bot behavior — the timing-signature feature for bot "
+    "and abuse detection. Gaps are exact integer SECONDS (whole-second "
+    "truncation keeps the sum of squares inside BIGINT for year-scale "
+    "gaps) from one ordered window; moments are BIGINT sums, so σ/μ are "
+    "deterministic closed forms both engines replay. One user-keyed "
+    "shuffle",
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_raw")
+    ).select("user_id", F.expr("gap_raw div 1000000").alias("gap_s"))
+    m = (
+        g.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .where(F.col("n") > 1)
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    sigma = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    mu = s1 / n
+    return m.select(
+        "user_id",
+        "n",
+        F.round(sigma / mu, 6).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )

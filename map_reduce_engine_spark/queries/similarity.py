@@ -818,3 +818,70 @@ def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("dcg_micro", F.lit(0)) / F.col("idcg_micro"), 4).alias("ndcg"),
         )
     )
+
+
+_MAT_COS_FULL = (
+    "list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * "
+    "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+)
+_MAT_COS_TRUNC = (
+    "list_dot_product(q.qv[1:16]::DOUBLE[], e.embedding[1:16]::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.qv[1:16]::DOUBLE[], q.qv[1:16]::DOUBLE[])) * "
+    "sqrt(list_dot_product(e.embedding[1:16]::DOUBLE[], e.embedding[1:16]::DOUBLE[])))"
+)
+
+
+@register(
+    "matryoshka_truncation_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    fullr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({_MAT_COS_FULL}, 6) DESC, e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    truncr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({_MAT_COS_TRUNC}, 6) DESC, e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT f.query_id,
+           count(t.neighbor_id)::BIGINT AS overlap_at_10,
+           1000 * count(t.neighbor_id)::BIGINT // 10 AS recall_permille
+    FROM fullr f LEFT JOIN truncr t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    doc="Matryoshka-style truncation evaluation: top-10 cosine neighbors "
+    "from the FIRST 16 of 64 dimensions vs the full-dimension top-10, "
+    "overlap per probe in integer permille — the measurement that decides "
+    "whether a 4x cheaper truncated index is good enough as a first stage. "
+    "Both rankings are deterministic (rounded score, id tiebreak); the "
+    "comparison is an exact count, so the eval is fully oracle-checked. "
+    "Same bounded-probe scan shape as knn_cosine_topk",
+)
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    full = sim.cosine_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    probes16 = emb16.where(F.col("vec_id") < 5)
+    trunc = sim.cosine_topk(emb16, probes16, id_col="vec_id", vec_col="embedding", k=10)
+    f = full.select("query_id", "neighbor_id")
+    tr = trunc.select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    joined = f.join(
+        tr, (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")), "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("tn").cast("bigint").alias("overlap_at_10"),
+        F.expr("1000 * count(tn) div 10").alias("recall_permille"),
+    )

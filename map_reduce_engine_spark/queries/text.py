@@ -10,7 +10,7 @@ identically to the declarative path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark import mapreduce
@@ -814,4 +814,82 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "doc_id", "n_words", "n_syllables", "n_sentences", F.round(flesch, 3).alias("flesch")
+    )
+
+
+@register(
+    "zipf_law_fit",
+    oracle=r"""
+    WITH tf AS (
+      SELECT token, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM tf
+    ),
+    pts AS (
+      SELECT CAST(round(1000000.0 * ln(rank::DOUBLE)) AS BIGINT) AS x,
+             CAST(round(1000000.0 * ln(freq::DOUBLE)) AS BIGINT) AS y
+      FROM ranked WHERE rank <= 1000
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+             AS zipf_exponent,
+           round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE)
+                 / n::DOUBLE / 1000000.0, 6) AS log_intercept
+    FROM m
+    """,
+    doc="Zipf's-law fit over the token frequency spectrum: OLS of "
+    "ln(freq) on ln(rank) for the top-1000 tokens (the healthy-corpus "
+    "exponent is ≈ -1; a flat slope flags templated/spammy text). Log "
+    "coordinates are rounded to integer MICRO-units before the moment "
+    "sums, so the regression is an exact-BIGINT computation both engines "
+    "replay (ln differs at the ulp; micro-rounding absorbs it). The "
+    "corpus-health fingerprint a pretraining pipeline tracks per "
+    "snapshot; vocabulary-sized work after one token aggregate",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tf = (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    pts = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 1000)
+        .select(
+            F.round(F.lit(1000000.0) * F.log(F.col("rank").cast("double")))
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.lit(1000000.0) * F.log(F.col("freq").cast("double")))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("zipf_exponent"),
+        F.round((sy - slope * sx) / n / F.lit(1000000.0), 6).alias("log_intercept"),
     )

@@ -578,6 +578,8 @@ _SANCTIONED_NESTED_LOOP = {
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
     "chi2_independence": "broadcasts the 1-row grand total and 1-row dof aggregates",
+    "matryoshka_truncation_eval": "both rankings are the sanctioned bounded-probe "
+    "exact-kNN scan (knn_cosine_topk shape)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
