@@ -1928,3 +1928,46 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * cents div sum(cents) OVER (PARTITION BY region)").alias("share_bp"),
         F.expr("10000 * cents div sum(cents) OVER ()").alias("global_share_bp"),
     )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT coalesce(r_name, '(all)') AS region,
+           coalesce(n_name, '(all)') AS nation,
+           GROUPING(r_name)::BIGINT AS g_region,
+           GROUPING(n_name)::BIGINT AS g_nation,
+           count(*) AS n_customers,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP with GROUPING() markers: the machine-readable way to tell "
+    "a real '(all)' label from a subtotal row — each grouping flag is "
+    "emitted per column so BI layers can pivot the lattice without "
+    "string sentinels. Money as exact BIGINT cents; one pass, "
+    "map-side-combinable like any rollup",
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    out = j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.count("*").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
+    )
+    return out.select(
+        F.coalesce("r_name", F.lit("(all)")).alias("region"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+        "g_region",
+        "g_nation",
+        "n_customers",
+        "acctbal_cents",
+    )
