@@ -1805,3 +1805,67 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sigma / mu, 6).alias("cv"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+@register(
+    "winsorized_mean_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM e
+    ),
+    cuts AS (
+      SELECT event_type,
+             max(CASE WHEN rn = ((nn - 1) * 5) // 100 + 1 THEN cents END) AS lo,
+             max(CASE WHEN rn = ((nn - 1) * 95) // 100 + 1 THEN cents END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(e.cents), 4) AS raw_mean_cents,
+           round(avg(CASE WHEN e.cents < c.lo THEN c.lo
+                          WHEN e.cents > c.hi THEN c.hi
+                          ELSE e.cents END), 4) AS winsorized_mean_cents,
+           min(c.lo) AS p05_cents, min(c.hi) AS p95_cents
+    FROM e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="winsorized robust mean per event type: clip values at the "
+    "DISCRETE p05/p95 (exact BIGINT cents picked by row index — no "
+    "interpolation, no cross-engine ulp) and average the clipped cents "
+    "(avg of BIGINTs: the sum is exact, one division). The "
+    "outlier-robust aggregate a metrics pipeline reports next to the raw "
+    "mean; cut computation is one window pass, clipping a broadcast "
+    "join of the 5-row cut table",
+)
+def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    r = e.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("((nn - 1) * 5) div 100 + 1"), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("((nn - 1) * 95) div 100 + 1"), F.col("cents"))).alias("hi"),
+    )
+    clipped = F.when(F.col("cents") < F.col("lo"), F.col("lo")).when(
+        F.col("cents") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("cents"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("cents"), 4).alias("raw_mean_cents"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean_cents"),
+            F.min("lo").alias("p05_cents"),
+            F.min("hi").alias("p95_cents"),
+        )
+    )

@@ -922,3 +922,54 @@ def test_grid_radius_pairs_matches_bruteforce(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_burstiness_constant_gaps_is_minus_one(spark):
+    """A perfectly regular event train has σ=0 → Goh-Barabási B = -1 and
+    CV = 0; the registry query computes both from integer-second moments."""
+    import datetime as dt
+
+    from map_reduce_engine_spark.queries.base import REGISTRY
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=60 * i), 7, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    df.createOrReplaceTempView("___burst_tmp")
+    # drive the same computation shape directly (the registry fn reads files)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    g = df.select("user_id", (us - F.lag(us).over(w)).alias("gap_raw")).select(
+        "user_id", F.expr("gap_raw div 1000000").alias("gap_s")
+    )
+    m = g.where(F.col("gap_s").isNotNull()).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    ).collect()[0]
+    n, s1, s2 = m.n, m.s1, m.s2
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    mu = s1 / n
+    assert var == 0.0 and mu == 60.0  # σ=0 ⇒ CV=0, B=(0-μ)/(0+μ) = -1
+
+
+def test_rrf_fuse_three_lists(spark):
+    """Fusion generalizes beyond two rankers: a candidate on all three
+    lists beats one on two, which beats one on one."""
+    from map_reduce_engine_spark.operators.retrieval import rrf_fuse
+
+    def lst(*ids):
+        return spark.createDataFrame(
+            [(1, nid, r + 1) for r, nid in enumerate(ids)],
+            "query_id INT, neighbor_id INT, rank INT",
+        )
+
+    out = {r.neighbor_id: r.fused_rank for r in
+           rrf_fuse([lst(5, 6, 7), lst(5, 6, 8), lst(5, 9, 10)], k=10).collect()}
+    assert out[5] == 1      # on all three lists at rank 1
+    assert out[6] == 2      # on two lists
