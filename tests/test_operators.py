@@ -938,7 +938,6 @@ def test_burstiness_constant_gaps_is_minus_one(spark):
     df = spark.createDataFrame(
         rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     )
-    df.createOrReplaceTempView("___burst_tmp")
     # drive the same computation shape directly (the registry fn reads files)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
