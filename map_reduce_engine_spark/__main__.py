@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("output_dir")
     cp.add_argument("--min-quality", type=float, default=0.3)
     cp.add_argument("--jaccard", type=float, default=0.85)
+    er = sub.add_parser(
+        "engagement-report",
+        help="run the end-to-end engagement analytics example (streaks + "
+        "bitmaps + burstiness per-user profile, conversion cohorts)",
+    )
+    er.add_argument("sf_dir", help="fixture dir containing events.parquet")
+    er.add_argument("output_dir")
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -82,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
                 jaccard_threshold=args.jaccard,
             )
             audit.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "engagement-report":
+        from map_reduce_engine_spark.examples.engagement_report_job import run
+
+        spark = get_spark(app_name="mre-engagement-report")
+        try:
+            profile = run(spark, args.sf_dir, args.output_dir)
+            profile.show(10, truncate=False)
         finally:
             spark.stop()
         return 0

@@ -167,3 +167,19 @@ def test_corpus_pipeline_example_end_to_end(spark, tmp_path):
     assert written.count() == audit["4_split_write"][1]
     # exact-dedup invariant survives the whole pipeline
     assert written.groupBy("text").count().where(F.col("count") > 1).count() == 0
+
+
+def test_engagement_report_job(spark, sf_dir, tmp_path):
+    """The composed engagement example writes both outputs and the
+    per-user profile covers every active user exactly once."""
+    from map_reduce_engine_spark.examples.engagement_report_job import run
+
+    out = str(tmp_path / "engage")
+    profile = run(spark, sf_dir, out)
+    rows = profile.collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)) > 0
+    back = spark.read.parquet(f"{out}/user_profile")
+    assert back.count() == len(users)
+    cohorts = spark.read.parquet(f"{out}/conversion_cohorts")
+    assert {"cohort_day", "n_signups", "conversion_bp"} <= set(cohorts.columns)
