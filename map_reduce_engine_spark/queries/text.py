@@ -893,3 +893,33 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_exponent"),
         F.round((sy - slope * sx) / n / F.lit(1000000.0), 6).alias("log_intercept"),
     )
+
+
+@register(
+    "distributed_grep",
+    oracle=r"""
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, 'quer[a-z]*'))::BIGINT AS n_matches,
+           regexp_extract(text, 'quer[a-z]*') AS first_match
+    FROM documents
+    WHERE regexp_matches(text, 'quer[a-z]*')
+    """,
+    doc="distributed grep with provenance — the first example job of the "
+    "original MapReduce paper (Dean & Ghemawat §2.1), the reference's "
+    "framework genre (framework-src MapRunner line model): every document "
+    "matching a regex, with its source, match count, and first match. "
+    "Pure JVM regexp projection over the scan — the predicate pushes "
+    "into the reader, no shuffle at all",
+)
+def distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pat = "quer[a-z]*"
+    return (
+        docs.where(F.col("text").rlike(pat))
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_count("text", F.lit(pat)).cast("bigint").alias("n_matches"),
+            F.regexp_extract("text", pat, 0).alias("first_match"),
+        )
+    )
