@@ -2667,3 +2667,47 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_pairs(
         pts, id_col="id", lat_col="lat", lon_col="lon", radius_km=100.0, cell_deg=1.0
     )
+
+
+# --------------------------------------------------------------------------
+# In-flight metrics: the Observation API (audit without a second scan)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="in-flight audit metrics via the Observation API (df.observe): "
+    "the purchase scan is consumed ONCE and the audit counters (row "
+    "count, exact cent sum, min/max) ride along as accumulator-style "
+    "observed metrics — zero extra scans, the production pattern for "
+    "write-path row-count/quality checks. The observed values (exact "
+    "BIGINTs) are returned as a 1-row DataFrame the oracle recomputes "
+    "declaratively — proving the side-channel agrees with the query "
+    "engine",
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = Observation("purchase_audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # consume once
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_cents"], m["min_cents"], m["max_cents"])],
+        "n_rows BIGINT, sum_cents BIGINT, min_cents BIGINT, max_cents BIGINT",
+    )
