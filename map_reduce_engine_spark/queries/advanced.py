@@ -2711,3 +2711,31 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_cents"], m["min_cents"], m["max_cents"])],
         "n_rows BIGINT, sum_cents BIGINT, min_cents BIGINT, max_cents BIGINT",
     )
+
+
+@register(
+    "cdc_delete_compaction",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_remaining,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY c_nationkey
+    """,
+    doc="MERGE ... WHEN MATCHED THEN DELETE emulation (operators/cdc.py::"
+    "merge_delete): tombstones (negative-balance accounts here, a GDPR "
+    "erasure list in production) drop out of the target via one anti-join "
+    "on the merge key — the immutable-storage delete path (rewrite minus "
+    "matches; with Delta the same operator becomes native MERGE). Audited "
+    "by per-nation survivor counts and exact cent totals",
+)
+def cdc_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.cdc import merge_delete
+
+    cust = t(spark, sf_dir, "customer")
+    tombstones = cust.where(F.col("c_acctbal") < 0).select("c_custkey")
+    remaining = merge_delete(cust, tombstones, keys=["c_custkey"])
+    return remaining.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_remaining"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
+    )
