@@ -2739,3 +2739,69 @@ def cdc_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_remaining"),
         F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
     )
+
+
+def _geo_cell_oracle() -> str:
+    """Morton interleave of the 8-bit quantized hash-derived coordinates
+    (same non-overlapping bit-term spelling as zorder_locality)."""
+    terms = " + ".join(
+        f"(((xb >> {i}) & 1) * {1 << (2 * i)}) + (((yb >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(8)
+    )
+    h = "(('0x' || substr(md5('{tag}:' || c_custkey), 1, 8))::BIGINT & 2147483647)::DOUBLE"
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -10.0 + 20.0 * {h.format(tag="lat")} / 2147483648.0 AS lat,
+             -20.0 + 40.0 * {h.format(tag="lon")} / 2147483648.0 AS lon
+      FROM customer
+    ),
+    b AS (
+      SELECT CAST(floor((lat + 10.0) * 12.8) AS BIGINT) % 256 AS xb,
+             CAST(floor((lon + 20.0) * 6.4) AS BIGINT) % 256 AS yb
+      FROM pts
+    ),
+    z AS (SELECT ({terms}) AS cell FROM b),
+    c AS (SELECT (cell // 16)::BIGINT AS tile, count(*) AS n_points FROM z GROUP BY 1)
+    SELECT tile, n_points,
+           row_number() OVER (ORDER BY n_points DESC, tile) AS density_rank
+    FROM c
+    """
+
+
+@register(
+    "geo_cell_density",
+    oracle=_geo_cell_oracle(),
+    doc="geohash-style spatial index statistics: hash-derived point "
+    "coordinates quantize onto a 256x256 grid, interleave into a Morton "
+    "cell (io.py::morton_col — the same space-filling curve geohash "
+    "prefixes walk), and aggregate per 16-cell tile with a density "
+    "ranking. The hotspot census that sizes a spatial partitioning "
+    "scheme; pure JVM bit arithmetic, one hash aggregate, bit-identical "
+    "oracle",
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.io import morton_col
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    cust = t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return portable_base31(
+            F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+        ).cast("double")
+
+    pts = cust.select(
+        (F.lit(-10.0) + F.lit(20.0) * h("lat") / F.lit(2147483648.0)).alias("lat"),
+        (F.lit(-20.0) + F.lit(40.0) * h("lon") / F.lit(2147483648.0)).alias("lon"),
+    )
+    b = pts.select(
+        (F.floor((F.col("lat") + 10.0) * 12.8).cast("bigint") % 256).alias("xb"),
+        (F.floor((F.col("lon") + 20.0) * 6.4).cast("bigint") % 256).alias("yb"),
+    )
+    z = b.select(morton_col("xb", "yb", bits=8).alias("cell"))
+    c = z.groupBy(F.expr("cell div 16").alias("tile")).agg(F.count("*").alias("n_points"))
+    w = Window.orderBy(F.col("n_points").desc(), F.col("tile"))
+    return c.select(
+        "tile", "n_points", F.row_number().over(w).cast("bigint").alias("density_rank")
+    )
