@@ -1584,3 +1584,100 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return m.select("event_type", "n", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, 1, 1)::BIGINT
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    o AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+    n AS (SELECT sum(observed) AS total FROM o)
+    SELECT o.digit, o.observed,
+           1000000 * o.observed // n.total AS observed_ppm,
+           CAST(round(1000000.0 * ln(1.0 + 1.0 / o.digit) / ln(10.0)) AS BIGINT)
+             AS benford_ppm,
+           1000000 * o.observed // n.total
+             - CAST(round(1000000.0 * ln(1.0 + 1.0 / o.digit) / ln(10.0)) AS BIGINT)
+             AS deviation_ppm
+    FROM o CROSS JOIN n
+    """,
+    doc="Benford's-law first-digit audit over order totals: observed "
+    "first-significant-digit shares vs the log10(1+1/d) expectation, in "
+    "integer parts-per-million (the fraud/synthetic-data smell test an "
+    "ingest pipeline runs on money columns). Digit extraction is string "
+    "arithmetic on exact cents — no logs on data, only on the 9 "
+    "constants — one hash aggregate plus a broadcast total",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    n = o.agg(F.sum("observed").alias("total"))
+    benford_ppm = F.round(
+        F.lit(1000000.0) * F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.expr("1000000 * observed div total").alias("observed_ppm"),
+            benford_ppm.alias("benford_ppm"),
+            (F.expr("1000000 * observed div total") - benford_ppm).alias("deviation_ppm"),
+        )
+    )
+
+
+@register(
+    "geometric_mean_prices",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(1000000.0 * ln(CAST(round(o_totalprice * 100) AS BIGINT)))
+                  AS BIGINT) AS ln_micro
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           sum(ln_micro) AS sum_ln_micro,
+           round(exp(sum(ln_micro)::DOUBLE / count(*)::DOUBLE / 1000000.0) / 100.0, 2)
+             AS geometric_mean
+    FROM c GROUP BY o_orderpriority
+    """,
+    doc="geometric mean order value per priority class: per-row ln(cents) "
+    "rounded to integer MICRO-units (the zipf_law_fit recipe), summed as "
+    "exact BIGINTs, exponentiated once per group — so the only "
+    "transcendental on the aggregate path is one exp() of an identical "
+    "operand, safe at round-2 on price magnitudes. The right average for "
+    "multiplicative quantities (price levels, growth rates); one hash "
+    "aggregate",
+)
+def geometric_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    c = orders.select(
+        "o_orderpriority",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("ln_micro"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("ln_micro").alias("sum_ln_micro"),
+        F.round(
+            F.exp(
+                F.sum("ln_micro").cast("double") / F.count("*").cast("double") / F.lit(1000000.0)
+            )
+            / F.lit(100.0),
+            2,
+        ).alias("geometric_mean"),
+    )

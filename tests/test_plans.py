@@ -580,6 +580,7 @@ _SANCTIONED_NESTED_LOOP = {
     "chi2_independence": "broadcasts the 1-row grand total and 1-row dof aggregates",
     "matryoshka_truncation_eval": "both rankings are the sanctioned bounded-probe "
     "exact-kNN scan (knn_cosine_topk shape)",
+    "benford_first_digit": "broadcasts the 1-row digit-count total",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
