@@ -617,3 +617,30 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cont >= 0.6)
         .select("id1", "id2", F.col("i").alias("n_shared"), F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT text, count(*) AS cluster_size FROM documents GROUP BY text
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           ((cluster_size - 1) * count(*))::BIGINT AS removable_docs
+    FROM c GROUP BY cluster_size
+    """,
+    doc="duplicate-cluster size distribution: how many exact-dup clusters "
+    "of each size exist and how many documents dedup would remove — the "
+    "corpus-health histogram that decides whether dedup is worth a pass "
+    "(heavy tail = template spam). Two cheap hash aggregates; the second "
+    "runs over cluster-count-sized data",
+)
+def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("text").agg(F.count("*").alias("cluster_size"))
+    return c.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*")).cast("bigint").alias("removable_docs"),
+    )

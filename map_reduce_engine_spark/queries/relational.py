@@ -1971,3 +1971,92 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "acctbal_cents",
     )
+
+
+@register(
+    "order_backlog_aging",
+    oracle="""
+    WITH open_o AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate::DATE AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus IN ('O', 'P')
+    ),
+    aged AS (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', od, DATE '2001-09-01') < 365 THEN '0_under_1y'
+                  WHEN date_diff('day', od, DATE '2001-09-01') < 1095 THEN '1_1_to_3y'
+                  ELSE '2_over_3y' END AS age_bucket,
+             cents
+      FROM open_o
+    )
+    SELECT o_orderpriority, age_bucket,
+           count(*) AS n_orders, sum(cents) AS backlog_cents
+    FROM aged GROUP BY o_orderpriority, age_bucket
+    """,
+    doc="open-order backlog aging: unfulfilled orders (status O/P) bucketed "
+    "by age at the fixed as-of date against priority class — the classic "
+    "operations aging report (receivables/backlog), pure CASE buckets over "
+    "integer day diffs and exact cent sums, one aggregate pass",
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus").isin("O", "P"))
+    age_days = F.datediff(F.lit("2001-09-01").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age_days < 365, "0_under_1y")
+        .when(age_days < 1095, "1_1_to_3y")
+        .otherwise("2_over_3y")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            bucket.alias("age_bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("backlog_cents"))
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    ),
+    tot AS (SELECT s_nationkey, sum(cents) AS total FROM rev GROUP BY s_nationkey),
+    shares AS (
+      SELECT r.s_nationkey, 10000 * r.cents // t.total AS share_bp
+      FROM rev r JOIN tot t USING (s_nationkey)
+    )
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           sum(share_bp * share_bp) AS hhi_bp2,
+           max(share_bp) AS top_share_bp
+    FROM shares GROUP BY s_nationkey
+    """,
+    doc="Herfindahl–Hirschman supplier-concentration index per nation: "
+    "each supplier's revenue share in integer basis points, HHI as the "
+    "exact BIGINT sum of squared shares (10000 bp² = monopoly) — the "
+    "antitrust/supply-risk metric. Two hash aggregates plus a "
+    "nation-keyed join of the 25-row totals; no floats anywhere",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("cents").alias("total"))
+    shares = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey", F.expr("10000 * cents div total").alias("share_bp")
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("share_bp") * F.col("share_bp")).alias("hhi_bp2"),
+        F.max("share_bp").alias("top_share_bp"),
+    )
