@@ -2060,3 +2060,56 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("share_bp") * F.col("share_bp")).alias("hhi_bp2"),
         F.max("share_bp").alias("top_share_bp"),
     )
+
+
+@register(
+    "revenue_concentration_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+      FROM rev
+    ),
+    tot AS (SELECT count(*) AS n_customers, sum(cents) AS total FROM rev)
+    SELECT t.n_customers,
+           min(r.rnk) AS n_for_80pct,
+           10000 * min(r.rnk) // t.n_customers AS customer_share_bp
+    FROM ranked r CROSS JOIN tot t
+    WHERE 10 * r.cum_cents >= 8 * t.total
+    GROUP BY t.n_customers
+    """,
+    doc="revenue concentration (the 80/20 census): the smallest top-spender "
+    "set covering 80% of revenue, found by a cumulative BIGINT-cent sum "
+    "over the customer aggregate (never raw orders) — the threshold test "
+    "is exact integer cross-multiplication (10*cum >= 8*total), so no "
+    "float share can disagree. The whale-concentration number every "
+    "revenue dashboard leads with",
+)
+def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cents"),
+    )
+    tot = rev.agg(F.count("*").alias("n_customers"), F.sum("cents").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(10 * F.col("cum_cents") >= 8 * F.col("total"))
+        .groupBy("n_customers")
+        .agg(
+            F.min("rnk").alias("n_for_80pct"),
+            F.expr("10000 * min(rnk) div n_customers").alias("customer_share_bp"),
+        )
+        .select("n_customers", "n_for_80pct", "customer_share_bp")
+    )

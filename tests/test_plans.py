@@ -581,6 +581,7 @@ _SANCTIONED_NESTED_LOOP = {
     "matryoshka_truncation_eval": "both rankings are the sanctioned bounded-probe "
     "exact-kNN scan (knn_cosine_topk shape)",
     "benford_first_digit": "broadcasts the 1-row digit-count total",
+    "revenue_concentration_8020": "broadcasts the 1-row customer-total aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
