@@ -2113,3 +2113,167 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_customers", "n_for_80pct", "customer_share_bp")
     )
+
+
+@register(
+    "promo_effect_did",
+    oracle="""
+    WITH cell AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS post,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT treated, post, count(*) AS n, sum(cents) AS s
+      FROM cell GROUP BY treated, post
+    )
+    SELECT
+      round((SELECT s::DOUBLE / n::DOUBLE FROM m WHERE treated = 1 AND post = 1)
+            - (SELECT s::DOUBLE / n::DOUBLE FROM m WHERE treated = 1 AND post = 0)
+            - ((SELECT s::DOUBLE / n::DOUBLE FROM m WHERE treated = 0 AND post = 1)
+               - (SELECT s::DOUBLE / n::DOUBLE FROM m WHERE treated = 0 AND post = 0)),
+            4) AS did_cents,
+      (SELECT n FROM m WHERE treated = 1 AND post = 1) AS n_treated_post,
+      (SELECT n FROM m WHERE treated = 0 AND post = 1) AS n_control_post
+    """,
+    doc="difference-in-differences: the promo-part revenue-per-line change "
+    "across the 1998 cutover minus the same change for non-promo parts — "
+    "the workhorse quasi-experimental estimator, computed from a single "
+    "2x2 grid of exact BIGINT cent sums (four means, three subtractions, "
+    "all deterministic). One join + one 4-row aggregate at any scale",
+)
+def promo_effect_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cell = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("treated"),
+        F.when(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = cell.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    agg = m.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("s").cast("double") / F.col("n").cast("double"))).alias("t1p1"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("s").cast("double") / F.col("n").cast("double"))).alias("t1p0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("s").cast("double") / F.col("n").cast("double"))).alias("t0p1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("s").cast("double") / F.col("n").cast("double"))).alias("t0p0"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("n"))).alias("n_treated_post"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("n"))).alias("n_control_post"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("t1p1") - F.col("t1p0")) - (F.col("t0p1") - F.col("t0p0")), 4
+        ).alias("did_cents"),
+        "n_treated_post",
+        "n_control_post",
+    )
+
+
+@register(
+    "shipping_lag_histogram",
+    oracle="""
+    WITH lag_t AS (
+      SELECT date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (SELECT lag_days // 7 AS week_bucket FROM lag_t),
+    c AS (SELECT week_bucket, count(*) AS n FROM b GROUP BY week_bucket),
+    tot AS (SELECT sum(n) AS total FROM c)
+    SELECT c.week_bucket, c.n, 10000 * c.n // t.total AS share_bp
+    FROM c CROSS JOIN tot t
+    """,
+    doc="order-to-ship lag histogram in week buckets with integer-bp "
+    "shares: the fulfillment-SLA distribution every ops dashboard tracks. "
+    "Integer day diffs bucket by integer division, one join + one "
+    "aggregate; the bucket table is SLA-range-sized at any volume",
+)
+def shipping_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lag_t = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias("lag_days")
+    )
+    c = lag_t.groupBy(F.expr("lag_days div 7").alias("week_bucket")).agg(
+        F.count("*").alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "week_bucket", "n", F.expr("10000 * n div total").alias("share_bp")
+    )
+
+
+@register(
+    "ltv_cohort_curve",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             min(year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    sz AS (SELECT cohort_m, count(*) AS cohort_size FROM fo GROUP BY cohort_m),
+    contrib AS (
+      SELECT f.cohort_m,
+             (year(o.o_orderdate::DATE) * 12 + month(o.o_orderdate::DATE)) - f.cohort_m
+               AS month_offset,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort_m,
+               (year(o.o_orderdate::DATE) * 12 + month(o.o_orderdate::DATE)) - f.cohort_m
+    )
+    SELECT c.cohort_m, c.month_offset, s.cohort_size,
+           sum(c.cents) OVER (PARTITION BY c.cohort_m ORDER BY c.month_offset
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents,
+           sum(c.cents) OVER (PARTITION BY c.cohort_m ORDER BY c.month_offset
+                              ROWS UNBOUNDED PRECEDING)::BIGINT // s.cohort_size
+             AS ltv_cents_per_customer
+    FROM contrib c JOIN sz s USING (cohort_m)
+    WHERE c.month_offset <= 24
+    """,
+    doc="cohort lifetime-value curve: customers grouped by first-order "
+    "month, cumulative revenue per cohort by month offset, divided "
+    "through by cohort size (exact BIGINT cents, integer month "
+    "arithmetic). Windows run over the (cohort x offset) aggregate — "
+    "months-squared rows regardless of order volume — the LTV payback "
+    "curve finance reads against acquisition cost",
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
+        F.col("o_orderdate").cast("date")
+    )
+    fo = orders.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    sz = fo.groupBy("cohort_m").agg(F.count("*").alias("cohort_size"))
+    contrib = (
+        orders.join(fo, "o_custkey")
+        .groupBy("cohort_m", (m - F.col("cohort_m")).alias("month_offset"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        contrib.join(F.broadcast(sz), "cohort_m")
+        .where(F.col("month_offset") <= 24)
+        .select(
+            "cohort_m",
+            "month_offset",
+            "cohort_size",
+            F.sum("cents").over(w).alias("cum_cents"),
+            F.expr(
+                "sum(cents) OVER (PARTITION BY cohort_m ORDER BY month_offset "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div cohort_size"
+            ).alias("ltv_cents_per_customer"),
+        )
+    )
