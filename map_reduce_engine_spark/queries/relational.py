@@ -2277,3 +2277,97 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents_per_customer"),
         )
     )
+
+
+@register(
+    "return_rate_by_brand",
+    oracle="""
+    WITH l AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    b AS (
+      SELECT p_brand, count(*) AS n_lines,
+             sum(returned)::BIGINT AS returned_lines,
+             sum(CASE WHEN returned = 1 THEN cents ELSE 0 END) AS returned_cents
+      FROM l GROUP BY p_brand
+    )
+    SELECT p_brand, n_lines, returned_lines,
+           10000 * returned_lines // n_lines AS return_bp,
+           returned_cents,
+           row_number() OVER (ORDER BY 10000 * returned_lines // n_lines DESC,
+                              p_brand) AS worst_rank
+    FROM b
+    """,
+    doc="return-rate league table per brand: returned-line share in "
+    "integer basis points with returned revenue and a worst-first "
+    "ranking — the product-quality report a merchandising team reads "
+    "weekly. One broadcast dim join + one aggregate; the ranking window "
+    "runs over the brands-sized aggregate",
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    l = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = l.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("returned").cast("bigint").alias("returned_lines"),
+        F.sum(F.when(F.col("returned") == 1, F.col("cents")).otherwise(0)).alias("returned_cents"),
+    )
+    w = Window.orderBy(
+        F.expr("10000 * returned_lines div n_lines").desc(), F.col("p_brand")
+    )
+    return b.select(
+        "p_brand",
+        "n_lines",
+        "returned_lines",
+        F.expr("10000 * returned_lines div n_lines").alias("return_bp"),
+        "returned_cents",
+        F.row_number().over(w).cast("bigint").alias("worst_rank"),
+    )
+
+
+@register(
+    "weekday_revenue_profile",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-05', o_orderdate::DATE) % 7 AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    p AS (SELECT dow, count(*) AS n_orders, sum(cents) AS cents FROM d GROUP BY dow),
+    tot AS (SELECT sum(cents) AS total FROM p)
+    SELECT p.dow, p.n_orders, p.cents AS revenue_cents,
+           10000 * p.cents // t.total AS revenue_share_bp,
+           (p.dow >= 5) AS is_weekend
+    FROM p CROSS JOIN tot t
+    """,
+    doc="day-of-week revenue profile with an engine-portable weekday "
+    "index: days since a known Monday (1970-01-05) mod 7 — pure integer "
+    "arithmetic, immune to the engines' incompatible dayofweek/isodow "
+    "conventions. Shares in integer basis points; the weekly-seasonality "
+    "profile that pairs with forecast_backtest_mape's lag-7 model",
+)
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.select(
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-05").cast("date")) % 7
+        ).alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    p = d.groupBy("dow").agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+    tot = p.agg(F.sum("cents").alias("total"))
+    return p.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        F.col("cents").alias("revenue_cents"),
+        F.expr("10000 * cents div total").alias("revenue_share_bp"),
+        (F.col("dow") >= 5).alias("is_weekend"),
+    )
