@@ -923,3 +923,61 @@ def distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("text", pat, 0).alias("first_match"),
         )
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=r"""
+    WITH pred AS (
+      SELECT doc_id,
+        CASE
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+          ELSE 'und'
+        END AS predicted_lang
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))    AS s_en,
+          len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))   AS s_fr,
+          len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\b(el|los|que|y|en)\b'))    AS s_es
+        FROM documents
+      )
+    ),
+    cell AS (
+      SELECT d.lang AS true_lang, p.predicted_lang, count(*) AS n
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY d.lang, p.predicted_lang
+    ),
+    row_t AS (SELECT true_lang, sum(n) AS row_n FROM cell GROUP BY true_lang)
+    SELECT c.true_lang, c.predicted_lang, c.n,
+           10000 * c.n // r.row_n AS row_share_bp,
+           (c.true_lang = c.predicted_lang) AS is_correct
+    FROM cell c JOIN row_t r USING (true_lang)
+    """,
+    doc="language-ID confusion matrix: the marker-word classifier's "
+    "predictions cross-tabulated against the labeled lang column, with "
+    "per-true-language recall shares in integer basis points — the "
+    "classifier-evaluation report card a corpus pipeline publishes "
+    "before trusting langid for routing. One classification pass + two "
+    "hash aggregates; matrix is (languages)² at any corpus size",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pred = text_ops.langid(docs, "doc_id", "text").select("doc_id", "predicted_lang")
+    cell = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    row_t = cell.groupBy("true_lang").agg(F.sum("n").alias("row_n"))
+    return cell.join(F.broadcast(row_t), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.expr("10000 * n div row_n").alias("row_share_bp"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )
