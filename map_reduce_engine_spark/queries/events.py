@@ -1869,3 +1869,84 @@ def winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hi").alias("p95_cents"),
         )
     )
+
+
+@register(
+    "error_rate_sla_windows",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    w AS (
+      SELECT window_start, count(*) AS n_events,
+             sum(is_err)::BIGINT AS n_errors
+      FROM b GROUP BY window_start
+    )
+    SELECT window_start, n_events, n_errors,
+           10000 * n_errors // n_events AS error_bp,
+           (10000 * n_errors // n_events > 500) AS sla_breach
+    FROM w WHERE n_events >= 5
+    """,
+    doc="error-rate SLA monitor per 30-minute window: error share in "
+    "integer basis points with a 5%-threshold breach flag, low-traffic "
+    "windows (<5 events) suppressed — the alerting query an ops "
+    "dashboard polls. Epoch-aligned time_bucket/window agree across "
+    "engines for minute-multiple widths; one aggregate over the bucket",
+)
+def error_rate_sla_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        F.window("ts", "30 minutes").start.cast("timestamp_ntz").alias("window_start"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w = b.groupBy("window_start").agg(
+        F.count("*").alias("n_events"), F.sum("is_err").cast("bigint").alias("n_errors")
+    )
+    return w.where(F.col("n_events") >= 5).select(
+        "window_start",
+        "n_events",
+        "n_errors",
+        F.expr("10000 * n_errors div n_events").alias("error_bp"),
+        (F.expr("10000 * n_errors div n_events") > 500).alias("sla_breach"),
+    )
+
+
+@register(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS total FROM c GROUP BY user_id),
+    contrib AS (
+      SELECT c.user_id,
+             CAST(round(-1000000.0 * (c.n::DOUBLE / t.total::DOUBLE)
+                        * ln(c.n::DOUBLE / t.total::DOUBLE)) AS BIGINT) AS h_micro
+      FROM c JOIN tot t USING (user_id)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_event_types,
+           sum(h_micro) AS entropy_micro
+    FROM contrib GROUP BY user_id
+    """,
+    doc="behavioral diversity per user: Shannon entropy of the event-type "
+    "mix, each -p*ln(p) contribution rounded to integer MICRO-nats before "
+    "the sum (the zipf_law_fit recipe — BIGINT sums cannot disagree "
+    "across engines). Uniform users score high, single-action bots score "
+    "0 — the diversity feature that pairs with interarrival_burstiness "
+    "for abuse screening. Two hash aggregates on user keys",
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    contrib = c.join(tot, "user_id").select(
+        "user_id",
+        F.round(F.lit(-1000000.0) * p * F.log(p)).cast("bigint").alias("h_micro"),
+    )
+    return contrib.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_event_types"),
+        F.sum("h_micro").alias("entropy_micro"),
+    )
