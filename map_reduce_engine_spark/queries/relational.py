@@ -2371,3 +2371,70 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * cents div total").alias("revenue_share_bp"),
         (F.col("dow") >= 5).alias("is_weekend"),
     )
+
+
+@register(
+    "reorder_cadence_by_segment",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+                       lag(o.o_orderdate::DATE) OVER (PARTITION BY o.o_custkey
+                                                      ORDER BY o.o_orderdate, o.o_orderkey),
+                       o.o_orderdate::DATE) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT segment, gap_days,
+             row_number() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
+             count(*) OVER (PARTITION BY segment) AS nn
+      FROM g WHERE gap_days IS NOT NULL
+    )
+    SELECT segment, max(nn) AS n_gaps,
+           max(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1 THEN gap_days END)
+             AS median_gap_days,
+           max(CASE WHEN rn = ((nn - 1) * 90) // 100 + 1 THEN gap_days END)
+             AS p90_gap_days
+    FROM r GROUP BY segment
+    """,
+    doc="reorder cadence per market segment: integer day gaps between a "
+    "customer's consecutive orders, summarized by DISCRETE median/p90 "
+    "(exact row-picked integers — the cross-engine-safe percentile "
+    "recipe). The purchase-frequency input to retention and "
+    "replenishment models; one customer-keyed window + one "
+    "segment-keyed window over the gap aggregate",
+)
+def reorder_cadence_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+        )
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    wr = Window.partitionBy("segment").orderBy("gap_days")
+    r = g.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count("*").over(Window.partitionBy("segment"))
+    )
+    return r.groupBy("segment").agg(
+        F.max("nn").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("((nn - 1) * 50) div 100 + 1"), F.col("gap_days"))
+        ).alias("median_gap_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("((nn - 1) * 90) div 100 + 1"), F.col("gap_days"))
+        ).alias("p90_gap_days"),
+    )

@@ -885,3 +885,33 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tn").cast("bigint").alias("overlap_at_10"),
         F.expr("1000 * count(tn) div 10").alias("recall_permille"),
     )
+
+
+@register(
+    "label_balance_audit",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS total, max(n) AS max_n, min(n) AS min_n FROM c)
+    SELECT c.label, c.n,
+           10000 * c.n // t.total AS share_bp,
+           100 * t.max_n // t.min_n AS imbalance_pct
+    FROM c CROSS JOIN t
+    """,
+    doc="training-label balance audit over the embedding table: per-class "
+    "share in integer basis points plus the global max/min imbalance "
+    "ratio — the class-skew gate a fine-tuning pipeline checks before "
+    "sampling weights are chosen. One aggregate + a broadcast 1-row "
+    "summary",
+)
+def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    tt = c.agg(
+        F.sum("n").alias("total"), F.max("n").alias("max_n"), F.min("n").alias("min_n")
+    )
+    return c.crossJoin(F.broadcast(tt)).select(
+        "label",
+        "n",
+        F.expr("10000 * n div total").alias("share_bp"),
+        F.expr("100 * max_n div min_n").alias("imbalance_pct"),
+    )

@@ -584,6 +584,7 @@ _SANCTIONED_NESTED_LOOP = {
     "revenue_concentration_8020": "broadcasts the 1-row customer-total aggregate",
     "shipping_lag_histogram": "broadcasts the 1-row bucket total",
     "weekday_revenue_profile": "broadcasts the 1-row revenue total",
+    "label_balance_audit": "broadcasts the 1-row class-count summary",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
