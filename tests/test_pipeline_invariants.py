@@ -96,3 +96,64 @@ def test_dataset_card_totals(spark, sf_dir, duck):
         assert 0.0 <= r.dup_rate <= 1.0
         assert r.min_chars <= r.max_chars
         assert r.total_tokens >= r.n_docs  # every kept doc has >= 1 token
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    """A strictly increasing x→y relation has Spearman rho exactly 1.0
+    (equal rank vectors make the closed form collapse to 1), regardless
+    of how nonlinear the relation is."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", i, i * i * i) for i in range(1, 30)], "g STRING, x BIGINT, y BIGINT"
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    wy = Window.partitionBy("g").orderBy("y")
+    r = df.select(
+        "g",
+        (2 * F.rank().over(wx) + F.count("*").over(Window.partitionBy("g", "x")) - 1)
+        .cast("bigint").alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(Window.partitionBy("g", "y")) - 1)
+        .cast("bigint").alias("ry"),
+    )
+    m = r.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    ).collect()[0]
+    n, sx, sy, sxx, syy, sxy = (float(m[c]) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    rho = (n * sxy - sx * sy) / (((n * sxx - sx * sx) ** 0.5) * ((n * syy - sy * sy) ** 0.5))
+    assert rho == 1.0
+
+
+def test_winsorized_mean_pulls_in_outliers(spark):
+    """Clipping at discrete p05/p95 must move the mean toward the bulk when
+    a heavy outlier is present, and leave an outlier-free group unchanged."""
+    from map_reduce_engine_spark.queries.base import REGISTRY  # noqa: F401 (registry import parity)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [("g", float(v)) for v in list(range(100, 140)) + [100000.0]]
+    df = spark.createDataFrame(rows, "k STRING, value DOUBLE").select(
+        "k", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    wr = Window.partitionBy("k").orderBy("cents")
+    r = df.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count("*").over(Window.partitionBy("k"))
+    )
+    cuts = r.groupBy("k").agg(
+        F.max(F.when(F.col("rn") == F.expr("((nn - 1) * 5) div 100 + 1"), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("((nn - 1) * 95) div 100 + 1"), F.col("cents"))).alias("hi"),
+    )
+    clipped = F.when(F.col("cents") > F.col("hi"), F.col("hi")).when(
+        F.col("cents") < F.col("lo"), F.col("lo")
+    ).otherwise(F.col("cents"))
+    out = (
+        df.join(cuts, "k")
+        .agg(F.avg("cents").alias("raw"), F.avg(clipped).alias("wins"))
+        .collect()[0]
+    )
+    assert out.wins < out.raw  # the 100k outlier is clipped to ~p95
+    assert out.wins < 14000 * 1.1  # mean lands near the bulk (cents)
