@@ -157,3 +157,24 @@ def test_winsorized_mean_pulls_in_outliers(spark):
     )
     assert out.wins < out.raw  # the 100k outlier is clipped to ~p95
     assert out.wins < 14000 * 1.1  # mean lands near the bulk (cents)
+
+
+def test_zipf_fit_recovers_power_law_exponent(spark):
+    """The micro-unit log-log OLS must recover the exponent of an exact
+    synthetic power law: freq = C / rank^1.5 → slope ≈ -1.5 (rounding the
+    log coordinates to micro-units perturbs the fit by < 1e-3)."""
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(r, int(round(1e9 / r**1.5))) for r in range(1, 501)], "rank INT, freq BIGINT"
+    ).select(
+        F.round(F.lit(1000000.0) * F.log(F.col("rank").cast("double"))).cast("bigint").alias("x"),
+        F.round(F.lit(1000000.0) * F.log(F.col("freq").cast("double"))).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n, sx, sy, sxx, sxy = (float(m[c]) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(slope - (-1.5)) < 1e-3
