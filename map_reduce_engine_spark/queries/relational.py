@@ -2438,3 +2438,49 @@ def reorder_cadence_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("((nn - 1) * 90) div 100 + 1"), F.col("gap_days"))
         ).alias("p90_gap_days"),
     )
+
+
+@register(
+    "gini_coefficient_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM rev
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(cents) AS s, sum(i * cents) AS ws FROM r
+    )
+    SELECT n AS n_customers,
+           round(2.0 * ws::DOUBLE / (n::DOUBLE * s::DOUBLE)
+                 - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of customer revenue: the rank-weighted formula "
+    "G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over ascending-sorted exact BIGINT "
+    "cents — all three sums are integers, so the two final divisions are "
+    "deterministic. Completes the inequality family (HHI concentration, "
+    "80/20 census); the rank window runs over the customer aggregate, "
+    "never raw orders",
+)
+def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    r = rev.select("cents", F.row_number().over(w).cast("bigint").alias("i"))
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("ws"),
+    )
+    n, s, ws = (F.col(c).cast("double") for c in ("n", "s", "ws"))
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.lit(2.0) * ws / (n * s) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+    )
