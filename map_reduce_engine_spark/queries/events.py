@@ -1950,3 +1950,73 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_event_types"),
         F.sum("h_micro").alias("entropy_micro"),
     )
+
+
+@register(
+    "ma_crossover_signals",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY ts::DATE
+    ),
+    w AS (
+      SELECT day, cents,
+             sum(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+             sum(cents) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)::BIGINT AS s28,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n28
+      FROM daily
+    ),
+    sig AS (
+      SELECT day, cents, s7, n7, s28, n28,
+             CASE WHEN s7 * n28 > s28 * n7 THEN 1
+                  WHEN s7 * n28 < s28 * n7 THEN -1 ELSE 0 END AS above
+      FROM w WHERE n28 >= 14
+    )
+    SELECT day, cents,
+           above,
+           lag(above) OVER (ORDER BY day) AS prev_above,
+           CASE WHEN above = 1 AND lag(above) OVER (ORDER BY day) <= 0 THEN 'golden'
+                WHEN above = -1 AND lag(above) OVER (ORDER BY day) >= 0 THEN 'death'
+                ELSE NULL END AS crossover
+    FROM sig
+    """,
+    doc="7-day vs 28-day moving-average crossover detector on daily "
+    "revenue (the golden/death-cross trend signal): the comparison is "
+    "the exact integer cross-multiplication s7*n28 vs s28*n7 — no float "
+    "average can flip a signal at the ulp. All windows run over the "
+    "days-sized daily aggregate; warm-up windows (<14 days) suppressed",
+)
+def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    w = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("n7"),
+        F.sum("cents").over(w28).alias("s28"),
+        F.count("*").over(w28).alias("n28"),
+    )
+    above = (
+        F.when(F.col("s7") * F.col("n28") > F.col("s28") * F.col("n7"), 1)
+        .when(F.col("s7") * F.col("n28") < F.col("s28") * F.col("n7"), -1)
+        .otherwise(0)
+    )
+    sig = w.where(F.col("n28") >= 14).select("day", "cents", "s7", "n7", "s28", "n28", above.alias("above"))
+    wl = Window.orderBy("day")
+    prev = F.lag("above").over(wl)
+    return sig.select(
+        "day",
+        "cents",
+        "above",
+        prev.alias("prev_above"),
+        F.when((F.col("above") == 1) & (prev <= 0), "golden")
+        .when((F.col("above") == -1) & (prev >= 0), "death")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("crossover"),
+    )
