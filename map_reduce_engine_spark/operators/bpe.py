@@ -35,6 +35,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from map_reduce_engine_spark.conf import loop_conf
+
 EOW = "</w>"  # end-of-word marker, merged like any other symbol
 
 
@@ -84,17 +86,10 @@ def _train_rounds(words: DataFrame, n_merges: int) -> tuple[list[DataFrame], Dat
     # scheduling, and every surplus partition costs n_merges rounds x
     # several window/join stages of task-launch latency.
     spark = words.sparkSession
-    conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    nparts = max(1, min(int(old_parts), syms.count() // 200_000 + 1))
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(nparts))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(session_parts, syms.count() // 200_000 + 1))
+    with loop_conf(spark, nparts):
         merge_rows, syms = _train_rounds_inner(syms, n_merges)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
     return merge_rows, syms
 
 

@@ -14,8 +14,9 @@ distributed algorithm:
    row can be lost; because dominance is transitive, every dominated row
    remains dominated by some surviving candidate.
 2. **Global prune over the candidate set** (bounded: the union of local
-   frontiers, typically ~frontier-sized): coalesced to one partition and
-   pruned with the identical rule.
+   frontiers, typically ~frontier-sized): shuffled to one partition
+   (``repartition(1)`` — a real exchange, so phase 1 keeps its
+   parallelism) and pruned with the identical rule.
 
 Scale shape: phase 1 is embarrassingly parallel with zero shuffle; only the
 already-tiny candidate set is moved.  At 100 TB the candidate set is the sum
@@ -66,4 +67,8 @@ def pareto_frontier_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
         yield _prune_local(pd.concat(parts, ignore_index=True), min_col, max_col)
 
     candidates = df.mapInPandas(local, schema)
-    return candidates.coalesce(1).mapInPandas(global_, schema)
+    # repartition(1), not coalesce(1): coalesce is a NARROW dependency, so it
+    # would fuse phase 1 into the single downstream task and serialize the
+    # whole scan.  The round-robin shuffle of the tiny candidate set keeps
+    # phase 1 embarrassingly parallel; only local frontiers cross the wire.
+    return candidates.repartition(1).mapInPandas(global_, schema)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from map_reduce_engine_spark.conf import loop_conf
+
 
 def connected_components(
     edges: DataFrame,
@@ -58,11 +60,7 @@ def connected_components(
     session_parts = int(conf.get("spark.sql.shuffle.partitions"))
     if num_partitions is None:
         num_partitions = max(1, min(session_parts, und0.count() // 200_000 + 1))
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    with loop_conf(spark, num_partitions):
         und = und0.repartition(num_partitions, "a").localCheckpoint(eager=True)
 
         labels = (
@@ -97,9 +95,6 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 
@@ -165,16 +160,12 @@ def pagerank(
         # coalescing aims for), capped at the session setting so a 100 TB
         # edge list still fans out to full cluster width.
         num_partitions = max(1, min(session_parts, e.count() // 200_000 + 1))
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    try:
-        # Loop-scoped AQE off: the round shapes are static and explicitly
-        # co-partitioned, so runtime re-planning has nothing to improve —
-        # it only adds a re-plan + extra job per stage per round (measured
-        # ~2.5x wall time at sf0.1). Restored in finally; cluster-wide
-        # queries outside the loop keep AQE.
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    # Loop-scoped AQE off: the round shapes are static and explicitly
+    # co-partitioned, so runtime re-planning has nothing to improve —
+    # it only adds a re-plan + extra job per stage per round (measured
+    # ~2.5x wall time at sf0.1). loop_conf restores on exit and is
+    # overlap-safe; cluster-wide queries outside the loop keep AQE.
+    with loop_conf(spark, num_partitions):
         out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
         # the edges⋈degrees join is loop-invariant: attach out_deg to each
         # edge ONCE, so every round is a single equi-join
@@ -224,9 +215,6 @@ def pagerank(
                 )
             )
             ranks = new_ranks.localCheckpoint(eager=True)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks
 
 
@@ -312,23 +300,18 @@ def bfs_distances(
     driver count job).
     """
     spark = edges.sparkSession
-    conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    try:
-        und0 = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # same fixed-round loop discipline as pagerank/connected_components:
-        # graph-sized partitions, AQE off for the static loop shapes, edge
-        # list pre-partitioned on the join key once
-        session_parts = int(old_parts)
-        nparts = max(1, min(session_parts, und0.count() // 200_000 + 1))
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(nparts))
+    und0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # same fixed-round loop discipline as pagerank/connected_components:
+    # graph-sized partitions, AQE off for the static loop shapes, edge
+    # list pre-partitioned on the join key once
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(session_parts, und0.count() // 200_000 + 1))
+    with loop_conf(spark, nparts):
         und = und0.repartition(nparts, "a").localCheckpoint(eager=True)
         dist = seeds.select(
             F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("bigint").alias("dist")
@@ -346,9 +329,6 @@ def bfs_distances(
                 nxt.withColumn("dist", F.lit(r).cast("bigint")).select("node", "dist")
             ).localCheckpoint(eager=True)
             frontier = nxt
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
     return dist
 
 
@@ -387,11 +367,7 @@ def label_propagation(
     session_parts = int(conf.get("spark.sql.shuffle.partitions"))
     if num_partitions is None:
         num_partitions = max(1, min(session_parts, und0.count() // 200_000 + 1))
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    with loop_conf(spark, num_partitions):
         und = und0.repartition(num_partitions, "a").localCheckpoint(eager=True)
         labels = (
             und.select(F.col("a").alias("node"))
@@ -413,7 +389,4 @@ def label_propagation(
                 .select("node", "label")
                 .localCheckpoint(eager=True)
             )
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select("node", F.col("label").alias("community"))

@@ -1607,10 +1607,10 @@ def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     b AS (
-      SELECT user_id, di // 64 AS epoch,
-             bit_or(1::BIGINT << (di % 64)) AS bitmap,
-             min(di % 64) AS first_bit, max(di % 64) AS last_bit
-      FROM daily GROUP BY user_id, di // 64
+      SELECT user_id, di // 63 AS epoch,
+             bit_or(1::BIGINT << (di % 63)) AS bitmap,
+             min(di % 63) AS first_bit, max(di % 63) AS last_bit
+      FROM daily GROUP BY user_id, di // 63
     )
     SELECT user_id, epoch, bitmap,
            bit_count(bitmap::BIT)::BIGINT AS active_days,
@@ -1619,12 +1619,14 @@ def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS density_bp
     FROM b
     """,
-    doc="per-user activity bitmaps in 64-day epochs: each active day sets "
+    doc="per-user activity bitmaps in 63-day epochs: each active day sets "
     "one bit (bit_or aggregate — associative and mergeable exactly like a "
     "sketch partial, so shards/epochs roll up with pure integer OR), "
     "activity metrics read back with bit_count. The roaring-bitmap-style "
     "engagement representation: one BIGINT per (user, epoch) at any "
-    "scale; density in integer basis points",
+    "scale; density in integer basis points. Epochs are 63 days, not 64: "
+    "DuckDB's checked left shift raises on 1::BIGINT << 63 (sign bit), so "
+    "the top bit stays unused on both engines",
 )
 def activity_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -1633,11 +1635,11 @@ def activity_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")).alias("di"),
     ).distinct()
     b = daily.groupBy(
-        "user_id", F.expr("di div 64").alias("epoch")
+        "user_id", F.expr("di div 63").alias("epoch")
     ).agg(
-        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di % 64 AS INT))")).alias("bitmap"),
-        F.min(F.col("di") % 64).alias("first_bit"),
-        F.max(F.col("di") % 64).alias("last_bit"),
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di % 63 AS INT))")).alias("bitmap"),
+        F.min(F.col("di") % 63).alias("first_bit"),
+        F.max(F.col("di") % 63).alias("last_bit"),
     )
     span = F.col("last_bit") - F.col("first_bit") + F.lit(1)
     return b.select(

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
+from map_reduce_engine_spark.conf import scoped_conf
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Physical schema of events.parquet for this fixture generation.
 
@@ -290,11 +292,11 @@ def run_to_memory(
     150-user key space). Pass None to keep the session setting.
     """
     spark = stream_df.sparkSession
-    conf = spark.conf
-    old = conf.get("spark.sql.shuffle.partitions")
-    try:
-        if shuffle_partitions is not None:
-            conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    settings = (
+        {} if shuffle_partitions is None
+        else {"spark.sql.shuffle.partitions": str(shuffle_partitions)}
+    )
+    with scoped_conf(spark, settings):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -303,8 +305,6 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        conf.set("spark.sql.shuffle.partitions", old)
 
 
 class _UserStatsProcessor:

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Full-registry DuckDB-oracle sweep at an arbitrary scale factor.
+
+Usage: python scripts/sweep_sf001.py [--sf-dir /root/testdata/sf0.01]
+                                     [--out SWEEP.json] [--cpus 16]
+
+The external driver hash-compares a *sample* of the registry at sf0.01;
+the repo suite proves the full registry at sf0.001. This script closes the
+gap: it replays the driver's exact comparison (vanilla SparkSession on a
+non-UTC timezone, order-insensitive multiset of repr-normalized cells with
+columns sorted by name) over EVERY registry entry at the requested scale
+factor and writes one JSON object per query — a committable artifact for
+the "273 green at sf0.01" claim.
+
+Exit status is the number of failing queries (0 = all green).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from map_reduce_engine_spark.queries import REGISTRY  # noqa: E402
+from map_reduce_engine_spark.session import TABLES  # noqa: E402
+
+
+def _cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v + 0.0)
+    return repr(v)
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = sorted(tuple(_cell(row[i]) for i in order) for row in rows)
+    return [columns[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--only", nargs="*", default=None, help="subset of query names")
+    args = ap.parse_args()
+
+    # Vanilla session on a non-UTC timezone — the driver's config is
+    # unknown, and timezone bugs only surface on non-UTC sessions.
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("mre-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    names = args.only or list(REGISTRY)
+    results: dict[str, dict] = {}
+    n_fail = 0
+    t_all = time.time()
+    for i, name in enumerate(names, 1):
+        q = REGISTRY[name]
+        rec: dict = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(s_rows)
+            if q.oracle is None:
+                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+            else:
+                rel = con.sql(q.oracle)
+                d_cols = rel.columns
+                d_rows = rel.fetchall()
+                rec["oracle_rows"] = len(d_rows)
+                rec["rows_match"] = len(s_rows) == len(d_rows)
+                rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+                _, s_norm = _normalize(s_rows, s_cols)
+                _, d_norm = _normalize(d_rows, d_cols)
+                rec["hash_match"] = s_norm == d_norm
+        except Exception as e:  # noqa: BLE001 — the sweep must finish
+            rec["err"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(limit=3)
+        rec["sec"] = round(time.time() - t0, 3)
+        ok = rec["err"] is None and rec["hash_match"] in (True, None)
+        if not ok:
+            n_fail += 1
+        results[name] = rec
+        print(f"[{i}/{len(names)}] {name}: "
+              f"{'ok' if ok else 'FAIL'} ({rec['sec']}s)", flush=True)
+
+    summary = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(names),
+        "n_green": len(names) - n_fail,
+        "n_fail": n_fail,
+        "total_sec": round(time.time() - t_all, 1),
+        "results": results,
+    }
+    out = args.out or "SWEEP.json"
+    Path(out).write_text(json.dumps(summary, indent=1))
+    print(f"wrote {out}: {summary['n_green']}/{len(names)} green "
+          f"in {summary['total_sec']}s")
+    spark.stop()
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main())
