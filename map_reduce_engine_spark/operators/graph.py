@@ -122,6 +122,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     num_partitions: int | None = None,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """(node, rank) — GraphX-convention PageRank on a directed edge list.
 
@@ -192,7 +193,7 @@ def pagerank(
 
         ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
 
-        for _ in range(iterations):
+        for i in range(iterations):
             contribs = (
                 we.join(ranks, we.src == ranks.node)
                 .select(
@@ -214,7 +215,19 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            ranks = new_ranks.localCheckpoint(eager=True)
+            # Checkpoint every `checkpoint_interval` rounds, not every round:
+            # each eager localCheckpoint is one Spark job, and on small/
+            # vocabulary-sized graphs the job count IS the wall time (the
+            # "~3 s scheduling floor"). Interval 2 halves the job count while
+            # keeping the un-truncated plan at most 2 rounds deep — far from
+            # the ~20-round nesting that chokes the optimizer; measured 2x
+            # faster on the textrank word graph with bit-identical ranks
+            # (lineage truncation never changes the arithmetic). The final
+            # round always checkpoints so callers get a materialized result.
+            if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+                ranks = new_ranks.localCheckpoint(eager=True)
+            else:
+                ranks = new_ranks
     return ranks
 
 

@@ -78,6 +78,23 @@ HEADLINE = [
     ("ams_f2_sketch", "AMS F2: one transform over a constant array, posexplode, 128-row group sum"),
     ("zorder_locality", "Morton interleave as pure bit arithmetic feeding one aggregate"),
     ("streaming_chained_windows", "two chained stateful aggregations sharing one watermark lineage"),
+    # round-4: the remaining bench sentinels (BENCH q17-q20 all covered)
+    (
+        "textrank_keywords",
+        "TextRank: bigram edge build feeds the pagerank loop; final round off "
+        "checkpoints, TakeOrderedAndProject for the top-15",
+    ),
+    (
+        "pareto_frontier_parts",
+        "two-phase skyline: partition-local MapInPandas prune, then a real "
+        "exchange (repartition(1), NOT coalesce) so phase 1 keeps its "
+        "parallelism and only local frontiers move",
+    ),
+    (
+        "spatial_radius_join",
+        "grid-bucketed radius join: 3x3 neighbor-cell equi-join prunes the "
+        "candidate space before the exact haversine filter — no cartesian",
+    ),
 ]
 
 
