@@ -149,9 +149,11 @@ def minhash_signatures(
 
 def minhash_candidate_pairs(
     sig_df: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
+    bands: int | None = 16,
+    rows_per_band: int | None = 4,
     materialize: bool = True,
+    threshold: float = 0.5,
+    n_perm: int = 64,
 ) -> DataFrame:
     """(id1, id2) candidate near-dup pairs via LSH banding.
 
@@ -176,6 +178,13 @@ def minhash_candidate_pairs(
     candidate output is persisted too since the caller invariably feeds it
     to exact verification.
     """
+    if bands is None or rows_per_band is None:
+        # threshold-driven sizing (operators/sizing.py): pick the
+        # factorization of the signature length whose LSH S-curve midpoint
+        # (1/b)^(1/r) is closest to the target Jaccard threshold
+        from map_reduce_engine_spark.operators.sizing import bands_rows_for_threshold
+
+        bands, rows_per_band = bands_rows_for_threshold(threshold, n_perm)
     if materialize:
         sig_df = sig_df.persist()
     buckets = band_buckets(sig_df, bands, rows_per_band)

@@ -231,7 +231,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    n_cells: int = 32,
+    n_cells: int | None = 32,
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
@@ -257,6 +257,14 @@ def ivf_topk(
 
     unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
 
+    if n_cells is None:
+        # grow-with-corpus default (operators/sizing.py): expected cell
+        # population stays bounded as rows grow, so the probe-join fan-out
+        # is O(n), not O(n²/cells). The count() is a parquet metadata
+        # aggregate on file-backed corpora, not a data scan.
+        from map_reduce_engine_spark.operators.sizing import cells_for_corpus
+
+        n_cells = cells_for_corpus(corpus.count())
     target = max(50 * n_cells, 1000)
     X = _bounded_train_sample(corpus, id_col, unit(_vecd(F.col(vec_col))), target)
     centers = _lloyd_kmeans(X, n_cells, seed, max_iter)
@@ -625,7 +633,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_cells: int = 32,
+    n_cells: int | None = 32,
     threshold: float = 0.95,
     seed: int = 42,
     max_iter: int = 5,
@@ -659,6 +667,12 @@ def semantic_dedup(
     # trained centroids — and therefore the whole dedup decision — are
     # invariant under input repartitioning even above the sampling
     # threshold.
+    if n_cells is None:
+        # grow-with-corpus default: keeps Σ|cell|² ≈ O(n·rows_per_cell)
+        # as the corpus scales (the SemDeDup scaling rule, executable)
+        from map_reduce_engine_spark.operators.sizing import cells_for_corpus
+
+        n_cells = cells_for_corpus(df.count())
     target = max(50 * n_cells, 1000)
     X = _bounded_train_sample(df, id_col, unit(_vecd(F.col(vec_col))), target)
     if len(X) == 0:  # empty partition-filter result, empty source — no throw
