@@ -191,7 +191,11 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
 
-        ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+        # no separate checkpoint for the initial ranks: they derive narrowly
+        # (one literal column) from the already-checkpointed node table, so
+        # an eager materialization here would only spend one more job on a
+        # copy of `nodes` — round 1 reads them straight off the checkpoint
+        ranks = nodes.withColumn("rank", F.lit(1.0))
 
         for i in range(iterations):
             contribs = (

@@ -2257,6 +2257,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     toks = docs.select(F.split(F.trim("text"), r"\s+").alias("ts")).where(F.size("ts") >= 2)
+    # Canonicalize (least, greatest) BEFORE the distinct: the symmetric edge
+    # set is then canonical-pairs ∪ swap(canonical-pairs), which is
+    # duplicate-free by construction — ONE corpus-sized distinct instead of
+    # a corpus-sized distinct followed by a second vocabulary-sized one.
+    # Same edge set as the oracle's UNION (set semantics) of both directions.
     adj = toks.select(
         F.explode(
             F.transform(
@@ -2266,10 +2271,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p")
-    ).select("p.a", "p.b").where(F.col("a") != F.col("b")).distinct()
-    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).select("p.a", "p.b").where(F.col("a") != F.col("b"))
+    canon = adj.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     ranks = pagerank(edges, iterations=10)
     w = Window.orderBy(F.desc("rank"), "word")
     return (

@@ -1681,3 +1681,201 @@ def geometric_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("geometric_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled multilingual sampling weights
+# --------------------------------------------------------------------------
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM per_lang),
+    p AS (
+      SELECT lang, n_docs, total_docs,
+             CAST(round(1000000000.0 *
+                  pow(n_docs::DOUBLE / total_docs::DOUBLE, 0.3)) AS BIGINT)
+               AS pw_nano
+      FROM per_lang, tot
+    ),
+    z AS (SELECT sum(pw_nano)::BIGINT AS z_nano FROM p)
+    SELECT lang, n_docs,
+           10000 * n_docs // total_docs AS share_bp,
+           10000 * pw_nano // z_nano AS weight_bp
+    FROM p, z
+    """,
+    doc="temperature-scaled multilingual sampling weights (the mT5/XLM-R "
+    "recipe, alpha = 0.3): per-language sampling weight proportional to "
+    "share^alpha, flattening the head languages so low-resource ones are "
+    "seen more often than their raw share. The one transcendental "
+    "(pow) is applied per LANGUAGE (bounded rows) and immediately frozen "
+    "to integer nano-units, so the normalizing sum and the output basis "
+    "points are exact integer arithmetic on both engines. Plan: one "
+    "corpus shuffle on lang, then two 1-row broadcasts.",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = per_lang.agg(F.sum("n_docs").alias("total_docs"))
+    p = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "pw_nano",
+        F.round(
+            F.lit(1000000000.0)
+            * F.pow(F.col("n_docs").cast("double") / F.col("total_docs").cast("double"), F.lit(0.3))
+        ).cast("bigint"),
+    )
+    z = p.agg(F.sum("pw_nano").alias("z_nano"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.expr("10000 * n_docs div total_docs").alias("share_bp"),
+        F.expr("10000 * pw_nano div z_nano").alias("weight_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-safe train/val/test split (leakage guard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_guard",
+    oracle="""
+    WITH fp AS (SELECT doc_id, sha256(text) AS fp FROM documents),
+    cl AS (SELECT fp, min(doc_id) AS canon FROM fp GROUP BY fp),
+    asg AS (
+      SELECT f.doc_id, f.fp,
+             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT f.doc_id, f.fp,
+               ('0x' || substr(md5(c.canon::VARCHAR), 1, 8))::BIGINT % 100 AS h
+        FROM fp f JOIN cl c ON c.fp = f.fp
+      ) f
+    ),
+    leaks AS (
+      SELECT count(*)::BIGINT AS n_leaks FROM (
+        SELECT fp FROM asg GROUP BY fp HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, count(*)::BIGINT AS n_docs,
+           count(DISTINCT fp)::BIGINT AS n_clusters, n_leaks
+    FROM asg, leaks GROUP BY split, n_leaks
+    """,
+    doc="train/val/test assignment at the exact-duplicate-CLUSTER level: "
+    "every document hashes to its content fingerprint, each fingerprint "
+    "cluster elects its min-id canonical document, and the whole cluster "
+    "inherits the split drawn from the portable md5 hash of that canonical "
+    "id — so a duplicated document can never sit in train AND test (the "
+    "eval-contamination leak that doc-id-modulo splits like corpus_split "
+    "permit). The n_leaks column AUDITS the invariant (fingerprints "
+    "spanning >1 split; 0 by construction) rather than assuming it. "
+    "Plan: one shuffle on the fingerprint, an equi-join back, and a 1-row "
+    "leak-count broadcast.",
+)
+def split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("fp"))
+    cl = fp.groupBy("fp").agg(F.min("doc_id").alias("canon"))
+    h = F.conv(F.substring(F.md5(F.col("canon").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    asg = (
+        fp.join(cl, "fp")
+        .withColumn("h", h)
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("h") < 80, "train")
+            .when(F.col("h") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    leaks = (
+        asg.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaks"))
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_clusters", "n_leaks")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain token-budget corpus selection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKS})::BIGINT AS n_tok,
+             len(list_distinct({_DUCK_TOKS}))::BIGINT AS n_uniq
+      FROM documents WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tok,
+             10000 * n_uniq // n_tok AS uniq_bp
+      FROM toks
+    ),
+    ranked AS (
+      SELECT lang, n_tok, uniq_bp,
+             CAST(sum(n_tok) OVER (PARTITION BY lang
+                                   ORDER BY uniq_bp DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM scored
+    )
+    SELECT lang,
+           count(*) FILTER (WHERE cum_tok <= 5000)::BIGINT AS n_kept,
+           coalesce(sum(n_tok) FILTER (WHERE cum_tok <= 5000), 0)::BIGINT
+             AS kept_tokens,
+           count(*) FILTER (WHERE cum_tok > 5000)::BIGINT AS n_dropped
+    FROM ranked GROUP BY lang
+    """,
+    doc="per-domain token-budget corpus selection: within each language, "
+    "documents are ranked by lexical-diversity score (distinct-token "
+    "ratio in integer basis points — the cheap quality proxy) and kept "
+    "greedily until the domain's token budget (5000) is exhausted — the "
+    "knapsack every data-constrained pretraining mix runs, with integer-"
+    "exact cumulative sums so the cut line is engine-independent. The "
+    "running-sum window partitions by lang (the pack_sequences posture: "
+    "state bounded per domain partition, never a global corpus sort).",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(tokens_col("text"))).cast("bigint").alias("n_uniq"),
+    )
+    scored = toks.select(
+        "doc_id", "lang", "n_tok", F.expr("10000 * n_uniq div n_tok").alias("uniq_bp")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("uniq_bp").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = F.col("cum_tok") <= 5000
+    return ranked.groupBy("lang").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).alias("kept_tokens"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+    )

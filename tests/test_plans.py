@@ -585,6 +585,9 @@ _SANCTIONED_NESTED_LOOP = {
     "shipping_lag_histogram": "broadcasts the 1-row bucket total",
     "weekday_revenue_profile": "broadcasts the 1-row revenue total",
     "label_balance_audit": "broadcasts the 1-row class-count summary",
+    "temperature_mixture_weights": "broadcasts the 1-row corpus total and "
+    "1-row normalizer aggregates over the |langs|-row table",
+    "split_leakage_guard": "broadcasts the 1-row leak-count audit aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
