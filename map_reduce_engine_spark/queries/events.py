@@ -2022,3 +2022,227 @@ def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("crossover"),
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id,
+             date_diff('day', first_day, last_day) AS dur,
+             (last_day >= DATE '2024-01-28') AS censored
+      FROM u
+    ),
+    per_dur AS (
+      SELECT dur, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_churned
+      FROM d GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, n_users, n_churned,
+             CAST(sum(n_users) OVER (ORDER BY dur DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM per_dur
+    ),
+    steps AS (
+      SELECT dur, n_at_risk, n_churned,
+             CAST(round(1000000000.0 *
+                  (ln((n_at_risk - n_churned)::DOUBLE) - ln(n_at_risk::DOUBLE)))
+                  AS BIGINT) AS lnterm_nano
+      FROM risk WHERE n_churned > 0
+    )
+    SELECT dur AS dur_days, n_at_risk, n_churned,
+           round(exp(CAST(sum(lnterm_nano) OVER (ORDER BY dur
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)::DOUBLE
+                     / 1000000000.0), 4) AS survival
+    FROM steps
+    """,
+    doc="Kaplan-Meier retention curve: per-user activity duration (first to "
+    "last active day), right-censored for users still active near the "
+    "corpus end (the estimator's defining feature — censored users leave "
+    "the risk set without counting as churn). The survival product "
+    "Π(1 - d_t/n_t) runs as ln-sums frozen to integer nano-units per step "
+    "(the geometric_mean recipe) so the cumulative product is exact "
+    "integer arithmetic with ONE exp per output row. All windows are over "
+    "the duration-aggregated table — bounded by the calendar (<=30 rows), "
+    "never raw events.",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    d = u.select(
+        F.datediff("last_day", "first_day").alias("dur"),
+        (F.col("last_day") >= F.lit("2024-01-28").cast("date")).alias("censored"),
+    )
+    per_dur = d.groupBy("dur").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).alias("n_churned"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_dur.withColumn(
+        "n_at_risk", F.sum("n_users").over(w_risk).cast("bigint")
+    )
+    steps = risk.where(F.col("n_churned") > 0).withColumn(
+        "lnterm_nano",
+        F.round(
+            F.lit(1000000000.0)
+            * (
+                F.log((F.col("n_at_risk") - F.col("n_churned")).cast("double"))
+                - F.log(F.col("n_at_risk").cast("double"))
+            )
+        ).cast("bigint"),
+    )
+    w_surv = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("dur").alias("dur_days"),
+        "n_at_risk",
+        "n_churned",
+        F.round(
+            F.exp(
+                F.sum("lnterm_nano").over(w_surv).cast("bigint").cast("double")
+                / F.lit(1000000000.0)
+            ),
+            4,
+        ).alias("survival"),
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
+    ),
+    pairs AS (
+      SELECT a.day AS d1, b.day AS d2,
+             (b.cents - a.cents)::DOUBLE / date_diff('day', a.day, b.day)
+               AS slope
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT (SELECT count(*)::BIGINT FROM daily) AS n_days,
+           n::BIGINT AS n_pairs,
+           slope AS median_slope_cents_per_day
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil-Sen robust trend estimate of daily purchase revenue: the "
+    "median of all pairwise slopes — breakdown point 29%, immune to the "
+    "outlier days that wreck OLS (ols_value_trend is the fragile twin). "
+    "The pairwise self-join runs over the CALENDAR-BOUNDED daily "
+    "aggregate (<=30 rows -> <=435 pairs at any corpus size); slopes are "
+    "exact-integer cent differences divided by integer day gaps, so both "
+    "engines compute bit-identical doubles, and the median is the "
+    "DISCRETE lower-median row pick (no interpolation).",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    return (
+        ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("median_slope_cents_per_day"),
+        )
+    )
+
+
+@register(
+    "attribution_first_last",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT coalesce(first_touch, 'none') AS first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    doc="first-touch / last-touch purchase attribution: for every purchase, "
+    "the earliest and the most recent engagement touch (click/view) "
+    "STRICTLY before it in the user's event sequence, via IGNORE NULLS "
+    "first/last_value over a to-1-PRECEDING frame — the marketing-"
+    "attribution workhorse expressed as two windows in one pass, no "
+    "self-join. Revenue in integer cents; windows partition by user "
+    "(bounded per-user state, the sessionization posture).",
+)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

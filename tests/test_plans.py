@@ -588,6 +588,8 @@ _SANCTIONED_NESTED_LOOP = {
     "temperature_mixture_weights": "broadcasts the 1-row corpus total and "
     "1-row normalizer aggregates over the |langs|-row table",
     "split_leakage_guard": "broadcasts the 1-row leak-count audit aggregate",
+    "theil_sen_trend": "pairwise slopes over the calendar-bounded daily "
+    "aggregate (<=435 pairs at any corpus size) + 1-row day-count broadcast",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
