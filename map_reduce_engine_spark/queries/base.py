@@ -32,6 +32,10 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite once swallowed a query for a whole round —
+            # duplicate registration is always a bug, fail at import
+            raise ValueError(f"duplicate registry name: {name!r}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 

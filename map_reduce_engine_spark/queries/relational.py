@@ -2484,3 +2484,134 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.round(F.lit(2.0) * ws / (n * s) - (n + F.lit(1.0)) / n, 6).alias("gini"),
     )
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the portable Bloom filter (operators/bloom.py):
+    identical md5-base + affine positions, identical 63-bit words, so the
+    filter's bit array — and every membership verdict, including which
+    keys false-positive — is reproduced exactly."""
+    from map_reduce_engine_spark.operators.dedup import minhash_family
+
+    av, bv = minhash_family(5)
+    pos_list = ", ".join(
+        f"(({av[i]} * base + {bv[i]}) & 2147483647) % m_bits" for i in range(5)
+    )
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT l_partkey AS key FROM lineitem
+      WHERE l_shipdate < DATE '1995-03-01'
+    ),
+    m AS (SELECT 63 * ((10 * count(*)) // 63 + 1) AS m_bits FROM keys),
+    kb AS (
+      SELECT key,
+             ('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT & 2147483647
+               AS base
+      FROM keys
+    ),
+    kpos AS (
+      SELECT key, unnest([{pos_list}]) AS p FROM kb, m
+    ),
+    words AS (
+      SELECT p // 63 AS word_idx,
+             bit_or(1::BIGINT << (p % 63)::INTEGER) AS word
+      FROM kpos GROUP BY p // 63
+    ),
+    pb AS (
+      SELECT p_partkey AS key,
+             ('0x' || substr(md5(p_partkey::VARCHAR), 1, 8))::BIGINT
+               & 2147483647 AS base
+      FROM part
+    ),
+    ppos AS (
+      SELECT key, unnest([{pos_list}]) AS p FROM pb, m
+    ),
+    need AS (
+      SELECT key, p // 63 AS word_idx,
+             bit_or(1::BIGINT << (p % 63)::INTEGER) AS need
+      FROM ppos GROUP BY key, p // 63
+    ),
+    verdicts AS (
+      SELECT n.key,
+             bool_and((coalesce(w.word, 0) & n.need) = n.need) AS maybe
+      FROM need n LEFT JOIN words w ON w.word_idx = n.word_idx
+      GROUP BY n.key
+    ),
+    final AS (
+      SELECT v.key, v.maybe, (k.key IS NOT NULL) AS member
+      FROM verdicts v LEFT JOIN keys k ON k.key = v.key
+    )
+    SELECT count(*)::BIGINT AS n_probed,
+           sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           sum(CASE WHEN member THEN 1 ELSE 0 END)::BIGINT AS n_true_members,
+           sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_positives,
+           sum(CASE WHEN member AND NOT maybe THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_negatives,
+           10000 * sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)::BIGINT
+             // (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END))::BIGINT
+             AS fpr_bp,
+           (10000 * sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)::BIGINT
+             // (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END))::BIGINT)
+             <= 500 AS fpr_within_bound
+    FROM final
+    """
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle=_bloom_oracle(),
+    doc="portable Bloom-filter join prefilter (operators/bloom.py): build "
+    "a 10-bits/key, 5-probe filter over the part keys shipped before "
+    "1995-03-01 (the fact-side join keys), probe EVERY part key, and "
+    "audit against exact membership — zero false negatives by "
+    "construction (the column proves it), false-positive rate within "
+    "the designed bound (FPR ~0.94% for this sizing; verdict <= 5%). "
+    "The filter is rows of (word_idx, word) BIGINTs — mergeable across "
+    "shards with bit_or, probed with an equi-join + bitmask check, no "
+    "UDF, no driver-side object — the semi-join pushdown pattern that "
+    "skips fact scans at 100 TB. Spark's own bloom_filter_agg is not in "
+    "the public registry; this one is engine-portable and therefore "
+    "oracle-checkable bit-for-bit.",
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.bloom import bloom_probe, bloom_words
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    keys = (
+        li.where(F.col("l_shipdate") < F.lit("1995-03-01").cast("date"))
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    m = keys.agg(
+        F.expr("63 * ((10 * count(*)) div 63 + 1)").alias("m_bits")
+    )
+    words = bloom_words(keys.crossJoin(F.broadcast(m)), "key", "m_bits", k=5)
+    probes = part.select(F.col("p_partkey").alias("key")).crossJoin(F.broadcast(m))
+    verdicts = bloom_probe(probes, "key", words, "m_bits", k=5)
+    final = verdicts.join(
+        keys.withColumn("member", F.lit(True)), "key", "left"
+    ).select("maybe_member", F.coalesce("member", F.lit(False)).alias("member"))
+    n_fp = F.sum(F.when(F.col("maybe_member") & ~F.col("member"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    n_true = F.sum(F.when(F.col("member"), 1).otherwise(0)).cast("bigint")
+    fpr_bp = F.expr(
+        "10000 * CAST(sum(CASE WHEN maybe_member AND NOT member THEN 1 ELSE 0 END)"
+        " AS BIGINT) div CAST(count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)"
+        " AS BIGINT)"
+    )
+    return final.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        n_true.alias("n_true_members"),
+        n_fp.alias("n_false_positives"),
+        F.sum(F.when(F.col("member") & ~F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        fpr_bp.alias("fpr_bp"),
+        (fpr_bp <= 500).alias("fpr_within_bound"),
+    )

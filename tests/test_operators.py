@@ -972,3 +972,41 @@ def test_rrf_fuse_three_lists(spark):
            rrf_fuse([lst(5, 6, 7), lst(5, 6, 8), lst(5, 9, 10)], k=10).collect()}
     assert out[5] == 1      # on all three lists at rank 1
     assert out[6] == 2      # on two lists
+
+
+def test_bloom_filter_mergeable_and_no_false_negatives(spark):
+    """operators/bloom.py: (1) shard filters bit_or-merge into exactly the
+    filter built over the union (the sketch partial-aggregation law); (2)
+    every inserted key probes True — Bloom filters never false-negative."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.bloom import bloom_probe, bloom_words
+
+    m_bits = 63 * 17
+    keys = spark.range(100).select(F.col("id").alias("key")).withColumn(
+        "m_bits", F.lit(m_bits)
+    )
+    whole = {
+        (r.word_idx, r.word) for r in bloom_words(keys, "key", "m_bits").collect()
+    }
+    merged = {
+        (r.word_idx, r.word)
+        for r in (
+            bloom_words(keys.where("key < 50"), "key", "m_bits")
+            .union(bloom_words(keys.where("key >= 50"), "key", "m_bits"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+            .collect()
+        )
+    }
+    assert whole == merged
+
+    words = bloom_words(keys, "key", "m_bits")
+    probes = spark.range(200).select(F.col("id").alias("key")).withColumn(
+        "m_bits", F.lit(m_bits)
+    )
+    got = {r.key: r.maybe_member for r in bloom_probe(probes, "key", words, "m_bits").collect()}
+    assert all(got[k] for k in range(100)), "false negative!"
+    # with 100 keys in 1071 bits the filter is saturated enough that SOME
+    # of the 100 absent keys must miss — i.e. the filter actually filters
+    assert not all(got[k] for k in range(100, 200))

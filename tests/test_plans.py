@@ -590,6 +590,8 @@ _SANCTIONED_NESTED_LOOP = {
     "split_leakage_guard": "broadcasts the 1-row leak-count audit aggregate",
     "theil_sen_trend": "pairwise slopes over the calendar-bounded daily "
     "aggregate (<=435 pairs at any corpus size) + 1-row day-count broadcast",
+    "bloom_join_prefilter": "broadcasts the 1-row filter-width aggregate "
+    "into the hash expressions on both build and probe sides",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
