@@ -644,3 +644,107 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.count("*")).cast("bigint").alias("removable_docs"),
     )
+
+
+@register(
+    "prefix_filter_simjoin",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok),
+    sized AS (
+      SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.tok, s.sz,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.tok) AS rn
+      FROM toks t JOIN freq f ON f.tok = t.tok JOIN sized s ON s.doc_id = t.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, tok FROM ordered
+      WHERE rn <= sz - (7 * sz + 9) // 10 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id1, c.id2, count(*)::BIGINT AS n_inter
+      FROM cand c
+      JOIN toks x ON x.doc_id = c.id1
+      JOIN toks y ON y.doc_id = c.id2 AND y.tok = x.tok
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2, i.n_inter,
+           (s1.sz + s2.sz - i.n_inter) AS n_union,
+           10000 * i.n_inter // (s1.sz + s2.sz - i.n_inter) AS jaccard_bp
+    FROM inter i
+    JOIN sized s1 ON s1.doc_id = i.id1
+    JOIN sized s2 ON s2.doc_id = i.id2
+    WHERE 10 * i.n_inter >= 7 * (s1.sz + s2.sz - i.n_inter)
+    """,
+    doc="prefix-filtering set-similarity self-join (SSJoin/PPJoin family, "
+    "Chaudhuri et al. 2006): token sets ordered rarest-token-first by "
+    "global document frequency; two sets with Jaccard >= 0.7 MUST share a "
+    "token within each other's first (|X| - ceil(0.7|X|) + 1) tokens, so "
+    "the candidate join runs over PREFIX entries only — exact recall "
+    "(unlike MinHash's probabilistic recall) with near-LSH candidate "
+    "volume, because prefixes are rare tokens with tiny posting lists. "
+    "The threshold test is pure integers (10*inter >= 7*union; ceil via "
+    "(7s+9) div 10), so both engines agree exactly. Shuffles: token "
+    "explode/distinct, frequency join (rarest-first order is the "
+    "optimization: high-df tokens never enter prefixes, killing the hub "
+    "posting lists), prefix equi-join, candidate-only verification.",
+)
+def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sized = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ordered = (
+        toks.join(freq, "tok")
+        .join(sized, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ordered.where(
+        F.col("rn") <= F.col("sz") - F.expr("(7 * sz + 9) div 10") + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    x = toks.select(F.col("doc_id").alias("id1"), "tok")
+    y = toks.select(F.col("doc_id").alias("id2"), "tok")
+    inter = (
+        cand.join(x, "id1")
+        .join(y, ["id2", "tok"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sized.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sized.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    un = F.col("sz1") + F.col("sz2") - F.col("n_inter")
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .where(F.lit(10) * F.col("n_inter") >= F.lit(7) * un)
+        .select(
+            "id1",
+            "id2",
+            "n_inter",
+            un.alias("n_union"),
+            F.expr("10000 * n_inter div (sz1 + sz2 - n_inter)").alias("jaccard_bp"),
+        )
+    )
