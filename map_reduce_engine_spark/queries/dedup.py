@@ -748,3 +748,110 @@ def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * n_inter div (sz1 + sz2 - n_inter)").alias("jaccard_bp"),
         )
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             list_aggregate(list_sort(list_distinct(
+               string_split_regex(trim(text), '\s+'))), 'string_agg', ' ')
+               AS snkey,
+             len(list_distinct(string_split_regex(trim(text), '\s+')))::BIGINT
+               AS sz
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ordered AS (
+      SELECT doc_id, lang, snkey, sz,
+             row_number() OVER (PARTITION BY lang ORDER BY snkey, doc_id)
+               AS rn
+      FROM keyed
+    ),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2
+      FROM ordered a JOIN ordered b
+        ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+               AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    inter AS (
+      SELECT c.id1, c.id2, c.sz1, c.sz2, count(*)::BIGINT AS n_inter
+      FROM cand c
+      JOIN toks x ON x.doc_id = c.id1
+      JOIN toks y ON y.doc_id = c.id2 AND y.tok = x.tok
+      GROUP BY c.id1, c.id2, c.sz1, c.sz2
+    )
+    SELECT least(id1, id2) AS id1, greatest(id1, id2) AS id2, n_inter,
+           (sz1 + sz2 - n_inter) AS n_union,
+           10000 * n_inter // (sz1 + sz2 - n_inter) AS jaccard_bp
+    FROM inter
+    WHERE 2 * n_inter >= (sz1 + sz2 - n_inter)
+    """,
+    doc="blocked sorted-neighborhood dedup blocking (Hernandez & Stolfo "
+    "1995, the multi-pass variant): within each language block, documents "
+    "sort by their canonical token-set string and only windows of 3 "
+    "neighbors in that order become candidates — O(n·w) candidate volume "
+    "with zero hashing, the third blocking tier next to LSH "
+    "(probabilistic) and prefix filtering (exact). Candidates verify "
+    "with exact integer Jaccard >= 0.5 (2*inter >= union). The rank join "
+    "is an equi-join on lang with a +-3 band — band-bounded fan-out; at "
+    "scale the sort key doubles as the range-partitioning key.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.array_sort(F.array_distinct(tokens_col("text"))), " ").alias(
+            "snkey"
+        ),
+        F.size(F.array_distinct(tokens_col("text"))).cast("bigint").alias("sz"),
+    )
+    w = Window.partitionBy("lang").orderBy("snkey", "doc_id")
+    ordered = keyed.withColumn("rn", F.row_number().over(w))
+    # each row probes exactly its 3 successor RANKS via explode, so the
+    # neighbor join is a pure (lang, rank) equi-join with fan-out 3 per row
+    # — never "equi-join on lang then filter", whose pre-filter fan-out is
+    # the language block squared
+    a = ordered.select(
+        "lang",
+        F.col("doc_id").alias("id1"),
+        F.col("sz").alias("sz1"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in (1, 2, 3)])
+        ).alias("rn"),
+    )
+    b = ordered.select(
+        "lang", F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"), "rn"
+    )
+    cand = a.join(b, ["lang", "rn"])
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    )
+    x = toks.select(F.col("doc_id").alias("id1"), "tok")
+    y = toks.select(F.col("doc_id").alias("id2"), "tok")
+    inter = (
+        cand.join(x, "id1")
+        .join(y, ["id2", "tok"])
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    un = F.col("sz1") + F.col("sz2") - F.col("n_inter")
+    return (
+        inter.where(F.lit(2) * F.col("n_inter") >= un)
+        .select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            "n_inter",
+            un.alias("n_union"),
+            F.expr("10000 * n_inter div (sz1 + sz2 - n_inter)").alias("jaccard_bp"),
+        )
+    )

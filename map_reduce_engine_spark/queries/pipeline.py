@@ -1879,3 +1879,106 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).alias("kept_tokens"),
         F.count(F.when(~kept, 1)).alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution JS divergence between corpus splits
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 100 < 80 AS is_train, tok FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS tok
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE tok <> ''
+    ),
+    c AS (
+      SELECT tok,
+             sum(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS c_tr,
+             sum(CASE WHEN is_train THEN 0 ELSE 1 END)::BIGINT AS c_ev
+      FROM toks GROUP BY tok
+    ),
+    n AS (SELECT sum(c_tr)::BIGINT AS n_tr, sum(c_ev)::BIGINT AS n_ev FROM c),
+    terms AS (
+      SELECT c.tok, c.c_tr, c.c_ev,
+             CAST(round(1000000000.0 * (
+               CASE WHEN c.c_tr > 0 THEN
+                 0.5 * (c.c_tr::DOUBLE / n.n_tr)
+                     * ln((c.c_tr::DOUBLE / n.n_tr)
+                          / (0.5 * (c.c_tr::DOUBLE / n.n_tr)
+                             + 0.5 * (c.c_ev::DOUBLE / n.n_ev)))
+               ELSE 0.0 END
+               +
+               CASE WHEN c.c_ev > 0 THEN
+                 0.5 * (c.c_ev::DOUBLE / n.n_ev)
+                     * ln((c.c_ev::DOUBLE / n.n_ev)
+                          / (0.5 * (c.c_tr::DOUBLE / n.n_tr)
+                             + 0.5 * (c.c_ev::DOUBLE / n.n_ev)))
+               ELSE 0.0 END)) AS BIGINT) AS term_nano
+      FROM c, n
+    )
+    SELECT (SELECT n_tr FROM n) AS n_train_tokens,
+           (SELECT n_ev FROM n) AS n_eval_tokens,
+           sum(CASE WHEN c_tr > 0 AND c_ev > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS vocab_shared,
+           sum(CASE WHEN c_ev = 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_train_only,
+           sum(CASE WHEN c_tr = 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_eval_only,
+           sum(term_nano)::BIGINT AS js_nano
+    FROM terms
+    """,
+    doc="Jensen-Shannon divergence between the train and eval splits' "
+    "token distributions (split = doc_id modulus, the corpus_split "
+    "convention): the symmetric, bounded [0, ln 2] drift measure a "
+    "pipeline tracks to catch a skewed holdout before training. Zero-"
+    "count tokens contribute exactly 0 (JS is defined there, unlike KL). "
+    "Each token's term is computed from exact integer counts and frozen "
+    "to integer nano-nats, so the vocabulary-sized sum is exact BIGINT "
+    "arithmetic — engines cannot disagree. One (token)-keyed aggregate + "
+    "a 1-row totals broadcast.",
+)
+def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        (F.col("doc_id") % 100 < 80).alias("is_train"),
+        F.explode(tokens_col("text")).alias("tok"),
+    ).where(F.col("tok") != "")
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("c_tr"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("c_ev"),
+    )
+    n = c.agg(F.sum("c_tr").alias("n_tr"), F.sum("c_ev").alias("n_ev"))
+    p = F.col("c_tr").cast("double") / F.col("n_tr")
+    q = F.col("c_ev").cast("double") / F.col("n_ev")
+    m = F.lit(0.5) * p + F.lit(0.5) * q
+    term = F.when(F.col("c_tr") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c_ev") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    terms = c.crossJoin(F.broadcast(n)).select(
+        "c_tr",
+        "c_ev",
+        "n_tr",
+        "n_ev",
+        F.round(F.lit(1000000000.0) * term).cast("bigint").alias("term_nano"),
+    )
+    return terms.groupBy("n_tr", "n_ev").agg(
+        F.sum(F.when((F.col("c_tr") > 0) & (F.col("c_ev") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_shared"),
+        F.sum(F.when(F.col("c_ev") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_train_only"),
+        F.sum(F.when(F.col("c_tr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_eval_only"),
+        F.sum("term_nano").cast("bigint").alias("js_nano"),
+    ).select(
+        F.col("n_tr").alias("n_train_tokens"),
+        F.col("n_ev").alias("n_eval_tokens"),
+        "vocab_shared",
+        "vocab_train_only",
+        "vocab_eval_only",
+        "js_nano",
+    )

@@ -592,6 +592,7 @@ _SANCTIONED_NESTED_LOOP = {
     "aggregate (<=435 pairs at any corpus size) + 1-row day-count broadcast",
     "bloom_join_prefilter": "broadcasts the 1-row filter-width aggregate "
     "into the hash expressions on both build and probe sides",
+    "token_js_divergence": "broadcasts the 1-row split-totals aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
