@@ -50,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     er.add_argument("sf_dir", help="fixture dir containing events.parquet")
     er.add_argument("output_dir")
+    tm = sub.add_parser(
+        "training-mix",
+        help="run the end-to-end training-mix governance example "
+        "(temperature weights + token budgets + leakage-audited splits + "
+        "split-drift JS, with a sign-off gate)",
+    )
+    tm.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    tm.add_argument("output_dir")
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -100,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
         try:
             profile = run(spark, args.sf_dir, args.output_dir)
             profile.show(10, truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "training-mix":
+        from map_reduce_engine_spark.examples.training_mix_job import run
+
+        spark = get_spark(app_name="mre-training-mix")
+        try:
+            gate = run(spark, args.sf_dir, args.output_dir)
+            gate.show(truncate=False)
         finally:
             spark.stop()
         return 0

@@ -183,3 +183,24 @@ def test_engagement_report_job(spark, sf_dir, tmp_path):
     assert back.count() == len(users)
     cohorts = spark.read.parquet(f"{out}/conversion_cohorts")
     assert {"cohort_day", "n_signups", "conversion_bp"} <= set(cohorts.columns)
+
+
+def test_training_mix_job(spark, sf_dir, tmp_path):
+    """The composed training-mix example writes all four artifacts and the
+    sign-off gate approves the clean fixture (0 leaks, bounded drift)."""
+    from map_reduce_engine_spark.examples.training_mix_job import run
+
+    out = str(tmp_path / "mix")
+    gate = run(spark, sf_dir, out)
+    row = gate.collect()[0]
+    assert row.split_leaks == 0
+    assert row.mix_approved
+    sheet = spark.read.parquet(f"{out}/mix_sheet")
+    assert {"lang", "weight_bp", "n_kept", "kept_tokens"} <= set(sheet.columns)
+    langs = [r.lang for r in sheet.collect()]
+    assert len(langs) == len(set(langs)) > 0
+    audit = spark.read.parquet(f"{out}/split_audit")
+    assert {r.split for r in audit.collect()} <= {"train", "val", "test"}
+    # every language's sampling weights sum to ~10000 bp (integer div floor)
+    total_bp = sum(r.weight_bp for r in sheet.collect())
+    assert 10000 - len(langs) <= total_bp <= 10000
