@@ -915,3 +915,81 @@ def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * n div total").alias("share_bp"),
         F.expr("100 * max_n div min_n").alias("imbalance_pct"),
     )
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 50
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id, e.label,
+             round({_DUCK_COS.replace('a::', 'q.qv::').replace('b::', 'e.embedding::')}, 6)
+               AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, true_label, label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, count(*)::BIGINT AS votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY query_id, true_label, label
+    ),
+    top AS (
+      SELECT query_id, true_label, label AS predicted,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT true_label,
+           count(*)::BIGINT AS n_probes,
+           sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           10000 * sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)::BIGINT
+             // count(*)::BIGINT AS accuracy_bp
+    FROM top WHERE vr = 1
+    GROUP BY true_label
+    """,
+    doc="k-NN classifier evaluation over the labeled embedding fixture: "
+    "5-nearest-neighbor majority vote (ties -> smallest label, the "
+    "deterministic convention) vs true label for a bounded 50-probe set, "
+    "reported as per-class accuracy in integer basis points — the "
+    "label-quality smoke test an embedding pipeline runs before trusting "
+    "vectors for retrieval or dedup. Reuses the sanctioned bounded-probe "
+    "exact-kNN scan; all post-scan aggregates are per-query-bounded.",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    nn = sim.cosine_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=5)
+    truth = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    top = votes.withColumn("vr", F.row_number().over(wv)).where(F.col("vr") == 1)
+    correct = F.sum(
+        F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+    ).cast("bigint")
+    return top.groupBy("true_label").agg(
+        F.count("*").alias("n_probes"),
+        correct.alias("n_correct"),
+        F.expr(
+            "10000 * CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)"
+            " AS BIGINT) div CAST(count(*) AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )

@@ -593,6 +593,8 @@ _SANCTIONED_NESTED_LOOP = {
     "bloom_join_prefilter": "broadcasts the 1-row filter-width aggregate "
     "into the hash expressions on both build and probe sides",
     "token_js_divergence": "broadcasts the 1-row split-totals aggregate",
+    "knn_label_accuracy": "the sanctioned bounded-probe exact-kNN scan "
+    "(knn_cosine_topk shape) feeding per-query-bounded vote aggregates",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
