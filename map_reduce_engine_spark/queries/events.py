@@ -2246,3 +2246,108 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000000 AS dt_s
+      FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_intervals,
+           sum(dt_s)::BIGINT AS span_s,
+           sum(cents * dt_s)::BIGINT // sum(dt_s)::BIGINT AS twap_cents
+    FROM seq WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY user_id
+    """,
+    doc="time-weighted average value per user (TWAP, the IoT/finance "
+    "aggregate for irregularly sampled series): each observation holds "
+    "until the next one, so the average weights values by their holding "
+    "interval instead of letting burst periods dominate. Intervals are "
+    "exact integer seconds from microsecond diffs (identical truncation "
+    "on both engines), values exact cents, the weighted sum pure BIGINT "
+    "(30-day spans x cent values stay far under 2^63) — the final "
+    "division is integer. One user-partitioned window + one aggregate.",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.lead(us).over(w) - us) / F.lit(1000000)).cast("bigint").alias("dt_s"),
+    ).where(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_s").alias("span_s"),
+        F.expr(
+            "CAST(sum(cents * dt_s) AS BIGINT) div CAST(sum(dt_s) AS BIGINT)"
+        ).alias("twap_cents"),
+    )
+
+
+@register(
+    "daily_ohlc",
+    oracle="""
+    WITH px AS (
+      SELECT ts::DATE AS day, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    framed AS (
+      SELECT day, cents,
+             first_value(cents) OVER (PARTITION BY day ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS open_cents,
+             last_value(cents) OVER (PARTITION BY day ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS close_cents
+      FROM px
+    )
+    SELECT day, count(*)::BIGINT AS n_trades,
+           any_value(open_cents) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           any_value(close_cents) AS close_cents
+    FROM framed GROUP BY day
+    """,
+    doc="daily OHLC candlesticks over purchase values: open/close via "
+    "first/last_value over the full (ts, event_id)-ordered day frame "
+    "(deterministic composite ordering — arg_max/max_by take only scalar "
+    "keys, windows take full sort orders), high/low as plain min/max, all "
+    "in exact integer cents. The market-data summary shape; windows "
+    "partition by day, one aggregate per day after.",
+)
+def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    px = ev.select(
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = px.select(
+        "day",
+        "cents",
+        F.first("cents").over(w).alias("open_cents"),
+        F.last("cents").over(w).alias("close_cents"),
+    )
+    return framed.groupBy("day").agg(
+        F.count("*").alias("n_trades"),
+        F.any_value("open_cents").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.any_value("close_cents").alias("close_cents"),
+    )

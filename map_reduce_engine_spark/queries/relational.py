@@ -2615,3 +2615,170 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpr_bp.alias("fpr_bp"),
         (fpr_bp <= 500).alias("fpr_within_bound"),
     )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer)::BIGINT,
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation)::BIGINT,
+           (SELECT count(*) FROM nation n WHERE NOT EXISTS
+              (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))::BIGINT
+    """,
+    doc="referential-integrity audit across every foreign-key edge of the "
+    "star schema in one report: per edge, child row count and orphan "
+    "count (children whose parent key is missing) — each orphan check is "
+    "one anti-join (left_anti, a single shuffle on the key; dimension "
+    "parents broadcast), so the whole audit is six scans + six anti-joins "
+    "regardless of scale. The promotion gate that catches a partial "
+    "dimension load before queries silently drop fact rows on inner "
+    "joins; generalizes dq_audit's single-edge check.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = c.select(ck).join(p, ck, "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                F.col("n_child").cast("bigint"),
+                F.col("n_orphans").cast("bigint"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "table_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN round(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 89 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 101 = 0
+    ),
+    v1h AS (
+      SELECT c_custkey AS key,
+             md5(c_acctbal::VARCHAR || '|' || c_mktsegment) AS h
+      FROM customer
+    ),
+    v2h AS (
+      SELECT c_custkey AS key,
+             md5(c_acctbal::VARCHAR || '|' || c_mktsegment) AS h
+      FROM v2
+    ),
+    d AS (
+      SELECT coalesce(a.key, b.key) AS key,
+             CASE WHEN a.key IS NULL THEN 'inserted'
+                  WHEN b.key IS NULL THEN 'deleted'
+                  WHEN a.h <> b.h THEN 'changed' END AS change_type
+      FROM v1h a FULL OUTER JOIN v2h b ON a.key = b.key
+    )
+    SELECT change_type, count(*)::BIGINT AS n_rows,
+           min(key) AS min_key, max(key) AS max_key
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    """,
+    doc="snapshot reconciliation diff between two table versions (v2 is a "
+    "deterministic synthetic mutation of customer: every 97th key's "
+    "balance bumped, every 89th deleted, every 101st re-inserted under a "
+    "new key): rows hash to md5 content fingerprints, one full outer "
+    "join on the key classifies inserted / deleted / changed — the "
+    "audit every CDC / backfill pipeline runs to prove replays converge. "
+    "One shuffle on the key; unchanged rows (hash-equal) drop before the "
+    "aggregate. The summary reports per-class counts and key ranges.",
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    v2 = (
+        cust.where(F.col("c_custkey") % 89 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 97 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+
+    def hashed(df):
+        return df.select(
+            F.col("c_custkey").alias("key"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("c_acctbal").cast("string"), F.col("c_mktsegment")
+                )
+            ).alias("h"),
+        )
+
+    a, b = hashed(cust).alias("a"), hashed(v2).alias("b")
+    d = a.join(b, F.col("a.key") == F.col("b.key"), "full_outer").select(
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+        F.when(F.col("a.key").isNull(), "inserted")
+        .when(F.col("b.key").isNull(), "deleted")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .alias("change_type"),
+    )
+    return (
+        d.where(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )

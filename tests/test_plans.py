@@ -595,6 +595,8 @@ _SANCTIONED_NESTED_LOOP = {
     "token_js_divergence": "broadcasts the 1-row split-totals aggregate",
     "knn_label_accuracy": "the sanctioned bounded-probe exact-kNN scan "
     "(knn_cosine_topk shape) feeding per-query-bounded vote aggregates",
+    "fk_integrity_audit": "six (1-row x 1-row) count crossJoins, one per "
+    "foreign-key edge of the star schema",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
