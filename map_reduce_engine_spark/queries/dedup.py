@@ -855,3 +855,117 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * n_inter div (sz1 + sz2 - n_inter)").alias("jaccard_bp"),
         )
     )
+
+
+def _blocking_recall_oracle() -> str:
+    """DuckDB twin of the blocking-quality report: the MinHash-LSH CTE chain
+    (through ``cands``) next to the EXACT inverted-index truth at
+    Jaccard >= 0.7 (all-integer threshold), then the recall / reduction
+    metrics over both."""
+    return f"""
+    WITH {_minhash_ctes("l")},
+    rawtoks AS (
+      SELECT id, unnest(list_distinct(units)) AS u FROM docs_t
+    ),
+    sz AS (SELECT id, len(list_distinct(units))::BIGINT AS sz FROM docs_t),
+    tp AS (
+      SELECT a.id AS id1, b.id AS id2, count(*)::BIGINT AS n_inter
+      FROM rawtoks a JOIN rawtoks b ON a.u = b.u AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT tp.id1, tp.id2
+      FROM tp JOIN sz s1 ON s1.id = tp.id1 JOIN sz s2 ON s2.id = tp.id2
+      WHERE 10 * tp.n_inter >= 7 * (s1.sz + s2.sz - tp.n_inter)
+    ),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM docs_t),
+    m AS (
+      SELECT (SELECT count(*)::BIGINT FROM truth) AS n_truth,
+             (SELECT count(*)::BIGINT FROM cands) AS n_cand,
+             (SELECT count(*)::BIGINT FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cands c
+                            WHERE c.id1 = t.id1 AND c.id2 = t.id2)) AS n_hit,
+             (SELECT n_docs * (n_docs - 1) // 2 FROM nd) AS n_possible
+    )
+    SELECT (SELECT n_docs FROM nd) AS n_docs, n_possible, n_truth, n_cand,
+           n_hit,
+           10000 * n_hit // n_truth AS recall_bp,
+           10000 - 10000 * n_cand // n_possible AS reduction_ratio_bp,
+           (10000 * n_hit // n_truth) >= 9500 AS recall_within_bound
+    FROM m
+    """
+
+
+@register(
+    "blocking_recall_report",
+    oracle=_blocking_recall_oracle(),
+    doc="blocking-quality evaluation of the MinHash-LSH candidate "
+    "generator against EXACT ground truth: pairs completeness (recall of "
+    "true Jaccard>=0.7 pairs among LSH candidates) and reduction ratio "
+    "(fraction of the n-choose-2 pair space the blocking never touches) "
+    "— the two standard record-linkage blocking metrics (Christen 2012). "
+    "Truth comes from the exact inverted-index join with the all-integer "
+    "threshold (the prefix_filter_simjoin arithmetic), so the report is "
+    "deterministic and the S-curve's theoretical ~99% recall at (16, 4) "
+    "bands is VERIFIED, not assumed (verdict bound 95%). Runs the "
+    "evaluation harness shape: both pipelines + three 1-row aggregates.",
+)
+def blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("u")
+    )
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("id1"), "u")
+    b = toks.select(F.col("doc_id").alias("id2"), "u")
+    tp = (
+        a.join(b, "u")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sz.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    truth = (
+        tp.join(s1, "id1")
+        .join(s2, "id2")
+        .where(
+            F.lit(10) * F.col("n_inter")
+            >= F.lit(7) * (F.col("sz1") + F.col("sz2") - F.col("n_inter"))
+        )
+        .select("id1", "id2")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cands.agg(F.count("*").alias("n_cand"))
+    n_hit = truth.join(cands, ["id1", "id2"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("CAST(n_docs AS BIGINT) * (n_docs - 1) div 2").alias("n_possible"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("10000 * CAST(n_hit AS BIGINT) div CAST(n_truth AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            F.expr(
+                "10000 - 10000 * CAST(n_cand AS BIGINT)"
+                " div (CAST(n_docs AS BIGINT) * (n_docs - 1) div 2)"
+            ).alias("reduction_ratio_bp"),
+            (
+                F.expr("10000 * CAST(n_hit AS BIGINT) div CAST(n_truth AS BIGINT)")
+                >= 9500
+            ).alias("recall_within_bound"),
+        )
+    )

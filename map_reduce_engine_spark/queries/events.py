@@ -2351,3 +2351,154 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("low_cents"),
         F.any_value("close_cents").alias("close_cents"),
     )
+
+
+@register(
+    "session_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events
+    ),
+    tri AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*)::BIGINT AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM tri
+    )
+    SELECT path, n, rk AS rank, 10000 * n // total AS share_bp
+    FROM ranked WHERE rk <= 20
+    """,
+    doc="sequential pattern mining over user journeys: the 20 most common "
+    "3-step event-type paths (trigrams of each user's time-ordered "
+    "sequence) with exact integer share — the 'how do users actually "
+    "move' report behind funnel design, one step up from the pairwise "
+    "transition matrix. Two lead() offsets in a single user-partitioned "
+    "window pass; the rank/share windows run over the |types|^3-bounded "
+    "path table, never raw events.",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    ranked = tri.select(
+        "path",
+        "n",
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    return ranked.where(F.col("rank") <= 20).select(
+        "path", "n", "rank", F.expr("10000 * n div total").alias("share_bp")
+    )
+
+
+@register(
+    "exponential_smoothing_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
+    ),
+    idx AS (
+      SELECT day, cents,
+             row_number() OVER (ORDER BY day) - 1 AS i,
+             count(*) OVER ()::BIGINT AS n
+      FROM daily
+    ),
+    -- closed form of simple exponential smoothing (alpha = 0.3):
+    -- s_t = alpha * sum_{j<=t} (1-alpha)^(t-j) * y_j  +  (1-alpha)^t * y_0
+    -- each weighted term is frozen to integer micro-cents, so the
+    -- cumulative sums are exact BIGINT arithmetic on both engines
+    terms AS (
+      SELECT a.day, a.cents, a.i,
+             sum(CAST(round(0.3 * pow(0.7, (a.i - b.i)::DOUBLE)
+                            * b.cents * 1000000.0) AS BIGINT))
+               AS smooth_micro_partial
+      FROM idx a JOIN idx b ON b.i <= a.i
+      GROUP BY a.day, a.cents, a.i
+    ),
+    base AS (SELECT cents AS y0 FROM idx WHERE i = 0)
+    SELECT t.day, t.cents,
+           (t.smooth_micro_partial
+            + CAST(round(pow(0.7, t.i::DOUBLE + 1.0) * b.y0 * 1000000.0)
+                   AS BIGINT)) // 1000000 AS smoothed_cents,
+           t.cents - ((t.smooth_micro_partial
+                       + CAST(round(pow(0.7, t.i::DOUBLE + 1.0) * b.y0
+                                    * 1000000.0) AS BIGINT)) // 1000000)
+             AS surprise_cents
+    FROM terms t, base b
+    """,
+    doc="simple exponential smoothing (alpha = 0.3) of daily purchase "
+    "revenue via its CLOSED FORM — s_t = alpha*sum (1-alpha)^(t-j) y_j "
+    "+ (1-alpha)^(t+1) y_0 — so no sequential recurrence is needed: each "
+    "weighted term freezes to integer micro-cents (pow on small integer "
+    "exponents is reproducible across engines) and the per-day sums are "
+    "exact BIGINTs. surprise_cents (actual minus smoothed) is the "
+    "forecast-error anomaly signal. The pairwise weight join is bounded "
+    "by the CALENDAR (<=30x30 terms at any corpus size).",
+)
+def exponential_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "cents",
+        (F.row_number().over(wi) - 1).alias("i"),
+    )
+    a = idx.select(
+        F.col("day"), F.col("cents"), F.col("i").alias("ia")
+    )
+    b = idx.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
+    terms = (
+        a.join(b, F.col("ib") <= F.col("ia"))
+        .groupBy("day", "cents", "ia")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(0.3)
+                    * F.pow(F.lit(0.7), (F.col("ia") - F.col("ib")).cast("double"))
+                    * F.col("cb")
+                    * F.lit(1000000.0)
+                ).cast("bigint")
+            ).alias("smooth_micro_partial")
+        )
+    )
+    base = idx.where(F.col("i") == 0).select(F.col("cents").alias("y0"))
+    smoothed_micro = F.col("smooth_micro_partial") + F.round(
+        F.pow(F.lit(0.7), F.col("ia").cast("double") + F.lit(1.0))
+        * F.col("y0")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        terms.crossJoin(F.broadcast(base))
+        .select(
+            "day",
+            "cents",
+            F.expr(
+                "CAST(smooth_micro_partial + CAST(round(pow(0.7, CAST(ia AS DOUBLE)"
+                " + 1.0) * y0 * 1000000.0) AS BIGINT) AS BIGINT) div 1000000"
+            ).alias("smoothed_cents"),
+        )
+        .withColumn("surprise_cents", F.col("cents") - F.col("smoothed_cents"))
+    )

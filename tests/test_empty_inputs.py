@@ -198,3 +198,45 @@ def test_rrf_fuse_empty_lists(spark):
     out = rrf_fuse([empty, empty], k=5)
     assert out.count() == 0
     assert {"rrf_nano", "fused_rank"} <= set(out.columns)
+
+
+def test_bloom_empty_build_and_probe(spark):
+    """An empty key set builds an empty word table, and every probe then
+    reports non-membership (bool_and over all-unset words)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.bloom import bloom_probe, bloom_words
+
+    empty = spark.createDataFrame([], "key bigint").withColumn(
+        "m_bits", F.lit(63 * 4)
+    )
+    words = bloom_words(empty, "key", "m_bits")
+    assert words.columns == ["word_idx", "word"]
+    assert words.count() == 0
+    probes = spark.range(5).select(F.col("id").alias("key")).withColumn(
+        "m_bits", F.lit(63 * 4)
+    )
+    got = bloom_probe(probes, "key", words, "m_bits").collect()
+    assert len(got) == 5 and not any(r.maybe_member for r in got)
+
+
+def test_sizing_auto_paths_empty_corpus(spark):
+    """n_cells=None / bands=None auto-sizing must not throw on an empty
+    corpus (count()=0 clamps to the floor)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    empty_vecs = spark.createDataFrame([], "id bigint, vec array<double>")
+    out = semantic_dedup(empty_vecs, "id", "vec", n_cells=None)
+    assert out.count() == 0
+
+    sigs = minhash_signatures(
+        spark.createDataFrame([], "doc_id bigint, text string"), "doc_id", "text"
+    )
+    pairs = minhash_candidate_pairs(sigs, None, None, materialize=False)
+    assert pairs.count() == 0

@@ -597,6 +597,10 @@ _SANCTIONED_NESTED_LOOP = {
     "(knn_cosine_topk shape) feeding per-query-bounded vote aggregates",
     "fk_integrity_audit": "six (1-row x 1-row) count crossJoins, one per "
     "foreign-key edge of the star schema",
+    "blocking_recall_report": "three 1-row metric-count crossJoins over "
+    "the evaluation harness",
+    "exponential_smoothing_forecast": "closed-form weight join over the "
+    "calendar-bounded daily aggregate (<=30x30 terms) + 1-row y0 broadcast",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
