@@ -2502,3 +2502,65 @@ def exponential_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("surprise_cents", F.col("cents") - F.col("smoothed_cents"))
     )
+
+
+@register(
+    "streaming_error_rate_sla",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    w AS (
+      SELECT window_start, count(*) AS n_events,
+             sum(is_err)::BIGINT AS n_errors
+      FROM b GROUP BY window_start
+    )
+    SELECT window_start, n_events, n_errors,
+           10000 * n_errors // n_events AS error_bp,
+           (10000 * n_errors // n_events > 500) AS sla_breach
+    FROM w WHERE n_events >= 5
+    """,
+    doc="the error-rate SLA monitor as a LIVE stream: 30-minute event-time "
+    "tumbling windows with a 2h late-data watermark, drained via "
+    "availableNow — the alerting pipeline error_rate_sla_windows "
+    "dashboards in batch, deployed incrementally. Basis-point math and "
+    "the low-traffic suppression run on the drained sink (complete "
+    "mode), so the output hash-matches the batch twin's oracle on any "
+    "session timezone (instant/NTZ conversion via raw epoch).",
+)
+def streaming_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        ntz_of_instant,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_errors")
+    )
+    name = "mre_stream_error_sla"
+    run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .where(F.col("n_events") >= 5)
+        .select(
+            ntz_of_instant("window_start").alias("window_start"),
+            "n_events",
+            "n_errors",
+            F.expr("10000 * n_errors div n_events").alias("error_bp"),
+            (F.expr("10000 * n_errors div n_events") > 500).alias("sla_breach"),
+        )
+    )
