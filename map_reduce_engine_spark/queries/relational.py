@@ -2782,3 +2782,120 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("key").alias("max_key"),
         )
     )
+
+
+@register(
+    "null_profile_report",
+    oracle="""
+    SELECT 'c_name' AS col, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           count(DISTINCT c_name)::BIGINT AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*)::BIGINT,
+           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_mktsegment)::BIGINT
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*)::BIGINT,
+           sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_nationkey)::BIGINT
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*)::BIGINT,
+           sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_acctbal)::BIGINT
+    FROM customer
+    """,
+    doc="column-profiling report (the discovery query every catalog / "
+    "data-quality tool runs on first contact with a table): per column, "
+    "row count, null count, and distinct cardinality — here for four "
+    "customer columns of three different types. Spark computes ALL "
+    "columns in ONE aggregate pass (count(DISTINCT x) per column share "
+    "the scan via expand), then unpivots to the per-column report shape; "
+    "the oracle's UNION ALL per column is the semantic spec, not the "
+    "plan.",
+)
+def null_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cols = ["c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null__{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist__{c}"))
+    one = cust.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"null__{c}").alias("n_null"),
+            F.col(f"dist__{c}").cast("bigint").alias("n_distinct"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               c_custkey::VARCHAR || '|' || c_mktsegment || '|'
+               || c_nationkey::VARCHAR), 1, 8))::BIGINT & 2147483647 AS rh
+      FROM customer
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(rh)::BIGINT AS checksum_sum,
+           bit_xor(rh)::BIGINT AS checksum_xor,
+           min(rh)::BIGINT AS checksum_min,
+           max(rh)::BIGINT AS checksum_max
+    FROM h
+    """,
+    doc="order-independent table fingerprint: each row hashes its key "
+    "columns through the portable md5-prefix (31-bit, so a billion-row "
+    "SUM stays far inside BIGINT), and the table's identity is the "
+    "(count, sum, xor, min, max) of row hashes — commutative aggregates, "
+    "so the checksum is identical under any partitioning, row order, or "
+    "engine, and shard checksums merge by the same operators. The cheap "
+    "replication / migration / backfill equality check that avoids "
+    "comparing rows (two tables differing in any row collide with "
+    "probability ~2^-62 across sum+xor). Doubles are excluded from the "
+    "hashed tuple by design: cross-engine double-to-string formatting is "
+    "not portable (see table_snapshot_diff, which hashes within one "
+    "engine only).",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    rh = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("c_custkey").cast("string"),
+                        F.col("c_mktsegment"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 31) - 1))
+    )
+    h = cust.select(rh.alias("rh"))
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rh").cast("bigint").alias("checksum_sum"),
+        F.expr("bit_xor(rh)").cast("bigint").alias("checksum_xor"),
+        F.min("rh").alias("checksum_min"),
+        F.max("rh").alias("checksum_max"),
+    )
