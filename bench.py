@@ -78,6 +78,31 @@ def run_once(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def host_calibration_sec() -> float:
+    """Fixed CPU-bound microbenchmark (single-core numpy matmul + hash loop),
+    median of 3. The host is virtualized and co-tenant load varies between
+    rounds; whole-board drifts of 20%+ with UNCHANGED code have been
+    measured. Reporting this constant alongside the query timings lets a
+    reader separate host-speed drift (calibration moves with the queries)
+    from a real regression (a query moves, calibration doesn't)."""
+    import hashlib
+
+    import numpy as np
+
+    def once() -> float:
+        t0 = time.time()
+        a = np.arange(640_000, dtype=np.float64).reshape(800, 800) / 1e6
+        for _ in range(6):
+            a = a @ a % 1.7
+        h = b""
+        for i in range(20_000):
+            h = hashlib.md5(h + str(i).encode()).digest()
+        return time.time() - t0
+
+    once()  # warm numpy/openblas thread pools
+    return round(statistics.median(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="mre-bench")
     # Session-level warmup BEFORE any timing: the first query otherwise pays
@@ -108,6 +133,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_value,
+        "host_calibration_sec": host_calibration_sec(),
     }
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
