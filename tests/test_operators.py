@@ -1010,3 +1010,100 @@ def test_bloom_filter_mergeable_and_no_false_negatives(spark):
     # with 100 keys in 1071 bits the filter is saturated enough that SOME
     # of the 100 absent keys must miss — i.e. the filter actually filters
     assert not all(got[k] for k in range(100, 200))
+
+
+def test_table_checksum_partition_invariant(spark, sf_dir):
+    """The table fingerprint must be identical under any physical layout —
+    the property that makes it a valid replication-equality check."""
+    from map_reduce_engine_spark.queries.base import REGISTRY
+
+    fn = REGISTRY["table_checksum"].fn
+    base = fn(spark, sf_dir).collect()[0].asDict()
+
+    from map_reduce_engine_spark.queries.base import t as load
+
+    import pyspark.sql.functions as F
+
+    cust = load(spark, sf_dir, "customer")
+    for layout in (cust.repartition(13), cust.coalesce(1), cust.orderBy(F.desc("c_acctbal"))):
+        rh = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("c_custkey").cast("string"),
+                            F.col("c_mktsegment"),
+                            F.col("c_nationkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .bitwiseAND(F.lit((1 << 31) - 1))
+        )
+        got = (
+            layout.select(rh.alias("rh"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("rh").cast("bigint").alias("checksum_sum"),
+                F.expr("bit_xor(rh)").cast("bigint").alias("checksum_xor"),
+                F.min("rh").alias("checksum_min"),
+                F.max("rh").alias("checksum_max"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        assert got == base, got
+
+
+def test_prefix_filter_exact_recall_vs_bruteforce(spark):
+    """Prefix filtering must have EXACT recall: every pair with Jaccard >=
+    0.7 over random small-vocab token sets appears in the operator's
+    output, and nothing below threshold does (the Chaudhuri et al.
+    prefix-length guarantee, checked against brute force)."""
+    import itertools
+    import random
+
+    from map_reduce_engine_spark.queries.base import REGISTRY
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, rng.randint(3, 8))))
+        for i in range(30)
+    ]
+    # brute-force truth over distinct token sets
+    sets = {i: frozenset(text.split()) for i, text in docs}
+    truth = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 10 * inter >= 7 * union:
+            truth.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("__pf_docs")
+    # drive the registry implementation against this frame via a shim dir:
+    # reuse its internals directly instead (the query reads documents)
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.queries import dedup as qd
+
+    # call the registered function body on a monkeypatched loader
+    import map_reduce_engine_spark.queries.base as base_mod
+
+    orig_t = base_mod.t
+    try:
+        base_mod.t = lambda _s, _d, _n: df  # noqa: ARG005
+        qd.t = base_mod.t
+        out = REGISTRY["prefix_filter_simjoin"].fn(spark, "ignored")
+        got = {(r.id1, r.id2) for r in out.collect()}
+    finally:
+        base_mod.t = orig_t
+        qd.t = orig_t
+    assert got == truth, (sorted(got - truth)[:5], sorted(truth - got)[:5])
