@@ -2564,3 +2564,65 @@ def streaming_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("10000 * n_errors div n_events") > 500).alias("sla_breach"),
         )
     )
+
+
+@register(
+    "cohort_retention_triangle",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-05', ts::DATE) // 7 AS wk
+      FROM events
+    ),
+    first_wk AS (SELECT user_id, min(wk) AS cohort_wk FROM d GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_wk, count(*)::BIGINT AS cohort_size
+      FROM first_wk GROUP BY cohort_wk
+    ),
+    active AS (
+      SELECT DISTINCT f.cohort_wk, d.wk - f.cohort_wk AS week_offset, d.user_id
+      FROM d JOIN first_wk f ON f.user_id = d.user_id
+    ),
+    cells AS (
+      SELECT cohort_wk, week_offset, count(*)::BIGINT AS n_active
+      FROM active GROUP BY cohort_wk, week_offset
+    )
+    SELECT c.cohort_wk, c.week_offset, s.cohort_size, c.n_active,
+           10000 * c.n_active // s.cohort_size AS retention_bp
+    FROM cells c JOIN sizes s ON s.cohort_wk = c.cohort_wk
+    """,
+    doc="weekly cohort retention triangle: users grouped by first-activity "
+    "week (epoch-Monday-aligned portable week index, the "
+    "weekday_revenue_profile convention), each later week's active share "
+    "of the original cohort in integer basis points — THE retention "
+    "report every growth dashboard leads with (week 0 rows read 10000 by "
+    "construction). Two user-keyed aggregates + a distinct over (cohort, "
+    "offset, user); the triangle itself is weeks x weeks bounded.",
+)
+def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-05') div 7"
+        ).alias("wk"),
+    )
+    first_wk = d.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first_wk.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
+    active = (
+        d.join(first_wk, "user_id")
+        .select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"), "user_id")
+        .distinct()
+    )
+    cells = active.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return cells.join(sizes, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.expr(
+            "10000 * CAST(n_active AS BIGINT) div CAST(cohort_size AS BIGINT)"
+        ).alias("retention_bp"),
+    )
