@@ -2626,3 +2626,75 @@ def cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * CAST(n_active AS BIGINT) div CAST(cohort_size AS BIGINT)"
         ).alias("retention_bp"),
     )
+
+
+@register(
+    "revenue_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM daily),
+    c AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             n * cents - s AS cdev
+      FROM daily, stats
+    ),
+    den AS (SELECT sum(cdev * cdev)::BIGINT AS den FROM c),
+    lags AS (
+      SELECT k FROM (VALUES (1), (2), (3), (7)) AS v(k)
+    ),
+    num AS (
+      SELECT l.k, sum(a.cdev * b.cdev)::BIGINT AS num
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.t = a.t + l.k
+      GROUP BY l.k
+    )
+    SELECT num.k AS lag_days, num.num AS num_scaled, den.den AS den_scaled,
+           round(num.num::DOUBLE / den.den::DOUBLE, 6) AS acf
+    FROM num, den
+    """,
+    doc="sample autocorrelation of daily purchase revenue at lags 1, 2, 3 "
+    "and 7 days — the weekly-seasonality / momentum fingerprint a "
+    "forecasting pipeline inspects before picking model structure (a "
+    "spike at lag 7 says weekly cycle). Deviations are scaled by n "
+    "(cdev = n*x - S) so numerator and denominator are EXACT BIGINTs; "
+    "the only float is the final ratio of two identical integers. Lag "
+    "pairing is an equi-join on the calendar-bounded day index.",
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    wt = Window.orderBy("day")
+    c = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(wt).alias("t"),
+            (F.col("n") * F.col("cents") - F.col("s")).alias("cdev"),
+        )
+    )
+    den = c.agg(F.sum(F.col("cdev") * F.col("cdev")).cast("bigint").alias("den"))
+    lags = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 7)])).alias("k")
+    a = c.select(F.col("t"), F.col("cdev").alias("ca")).select("*", lags)
+    b = c.select(F.col("t").alias("tb"), F.col("cdev").alias("cb"))
+    num = (
+        a.join(b, F.col("tb") == F.col("t") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("num"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("integer").alias("lag_days"),
+        F.col("num").alias("num_scaled"),
+        F.col("den").alias("den_scaled"),
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+            "acf"
+        ),
+    )

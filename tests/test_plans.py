@@ -601,6 +601,8 @@ _SANCTIONED_NESTED_LOOP = {
     "the evaluation harness",
     "exponential_smoothing_forecast": "closed-form weight join over the "
     "calendar-bounded daily aggregate (<=30x30 terms) + 1-row y0 broadcast",
+    "revenue_autocorrelation": "1-row moment broadcasts over the "
+    "calendar-bounded daily aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
