@@ -2899,3 +2899,88 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rh").alias("checksum_min"),
         F.max("rh").alias("checksum_max"),
     )
+
+
+@register(
+    "numeric_correlation_matrix",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d,
+             CAST(round(l_tax * 10000) AS BIGINT) AS tx
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(q)::BIGINT AS sq, sum(d)::BIGINT AS sd, sum(tx)::BIGINT AS st,
+             sum(q * q)::BIGINT AS sqq, sum(d * d)::BIGINT AS sdd,
+             sum(tx * tx)::BIGINT AS stt,
+             sum(q * d)::BIGINT AS sqd, sum(q * tx)::BIGINT AS sqt,
+             sum(d * tx)::BIGINT AS sdt
+      FROM b
+    )
+    SELECT 'quantity~discount' AS pair, n,
+           round((n * sqd - sq * sd)::DOUBLE
+                 / sqrt((n * sqq - sq * sq)::DOUBLE)
+                 / sqrt((n * sdd - sd * sd)::DOUBLE), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity~tax', n,
+           round((n * sqt - sq * st)::DOUBLE
+                 / sqrt((n * sqq - sq * sq)::DOUBLE)
+                 / sqrt((n * stt - st * st)::DOUBLE), 6)
+    FROM m
+    UNION ALL
+    SELECT 'discount~tax', n,
+           round((n * sdt - sd * st)::DOUBLE
+                 / sqrt((n * sdd - sd * sd)::DOUBLE)
+                 / sqrt((n * stt - st * st)::DOUBLE), 6)
+    FROM m
+    """,
+    doc="pairwise Pearson correlation matrix over lineitem's bounded "
+    "numeric columns (quantity, discount bp, tax bp) — the profiling "
+    "matrix a feature-selection / data-exploration pass starts with. ALL "
+    "ten sufficient moments come from ONE aggregate over one scan (never "
+    "a pass per pair); the closed form runs on exact BIGINT raw moments "
+    "(bounded operands: exact through ~1e7 rows at these magnitudes — "
+    "beyond that, promote the moment sums to DECIMAL), floats enter only "
+    "in the final sqrt ratio of identical integers. Divisions are "
+    "ordered identically on both engines (two sequential sqrt divides).",
+)
+def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("tx"),
+    )
+    m = b.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum("tx").alias("st"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("tx") * F.col("tx")).alias("stt"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("tx")).alias("sqt"),
+        F.sum(F.col("d") * F.col("tx")).alias("sdt"),
+    )
+
+    def corr_row(label: str, sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        return m.select(
+            F.lit(label).alias("pair"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+                / F.sqrt((F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double"))
+                / F.sqrt((F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")),
+                6,
+            ).alias("corr"),
+        )
+
+    return (
+        corr_row("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd")
+        .unionByName(corr_row("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
+        .unionByName(corr_row("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
+    )
