@@ -2698,3 +2698,172 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+@register(
+    "attribution_linear_split",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS k
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id, rn AS prn, cents, k FROM seq
+      WHERE event_type = 'purchase' AND k > 0
+    ),
+    touches AS (
+      SELECT user_id, rn AS trn, event_type AS touch_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS tidx
+      FROM seq WHERE event_type IN ('click', 'view')
+    ),
+    split AS (
+      SELECT t.touch_type,
+             p.cents // p.k
+             + CASE WHEN t.tidx = 1 THEN p.cents % p.k ELSE 0 END
+               AS attributed_cents
+      FROM purchases p
+      JOIN touches t ON t.user_id = p.user_id AND t.trn < p.prn
+    )
+    SELECT touch_type,
+           count(*)::BIGINT AS n_attributions,
+           sum(attributed_cents)::BIGINT AS attributed_cents
+    FROM split GROUP BY touch_type
+    """,
+    doc="linear multi-touch attribution: every purchase's cents split "
+    "EQUALLY across all preceding engagement touches (click/view) in the "
+    "user's sequence — the fair-share model between first-touch and "
+    "last-touch (attribution_first_last). The split is exact integer "
+    "division with the remainder credited to the user's EARLIEST touch, "
+    "so attributed cents sum back to revenue cents exactly (no float "
+    "leakage). The purchase-to-touch fan-out is inherent to the model "
+    "and bounded per user (the sessionization posture); everything is "
+    "one user-keyed window pass + one user equi-join.",
+)
+def attribution_linear_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(wprev).alias("k"),
+    )
+    purchases = seq.where(
+        (F.col("event_type") == "purchase") & (F.col("k") > 0)
+    ).select("user_id", F.col("rn").alias("prn"), "cents", "k")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touches = (
+        seq.where(is_touch)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("rn").alias("trn"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .withColumn("tidx", F.row_number().over(wt))
+        .drop("ts", "event_id")
+    )
+    split = (
+        purchases.join(touches, "user_id")
+        .where(F.col("trn") < F.col("prn"))
+        .select(
+            "touch_type",
+            (
+                F.expr("cents div k")
+                + F.when(F.col("tidx") == 1, F.expr("cents % k")).otherwise(0)
+            ).alias("attributed_cents"),
+        )
+    )
+    return split.groupBy("touch_type").agg(
+        F.count("*").alias("n_attributions"),
+        F.sum("attributed_cents").cast("bigint").alias("attributed_cents"),
+    )
+
+
+@register(
+    "traffic_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('day', DATE '1970-01-05', ts::DATE) % 7 AS dow,
+             hour(ts) AS hr
+      FROM events
+    ),
+    c AS (SELECT dow, hr, count(*)::BIGINT AS n FROM g GROUP BY dow, hr),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT dow, hr::BIGINT AS hr, n, 10000 * n // total AS share_bp
+    FROM c, tot
+    """,
+    doc="day-of-week x hour-of-day traffic heatmap with integer shares — "
+    "the capacity-planning / on-call staffing view every ops dashboard "
+    "carries. Weekday via the portable days-since-epoch-Monday modulus "
+    "(date_trunc-free, timezone-safe on NTZ); F.hour on NTZ is likewise "
+    "tz-safe. One aggregate to a 7x24-bounded grid + a 1-row total.",
+)
+def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    g = ev.select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) % 7
+        ).alias("dow"),
+        F.hour("ts").alias("hr"),
+    )
+    c = g.groupBy("dow", "hr").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        F.col("hr").cast("bigint").alias("hr"),
+        "n",
+        F.expr("10000 * n div total").alias("share_bp"),
+    )
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id)
+    SELECT d.day,
+           sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS n_new,
+           sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS n_returning,
+           count(*)::BIGINT AS n_active
+    FROM d JOIN f ON f.user_id = d.user_id
+    GROUP BY d.day
+    """,
+    doc="daily new-vs-returning active users: each (user, day) classified "
+    "by whether it is the user's first active day — the composition "
+    "metric behind 'is growth acquisition or retention'. One distinct, "
+    "one per-user min, one join back; all counts exact.",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.count("*").alias("n_active"),
+        )
+    )

@@ -603,6 +603,8 @@ _SANCTIONED_NESTED_LOOP = {
     "calendar-bounded daily aggregate (<=30x30 terms) + 1-row y0 broadcast",
     "revenue_autocorrelation": "1-row moment broadcasts over the "
     "calendar-bounded daily aggregate",
+    "traffic_heatmap": "broadcasts the 1-row grand total over the "
+    "7x24-bounded grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
