@@ -2867,3 +2867,43 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_active"),
         )
     )
+
+
+@register(
+    "weekly_growth_rate",
+    oracle="""
+    WITH wk AS (
+      SELECT date_diff('day', DATE '1970-01-05', ts::DATE) // 7 AS week,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (SELECT week, sum(cents)::BIGINT AS cents FROM wk GROUP BY week),
+    l AS (
+      SELECT week, cents,
+             lag(cents) OVER (ORDER BY week) AS prev_cents
+      FROM w
+    )
+    SELECT week, cents AS revenue_cents, prev_cents,
+           10000 * (cents - prev_cents) // prev_cents AS wow_growth_bp
+    FROM l WHERE prev_cents IS NOT NULL
+    """,
+    doc="week-over-week revenue growth in integer basis points (portable "
+    "Monday-aligned week index; both engines' integer division truncates "
+    "toward zero, so negative growth weeks agree exactly) — the headline "
+    "growth KPI. One aggregate to the weeks-bounded table + one lag.",
+)
+def weekly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wk = ev.select(
+        F.expr("datediff(to_date(ts), DATE '1970-01-05') div 7").alias("week"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = wk.groupBy("week").agg(F.sum("cents").alias("cents"))
+    wl = Window.orderBy("week")
+    l = w.withColumn("prev_cents", F.lag("cents").over(wl))
+    return l.where(F.col("prev_cents").isNotNull()).select(
+        "week",
+        F.col("cents").alias("revenue_cents"),
+        "prev_cents",
+        F.expr("10000 * (cents - prev_cents) div prev_cents").alias("wow_growth_bp"),
+    )

@@ -981,3 +981,105 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * n div row_n").alias("row_share_bp"),
         (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tok FROM toks
+      WHERE token <> '' GROUP BY doc_id
+    ),
+    first_seen AS (
+      SELECT token, min(doc_id) AS first_doc FROM toks
+      WHERE token <> '' GROUP BY token
+    ),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, count(*)::BIGINT AS n_new
+      FROM first_seen GROUP BY first_doc
+    ),
+    cum AS (
+      SELECT p.doc_id,
+             CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok,
+             CAST(sum(coalesce(np.n_new, 0)) OVER (ORDER BY p.doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_vocab
+      FROM per_doc p LEFT JOIN new_per_doc np ON np.doc_id = p.doc_id
+    ),
+    pts AS (
+      SELECT CAST(round(1000000.0 * ln(cum_tok::DOUBLE)) AS BIGINT) AS x,
+             CAST(round(1000000.0 * ln(cum_vocab::DOUBLE)) AS BIGINT) AS y
+      FROM cum
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+      FROM pts
+    )
+    SELECT n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+             AS heaps_beta,
+           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                 / n::DOUBLE / 1000000.0, 6) AS log_k
+    FROM m
+    """,
+    doc="Heaps'-law vocabulary-growth fit — V(n) ~ K * n^beta over the "
+    "corpus in doc_id ingest order: cumulative distinct-token count "
+    "(each token attributed to its first-seen document, so the running "
+    "vocabulary is two window sums, never a running distinct) against "
+    "cumulative token count, log-log OLS in the zipf_law_fit recipe "
+    "(micro-ln BIGINT points, closed-form slope). beta well below 1 is "
+    "healthy natural text; beta near 1 screams synthetic/ID-like tokens. "
+    "The companion corpus-health fingerprint to the Zipf exponent.",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens_col("text")).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+    pts = cum.select(
+        F.round(F.lit(1000000.0) * F.log(F.col("cum_tok").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.lit(1000000.0) * F.log(F.col("cum_vocab").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "sxy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((sy - slope * sx) / n / F.lit(1000000.0), 6).alias("log_k"),
+    )
