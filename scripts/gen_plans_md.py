@@ -95,6 +95,28 @@ HEADLINE = [
         "grid-bucketed radius join: 3x3 neighbor-cell equi-join prunes the "
         "candidate space before the exact haversine filter — no cartesian",
     ),
+    # round-4 scale-relevant additions
+    (
+        "prefix_filter_simjoin",
+        "SSJoin prefix filtering: rarest-first prefixes make the candidate "
+        "join an equi-join over tiny posting lists; exact verify on "
+        "candidates only",
+    ),
+    (
+        "bloom_join_prefilter",
+        "portable Bloom filter: build and probe are bit_or aggregates + a "
+        "word_idx equi-join with a bitmask check — no UDF, no driver object",
+    ),
+    (
+        "sorted_neighborhood_pairs",
+        "blocked SNM: neighbors via an exploded successor-rank equi-join "
+        "(fan-out exactly 3 per row, never block-squared)",
+    ),
+    (
+        "split_leakage_guard",
+        "cluster-safe split: one fingerprint shuffle, an equi-join back, a "
+        "1-row leak-audit broadcast",
+    ),
 ]
 
 
