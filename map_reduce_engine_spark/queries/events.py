@@ -2907,3 +2907,99 @@ def weekly_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_cents",
         F.expr("10000 * (cents - prev_cents) div prev_cents").alias("wow_growth_bp"),
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 OR lag(ts)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no,
+             ts
+      FROM g
+    ),
+    sess AS (
+      SELECT min(ts) AS start_ts, max(ts) AS end_ts FROM s
+      GROUP BY user_id, session_no
+    ),
+    deltas AS (
+      SELECT start_ts AS at_ts, 1 AS d FROM sess
+      UNION ALL
+      SELECT end_ts + INTERVAL 1 MICROSECOND, -1 FROM sess
+    ),
+    sweep AS (
+      SELECT at_ts::DATE AS day,
+             CAST(sum(d) OVER (ORDER BY at_ts, d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
+      FROM deltas
+    )
+    SELECT day, max(concurrent)::BIGINT AS peak_concurrent
+    FROM sweep GROUP BY day
+    """,
+    doc="peak concurrent sessions per day via the sweep-line algorithm in "
+    "SQL: 30-minute-gap sessionization, then +1/-1 deltas at session "
+    "boundaries and a running sum whose per-day max is the answer — the "
+    "capacity metric behind connection-pool and licence sizing. End "
+    "deltas fire one microsecond AFTER the last event (a session ending "
+    "at instant T still counts at T); ties order (+1 before -1 is "
+    "impossible at the same instant by that shift, and equal instants "
+    "order by delta) so both engines sweep identically. The global "
+    "running sum is the inherently sequential step — at scale, sweep per "
+    "day-partition after splitting boundary-crossing sessions.",
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > 1800 * 1000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = sess.select(
+        F.col("start_ts").alias("at_ts"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(
+            F.expr("end_ts + INTERVAL 1 MICROSECOND").alias("at_ts"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    wsweep = Window.orderBy("at_ts", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = deltas.select(
+        F.to_date("at_ts").alias("day"),
+        F.sum("d").over(wsweep).cast("bigint").alias("concurrent"),
+    )
+    return sweep.groupBy("day").agg(F.max("concurrent").alias("peak_concurrent"))

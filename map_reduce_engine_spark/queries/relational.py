@@ -2984,3 +2984,32 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corr_row("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
         .unionByName(corr_row("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
     )
+
+
+@register(
+    "basket_size_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, count(*)::BIGINT AS n_lines FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    h AS (SELECT n_lines, count(*)::BIGINT AS n_orders FROM b GROUP BY n_lines),
+    tot AS (SELECT sum(n_orders)::BIGINT AS total FROM h)
+    SELECT n_lines, n_orders, 10000 * n_orders // total AS share_bp
+    FROM h, tot
+    """,
+    doc="order basket-size distribution: line-items per order histogram "
+    "with integer shares — the merchandising shape metric (fulfilment "
+    "cost and bundle design both key off it). One key aggregate, one "
+    "bounded histogram aggregate, one 1-row total broadcast.",
+)
+def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    h = b.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+    tot = h.agg(F.sum("n_orders").alias("total"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        F.expr("10000 * n_orders div total").alias("share_bp"),
+    )

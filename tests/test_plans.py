@@ -605,6 +605,8 @@ _SANCTIONED_NESTED_LOOP = {
     "calendar-bounded daily aggregate",
     "traffic_heatmap": "broadcasts the 1-row grand total over the "
     "7x24-bounded grid",
+    "basket_size_histogram": "broadcasts the 1-row total over the "
+    "bounded basket-size histogram",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
