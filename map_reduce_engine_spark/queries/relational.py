@@ -3013,3 +3013,105 @@ def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.expr("10000 * n_orders div total").alias("share_bp"),
     )
+
+
+@register(
+    "degree_distribution_fit",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    hist AS (SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY degree),
+    pts AS (
+      SELECT CAST(round(1000000.0 * ln(degree::DOUBLE)) AS BIGINT) AS x,
+             CAST(round(1000000.0 * ln(n_nodes::DOUBLE)) AS BIGINT) AS y
+      FROM hist WHERE degree >= 1
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n_points, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             sum(x * y)::BIGINT AS sxy
+      FROM pts
+    )
+    SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+           (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+           (SELECT max(degree) FROM deg) AS max_degree,
+           n_points,
+           round((n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+             AS powerlaw_slope
+    FROM m
+    """,
+    doc="degree-distribution power-law fit of the co-purchase graph (the "
+    "copurchase_triangles edge set): degree histogram + log-log OLS "
+    "slope in the zipf_law_fit micro-ln recipe — the graph-health "
+    "fingerprint that says whether hub parts exist (steep negative slope "
+    "= heavy tail), which is exactly what decides if degree-oriented "
+    "triangle counting and skew salting are needed. Bounded: the "
+    "histogram is max-degree-sized, the OLS runs on its points.",
+)
+def degree_distribution_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    pts = hist.select(
+        F.round(F.lit(1000000.0) * F.log(F.col("degree").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.lit(1000000.0) * F.log(F.col("n_nodes").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    totals = deg.agg(
+        F.count("*").alias("n_nodes"), F.max("degree").alias("max_degree")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n, sx, sy, sxx, sxy = (
+        F.col(c).cast("double") for c in ("n_points", "sx", "sy", "sxx", "sxy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        m.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("max_degree").cast("bigint").alias("max_degree"),
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.round(slope, 6).alias("powerlaw_slope"),
+        )
+    )

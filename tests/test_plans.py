@@ -607,6 +607,8 @@ _SANCTIONED_NESTED_LOOP = {
     "7x24-bounded grid",
     "basket_size_histogram": "broadcasts the 1-row total over the "
     "bounded basket-size histogram",
+    "degree_distribution_fit": "two 1-row graph-totals crossJoins over "
+    "the OLS moment aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
