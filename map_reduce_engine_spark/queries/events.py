@@ -3003,3 +3003,62 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").over(wsweep).cast("bigint").alias("concurrent"),
     )
     return sweep.groupBy("day").agg(F.max("concurrent").alias("peak_concurrent"))
+
+
+@register(
+    "event_debounce",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, user_id, event_id,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type,
+             CASE WHEN prev_ts IS NOT NULL
+                       AND date_diff('microsecond', prev_ts, ts) < 5000000
+                  THEN 1 ELSE 0 END AS bounced
+      FROM x
+    )
+    SELECT event_type,
+           count(*)::BIGINT                          AS n_events,
+           sum(bounced)::BIGINT                      AS n_debounced,
+           (count(*) - sum(bounced))::BIGINT         AS n_survivors,
+           (sum(bounced) * 1000000 // count(*))::BIGINT AS debounce_ppm
+    FROM flagged GROUP BY event_type
+    """,
+    doc="telemetry debounce audit: per event type, how many events repeat "
+    "the same (user, type) within 5 seconds of the previous one — the "
+    "double-click / retry-storm filter every ingest pipeline applies "
+    "before sessionization. One window pass partitioned by (user_id, "
+    "event_type) — state per task is one prior timestamp, so the operator "
+    "scales with the number of users, never the event count per partition. "
+    "Gap comparison is exact integer microseconds (micro-precision inputs, "
+    "queries/base.py conventions); the ppm rate is integer division so "
+    "engines cannot disagree on rounding.",
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    x = ev.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    flagged = x.select(
+        "event_type",
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") < 5000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("bounced"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("bounced").cast("bigint").alias("n_debounced"),
+        (F.count("*") - F.sum("bounced")).cast("bigint").alias("n_survivors"),
+        F.expr("sum(bounced) * 1000000 div count(*)").cast("bigint").alias("debounce_ppm"),
+    )

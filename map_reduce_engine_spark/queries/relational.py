@@ -3115,3 +3115,229 @@ def degree_distribution_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(slope, 6).alias("powerlaw_slope"),
         )
     )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS recomputed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT CASE WHEN r.l_orderkey IS NULL THEN 1 ELSE 0 END AS missing,
+             CASE WHEN r.l_orderkey IS NULL THEN 0
+                  ELSE CAST(abs(CAST(o.o_totalprice AS DECIMAL(14,2)) - r.recomputed)
+                            * 1000000 AS BIGINT) END AS diff_micro
+      FROM orders o LEFT JOIN recomputed r ON r.l_orderkey = o.o_orderkey
+    )
+    SELECT count(*)::BIGINT                                              AS n_orders,
+           sum(missing)::BIGINT                                          AS n_no_lineitems,
+           sum(CASE WHEN missing = 0 AND diff_micro = 0 THEN 1 ELSE 0 END)::BIGINT
+                                                                         AS n_exact,
+           sum(CASE WHEN missing = 0 AND diff_micro <= 1000000 THEN 1 ELSE 0 END)::BIGINT
+                                                                         AS n_within_dollar,
+           max(diff_micro)::BIGINT                                       AS max_abs_diff_micro,
+           sum(diff_micro)::BIGINT                                       AS total_abs_diff_micro
+    FROM j
+    """,
+    doc="order-header vs line-item monetary reconciliation: recompute each "
+    "order's total from its lineitems (extendedprice * (1-disc) * (1+tax), "
+    "exact DECIMAL so both engines agree to the micro-dollar) and audit the "
+    "booked o_totalprice against it — the classic ledger-vs-detail "
+    "consistency gate a warehouse runs after every load. One shuffle to "
+    "re-aggregate lineitems on the order key, one co-partitioned left join "
+    "back to headers, then a single global audit row; headers with no "
+    "detail rows are counted separately (missing), never silently matched. "
+    "All diffs are exact integer micro-dollars (DECIMAL end-to-end, "
+    "queries/base.py conventions). Absent in reference (SURVEY.md Part C).",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rec = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+            " * (1 + CAST(l_tax AS DECIMAL(12,2))))"
+        ).alias("recomputed")
+    )
+    j = orders.join(rec, orders.o_orderkey == rec.l_orderkey, "left").select(
+        F.when(F.col("l_orderkey").isNull(), 1).otherwise(0).alias("missing"),
+        F.when(F.col("l_orderkey").isNull(), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(abs(CAST(o_totalprice AS DECIMAL(14,2)) - recomputed)"
+                " * 1000000 AS BIGINT)"
+            )
+        )
+        .alias("diff_micro"),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("missing").cast("bigint").alias("n_no_lineitems"),
+        F.sum(F.when((F.col("missing") == 0) & (F.col("diff_micro") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(
+            F.when((F.col("missing") == 0) & (F.col("diff_micro") <= 1000000), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_dollar"),
+        F.max("diff_micro").alias("max_abs_diff_micro"),
+        F.sum("diff_micro").alias("total_abs_diff_micro"),
+    )
+
+
+@register(
+    "fd_violation_audit",
+    oracle="""
+    WITH g AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             count(DISTINCT o_orderpriority) AS n_rhs, count(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'l_partkey->l_suppkey', count(DISTINCT l_suppkey), count(*)
+      FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment', count(DISTINCT c_mktsegment), count(*)
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT fd,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
+           max(n_rhs)::BIGINT AS max_distinct_rhs,
+           sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END)::BIGINT AS rows_in_violating_groups
+    FROM g GROUP BY fd
+    """,
+    doc="functional-dependency violation audit: for each candidate FD X->Y "
+    "(does the determinant X fix the dependent Y?), count the X-groups "
+    "where more than one distinct Y appears, plus the rows trapped in those "
+    "groups — the schema-inference / normalization audit profilers run "
+    "before declaring a column derivable. Complements dq_audit (which "
+    "checks nulls/dups/orphans, not dependencies). Each FD is one "
+    "hash-aggregate shuffle on its determinant; the union reduces to "
+    "|FDs| audit rows, so the output is bounded regardless of table size.",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+
+    def fd(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        return df.groupBy(lhs).agg(
+            F.lit(name).alias("fd"),
+            F.countDistinct(rhs).alias("n_rhs"),
+            F.count("*").alias("n_rows"),
+        ).select("fd", "n_rhs", "n_rows")
+
+    g = (
+        fd(orders, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        .unionByName(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionByName(fd(cust, "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+    )
+    return g.groupBy("fd").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.max("n_rhs").cast("bigint").alias("max_distinct_rhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_violating_groups"),
+    )
+
+
+@register(
+    "copurchase_recommendations",
+    oracle="""
+    WITH cust_parts AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    bounded AS (
+      SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 32
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      JOIN bounded bd ON bd.l_orderkey = a.l_orderkey
+      GROUP BY 1, 2
+    ),
+    targets AS (SELECT custkey, partkey FROM cust_parts WHERE custkey < 20),
+    scored AS (
+      SELECT t.custkey, p.p2 AS rec_partkey, sum(p.w)::BIGINT AS score
+      FROM targets t JOIN pairs p ON p.p1 = t.partkey
+      GROUP BY 1, 2
+    ),
+    novel AS (
+      SELECT s.custkey, s.rec_partkey, s.score
+      FROM scored s
+      LEFT JOIN cust_parts cp
+        ON cp.custkey = s.custkey AND cp.partkey = s.rec_partkey
+      WHERE cp.partkey IS NULL
+    ),
+    ranked AS (
+      SELECT custkey, rec_partkey, score,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY score DESC, rec_partkey) AS rank
+      FROM novel
+    )
+    SELECT custkey, rec_partkey, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="item-to-item collaborative-filtering recommendations: score every "
+    "part by the co-purchase support of the parts a customer already "
+    "bought, drop the already-owned parts (anti-join), and keep the top-5 "
+    "per customer — the classic 'customers who bought X also bought Y' "
+    "recommender as pure equi-joins. The pair matrix reuses the "
+    "basket-size<=32 a-priori cap from part_pair_cooccurrence so per-order "
+    "fan-out stays bounded; personalized scoring is an equi-join on the "
+    "owned-part key followed by one hash agg per (customer, candidate); "
+    "the conformance probe bounds the audience to custkey<20, but the "
+    "plan shape (co-located joins, window top-k) is audience-size-free.",
+)
+def copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust_parts = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    bounded = (
+        items.groupBy("l_orderkey").agg(F.count("*").alias("basket")).where(F.col("basket") <= 32)
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .join(bounded.select("l_orderkey"), "l_orderkey")
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("w"))
+    )
+    targets = cust_parts.where(F.col("custkey") < 20)
+    scored = (
+        targets.join(pairs, targets.partkey == pairs.p1)
+        .groupBy("custkey", F.col("p2").alias("rec_partkey"))
+        .agg(F.sum("w").alias("score"))
+    )
+    novel = scored.join(
+        cust_parts.withColumnRenamed("partkey", "rec_partkey"),
+        ["custkey", "rec_partkey"],
+        "left_anti",
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("score"), F.asc("rec_partkey"))
+    return (
+        novel.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("custkey", "rec_partkey", "score", "rank")
+    )

@@ -993,3 +993,71 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) div CAST(count(*) AS BIGINT)"
         ).alias("accuracy_bp"),
     )
+
+
+@register(
+    "embedding_covariance_top",
+    oracle="""
+    WITH pairs AS (
+      SELECT i, j FROM range(0, 64) t(i), range(0, 64) s(j) WHERE j > i
+    ),
+    ex AS (
+      SELECT p.i, p.j,
+             e.embedding[p.i + 1]::DOUBLE AS x,
+             e.embedding[p.j + 1]::DOUBLE AS y
+      FROM embeddings e, pairs p
+    ),
+    stats AS (
+      SELECT i, j,
+             round(avg(x * y) - avg(x) * avg(y), 8) AS cov
+      FROM ex GROUP BY i, j
+    ),
+    ranked AS (
+      SELECT i::BIGINT AS dim_i, j::BIGINT AS dim_j, cov,
+             row_number() OVER (ORDER BY abs(cov) DESC, i, j) AS rank
+      FROM stats
+    )
+    SELECT dim_i, dim_j, cov, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="embedding covariance screening: the 10 most-correlated dimension "
+    "pairs of the 64-dim embedding column (largest |cov(i,j)|) — the "
+    "whitening / redundant-dimension audit run before PCA or Matryoshka "
+    "truncation decisions. The per-row expansion emits dim*(dim-1)/2 "
+    "products per vector via one in-row transform (no join), and the "
+    "aggregate reduces to a fixed 2016-row output regardless of corpus "
+    "size — a bounded-output global statistic, the same shape as "
+    "numeric_correlation_matrix but over the vector column. Covariances "
+    "are rounded to 8 decimals BEFORE ranking so both engines rank "
+    "identical values (cross-engine double sums differ at the ulp; the "
+    "(i, j) tiebreak settles rounded ties deterministically).",
+)
+def embedding_covariance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 62), i ->"
+                " transform(sequence(i + 1, 63), j ->"
+                " struct(i AS i, j AS j,"
+                " CAST(embedding[i] AS DOUBLE) AS x,"
+                " CAST(embedding[j] AS DOUBLE) AS y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    stats = ex.groupBy("i", "j").agg(
+        F.round(F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"), 8).alias("cov")
+    )
+    w = Window.orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            "cov",
+            "rank",
+        )
+    )
