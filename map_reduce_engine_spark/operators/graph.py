@@ -407,3 +407,59 @@ def label_propagation(
                 .localCheckpoint(eager=True)
             )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 3,
+    max_iter: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, core_degree) — the k-core of an undirected edge list.
+
+    Iterative peeling: drop every node whose degree is below ``k``, remove
+    its edges, repeat until fixpoint (or ``max_iter`` rounds — the loop
+    breaks early the round nothing is removed, so a bounded-round DuckDB
+    unrolling of the same peel computes the identical result). Output is
+    one row per surviving node with its degree inside the core.
+
+    Loop discipline matches ``connected_components``: the doubled edge
+    list materializes once, AQE is scoped off (static round shapes), each
+    round's survivor edge set is eagerly local-checkpointed so the plan
+    stays constant-size, and every step is an equi-join/hash-agg — the
+    peel scales as O(rounds) co-partitioned shuffles at any graph size.
+    """
+    und0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, und0.count() // 200_000 + 1))
+    with loop_conf(spark, num_partitions):
+        und = und0.repartition(num_partitions, "a").localCheckpoint(eager=True)
+        n_edges = und.count()
+        for _ in range(max_iter):
+            keep = (
+                und.groupBy("a")
+                .agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("a")
+            )
+            survivors = (
+                und.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_surv = survivors.count()
+            und = survivors
+            if n_surv == n_edges:
+                break
+            n_edges = n_surv
+    return und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )

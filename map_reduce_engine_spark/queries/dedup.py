@@ -969,3 +969,54 @@ def blocking_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_within_bound"),
         )
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_minhash_ctes("l")},
+    verified AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.7),
+    srcs AS (
+      SELECT least(d1.source, d2.source)    AS source_a,
+             greatest(d1.source, d2.source) AS source_b,
+             CASE WHEN d1.source = d2.source THEN 1 ELSE 0 END AS intra
+      FROM verified v
+      JOIN documents d1 ON d1.doc_id = v.id1
+      JOIN documents d2 ON d2.doc_id = v.id2
+    )
+    SELECT source_a, source_b,
+           count(*)::BIGINT   AS n_pairs,
+           sum(intra)::BIGINT AS n_intra_source
+    FROM srcs GROUP BY source_a, source_b
+    """,
+    doc="cross-source duplicate-flow matrix: MinHash-verified near-dup pairs "
+    "rolled up by the (source, source) of their two documents — the "
+    "curation dashboard that shows WHICH feeds are re-crawling each other "
+    "(off-diagonal mass) vs duplicating internally (diagonal). Reuses the "
+    "fully-portable MinHash-LSH pipeline (band-bucket equi-join, exact "
+    "Jaccard verify) and adds two equi-joins back to the source column "
+    "plus a |sources|^2-bounded rollup, so the extra cost over "
+    "minhash_near_dup is two hash joins on doc_id. The decision signal "
+    "for per-source dedup budgets in a multi-feed 100 TB ingest.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7, candidates=cands)
+    s1 = docs.select(F.col("doc_id").alias("id1"), F.col("source").alias("s1"))
+    s2 = docs.select(F.col("doc_id").alias("id2"), F.col("source").alias("s2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            F.when(F.col("s1") == F.col("s2"), 1).otherwise(0).alias("intra"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("intra").cast("bigint").alias("n_intra_source"),
+        )
+    )

@@ -3341,3 +3341,80 @@ def copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("custkey", "rec_partkey", "score", "rank")
     )
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 8) -> str:
+    """DuckDB twin of the bounded-round k-core peel (operators/graph.py::k_core).
+
+    Unrolls exactly ``rounds`` peel steps as MATERIALIZED CTEs (the
+    bpe_train_merges template — DuckDB's default CTE inlining would expand
+    the round chain exponentially). The Spark loop breaks early at the
+    fixpoint, and peeling past a fixpoint is a no-op, so a fixed unrolling
+    computes the identical survivor set.
+    """
+    parts = [
+        """items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      )
+    ),
+    d0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0
+    )"""
+    ]
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN k{r} x ON x.a = e.a
+      JOIN k{r} y ON y.a = e.b
+    )"""
+        )
+        prev = f"d{r}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT a AS node, count(*)::BIGINT AS core_degree
+    FROM {prev} GROUP BY a
+    """
+
+
+@register(
+    "k_core_parts",
+    oracle=_k_core_oracle(k=3, rounds=8),
+    doc="3-core of the co-purchase graph (parts bought together in >= 2 "
+    "orders): iterative degree peeling — drop nodes with degree < 3, "
+    "remove their edges, repeat to fixpoint — the standard dense-subgraph "
+    "extraction for finding the stable 'frequently bought together' "
+    "nucleus and pruning noise edges before community detection. "
+    "operators/graph.py::k_core runs the peel as bounded-round "
+    "equi-join/hash-agg passes with the shared loop discipline (doubled "
+    "edge list materialized once, AQE scoped off, per-round "
+    "localCheckpoint); the oracle unrolls the same peel as materialized "
+    "CTE rounds, and because peeling is monotone the early-broken Spark "
+    "fixpoint equals the fixed 8-round unrolling.",
+)
+def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import k_core
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    return k_core(edges, k=3, max_iter=8)
