@@ -117,6 +117,27 @@ HEADLINE = [
         "cluster-safe split: one fingerprint shuffle, an equi-join back, a "
         "1-row leak-audit broadcast",
     ),
+    # late round-4 scale-relevant additions
+    (
+        "order_total_reconciliation",
+        "ledger-vs-detail reconciliation: one decimal re-aggregate on the "
+        "order key, a co-partitioned left join to headers, one audit row",
+    ),
+    (
+        "copurchase_recommendations",
+        "item-item CF: basket-capped pair matrix, equi-join scoring on the "
+        "owned-part key, anti-join novelty filter, per-customer window top-k",
+    ),
+    (
+        "k_core_parts",
+        "k-core peel (final round): survivor filtering is two left-semi "
+        "equi-joins per round off eager checkpoints, AQE-off loop scope",
+    ),
+    (
+        "cross_source_dup_matrix",
+        "duplicate-flow matrix: the MinHash-LSH candidate equi-join plus two "
+        "doc_id hash joins into a |sources|^2-bounded rollup",
+    ),
 ]
 
 

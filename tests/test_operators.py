@@ -1107,3 +1107,49 @@ def test_prefix_filter_exact_recall_vs_bruteforce(spark):
         base_mod.t = orig_t
         qd.t = orig_t
     assert got == truth, (sorted(got - truth)[:5], sorted(truth - got)[:5])
+
+
+def test_k_core_peel_known_graph(spark):
+    """Triangle {1,2,3} + pendant path 3-4-5: the 2-core is exactly the
+    triangle (peeling 5 then 4 is the cascade the loop must follow), and
+    every surviving degree is >= k."""
+    from map_reduce_engine_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u BIGINT, v BIGINT"
+    )
+    got = {(r.node, r.core_degree) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # 3-core of the same graph is empty (no node has degree 3 after peeling)
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_idempotent_and_degree_floor(spark, sf_dir):
+    """k-core of the k-core is itself, and all in-core degrees >= k —
+    the two defining invariants, on the real co-purchase graph."""
+    from pyspark.sql import functions as SF
+
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.graph import k_core
+
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(SF.col("a.l_partkey") < SF.col("b.l_partkey"))
+        .groupBy(SF.col("a.l_partkey").alias("u"), SF.col("b.l_partkey").alias("v"))
+        .agg(SF.count("*").alias("s"))
+        .where(SF.col("s") >= 2)
+        .select("u", "v")
+    )
+    core = k_core(edges, k=3)
+    rows = core.collect()
+    assert all(r.core_degree >= 3 for r in rows)
+    # restrict the edge list to core nodes; its 3-core must be the same set
+    nodes = core.select(SF.col("node").alias("u"))
+    core_edges = edges.join(nodes, "u", "left_semi").join(
+        nodes.select(SF.col("u").alias("v")), "v", "left_semi"
+    )
+    again = {(r.node, r.core_degree) for r in k_core(core_edges, k=3).collect()}
+    assert again == {(r.node, r.core_degree) for r in rows}
