@@ -1020,3 +1020,115 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("intra").cast("bigint").alias("n_intra_source"),
         )
     )
+
+
+@register(
+    "rare_token_blocking_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    df_t AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    w AS (
+      SELECT tok,
+             CAST(round(1000000.0 * ln(CAST(n.n AS DOUBLE) / df)) AS BIGINT) AS w_micro
+      FROM df_t, n_docs n
+    ),
+    rare AS (SELECT tok FROM df_t WHERE df BETWEEN 2 AND 5),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM toks a
+      JOIN rare r ON r.tok = a.tok
+      JOIN toks b ON b.tok = a.tok AND a.doc_id < b.doc_id
+    ),
+    sides AS (
+      SELECT c.id1, c.id2, t.tok, 1 AS s1, 0 AS s2
+      FROM cands c JOIN toks t ON t.doc_id = c.id1
+      UNION ALL
+      SELECT c.id1, c.id2, t.tok, 0, 1
+      FROM cands c JOIN toks t ON t.doc_id = c.id2
+    ),
+    per_tok AS (
+      SELECT id1, id2, tok, max(s1) AS in1, max(s2) AS in2
+      FROM sides GROUP BY id1, id2, tok
+    ),
+    wj AS (
+      SELECT p.id1, p.id2,
+             sum(CASE WHEN in1 = 1 AND in2 = 1 THEN w.w_micro ELSE 0 END) AS inter_w,
+             sum(w.w_micro) AS union_w
+      FROM per_tok p JOIN w ON w.tok = p.tok
+      GROUP BY p.id1, p.id2
+    )
+    SELECT id1, id2,
+           (inter_w * 1000000 // union_w)::BIGINT AS wjaccard_ppm
+    FROM wj
+    WHERE inter_w * 1000000 // union_w >= 300000
+    """,
+    doc="rare-token blocking with IDF-weighted Jaccard verification: "
+    "candidate pairs must share a DISCRIMINATIVE token (document frequency "
+    "2..5 — each such token contributes at most C(5,2) pairs, so blocking "
+    "fan-out is bounded per token, never block-squared), then the verify "
+    "step scores the full token sets with IDF weights (rare shared "
+    "vocabulary counts for more than stopwords — the Fellegi-Sunter "
+    "intuition for entity resolution). Complements the exact-recall "
+    "prefix filter (prefix_filter_simjoin) and MinHash (probabilistic): "
+    "this tier trades recall on stopword-only overlap for a guaranteed- "
+    "cheap candidate join. IDF weights freeze to integer micro-units at "
+    "the ln() call (temperature_mixture_weights template) so every "
+    "downstream sum and the final ppm ratio are exact integers.",
+)
+def rare_token_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    from map_reduce_engine_spark.operators.text import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok")).distinct()
+    df_t = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n"))
+    w = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.expr("CAST(round(1000000.0 * ln(CAST(n AS DOUBLE) / df)) AS BIGINT)").alias(
+            "w_micro"
+        ),
+    )
+    rare = df_t.where(F.col("df").between(2, 5)).select("tok")
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cands = (
+        a.join(rare, "tok")
+        .join(b, "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sides = (
+        cands.join(toks.withColumnRenamed("doc_id", "id1"), "id1")
+        .select("id1", "id2", "tok", F.lit(1).alias("s1"), F.lit(0).alias("s2"))
+        .unionByName(
+            cands.join(toks.withColumnRenamed("doc_id", "id2"), "id2").select(
+                "id1", "id2", "tok", F.lit(0).alias("s1"), F.lit(1).alias("s2")
+            )
+        )
+    )
+    per_tok = sides.groupBy("id1", "id2", "tok").agg(
+        F.max("s1").alias("in1"), F.max("s2").alias("in2")
+    )
+    wj = (
+        per_tok.join(w, "tok")
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(
+                F.when((F.col("in1") == 1) & (F.col("in2") == 1), F.col("w_micro")).otherwise(0)
+            ).alias("inter_w"),
+            F.sum("w_micro").alias("union_w"),
+        )
+    )
+    return (
+        wj.select(
+            "id1",
+            "id2",
+            F.expr("inter_w * 1000000 div union_w").cast("bigint").alias("wjaccard_ppm"),
+        )
+        .where(F.col("wjaccard_ppm") >= 300000)
+    )

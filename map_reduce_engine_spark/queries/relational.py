@@ -3418,3 +3418,130 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return k_core(edges, k=3, max_iter=8)
+
+
+@register(
+    "recommender_hitrate_loo",
+    oracle="""
+    WITH cust_parts AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    bounded AS (
+      SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 32
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      JOIN bounded bd ON bd.l_orderkey = a.l_orderkey
+      GROUP BY 1, 2
+    ),
+    targets AS (SELECT custkey, partkey FROM cust_parts WHERE custkey < 20),
+    held AS (
+      SELECT custkey, max(partkey) AS held_part
+      FROM targets GROUP BY custkey HAVING count(*) >= 2
+    ),
+    train AS (
+      SELECT t.custkey, t.partkey
+      FROM targets t JOIN held h ON h.custkey = t.custkey
+      WHERE t.partkey <> h.held_part
+    ),
+    scored AS (
+      SELECT tr.custkey, p.p2 AS rec_partkey, sum(p.w)::BIGINT AS score
+      FROM train tr JOIN pairs p ON p.p1 = tr.partkey
+      GROUP BY 1, 2
+    ),
+    novel AS (
+      SELECT s.custkey, s.rec_partkey, s.score
+      FROM scored s
+      LEFT JOIN train tr
+        ON tr.custkey = s.custkey AND tr.partkey = s.rec_partkey
+      WHERE tr.partkey IS NULL
+    ),
+    ranked AS (
+      SELECT custkey, rec_partkey,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY score DESC, rec_partkey) AS rank
+      FROM novel
+    ),
+    hits AS (
+      SELECT h.custkey,
+             max(CASE WHEN r.rec_partkey = h.held_part AND r.rank <= 5
+                      THEN 1 ELSE 0 END) AS hit
+      FROM held h LEFT JOIN ranked r ON r.custkey = h.custkey
+      GROUP BY h.custkey
+    )
+    SELECT count(*)::BIGINT AS n_eval_users,
+           sum(hit)::BIGINT AS n_hits,
+           (sum(hit) * 1000000 // count(*))::BIGINT AS hitrate_ppm
+    FROM hits
+    """,
+    doc="leave-one-out hit-rate@5 of the co-purchase recommender: hold out "
+    "one owned part per probe customer (the max partkey — deterministic), "
+    "re-score from the remaining owned parts, and check whether the "
+    "held-out part lands in the top-5 — the offline evaluation loop that "
+    "gates recommender deploys. Same bounded pair matrix and equi-join "
+    "scoring as copurchase_recommendations; the held-out item stays "
+    "eligible (the novelty anti-join excludes only TRAIN-owned parts). "
+    "Hit rate is integer ppm so engines can't disagree on rounding.",
+)
+def recommender_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust_parts = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    bounded = (
+        items.groupBy("l_orderkey").agg(F.count("*").alias("basket")).where(F.col("basket") <= 32)
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .join(bounded.select("l_orderkey"), "l_orderkey")
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("w"))
+    )
+    targets = cust_parts.where(F.col("custkey") < 20)
+    held = (
+        targets.groupBy("custkey")
+        .agg(F.max("partkey").alias("held_part"), F.count("*").alias("n_owned"))
+        .where(F.col("n_owned") >= 2)
+        .select("custkey", "held_part")
+    )
+    train = targets.join(held, "custkey").where(F.col("partkey") != F.col("held_part")).select(
+        "custkey", "partkey"
+    )
+    scored = (
+        train.join(pairs, train.partkey == pairs.p1)
+        .groupBy("custkey", F.col("p2").alias("rec_partkey"))
+        .agg(F.sum("w").alias("score"))
+    )
+    novel = scored.join(
+        train.withColumnRenamed("partkey", "rec_partkey"), ["custkey", "rec_partkey"], "left_anti"
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("score"), F.asc("rec_partkey"))
+    ranked = novel.withColumn("rank", F.row_number().over(w))
+    hits = (
+        held.join(ranked, "custkey", "left")
+        .groupBy("custkey", "held_part")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("rec_partkey") == F.col("held_part")) & (F.col("rank") <= 5), 1
+                ).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return hits.agg(
+        F.count("*").alias("n_eval_users"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.expr("sum(hit) * 1000000 div count(*)").cast("bigint").alias("hitrate_ppm"),
+    )

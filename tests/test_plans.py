@@ -599,6 +599,8 @@ _SANCTIONED_NESTED_LOOP = {
     "foreign-key edge of the star schema",
     "blocking_recall_report": "three 1-row metric-count crossJoins over "
     "the evaluation harness",
+    "rare_token_blocking_pairs": "broadcasts the 1-row corpus doc count "
+    "into the IDF weight table",
     "exponential_smoothing_forecast": "closed-form weight join over the "
     "calendar-bounded daily aggregate (<=30x30 terms) + 1-row y0 broadcast",
     "revenue_autocorrelation": "1-row moment broadcasts over the "
