@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     tm.add_argument("sf_dir", help="fixture dir containing documents.parquet")
     tm.add_argument("output_dir")
+    rc = sub.add_parser(
+        "recommend",
+        help="run the end-to-end item-to-item recommender example "
+        "(co-purchase top-5 per customer + leave-one-out hit-rate "
+        "evaluation, with a deploy gate)",
+    )
+    rc.add_argument("sf_dir", help="fixture dir containing orders/lineitem parquet")
+    rc.add_argument("output_dir")
+    rc.add_argument("--min-hitrate-ppm", type=int, default=100_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -118,6 +127,19 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="mre-training-mix")
         try:
             gate = run(spark, args.sf_dir, args.output_dir)
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "recommend":
+        from map_reduce_engine_spark.examples.recommender_job import run
+
+        spark = get_spark(app_name="mre-recommend")
+        try:
+            gate = run(
+                spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
             gate.show(truncate=False)
         finally:
             spark.stop()

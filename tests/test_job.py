@@ -204,3 +204,26 @@ def test_training_mix_job(spark, sf_dir, tmp_path):
     # every language's sampling weights sum to ~10000 bp (integer div floor)
     total_bp = sum(r.weight_bp for r in sheet.collect())
     assert 10000 - len(langs) <= total_bp <= 10000
+
+
+def test_recommender_job(spark, sf_dir, tmp_path):
+    """The composed recommender example writes recommendations + evaluation
+    and the gate reflects the measured LOO hit rate against the floor."""
+    from map_reduce_engine_spark.examples.recommender_job import run
+
+    out = str(tmp_path / "recs")
+    gate = run(spark, sf_dir, out, min_hitrate_ppm=0)
+    row = gate.collect()[0]
+    assert row.deploy_approved  # floor 0: any measured rate approves
+    assert 0 <= row.hitrate_ppm <= 1_000_000
+    assert row.n_hits <= row.n_eval_users
+    recs = spark.read.parquet(f"{out}/recommendations")
+    assert {"custkey", "rec_partkey", "score", "rank"} <= set(recs.columns)
+    per_cust = {}
+    for r in recs.collect():
+        assert 1 <= r.rank <= 5
+        per_cust.setdefault(r.custkey, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_cust.values())
+    # an impossible floor must flip the gate
+    strict = run(spark, sf_dir, str(tmp_path / "recs2"), min_hitrate_ppm=1_000_001)
+    assert not strict.collect()[0].deploy_approved
