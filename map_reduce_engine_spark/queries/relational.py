@@ -3307,12 +3307,17 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # both fact-derived partials feed multiple joins below: materialize each
+    # ONCE (eager localCheckpoint, the hypertable_rollup discipline) so the
+    # pair-matrix self-join and the scoring/novelty joins reuse one scan
+    # instead of re-reading the fact table per branch
     cust_parts = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
     bounded = (
         items.groupBy("l_orderkey").agg(F.count("*").alias("basket")).where(F.col("basket") <= 32)
     )
@@ -3492,12 +3497,17 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def recommender_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # both fact-derived partials feed multiple joins below: materialize each
+    # ONCE (eager localCheckpoint, the hypertable_rollup discipline) so the
+    # pair-matrix self-join and the scoring/novelty joins reuse one scan
+    # instead of re-reading the fact table per branch
     cust_parts = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
     bounded = (
         items.groupBy("l_orderkey").agg(F.count("*").alias("basket")).where(F.col("basket") <= 32)
     )
