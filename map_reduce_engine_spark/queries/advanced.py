@@ -2813,3 +2813,85 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "tile", "n_points", F.row_number().over(w).cast("bigint").alias("density_rank")
     )
+
+
+@register(
+    "partition_sizing_advisor",
+    oracle="""
+    WITH per_table AS (
+      SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+             72 + (sum(octet_length(encode(l_returnflag))
+                       + octet_length(encode(l_linestatus)))::BIGINT // count(*))
+               AS est_row_bytes
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders', count(*),
+             32 + (sum(octet_length(encode(o_orderstatus))
+                       + octet_length(encode(o_orderpriority)))::BIGINT // count(*))
+      FROM orders
+      UNION ALL
+      SELECT 'events', count(*),
+             32 + (sum(octet_length(encode(event_type))
+                       + octet_length(encode(props)))::BIGINT // count(*))
+      FROM events
+      UNION ALL
+      SELECT 'documents', count(*),
+             16 + (sum(octet_length(encode(text)) + octet_length(encode(lang))
+                       + octet_length(encode(source)))::BIGINT // count(*))
+      FROM documents
+    )
+    SELECT tbl, n_rows::BIGINT AS n_rows, est_row_bytes::BIGINT AS est_row_bytes,
+           (n_rows * est_row_bytes)::BIGINT AS est_total_bytes,
+           ((n_rows * est_row_bytes + 268435455) // 268435456)::BIGINT
+             AS rec_scan_partitions,
+           ((n_rows * est_row_bytes + 134217727) // 134217728)::BIGINT
+             AS rec_shuffle_partitions
+    FROM per_table
+    """,
+    doc="pre-flight partition-sizing advisor: estimate each table's logical "
+    "bytes from column statistics (8 bytes per fixed-width column + the "
+    "measured mean string payload) and derive the scan / shuffle partition "
+    "counts that keep tasks at the 256 MB / 128 MB targets SCALE.md pins "
+    "(spark.sql.files.maxPartitionBytes and spill-safe shuffle sizing). "
+    "One aggregate pass per table, |tables| output rows — the sizing "
+    "report a 100 TB job computes on yesterday's stats before it runs, "
+    "instead of discovering OOM partitions at hour three. All arithmetic "
+    "is integer (ceiling division spelled out) so engines agree exactly.",
+)
+def partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def est(tbl: str, fixed_bytes: int, str_cols: list[str]) -> DataFrame:
+        df = t(spark, sf_dir, tbl)
+        payload = None
+        for c in str_cols:
+            term = F.octet_length(F.col(c))
+            payload = term if payload is None else payload + term
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").alias("n_rows"),
+            (
+                F.lit(fixed_bytes)
+                + F.expr(f"sum({'+'.join(f'octet_length({c})' for c in str_cols)}) div count(*)")
+            )
+            .cast("bigint")
+            .alias("est_row_bytes"),
+        )
+
+    per_table = (
+        est("lineitem", 72, ["l_returnflag", "l_linestatus"])
+        .unionByName(est("orders", 32, ["o_orderstatus", "o_orderpriority"]))
+        .unionByName(est("events", 32, ["event_type", "props"]))
+        .unionByName(est("documents", 16, ["text", "lang", "source"]))
+    )
+    total = F.col("n_rows") * F.col("est_row_bytes")
+    return per_table.select(
+        "tbl",
+        "n_rows",
+        "est_row_bytes",
+        total.cast("bigint").alias("est_total_bytes"),
+        F.expr("(n_rows * est_row_bytes + 268435455) div 268435456")
+        .cast("bigint")
+        .alias("rec_scan_partitions"),
+        F.expr("(n_rows * est_row_bytes + 134217727) div 134217728")
+        .cast("bigint")
+        .alias("rec_shuffle_partitions"),
+    )

@@ -1061,3 +1061,106 @@ def embedding_covariance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "embedding_outlier_report",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i,
+             CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cent AS (
+      SELECT label, i, sum(v) // count(*) AS c FROM ex GROUP BY label, i
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label,
+             sum((e.v - c.c) * (e.v - c.c))::BIGINT AS dist2
+      FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+      GROUP BY e.vec_id, e.label
+    ),
+    r AS (
+      SELECT label, dist2,
+             row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS nn
+      FROM d2
+    ),
+    q AS (
+      SELECT label,
+             max(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1 THEN dist2 END) AS med,
+             max(CASE WHEN rn = ((nn - 1) * 99) // 100 + 1 THEN dist2 END) AS p99
+      FROM r GROUP BY label
+    )
+    SELECT d.label, count(*)::BIGINT AS n_vectors,
+           q.med::BIGINT AS median_dist2_micro2,
+           q.p99::BIGINT AS p99_dist2_micro2,
+           sum(CASE WHEN d.dist2 > 4 * q.med THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM d2 d JOIN q ON q.label = d.label
+    GROUP BY d.label, q.med, q.p99
+    """,
+    doc="per-label embedding outlier report: distance-to-own-centroid "
+    "distribution (median, discrete p99) and the count of vectors more "
+    "than 2x the median distance out — the mislabeled/corrupt-vector QA "
+    "every embedding pipeline runs before training a classifier head. "
+    "Values freeze to integer micro-units at the element level (floor(x*"
+    "1e6+0.5), identical formula both engines), centroids are exact "
+    "integer division of sums, so every distance is an exact BIGINT and "
+    "the percentiles are DISCRETE row picks (time_to_convert_cohorts "
+    "template). Per-vector distances come from one explode + two "
+    "hash-aggregates; the percentile window runs over one row per vector "
+    "partitioned by label — at 100 TB swap the window for the mergeable "
+    "sketch percentile (approx_quantile_sketch), same report schema.",
+)
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.expr("CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").alias("v"),
+    )
+    cent = ex.groupBy("label", "i").agg(F.expr("sum(v) div count(*)").alias("c"))
+    d2 = (
+        ex.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy("dist2", "vec_id")
+    r = d2.select(
+        "label",
+        "dist2",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("label")).alias("nn"),
+    )
+    q = r.groupBy("label").agg(
+        F.max(F.when(F.col("rn") == F.expr("(nn - 1) * 50 div 100 + 1"), F.col("dist2"))).alias(
+            "med"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(nn - 1) * 99 div 100 + 1"), F.col("dist2"))).alias(
+            "p99"
+        ),
+    )
+    return (
+        d2.join(q, "label")
+        .groupBy("label", "med", "p99")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("dist2") > 4 * F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.col("med").cast("bigint").alias("median_dist2_micro2"),
+            F.col("p99").cast("bigint").alias("p99_dist2_micro2"),
+            "n_outliers",
+        )
+    )
