@@ -3062,3 +3062,89 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("bounced")).cast("bigint").alias("n_survivors"),
         F.expr("sum(bounced) * 1000000 div count(*)").cast("bigint").alias("debounce_ppm"),
     )
+
+
+@register(
+    "event_path_templates",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    marks AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+               AS is_new
+      FROM seq
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS run_idx
+      FROM marks
+    ),
+    collapsed AS (
+      SELECT DISTINCT user_id, run_idx, event_type FROM runs WHERE run_idx <= 5
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY run_idx) AS template
+      FROM collapsed GROUP BY user_id
+    ),
+    freq AS (
+      SELECT template, count(*)::BIGINT AS n_users FROM paths GROUP BY template
+    ),
+    ranked AS (
+      SELECT template, n_users,
+             row_number() OVER (ORDER BY n_users DESC, template) AS rank
+      FROM freq
+    )
+    SELECT template, n_users, rank::BIGINT AS rank FROM ranked WHERE rank <= 10
+    """,
+    doc="user-journey templates: collapse each user's event sequence with "
+    "run-length encoding (consecutive repeats merge — the debounced view "
+    "of the journey), keep the first 5 collapsed steps, and rank the 10 "
+    "most common templates — the 'how do users actually start' report "
+    "that funnels (fixed step list) and trigrams (local windows) both "
+    "miss. Two user-partitioned window passes (lag + running sum — "
+    "bounded per-user state), one array_sort/array_join per user, and a "
+    "|templates|-bounded frequency aggregate. Template extraction keys "
+    "on user end-to-end, so the shape co-partitions at any event count.",
+)
+def event_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    marks = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    runs = marks.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_idx"),
+    )
+    collapsed = runs.where(F.col("run_idx") <= 5).distinct()
+    paths = collapsed.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(run_idx, event_type))),"
+                   " x -> x.event_type)"),
+            ">",
+        ).alias("template")
+    )
+    freq = paths.groupBy("template").agg(F.count("*").alias("n_users"))
+    rw = Window.orderBy(F.desc("n_users"), F.asc("template"))
+    return (
+        freq.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("template", "n_users", "rank")
+    )

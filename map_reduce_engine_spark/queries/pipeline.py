@@ -1982,3 +1982,112 @@ def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_eval_only",
         "js_nano",
     )
+
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+    WITH y AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(v)::BIGINT   AS s,
+             sum(v * v)::BIGINT AS q
+      FROM y GROUP BY event_type
+    ),
+    gg AS (  -- floor(s^2/n) via the (m, r) decomposition: s = m*n + r keeps
+             -- every intermediate under 2^63 at any fixture scale
+      SELECT event_type, n, s, q,
+             (s // n) AS m, (s - (s // n) * n) AS r
+      FROM g
+    ),
+    terms AS (
+      SELECT event_type, n, s, q,
+             m * m * n + 2 * m * r + (r * r) // n AS s2_over_n
+      FROM gg
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS k,
+             sum(n)::BIGINT AS big_n, sum(s)::BIGINT AS big_s,
+             sum(q)::BIGINT AS big_q, sum(s2_over_n)::BIGINT AS sum_s2n
+      FROM terms
+    ),
+    stats AS (
+      SELECT k, big_n,
+             sum_s2n - (
+               (big_s // big_n) * (big_s // big_n) * big_n
+               + 2 * (big_s // big_n) * (big_s - (big_s // big_n) * big_n)
+               + ((big_s - (big_s // big_n) * big_n)
+                  * (big_s - (big_s // big_n) * big_n)) // big_n
+             ) AS ssb,
+             big_q - sum_s2n AS ssw
+      FROM tot
+    )
+    SELECT k, big_n AS n_rows, ssb::BIGINT AS ssb_cents2, ssw::BIGINT AS ssw_cents2,
+           round((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (big_n - k)), 6) AS f_stat,
+           round(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) AS eta_squared
+    FROM stats
+    """,
+    doc="one-way ANOVA of event value across event types: between/within "
+    "sums of squares from per-group sufficient statistics (n, sum, "
+    "sum-of-squares — three BIGINTs per group, mergeable map-side like "
+    "any sketch partial), F statistic and effect size eta-squared. "
+    "Extends ab_welch_test (2 groups) to k groups. All sums are exact "
+    "integer cents-squared; floor(s^2/n) uses the (m, r) decomposition "
+    "so every intermediate stays under 2^63 in BOTH engines (identical "
+    "truncation, engine-independent), and the final F is one scalar "
+    "double expression over identical integers. One shuffle to |types| "
+    "rows, then a 1-row reduce — corpus size only affects the scan.",
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    y = ev.select("event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
+    g = y.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        "q",
+        F.expr(
+            "(s div n) * (s div n) * n + 2 * (s div n) * (s - (s div n) * n)"
+            " + ((s - (s div n) * n) * (s - (s div n) * n)) div n"
+        ).alias("s2_over_n"),
+    )
+    tot = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("big_n"),
+        F.sum("s").alias("big_s"),
+        F.sum("q").alias("big_q"),
+        F.sum("s2_over_n").alias("sum_s2n"),
+    )
+    stats = tot.select(
+        "k",
+        "big_n",
+        F.expr(
+            "sum_s2n - ((big_s div big_n) * (big_s div big_n) * big_n"
+            " + 2 * (big_s div big_n) * (big_s - (big_s div big_n) * big_n)"
+            " + ((big_s - (big_s div big_n) * big_n)"
+            "    * (big_s - (big_s div big_n) * big_n)) div big_n)"
+        ).alias("ssb"),
+        F.expr("big_q - sum_s2n").alias("ssw"),
+    )
+    return stats.select(
+        "k",
+        F.col("big_n").alias("n_rows"),
+        F.col("ssb").cast("bigint").alias("ssb_cents2"),
+        F.col("ssw").cast("bigint").alias("ssw_cents2"),
+        F.round(
+            (F.col("ssb").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw").cast("double") / (F.col("big_n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
