@@ -1132,3 +1132,135 @@ def rare_token_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("wjaccard_ppm") >= 300000)
     )
+
+
+def _label_prop_rounds(rounds: int = 8) -> str:
+    """Fixed-round min-label propagation as MATERIALIZED CTEs.
+
+    One-hop step per round — EXACTLY the update ``connected_components``
+    performs (new(n) = min(prev(n), min over neighbors prev(nb))), so with
+    the Spark side pinned to the same ``max_iter`` the two engines agree
+    round-for-round whether or not the fixpoint was reached. Linear in
+    edges per round, unlike the recursive-CTE transitive closure, which is
+    quadratic in cluster size (the neardup_pipeline oracle pays that; this
+    one must not — golden-record runs over the SAME dense pair set)."""
+    parts = [
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM und
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT p.node, least(p.label, coalesce(m.minnb, p.label)) AS label
+      FROM l{r - 1} p LEFT JOIN (
+        SELECT e.a AS node, min(pb.label) AS minnb
+        FROM und e JOIN l{r - 1} pb ON pb.node = e.b
+        GROUP BY e.a
+      ) m ON m.node = p.node
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "golden_record_fields",
+    oracle=f"""
+    WITH {_minhash_ctes("l")},
+    verified AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.7),
+    und AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM verified
+      UNION
+      SELECT id2, id1 FROM verified
+    ),
+    {_label_prop_rounds(8)},
+    comp AS (
+      SELECT node, label AS component FROM l8
+    ),
+    mem AS (
+      SELECT c.component, c.node, d.lang, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    pick_src AS (
+      SELECT component, val AS golden_source FROM (
+        SELECT component, source AS val,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, source) AS rn
+        FROM mem GROUP BY component, source
+      ) WHERE rn = 1
+    ),
+    pick_lang AS (
+      SELECT component, val AS golden_lang FROM (
+        SELECT component, lang AS val,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM mem GROUP BY component, lang
+      ) WHERE rn = 1
+    )
+    SELECT m.component AS canonical_id,
+           count(*)::BIGINT AS n_members,
+           ps.golden_source, pl.golden_lang
+    FROM mem m
+    JOIN pick_src ps ON ps.component = m.component
+    JOIN pick_lang pl ON pl.component = m.component
+    GROUP BY m.component, ps.golden_source, pl.golden_lang
+    """,
+    doc="golden-record construction (MDM field survivorship): cluster "
+    "near-duplicate documents (MinHash-verified pairs -> connected "
+    "components), then elect each cluster's surviving field values by "
+    "majority vote with a deterministic lexicographic tiebreak — the "
+    "master-data step AFTER dedup detection that none of the row-level "
+    "survivor policies (dedup_exact_survivors) cover: the golden record "
+    "can mix fields from different members. Per-field voting is one "
+    "(cluster, value) hash aggregate + a cluster-partitioned top-1 "
+    "window over the vote counts — bounded by distinct values per "
+    "cluster, never raw rows. The oracle reproduces the component "
+    "labels with a fixed 8-round min-label propagation (linear in edges "
+    "per round; the Spark side pins max_iter=8 so the engines agree "
+    "round-for-round even short of the fixpoint).",
+)
+def golden_record_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    # the component loop's doubled-edge union would otherwise execute the
+    # whole MinHash-verify pipeline once per union branch: freeze the pair
+    # set first (it is the dup-pair list — tiny relative to the corpus)
+    pairs = dd.jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.7, candidates=cands
+    ).localCheckpoint(eager=True)
+    # max_iter pinned to the oracle's 8 unrolled label-prop rounds: the
+    # early-broken fixpoint equals the fixed unrolling whenever the graph
+    # converges within 8 hops, and both sides run the identical 8 rounds
+    # when it does not
+    comp = connected_components(pairs, src="id1", dst="id2", max_iter=8)
+    # members feed three aggregations (sizes + two field votes)
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "lang", "source"), "node"
+    ).localCheckpoint(eager=True)
+
+    def majority(field: str, out: str) -> DataFrame:
+        votes = mem.groupBy("component", field).agg(F.count("*").alias("c"))
+        w = Window.partitionBy("component").orderBy(F.desc("c"), F.asc(field))
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("component", F.col(field).alias(out))
+        )
+
+    return (
+        mem.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .join(majority("source", "golden_source"), "component")
+        .join(majority("lang", "golden_lang"), "component")
+        .select(
+            F.col("component").alias("canonical_id"),
+            "n_members",
+            "golden_source",
+            "golden_lang",
+        )
+    )

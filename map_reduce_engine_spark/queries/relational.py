@@ -3555,3 +3555,101 @@ def recommender_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("bigint").alias("n_hits"),
         F.expr("sum(hit) * 1000000 div count(*)").cast("bigint").alias("hitrate_ppm"),
     )
+
+
+@register(
+    "laspeyres_price_index",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey, s.s_nationkey,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l.l_shipdate <  TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END
+               AS period,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS rev_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE (l.l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l.l_shipdate < TIMESTAMP '1996-01-01')
+         OR (l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '1997-01-01')
+    ),
+    per_part AS (
+      SELECT s_nationkey, l_partkey,
+             sum(CASE WHEN period = 0 THEN qty ELSE 0 END)::BIGINT AS q0,
+             sum(CASE WHEN period = 0 THEN rev_cents ELSE 0 END)::BIGINT AS rev0,
+             sum(CASE WHEN period = 1 THEN qty ELSE 0 END)::BIGINT AS q1,
+             sum(CASE WHEN period = 1 THEN rev_cents ELSE 0 END)::BIGINT AS rev1
+      FROM li GROUP BY s_nationkey, l_partkey
+    ),
+    common AS (  -- parts traded in BOTH periods within the nation
+      SELECT s_nationkey,
+             ((rev1 * q0) // q1) AS p1q0_cents,
+             rev0                AS p0q0_cents
+      FROM per_part WHERE q0 > 0 AND q1 > 0
+    )
+    SELECT n.n_name,
+           count(*)::BIGINT AS n_common_parts,
+           sum(c.p1q0_cents)::BIGINT AS num_cents,
+           sum(c.p0q0_cents)::BIGINT AS den_cents,
+           round(CAST(sum(c.p1q0_cents) AS DOUBLE) / sum(c.p0q0_cents), 6)
+             AS laspeyres_index
+    FROM common c JOIN nation n ON n.n_nationkey = c.s_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Laspeyres price index per supplier nation, 1995 -> 1996: for parts "
+    "traded in both years, value the base-year basket at current unit "
+    "prices (p1*q0 = rev1*q0/q1 — one integer multiply-divide per part, "
+    "exact truncation identical in both engines) against its base-year "
+    "cost (rev0) — the standard fixed-basket inflation measure, scoped "
+    "by nation. One fact scan with the two-year predicate pushed down, "
+    "one (nation, part) aggregate, a |nations|-bounded rollup, and the "
+    "only floating-point op is the final per-nation scalar division of "
+    "two exact BIGINT sums (identical operands -> identical double).",
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    y0 = (
+        F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+    ) & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+    y1 = (
+        F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ) & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    base = (
+        li.where(y0 | y1)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .select(
+            "l_partkey",
+            "s_nationkey",
+            F.when(y1, 1).otherwise(0).alias("period"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "rev_cents"
+            ),
+        )
+    )
+    per_part = base.groupBy("s_nationkey", "l_partkey").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("qty")).otherwise(0)).alias("q0"),
+        F.sum(F.when(F.col("period") == 0, F.col("rev_cents")).otherwise(0)).alias("rev0"),
+        F.sum(F.when(F.col("period") == 1, F.col("qty")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("period") == 1, F.col("rev_cents")).otherwise(0)).alias("rev1"),
+    )
+    common = per_part.where((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "s_nationkey",
+        F.expr("(rev1 * q0) div q1").alias("p1q0_cents"),
+        F.col("rev0").alias("p0q0_cents"),
+    )
+    return (
+        common.join(nat, common.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_common_parts"),
+            F.sum("p1q0_cents").alias("num_cents"),
+            F.sum("p0q0_cents").alias("den_cents"),
+            F.round(
+                F.sum("p1q0_cents").cast("double") / F.sum("p0q0_cents"), 6
+            ).alias("laspeyres_index"),
+        )
+    )
