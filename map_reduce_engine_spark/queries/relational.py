@@ -3585,7 +3585,9 @@ def recommender_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     common AS (  -- parts traded in BOTH periods within the nation
       SELECT s_nationkey,
              ((rev1 * q0) // q1) AS p1q0_cents,
-             rev0                AS p0q0_cents
+             rev0                AS p0q0_cents,
+             rev1                AS p1q1_cents,
+             ((rev0 * q1) // q0) AS p0q1_cents
       FROM per_part WHERE q0 > 0 AND q1 > 0
     )
     SELECT n.n_name,
@@ -3593,11 +3595,16 @@ def recommender_hitrate_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(c.p1q0_cents)::BIGINT AS num_cents,
            sum(c.p0q0_cents)::BIGINT AS den_cents,
            round(CAST(sum(c.p1q0_cents) AS DOUBLE) / sum(c.p0q0_cents), 6)
-             AS laspeyres_index
+             AS laspeyres_index,
+           round(CAST(sum(c.p1q1_cents) AS DOUBLE) / sum(c.p0q1_cents), 6)
+             AS paasche_index,
+           round(sqrt((CAST(sum(c.p1q0_cents) AS DOUBLE) / sum(c.p0q0_cents))
+                      * (CAST(sum(c.p1q1_cents) AS DOUBLE) / sum(c.p0q1_cents))), 6)
+             AS fisher_index
     FROM common c JOIN nation n ON n.n_nationkey = c.s_nationkey
     GROUP BY n.n_name
     """,
-    doc="Laspeyres price index per supplier nation, 1995 -> 1996: for parts "
+    doc="Laspeyres / Paasche / Fisher price indices per supplier nation, 1995 -> 1996: for parts "
     "traded in both years, value the base-year basket at current unit "
     "prices (p1*q0 = rev1*q0/q1 — one integer multiply-divide per part, "
     "exact truncation identical in both engines) against its base-year "
@@ -3640,7 +3647,11 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.expr("(rev1 * q0) div q1").alias("p1q0_cents"),
         F.col("rev0").alias("p0q0_cents"),
+        F.col("rev1").alias("p1q1_cents"),
+        F.expr("(rev0 * q1) div q0").alias("p0q1_cents"),
     )
+    lasp = F.sum("p1q0_cents").cast("double") / F.sum("p0q0_cents")
+    paasche = F.sum("p1q1_cents").cast("double") / F.sum("p0q1_cents")
     return (
         common.join(nat, common.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
@@ -3648,8 +3659,188 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_common_parts"),
             F.sum("p1q0_cents").alias("num_cents"),
             F.sum("p0q0_cents").alias("den_cents"),
-            F.round(
-                F.sum("p1q0_cents").cast("double") / F.sum("p0q0_cents"), 6
-            ).alias("laspeyres_index"),
+            F.round(lasp, 6).alias("laspeyres_index"),
+            F.round(paasche, 6).alias("paasche_index"),
+            F.round(F.sqrt(lasp * paasche), 6).alias("fisher_index"),
         )
+    )
+
+
+_COPURCHASE_EDGES_SQL = """
+    items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+    )"""
+
+
+@register(
+    "local_clustering_coefficient",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (
+      SELECT a AS node, count(*)::BIGINT AS degree FROM und GROUP BY a
+    ),
+    tri AS (  -- id-oriented triangles, exploded to all three corners
+      SELECT corner, count(*)::BIGINT AS n_triangles FROM (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS corner
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+      ) GROUP BY corner
+    ),
+    coeff AS (
+      SELECT d.node, d.degree,
+             coalesce(t.n_triangles, 0) AS n_triangles,
+             (2 * coalesce(t.n_triangles, 0) * 1000000)
+               // (d.degree * (d.degree - 1)) AS coeff_ppm
+      FROM deg d LEFT JOIN tri t ON t.corner = d.node
+      WHERE d.degree >= 4
+    )
+    SELECT node, degree, n_triangles, coeff_ppm::BIGINT AS coeff_ppm,
+           rank::BIGINT AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY coeff_ppm DESC, node) AS rank
+      FROM coeff
+    ) WHERE rank <= 20
+    """,
+    doc="local clustering coefficient on the co-purchase graph: per-node "
+    "triangle count over possible wedges (2T/(d(d-1)), integer ppm), "
+    "top-20 most-clustered parts with degree >= 4 — the 'tight bundle' "
+    "detector that a global triangle count (copurchase_triangles) hides. "
+    "Triangles enumerate once via oriented equi-joins and explode to "
+    "their three corners, so per-node counts cost one extra aggregate "
+    "over the triangle list; at scale the enumeration swaps to the "
+    "degree-oriented wedge joins of operators/graph.py::triangle_count "
+    "(count per corner is orientation-invariant). Ratio and ranking are "
+    "all-integer with deterministic tiebreaks.",
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds the 3-way join AND the degree agg
+    )
+    und = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.explode(
+                F.array(F.col("e1.u"), F.col("e1.v"), F.col("e2.v"))
+            ).alias("corner")
+        )
+        .groupBy("corner")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    coeff = (
+        deg.join(tri, deg.node == tri.corner, "left")
+        .where(F.col("degree") >= 4)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000) div (degree * (degree - 1))"
+            ).alias("coeff_ppm"),
+        )
+    )
+    w = Window.orderBy(F.desc("coeff_ppm"), F.asc("node"))
+    return (
+        coeff.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("node", "degree", "n_triangles", "coeff_ppm", "rank")
+    )
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (
+      SELECT a AS node, count(*)::BIGINT AS d FROM und GROUP BY a
+    ),
+    ep AS (  -- endpoint degree pairs over the doubled edge list
+      SELECT dx.d AS x, dy.d AS y
+      FROM und e JOIN deg dx ON dx.node = e.a JOIN deg dy ON dy.node = e.b
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM ep
+    )
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity
+    FROM m
+    """,
+    doc="degree assortativity of the co-purchase graph: Pearson correlation "
+    "of endpoint degrees over the doubled edge list — positive means hubs "
+    "connect to hubs (resilient core), negative means hub-and-spoke "
+    "(remove the hub, lose the graph); the one-number topology summary "
+    "that decides whether degree-based partitioning will shard cleanly. "
+    "Two hash joins decorate edges with endpoint degrees, the five "
+    "moments reduce to one exact-BIGINT row, and the correlation is one "
+    "scalar double expression over identical integers in both engines.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds und twice (degrees + pairs)
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    ep = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    m = ep.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
     )
