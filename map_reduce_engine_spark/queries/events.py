@@ -3148,3 +3148,110 @@ def event_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("template", "n_users", "rank")
     )
+
+
+@register(
+    "attribution_u_shaped",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    assist AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS pos,
+             count(*) OVER (PARTITION BY p.event_id) AS n
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    ),
+    credited AS (
+      SELECT user_id, purchase_id, click_id, pos, n,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN pos = 1 THEN 400000
+                 + (1000000 - 800000 - (200000 // (n - 2)) * (n - 2))
+               WHEN pos = n THEN 400000
+               ELSE 200000 // (n - 2)
+             END AS credit_micro,
+             CASE WHEN pos = 1 THEN 'first'
+                  WHEN pos = n THEN 'last'
+                  ELSE 'middle' END AS role
+      FROM assist
+    )
+    SELECT user_id,
+           count(DISTINCT purchase_id) AS n_attr_purchases,
+           sum(CASE WHEN role = 'first' THEN credit_micro ELSE 0 END)::BIGINT
+             AS first_credit_micro,
+           sum(CASE WHEN role = 'middle' THEN credit_micro ELSE 0 END)::BIGINT
+             AS middle_credit_micro,
+           sum(CASE WHEN role = 'last' THEN credit_micro ELSE 0 END)::BIGINT
+             AS last_credit_micro
+    FROM credited GROUP BY user_id
+    """,
+    doc="U-shaped (position-based) multi-touch attribution: 40% of each "
+    "purchase's credit to the first assisting click, 40% to the last, "
+    "20% shared across the middles — the standard position model next to "
+    "linear (multitouch_attribution / attribution_linear_split) and "
+    "first/last-touch (attribution_first_last). Credit is INTEGER "
+    "micro-units with the integer-division remainder reconciled to the "
+    "first touch (attribution_linear_split convention), so every "
+    "purchase's credits sum to exactly 1,000,000 and engines agree "
+    "bit-for-bit. Same interval-join + per-purchase window shape as the "
+    "linear model — watermark-boundable at stream scale.",
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    assist = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    ranked = assist.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n"),
+    )
+    credited = ranked.select(
+        "user_id",
+        "purchase_id",
+        F.expr(
+            "CASE WHEN n = 1 THEN 1000000"
+            " WHEN n = 2 THEN 500000"
+            " WHEN pos = 1 THEN 400000"
+            "   + (1000000 - 800000 - (200000 div (n - 2)) * (n - 2))"
+            " WHEN pos = n THEN 400000"
+            " ELSE 200000 div (n - 2) END"
+        ).alias("credit_micro"),
+        F.expr(
+            "CASE WHEN pos = 1 THEN 'first' WHEN pos = n THEN 'last'"
+            " ELSE 'middle' END"
+        ).alias("role"),
+    )
+    return credited.groupBy("user_id").agg(
+        F.countDistinct("purchase_id").alias("n_attr_purchases"),
+        F.sum(F.when(F.col("role") == "first", F.col("credit_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("first_credit_micro"),
+        F.sum(F.when(F.col("role") == "middle", F.col("credit_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("middle_credit_micro"),
+        F.sum(F.when(F.col("role") == "last", F.col("credit_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("last_credit_micro"),
+    )

@@ -3844,3 +3844,58 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "duplicate_payment_candidates",
+    oracle="""
+    SELECT a.o_orderkey AS id1, b.o_orderkey AS id2,
+           a.o_custkey  AS custkey,
+           CAST(CAST(a.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS amount_cents,
+           abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                         CAST(b.o_orderdate AS DATE)))::BIGINT AS gap_days
+    FROM orders a
+    JOIN orders b
+      ON b.o_custkey = a.o_custkey
+     AND b.o_totalprice = a.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                        CAST(b.o_orderdate AS DATE))) <= 7
+    """,
+    doc="duplicate-payment candidates: order pairs from the same customer "
+    "with the identical amount within 7 days — the first-line fraud / "
+    "double-charge audit every billing pipeline runs. The self-join is an "
+    "EQUI-join on (customer, amount) (candidate fan-out bounded by how "
+    "often one customer repeats one exact amount — tiny), with the date "
+    "band as a post-join filter, never a time-range join over the fact "
+    "table. Amounts compare in exact cents; gaps are integer days.",
+)
+def duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("id1"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.to_date("o_orderdate").alias("d1"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("id2"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.to_date("o_orderdate").alias("d2"),
+    )
+    return (
+        a.join(b, ["custkey", "amount"])
+        .where(F.col("id1") < F.col("id2"))
+        .where(F.abs(F.datediff(F.col("d1"), F.col("d2"))) <= 7)
+        .select(
+            "id1",
+            "id2",
+            "custkey",
+            F.expr("CAST(CAST(amount AS DECIMAL(14,2)) * 100 AS BIGINT)").alias(
+                "amount_cents"
+            ),
+            F.abs(F.datediff(F.col("d1"), F.col("d2"))).cast("bigint").alias("gap_days"),
+        )
+    )

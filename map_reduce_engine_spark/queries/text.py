@@ -1083,3 +1083,88 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("heaps_beta"),
         F.round((sy - slope * sx) / n / F.lit(1000000.0), 6).alias("log_k"),
     )
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS l FROM documents WHERE trim(text) <> ''
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, l[i] AS tok
+      FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    big AS (
+      SELECT t1, t2, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l)), i -> l[i])) AS t1,
+               unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS t2
+        FROM toks WHERE len(l) >= 2
+      ) GROUP BY t1, t2
+    ),
+    top1 AS (
+      SELECT t1, t2 FROM (
+        SELECT t1, t2, row_number() OVER (ORDER BY c DESC, t1, t2) AS rn FROM big
+      ) WHERE rn = 1
+    ),
+    p1 AS (
+      SELECT p.doc_id, p.p, q.t1, q.t2 FROM pos p JOIN top1 q ON p.tok = q.t1
+    ),
+    p2 AS (
+      SELECT p.doc_id, p.p FROM pos p JOIN top1 q ON p.tok = q.t2
+    ),
+    m AS (
+      SELECT a.doc_id, a.t1, a.t2
+      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    )
+    SELECT t1 || ' ' || t2 AS phrase,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences
+    FROM m GROUP BY t1, t2
+    """,
+    doc="positional phrase search: build a positional posting list "
+    "(doc, position, token), pick the corpus's most frequent bigram as "
+    "the probe phrase (deterministic tiebreak), and count exact adjacent "
+    "occurrences by joining the two tokens' postings on (doc, pos+1) — "
+    "the inverted-index-with-positions retrieval primitive that bag-of-"
+    "words indexes (token_doc_freq, bm25_doc_scores) cannot answer. The "
+    "postings are FILTERED to the probe tokens before the positional "
+    "join, so the join input is two term posting lists, never the corpus "
+    "(the scale rule for phrase queries); probe selection itself uses "
+    "in-row adjacent-pair transforms, no positional self-join.",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", text_ops.tokens_col("text").alias("l"))
+    pos = toks.select("doc_id", F.posexplode("l").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    big = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1),"
+                    " i -> struct(l[i-1] AS t1, l[i] AS t2))"
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t1"), F.asc("t2"))
+    top1 = big.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("t1", "t2")
+    p1 = pos.join(F.broadcast(top1), pos.tok == top1.t1).select("doc_id", "p", "t1", "t2")
+    p2 = pos.join(F.broadcast(top1.select("t2")), pos.tok == F.col("t2")).select(
+        F.col("doc_id").alias("doc_id2"), F.col("p").alias("p2")
+    )
+    m = p1.join(
+        p2, (F.col("doc_id2") == F.col("doc_id")) & (F.col("p2") == F.col("p") + 1)
+    )
+    return m.groupBy("t1", "t2").agg(
+        F.concat_ws(" ", "t1", "t2").alias("phrase"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    ).select("phrase", "n_docs", "n_occurrences")
