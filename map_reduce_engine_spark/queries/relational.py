@@ -3899,3 +3899,60 @@ def duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.datediff(F.col("d1"), F.col("d2"))).cast("bigint").alias("gap_days"),
         )
     )
+
+
+@register(
+    "seasonal_index_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT extract(year FROM CAST(o_orderdate AS DATE))::BIGINT  AS yr,
+             extract(month FROM CAST(o_orderdate AS DATE))::BIGINT AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    y AS (
+      SELECT yr, sum(rev_cents)::BIGINT AS yr_cents, count(*)::BIGINT AS n_months
+      FROM m GROUP BY yr
+    )
+    SELECT m.yr, m.mon, m.rev_cents,
+           (m.rev_cents * n_months * 1000000 // y.yr_cents)::BIGINT
+             AS seasonal_index_ppm
+    FROM m JOIN y ON y.yr = m.yr
+    WHERE y.n_months = 12
+    """,
+    doc="multiplicative monthly seasonal index of order revenue: each "
+    "month's revenue as a ratio-to-yearly-average (rev * 12 / year_rev, "
+    "integer ppm), for complete years only — the deseasonalization table "
+    "a forecast divides through before fitting trend "
+    "(exponential_smoothing_forecast / ols_value_trend operate on the "
+    "adjusted series). Revenue sums are exact DECIMAL cents; the index "
+    "is one integer multiply-divide, and the whole query reduces to a "
+    "bounded (year, month) aggregate joined to its |years|-row rollup.",
+)
+def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.select(
+        F.year(F.to_date("o_orderdate")).cast("bigint").alias("yr"),
+        F.month(F.to_date("o_orderdate")).cast("bigint").alias("mon"),
+        F.col("o_totalprice"),
+    ).groupBy("yr", "mon").agg(
+        F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)").alias(
+            "rev_cents"
+        )
+    )
+    y = m.groupBy("yr").agg(
+        F.sum("rev_cents").alias("yr_cents"), F.count("*").alias("n_months")
+    )
+    return (
+        m.join(y, "yr")
+        .where(F.col("n_months") == 12)
+        .select(
+            "yr",
+            "mon",
+            "rev_cents",
+            F.expr("rev_cents * n_months * 1000000 div yr_cents")
+            .cast("bigint")
+            .alias("seasonal_index_ppm"),
+        )
+    )

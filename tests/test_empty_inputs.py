@@ -240,3 +240,12 @@ def test_sizing_auto_paths_empty_corpus(spark):
     )
     pairs = minhash_candidate_pairs(sigs, None, None, materialize=False)
     assert pairs.count() == 0
+
+
+def test_k_core_empty_edges(spark):
+    from map_reduce_engine_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([], "u BIGINT, v BIGINT")
+    out = k_core(edges, k=3)
+    assert out.columns == ["node", "core_degree"]
+    assert out.count() == 0
