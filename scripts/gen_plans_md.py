@@ -138,6 +138,17 @@ HEADLINE = [
         "duplicate-flow matrix: the MinHash-LSH candidate equi-join plus two "
         "doc_id hash joins into a |sources|^2-bounded rollup",
     ),
+    (
+        "phrase_search_positional",
+        "positional phrase probe: postings filtered to the two probe tokens "
+        "BEFORE the (doc, pos+1) join — term posting lists join, never the "
+        "corpus",
+    ),
+    (
+        "golden_record_fields",
+        "MDM survivorship: cluster labels off the checkpointed component "
+        "loop, per-field majority via (cluster, value) agg + top-1 window",
+    ),
 ]
 
 
