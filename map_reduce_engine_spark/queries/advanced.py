@@ -2895,3 +2895,44 @@ def partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rec_shuffle_partitions"),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.s_name, CAST(t.s_acctbal AS DOUBLE) AS s_acctbal,
+           t.rank_in_nation
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal,
+             row_number() OVER (ORDER BY s_acctbal DESC, s_name)::BIGINT
+               AS rank_in_nation
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) t
+    """,
+    doc="correlated LATERAL subquery with per-outer-row ORDER BY / LIMIT — "
+    "the SQL:1999 lateral-join surface (Spark 3.2+; SPARK-34382). The "
+    "'top 2 suppliers per nation' it expresses is the same result as "
+    "window_topk_per_nation, but arriving through the LATERAL derived "
+    "table: Catalyst plans the correlated limit as a ranked window over "
+    "a join, not a per-row re-execution, so the shape is one shuffle on "
+    "the correlation key regardless of outer cardinality. Deterministic "
+    "tiebreak (acctbal DESC, name) makes the LIMIT row set unique.",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "nation", "supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, CAST(t.s_acctbal AS DOUBLE) AS s_acctbal,
+               t.rank_in_nation
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal,
+                 CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_name)
+                      AS BIGINT) AS rank_in_nation
+          FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2
+        ) t
+        """
+    )

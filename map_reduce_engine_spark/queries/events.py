@@ -3255,3 +3255,227 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_credit_micro"),
     )
+
+
+@register(
+    "cross_correlation_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day,
+             count(*)::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS y
+      FROM events GROUP BY ts::DATE
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy
+      FROM daily
+    ),
+    c AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             n * x - sx AS cdx,
+             n * y - sy AS cdy
+      FROM daily, stats
+    ),
+    den AS (
+      SELECT sum(cdx * cdx)::DOUBLE AS denx, sum(cdy * cdy)::DOUBLE AS deny
+      FROM c
+    ),
+    lags AS (
+      SELECT k FROM (VALUES (-7), (-3), (-1), (0), (1), (3), (7)) AS v(k)
+    ),
+    num AS (
+      SELECT l.k, count(*)::BIGINT AS n_pairs,
+             sum(a.cdx * b.cdy)::DOUBLE AS num
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.t = a.t + l.k
+      GROUP BY l.k
+    )
+    SELECT num.k AS lag_days, num.n_pairs,
+           round(num.num / sqrt(den.denx * den.deny), 6) AS ccf
+    FROM num, den
+    """,
+    doc="lead-lag cross-correlation between daily event volume (all types) "
+    "and daily purchase revenue at lags -7..7 — the 'does traffic lead "
+    "revenue, and by how many days?' diagnostic a demand-forecasting "
+    "pipeline runs before choosing exogenous regressors. Same n-scaled "
+    "integer-deviation trick as revenue_autocorrelation (cdev = n*v - S, "
+    "EXACT BIGINTs); squared/cross products are summed as DECIMAL(38,0) "
+    "on the Spark side (DuckDB sums to HUGEINT) so the denominator cannot "
+    "overflow 63 bits at any corpus scale, and both exact integers convert "
+    "once to double for the final ratio. Lag pairing is an equi-join on "
+    "the calendar-bounded day index; everything after the first daily "
+    "aggregate is bounded by the calendar, not the corpus.",
+)
+def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("y"),
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    wt = Window.orderBy("day")
+    c = daily.crossJoin(F.broadcast(stats)).select(
+        F.row_number().over(wt).alias("t"),
+        (F.col("n") * F.col("x") - F.col("sx")).alias("cdx"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("cdy"),
+    )
+    den = c.agg(
+        F.sum((F.col("cdx") * F.col("cdx")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("denx"),
+        F.sum((F.col("cdy") * F.col("cdy")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("deny"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in (-7, -3, -1, 0, 1, 3, 7)])
+    ).alias("k")
+    a = c.select(F.col("t"), F.col("cdx").alias("ca")).select("*", lags)
+    b = c.select(F.col("t").alias("tb"), F.col("cdy").alias("cb"))
+    num = (
+        a.join(b, F.col("tb") == F.col("t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("integer").alias("lag_days"),
+        F.col("n_pairs"),
+        F.round(
+            F.col("num") / F.sqrt(F.col("denx") * F.col("deny")), 6
+        ).alias("ccf"),
+    )
+
+
+@register(
+    "feature_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, hour(ts)::BIGINT AS hr, count(*)::BIGINT AS cxy
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    mx AS (SELECT event_type, sum(cxy)::BIGINT AS cx FROM cells GROUP BY event_type),
+    my AS (SELECT hr, sum(cxy)::BIGINT AS cy FROM cells GROUP BY hr),
+    tot AS (SELECT sum(cxy)::BIGINT AS n FROM cells),
+    terms AS (
+      SELECT c.cxy,
+             CAST(round(1e6 * ln((c.cxy::DOUBLE * t.n::DOUBLE)
+                                 / (mx.cx::DOUBLE * my.cy::DOUBLE))) AS BIGINT)
+               AS t_micro
+      FROM cells c JOIN mx USING (event_type) JOIN my USING (hr), tot t
+    ),
+    hx AS (
+      SELECT sum(cx * CAST(round(1e6 * ln(cx::DOUBLE / t.n::DOUBLE)) AS BIGINT))
+               ::BIGINT AS hx_micro_sum
+      FROM mx, tot t
+    ),
+    hy AS (
+      SELECT sum(cy * CAST(round(1e6 * ln(cy::DOUBLE / t.n::DOUBLE)) AS BIGINT))
+               ::BIGINT AS hy_micro_sum
+      FROM my, tot t
+    ),
+    mi AS (SELECT sum(cxy * t_micro)::BIGINT AS mi_micro_sum FROM terms)
+    SELECT t.n AS n_events,
+           round(mi.mi_micro_sum::DOUBLE / (1e6 * t.n::DOUBLE), 6) AS mi_nats,
+           round(-hx.hx_micro_sum::DOUBLE / (1e6 * t.n::DOUBLE), 6) AS h_type,
+           round(-hy.hy_micro_sum::DOUBLE / (1e6 * t.n::DOUBLE), 6) AS h_hour,
+           round(mi.mi_micro_sum::DOUBLE
+                 / sqrt(hx.hx_micro_sum::DOUBLE * hy.hy_micro_sum::DOUBLE), 6)
+             AS nmi
+    FROM tot t, mi, hx, hy
+    """,
+    doc="mutual information between event_type and hour-of-day (plus both "
+    "marginal entropies and normalized MI) — the feature-dependence audit "
+    "a training pipeline runs to decide whether two categorical features "
+    "are redundant or informative. Complements chi2_independence: chi2 "
+    "answers 'dependent at all?', MI answers 'how many nats?'. One corpus "
+    "aggregate to the (types x 24)-cell grid; margins re-aggregate the "
+    "GRID, not the corpus, so everything past the first shuffle is "
+    "bounded. ln() runs once per bounded cell and is frozen to integer "
+    "micro-nats immediately (the temperature_mixture_weights recipe); the "
+    "weighted sums are exact BIGINTs and the only floats are three final "
+    "ratios of identical integers. F.hour on TIMESTAMP_NTZ is tz-safe.",
+)
+def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count("*").alias("cxy"))
+    cells = cells.localCheckpoint(eager=True)  # grid reused by 4 aggregates
+    mx = cells.groupBy("event_type").agg(F.sum("cxy").alias("cx"))
+    my = cells.groupBy("hr").agg(F.sum("cxy").alias("cy"))
+    tot = cells.agg(F.sum("cxy").alias("n"))
+    t_micro = F.round(
+        F.lit(1e6)
+        * F.log(
+            (F.col("cxy").cast("double") * F.col("n").cast("double"))
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        )
+    ).cast("bigint")
+    mi = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.col("cxy") * t_micro).cast("bigint").alias("mi_micro_sum"))
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("cx")
+            * F.round(
+                F.lit(1e6) * F.log(F.col("cx").cast("double") / F.col("n").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hx_micro_sum")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("cy")
+            * F.round(
+                F.lit(1e6) * F.log(F.col("cy").cast("double") / F.col("n").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hy_micro_sum")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_events"),
+            F.round(
+                F.col("mi_micro_sum").cast("double") / (F.lit(1e6) * F.col("n").cast("double")),
+                6,
+            ).alias("mi_nats"),
+            F.round(
+                -F.col("hx_micro_sum").cast("double") / (F.lit(1e6) * F.col("n").cast("double")),
+                6,
+            ).alias("h_type"),
+            F.round(
+                -F.col("hy_micro_sum").cast("double") / (F.lit(1e6) * F.col("n").cast("double")),
+                6,
+            ).alias("h_hour"),
+            F.round(
+                F.col("mi_micro_sum").cast("double")
+                / F.sqrt(
+                    F.col("hx_micro_sum").cast("double") * F.col("hy_micro_sum").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -2091,3 +2091,152 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_squared"
         ),
     )
+
+
+def _kmeans1d_oracle(rounds: int = 5) -> str:
+    """Generate the unrolled fixed-round 1-D k-means oracle (k=3).
+
+    Every round is two CTEs — assignment (nearest centroid, ties to the
+    lowest id) and centroid update (integer mean via floor division; an
+    empty cluster keeps its previous centroid).  Update CTEs are
+    MATERIALIZED: each is referenced by the next round AND by the
+    empty-cluster fallback, and DuckDB's default inlining would otherwise
+    expand the chain exponentially (the bpe_train_merges lesson).
+    """
+    assign = (
+        "SELECT b.cents, CASE"
+        " WHEN abs(b.cents - c.c1) <= abs(b.cents - c.c2)"
+        "  AND abs(b.cents - c.c1) <= abs(b.cents - c.c3) THEN 1"
+        " WHEN abs(b.cents - c.c2) <= abs(b.cents - c.c3) THEN 2"
+        " ELSE 3 END AS a FROM base b, {prev} c"
+    )
+    update = (
+        "SELECT "
+        + ", ".join(
+            "COALESCE((sum(CASE WHEN a = {k} THEN cents END)::BIGINT)"
+            " // NULLIF(count(CASE WHEN a = {k} THEN 1 END), 0),"
+            " (SELECT c{k} FROM {prev})) AS c{k}".format(k=k, prev="{prev}")
+            for k in (1, 2, 3)
+        )
+        + " FROM {a}"
+    )
+    parts = [
+        "WITH base AS MATERIALIZED (SELECT CAST(round(o_totalprice * 100)"
+        " AS BIGINT) AS cents FROM orders)",
+        "n AS (SELECT count(*)::BIGINT AS n FROM base)",
+        "ranked AS MATERIALIZED (SELECT cents,"
+        " row_number() OVER (ORDER BY cents) AS rk FROM base)",
+        "c0 AS MATERIALIZED (SELECT"
+        " (SELECT cents FROM ranked, n WHERE rk = (n - 1) // 4 + 1) AS c1,"
+        " (SELECT cents FROM ranked, n WHERE rk = (n - 1) // 2 + 1) AS c2,"
+        " (SELECT cents FROM ranked, n WHERE rk = (3 * (n - 1)) // 4 + 1) AS c3)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"a{r} AS ({assign.format(prev=f'c{r - 1}')})")
+        parts.append(
+            f"c{r} AS MATERIALIZED ({update.format(prev=f'c{r - 1}', a=f'a{r}')})"
+        )
+    parts.append(f"afin AS ({assign.format(prev=f'c{rounds}')})")
+    final = f"""
+    SELECT a::BIGINT AS cluster_id,
+           CASE a WHEN 1 THEN (SELECT c1 FROM c{rounds})
+                  WHEN 2 THEN (SELECT c2 FROM c{rounds})
+                  ELSE (SELECT c3 FROM c{rounds}) END AS centroid_cents,
+           count(*)::BIGINT AS n_orders,
+           (sum(cents)::BIGINT) // count(*) AS mean_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM afin GROUP BY a
+    """
+    return ",\n".join(parts) + final
+
+
+@register(
+    "kmeans_1d_value_segments",
+    oracle=_kmeans1d_oracle(),
+    doc="in-engine 1-D k-means (k=3, 5 fixed rounds) over order totals in "
+    "integer cents — the cheap/mid/premium order segmentation a pricing "
+    "or stratified-sampling pipeline derives from data instead of "
+    "hand-picked thresholds. Lloyd's algorithm made engine-exact: "
+    "centroids init at the discrete quartiles (row_number pick, pure "
+    "integers), assignment is integer |cents - c| argmin with ties to "
+    "the lowest cluster id, and the update is an exact BIGINT floor-"
+    "division mean — no floats anywhere, so 5 rounds land on identical "
+    "integers in any engine. Scale shape: the cents column is localCheck"
+    "pointed once and each round is one 3-column conditional aggregate "
+    "(k driver-held integers, the PQ-codebook pattern); only the "
+    "quartile init uses a global ranked window — at 100 TB swap it for "
+    "approx_percentile seeds without touching the loop.",
+)
+def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 5
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    wr = Window.orderBy("cents")
+    picks = {(n - 1) // 4 + 1, (n - 1) // 2 + 1, (3 * (n - 1)) // 4 + 1}
+    ranked = (
+        base.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk").isin(*picks))
+        .orderBy("rk")
+        .collect()
+    )
+    by_rank = {r["rk"]: r["cents"] for r in ranked}
+    cents_c = [
+        by_rank[(n - 1) // 4 + 1],
+        by_rank[(n - 1) // 2 + 1],
+        by_rank[(3 * (n - 1)) // 4 + 1],
+    ]
+
+    def assign_col(c):
+        d = [F.abs(F.col("cents") - F.lit(int(ck))) for ck in c]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]), F.lit(1))
+            .when(d[1] <= d[2], F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("a")
+        )
+
+    for _ in range(rounds):
+        row = (
+            base.select("cents", assign_col(cents_c))
+            .groupBy()
+            .agg(
+                *[
+                    F.expr(
+                        f"sum(CASE WHEN a = {k} THEN cents END)"
+                        f" div count(CASE WHEN a = {k} THEN 1 END)"
+                    ).alias(f"c{k}")
+                    for k in (1, 2, 3)
+                ]
+            )
+            .collect()[0]
+        )
+        cents_c = [
+            row[f"c{k}"] if row[f"c{k}"] is not None else cents_c[k - 1]
+            for k in (1, 2, 3)
+        ]
+
+    centroid_case = "CASE a WHEN 1 THEN {} WHEN 2 THEN {} ELSE {} END".format(
+        *[int(c) for c in cents_c]
+    )
+    return (
+        base.select("cents", assign_col(cents_c))
+        .groupBy("a")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("sum(cents) div count(*)").alias("mean_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            F.col("a").cast("bigint").alias("cluster_id"),
+            F.expr(centroid_case).cast("bigint").alias("centroid_cents"),
+            "n_orders",
+            "mean_cents",
+            "min_cents",
+            "max_cents",
+        )
+    )

@@ -1168,3 +1168,148 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_occurrences"),
     ).select("phrase", "n_docs", "n_occurrences")
+
+
+@register(
+    "naive_bayes_langid",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0 AND tok <> ''),
+    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1 AND tok <> ''),
+    counts AS (
+      SELECT lang, tok, count(*)::BIGINT AS cnt FROM train GROUP BY lang, tok
+    ),
+    lt AS (SELECT lang, sum(cnt)::BIGINT AS total FROM counts GROUP BY lang),
+    v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM counts),
+    pr AS (
+      SELECT lang, count(*)::BIGINT AS ndocs FROM documents
+      WHERE trim(text) <> '' AND doc_id % 2 = 0 GROUP BY lang
+    ),
+    dt AS (
+      SELECT count(*)::BIGINT AS dtot FROM documents
+      WHERE trim(text) <> '' AND doc_id % 2 = 0
+    ),
+    langt AS MATERIALIZED (
+      SELECT lt.lang, lt.total, v.v,
+             CAST(round(1e6 * ln(1.0 / (lt.total + v.v)::DOUBLE)) AS BIGINT)
+               AS dflt,
+             CAST(round(1e6 * ln(pr.ndocs::DOUBLE / dt.dtot::DOUBLE)) AS BIGINT)
+               AS prior
+      FROM lt JOIN pr USING (lang), v, dt
+    ),
+    w AS MATERIALIZED (
+      SELECT c.lang, c.tok,
+             CAST(round(1e6 * ln((c.cnt + 1)::DOUBLE
+                                 / (l.total + l.v)::DOUBLE)) AS BIGINT) AS llw
+      FROM counts c JOIN langt l USING (lang)
+    ),
+    scored AS (
+      SELECT te.doc_id, te.lang AS true_lang, l.lang AS cand,
+             max(l.prior) + sum(COALESCE(w.llw, l.dflt)) AS total_micro
+      FROM test te CROSS JOIN langt l
+      LEFT JOIN w ON w.lang = l.lang AND w.tok = te.tok
+      GROUP BY te.doc_id, te.lang, l.lang
+    ),
+    pred AS (
+      SELECT true_lang, cand,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY total_micro DESC, cand) AS rk
+      FROM scored
+    )
+    SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
+    FROM pred WHERE rk = 1 GROUP BY true_lang, cand
+    """,
+    doc="in-engine multinomial naive Bayes language classifier: train on "
+    "even doc_ids (Laplace-smoothed token likelihoods + doc-count priors), "
+    "predict on odd doc_ids, emit the confusion matrix against the "
+    "ground-truth lang column. The supervised counterpart of the heuristic "
+    "langid: the whole train/predict/eval loop runs as DataFrame ops, no "
+    "model export. Scale shape: two corpus token passes (count fit, test "
+    "scoring); the model is the vocabulary-x-langs weight table (Heaps-"
+    "bounded, equi-joined on token) plus a |langs|-row broadcast for "
+    "priors/defaults; per-doc scores are exact BIGINT micro-nat sums "
+    "(every ln frozen per bounded (lang,token) group), so argmax and the "
+    "confusion matrix are integer-deterministic across engines.",
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text_ops.tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    test = toks.where(F.col("doc_id") % 2 == 1)
+    counts = train.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    counts = counts.localCheckpoint(eager=True)  # model reused by 3 consumers
+    lt = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    v = counts.select("tok").distinct().agg(F.count("*").alias("v"))
+    train_docs = docs.where(F.col("doc_id") % 2 == 0)
+    pr = train_docs.groupBy("lang").agg(F.count("*").alias("ndocs"))
+    dt = train_docs.agg(F.count("*").alias("dtot"))
+    langt = (
+        lt.join(pr, "lang")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(dt))
+        .select(
+            "lang",
+            "total",
+            "v",
+            F.round(
+                F.lit(1e6)
+                * F.log(F.lit(1.0) / (F.col("total") + F.col("v")).cast("double"))
+            )
+            .cast("bigint")
+            .alias("dflt"),
+            F.round(
+                F.lit(1e6)
+                * F.log(F.col("ndocs").cast("double") / F.col("dtot").cast("double"))
+            )
+            .cast("bigint")
+            .alias("prior"),
+        )
+    )
+    w = counts.join(F.broadcast(langt), "lang").select(
+        "lang",
+        "tok",
+        F.round(
+            F.lit(1e6)
+            * F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("total") + F.col("v")).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("llw"),
+    )
+    cand = langt.select(
+        F.col("lang").alias("cand"), F.col("dflt"), F.col("prior")
+    )
+    scored = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .crossJoin(F.broadcast(cand))
+        .join(
+            w.select(F.col("lang").alias("cand"), "tok", "llw"),
+            ["cand", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            (
+                F.max("prior") + F.sum(F.coalesce(F.col("llw"), F.col("dflt")))
+            ).alias("total_micro")
+        )
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(
+        F.col("total_micro").desc(), F.col("cand")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wpred))
+        .where(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )

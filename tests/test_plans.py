@@ -577,6 +577,12 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "naive_bayes_langid": "broadcasts the |langs|-row prior/default table "
+    "and two 1-row training totals (vocab size, train doc count)",
+    "cross_correlation_lags": "broadcasts the 1-row daily-series stats and "
+    "1-row denominator aggregates over the calendar-bounded series",
+    "feature_mutual_information": "broadcasts the 1-row grand total and the "
+    "1-row MI/entropy aggregates over the (types x 24)-cell grid",
     "chi2_independence": "broadcasts the 1-row grand total and 1-row dof aggregates",
     "matryoshka_truncation_eval": "both rankings are the sanctioned bounded-probe "
     "exact-kNN scan (knn_cosine_topk shape)",
