@@ -1164,3 +1164,218 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+def _pca_oracle(rounds: int = 8) -> str:
+    """Generate the unrolled power-iteration oracle (top PC of the 64-dim
+    embedding covariance).  Integer second moments -> HUGEINT-exact scaled
+    covariance -> list-based matrix -> ``rounds`` mat-vec/normalize steps.
+    ``list_dot_product`` folds left exactly like Spark's
+    ``aggregate(zip_with(..), 0D, +)`` (the knn_cosine_topk precedent), so
+    every double op happens in the same order on both engines."""
+    head = """
+    WITH ints AS MATERIALIZED (
+      SELECT list_transform(embedding, e -> CAST(round(e * 1e6) AS BIGINT))
+               AS xs
+      FROM embeddings
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM ints),
+    dims AS (SELECT unnest(range(64)) AS i),
+    si AS MATERIALIZED (
+      SELECT d.i, sum(xs[d.i + 1])::BIGINT AS s FROM ints, dims d GROUP BY d.i
+    ),
+    pr AS (SELECT a.i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i),
+    pij AS MATERIALIZED (
+      SELECT p.i, p.j, sum(xs[p.i + 1] * xs[p.j + 1])::BIGINT AS pij
+      FROM ints, pr p GROUP BY p.i, p.j
+    ),
+    craw AS MATERIALIZED (
+      SELECT p.i, p.j,
+             (nn.n::HUGEINT * p.pij::HUGEINT - a.s::HUGEINT * b.s::HUGEINT)
+               AS ci
+      FROM pij p JOIN si a ON a.i = p.i JOIN si b ON b.i = p.j, nn
+    ),
+    tr AS (SELECT sum(ci)::DOUBLE AS trace_raw FROM craw WHERE i = j),
+    mfull AS (
+      SELECT i, j, ci::DOUBLE AS c FROM craw
+      UNION ALL SELECT j, i, ci::DOUBLE FROM craw WHERE i < j
+    ),
+    mat AS MATERIALIZED (
+      SELECT list(r ORDER BY i) AS cm FROM (
+        SELECT i, list(c ORDER BY j) AS r FROM mfull GROUP BY i)
+    ),
+    v0 AS (SELECT cm, list_transform(range(64), k -> 0.125::DOUBLE) AS v
+           FROM mat)"""
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(
+            f"w{r} AS MATERIALIZED (SELECT cm, "
+            "list_transform(cm, row -> list_dot_product(row, v)) AS w "
+            f"FROM v{r - 1})"
+        )
+        rounds_sql.append(
+            f"v{r} AS MATERIALIZED (SELECT cm, "
+            "list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v "
+            f"FROM w{r})"
+        )
+    tail = f"""
+    wf AS (SELECT v, list_transform(cm, row -> list_dot_product(row, v)) AS w
+           FROM v{rounds}),
+    lam AS (SELECT v, list_dot_product(v, w) AS lam_raw FROM wf),
+    ex AS (
+      SELECT ks.k AS dim, v[ks.k + 1] AS loading, lam_raw
+      FROM lam, (SELECT unnest(range(64)) AS k) ks
+    ),
+    ranked AS (
+      SELECT dim::BIGINT AS dim, loading, lam_raw,
+             row_number() OVER (ORDER BY abs(loading) DESC, dim) AS rank
+      FROM ex
+    )
+    SELECT r.dim, round(r.loading, 6) AS loading,
+           round(r.lam_raw / (nn.n::DOUBLE * nn.n::DOUBLE * 1e12), 8)
+             AS eigenvalue,
+           round(r.lam_raw / tr.trace_raw, 6) AS explained_share,
+           r.rank::BIGINT AS rank
+    FROM ranked r, nn, tr WHERE r.rank <= 8
+    """
+    return head + ",\n" + ",\n".join(rounds_sql) + "," + tail
+
+
+@register(
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="top principal component of the 64-dim embedding covariance via 8 "
+    "rounds of in-engine power iteration — the PCA step an embedding "
+    "pipeline runs before whitening or Matryoshka truncation (complements "
+    "embedding_covariance_top, which only screens pairwise covariances). "
+    "Engine-exact by construction: second moments are EXACT integer sums "
+    "of micro-unit components (one upper-triangle in-row expansion, "
+    "2080 pairs/vector, partial-aggregated to a fixed 2080-row grid "
+    "regardless of corpus size); the scaled covariance n*Pij - Si*Sj is "
+    "DECIMAL(38)/HUGEINT-exact and converts to double once; and the whole "
+    "iteration is single-row 64-element array math (zip_with + left-fold "
+    "aggregate == DuckDB list_dot_product, the knn precedent) where every "
+    "float op runs in identical order on both engines — so even the "
+    "eigenvector SIGN matches. Scale shape: three corpus passes (count, "
+    "per-dim sums, pair products), then everything is dimension-bounded; "
+    "per-round state is one 64-vector (localCheckpoint-ed, the "
+    "iterative-loop discipline). Emits the top-8 |loading| dims, the "
+    "eigenvalue in value^2 units, and the explained-variance share.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 8
+    ints = t(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, e -> CAST(round(e * 1e6) AS BIGINT))").alias(
+            "xs"
+        )
+    )
+    nn = ints.agg(F.count("*").alias("n"))
+    si = (
+        ints.select(F.posexplode("xs").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    pij = (
+        ints.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, 63), i ->"
+                    " transform(sequence(i, 63), j -> struct(i AS i, j AS j,"
+                    " element_at(xs, i + 1) * element_at(xs, j + 1) AS p))))"
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("pij"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    craw = (
+        pij.join(F.broadcast(si.select("i", F.col("s").alias("si_s"))), "i")
+        .join(
+            F.broadcast(si.select(F.col("i").alias("j"), F.col("s").alias("sj_s"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (dec("n") * dec("pij") - dec("si_s") * dec("sj_s")).alias("ci"),
+        )
+        .localCheckpoint(eager=True)  # 2080 rows; feeds trace + both mirror halves
+    )
+    tr = craw.where(F.col("i") == F.col("j")).agg(
+        F.sum("ci").cast("double").alias("trace_raw")
+    )
+    mfull = craw.select("i", "j", F.col("ci").cast("double").alias("c")).union(
+        craw.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("ci").cast("double")
+        )
+    )
+    mat = (
+        mfull.groupBy("i")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)").alias(
+                "r"
+            )
+        )
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, r))), x -> x.r)").alias(
+                "cm"
+            )
+        )
+    )
+    state = (
+        mat.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tr))
+        .withColumn("v", F.expr("transform(sequence(0, 63), k -> CAST(0.125 AS DOUBLE))"))
+        .localCheckpoint(eager=True)
+    )
+    w_expr = F.expr(
+        "transform(cm, row -> aggregate(zip_with(row, v, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    for _ in range(rounds):
+        state = state.select("cm", "n", "trace_raw", w_expr.alias("w")).localCheckpoint(
+            eager=True
+        )
+        state = state.select(
+            "cm",
+            "n",
+            "trace_raw",
+            F.expr(
+                "transform(w, e -> e / sqrt(aggregate(zip_with(w, w,"
+                " (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)))"
+            ).alias("v"),
+        ).localCheckpoint(eager=True)
+    final = state.select("n", "trace_raw", "v", w_expr.alias("wf")).select(
+        "n",
+        "trace_raw",
+        "v",
+        F.expr(
+            "aggregate(zip_with(v, wf, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("lam_raw"),
+    )
+    from pyspark.sql import Window
+
+    ex = final.select(
+        "n", "trace_raw", "lam_raw", F.posexplode("v").alias("dim", "loading")
+    )
+    wr = Window.orderBy(F.abs(F.col("loading")).desc(), F.col("dim"))
+    return (
+        ex.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= 8)
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("loading", 6).alias("loading"),
+            F.round(
+                F.col("lam_raw")
+                / (F.col("n").cast("double") * F.col("n").cast("double") * F.lit(1e12)),
+                8,
+            ).alias("eigenvalue"),
+            F.round(F.col("lam_raw") / F.col("trace_raw"), 6).alias("explained_share"),
+            "rank",
+        )
+    )

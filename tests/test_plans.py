@@ -577,6 +577,9 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "pca_power_iteration": "single-row 64-element matrix/vector state: "
+    "1-row crossJoins of the dimension-bounded covariance matrix, count, "
+    "and trace aggregates",
     "naive_bayes_langid": "broadcasts the |langs|-row prior/default table "
     "and two 1-row training totals (vocab size, train doc count)",
     "cross_correlation_lags": "broadcasts the 1-row daily-series stats and "
