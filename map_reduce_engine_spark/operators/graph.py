@@ -235,6 +235,80 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, hub, auth) — HITS (Kleinberg) on a directed edge list.
+
+    Fixed-round mutual reinforcement: auth(v) = Σ_{u→v} hub(u), then
+    2-norm-normalize; hub(u) = Σ_{u→v} auth(v), normalize; repeat.
+    Nodes with no in-links keep auth 0, no out-links keep hub 0.
+
+    Scale shape mirrors ``pagerank``: the edge list is materialized once
+    and pre-partitioned on EACH join key (the auth step joins hubs on
+    ``src``, the hub step joins auths on ``dst`` — two partitioned copies
+    so neither per-round join re-shuffles the edges), per-round scores are
+    localCheckpoint-ed, AQE/partition count are loop-scoped via
+    ``loop_conf``, and the only driver state is the loop counter. The
+    2-norm is a 1-row aggregate broadcast back — never a driver collect.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, e.count() // 200_000 + 1))
+    with loop_conf(spark, num_partitions):
+        e_src = e.repartition(num_partitions, "src").localCheckpoint(eager=True)
+        e_dst = e.repartition(num_partitions, "dst").localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .repartition(num_partitions, "node")
+            .localCheckpoint(eager=True)
+        )
+        hub = nodes.withColumn("v", F.lit(1.0))
+        auth = None
+        for _ in range(iterations):
+            auth = _normalized_scatter(nodes, e_src, hub, join_key="src", out_key="dst")
+            hub = _normalized_scatter(nodes, e_dst, auth, join_key="dst", out_key="src")
+    return (
+        hub.select("node", F.col("v").alias("hub"))
+        .join(auth.select("node", F.col("v").alias("auth")), "node")
+    )
+
+
+def _normalized_scatter(
+    nodes: DataFrame, e: DataFrame, scores: DataFrame, join_key: str, out_key: str
+) -> DataFrame:
+    """One HITS half-step: scatter ``scores`` across edges from ``join_key``
+    to ``out_key``, sum per target, left-join onto the node table (absent →
+    0.0), then divide by the 2-norm (1-row broadcast). Checkpointed so the
+    next half-step reads a truncated plan."""
+    raw = (
+        nodes.join(
+            e.join(scores, e[join_key] == scores["node"])
+            .select(F.col(out_key).alias("node"), "v")
+            .groupBy("node")
+            .agg(F.sum("v").alias("s")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("s", F.lit(0.0)).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    nrm = raw.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return raw.crossJoin(F.broadcast(nrm)).select(
+        "node", (F.col("v") / F.col("nrm")).alias("v")
+    )
+
+
 def orient_by_degree(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """(a, b) — each undirected edge directed from its (degree, id)-smaller
     endpoint to its larger one.

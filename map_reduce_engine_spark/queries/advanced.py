@@ -2936,3 +2936,84 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+def _hits_oracle(iterations: int = 5) -> str:
+    """Unrolled HITS twin: per round, an auth half-step (scatter hubs over
+    edges, 2-norm normalize) then a hub half-step. Raw and normalized CTEs
+    are MATERIALIZED (each referenced twice: by the norm subquery and the
+    next half-step). Scores round at 1e-6: float-sum order differs across
+    engines only at the last ulp (the pagerank precedent)."""
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT n.node, coalesce(s.s, 0.0) AS v
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.v) AS s
+        FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+      ) s ON s.node = n.node)"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, v / nrm AS v FROM a{i}r,"
+            f" (SELECT sqrt(sum(v * v)) AS nrm FROM a{i}r) q)"
+        )
+        parts.append(
+            f"""h{i}r AS MATERIALIZED (
+      SELECT n.node, coalesce(s.s, 0.0) AS v
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.v) AS s
+        FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+      ) s ON s.node = n.node)"""
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, v / nrm AS v FROM h{i}r,"
+            f" (SELECT sqrt(sum(v * v)) AS nrm FROM h{i}r) q)"
+        )
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS (SELECT node, 1.0::DOUBLE AS v FROM nodes),
+    {",".join(parts)}
+    SELECT h.node, round(h.v, 6) AS hub, round(a.v, 6) AS auth
+    FROM h{iterations} h JOIN a{iterations} a USING (node)
+    """
+
+
+@register(
+    "hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg, 5 fixed rounds) over the "
+    "directed customer→supplier purchase graph — on a bipartite purchase "
+    "graph the hub score ranks broad-basket customers and the authority "
+    "score ranks widely-bought-from suppliers, the link-analysis "
+    "complement of pagerank_customer_supplier (which measures flow, not "
+    "mutual reinforcement). operators/graph.py::hits follows the pagerank "
+    "loop discipline: edges checkpointed once and pre-partitioned on BOTH "
+    "join keys, per-half-step scores checkpointed, loop-scoped AQE/"
+    "partition clamp, 2-norm as a 1-row broadcast (never a driver "
+    "collect). Oracle is the loop unrolled into 4 CTEs per round; scores "
+    "round at 1e-6 (cross-engine float-sum order reaches only the ulp).",
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import hits
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(edges, iterations=5)
+    return scores.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )

@@ -1153,3 +1153,27 @@ def test_k_core_idempotent_and_degree_floor(spark, sf_dir):
     )
     again = {(r.node, r.core_degree) for r in k_core(core_edges, k=3).collect()}
     assert again == {(r.node, r.core_degree) for r in rows}
+
+
+def test_hits_known_bipartite_graph(spark):
+    """Two hubs pointing at one shared authority: the authority converges
+    to score 1 and both hubs to 1/sqrt(2) after a single round (and stay
+    there — HITS is exact on this graph, no eigen-gap slack needed)."""
+    import math
+
+    from map_reduce_engine_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("a", "d")], ["src", "dst"]
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iterations=5).collect()}
+    # auth: c gets both hubs, d only hub a; hub: a points at both auths.
+    assert got["c"][1] > got["d"][1] > 0.0
+    assert got["a"][0] > got["b"][0] > 0.0
+    assert got["c"][0] == 0.0 and got["d"][0] == 0.0  # pure authorities
+    assert got["a"][1] == 0.0 and got["b"][1] == 0.0  # pure hubs
+    # normalization invariant: both score vectors are unit 2-norm
+    for idx in (0, 1):
+        assert math.isclose(
+            sum(v[idx] ** 2 for v in got.values()), 1.0, rel_tol=1e-9
+        )

@@ -577,6 +577,8 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "hits_hubs_authorities": "broadcasts the 1-row 2-norm aggregate each "
+    "half-step (the HITS normalizer)",
     "pca_power_iteration": "single-row 64-element matrix/vector state: "
     "1-row crossJoins of the dimension-bounded covariance matrix, count, "
     "and trace aggregates",
