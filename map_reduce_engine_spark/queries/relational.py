@@ -3956,3 +3956,112 @@ def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seasonal_index_ppm"),
         )
     )
+
+
+# Shared Cramer's-rule formulas for the 2-feature closed-form regression:
+# the SAME text is parsed by Spark (F.expr) and DuckDB, so every double
+# multiply/add happens in the same order on both engines and the betas are
+# bit-identical before rounding. Inputs n, s1..s2y, syy are DOUBLEs cast
+# from EXACT integer moments.
+_OLS2_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS2_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS2_B1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS2_B2 = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+_OLS2_R2 = (
+    f"((({_OLS2_B0} / {_OLS2_DET}) * sy + ({_OLS2_B1} / {_OLS2_DET}) * s1y"
+    f" + ({_OLS2_B2} / {_OLS2_DET}) * s2y - sy * sy / n)"
+    " / (syy - sy * sy / n))"
+)
+
+
+@register(
+    "multiple_regression_order_value",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(*)::BIGINT AS x1,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS x2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT p.x1, p.x2, CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(x1)::DOUBLE AS s1, sum(x2)::DOUBLE AS s2,
+             sum(x1 * x1)::DOUBLE AS s11, sum(x2 * x2)::DOUBLE AS s22,
+             sum(x1 * x2)::DOUBLE AS s12,
+             sum(y)::DOUBLE AS sy,
+             sum(x1 * y)::DOUBLE AS s1y, sum(x2 * y)::DOUBLE AS s2y,
+             sum(y::HUGEINT * y::HUGEINT)::DOUBLE AS syy,
+             count(*)::BIGINT AS n_orders
+      FROM joined
+    )
+    SELECT n_orders,
+           round({_OLS2_B0} / {_OLS2_DET}, 4) AS beta0_cents,
+           round({_OLS2_B1} / {_OLS2_DET}, 4) AS beta_items_cents,
+           round({_OLS2_B2} / {_OLS2_DET}, 4) AS beta_qty_cents,
+           round({_OLS2_R2}, 6) AS r_squared
+    FROM m
+    """,
+    doc="closed-form multiple linear regression: o_totalprice (cents) ~ "
+    "intercept + line-item count + total quantity, solved via the normal "
+    "equations with Cramer's rule — the in-engine generalization of the "
+    "single-feature ols_value_trend (no solver library, no iteration, no "
+    "collect). All nine sufficient moments are EXACT integer sums folded "
+    "into ONE aggregate over the per-order rollup (the 100 TB shape: one "
+    "fact shuffle on the order key, then a 1-row statistic); the 3x3 "
+    "solve and R-squared are a shared formula string parsed by both "
+    "engines, so every double op runs in identical order and the betas "
+    "match bit-for-bit before rounding. y*y accumulates in HUGEINT/"
+    "DECIMAL(38) (cents squared overflows 63 bits at large scale).",
+)
+def multiple_regression_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("x2"),
+    )
+    joined = per_order.join(
+        orders, per_order.l_orderkey == orders.o_orderkey
+    ).select(
+        "x1",
+        "x2",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    m = joined.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.count("*").alias("n_orders"),
+    )
+    return m.select(
+        "n_orders",
+        F.round(F.expr(f"{_OLS2_B0} / {_OLS2_DET}"), 4).alias("beta0_cents"),
+        F.round(F.expr(f"{_OLS2_B1} / {_OLS2_DET}"), 4).alias("beta_items_cents"),
+        F.round(F.expr(f"{_OLS2_B2} / {_OLS2_DET}"), 4).alias("beta_qty_cents"),
+        F.round(F.expr(_OLS2_R2), 6).alias("r_squared"),
+    )
