@@ -149,6 +149,26 @@ HEADLINE = [
         "MDM survivorship: cluster labels off the checkpointed component "
         "loop, per-field majority via (cluster, value) agg + top-1 window",
     ),
+    (
+        "pca_power_iteration",
+        "in-engine PCA: row-local 2080-pair moment expansion to a fixed "
+        "grid, then single-row array math off 1-row checkpoints",
+    ),
+    (
+        "naive_bayes_langid",
+        "NB classifier: vocabulary-bounded weight-table equi-join on token, "
+        "|langs|-row broadcast priors, exact integer score sums",
+    ),
+    (
+        "hits_hubs_authorities",
+        "HITS loop: edges pre-partitioned on both join keys, half-step "
+        "checkpoints, 1-row 2-norm broadcast",
+    ),
+    (
+        "multiple_regression_order_value",
+        "closed-form OLS: one fact shuffle to per-order features, one "
+        "aggregate to the 1-row moment statistic, Cramer solve in-plan",
+    ),
 ]
 
 
