@@ -3479,3 +3479,120 @@ def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# Shared arithmetic for the KS asymptotic p-value — the same text is parsed
+# by Spark and DuckDB so the double ops run in identical order. Inputs:
+# n1, n2 (DOUBLE counts), dd (the exact KS distance as DOUBLE).
+_KS_LAM = "((sqrt(n1 * n2 / (n1 + n2)) + 0.12 + 0.11 / sqrt(n1 * n2 / (n1 + n2))) * dd)"
+
+
+@register(
+    "ks_two_sample_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN dayofweek(ts::DATE) IN (0, 6) THEN 1 ELSE 0 END AS wknd
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT cents,
+             sum(1 - wknd)::BIGINT AS c1, sum(wknd)::BIGINT AS c2
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT (sum(c1) OVER w)::BIGINT AS cum1, (sum(c2) OVER w)::BIGINT AS cum2
+      FROM g WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT sum(c1)::BIGINT AS n1i, sum(c2)::BIGINT AS n2i FROM g),
+    dmax AS (
+      SELECT max(abs(cum1 * t.n2i - cum2 * t.n1i))::BIGINT AS d_scaled
+      FROM cum, tot t
+    ),
+    st AS (
+      SELECT t.n1i AS n1_rows, t.n2i AS n2_rows, d.d_scaled,
+             t.n1i::DOUBLE AS n1, t.n2i::DOUBLE AS n2,
+             d.d_scaled::DOUBLE / (t.n1i::DOUBLE * t.n2i::DOUBLE) AS dd
+      FROM tot t, dmax d
+    )
+    SELECT n1_rows, n2_rows, d_scaled,
+           round(dd, 6) AS ks_distance,
+           round({_KS_LAM}, 6) AS lambda,
+           round(least(1.0, greatest(0.0,
+             list_reduce(list_transform(range(1, 21), k ->
+               CASE WHEN k % 2 = 1 THEN 2.0 ELSE -2.0 END
+               * exp(-2.0 * (k * k)::DOUBLE * {_KS_LAM} * {_KS_LAM})),
+               (a, b) -> a + b))), 6) AS p_value
+    FROM st
+    """,
+    doc="two-sample Kolmogorov-Smirnov test: weekday vs weekend purchase-"
+    "value distributions — the distribution-shift gate a data pipeline "
+    "runs between cohorts/snapshots when PSI's fixed bins are too coarse. "
+    "The KS distance is EXACT: D_scaled = max|cum1*n2 - cum2*n1| over the "
+    "merged value grid is pure BIGINT (the cross-multiplied ECDF trick), "
+    "so the statistic is engine-identical before any float; the 20-term "
+    "asymptotic p-value series is a shared formula string folded left on "
+    "both engines (ulp-level exp noise only, absorbed by round-6). Scale "
+    "shape: one hash aggregate to the distinct-value grid, one ordered "
+    "window over that GRID (bounded by price granularity, not row count), "
+    "1-row output.",
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.dayofweek(F.to_date("ts")).isin(1, 7), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("wknd"),
+    )
+    g = s.groupBy("cents").agg(
+        F.sum(1 - F.col("wknd")).cast("bigint").alias("c1"),
+        F.sum("wknd").cast("bigint").alias("c2"),
+    )
+    wc = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        F.sum("c1").over(wc).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wc).cast("bigint").alias("cum2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1i"), F.sum("c2").cast("bigint").alias("n2i")
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2i") - F.col("cum2") * F.col("n1i"))
+            )
+            .cast("bigint")
+            .alias("d_scaled")
+        )
+    )
+    st = tot.crossJoin(F.broadcast(dmax)).select(
+        F.col("n1i").alias("n1_rows"),
+        F.col("n2i").alias("n2_rows"),
+        "d_scaled",
+        F.col("n1i").cast("double").alias("n1"),
+        F.col("n2i").cast("double").alias("n2"),
+        (
+            F.col("d_scaled").cast("double")
+            / (F.col("n1i").cast("double") * F.col("n2i").cast("double"))
+        ).alias("dd"),
+    )
+    series = (
+        "aggregate(sequence(1, 20), CAST(0 AS DOUBLE), (a, k) ->"
+        " a + CAST(CASE WHEN k % 2 = 1 THEN 2.0 ELSE -2.0 END AS DOUBLE)"
+        f" * exp(-2.0 * CAST(k * k AS DOUBLE) * {_KS_LAM} * {_KS_LAM}))"
+    )
+    return st.select(
+        "n1_rows",
+        "n2_rows",
+        "d_scaled",
+        F.round("dd", 6).alias("ks_distance"),
+        F.round(F.expr(_KS_LAM), 6).alias("lambda"),
+        F.round(
+            F.expr(f"least(1.0, greatest(0.0, {series}))"), 6
+        ).alias("p_value"),
+    )

@@ -2240,3 +2240,74 @@ def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents",
         )
     )
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    pooled AS (
+      SELECT n_chars AS pooled_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS p
+      FROM d
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM d),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS r,
+             count(*) OVER (PARTITION BY source) AS m
+      FROM d
+    ),
+    mapped AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN m > 1 THEN ((r - 1) * (nn.n - 1)) // (m - 1) + 1
+                  ELSE (nn.n + 1) // 2 END AS p
+      FROM ranked, nn
+    )
+    SELECT m.doc_id, m.source, m.n_chars, pl.pooled_chars AS norm_chars
+    FROM mapped m JOIN pooled pl USING (p)
+    """,
+    doc="rank-based quantile normalization of document length across "
+    "sources: each source's n_chars distribution is mapped onto the "
+    "pooled corpus distribution (rank r of m within the source lands on "
+    "pooled position ((r-1)(N-1)) div (m-1) + 1) — the cross-source "
+    "feature-scaling step (microarray-style quantile normalization) a "
+    "mixing pipeline applies before comparing per-source quality "
+    "thresholds. All-integer position arithmetic with a deterministic "
+    "(value, doc_id) tiebreak, so the mapping is engine-exact. Scale "
+    "shape: one per-source window (keyed, bounded state) + one global "
+    "ranked pass + an equi-join on position; at 100 TB the global rank "
+    "comes from a range-partitioned sort (Spark's SortExec over range "
+    "exchange), the same cost class as any percentile computation.",
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pooled = d.select(
+        F.col("n_chars").alias("pooled_chars"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("p"),
+    )
+    nn = d.agg(F.count("*").alias("n"))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("m"),
+    )
+    mapped = ranked.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("m") > 1,
+            F.expr("((r - 1) * (n - 1)) div (m - 1) + 1"),
+        )
+        .otherwise(F.expr("(n + 1) div 2"))
+        .alias("p"),
+    )
+    return mapped.join(pooled, "p").select(
+        "doc_id", "source", "n_chars", F.col("pooled_chars").alias("norm_chars")
+    )

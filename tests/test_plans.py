@@ -577,6 +577,10 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "ks_two_sample_test": "broadcasts the 1-row sample-count and max-"
+    "distance aggregates over the bounded value grid",
+    "quantile_normalize_sources": "broadcasts the 1-row corpus count for "
+    "the position arithmetic",
     "hits_hubs_authorities": "broadcasts the 1-row 2-norm aggregate each "
     "half-step (the HITS normalizer)",
     "pca_power_iteration": "single-row 64-element matrix/vector state: "
