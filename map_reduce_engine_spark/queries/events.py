@@ -3596,3 +3596,87 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"least(1.0, greatest(0.0, {series}))"), 6
         ).alias("p_value"),
     )
+
+
+# Shared two-proportion z statistic (inputs: exact counts as DOUBLEs).
+_Z2P = (
+    "((x1 / n1 - x2 / n2) / sqrt(((x1 + x2) / (n1 + n2))"
+    " * (1.0 - (x1 + x2) / (n1 + n2)) * (1.0 / n1 + 1.0 / n2)))"
+)
+
+
+@register(
+    "two_proportion_ztest",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN dayofweek(ts::DATE) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    m AS (
+      SELECT sum(1 - wknd)::BIGINT AS n1_rows, sum(wknd)::BIGINT AS n2_rows,
+             sum((1 - wknd) * conv)::BIGINT AS x1_rows,
+             sum(wknd * conv)::BIGINT AS x2_rows
+      FROM s
+    ),
+    d AS (
+      SELECT n1_rows, n2_rows, x1_rows, x2_rows,
+             n1_rows::DOUBLE AS n1, n2_rows::DOUBLE AS n2,
+             x1_rows::DOUBLE AS x1, x2_rows::DOUBLE AS x2
+      FROM m
+    )
+    SELECT n1_rows, x1_rows, n2_rows, x2_rows,
+           round(10000.0 * x1 / n1, 2) AS p1_bp,
+           round(10000.0 * x2 / n2, 2) AS p2_bp,
+           round({_Z2P}, 4) AS z,
+           abs({_Z2P}) > 1.959963984540054 AS sig_95,
+           abs({_Z2P}) > 2.5758293035489004 AS sig_99
+    FROM d
+    """,
+    doc="two-proportion z-test: weekday vs weekend purchase conversion "
+    "rate — the yes/no significance gate behind every conversion A/B "
+    "readout (complements ab_welch_test, which compares MEANS). One "
+    "corpus aggregate to four exact BIGINT counts; the pooled-variance z "
+    "statistic is a shared formula string on those integers, so both "
+    "engines compute the identical double, and the 95/99% verdicts "
+    "compare against exact normal-quantile literals (no erf needed — "
+    "Spark SQL has no erf, so the portable surface is |z| + fixed "
+    "critical values).",
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.dayofweek(F.to_date("ts")).isin(1, 7), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("wknd"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("conv"),
+    )
+    m = s.agg(
+        F.sum(1 - F.col("wknd")).cast("bigint").alias("n1_rows"),
+        F.sum("wknd").cast("bigint").alias("n2_rows"),
+        F.sum((1 - F.col("wknd")) * F.col("conv")).cast("bigint").alias("x1_rows"),
+        F.sum(F.col("wknd") * F.col("conv")).cast("bigint").alias("x2_rows"),
+    )
+    d = m.select(
+        "n1_rows",
+        "n2_rows",
+        "x1_rows",
+        "x2_rows",
+        F.col("n1_rows").cast("double").alias("n1"),
+        F.col("n2_rows").cast("double").alias("n2"),
+        F.col("x1_rows").cast("double").alias("x1"),
+        F.col("x2_rows").cast("double").alias("x2"),
+    )
+    return d.select(
+        "n1_rows",
+        "x1_rows",
+        "n2_rows",
+        "x2_rows",
+        F.round(F.expr("10000.0 * x1 / n1"), 2).alias("p1_bp"),
+        F.round(F.expr("10000.0 * x2 / n2"), 2).alias("p2_bp"),
+        F.round(F.expr(_Z2P), 4).alias("z"),
+        F.expr(f"abs({_Z2P}) > 1.959963984540054").alias("sig_95"),
+        F.expr(f"abs({_Z2P}) > 2.5758293035489004").alias("sig_99"),
+    )

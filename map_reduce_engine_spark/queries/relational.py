@@ -4065,3 +4065,134 @@ def multiple_regression_order_value(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.expr(f"{_OLS2_B2} / {_OLS2_DET}"), 4).alias("beta_qty_cents"),
         F.round(F.expr(_OLS2_R2), 6).alias("r_squared"),
     )
+
+
+# Shared split-quality formula for the decision stump (parsed by both
+# engines; inputs are DOUBLEs cast from exact BIGINT counts): weighted Gini
+# impurity of the (quantity <= t) split, in [0, 0.5].
+_STUMP_GINI = (
+    "(((lt - (lp * lp + lneg * lneg) / lt)"
+    " + (rt - (rp * rp + rneg * rneg) / rt)) / nt)"
+)
+
+
+@register(
+    "decision_stump_returnflag",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT AS neg
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT q,
+             (sum(pos) OVER w)::BIGINT AS lp, (sum(neg) OVER w)::BIGINT AS lneg
+      FROM g WINDOW w AS (ORDER BY q ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS n,
+             max(q) AS qmax FROM g
+    ),
+    splits AS (
+      SELECT c.q AS threshold, c.lp, c.lneg,
+             t.p - c.lp AS rp, t.n - c.lneg AS rneg,
+             c.lp + c.lneg AS nl, (t.p - c.lp) + (t.n - c.lneg) AS nr,
+             t.p + t.n AS ntot
+      FROM cum c, tot t WHERE c.q < t.qmax
+    ),
+    scored AS (
+      SELECT threshold, nl AS n_left, nr AS n_right,
+             (greatest(lp, lneg) + greatest(rp, rneg)) AS acc_num, ntot,
+             lp::DOUBLE AS lp, lneg::DOUBLE AS lneg, rp::DOUBLE AS rp,
+             rneg::DOUBLE AS rneg, nl::DOUBLE AS lt, nr::DOUBLE AS rt,
+             ntot::DOUBLE AS nt,
+             greatest(p, n) AS base_num
+      FROM splits, tot
+    ),
+    ranked AS (
+      SELECT threshold, n_left, n_right,
+             round({_STUMP_GINI}, 6) AS gini,
+             10000 * acc_num // ntot AS accuracy_bp,
+             10000 * base_num // ntot AS baseline_bp,
+             row_number() OVER (ORDER BY {_STUMP_GINI}, threshold) AS rk
+      FROM scored
+    )
+    SELECT threshold, n_left, n_right, gini, accuracy_bp, baseline_bp
+    FROM ranked WHERE rk = 1
+    """,
+    doc="1R decision stump: the best single quantity<=t split for "
+    "predicting l_returnflag='R', chosen by weighted Gini impurity over "
+    "every candidate threshold — the weakest useful learner, and the "
+    "feature-screening primitive (a stump's gain IS the feature's "
+    "univariate signal) a training pipeline runs before spending on real "
+    "models. Engine-exact: class counts cumulate as BIGINTs over the "
+    "bounded quantity grid (50 values — the candidate set never scales "
+    "with rows), Gini is a shared formula string on exact integer inputs, "
+    "accuracy/baseline are integer basis points, argmin tiebreaks on the "
+    "threshold. One corpus aggregate; everything after is grid-bounded.",
+)
+def decision_stump_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "q",
+        F.sum("pos").over(wc).cast("bigint").alias("lp"),
+        F.sum("neg").over(wc).cast("bigint").alias("lneg"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("n"),
+        F.max("q").alias("qmax"),
+    )
+    splits = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("q") < F.col("qmax"))
+        .select(
+            F.col("q").alias("threshold"),
+            "lp",
+            "lneg",
+            (F.col("p") - F.col("lp")).alias("rp"),
+            (F.col("n") - F.col("lneg")).alias("rneg"),
+            (F.col("lp") + F.col("lneg")).alias("nl"),
+            ((F.col("p") - F.col("lp")) + (F.col("n") - F.col("lneg"))).alias("nr"),
+            (F.col("p") + F.col("n")).alias("ntot"),
+            F.greatest("p", "n").alias("base_num"),
+        )
+    )
+    scored = splits.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        (F.greatest("lp", "lneg") + F.greatest("rp", "rneg")).alias("acc_num"),
+        "ntot",
+        "base_num",
+        F.col("lp").cast("double").alias("lp"),
+        F.col("lneg").cast("double").alias("lneg"),
+        F.col("rp").cast("double").alias("rp"),
+        F.col("rneg").cast("double").alias("rneg"),
+        F.col("nl").cast("double").alias("lt"),
+        F.col("nr").cast("double").alias("rt"),
+        F.col("ntot").cast("double").alias("nt"),
+    )
+    wr = Window.orderBy(F.expr(_STUMP_GINI), "threshold")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            F.round(F.expr(_STUMP_GINI), 6).alias("gini"),
+            F.expr("10000 * acc_num div ntot").alias("accuracy_bp"),
+            F.expr("10000 * base_num div ntot").alias("baseline_bp"),
+        )
+    )
