@@ -309,6 +309,72 @@ def _normalized_scatter(
     )
 
 
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, dist) — bounded-round single-source(-set) shortest paths by
+    min-plus relaxation (distributed Bellman-Ford).
+
+    ``seeds`` is a 1-column (``node``) DataFrame of distance-0 sources;
+    unreached nodes carry NULL (= infinity — ``least`` ignores NULLs in
+    both Spark and DuckDB, so the relaxation needs no sentinel). Distances
+    are whatever integer type ``weight`` has: with integer weights every
+    round is EXACT, no float drift ever.
+
+    Scale shape: the pagerank loop envelope — weighted edges checkpointed
+    once and pre-partitioned on ``src``, per-round distances
+    checkpointed, AQE/partitions loop-scoped. Each round is one equi-join
+    (reached distances ⋈ edges) + one min-aggregate on ``dst`` + one left
+    join back to the node table. ``iterations`` bounds the hop radius
+    (Bellman-Ford needs |V|-1 rounds for full convergence; a fixed small
+    radius is the usual production choice — distances beyond it read NULL).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, e.count() // 200_000 + 1))
+    with loop_conf(spark, num_partitions):
+        we = e.repartition(num_partitions, "src").localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .repartition(num_partitions, "node")
+            .localCheckpoint(eager=True)
+        )
+        dist = nodes.join(
+            seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("seed0")),
+            "node",
+            "left",
+        ).select("node", F.col("seed0").alias("dist"))
+        for i in range(iterations):
+            cand = (
+                we.join(
+                    dist.where(F.col("dist").isNotNull()),
+                    we.src == F.col("node"),
+                )
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("node")
+                .agg(F.min("d").alias("cand"))
+            )
+            dist = (
+                dist.join(cand, "node", "left")
+                .select("node", F.least("dist", "cand").alias("dist"))
+            )
+            if (i + 1) % 2 == 0 or i == iterations - 1:
+                dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
 def orient_by_degree(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """(a, b) — each undirected edge directed from its (degree, id)-smaller
     endpoint to its larger one.

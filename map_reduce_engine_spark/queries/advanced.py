@@ -3017,3 +3017,87 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
     )
+
+
+def _sssp_oracle(iterations: int = 4) -> str:
+    """Unrolled min-plus relaxation twin. Integer distances — every round
+    is exact; NULL plays infinity (least() skips NULLs in both engines)."""
+    rounds = "".join(
+        f""",
+    d{i + 1} AS MATERIALIZED (
+      SELECT d.node, least(d.dist, c.cand) AS dist
+      FROM d{i} d LEFT JOIN (
+        SELECT e.dst AS node, min(p.dist + e.w) AS cand
+        FROM edges e JOIN d{i} p ON p.node = e.src AND p.dist IS NOT NULL
+        GROUP BY e.dst
+      ) c ON c.node = d.node
+    )"""
+        for i in range(iterations)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT o_custkey AS ck, l_suppkey AS sk,
+             min(date_diff('day', o_orderdate::DATE, l_shipdate::DATE))::BIGINT
+               AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT 'c' || ck AS src, 's' || sk AS dst, w FROM base
+      UNION ALL SELECT 's' || sk, 'c' || ck, w FROM base
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seed AS (SELECT 'c' || min(ck) AS node FROM base),
+    d0 AS MATERIALIZED (
+      SELECT n.node, CASE WHEN n.node = s.node THEN 0::BIGINT END AS dist
+      FROM nodes n, seed s
+    ){rounds}
+    SELECT node, dist FROM d{iterations} WHERE dist IS NOT NULL
+    """
+
+
+@register(
+    "supply_chain_sssp",
+    oracle=_sssp_oracle(),
+    doc="single-source shortest paths (4-round distributed Bellman-Ford, "
+    "operators/graph.py::sssp) over the bidirectional customer↔supplier "
+    "graph weighted by minimum order→ship lag days — 'how close is every "
+    "party to this account, in fulfilment time?', the supply-chain "
+    "proximity radius behind vendor-risk blast-radius analysis. Min-plus "
+    "relaxation with INTEGER distances is exact at any depth (no float "
+    "drift — unlike pagerank/HITS no rounding is needed at all); NULL is "
+    "infinity and `least` skips NULLs identically in both engines. Loop "
+    "envelope = pagerank's: weighted edges checkpointed + pre-partitioned "
+    "on src, per-round distances checkpointed, one equi-join + one "
+    "min-agg + one left join per round. Oracle is the loop unrolled.",
+)
+def supply_chain_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import sssp
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    edges = base.select(
+        F.concat(F.lit("c"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk")).alias("dst"),
+        "w",
+    ).union(
+        base.select(
+            F.concat(F.lit("s"), F.col("sk")).alias("src"),
+            F.concat(F.lit("c"), F.col("ck")).alias("dst"),
+            "w",
+        )
+    )
+    seeds = base.agg(F.concat(F.lit("c"), F.min("ck")).alias("node"))
+    dist = sssp(edges, seeds, iterations=4)
+    return dist.where(F.col("dist").isNotNull())

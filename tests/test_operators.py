@@ -1177,3 +1177,19 @@ def test_hits_known_bipartite_graph(spark):
         assert math.isclose(
             sum(v[idx] ** 2 for v in got.values()), 1.0, rel_tol=1e-9
         )
+
+
+def test_sssp_known_weighted_graph(spark):
+    """Diamond with a cheap 2-hop detour: a->b (1), b->c (1), a->c (5),
+    c->d (1). 4 rounds must find the 2-hop path (dist c = 2, not 5), and
+    an unreachable isolated edge keeps NULL distance."""
+    from map_reduce_engine_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5), ("c", "d", 1),
+         ("x", "y", 1)],
+        "src STRING, dst STRING, w BIGINT",
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, iterations=4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": None, "y": None}
