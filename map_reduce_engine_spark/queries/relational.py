@@ -4196,3 +4196,148 @@ def decision_stump_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * base_num div ntot").alias("baseline_bp"),
         )
     )
+
+
+# Shared tie-corrected Mann-Whitney z (inputs: exact counts as DOUBLEs:
+# u2 = 2U, p, nn = class sizes, ntot, s3 = sum(t^3 - t) over tie groups).
+_MWU_Z = (
+    "(((u2 - p * nn) / 2.0) / sqrt((p * nn / 12.0)"
+    " * ((ntot + 1.0) - s3 / (ntot * (ntot - 1.0)))))"
+)
+
+
+@register(
+    "roc_auc_mann_whitney",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT AS neg
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q, pos, neg, pos + neg AS tot,
+             (coalesce(sum(pos + neg) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+               AS cum_before
+      FROM g
+    ),
+    m AS (
+      SELECT sum(pos)::BIGINT AS p_rows, sum(neg)::BIGINT AS n_rows,
+             sum(pos * (2 * cum_before + tot + 1))::BIGINT AS r2,
+             sum(tot * tot * tot - tot)::BIGINT AS s3_rows
+      FROM c
+    ),
+    d AS (
+      SELECT p_rows, n_rows,
+             r2 - p_rows * (p_rows + 1) AS u2_rows, s3_rows,
+             p_rows::DOUBLE AS p, n_rows::DOUBLE AS nn,
+             (r2 - p_rows * (p_rows + 1))::DOUBLE AS u2,
+             (p_rows + n_rows)::DOUBLE AS ntot, s3_rows::DOUBLE AS s3
+      FROM m
+    )
+    SELECT p_rows AS n_pos, n_rows AS n_neg, u2_rows AS u_stat_x2,
+           (1000000 * u2_rows) // (2 * p_rows * n_rows) AS auc_ppm,
+           round({_MWU_Z}, 4) AS z
+    FROM d
+    """,
+    doc="exact ROC AUC + Mann-Whitney U test: does l_quantity separate "
+    "returned from kept line items? AUC computed rank-free of floats via "
+    "the midrank identity on the bounded quantity grid (2*midrank = "
+    "2*cum_before + ties + 1 — all BIGINT), so AUC lands as exact "
+    "parts-per-million integer division; the tie-corrected normal "
+    "approximation z is a shared formula string over the same exact "
+    "integers. The threshold-free counterpart of "
+    "decision_stump_returnflag's single-split view, and the standard "
+    "'is this feature predictive at all?' screen. One corpus aggregate "
+    "to the 50-value grid; everything after is grid-bounded.",
+)
+def roc_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    wb = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "q",
+        "pos",
+        "neg",
+        (F.col("pos") + F.col("neg")).alias("tot"),
+        F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    m = c.agg(
+        F.sum("pos").cast("bigint").alias("p_rows"),
+        F.sum("neg").cast("bigint").alias("n_rows"),
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("tot") + 1))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot"))
+        .cast("bigint")
+        .alias("s3_rows"),
+    )
+    d = m.select(
+        "p_rows",
+        "n_rows",
+        (F.col("r2") - F.col("p_rows") * (F.col("p_rows") + 1)).alias("u2_rows"),
+        "s3_rows",
+        F.col("p_rows").cast("double").alias("p"),
+        F.col("n_rows").cast("double").alias("nn"),
+        (F.col("r2") - F.col("p_rows") * (F.col("p_rows") + 1))
+        .cast("double")
+        .alias("u2"),
+        (F.col("p_rows") + F.col("n_rows")).cast("double").alias("ntot"),
+        F.col("s3_rows").cast("double").alias("s3"),
+    )
+    return d.select(
+        F.col("p_rows").alias("n_pos"),
+        F.col("n_rows").alias("n_neg"),
+        F.col("u2_rows").alias("u_stat_x2"),
+        F.expr("(1000000 * u2_rows) div (2 * p_rows * n_rows)").alias("auc_ppm"),
+        F.round(F.expr(_MWU_Z), 4).alias("z"),
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+      UNION ALL BY NAME
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    )
+    """,
+    doc="schema-evolution union: an old extract (no priority column) and a "
+    "new extract (priority added) combined with unionByName(allowMissing"
+    "Columns=True) — Spark's by-NAME resolution fills the absent column "
+    "with NULLs instead of mis-binding by position, the exact failure "
+    "mode of positional UNION when a pipeline's upstream schema grows. "
+    "DuckDB's UNION ALL BY NAME is the oracle twin. Pure scan+union: two "
+    "pushed-down partition reads, zero shuffles, linear at any scale.",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cutoff = "1995-01-01 00:00:00"
+    old = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    new = orders.where(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    return old.unionByName(new, allowMissingColumns=True)
