@@ -1313,3 +1313,50 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_TAG_KEYWORDS = ("data", "model", "user", "system", "market")
+
+
+@register(
+    "keyword_tagging",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             list_filter({list(_TAG_KEYWORDS)!r}::VARCHAR[],
+                         k -> list_contains(
+                           string_split_regex(trim(lower(text)), '\\s+'), k))
+               AS tags
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT source, tag, count(*)::BIGINT AS n_docs
+    FROM (SELECT source, unnest(tags) AS tag FROM tagged)
+    GROUP BY source, tag
+    """,
+    doc="multi-keyword content tagging: each document gets the ordered "
+    "subset of a fixed keyword list whose members appear as whole tokens "
+    "(array_contains over the tokenized text — K membership probes per "
+    "row, no join, no regex backtracking), then a per-(source, tag) "
+    "rollup. The routing/labeling primitive behind topic quotas in a "
+    "corpus mix. The keyword list is a broadcast-free literal array; at "
+    "K in the thousands the same shape becomes the inverted-index join "
+    "(token equi-join against a keyword table) — documented pivot, same "
+    "semantics. Tag order is the keyword-list order on both engines "
+    "(filter preserves order), so the per-doc arrays are deterministic.",
+)
+def keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    kw = ", ".join(f"'{k}'" for k in _TAG_KEYWORDS)
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"filter(array({kw}), k -> array_contains("
+            "filter(split(trim(lower(text)), '\\\\s+'), t -> t != ''), k))"
+        ).alias("tags"),
+    )
+    return (
+        tagged.select("source", F.explode("tags").alias("tag"))
+        .groupBy("source", "tag")
+        .agg(F.count("*").alias("n_docs"))
+    )
