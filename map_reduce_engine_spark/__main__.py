@@ -67,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("sf_dir", help="fixture dir containing orders/lineitem parquet")
     rc.add_argument("output_dir")
     rc.add_argument("--min-hitrate-ppm", type=int, default=100_000)
+    fs = sub.add_parser(
+        "feature-screen",
+        help="run the end-to-end feature-screening example (1R stump + "
+        "exact AUC screen + mutual information + closed-form regression, "
+        "with a sign-off gate)",
+    )
+    fs.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
+    fs.add_argument("output_dir")
+    fs.add_argument("--min-auc-edge-ppm", type=int, default=5_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -139,6 +148,22 @@ def main(argv: list[str] | None = None) -> int:
         try:
             gate = run(
                 spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "feature-screen":
+        from map_reduce_engine_spark.examples.feature_screen_job import run
+
+        spark = get_spark(app_name="mre-feature-screen")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                min_auc_edge_ppm=args.min_auc_edge_ppm,
             )
             gate.show(truncate=False)
         finally:

@@ -227,3 +227,26 @@ def test_recommender_job(spark, sf_dir, tmp_path):
     # an impossible floor must flip the gate
     strict = run(spark, sf_dir, str(tmp_path / "recs2"), min_hitrate_ppm=1_000_001)
     assert not strict.collect()[0].deploy_approved
+
+
+def test_feature_screen_job(spark, sf_dir, tmp_path):
+    """The composed feature-screen example writes all four screens and the
+    gate arithmetic is consistent with the stump/AUC artifacts."""
+    from map_reduce_engine_spark.examples.feature_screen_job import run
+
+    out = str(tmp_path / "screen")
+    gate = run(spark, sf_dir, out, min_auc_edge_ppm=0)
+    row = gate.collect()[0]
+    # edge floor 0: approval reduces to stump >= majority baseline
+    assert row.feature_approved == (row.accuracy_bp >= row.baseline_bp)
+    assert 0 <= row.auc_ppm <= 1_000_000
+    stump = spark.read.parquet(f"{out}/stump").collect()[0]
+    assert stump.accuracy_bp == row.accuracy_bp
+    assert stump.n_left > 0 and stump.n_right > 0
+    dep = spark.read.parquet(f"{out}/dependence").collect()[0]
+    assert dep.mi_nats >= 0.0 and dep.h_type > 0.0
+    fit = spark.read.parquet(f"{out}/regression_fit").collect()[0]
+    assert 0.0 <= fit.r_squared <= 1.0
+    # an impossible AUC-edge floor must flip the gate
+    strict = run(spark, sf_dir, str(tmp_path / "screen2"), min_auc_edge_ppm=500_001)
+    assert not strict.collect()[0].feature_approved
