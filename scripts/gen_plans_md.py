@@ -169,6 +169,16 @@ HEADLINE = [
         "closed-form OLS: one fact shuffle to per-order features, one "
         "aggregate to the 1-row moment statistic, Cramer solve in-plan",
     ),
+    (
+        "supply_chain_sssp",
+        "Bellman-Ford SSSP: per-round join off the src-partitioned "
+        "checkpointed edges, min-agg on dst, NULL-infinity least()",
+    ),
+    (
+        "roc_auc_mann_whitney",
+        "exact AUC: one corpus aggregate to the 50-value grid, midrank "
+        "cumulative window over the grid only",
+    ),
 ]
 
 
