@@ -2093,7 +2093,7 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans1d_oracle(rounds: int = 5) -> str:
+def _kmeans1d_cte_parts(rounds: int = 5) -> list[str]:
     """Generate the unrolled fixed-round 1-D k-means oracle (k=3).
 
     Every round is two CTEs — assignment (nearest centroid, ties to the
@@ -2136,7 +2136,12 @@ def _kmeans1d_oracle(rounds: int = 5) -> str:
         parts.append(
             f"c{r} AS MATERIALIZED ({update.format(prev=f'c{r - 1}', a=f'a{r}')})"
         )
-    parts.append(f"afin AS ({assign.format(prev=f'c{rounds}')})")
+    parts.append(f"afin AS MATERIALIZED ({assign.format(prev=f'c{rounds}')})")
+    return parts
+
+
+def _kmeans1d_oracle(rounds: int = 5) -> str:
+    parts = _kmeans1d_cte_parts(rounds)
     final = f"""
     SELECT a::BIGINT AS cluster_id,
            CASE a WHEN 1 THEN (SELECT c1 FROM c{rounds})
@@ -2150,25 +2155,27 @@ def _kmeans1d_oracle(rounds: int = 5) -> str:
     return ",\n".join(parts) + final
 
 
-@register(
-    "kmeans_1d_value_segments",
-    oracle=_kmeans1d_oracle(),
-    doc="in-engine 1-D k-means (k=3, 5 fixed rounds) over order totals in "
-    "integer cents — the cheap/mid/premium order segmentation a pricing "
-    "or stratified-sampling pipeline derives from data instead of "
-    "hand-picked thresholds. Lloyd's algorithm made engine-exact: "
-    "centroids init at the discrete quartiles (row_number pick, pure "
-    "integers), assignment is integer |cents - c| argmin with ties to "
-    "the lowest cluster id, and the update is an exact BIGINT floor-"
-    "division mean — no floats anywhere, so 5 rounds land on identical "
-    "integers in any engine. Scale shape: the cents column is localCheck"
-    "pointed once and each round is one 3-column conditional aggregate "
-    "(k driver-held integers, the PQ-codebook pattern); only the "
-    "quartile init uses a global ranked window — at 100 TB swap it for "
-    "approx_percentile seeds without touching the loop.",
-)
-def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rounds = 5
+def _kmeans1d_assign_col(c):
+    """Nearest-centroid assignment column for 3 literal integer centroids
+    (ties to the lowest cluster id — matches the oracle CASE)."""
+    d = [F.abs(F.col("cents") - F.lit(int(ck))) for ck in c]
+    return (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]), F.lit(1))
+        .when(d[1] <= d[2], F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("a")
+    )
+
+
+def _kmeans1d_fit(spark: SparkSession, sf_dir: str, rounds: int = 5):
+    """Run the integer 1-D k-means loop; returns (base_df, final_centroids).
+
+    base is the localCheckpoint-ed cents column; centroids are the k
+    driver-held integers after ``rounds`` Lloyd's updates (quartile init).
+    Shared by kmeans_1d_value_segments and silhouette_1d_kmeans so both
+    queries (and both oracles, via _kmeans1d_oracle's shared CTE chain)
+    score the identical model.
+    """
     base = (
         t(spark, sf_dir, "orders")
         .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
@@ -2189,19 +2196,9 @@ def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_rank[(n - 1) // 2 + 1],
         by_rank[(3 * (n - 1)) // 4 + 1],
     ]
-
-    def assign_col(c):
-        d = [F.abs(F.col("cents") - F.lit(int(ck))) for ck in c]
-        return (
-            F.when((d[0] <= d[1]) & (d[0] <= d[2]), F.lit(1))
-            .when(d[1] <= d[2], F.lit(2))
-            .otherwise(F.lit(3))
-            .alias("a")
-        )
-
     for _ in range(rounds):
         row = (
-            base.select("cents", assign_col(cents_c))
+            base.select("cents", _kmeans1d_assign_col(cents_c))
             .groupBy()
             .agg(
                 *[
@@ -2218,12 +2215,33 @@ def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             row[f"c{k}"] if row[f"c{k}"] is not None else cents_c[k - 1]
             for k in (1, 2, 3)
         ]
+    return base, cents_c
 
+
+@register(
+    "kmeans_1d_value_segments",
+    oracle=_kmeans1d_oracle(),
+    doc="in-engine 1-D k-means (k=3, 5 fixed rounds) over order totals in "
+    "integer cents — the cheap/mid/premium order segmentation a pricing "
+    "or stratified-sampling pipeline derives from data instead of "
+    "hand-picked thresholds. Lloyd's algorithm made engine-exact: "
+    "centroids init at the discrete quartiles (row_number pick, pure "
+    "integers), assignment is integer |cents - c| argmin with ties to "
+    "the lowest cluster id, and the update is an exact BIGINT floor-"
+    "division mean — no floats anywhere, so 5 rounds land on identical "
+    "integers in any engine. Scale shape: the cents column is localCheck"
+    "pointed once and each round is one 3-column conditional aggregate "
+    "(k driver-held integers, the PQ-codebook pattern); only the "
+    "quartile init uses a global ranked window — at 100 TB swap it for "
+    "approx_percentile seeds without touching the loop.",
+)
+def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, cents_c = _kmeans1d_fit(spark, sf_dir)
     centroid_case = "CASE a WHEN 1 THEN {} WHEN 2 THEN {} ELSE {} END".format(
         *[int(c) for c in cents_c]
     )
     return (
-        base.select("cents", assign_col(cents_c))
+        base.select("cents", _kmeans1d_assign_col(cents_c))
         .groupBy("a")
         .agg(
             F.count("*").alias("n_orders"),
@@ -2310,4 +2328,124 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mapped.join(pooled, "p").select(
         "doc_id", "source", "n_chars", F.col("pooled_chars").alias("norm_chars")
+    )
+
+
+def _silhouette1d_oracle(rounds: int = 5) -> str:
+    """Silhouette oracle: the shared k-means CTE chain, then the 1-D
+    prefix-sum silhouette. Key identity: within a sorted cluster,
+    sum|x - y| = (r*x - pref) + ((S - pref) - (k - r)*x) with INCLUSIVE
+    prefix sums — invariant under tie permutation (r and pref co-vary), so
+    arbitrary tie order across engines cannot change the result. Distances
+    to OTHER clusters need only (k_m, S_m): nearest-centroid clusters are
+    intervals in 1-D, so every foreign cluster lies entirely on one side
+    of x and sum|x - y| = |k_m*x - S_m| exactly."""
+    parts = _kmeans1d_cte_parts(rounds) + [
+        "cstats AS MATERIALIZED (SELECT a, count(*)::BIGINT AS k,"
+        " sum(cents)::BIGINT AS s FROM afin GROUP BY a)",
+        "pref AS MATERIALIZED (SELECT a, cents,"
+        " row_number() OVER (PARTITION BY a ORDER BY cents) AS r,"
+        " (sum(cents) OVER (PARTITION BY a ORDER BY cents"
+        " ROWS UNBOUNDED PRECEDING))::BIGINT AS pr FROM afin)",
+        "own AS (SELECT p.a, p.r, p.cents, cs.k,"
+        " ((p.r * p.cents - p.pr) + ((cs.s - p.pr) - (cs.k - p.r) * p.cents))"
+        " AS sum_own FROM pref p JOIN cstats cs ON cs.a = p.a)",
+        "bmin AS (SELECT p.a, p.r,"
+        " min(CAST(abs(m.k * p.cents - m.s) AS DOUBLE) / CAST(m.k AS DOUBLE))"
+        " AS b_d FROM pref p JOIN cstats m ON m.a <> p.a GROUP BY p.a, p.r)",
+        "sil AS (SELECT o.a, CASE WHEN o.k = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round(1e6 * (CASE WHEN greatest(CAST(o.sum_own AS DOUBLE)"
+        " / CAST(o.k - 1 AS DOUBLE), b.b_d) = 0.0 THEN 0.0"
+        " ELSE (b.b_d - CAST(o.sum_own AS DOUBLE) / CAST(o.k - 1 AS DOUBLE))"
+        " / greatest(CAST(o.sum_own AS DOUBLE) / CAST(o.k - 1 AS DOUBLE),"
+        " b.b_d) END)) AS BIGINT) END AS s_micro"
+        " FROM own o JOIN bmin b ON b.a = o.a AND b.r = o.r)",
+    ]
+    final = """
+    SELECT a::BIGINT AS cluster_id, count(*)::BIGINT AS n_points,
+           (sum(s_micro)::BIGINT) // count(*) AS mean_sil_micro,
+           min(s_micro) AS min_sil_micro, max(s_micro) AS max_sil_micro
+    FROM sil GROUP BY a
+    """
+    return ",\n".join(parts) + final
+
+
+@register(
+    "silhouette_1d_kmeans",
+    oracle=_silhouette1d_oracle(),
+    doc="EXACT silhouette evaluation of the kmeans_1d_value_segments "
+    "clustering — mean/min/max silhouette per cluster in integer "
+    "micro-units, with NO sampling and NO pairwise materialization. The "
+    "1-D structure collapses the quadratic definition: within-cluster "
+    "mean distance comes from one sorted prefix-sum window per cluster "
+    "(sum|x-y| = (r*x - pref) + ((S - pref) - (k-r)*x), pure BIGINT), and "
+    "distance to each foreign cluster needs only its (count, sum) because "
+    "nearest-centroid clusters are intervals — so b(x) = min|k_m*x - "
+    "S_m|/k_m over a 3-row broadcast. Per-point silhouettes freeze to "
+    "micro-units (identical double formula on exact integers), and "
+    "cluster means are integer division — engine-exact end-to-end. Scale "
+    "shape: the k-means fit plus ONE keyed window and two 3-row "
+    "broadcast joins; nothing quadratic, nothing driver-side but the k "
+    "centroids.",
+)
+def silhouette_1d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, cents_c = _kmeans1d_fit(spark, sf_dir)
+    pts = base.select("cents", _kmeans1d_assign_col(cents_c))
+    cstats = pts.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    wp = Window.partitionBy("a").orderBy("cents")
+    pref = pts.select(
+        "a",
+        "cents",
+        F.row_number().over(wp).alias("r"),
+        F.sum("cents")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("pr"),
+    )
+    own = pref.join(F.broadcast(cstats), "a").select(
+        "a",
+        "r",
+        "cents",
+        "k",
+        F.expr("((r * cents - pr) + ((s - pr) - (k - r) * cents))").alias("sum_own"),
+    )
+    m = cstats.select(
+        F.col("a").alias("ma"), F.col("k").alias("mk"), F.col("s").alias("ms")
+    )
+    bmin = (
+        pref.join(F.broadcast(m), F.col("ma") != F.col("a"))
+        .groupBy("a", "r")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(abs(mk * cents - ms) AS DOUBLE) / CAST(mk AS DOUBLE)"
+                )
+            ).alias("b_d")
+        )
+    )
+    sil = own.join(bmin, ["a", "r"]).select(
+        "a",
+        F.expr(
+            "CASE WHEN k = 1 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(round(1e6 * (CASE WHEN greatest(CAST(sum_own AS DOUBLE)"
+            " / CAST(k - 1 AS DOUBLE), b_d) = 0.0 THEN 0.0"
+            " ELSE (b_d - CAST(sum_own AS DOUBLE) / CAST(k - 1 AS DOUBLE))"
+            " / greatest(CAST(sum_own AS DOUBLE) / CAST(k - 1 AS DOUBLE),"
+            " b_d) END)) AS BIGINT) END"
+        ).alias("s_micro"),
+    )
+    return sil.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.expr("sum(s_micro) div count(*)").alias("mean_sil_micro"),
+        F.min("s_micro").alias("min_sil_micro"),
+        F.max("s_micro").alias("max_sil_micro"),
+    ).select(
+        F.col("a").cast("bigint").alias("cluster_id"),
+        "n_points",
+        "mean_sil_micro",
+        "min_sil_micro",
+        "max_sil_micro",
     )
