@@ -276,6 +276,12 @@ def hits(
         hub = nodes.withColumn("v", F.lit(1.0))
         auth = None
         for _ in range(iterations):
+            # both half-steps checkpoint their raw scatter: the raw plan is
+            # referenced TWICE (by the 2-norm aggregate and as the data
+            # side), so skipping the checkpoint would recompute the
+            # edge-sized join up to 4x per round at scale — here the extra
+            # job per half-step is the cheaper side of the trade (unlike
+            # pca_power_iteration's 1-row state, where it is not)
             auth = _normalized_scatter(nodes, e_src, hub, join_key="src", out_key="dst")
             hub = _normalized_scatter(nodes, e_dst, auth, join_key="dst", out_key="src")
     return (

@@ -1337,9 +1337,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0 AS DOUBLE), (a, b) -> a + b))"
     )
     for _ in range(rounds):
-        state = state.select("cm", "n", "trace_raw", w_expr.alias("w")).localCheckpoint(
-            eager=True
-        )
+        # one checkpoint per round, AFTER normalize: the un-checkpointed
+        # depth is a single round, so the (w referenced 3x in the normalize
+        # expression) duplication stays constant work instead of compounding
+        # across rounds; each eager checkpoint is one Spark job and the
+        # round-job count IS the wall time on a 1-row state
+        state = state.select("cm", "n", "trace_raw", w_expr.alias("w"))
         state = state.select(
             "cm",
             "n",
