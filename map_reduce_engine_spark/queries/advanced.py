@@ -3037,8 +3037,8 @@ def _sssp_oracle(iterations: int = 4) -> str:
     return f"""
     WITH base AS MATERIALIZED (
       SELECT o_custkey AS ck, l_suppkey AS sk,
-             min(date_diff('day', o_orderdate::DATE, l_shipdate::DATE))::BIGINT
-               AS w
+             greatest(1, min(date_diff('day', o_orderdate::DATE,
+                             l_shipdate::DATE)))::BIGINT AS w
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2
     ),
@@ -3061,7 +3061,7 @@ def _sssp_oracle(iterations: int = 4) -> str:
     oracle=_sssp_oracle(),
     doc="single-source shortest paths (4-round distributed Bellman-Ford, "
     "operators/graph.py::sssp) over the bidirectional customer↔supplier "
-    "graph weighted by minimum order→ship lag days — 'how close is every "
+    "graph weighted by minimum order→ship lag days (clamped to >= 1: the synthetic fixture contains negative lags, and a 1-day floor keeps the metric a true distance — no negative cycles) — 'how close is every "
     "party to this account, in fulfilment time?', the supply-chain "
     "proximity radius behind vendor-risk blast-radius analysis. Min-plus "
     "relaxation with INTEGER distances is exact at any depth (no float "
@@ -3080,8 +3080,11 @@ def supply_chain_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .agg(
-            F.min(
-                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            F.greatest(
+                F.lit(1),
+                F.min(
+                    F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                ),
             )
             .cast("bigint")
             .alias("w")

@@ -1174,12 +1174,14 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "naive_bayes_langid",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, lang,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-      FROM documents WHERE trim(text) <> ''
+      SELECT doc_id, lang, substring(txt, i, 3) AS tok
+      FROM (SELECT doc_id, lang, trim(lower(text)) AS txt FROM documents
+            WHERE len(trim(text)) >= 3),
+           (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE i <= len(txt) - 2
     ),
-    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0 AND tok <> ''),
-    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1 AND tok <> ''),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
     counts AS (
       SELECT lang, tok, count(*)::BIGINT AS cnt FROM train GROUP BY lang, tok
     ),
@@ -1223,8 +1225,8 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
     FROM pred WHERE rk = 1 GROUP BY true_lang, cand
     """,
-    doc="in-engine multinomial naive Bayes language classifier: train on "
-    "even doc_ids (Laplace-smoothed token likelihoods + doc-count priors), "
+    doc="in-engine multinomial naive Bayes language classifier over CHARACTER TRIGRAM features (the classic langid representation - whitespace tokens fail on unsegmented scripts like zh): train on "
+    "even doc_ids (Laplace-smoothed trigram likelihoods + doc-count priors), "
     "predict on odd doc_ids, emit the confusion matrix against the "
     "ground-truth lang column. The supervised counterpart of the heuristic "
     "langid: the whole train/predict/eval loop runs as DataFrame ops, no "
@@ -1236,11 +1238,16 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "confusion matrix are integer-deterministic across engines.",
 )
 def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    docs = t(spark, sf_dir, "documents").where(F.length(F.trim("text")) >= 3)
     toks = docs.select(
         "doc_id",
         "lang",
-        F.explode(text_ops.tokens_col(F.lower(F.col("text")))).alias("tok"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(trim(lower(text))) - 2),"
+                " i -> substring(trim(lower(text)), i, 3))"
+            )
+        ).alias("tok"),
     )
     train = toks.where(F.col("doc_id") % 2 == 0)
     test = toks.where(F.col("doc_id") % 2 == 1)
