@@ -2449,3 +2449,76 @@ def silhouette_1d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_sil_micro",
         "max_sil_micro",
     )
+
+
+def _davies_bouldin_oracle(rounds: int = 5) -> str:
+    """Davies-Bouldin oracle off the shared k-means chain: per-cluster
+    scatter = sum|x - c| (exact BIGINT vs the round-5 centroid), pairwise
+    similarity R_ij = (s_i + s_j)/d(c_i, c_j) frozen to micro-units per
+    cluster (3 bounded rows), DB = mean of per-cluster maxima via integer
+    division."""
+    parts = _kmeans1d_cte_parts(rounds) + [
+        f"cent AS (SELECT a, CASE a WHEN 1 THEN (SELECT c1 FROM c{rounds})"
+        f" WHEN 2 THEN (SELECT c2 FROM c{rounds})"
+        f" ELSE (SELECT c3 FROM c{rounds}) END AS c FROM (VALUES (1), (2), (3)) v(a))",
+        "cstats AS MATERIALIZED (SELECT f.a, count(*)::BIGINT AS k,"
+        " sum(abs(f.cents - ct.c))::BIGINT AS scatter, max(ct.c) AS c"
+        " FROM afin f JOIN cent ct ON ct.a = f.a GROUP BY f.a)",
+        "pairs AS (SELECT i.a,"
+        " CAST(round(1e6 * ((i.scatter::DOUBLE / i.k::DOUBLE"
+        " + j.scatter::DOUBLE / j.k::DOUBLE)"
+        " / abs(i.c - j.c)::DOUBLE)) AS BIGINT) AS r_micro"
+        " FROM cstats i JOIN cstats j ON j.a <> i.a)",
+        "rmax AS (SELECT a, max(r_micro) AS r_max_micro FROM pairs GROUP BY a)",
+    ]
+    final = """
+    SELECT count(*)::BIGINT AS n_clusters,
+           (sum(r_max_micro)::BIGINT) // count(*) AS db_index_micro
+    FROM rmax
+    """
+    return ",\n".join(parts) + final
+
+
+@register(
+    "davies_bouldin_1d_kmeans",
+    oracle=_davies_bouldin_oracle(),
+    doc="Davies-Bouldin index of the kmeans_1d_value_segments clustering — "
+    "the cheap cluster-separation score (lower = better) computed next to "
+    "the exact silhouette: per-cluster scatter sum|x - centroid| is one "
+    "exact BIGINT conditional aggregate over the corpus, and everything "
+    "after (pairwise similarity ratios, per-cluster maxima, the mean) "
+    "lives on k=3 bounded rows with ratios frozen to micro-units — "
+    "engine-exact end-to-end, one corpus pass beyond the fit.",
+)
+def davies_bouldin_1d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, cents_c = _kmeans1d_fit(spark, sf_dir)
+    pts = base.select("cents", _kmeans1d_assign_col(cents_c))
+    cent_case = "CASE a WHEN 1 THEN {} WHEN 2 THEN {} ELSE {} END".format(
+        *[int(c) for c in cents_c]
+    )
+    cstats = pts.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr(f"abs(cents - ({cent_case}))")).cast("bigint").alias("scatter"),
+        F.max(F.expr(cent_case)).alias("c"),
+    )
+    i = cstats.select(
+        F.col("a"), F.col("k").alias("ik"), F.col("scatter").alias("iscat"),
+        F.col("c").alias("ic"),
+    )
+    j = cstats.select(
+        F.col("a").alias("ja"), F.col("k").alias("jk"),
+        F.col("scatter").alias("jscat"), F.col("c").alias("jc"),
+    )
+    pairs = i.join(F.broadcast(j), F.col("ja") != F.col("a")).select(
+        "a",
+        F.expr(
+            "CAST(round(1e6 * ((CAST(iscat AS DOUBLE) / CAST(ik AS DOUBLE)"
+            " + CAST(jscat AS DOUBLE) / CAST(jk AS DOUBLE))"
+            " / CAST(abs(ic - jc) AS DOUBLE))) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    rmax = pairs.groupBy("a").agg(F.max("r_micro").alias("r_max_micro"))
+    return rmax.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.expr("sum(r_max_micro) div count(*)").alias("db_index_micro"),
+    )

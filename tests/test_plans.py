@@ -577,6 +577,8 @@ _SANCTIONED_NESTED_LOOP = {
     "rrf_fusion_topk": "both first-stage rankers are the sanctioned bounded-"
     "probe exact/binary scans (knn_cosine_topk / binary_hamming_topk)",
     "sql_all_quantified": "broadcasts the 1-row ALL-subquery bound (max aggregate)",
+    "davies_bouldin_1d_kmeans": "3x3 cluster-pair inequality join over "
+    "the k-row broadcast stats",
     "silhouette_1d_kmeans": "foreign-cluster distances via a 3-row "
     "(k clusters) broadcast inequality join — the 1-D interval identity "
     "needs only (count, sum) per cluster",
