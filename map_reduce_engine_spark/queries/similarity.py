@@ -1382,3 +1382,96 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "embedding_drift_report",
+    oracle="""
+    WITH ints AS (
+      SELECT vec_id % 2 AS grp,
+             list_transform(embedding, e -> CAST(round(e * 1e6) AS BIGINT))
+               AS xs
+      FROM embeddings
+    ),
+    cnt AS (SELECT grp, count(*)::BIGINT AS n FROM ints GROUP BY grp),
+    sums AS (
+      SELECT i.grp, d.i, sum(xs[d.i + 1])::BIGINT AS s
+      FROM ints i, (SELECT unnest(range(64)) AS i) d GROUP BY i.grp, d.i
+    ),
+    means AS (
+      SELECT s.grp, c.n,
+             list(s.s::DOUBLE / c.n::DOUBLE ORDER BY s.i) AS m
+      FROM sums s JOIN cnt c ON c.grp = s.grp GROUP BY s.grp, c.n
+    ),
+    ab AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb
+      FROM means a, means b WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT n_a, n_b,
+           round(list_dot_product(ma, mb)
+                 / (sqrt(list_dot_product(ma, ma))
+                    * sqrt(list_dot_product(mb, mb))), 6) AS cosine_means,
+           CAST(round(1e6 * list_aggregate(
+             list_transform(range(64), k -> abs(ma[k + 1] - mb[k + 1])),
+             'max')) AS BIGINT) AS max_dim_shift_micro
+    FROM ab
+    """,
+    doc="embedding drift monitor: split the corpus into even/odd vec_id "
+    "halves (stand-ins for two snapshots), compare their mean embedding "
+    "vectors — cosine of means plus the worst per-dimension shift. The "
+    "cheap 'did my embedding space move?' gate run before re-using a "
+    "trained ANN index on refreshed data. Exact: per-half per-dim sums "
+    "are BIGINT micro-units folded in ONE grouped aggregate (128 output "
+    "rows at any corpus size), means are single divisions, and the "
+    "cosine is the zip_with/aggregate fold == list_dot_product identity "
+    "(knn precedent) — so both engines emit identical doubles before the "
+    "rounding. One corpus pass; everything after is dimension-bounded.",
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ints = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.expr("transform(embedding, e -> CAST(round(e * 1e6) AS BIGINT))").alias(
+            "xs"
+        ),
+    )
+    cnt = ints.groupBy("grp").agg(F.count("*").alias("n"))
+    sums = (
+        ints.select("grp", F.posexplode("xs").alias("i", "xi"))
+        .groupBy("grp", "i")
+        .agg(F.sum("xi").alias("s"))
+    )
+    means = (
+        sums.join(F.broadcast(cnt), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i,"
+                " CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mv))), x -> x.mv)"
+            ).alias("m")
+        )
+    )
+    a = means.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("m").alias("ma")
+    )
+    b = means.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("m").alias("mb")
+    )
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), CAST(0 AS DOUBLE),"
+        " (acc, e) -> acc + e)"
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.expr(
+                f"{dot.format(x='ma', y='mb')} / (sqrt({dot.format(x='ma', y='ma')})"
+                f" * sqrt({dot.format(x='mb', y='mb')}))"
+            ),
+            6,
+        ).alias("cosine_means"),
+        F.expr(
+            "CAST(round(1e6 * array_max(zip_with(ma, mb,"
+            " (p, q) -> abs(p - q)))) AS BIGINT)"
+        ).alias("max_dim_shift_micro"),
+    )

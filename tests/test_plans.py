@@ -633,6 +633,8 @@ _SANCTIONED_NESTED_LOOP = {
     "bounded basket-size histogram",
     "degree_distribution_fit": "two 1-row graph-totals crossJoins over "
     "the OLS moment aggregate",
+    "embedding_drift_report": "crossJoin of the two 1-row per-half mean "
+    "vectors (dimension-bounded array math)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
