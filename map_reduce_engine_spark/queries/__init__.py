@@ -21,6 +21,7 @@ from map_reduce_engine_spark.queries import advanced  # noqa: F401
 from map_reduce_engine_spark.queries import tpch  # noqa: F401
 from map_reduce_engine_spark.queries import pipeline  # noqa: F401
 from map_reduce_engine_spark.queries import retrieval  # noqa: F401
+from map_reduce_engine_spark.queries import mleval  # noqa: F401
 
 
 def _interleave_registry() -> None:

@@ -1,0 +1,560 @@
+"""ML-evaluation and data-selection conformance queries.
+
+The measurement layer a training-data pipeline runs AFTER the corpus-prep
+operators (dedup, quality scoring, classifiers) and BEFORE anything ships:
+ranking-quality metrics (average precision), inter-rater agreement
+(Cohen's kappa between the heuristic classifier and the labeled column),
+group-fairness audits (demographic parity / equalized odds by segment),
+calibration diagnostics (reliability bins + Brier score), and
+leave-one-group-out ablation (which source is dragging the corpus metric).
+
+Cross-engine exactness strategy (same as the stats tier in
+``queries/relational.py``): every metric is pushed to integer
+parts-per-million via BIGINT arithmetic and integer division — both
+engines compute identical integers regardless of float summation order.
+Rate-limited scalar broadcasts (1-row crossJoins) are the only non-equi
+joins; each is registered in ``tests/test_plans.py::_SANCTIONED_NESTED_LOOP``.
+
+Scale shape: every query here is one or two hash aggregates over the fact
+table followed by arithmetic on a bounded grid (score levels, class
+labels, segments) — linear scans at 100 TB with map-side partial
+aggregation, no state that grows with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.operators import text as text_ops
+from map_reduce_engine_spark.queries.base import register, t
+
+# DuckDB twin of operators/text.py::langid — same marker-word argmax with
+# the same fixed-order tiebreak (shared with langid_confusion_matrix).
+_DUCK_LANGID_PRED = r"""
+      SELECT doc_id,
+        CASE
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+          WHEN greatest(s_en, s_fr, s_de, s_es) > 0 AND s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+          ELSE 'und'
+        END AS predicted_lang
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b'))    AS s_en,
+          len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))   AS s_fr,
+          len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\b(el|los|que|y|en)\b'))    AS s_es
+        FROM documents
+      )
+"""
+
+
+@register(
+    "average_precision_eval",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q, pos, tot,
+             sum(pos) OVER (ORDER BY q DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos,
+             sum(tot) OVER (ORDER BY q DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tot
+      FROM g
+    ),
+    m AS (
+      SELECT sum(pos)::BIGINT AS n_pos, sum(tot)::BIGINT AS n_total,
+             sum((1000000 * pos * cum_pos) // cum_tot)::BIGINT AS contrib
+      FROM c
+    )
+    SELECT n_pos, n_total,
+           contrib // n_pos AS ap_ppm,
+           (1000000 * n_pos) // n_total AS prevalence_ppm
+    FROM m
+    """,
+    doc="exact average precision of l_quantity as a returned-item ranker: "
+    "the rank-free companion of roc_auc_mann_whitney. Ties collapse onto "
+    "the bounded 50-value score grid and AP is the step-interpolated PR "
+    "integral over grid blocks — each block's contribution is frozen to "
+    "BIGINT ppm (1e6*pos_b*cumPos_b div cumTot_b) so both engines sum "
+    "identical integers. AP vs prevalence is the standard 'is the ranker "
+    "better than random?' read. One hash aggregate to the grid; "
+    "everything after is grid-bounded — linear at 100 TB.",
+)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "pos",
+        "tot",
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("tot").over(w).cast("bigint").alias("cum_tot"),
+    )
+    m = c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("tot").cast("bigint").alias("n_total"),
+        F.sum(F.expr("(1000000 * pos * cum_pos) div cum_tot"))
+        .cast("bigint")
+        .alias("contrib"),
+    )
+    return m.select(
+        "n_pos",
+        "n_total",
+        F.expr("contrib div n_pos").alias("ap_ppm"),
+        F.expr("(1000000 * n_pos) div n_total").alias("prevalence_ppm"),
+    )
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=f"""
+    WITH pred AS ({_DUCK_LANGID_PRED}),
+    cell AS (
+      SELECT d.lang AS true_lang, p.predicted_lang, count(*)::BIGINT AS n
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    diag AS (
+      SELECT sum(n)::BIGINT AS n_docs,
+             sum(CASE WHEN true_lang = predicted_lang THEN n ELSE 0 END)::BIGINT AS agree
+      FROM cell
+    ),
+    rowm AS (SELECT true_lang AS lab, sum(n)::BIGINT AS rn FROM cell GROUP BY 1),
+    colm AS (SELECT predicted_lang AS lab, sum(n)::BIGINT AS cn FROM cell GROUP BY 1),
+    rc AS (
+      SELECT sum(coalesce(rn, 0) * coalesce(cn, 0))::BIGINT AS rc
+      FROM rowm FULL JOIN colm USING (lab)
+    )
+    SELECT n_docs, agree AS n_agree,
+           (1000000 * agree) // n_docs AS observed_agree_ppm,
+           (1000000 * rc) // (n_docs * n_docs) AS expected_agree_ppm,
+           (1000000 * (n_docs * agree - rc)) // (n_docs * n_docs - rc) AS kappa_ppm
+    FROM diag, rc
+    """,
+    doc="Cohen's kappa between the marker-word langid classifier and the "
+    "labeled lang column — chance-corrected inter-rater agreement, the "
+    "one-number summary of langid_confusion_matrix (raw agreement looks "
+    "good when one class dominates; kappa does not). All-BIGINT: kappa = "
+    "(n*agree - SUM(row_k*col_k)) / (n^2 - SUM(row_k*col_k)) in exact "
+    "ppm, marginal products over the full-outer label join so classes "
+    "seen by only one rater ('zh' never predicted, 'und' never labeled) "
+    "contribute zero. One classification pass + class-bounded marginals.",
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pred = text_ops.langid(docs, "doc_id", "text").select("doc_id", "predicted_lang")
+    cell = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    diag = cell.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("true_lang") == F.col("predicted_lang"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rowm = cell.groupBy(F.col("true_lang").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    colm = cell.groupBy(F.col("predicted_lang").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    rc = (
+        rowm.join(colm, "lab", "full_outer")
+        .agg(
+            F.sum(F.coalesce("rn", F.lit(0)) * F.coalesce("cn", F.lit(0)))
+            .cast("bigint")
+            .alias("rc")
+        )
+    )
+    return diag.crossJoin(rc).select(
+        "n_docs",
+        F.col("agree").alias("n_agree"),
+        F.expr("(1000000 * agree) div n_docs").alias("observed_agree_ppm"),
+        F.expr("(1000000 * rc) div (n_docs * n_docs)").alias("expected_agree_ppm"),
+        F.expr("(1000000 * (n_docs * agree - rc)) div (n_docs * n_docs - rc)").alias(
+            "kappa_ppm"
+        ),
+    )
+
+
+@register(
+    "fairness_parity_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT brand, count(*)::BIGINT AS n,
+             sum(pred)::BIGINT AS n_sel,
+             sum(pred * label)::BIGINT AS tp,
+             sum(pred * (1 - label))::BIGINT AS fp,
+             sum((1 - pred) * label)::BIGINT AS fn,
+             sum((1 - pred) * (1 - label))::BIGINT AS tn
+      FROM scored GROUP BY brand
+    ),
+    o AS (
+      SELECT (1000000 * sum(n_sel)) // sum(n) AS o_sel,
+             (1000000 * sum(tp)) // sum(tp + fn) AS o_tpr,
+             (1000000 * sum(fp)) // sum(fp + tn) AS o_fpr
+      FROM g
+    )
+    SELECT brand, n,
+           (1000000 * n_sel) // n AS sel_ppm,
+           (1000000 * tp) // (tp + fn) AS tpr_ppm,
+           (1000000 * fp) // (fp + tn) AS fpr_ppm,
+           (1000000 * n_sel) // n - o_sel AS sel_gap_ppm,
+           (1000000 * tp) // (tp + fn) - o_tpr AS tpr_gap_ppm,
+           (1000000 * fp) // (fp + tn) - o_fpr AS fpr_gap_ppm
+    FROM g, o
+    """,
+    doc="group-fairness audit of the quantity>=25 return-risk stump across "
+    "part brands: demographic parity (selection rate), equalized odds "
+    "(TPR/FPR), each as exact BIGINT ppm with the per-brand gap vs the "
+    "pooled rate — the pre-deployment report governance runs on any "
+    "classifier that gates real decisions. Fact-to-dim broadcast join, "
+    "one hash aggregate to the |brands| grid, 1-row pooled-rate "
+    "broadcast. Linear at 100 TB.",
+)
+def fairness_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    scored = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_quantity") >= 25, 1).otherwise(0).alias("pred"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    g = scored.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pred").cast("bigint").alias("n_sel"),
+        F.sum(F.col("pred") * F.col("label")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).cast("bigint").alias("tn"),
+    )
+    o = g.agg(
+        F.expr("(1000000 * sum(n_sel)) div sum(n)").alias("o_sel"),
+        F.expr("(1000000 * sum(tp)) div sum(tp + fn)").alias("o_tpr"),
+        F.expr("(1000000 * sum(fp)) div sum(fp + tn)").alias("o_fpr"),
+    )
+    return g.crossJoin(o).select(
+        "brand",
+        "n",
+        F.expr("(1000000 * n_sel) div n").alias("sel_ppm"),
+        F.expr("(1000000 * tp) div (tp + fn)").alias("tpr_ppm"),
+        F.expr("(1000000 * fp) div (fp + tn)").alias("fpr_ppm"),
+        F.expr("(1000000 * n_sel) div n - o_sel").alias("sel_gap_ppm"),
+        F.expr("(1000000 * tp) div (tp + fn) - o_tpr").alias("tpr_gap_ppm"),
+        F.expr("(1000000 * fp) div (fp + tn) - o_fpr").alias("fpr_gap_ppm"),
+    )
+
+
+@register(
+    "ablation_group_impact",
+    oracle="""
+    WITH g AS (
+      SELECT source, count(*)::BIGINT AS n_g, sum(n_chars)::BIGINT AS s_g
+      FROM documents GROUP BY source
+    ),
+    o AS (SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s FROM g)
+    SELECT source, n_g,
+           (1000000 * s_g) // n_g AS mean_chars_ppm,
+           (1000000 * s) // n AS overall_mean_ppm,
+           (1000000 * (s - s_g)) // (n - n_g) AS mean_without_ppm,
+           (1000000 * (s - s_g)) // (n - n_g) - (1000000 * s) // n AS impact_ppm
+    FROM g, o
+    """,
+    doc="leave-one-group-out ablation: how the corpus mean document length "
+    "moves if each source is dropped, computed algebraically from per-"
+    "group (count, sum) partials — no per-group re-scan, the identity "
+    "mean_without_g = (S - s_g)/(N - n_g) turns a |sources|-pass ablation "
+    "study into ONE aggregate. The 'which source drags the metric' "
+    "screen run before cutting a data source from a training mix. All "
+    "exact BIGINT ppm; 1-row totals broadcast; linear at any scale.",
+)
+def ablation_group_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("s_g"),
+    )
+    o = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"), F.sum("s_g").cast("bigint").alias("s")
+    )
+    return g.crossJoin(o).select(
+        "source",
+        "n_g",
+        F.expr("(1000000 * s_g) div n_g").alias("mean_chars_ppm"),
+        F.expr("(1000000 * s) div n").alias("overall_mean_ppm"),
+        F.expr("(1000000 * (s - s_g)) div (n - n_g)").alias("mean_without_ppm"),
+        F.expr("(1000000 * (s - s_g)) div (n - n_g) - (1000000 * s) div n").alias(
+            "impact_ppm"
+        ),
+    )
+
+
+@register(
+    "calibration_brier",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    o AS (
+      SELECT count(*)::BIGINT AS n_total,
+             (1000000 * sum((q - 50 * y) * (q - 50 * y))) // (2500 * count(*))
+               AS brier_ppm
+      FROM scored
+    ),
+    b AS (
+      SELECT (q - 1) // 5 AS bin, count(*)::BIGINT AS n,
+             sum(q)::BIGINT AS sq, sum(y)::BIGINT AS pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n,
+           (1000000 * sq) // (50 * n) AS mean_pred_ppm,
+           (1000000 * pos) // n AS actual_ppm,
+           (1000000 * pos) // n - (1000000 * sq) // (50 * n) AS gap_ppm,
+           n_total, brier_ppm
+    FROM b, o
+    """,
+    doc="calibration diagnostic for the naive p(return)=quantity/50 "
+    "scorer: 10 reliability bins (mean predicted vs observed return rate, "
+    "exact ppm) plus the overall Brier score — rational arithmetic "
+    "throughout since p-hat = q/50 makes (p-hat - y)^2 = (q - 50y)^2/2500 "
+    "an integer identity, so the Brier lands as exact BIGINT ppm with no "
+    "float summation. The 'is the score a probability or just a ranker' "
+    "check run before thresholding a quality scorer. One hash aggregate "
+    "to the bounded grid; 1-row totals broadcast.",
+)
+def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    o = scored.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.expr(
+            "(1000000 * sum((q - 50 * y) * (q - 50 * y))) div (2500 * count(*))"
+        ).alias("brier_ppm"),
+    )
+    b = scored.groupBy(F.expr("(q - 1) div 5").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    return b.crossJoin(o).select(
+        "bin",
+        "n",
+        F.expr("(1000000 * sq) div (50 * n)").alias("mean_pred_ppm"),
+        F.expr("(1000000 * pos) div n").alias("actual_ppm"),
+        F.expr("(1000000 * pos) div n - (1000000 * sq) div (50 * n)").alias("gap_ppm"),
+        "n_total",
+        "brier_ppm",
+    )
+
+
+# Shared Mann-Kendall z: continuity-corrected S over sqrt(Var), Var fed as
+# the exact integer 18*Var (identical formula text in both engines).
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var18 / 18.0) "
+    "WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var18 / 18.0) "
+    "ELSE 0.0 END)"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN b.cents > a.cents THEN 1
+                      WHEN b.cents < a.cents THEN -1 ELSE 0 END)::BIGINT AS s_stat
+      FROM m a JOIN m b ON a.idx < b.idx
+    ),
+    ties AS (
+      SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie18
+      FROM (SELECT count(*)::BIGINT AS t FROM m GROUP BY cents) WHERE t > 1
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM m),
+    v AS (
+      SELECT s_stat, n, (n * (n - 1) * (2 * n + 5) - tie18)::BIGINT AS var18
+      FROM s, ties, nn
+    )
+    SELECT n AS n_periods, s_stat, var18,
+           round({_MK_Z}, 4) AS z,
+           CASE WHEN round({_MK_Z}, 4) > 1.96 THEN 'increasing'
+                WHEN round({_MK_Z}, 4) < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM v
+    """,
+    doc="Mann-Kendall trend test on monthly revenue: the nonparametric "
+    "'is there a monotone trend?' companion to theil_sen_trend (which "
+    "estimates the slope this test decides the significance of). S and "
+    "the tie-corrected 18*Var are exact BIGINTs over the calendar-bounded "
+    "monthly grid (<= 80 periods -> <= 3160 sign pairs at any corpus "
+    "size); the continuity-corrected z is one shared formula string over "
+    "those integers. One corpus aggregate to the month grid; everything "
+    "after is grid-bounded.",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = a.join(b, F.col("a.idx") < F.col("b.idx")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        m.groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    nn = m.agg(F.count("*").cast("bigint").alias("n"))
+    v = (
+        s.crossJoin(ties)
+        .crossJoin(nn)
+        .select(
+            "s_stat",
+            "n",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie18").cast("bigint").alias("var18"),
+        )
+    )
+    zc = F.round(F.expr(_MK_Z), 4)
+    return v.select(
+        F.col("n").alias("n_periods"),
+        "s_stat",
+        "var18",
+        zc.alias("z"),
+        F.when(zc > 1.96, "increasing")
+        .when(zc < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+@register(
+    "isotonic_calibration",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q, pos, tot,
+             (sum(pos) OVER w - pos)::BIGINT AS pos_before,
+             (sum(tot) OVER w - tot)::BIGINT AS tot_before,
+             sum(pos) OVER w AS cum_pos, sum(tot) OVER w AS cum_tot
+      FROM g
+      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    iv AS (
+      SELECT a.q AS jq, b.q AS kq,
+             (1000000 * (b.cum_pos - a.pos_before)) // (b.cum_tot - a.tot_before)
+               AS ratio_ppm
+      FROM c a JOIN c b ON a.q <= b.q
+    ),
+    m1 AS (
+      SELECT i.q, iv.jq, min(iv.ratio_ppm) AS min_r
+      FROM c i JOIN iv ON iv.jq <= i.q AND iv.kq >= i.q
+      GROUP BY i.q, iv.jq
+    ),
+    iso AS (SELECT q, max(min_r)::BIGINT AS iso_rate_ppm FROM m1 GROUP BY q)
+    SELECT c.q, c.tot AS n,
+           (1000000 * c.pos) // c.tot AS raw_rate_ppm,
+           iso.iso_rate_ppm
+    FROM c JOIN iso USING (q)
+    """,
+    doc="isotonic (monotone non-decreasing) calibration of return rate vs "
+    "quantity via the max-min identity iso_i = max_{{j<=i}} min_{{k>=i}} "
+    "rate(j..k) — the closed-form equivalent of pool-adjacent-violators, "
+    "evaluated on interval rates frozen to BIGINT ppm so both engines "
+    "take max/min over identical integers (a ppm-grid isotonic fit, "
+    "deterministic by construction). One corpus aggregate to the 50-"
+    "value grid; the j/k/i interval joins are grid-bounded (<=125k "
+    "combinations at ANY corpus size). The monotone-recalibration step "
+    "a pipeline applies to a score whose raw rate curve is noisy.",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "q",
+        "pos",
+        "tot",
+        (F.sum("pos").over(w) - F.col("pos")).cast("bigint").alias("pos_before"),
+        (F.sum("tot").over(w) - F.col("tot")).cast("bigint").alias("tot_before"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("tot").over(w).alias("cum_tot"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    iv = a.join(b, F.col("a.q") <= F.col("b.q")).select(
+        F.col("a.q").alias("jq"),
+        F.col("b.q").alias("kq"),
+        F.expr(
+            "(1000000 * (b.cum_pos - a.pos_before)) div (b.cum_tot - a.tot_before)"
+        ).alias("ratio_ppm"),
+    )
+    i = c.select("q").alias("i")
+    m1 = (
+        i.join(iv, (F.col("jq") <= F.col("i.q")) & (F.col("kq") >= F.col("i.q")))
+        .groupBy(F.col("i.q").alias("q"), "jq")
+        .agg(F.min("ratio_ppm").alias("min_r"))
+    )
+    iso = m1.groupBy("q").agg(F.max("min_r").cast("bigint").alias("iso_rate_ppm"))
+    return (
+        c.join(iso, "q")
+        .select(
+            "q",
+            F.col("tot").alias("n"),
+            F.expr("(1000000 * pos) div tot").alias("raw_rate_ppm"),
+            "iso_rate_ppm",
+        )
+    )

@@ -635,6 +635,19 @@ _SANCTIONED_NESTED_LOOP = {
     "the OLS moment aggregate",
     "embedding_drift_report": "crossJoin of the two 1-row per-half mean "
     "vectors (dimension-bounded array math)",
+    "cohens_kappa_agreement": "crossJoin of the 1-row diagonal and 1-row "
+    "marginal-product aggregates (class-bounded)",
+    "fairness_parity_audit": "broadcasts the 1-row pooled-rate aggregate "
+    "over the |brands|-row audit grid",
+    "ablation_group_impact": "broadcasts the 1-row corpus totals over the "
+    "|sources|-row ablation grid",
+    "calibration_brier": "broadcasts the 1-row Brier/total aggregate over "
+    "the 10-bin reliability grid",
+    "mann_kendall_trend": "pairwise sign comparisons over the calendar-"
+    "bounded monthly aggregate (<=3160 pairs at any corpus size) + 1-row "
+    "S/tie/count broadcasts",
+    "isotonic_calibration": "max-min interval joins over the 50-value "
+    "quantity grid (<=125k grid-bounded combinations at any corpus size)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
