@@ -558,3 +558,273 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_rate_ppm",
         )
     )
+
+
+def _bh_z_expr() -> str:
+    """Two-proportion pooled z over exact integer columns (shared text)."""
+    return (
+        "((CAST(pos_g AS DOUBLE) / ng - CAST(pos_r AS DOUBLE) / nr) / "
+        "sqrt((CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt) "
+        "* (1.0 / ng + 1.0 / nr)))"
+    )
+
+
+def _bh_p_expr(z: str = "zv") -> str:
+    """Two-sided normal p-value via the Abramowitz-Stegun 7.1.26 erf
+    approximation (max abs error ~1.5e-7) — +,*,/,exp only, so the
+    identical formula text evaluates identically in both engines."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t_ = f"(1.0 / (1.0 + CAST(0.3275911 AS DOUBLE) * {x}))"
+    poly = (
+        f"({t_} * (CAST(0.254829592 AS DOUBLE) + {t_} * "
+        f"(CAST(-0.284496736 AS DOUBLE) + {t_} * (CAST(1.421413741 AS DOUBLE) + {t_} * "
+        f"(CAST(-1.453152027 AS DOUBLE) + {t_} * CAST(1.061405429 AS DOUBLE))))))"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+_BH_CRIT = "round(CAST(0.10 AS DOUBLE) * rk / m, 9)"
+
+
+@register(
+    "benjamini_hochberg_brands",
+    oracle=f"""
+    WITH g AS (
+      SELECT p.p_brand AS brand, count(*)::BIGINT AS ng,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos_g
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    o AS (SELECT sum(ng)::BIGINT AS nt, sum(pos_g)::BIGINT AS pt FROM g),
+    z AS (
+      SELECT brand, ng, pos_g, nt - ng AS nr, pt - pos_g AS pos_r, nt, pt,
+             {_bh_z_expr()} AS zv
+      FROM g, o
+    ),
+    p AS (
+      SELECT brand, ng, pos_g, round(zv, 4) AS z, round({_bh_p_expr()}, 9) AS pval
+      FROM z
+    ),
+    r AS (
+      SELECT brand, ng, pos_g, z, pval,
+             row_number() OVER (ORDER BY pval, brand)::BIGINT AS rk,
+             count(*) OVER ()::BIGINT AS m
+      FROM p
+    ),
+    f AS (
+      SELECT *, max(CASE WHEN pval <= {_BH_CRIT} THEN rk ELSE 0 END)
+                  OVER ()::BIGINT AS max_pass
+      FROM r
+    )
+    SELECT brand, ng AS n, pos_g AS n_returned,
+           (1000000 * pos_g) // ng AS rate_ppm,
+           z, pval, rk AS p_rank, rk <= max_pass AS rejected
+    FROM f
+    """,
+    doc="Benjamini-Hochberg FDR control over 25 simultaneous per-brand "
+    "return-rate tests (each brand vs the rest, pooled two-proportion z): "
+    "the multiple-comparisons discipline that stops a 25-segment drift "
+    "dashboard from crying wolf on 1-in-20 noise. p-values via a shared "
+    "Abramowitz-Stegun erf formula (identical text both engines, frozen "
+    "at round-9), the BH step-up rank threshold at alpha=0.10 via window "
+    "max. One fact aggregate to the brand grid; everything after is "
+    "25-row bounded. The z/p inputs are exact BIGINT counts.",
+)
+def benjamini_hochberg_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos_g"),
+        )
+    )
+    o = g.agg(
+        F.sum("ng").cast("bigint").alias("nt"), F.sum("pos_g").cast("bigint").alias("pt")
+    )
+    z = g.crossJoin(o).select(
+        "brand",
+        "ng",
+        "pos_g",
+        (F.col("nt") - F.col("ng")).alias("nr"),
+        (F.col("pt") - F.col("pos_g")).alias("pos_r"),
+        "nt",
+        "pt",
+        F.expr(_bh_z_expr()).alias("zv"),
+    )
+    p = z.select(
+        "brand",
+        "ng",
+        "pos_g",
+        F.round("zv", 4).alias("z"),
+        F.round(F.expr(_bh_p_expr()), 9).alias("pval"),
+    )
+    r = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("pval", "brand")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    f = r.select(
+        "*",
+        F.max(F.when(F.expr(f"pval <= {_BH_CRIT}"), F.col("rk")).otherwise(0))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("max_pass"),
+    )
+    return f.select(
+        "brand",
+        F.col("ng").alias("n"),
+        F.col("pos_g").alias("n_returned"),
+        F.expr("(1000000 * pos_g) div ng").alias("rate_ppm"),
+        "z",
+        "pval",
+        F.col("rk").alias("p_rank"),
+        (F.col("rk") <= F.col("max_pass")).alias("rejected"),
+    )
+
+
+# DuckDB cosine over FLOAT[] lists cast to double (same accumulation order
+# as operators/similarity.dot — shared with queries/similarity.py).
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
+
+@register(
+    "mutual_nn_pairs",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS cosine
+      FROM u a JOIN u b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT qid, nid, cosine FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT x.qid AS id1, x.nid AS id2, x.cosine
+    FROM nn x JOIN nn y ON x.nid = y.qid AND y.nid = x.qid AND x.qid < y.qid
+    """,
+    doc="reciprocal nearest-neighbor pairs (mutual top-1 cosine) over a "
+    "bounded embedding slice — the margin-free bitext/translation-pair "
+    "mining criterion (Artetxe-Schwenk shape): a pair survives only if "
+    "each side is the other's single best match, which filters hub "
+    "vectors that are 'everyone's neighbor'. Built from the sanctioned "
+    "bounded-probe exact-kNN scan at k=1 + one equi-self-join on the "
+    "200-row NN table; at 100 TB the first stage swaps for the ANN path "
+    "(ivf_ann_topk) with identical downstream reciprocity logic.",
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import similarity as sim
+
+    u = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    nn = sim.cosine_topk(u, u, id_col="vec_id", vec_col="embedding", k=1, query_id="qid")
+    nn = nn.select("qid", F.col("neighbor_id").alias("nid"), "cosine")
+    x, y = nn.alias("x"), nn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.nid") == F.col("y.qid"))
+            & (F.col("y.nid") == F.col("x.qid"))
+            & (F.col("x.qid") < F.col("y.qid")),
+        )
+        .select(
+            F.col("x.qid").alias("id1"),
+            F.col("x.nid").alias("id2"),
+            F.col("x.cosine").alias("cosine"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+    scored AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid,
+             b.label AS clabel, {_COS} AS cosine,
+             (a.label = b.label) AS is_same
+      FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    best AS (
+      SELECT qid, qlabel, cid, clabel, cosine, is_same FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid, is_same
+                    ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT qid AS query_id, any_value(qlabel) AS label,
+           max(CASE WHEN is_same THEN cid END)::BIGINT AS pos_id,
+           max(CASE WHEN is_same THEN cosine END) AS pos_cos,
+           max(CASE WHEN NOT is_same THEN cid END)::BIGINT AS hard_neg_id,
+           max(CASE WHEN NOT is_same THEN clabel END)::INTEGER AS neg_label,
+           max(CASE WHEN NOT is_same THEN cosine END) AS neg_cos,
+           round(max(CASE WHEN is_same THEN cosine END)
+                 - max(CASE WHEN NOT is_same THEN cosine END), 6) AS margin
+    FROM best GROUP BY qid
+    """,
+    doc="hard-negative mining for contrastive training: for each of 50 "
+    "probe embeddings, the single most-similar SAME-label vector (the "
+    "positive) and the most-similar DIFFERENT-label vector (the hard "
+    "negative), with the pos-neg margin — exactly the triplet-selection "
+    "pass an embedding-model trainer runs per epoch; small margins flag "
+    "label noise. Bounded-probe scan (the sanctioned knn shape: 50 "
+    "broadcast queries x corpus, no corpus shuffle) + per-query window "
+    "argmax split by label parity. Cosines frozen at round-6.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.similarity import _vecd, dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            _vecd(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qnorm", l2_norm(F.col("qv")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        _vecd(F.col("embedding")).alias("cv"),
+    ).withColumn("cnorm", l2_norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cosine"),
+            (F.col("qlabel") == F.col("clabel")).alias("is_same"),
+        )
+    )
+    w = Window.partitionBy("qid", "is_same").orderBy(F.desc("cosine"), "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.groupBy(F.col("qid").alias("query_id")).agg(
+        F.any_value(F.col("qlabel")).alias("label"),
+        F.max(F.when(F.col("is_same"), F.col("cid"))).cast("bigint").alias("pos_id"),
+        F.max(F.when(F.col("is_same"), F.col("cosine"))).alias("pos_cos"),
+        F.max(F.when(~F.col("is_same"), F.col("cid"))).cast("bigint").alias("hard_neg_id"),
+        F.max(F.when(~F.col("is_same"), F.col("clabel"))).cast("int").alias("neg_label"),
+        F.max(F.when(~F.col("is_same"), F.col("cosine"))).alias("neg_cos"),
+        F.round(
+            F.max(F.when(F.col("is_same"), F.col("cosine")))
+            - F.max(F.when(~F.col("is_same"), F.col("cosine"))),
+            6,
+        ).alias("margin"),
+    )

@@ -648,6 +648,12 @@ _SANCTIONED_NESTED_LOOP = {
     "S/tie/count broadcasts",
     "isotonic_calibration": "max-min interval joins over the 50-value "
     "quantity grid (<=125k grid-bounded combinations at any corpus size)",
+    "benjamini_hochberg_brands": "broadcasts the 1-row pooled totals over "
+    "the |brands|-row test grid (bounded window ranks)",
+    "mutual_nn_pairs": "the sanctioned bounded-probe exact-kNN scan at "
+    "k=1 (200-row slice) + equi-join reciprocity filter",
+    "hard_negative_mining": "bounded 50-query probe set broadcast against "
+    "the corpus (knn_cosine_topk shape), split by label parity",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
