@@ -828,3 +828,212 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("margin"),
     )
+
+
+# --- greedy k-center coreset -------------------------------------------------
+
+_KC_ROUNDS = 5  # 4 coreset picks + 1 farthest-remaining row (= coverage radius)
+
+
+def _kc_d2(x: str, y: str) -> str:
+    """Exact integer squared distance between two BIGINT-element lists
+    (DuckDB side; Spark mirrors with zip_with/aggregate over BIGINTs)."""
+    return (
+        f"CAST(list_sum(list_transform(range(64), "
+        f"i -> ({x}[i+1] - {y}[i+1]) * ({x}[i+1] - {y}[i+1]))) AS BIGINT)"
+    )
+
+
+def _kc_oracle() -> str:
+    v = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    n2 = "CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)"
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, {v} AS v FROM embeddings)",
+        f"c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY {n2} DESC, vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT e.vec_id, e.v, {_kc_d2('e.v', 'c.v')} AS dmin "
+        f"FROM e, c1 c)",
+    ]
+    for r in range(2, _KC_ROUNDS + 1):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, v, dmin FROM d{r - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if r < _KC_ROUNDS:
+            ctes.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.v, "
+                f"least(d.dmin, {_kc_d2('d.v', 'c.v')}) AS dmin FROM d{r - 1} d, c{r} c)"
+            )
+    rows = ["SELECT 1::BIGINT AS sel_round, vec_id, NULL::BIGINT AS sel_dist2 FROM c1"]
+    rows += [
+        f"SELECT {r}::BIGINT, vec_id, dmin::BIGINT FROM c{r}"
+        for r in range(2, _KC_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+
+
+@register(
+    "kcenter_coreset",
+    oracle=_kc_oracle(),
+    doc="greedy k-center (farthest-point traversal) coreset selection over "
+    "the embedding corpus: 4 maximally-diverse exemplars seeded at the "
+    "max-norm vector, plus the farthest-remaining row whose distance IS "
+    "the k=4 coverage radius^2 — the diverse-subset selection step of "
+    "coreset-based data pruning, 2-approx optimal for the k-center "
+    "objective. Elements freeze to integer micro-units (floor(x*1e6+.5)) "
+    "so every distance is an exact BIGINT and the argmax sequence is "
+    "deterministic in both engines. Each round is ONE corpus scan vs the "
+    "k driver-held centers (the sanctioned bounded-driver-state pattern: "
+    "k rows collected total) + TakeOrdered(1); k scans at 100 TB, no "
+    "pairwise blowup. Oracle is the identical greedy unrolled as a "
+    "materialized CTE chain.",
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def d2(v, center_lit):
+        return F.aggregate(
+            F.zip_with(v, center_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000000.0 + 0.5).cast("bigint"),
+        ).alias("v"),
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    first = e.orderBy(norm2.desc(), "vec_id").select("vec_id", "v").head()
+    center = F.array(*[F.lit(int(x)).cast("bigint") for x in first.v])
+    rows = [(1, int(first.vec_id), None)]
+    df = e.select("vec_id", "v", d2(F.col("v"), center).alias("dmin"))
+    for r in range(2, _KC_ROUNDS + 1):
+        top = df.orderBy(F.desc("dmin"), "vec_id").head()
+        rows.append((r, int(top.vec_id), int(top.dmin)))
+        if r < _KC_ROUNDS:
+            c = F.array(*[F.lit(int(x)).cast("bigint") for x in top.v])
+            df = df.select(
+                "vec_id", "v", F.least(F.col("dmin"), d2(F.col("v"), c)).alias("dmin")
+            )
+    return spark.createDataFrame(rows, "sel_round bigint, vec_id bigint, sel_dist2 bigint")
+
+
+# --- Markov stationary distribution ------------------------------------------
+
+_MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
+_MARKOV_ROUNDS = 12
+
+
+def _markov_oracle() -> str:
+    ns = len(_MARKOV_STATES)
+    cells = [
+        f"sum(CASE WHEN prev = '{a}' AND cur = '{b}' THEN 1 ELSE 0 END)::BIGINT AS c_{i}_{j}"
+        for i, a in enumerate(_MARKOV_STATES)
+        for j, b in enumerate(_MARKOV_STATES)
+    ]
+    rts = [
+        f"sum(CASE WHEN prev = '{a}' THEN 1 ELSE 0 END)::BIGINT AS rt_{i}"
+        for i, a in enumerate(_MARKOV_STATES)
+    ]
+    ctes = [
+        "pairs AS MATERIALIZED (SELECT lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev, event_type AS cur "
+        "FROM events)",
+        "m AS MATERIALIZED (SELECT "
+        + ", ".join(cells + rts)
+        + " FROM pairs WHERE prev IS NOT NULL)",
+        "r0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"200000000::BIGINT AS p{j}" for j in range(ns))
+        + ")",
+    ]
+    for rnd in range(1, _MARKOV_ROUNDS + 1):
+        cols = []
+        for j in range(ns):
+            terms = " + ".join(
+                f"(r.p{i} / 1e9) * m.c_{i}_{j} / m.rt_{i}" for i in range(ns)
+            )
+            cols.append(f"CAST(floor(({terms}) * 1e9 + 0.5) AS BIGINT) AS p{j}")
+        ctes.append(
+            f"r{rnd} AS MATERIALIZED (SELECT "
+            + ", ".join(cols)
+            + f" FROM r{rnd - 1} r, m)"
+        )
+    case = (
+        "CASE e.event_type "
+        + " ".join(
+            f"WHEN '{s}' THEN r.p{j}" for j, s in enumerate(_MARKOV_STATES)
+        )
+        + " END"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\nemp AS (SELECT event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1),"
+        + "\ntot AS (SELECT sum(n_events)::BIGINT AS nt FROM emp)"
+        + f"\nSELECT e.event_type, e.n_events, (1000000000 * e.n_events) // t.nt AS freq_ppb, "
+        + f"{case} AS stationary_ppb FROM emp e, tot t, r{_MARKOV_ROUNDS} r"
+    )
+
+
+@register(
+    "markov_stationary",
+    oracle=_markov_oracle(),
+    doc="stationary distribution of the per-user event-transition Markov "
+    "chain (the long-run occupancy event_transition_matrix's single-step "
+    "probabilities imply), via 12 power-iteration rounds from uniform. "
+    "The |states|^2 transition matrix is BOUNDED driver state (25 exact "
+    "BIGINT counts collected once — the sanctioned kmeans/PQ pattern); "
+    "each round's vector is frozen to integer ppb (floor(x*1e9+.5)) with "
+    "terms combined in fixed state order, so both engines replay "
+    "identical IEEE doubles — no transcendentals, exact parity by "
+    "construction. Compared against the empirical visit frequency: a "
+    "large gap flags non-mixing sessions (absorbing error states). One "
+    "corpus window pass + one aggregate; the iteration is O(|states|^2) "
+    "driver math at ANY corpus size. Oracle = same rounds as a "
+    "materialized CTE chain.",
+)
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"), F.col("event_type").alias("cur")
+    ).where(F.col("prev").isNotNull())
+    cells = {
+        (r.prev, r.cur): int(r.n)
+        for r in pairs.groupBy("prev", "cur").agg(F.count("*").alias("n")).collect()
+    }
+    states = _MARKOV_STATES
+    c = [[cells.get((a, b), 0) for b in states] for a in states]
+    rt = [sum(row) for row in c]
+    ppb = [200000000] * len(states)
+    for _ in range(_MARKOV_ROUNDS):
+        nxt = []
+        for j in range(len(states)):
+            tot = 0.0
+            for i in range(len(states)):
+                tot += (ppb[i] / 1e9) * c[i][j] / rt[i]
+            nxt.append(math.floor(tot * 1e9 + 0.5))
+        ppb = nxt
+    stat = F.lit(None).cast("bigint")
+    expr = None
+    for j, s in enumerate(states):
+        cond = (F.col("event_type") == s, F.lit(ppb[j]).cast("bigint"))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    stat = expr.otherwise(F.lit(None).cast("bigint"))
+    emp = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_events"))
+    tot_df = emp.agg(F.sum("n_events").cast("bigint").alias("nt"))
+    return emp.crossJoin(tot_df).select(
+        "event_type",
+        "n_events",
+        F.expr("(1000000000 * n_events) div nt").alias("freq_ppb"),
+        stat.alias("stationary_ppb"),
+    )

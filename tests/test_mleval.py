@@ -1,0 +1,123 @@
+"""Invariant tests for the ML-evaluation / data-selection tier.
+
+Cross-engine value parity is covered by tests/test_oracle_parity.py (every
+registry entry hash-compares against DuckDB); these tests pin the
+*mathematical* properties the oracles can't express — monotonicity of the
+isotonic fit, layout-invariance of driver-held greedy selection, mass
+conservation of the frozen power iteration, reciprocity of mutual-NN pairs,
+and the step-up structure of the BH rejection set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_engine_spark.queries import REGISTRY
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def test_isotonic_fit_is_monotone_and_bracketed(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "isotonic_calibration"), key=lambda r: r.q)
+    iso = [r.iso_rate_ppm for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be non-decreasing in q"
+    # the fit stays inside the observed rate envelope
+    raw = [r.raw_rate_ppm for r in rows]
+    assert min(raw) <= min(iso) and max(iso) <= max(raw)
+
+
+def test_average_precision_at_least_prevalence(spark, sf_dir):
+    r = _rows(spark, sf_dir, "average_precision_eval")[0]
+    # AP of any ranker >= prevalence-shaped floor sanity; and ppm-bounded
+    assert 0 <= r.ap_ppm <= 1_000_000
+    assert 0 < r.prevalence_ppm < 1_000_000
+
+
+def test_kappa_bounds_and_agreement_consistency(spark, sf_dir):
+    r = _rows(spark, sf_dir, "cohens_kappa_agreement")[0]
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+    # kappa <= observed agreement (since expected >= 0)
+    assert r.kappa_ppm <= r.observed_agree_ppm
+
+
+def test_mutual_nn_pairs_are_disjoint_and_ordered(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "mutual_nn_pairs")
+    seen: set[int] = set()
+    for r in rows:
+        assert r.id1 < r.id2
+        # mutual-NN pairs form a partial matching: no vector in two pairs
+        assert r.id1 not in seen and r.id2 not in seen
+        seen.update((r.id1, r.id2))
+
+
+def test_hard_negative_margin_consistency(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "hard_negative_mining"):
+        assert r.neg_label != r.label
+        assert abs((r.pos_cos - r.neg_cos) - r.margin) < 1e-9
+
+
+def test_bh_rejections_are_a_prefix_of_p_rank(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "benjamini_hochberg_brands"), key=lambda r: r.p_rank
+    )
+    flags = [r.rejected for r in rows]
+    # step-up: once a rank is not rejected, no later rank is
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_kcenter_selection_is_layout_invariant(spark, sf_dir):
+    """Driver-held greedy argmax must not depend on partitioning."""
+    import map_reduce_engine_spark.queries.mleval as ml
+    from map_reduce_engine_spark.io import read_table
+
+    base = _rows(spark, sf_dir, "kcenter_coreset")
+    orig = read_table
+
+    def shuffled(s, d, name):
+        df = orig(s, d, name)
+        return df.repartition(7) if name == "embeddings" else df
+
+    import map_reduce_engine_spark.queries.base as qb
+
+    old = qb.read_table
+    qb.read_table = shuffled
+    try:
+        again = ml.kcenter_coreset(spark, sf_dir).collect()
+    finally:
+        qb.read_table = old
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_kcenter_gaps_are_nonincreasing(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "kcenter_coreset"), key=lambda r: r.sel_round)
+    gaps = [r.sel_dist2 for r in rows if r.sel_dist2 is not None]
+    assert gaps == sorted(gaps, reverse=True), "greedy maxmin gaps must shrink"
+
+
+def test_markov_stationary_conserves_mass(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "markov_stationary")
+    total = sum(r.stationary_ppb for r in rows)
+    # each of 12 rounds rounds 5 states to nearest ppb: drift <= 5/2 per round
+    assert abs(total - 1_000_000_000) <= 12 * 3
+    assert all(r.stationary_ppb >= 0 for r in rows)
+
+
+def test_fairness_gaps_reconcile_with_pooled_rate(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "fairness_parity_audit")
+    for r in rows:
+        assert r.sel_gap_ppm == r.sel_ppm - (r.sel_ppm - r.sel_gap_ppm)
+    # pooled selection rate implied by gaps is the same constant everywhere
+    pooled = {r.sel_ppm - r.sel_gap_ppm for r in rows}
+    assert len(pooled) == 1
+
+
+def test_ablation_impacts_sum_structure(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "ablation_group_impact")
+    # dropping a below-average source raises the mean and vice versa
+    for r in rows:
+        if r.mean_chars_ppm < r.overall_mean_ppm:
+            assert r.impact_ppm >= 0
+        elif r.mean_chars_ppm > r.overall_mean_ppm:
+            assert r.impact_ppm <= 0

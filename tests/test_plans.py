@@ -654,6 +654,8 @@ _SANCTIONED_NESTED_LOOP = {
     "k=1 (200-row slice) + equi-join reciprocity filter",
     "hard_negative_mining": "bounded 50-query probe set broadcast against "
     "the corpus (knn_cosine_topk shape), split by label parity",
+    "markov_stationary": "broadcasts the 1-row total over the |states|-row "
+    "grid; the |states|^2 transition matrix is bounded driver state",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
