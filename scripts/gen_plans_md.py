@@ -179,6 +179,28 @@ HEADLINE = [
         "exact AUC: one corpus aggregate to the 50-value grid, midrank "
         "cumulative window over the grid only",
     ),
+    # round-4 continuous: ML-evaluation / data-selection tier
+    (
+        "isotonic_calibration",
+        "ppm-grid isotonic fit: one corpus aggregate to the 50-value grid, "
+        "then max-min interval joins bounded by the grid (never the corpus)",
+    ),
+    (
+        "hard_negative_mining",
+        "contrastive mining: 50-query broadcast probe against the corpus "
+        "(knn shape), per-query window argmax split by label parity",
+    ),
+    (
+        "kcenter_coreset",
+        "greedy k-center (final selection): k corpus scans vs driver-held "
+        "centers, TakeOrdered(1) per round — shown is the literal result "
+        "relation; the per-round scan plan is the dmin least() select",
+    ),
+    (
+        "markov_stationary",
+        "Markov steady state: one lag-window pass to the |states|^2 matrix "
+        "(bounded driver state), output is one aggregate + 1-row broadcast",
+    ),
 ]
 
 

@@ -66,6 +66,14 @@ SECTIONS = {
         "table), and skip-gram PMI association statistics — the audit/filter/tokenizer-prep "
         "passes a corpus pipeline runs between cleaning and training.",
     ),
+    "mleval": (
+        "ML evaluation + data selection (SURVEY §2 Part C)",
+        "The measurement layer over the pipeline's classifiers and corpora: average precision, "
+        "Cohen's kappa, fairness parity audits, BH-FDR multiple testing, Brier/isotonic "
+        "calibration, Mann-Kendall trend significance, leave-one-group-out ablation, "
+        "mutual-NN / hard-negative contrastive mining, greedy k-center coresets, and the "
+        "Markov stationary distribution — all frozen to exact integer units.",
+    ),
 }
 
 ORDER = [
@@ -79,6 +87,7 @@ ORDER = [
     "temporal",
     "pipeline",
     "retrieval",
+    "mleval",
 ]
 
 # every registry module must have a section — fail loudly instead of dropping rows
