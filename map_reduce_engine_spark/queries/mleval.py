@@ -1037,3 +1037,170 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000000 * n_events) div nt").alias("freq_ppb"),
         stat.alias("stationary_ppb"),
     )
+
+
+# --- in-engine logistic regression (Newton-Raphson on the feature grid) ------
+
+_LR_ROUNDS = 4
+_LR_ETA = "(b0 + b1 * (q / 50.0) + b2 * (qd / 10.0))"
+_LR_MU = f"(1.0 / (1.0 + exp(-{_LR_ETA})))"
+_LR_W = f"({_LR_MU} * (1.0 - {_LR_MU}))"
+_LR_X = {"0": "1.0", "1": "(q / 50.0)", "2": "(qd / 10.0)"}
+_LR_KEYS = ["g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22"]
+
+
+def _lr_frz(e: str) -> str:
+    return f"CAST(floor(({e}) * 1e9 + 0.5) AS BIGINT)"
+
+
+def _lr_terms() -> dict[str, str]:
+    """Per-cell gradient/Hessian contributions frozen to BIGINT nano-units
+    (identical formula text in both engines; integer sums are order-free)."""
+    out = {}
+    for k in ["0", "1", "2"]:
+        out[f"g{k}"] = _lr_frz(f"(pos - tot * {_LR_MU}) * {_LR_X[k]}")
+    for j in ["0", "1", "2"]:
+        for k in ["0", "1", "2"]:
+            if j <= k:
+                out[f"h{j}{k}"] = _lr_frz(f"tot * {_LR_W} * {_LR_X[j]} * {_LR_X[k]}")
+    return out
+
+
+def _lr_updates() -> dict[str, str]:
+    """Newton step b += H^-1 g via the explicit 3x3 Cramer formulas over the
+    nano-frozen sums, with the new betas re-frozen to nano each round."""
+    v = {k: f"(s{k} / 1e9)" for k in _LR_KEYS}
+    det = (
+        f"({v['h00']} * ({v['h11']} * {v['h22']} - {v['h12']} * {v['h12']}) "
+        f"- {v['h01']} * ({v['h01']} * {v['h22']} - {v['h12']} * {v['h02']}) "
+        f"+ {v['h02']} * ({v['h01']} * {v['h12']} - {v['h11']} * {v['h02']}))"
+    )
+    d0 = (
+        f"({v['g0']} * ({v['h11']} * {v['h22']} - {v['h12']} * {v['h12']}) "
+        f"- {v['h01']} * ({v['g1']} * {v['h22']} - {v['h12']} * {v['g2']}) "
+        f"+ {v['h02']} * ({v['g1']} * {v['h12']} - {v['h11']} * {v['g2']}))"
+    )
+    d1 = (
+        f"({v['h00']} * ({v['g1']} * {v['h22']} - {v['g2']} * {v['h12']}) "
+        f"- {v['g0']} * ({v['h01']} * {v['h22']} - {v['h12']} * {v['h02']}) "
+        f"+ {v['h02']} * ({v['h01']} * {v['g2']} - {v['g1']} * {v['h02']}))"
+    )
+    d2 = (
+        f"({v['h00']} * ({v['h11']} * {v['g2']} - {v['h12']} * {v['g1']}) "
+        f"- {v['h01']} * ({v['h01']} * {v['g2']} - {v['g1']} * {v['h02']}) "
+        f"+ {v['g0']} * ({v['h01']} * {v['h12']} - {v['h11']} * {v['h02']}))"
+    )
+    return {
+        f"b{k}": f"CAST(floor((b{k} + {d} / {det}) * 1e9 + 0.5) AS BIGINT) / 1e9"
+        for k, d in zip(["0", "1", "2"], [d0, d1, d2])
+    }
+
+
+_LR_LL = _lr_frz(f"pos * ln({_LR_MU}) + (tot - pos) * ln(1.0 - {_LR_MU})")
+_LR_CORRECT = f"(CASE WHEN {_LR_ETA} > 0.0 THEN pos ELSE tot - pos END)"
+
+
+def _lr_oracle() -> str:
+    terms = _lr_terms()
+    upd = _lr_updates()
+    ctes = [
+        "cells AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS qd, "
+        "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos, "
+        "count(*)::BIGINT AS tot FROM lineitem GROUP BY 1, 2)",
+        "b0r AS MATERIALIZED (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, "
+        "0.0::DOUBLE AS b2)",
+    ]
+    for r in range(1, _LR_ROUNDS + 1):
+        tsel = ", ".join(f"{e} AS {k}" for k, e in terms.items())
+        ssel = ", ".join(f"sum({k})::BIGINT AS s{k}" for k in _LR_KEYS)
+        bsel = ", ".join(f"{e} AS {k}" for k, e in upd.items())
+        ctes.append(f"t{r} AS MATERIALIZED (SELECT {tsel} FROM cells, b{r - 1}r)")
+        ctes.append(f"s{r} AS MATERIALIZED (SELECT {ssel} FROM t{r})")
+        ctes.append(f"b{r}r AS MATERIALIZED (SELECT {bsel} FROM s{r}, b{r - 1}r)")
+    last = f"b{_LR_ROUNDS}r"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    fin AS (
+      SELECT sum(tot)::BIGINT AS n_train,
+             sum({_LR_LL})::BIGINT AS log_loss_nano,
+             sum({_LR_CORRECT})::BIGINT AS n_correct,
+             any_value(CAST(floor(b0 * 1e9 + 0.5) AS BIGINT)) AS b0_nano,
+             any_value(CAST(floor(b1 * 1e9 + 0.5) AS BIGINT)) AS b1_nano,
+             any_value(CAST(floor(b2 * 1e9 + 0.5) AS BIGINT)) AS b2_nano
+      FROM cells, {last}
+    )
+    SELECT n_train, b0_nano, b1_nano, b2_nano, log_loss_nano,
+           (10000 * n_correct) // n_train AS accuracy_bp
+    FROM fin"""
+    )
+
+
+@register(
+    "logistic_regression_newton",
+    oracle=_lr_oracle(),
+    doc="in-engine logistic regression trained by 4 Newton-Raphson rounds: "
+    "p(returned) ~ sigmoid(b0 + b1*quantity/50 + b2*discount*10). The "
+    "corpus collapses ONCE onto the bounded 50x11 feature grid (exact "
+    "BIGINT pos/tot per cell); every round's gradient and Hessian are "
+    "per-cell contributions FROZEN to BIGINT nano-units (order-free "
+    "integer sums — the only cross-engine float hazard, exp's last ulp, "
+    "is absorbed by the freeze), and the Newton step solves the 3x3 "
+    "system via explicit Cramer formulas shared as identical text with "
+    "the oracle (the multiple_regression bit-exact pattern). Betas "
+    "re-freeze to nano per round; training log-loss and 0.5-threshold "
+    "accuracy evaluate on the same grid. Iteration state is one row; at "
+    "100 TB the cost is ONE corpus aggregate + grid-sized rounds — the "
+    "fastText-style 'train the quality filter inside the engine' shape. "
+    "Oracle = the identical rounds as a materialized CTE chain.",
+)
+def logistic_regression_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("qd"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos"),
+            F.count("*").cast("bigint").alias("tot"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    terms = _lr_terms()
+    upd = _lr_updates()
+    for _ in range(_LR_ROUNDS):
+        tdf = cells.crossJoin(F.broadcast(b)).select(
+            *[F.expr(e).alias(k) for k, e in terms.items()]
+        )
+        s = tdf.agg(
+            *[F.sum(k).cast("bigint").alias(f"s{k}") for k in _LR_KEYS]
+        )
+        b = (
+            s.crossJoin(b)
+            .select(*[F.expr(e).alias(k) for k, e in upd.items()])
+            .localCheckpoint(eager=True)
+        )
+    fin = cells.crossJoin(F.broadcast(b)).agg(
+        F.sum("tot").cast("bigint").alias("n_train"),
+        F.sum(F.expr(_LR_LL)).cast("bigint").alias("log_loss_nano"),
+        F.sum(F.expr(_LR_CORRECT)).cast("bigint").alias("n_correct"),
+        F.any_value(F.expr("CAST(floor(b0 * 1e9 + 0.5) AS BIGINT)")).alias("b0_nano"),
+        F.any_value(F.expr("CAST(floor(b1 * 1e9 + 0.5) AS BIGINT)")).alias("b1_nano"),
+        F.any_value(F.expr("CAST(floor(b2 * 1e9 + 0.5) AS BIGINT)")).alias("b2_nano"),
+    )
+    return fin.select(
+        "n_train",
+        "b0_nano",
+        "b1_nano",
+        "b2_nano",
+        "log_loss_nano",
+        F.expr("(10000 * n_correct) div n_train").alias("accuracy_bp"),
+    )

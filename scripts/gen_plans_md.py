@@ -201,6 +201,12 @@ HEADLINE = [
         "Markov steady state: one lag-window pass to the |states|^2 matrix "
         "(bounded driver state), output is one aggregate + 1-row broadcast",
     ),
+    (
+        "logistic_regression_newton",
+        "Newton GLM training: corpus collapses once to the 550-cell grid "
+        "(checkpointed); each round is grid x 1-row-beta with nano-frozen "
+        "integer sums; shown is the final eval aggregate",
+    ),
 ]
 
 

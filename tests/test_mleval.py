@@ -121,3 +121,27 @@ def test_ablation_impacts_sum_structure(spark, sf_dir):
             assert r.impact_ppm >= 0
         elif r.mean_chars_ppm > r.overall_mean_ppm:
             assert r.impact_ppm <= 0
+
+
+def test_logistic_regression_is_calibrated_at_intercept(spark, sf_dir):
+    """At near-zero feature effects the intercept must recover the base
+    rate, and accuracy can never undercut the majority class."""
+    import math
+
+    r = _rows(spark, sf_dir, "logistic_regression_newton")[0]
+    assert r.log_loss_nano < 0
+    # majority-class floor
+    assert r.accuracy_bp >= 5000
+    # Newton score equation for the intercept: sum(mu_i) == sum(y_i), so the
+    # MEAN PREDICTED probability must recover the prevalence at convergence
+    from map_reduce_engine_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    b0, b1, b2 = r.b0_nano / 1e9, r.b1_nano / 1e9, r.b2_nano / 1e9
+    stats = li.selectExpr(
+        "avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS p",
+        f"avg(1.0 / (1.0 + exp(-({b0} + {b1} * (CAST(l_quantity AS BIGINT) / 50.0)"
+        f" + {b2} * (CAST(round(l_discount * 100) AS BIGINT) / 10.0))))) AS mu",
+    ).collect()[0]
+    assert math.isfinite(stats.mu)
+    assert abs(stats.mu - float(stats.p)) < 0.002

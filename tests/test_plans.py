@@ -656,6 +656,8 @@ _SANCTIONED_NESTED_LOOP = {
     "the corpus (knn_cosine_topk shape), split by label parity",
     "markov_stationary": "broadcasts the 1-row total over the |states|-row "
     "grid; the |states|^2 transition matrix is bounded driver state",
+    "logistic_regression_newton": "single-row Newton state: 1-row beta "
+    "crossJoins over the 550-cell feature grid (PCA power-iteration shape)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
