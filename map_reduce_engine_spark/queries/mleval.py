@@ -1204,3 +1204,211 @@ def logistic_regression_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_loss_nano",
         F.expr("(10000 * n_correct) div n_train").alias("accuracy_bp"),
     )
+
+
+@register(
+    "conformal_interval_calibration",
+    oracle="""
+    WITH calib AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    test AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    model AS (
+      SELECT q, sum(cents) // count(*) AS pred_cents FROM calib GROUP BY q
+    ),
+    res AS (
+      SELECT abs(c.cents - m.pred_cents) AS r,
+             row_number() OVER (ORDER BY abs(c.cents - m.pred_cents),
+                                c.l_orderkey, c.l_linenumber) AS rn,
+             count(*) OVER ()::BIGINT AS n_calib
+      FROM calib c JOIN model m USING (q)
+    ),
+    qhat AS (
+      SELECT n_calib, r AS qhat_cents FROM res
+      WHERE rn = (9 * (n_calib + 1) + 9) // 10
+    ),
+    cov AS (
+      SELECT count(*)::BIGINT AS n_test,
+             sum(CASE WHEN abs(t.cents - m.pred_cents) <= q.qhat_cents
+                      THEN 1 ELSE 0 END)::BIGINT AS covered
+      FROM test t JOIN model m USING (q), qhat q
+    )
+    SELECT q.n_calib, c.n_test, q.qhat_cents,
+           (10000 * c.covered) // c.n_test AS coverage_bp,
+           9000::BIGINT AS target_bp
+    FROM qhat q, cov c
+    """,
+    doc="split-conformal prediction intervals: a per-quantity mean-price "
+    "predictor trained on the even-orderkey half, the 90% conformal "
+    "quantile of absolute calibration residuals at the finite-sample-"
+    "corrected rank ceil(0.9*(n+1)) (the distribution-free coverage "
+    "guarantee), and the achieved coverage on the held-out odd half — "
+    "the uncertainty-quantification wrapper that turns ANY point "
+    "predictor into calibrated intervals. All-integer cents; the "
+    "conformal rank is the discrete row_number pick (exact percentile "
+    "pattern). One global residual rank (same cost class as exact "
+    "percentiles — range-partitioned sort at 100 TB); the model and "
+    "q-hat travel as broadcasts.",
+)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    calib = li.where(F.col("l_orderkey") % 2 == 0)
+    test = li.where(F.col("l_orderkey") % 2 == 1)
+    model = calib.groupBy("q").agg(
+        F.expr("sum(cents) div count(*)").alias("pred_cents")
+    )
+    res = calib.join(F.broadcast(model), "q").select(
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.orderBy("r", "l_orderkey", "l_linenumber")
+    ranked = res.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_calib"),
+    )
+    qhat = ranked.where(
+        F.expr("rn = (9 * (n_calib + 1) + 9) div 10")
+    ).select("n_calib", F.col("r").alias("qhat_cents"))
+    cov = (
+        test.join(F.broadcast(model), "q")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred_cents"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return qhat.crossJoin(cov).select(
+        "n_calib",
+        "n_test",
+        "qhat_cents",
+        F.expr("(10000 * covered) div n_test").alias("coverage_bp"),
+        F.lit(9000).cast("bigint").alias("target_bp"),
+    )
+
+
+@register(
+    "cumulative_gains_deciles",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q, pos, tot,
+             (sum(tot) OVER w - tot)::BIGINT AS lo,
+             sum(tot) OVER w::BIGINT AS hi
+      FROM g WINDOW w AS (ORDER BY q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    o AS (SELECT sum(pos)::BIGINT AS p_total, sum(tot)::BIGINT AS n_total FROM g),
+    d AS (
+      SELECT i AS decile,
+             ((i - 1) * n_total) // 10 AS dlo,
+             (i * n_total) // 10 AS dhi
+      FROM (SELECT unnest(range(1, 11)) AS i), o
+    ),
+    ov AS (
+      SELECT d.decile, d.dhi - d.dlo AS n_rows,
+             sum((1000000 * c.pos * (least(c.hi, d.dhi) - greatest(c.lo, d.dlo)))
+                 // c.tot)::BIGINT AS capture_micro
+      FROM d JOIN c ON c.lo < d.dhi AND c.hi > d.dlo
+      GROUP BY d.decile, d.dhi - d.dlo
+    )
+    SELECT decile, n_rows, capture_micro,
+           sum(capture_micro) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_capture_micro,
+           (sum(capture_micro) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            // o.p_total)::BIGINT AS cum_gain_ppm
+    FROM ov, o
+    """,
+    doc="cumulative gains table (the lift chart's data): rank the corpus "
+    "by the quantity score descending, cut into population deciles, and "
+    "report how much of the total positive (returned) mass each decile "
+    "captures. Score ties straddling a decile boundary are prorated by "
+    "interval overlap on the bounded grid — each (block x decile) share "
+    "freezes to BIGINT micro-positives ((1e6*pos*overlap) div tot) so "
+    "both engines sum identical integers; cum_gain_ppm/1e6 at decile d "
+    "is the classic 'top d*10% of the ranking captures X% of positives'. "
+    "One hash aggregate to the 50-value grid; the decile arithmetic is "
+    "a 50x10-bounded overlap join. The campaign-targeting / review-"
+    "prioritization read-out that complements AP's single number.",
+)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "q",
+        "pos",
+        "tot",
+        (F.sum("tot").over(w) - F.col("tot")).cast("bigint").alias("lo"),
+        F.sum("tot").over(w).cast("bigint").alias("hi"),
+    )
+    o = g.agg(
+        F.sum("pos").cast("bigint").alias("p_total"),
+        F.sum("tot").cast("bigint").alias("n_total"),
+    )
+    d = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(o))
+        .select(
+            "decile",
+            F.expr("((decile - 1) * n_total) div 10").alias("dlo"),
+            F.expr("(decile * n_total) div 10").alias("dhi"),
+        )
+    )
+    ov = (
+        d.join(c, (F.col("lo") < F.col("dhi")) & (F.col("hi") > F.col("dlo")))
+        .groupBy("decile", (F.col("dhi") - F.col("dlo")).alias("n_rows"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(1000000 * pos * (least(hi, dhi) - greatest(lo, dlo))) div tot"
+                )
+            )
+            .cast("bigint")
+            .alias("capture_micro")
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return ov.crossJoin(F.broadcast(o)).select(
+        "decile",
+        "n_rows",
+        "capture_micro",
+        F.sum("capture_micro").over(wd).cast("bigint").alias("cum_capture_micro"),
+        F.expr(
+            "CAST(sum(capture_micro) OVER (ORDER BY decile "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div p_total AS BIGINT)"
+        ).alias("cum_gain_ppm"),
+    )

@@ -145,3 +145,23 @@ def test_logistic_regression_is_calibrated_at_intercept(spark, sf_dir):
     ).collect()[0]
     assert math.isfinite(stats.mu)
     assert abs(stats.mu - float(stats.p)) < 0.002
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    r = _rows(spark, sf_dir, "conformal_interval_calibration")[0]
+    assert r.qhat_cents >= 0
+    # distribution-free guarantee: coverage >= 90% - finite-sample noise
+    assert r.coverage_bp >= 8500, r
+    assert r.coverage_bp <= 10000
+
+
+def test_cumulative_gains_monotone_and_complete(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "cumulative_gains_deciles"), key=lambda r: r.decile)
+    assert len(rows) == 10
+    cums = [r.cum_capture_micro for r in rows]
+    assert cums == sorted(cums)
+    # the full ranking captures every positive (up to per-block div rounding)
+    assert abs(rows[-1].cum_gain_ppm - 1_000_000) <= 100
+    # deciles partition the population into near-equal slices
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1

@@ -658,6 +658,11 @@ _SANCTIONED_NESTED_LOOP = {
     "grid; the |states|^2 transition matrix is bounded driver state",
     "logistic_regression_newton": "single-row Newton state: 1-row beta "
     "crossJoins over the 550-cell feature grid (PCA power-iteration shape)",
+    "conformal_interval_calibration": "broadcasts the 1-row conformal "
+    "quantile and per-quantity model; the residual rank is the exact-"
+    "percentile global window",
+    "cumulative_gains_deciles": "1-row totals broadcast into the 10-row "
+    "decile table; the overlap join is 50x10 grid-bounded",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
