@@ -1412,3 +1412,129 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div p_total AS BIGINT)"
         ).alias("cum_gain_ppm"),
     )
+
+
+# --- rank-1 ALS matrix factorization -----------------------------------------
+
+_ALS_ROUNDS = 3
+
+
+def _als_step(x: str) -> str:
+    """One least-squares factor update Σ r·x / Σ x², frozen to BIGINT
+    micro-units. num/den are exact BIGINT sums (< 2^53, so the DOUBLE casts
+    and the single division are engine-exact); identical text both engines."""
+    return (
+        f"CAST(floor((CAST(sum(r * {x}) AS DOUBLE) / "
+        f"CAST(sum({x} * {x}) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+_ALS_RES2 = (
+    "CAST(floor((r - (u / 1e6) * (v / 1e6)) * (r - (u / 1e6) * (v / 1e6)) "
+    "* 1e9 + 0.5) AS BIGINT)"
+)
+
+
+def _als_oracle() -> str:
+    ctes = [
+        "ratings AS MATERIALIZED (SELECT o_custkey AS c, l_partkey AS p, "
+        "count(*)::BIGINT AS r FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey GROUP BY 1, 2)",
+        "v0 AS MATERIALIZED (SELECT DISTINCT p, 1000000::BIGINT AS v FROM ratings)",
+    ]
+    for i in range(1, _ALS_ROUNDS + 1):
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT c, {_als_step('v')} AS u "
+            f"FROM ratings JOIN v{i - 1} USING (p) GROUP BY c)"
+        )
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT p, {_als_step('u')} AS v "
+            f"FROM ratings JOIN u{i} USING (c) GROUP BY p)"
+        )
+    k = _ALS_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    fit AS (
+      SELECT count(*)::BIGINT AS n_ratings, sum({_ALS_RES2})::BIGINT AS sse_nano
+      FROM ratings JOIN u{k} USING (c) JOIN v{k} USING (p)
+    ),
+    nr AS (SELECT p, count(*)::BIGINT AS n_raters FROM ratings GROUP BY p),
+    ranked AS (
+      SELECT v{k}.p AS part_key, v{k}.v AS v_micro, nr.n_raters,
+             row_number() OVER (ORDER BY v{k}.v DESC, v{k}.p)::BIGINT AS rank
+      FROM v{k} JOIN nr USING (p)
+    )
+    SELECT part_key, v_micro, n_raters, rank, f.n_ratings, f.sse_nano
+    FROM ranked, fit f WHERE rank <= 15"""
+    )
+
+
+@register(
+    "als_rank1_factorization",
+    oracle=_als_oracle(),
+    doc="model-based collaborative filtering trained in-engine: rank-1 ALS "
+    "over the implicit customer x part purchase-count matrix (3 "
+    "alternating rounds from v=1), converging to the dominant singular "
+    "direction — the model-based tier next to copurchase_recommendations' "
+    "memory-based item-item CF. Each half-step is ONE equi-join + ONE "
+    "hash aggregate keyed by the factor side (the canonical ALS shuffle "
+    "pattern: at 100 TB ratings are written bucketed by user AND by item "
+    "so each half-step joins co-partitioned); factors freeze to BIGINT "
+    "micro-units per half-step (num/den are exact <2^53 integer sums, so "
+    "the single division is engine-exact and integer sums are order-"
+    "free). Output: top-15 item factors + exact SSE of the rank-1 "
+    "reconstruction. Oracle = the identical half-steps as a materialized "
+    "CTE chain.",
+)
+def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count("*").cast("bigint").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        ratings.select("p")
+        .distinct()
+        .select("p", F.lit(1000000).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    u = None
+    for _ in range(_ALS_ROUNDS):
+        u = (
+            ratings.join(v, "p")
+            .groupBy("c")
+            .agg(F.expr(_als_step("v")).alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        v = (
+            ratings.join(u, "c")
+            .groupBy("p")
+            .agg(F.expr(_als_step("u")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    fit = (
+        ratings.join(u, "c")
+        .join(v, "p")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ratings"),
+            F.sum(F.expr(_ALS_RES2)).cast("bigint").alias("sse_nano"),
+        )
+    )
+    nr = ratings.groupBy("p").agg(F.count("*").cast("bigint").alias("n_raters"))
+    wr = Window.orderBy(F.desc("v"), "p")
+    ranked = (
+        v.join(nr, "p")
+        .select(
+            F.col("p").alias("part_key"),
+            F.col("v").alias("v_micro"),
+            "n_raters",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= 15)
+    )
+    return ranked.crossJoin(F.broadcast(fit))

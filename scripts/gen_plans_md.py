@@ -207,6 +207,12 @@ HEADLINE = [
         "(checkpointed); each round is grid x 1-row-beta with nano-frozen "
         "integer sums; shown is the final eval aggregate",
     ),
+    (
+        "als_rank1_factorization",
+        "rank-1 ALS (final half-step + eval): each half-step is one "
+        "equi-join + one keyed aggregate off checkpointed factors — the "
+        "canonical alternating shuffle; SSE joins both factor sides back",
+    ),
 ]
 
 

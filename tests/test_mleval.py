@@ -165,3 +165,25 @@ def test_cumulative_gains_monotone_and_complete(spark, sf_dir):
     # deciles partition the population into near-equal slices
     sizes = [r.n_rows for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_als_rank1_beats_zero_model(spark, sf_dir):
+    """The rank-1 reconstruction must beat predicting 0 for every rating
+    (SSE(0-model) = sum r^2), and factors must stay positive on the
+    nonnegative purchase-count matrix."""
+    rows = _rows(spark, sf_dir, "als_rank1_factorization")
+    assert len(rows) == 15
+    assert all(r.v_micro > 0 for r in rows)
+    from map_reduce_engine_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    zero_sse = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count("*").alias("r"))
+        .selectExpr("sum(r * r) AS s")
+        .collect()[0]
+        .s
+    )
+    assert rows[0].sse_nano / 1e9 < float(zero_sse)

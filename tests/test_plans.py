@@ -663,6 +663,8 @@ _SANCTIONED_NESTED_LOOP = {
     "percentile global window",
     "cumulative_gains_deciles": "1-row totals broadcast into the 10-row "
     "decile table; the overlap join is 50x10 grid-bounded",
+    "als_rank1_factorization": "broadcasts the 1-row SSE/fit aggregate "
+    "onto the 15-row factor ranking",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
