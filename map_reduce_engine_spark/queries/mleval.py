@@ -1538,3 +1538,344 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 15)
     )
     return ranked.crossJoin(F.broadcast(fit))
+
+
+@register(
+    "hdr_histogram_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    b AS (
+      SELECT length(c::VARCHAR)::BIGINT AS d,
+             c // power(10, length(c::VARCHAR) - 3)::BIGINT AS sub,
+             count(*)::BIGINT AS n
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT d, sub, n,
+             sum(n) OVER (ORDER BY d, sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi,
+             (sum(n) OVER (ORDER BY d, sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT AS lo,
+             sum(n) OVER ()::BIGINT AS nt
+      FROM b
+    ),
+    exact AS (
+      SELECT r.p_bp, v2.c AS exact_cents
+      FROM (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v) v2
+      JOIN (SELECT unnest([5000, 9500, 9900]) AS p_bp) r
+        ON v2.rn = (SELECT (p_bp * (count(*) - 1)) // 10000 + 1 FROM v)
+    ),
+    est AS (
+      SELECT r.p_bp,
+             min((2 * cum.sub + 1) * power(10, cum.d - 3)::BIGINT // 2) AS est_cents
+      FROM (SELECT unnest([5000, 9500, 9900]) AS p_bp) r
+      JOIN cum ON cum.lo < (r.p_bp * (cum.nt - 1)) // 10000 + 1
+              AND cum.hi >= (r.p_bp * (cum.nt - 1)) // 10000 + 1
+      GROUP BY r.p_bp
+    )
+    SELECT e.p_bp, est.est_cents, e.exact_cents,
+           (10000 * abs(est.est_cents - e.exact_cents)) // e.exact_cents
+             AS rel_err_bp,
+           (10000 * abs(est.est_cents - e.exact_cents)) // e.exact_cents <= 100
+             AS within_bound
+    FROM exact e JOIN est USING (p_bp)
+    """,
+    doc="mergeable quantile sketch via a significant-digit histogram (the "
+    "decimal HDR-histogram idea): every value lands in the bucket keyed "
+    "by (digit count, first 3 significant digits) — PURE integer "
+    "arithmetic (string length + integer div, no transcendentals, so "
+    "bucket identity is trivially engine-exact), <= 0.5% relative error "
+    "by construction, and the sketch is a tiny groupBy that merges "
+    "across shards/days with a plain sum. p50/p95/p99 read off the "
+    "cumulative bucket ranks (midpoint estimate) and are audited here "
+    "against the exact discrete percentile with a within-1%-bound "
+    "verdict both engines recompute. The 100 TB play: the exact side is "
+    "a one-off audit; production reads the mergeable sketch only.",
+)
+def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
+    b = v.groupBy(
+        F.length(F.col("c").cast("string")).cast("bigint").alias("d"),
+        F.expr("c div CAST(power(10, length(CAST(c AS STRING)) - 3) AS BIGINT)").alias(
+            "sub"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wc = Window.orderBy("d", "sub").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "d",
+        "sub",
+        "n",
+        F.sum("n").over(wc).cast("bigint").alias("hi"),
+        (F.sum("n").over(wc) - F.col("n")).cast("bigint").alias("lo"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("nt"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(5000), F.lit(9500), F.lit(9900))).alias("p_bp")
+    )
+    est = (
+        ps.join(
+            cum,
+            (F.col("lo") < F.expr("(p_bp * (nt - 1)) div 10000 + 1"))
+            & (F.col("hi") >= F.expr("(p_bp * (nt - 1)) div 10000 + 1")),
+        )
+        .groupBy("p_bp")
+        .agg(
+            F.min(
+                F.expr("((2 * sub + 1) * CAST(power(10, d - 3) AS BIGINT)) div 2")
+            ).alias("est_cents")
+        )
+    )
+    ranked = v.select(
+        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    )
+    nrow = v.agg(F.count("*").cast("bigint").alias("n_total"))
+    exact = (
+        ps.crossJoin(F.broadcast(nrow))
+        .select("p_bp", F.expr("(p_bp * (n_total - 1)) div 10000 + 1").alias("rn"))
+        .join(ranked, "rn")
+        .select("p_bp", F.col("c").alias("exact_cents"))
+    )
+    return exact.join(est, "p_bp").select(
+        "p_bp",
+        "est_cents",
+        "exact_cents",
+        F.expr("(10000 * abs(est_cents - exact_cents)) div exact_cents").alias(
+            "rel_err_bp"
+        ),
+        (
+            F.expr("(10000 * abs(est_cents - exact_cents)) div exact_cents") <= 100
+        ).alias("within_bound"),
+    )
+
+
+# --- Markov-chain removal-effect attribution ---------------------------------
+
+_ATTR_CH = ["click", "error", "signup", "view"]
+_ATTR_ROUNDS = 14
+
+# transition extraction shared conceptually by both engines: journeys are
+# per-user event sequences truncated at the FIRST purchase (inclusive);
+# purchase absorbs to 'conv', sequence exhaustion absorbs to 'null'.
+_ATTR_TRANS_SQL = """
+    j AS MATERIALIZED (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fp AS MATERIALIZED (
+      SELECT user_id, min(rn) AS prn FROM j WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    trunc AS MATERIALIZED (
+      SELECT j.user_id, j.event_type, j.rn, fp.prn
+      FROM j LEFT JOIN fp USING (user_id)
+      WHERE fp.prn IS NULL OR j.rn <= fp.prn
+    ),
+    trans AS MATERIALIZED (
+      SELECT 'start' AS s,
+             CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS s2
+      FROM trunc WHERE rn = 1
+      UNION ALL
+      SELECT prev AS s,
+             CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS s2
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+        FROM trunc
+      ) WHERE prev IS NOT NULL
+      UNION ALL
+      SELECT t.event_type AS s, 'null' AS s2
+      FROM trunc t
+      JOIN (SELECT user_id, max(rn) AS mx FROM trunc GROUP BY user_id) m
+        ON t.user_id = m.user_id AND t.rn = m.mx
+      WHERE t.prn IS NULL
+    )
+"""
+
+
+def _attr_round_expr(s: str, removed: str | None) -> str:
+    terms = [
+        f"(r.v_{s2} / 1e9) * m.c_{s}_{s2} / m.rt_{s}"
+        for s2 in _ATTR_CH
+        if s2 != removed
+    ]
+    terms.append(f"m.c_{s}_conv / m.rt_{s}")
+    return f"CAST(floor(({' + '.join(terms)}) * 1e9 + 0.5) AS BIGINT) AS v_{s}"
+
+
+def _attr_oracle() -> str:
+    cells = [
+        f"sum(CASE WHEN s = '{a}' AND s2 = '{b}' THEN 1 ELSE 0 END)::BIGINT AS c_{a}_{b}"
+        for a in ["start"] + _ATTR_CH
+        for b in _ATTR_CH + ["conv"]
+    ]
+    rts = [
+        f"sum(CASE WHEN s = '{a}' THEN 1 ELSE 0 END)::BIGINT AS rt_{a}"
+        for a in ["start"] + _ATTR_CH
+    ]
+    ctes = [
+        _ATTR_TRANS_SQL.strip(),
+        "m AS MATERIALIZED (SELECT " + ", ".join(cells + rts) + " FROM trans)",
+    ]
+    runs = [("base", None)] + [(c, c) for c in _ATTR_CH]
+    for run, removed in runs:
+        active = [s for s in _ATTR_CH if s != removed]
+        ctes.append(
+            f"r_{run}_0 AS MATERIALIZED (SELECT "
+            + ", ".join(f"0::BIGINT AS v_{s}" for s in active)
+            + ")"
+        )
+        for k in range(1, _ATTR_ROUNDS + 1):
+            ctes.append(
+                f"r_{run}_{k} AS MATERIALIZED (SELECT "
+                + ", ".join(_attr_round_expr(s, removed) for s in active)
+                + f" FROM r_{run}_{k - 1} r, m)"
+            )
+        start_terms = [
+            f"(r.v_{s2} / 1e9) * m.c_start_{s2} / m.rt_start"
+            for s2 in active
+        ] + ["m.c_start_conv / m.rt_start"]
+        ctes.append(
+            f"start_{run} AS MATERIALIZED (SELECT "
+            f"CAST(floor(({' + '.join(start_terms)}) * 1e9 + 0.5) AS BIGINT) AS s "
+            f"FROM r_{run}_{_ATTR_ROUNDS} r, m)"
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS channel, b.s AS base_conv_ppb, x.s AS removal_conv_ppb "
+        f"FROM start_base b, start_{c} x"
+        for c in _ATTR_CH
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    re AS (
+      {unions}
+    ),
+    re2 AS (
+      SELECT channel, base_conv_ppb, removal_conv_ppb,
+             greatest(0, 1000000 - (1000000 * removal_conv_ppb) // base_conv_ppb)
+               AS removal_effect_ppm
+      FROM re
+    ),
+    tot AS (SELECT sum(removal_effect_ppm)::BIGINT AS t FROM re2)
+    SELECT channel, base_conv_ppb, removal_conv_ppb, removal_effect_ppm,
+           CASE WHEN t = 0 THEN 0::BIGINT
+                ELSE (1000000 * removal_effect_ppm) // t END AS attribution_share_ppm
+    FROM re2, tot"""
+    )
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=_attr_oracle(),
+    doc="Markov-chain attribution by removal effect (the model-based "
+    "answer to multitouch_attribution's positional heuristics): user "
+    "journeys truncated at first purchase become a first-order chain "
+    "over channels with absorbing conv/null states; each channel's "
+    "removal effect is 1 - P(conv | channel deleted)/P(conv), absorption "
+    "probabilities via 14 fixed-point rounds frozen to integer ppb "
+    "(identical IEEE arithmetic both engines — the markov_stationary "
+    "discipline), shares normalized in exact ppm. The corpus cost is ONE "
+    "ranked window pass + one aggregate to the (|channels|+1)^2 matrix "
+    "(bounded driver state); all 5 chain evaluations are "
+    "O(|channels|^2 * rounds) arithmetic — constant at 100 TB. Oracle = "
+    "all five runs unrolled as materialized CTE chains.",
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        j.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    trunc = j.join(fp, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    absorb = F.when(F.col("event_type") == "purchase", "conv").otherwise(
+        F.col("event_type")
+    )
+    first = trunc.where(F.col("rn") == 1).select(
+        F.lit("start").alias("s"), absorb.alias("s2")
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    mid = (
+        trunc.select("user_id", "rn", "event_type")
+        .withColumn("prev", F.lag("event_type").over(wl))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("s"), absorb.alias("s2"))
+    )
+    last = (
+        trunc.withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+        .where(F.col("prn").isNull() & (F.col("rn") == F.col("mx")))
+        .select(F.col("event_type").alias("s"), F.lit("null").alias("s2"))
+    )
+    trans = first.unionByName(mid).unionByName(last)
+    counts = {
+        (r.s, r.s2): int(r.n)
+        for r in trans.groupBy("s", "s2").agg(F.count("*").alias("n")).collect()
+    }
+    states = ["start"] + _ATTR_CH
+    cm = {
+        a: {b: counts.get((a, b), 0) for b in _ATTR_CH + ["conv", "null"]}
+        for a in states
+    }
+    rt = {a: sum(cm[a].values()) for a in states}
+
+    def run(removed: str | None) -> int:
+        active = [s for s in _ATTR_CH if s != removed]
+        v = {s: 0 for s in active}
+        for _ in range(_ATTR_ROUNDS):
+            nv = {}
+            for s in active:
+                tot = 0.0
+                for s2 in active:
+                    tot += (v[s2] / 1e9) * cm[s][s2] / rt[s]
+                tot += cm[s]["conv"] / rt[s]
+                nv[s] = math.floor(tot * 1e9 + 0.5)
+            v = nv
+        tot = 0.0
+        for s2 in active:
+            tot += (v[s2] / 1e9) * cm["start"][s2] / rt["start"]
+        tot += cm["start"]["conv"] / rt["start"]
+        return math.floor(tot * 1e9 + 0.5)
+
+    base = run(None)
+    rm = {c: run(c) for c in _ATTR_CH}
+    re_ppm = {c: max(0, 1000000 - (1000000 * rm[c]) // base) for c in _ATTR_CH}
+    tot_re = sum(re_ppm.values())
+
+    chans = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+
+    def lit_map(d: dict[str, int]):
+        expr = None
+        for c in _ATTR_CH:
+            cond = (F.col("channel") == c, F.lit(int(d[c])).cast("bigint"))
+            expr = F.when(*cond) if expr is None else expr.when(*cond)
+        return expr.otherwise(F.lit(None).cast("bigint"))
+
+    return chans.select(
+        "channel",
+        F.lit(base).cast("bigint").alias("base_conv_ppb"),
+        lit_map(rm).alias("removal_conv_ppb"),
+        lit_map(re_ppm).alias("removal_effect_ppm"),
+        lit_map(
+            {
+                c: (0 if tot_re == 0 else (1000000 * re_ppm[c]) // tot_re)
+                for c in _ATTR_CH
+            }
+        ).alias("attribution_share_ppm"),
+    )

@@ -187,3 +187,22 @@ def test_als_rank1_beats_zero_model(spark, sf_dir):
         .s
     )
     assert rows[0].sse_nano / 1e9 < float(zero_sse)
+
+
+def test_hdr_quantile_bound_holds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "hdr_histogram_quantiles")
+    assert {r.p_bp for r in rows} == {5000, 9500, 9900}
+    for r in rows:
+        assert r.within_bound, r
+        assert r.rel_err_bp <= 100
+
+
+def test_markov_attribution_shares_normalize(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "markov_attribution_removal")
+    assert len(rows) == 4
+    for r in rows:
+        # removal can only destroy conversion paths
+        assert 0 <= r.removal_conv_ppb <= r.base_conv_ppb
+        assert 0 <= r.removal_effect_ppm <= 1_000_000
+    total = sum(r.attribution_share_ppm for r in rows)
+    assert abs(total - 1_000_000) <= 4  # integer-div remainder only

@@ -665,6 +665,10 @@ _SANCTIONED_NESTED_LOOP = {
     "decile table; the overlap join is 50x10 grid-bounded",
     "als_rank1_factorization": "broadcasts the 1-row SSE/fit aggregate "
     "onto the 15-row factor ranking",
+    "hdr_histogram_quantiles": "broadcasts the 1-row count and the 3-row "
+    "percentile targets; the exact side is the one-off audit rank",
+    "markov_attribution_removal": "|channels|-row literal output off "
+    "bounded driver state (the (|channels|+1)^2 transition matrix)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
