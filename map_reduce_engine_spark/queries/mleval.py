@@ -1879,3 +1879,107 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ).alias("attribution_share_ppm"),
     )
+
+
+_DB_GEO_H = (
+    "(('0x' || substr(md5('{tag}:' || c_custkey), 1, 8))::BIGINT & 2147483647)::DOUBLE"
+)
+
+
+@register(
+    "dbscan_grid_clusters",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             -10.0 + 20.0 * {_DB_GEO_H.format(tag="lat")} / 2147483648.0 AS lat,
+             -20.0 + 40.0 * {_DB_GEO_H.format(tag="lon")} / 2147483648.0 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lon) AS BIGINT) AS cx, CAST(floor(lat) AS BIGINT) AS cy,
+             count(*)::BIGINT AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    st AS (SELECT sum(n)::BIGINT AS s, count(*)::BIGINT AS c FROM cells),
+    core AS (
+      SELECT cx, cy, n, (cy + 100) * 1000 + (cx + 200) AS id
+      FROM cells, st WHERE n >= (2 * s) // c + 1
+    ),
+    e AS (
+      SELECT a.id AS u, b.id AS v
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.id <> b.id
+    ),
+    walk(node, lab) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node
+    ),
+    lbl AS (SELECT node, min(lab)::BIGINT AS cluster FROM walk GROUP BY node)
+    SELECT lbl.cluster, count(*)::BIGINT AS n_cells, sum(core.n)::BIGINT AS n_points,
+           min(core.cx) AS min_cx, max(core.cx) AS max_cx,
+           min(core.cy) AS min_cy, max(core.cy) AS max_cy
+    FROM core JOIN lbl ON core.id = lbl.node
+    GROUP BY lbl.cluster
+    """,
+    doc="density-based spatial clustering (grid DBSCAN): hash-derived "
+    "customer points snap to 1-degree cells, core cells are those at "
+    "least 2x the mean occupied-cell density (adaptive threshold — "
+    "scale-free, so the operator is meaningful at every SF), and "
+    "clusters are connected components of the 8-neighborhood core-cell "
+    "graph (operators/graph.py::connected_components — the same Pregel "
+    "min-label loop that powers dedup clustering), with isolated core "
+    "cells as singletons. Reports per-cluster cell/point counts and "
+    "bounding boxes. Scale shape: one shuffle to the cell grid, a "
+    "grid-bounded adjacency join, and the component loop over CELLS "
+    "(thousands at planetary scale), never points. Oracle = recursive-"
+    "CTE label reachability over the same graph.",
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+    from map_reduce_engine_spark.operators.graph import connected_components
+
+    cust = t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return portable_base31(
+            F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+        ).cast("double")
+
+    pts = cust.select(
+        (F.lit(-10.0) + F.lit(20.0) * h("lat") / F.lit(2147483648.0)).alias("lat"),
+        (F.lit(-20.0) + F.lit(40.0) * h("lon") / F.lit(2147483648.0)).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor("lon").cast("bigint").alias("cx"),
+        F.floor("lat").cast("bigint").alias("cy"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    st = cells.agg(
+        F.sum("n").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("c")
+    )
+    core = (
+        cells.crossJoin(F.broadcast(st))
+        .where(F.expr("n >= (2 * s) div c + 1"))
+        .select(
+            "cx", "cy", "n", ((F.col("cy") + 100) * 1000 + F.col("cx") + 200).alias("id")
+        )
+    )
+    a, b = core.alias("a"), core.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    cc = connected_components(edges)
+    lbl = core.join(cc, core.id == cc.node, "left").select(
+        "cx", "cy", "n", F.coalesce("component", "id").alias("cluster")
+    )
+    return lbl.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )

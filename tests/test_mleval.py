@@ -206,3 +206,17 @@ def test_markov_attribution_shares_normalize(spark, sf_dir):
         assert 0 <= r.removal_effect_ppm <= 1_000_000
     total = sum(r.attribution_share_ppm for r in rows)
     assert abs(total - 1_000_000) <= 4  # integer-div remainder only
+
+
+def test_dbscan_clusters_are_disjoint_and_boxed(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dbscan_grid_clusters")
+    total_cells = sum(r.n_cells for r in rows)
+    # bounding boxes are consistent and clusters are non-empty
+    for r in rows:
+        assert r.n_cells >= 1 and r.n_points >= 1
+        assert r.min_cx <= r.max_cx and r.min_cy <= r.max_cy
+        # box area bounds the cell count
+        assert r.n_cells <= (r.max_cx - r.min_cx + 1) * (r.max_cy - r.min_cy + 1)
+    # cluster ids are distinct min-cell labels
+    assert len({r.cluster for r in rows}) == len(rows)
+    assert total_cells == sum(r.n_cells for r in rows)

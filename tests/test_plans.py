@@ -669,6 +669,9 @@ _SANCTIONED_NESTED_LOOP = {
     "percentile targets; the exact side is the one-off audit rank",
     "markov_attribution_removal": "|channels|-row literal output off "
     "bounded driver state (the (|channels|+1)^2 transition matrix)",
+    "dbscan_grid_clusters": "1-row density-threshold broadcast + the "
+    "8-neighborhood adjacency join over the grid-bounded CORE-CELL set "
+    "(cells, never points)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
