@@ -1983,3 +1983,379 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cy").alias("min_cy"),
         F.max("cy").alias("max_cy"),
     )
+
+
+@register(
+    "propensity_strata_ate",
+    oracle="""
+    WITH s AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS stratum,
+             CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT stratum, count(*)::BIGINT AS n_s,
+             sum(t)::BIGINT AS n_treated,
+             sum(1 - t)::BIGINT AS n_control,
+             (1000000 * sum(t * y)) // sum(t) AS rate_t_ppm,
+             (1000000 * sum((1 - t) * y)) // sum(1 - t) AS rate_c_ppm
+      FROM s GROUP BY stratum
+    ),
+    o AS (
+      SELECT sum(g.n_s * (g.rate_t_ppm - g.rate_c_ppm)) // sum(g.n_s) AS ate_ppm
+      FROM g
+    ),
+    naive AS (
+      SELECT (1000000 * sum(t * y)) // sum(t)
+             - (1000000 * sum((1 - t) * y)) // sum(1 - t) AS naive_diff_ppm
+      FROM s
+    )
+    SELECT stratum, n_s, n_treated, n_control, rate_t_ppm, rate_c_ppm,
+           rate_t_ppm - rate_c_ppm AS diff_ppm, o.ate_ppm, naive.naive_diff_ppm
+    FROM g, o, naive
+    """,
+    doc="stratified-adjustment average treatment effect: treatment = any "
+    "discount, outcome = returned, stratified on the quantity confounder "
+    "(5 strata — the propensity-stratification recipe with a known "
+    "scalar confounder). Per-stratum treated/control return rates in "
+    "exact ppm, the population-weighted ATE, and the UNADJUSTED naive "
+    "difference beside it (their gap is the confounding bias the "
+    "stratification removed) — the causal-inference companion to "
+    "promo_effect_did's diff-in-diff. One hash aggregate to 5 strata; "
+    "1-row ATE/naive broadcasts. Linear at any scale.",
+)
+def propensity_strata_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("stratum"),
+        F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_control"),
+        F.expr("(1000000 * sum(t * y)) div sum(t)").alias("rate_t_ppm"),
+        F.expr("(1000000 * sum((1 - t) * y)) div sum(1 - t)").alias("rate_c_ppm"),
+    )
+    o = g.agg(
+        F.expr("sum(n_s * (rate_t_ppm - rate_c_ppm)) div sum(n_s)").alias("ate_ppm")
+    )
+    naive = s.agg(
+        F.expr(
+            "(1000000 * sum(t * y)) div sum(t) "
+            "- (1000000 * sum((1 - t) * y)) div sum(1 - t)"
+        ).alias("naive_diff_ppm")
+    )
+    return (
+        g.crossJoin(F.broadcast(o))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "stratum",
+            "n_s",
+            "n_treated",
+            "n_control",
+            "rate_t_ppm",
+            "rate_c_ppm",
+            (F.col("rate_t_ppm") - F.col("rate_c_ppm")).alias("diff_ppm"),
+            "ate_ppm",
+            "naive_diff_ppm",
+        )
+    )
+
+
+# Shared log-rank z over frozen sums: O1, E1 (nano), V (nano).
+_LOGRANK_Z = (
+    "(CASE WHEN v_nano = 0 THEN 0.0 "
+    "ELSE (o1 - e1_nano / 1e9) / sqrt(v_nano / 1e9) END)"
+)
+
+
+@register(
+    "logrank_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT grp, date_diff('day', first_day, last_day) AS dur,
+             (last_day >= DATE '2024-01-28') AS censored
+      FROM u
+    ),
+    per AS (
+      SELECT dur, grp, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_churned
+      FROM d GROUP BY dur, grp
+    ),
+    grid AS (
+      SELECT t.dur, g.grp, coalesce(per.n_users, 0)::BIGINT AS n_users,
+             coalesce(per.n_churned, 0)::BIGINT AS n_churned
+      FROM (SELECT DISTINCT dur FROM per) t
+      CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+      LEFT JOIN per ON per.dur = t.dur AND per.grp = g.grp
+    ),
+    risk AS (
+      SELECT dur, grp, n_churned,
+             CAST(sum(n_users) OVER (PARTITION BY grp ORDER BY dur DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+      FROM grid
+    ),
+    tt AS (
+      SELECT dur,
+             sum(CASE WHEN grp = 0 THEN at_risk ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN grp = 1 THEN at_risk ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN grp = 0 THEN n_churned ELSE 0 END)::BIGINT AS d1,
+             sum(n_churned)::BIGINT AS dt
+      FROM risk GROUP BY dur
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(floor(1e9 * dt * n1 / (n1 + n2) + 0.5) AS BIGINT) AS e1_t,
+             CASE WHEN n1 + n2 > 1 THEN
+               CAST(floor(1e9 * (dt * (n1 + n2 - dt) * n1 * n2)
+                 / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) + 0.5) AS BIGINT)
+             ELSE 0 END AS v_t
+      FROM tt WHERE dt > 0
+    ),
+    m AS (
+      SELECT coalesce(sum(d1), 0)::BIGINT AS o1,
+             coalesce(sum(e1_t), 0)::BIGINT AS e1_nano,
+             coalesce(sum(v_t), 0)::BIGINT AS v_nano
+      FROM terms
+    )
+    SELECT o1, e1_nano, v_nano,
+           round({_LOGRANK_Z}, 4) AS z,
+           abs(round({_LOGRANK_Z}, 4)) > 1.96 AS significant
+    FROM m
+    """,
+    doc="log-rank test comparing the churn curves of two user cohorts "
+    "(even vs odd user id — the A/B assignment hash in miniature): at "
+    "each churn time the observed group-1 churn is compared against the "
+    "hypergeometric expectation given the shared risk set, with the "
+    "standard variance; the significance test for the Kaplan-Meier "
+    "curves kaplan_meier_retention draws (same duration/censoring "
+    "definitions). Per-time E/V terms freeze to BIGINT nano-units so "
+    "both engines sum identical integers; z is one shared formula over "
+    "the three frozen sums. All windows run on the calendar-bounded "
+    "duration grid, never raw events.",
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    d = u.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.datediff("last_day", "first_day").alias("dur"),
+        (F.col("last_day") >= F.lit("2024-01-28").cast("date")).alias("censored"),
+    )
+    per = d.groupBy("dur", "grp").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    durs = per.select("dur").distinct()
+    grps = spark.range(2).select(F.col("id").alias("grp"))
+    grid = (
+        durs.crossJoin(F.broadcast(grps))
+        .join(per, ["dur", "grp"], "left")
+        .select(
+            "dur",
+            "grp",
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+    )
+    wr = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.select(
+        "dur", "grp", "n_churned", F.sum("n_users").over(wr).cast("bigint").alias("at_risk")
+    )
+    tt = risk.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("n_churned").cast("bigint").alias("dt"),
+    )
+    terms = tt.where(F.col("dt") > 0).select(
+        "d1",
+        F.expr("CAST(floor(1e9 * dt * n1 / (n1 + n2) + 0.5) AS BIGINT)").alias("e1_t"),
+        F.expr(
+            "CASE WHEN n1 + n2 > 1 THEN "
+            "CAST(floor(1e9 * (dt * (n1 + n2 - dt) * n1 * n2) "
+            "/ ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) + 0.5) AS BIGINT) "
+            "ELSE 0 END"
+        ).alias("v_t"),
+    )
+    m = terms.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("e1_t"), F.lit(0)).cast("bigint").alias("e1_nano"),
+        F.coalesce(F.sum("v_t"), F.lit(0)).cast("bigint").alias("v_nano"),
+    )
+    zc = F.round(F.expr(_LOGRANK_Z), 4)
+    return m.select(
+        "o1", "e1_nano", "v_nano", zc.alias("z"), (F.abs(zc) > 1.96).alias("significant")
+    )
+
+
+# --- ridge regularization path with 2-fold CV --------------------------------
+
+_RIDGE_LAMBDAS = [0, 10000, 1000000, 100000000]
+
+
+def _ridge_betas() -> dict[str, str]:
+    """Cramer solve of (X'X + lambda*diag(0,1,1)) b = X'y over pre-cast
+    DOUBLE moment columns (mn, sx1, sx2, s11, s12, s22, sy0, s1y, s2y)
+    and the DOUBLE penalty column lam — identical text both engines."""
+    a00, a01, a02 = "mn", "sx1", "sx2"
+    a11, a12, a22 = "(s11 + lam)", "s12", "(s22 + lam)"
+    g0, g1, g2 = "sy0", "s1y", "s2y"
+    det = (
+        f"({a00} * ({a11} * {a22} - {a12} * {a12}) "
+        f"- {a01} * ({a01} * {a22} - {a12} * {a02}) "
+        f"+ {a02} * ({a01} * {a12} - {a11} * {a02}))"
+    )
+    n0 = (
+        f"({g0} * ({a11} * {a22} - {a12} * {a12}) "
+        f"- {a01} * ({g1} * {a22} - {a12} * {g2}) "
+        f"+ {a02} * ({g1} * {a12} - {a11} * {g2}))"
+    )
+    n1 = (
+        f"({a00} * ({g1} * {a22} - {g2} * {a12}) "
+        f"- {g0} * ({a01} * {a22} - {a12} * {a02}) "
+        f"+ {a02} * ({a01} * {g2} - {g1} * {a02}))"
+    )
+    n2 = (
+        f"({a00} * ({a11} * {g2} - {a12} * {g1}) "
+        f"- {a01} * ({a01} * {g2} - {g1} * {a02}) "
+        f"+ {g0} * ({a01} * {a12} - {a11} * {a02}))"
+    )
+    return {k: f"({n} / {det})" for k, n in zip(["b0", "b1", "b2"], [n0, n1, n2])}
+
+
+_RIDGE_YHAT = "(b0 + b1 * CAST(q AS DOUBLE) + b2 * CAST(qd AS DOUBLE))"
+_RIDGE_SSE_CELL = (
+    f"CAST(floor(CAST(syy AS DOUBLE) - 2.0 * {_RIDGE_YHAT} * CAST(sy AS DOUBLE) "
+    f"+ CAST(n AS DOUBLE) * {_RIDGE_YHAT} * {_RIDGE_YHAT} + 0.5) AS BIGINT)"
+)
+_RIDGE_MOMS = (
+    "CAST(sum(n) AS DOUBLE) AS mn, CAST(sum(n * q) AS DOUBLE) AS sx1, "
+    "CAST(sum(n * qd) AS DOUBLE) AS sx2, CAST(sum(n * q * q) AS DOUBLE) AS s11, "
+    "CAST(sum(n * q * qd) AS DOUBLE) AS s12, "
+    "CAST(sum(n * qd * qd) AS DOUBLE) AS s22, CAST(sum(sy) AS DOUBLE) AS sy0, "
+    "CAST(sum(q * sy) AS DOUBLE) AS s1y, CAST(sum(qd * sy) AS DOUBLE) AS s2y"
+)
+
+
+def _ridge_oracle() -> str:
+    b = _ridge_betas()
+    lam_list = ", ".join(str(x) for x in _RIDGE_LAMBDAS)
+    bsel = ", ".join(f"{e} AS {k}" for k, e in b.items())
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT l_orderkey % 2 AS fold, CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS qd,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS syy
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    mom AS MATERIALIZED (SELECT fold, {_RIDGE_MOMS} FROM cells GROUP BY fold),
+    momall AS MATERIALIZED (SELECT {_RIDGE_MOMS} FROM cells),
+    lams AS (SELECT lam_i, CAST(lam_i AS DOUBLE) AS lam
+             FROM (SELECT unnest([{lam_list}]) AS lam_i)),
+    fits AS MATERIALIZED (SELECT mom.fold, lams.lam_i, {bsel} FROM mom, lams),
+    val AS (
+      SELECT f.lam_i, sum({_RIDGE_SSE_CELL})::BIGINT AS cv_sse_unit
+      FROM fits f JOIN cells c ON c.fold <> f.fold
+      GROUP BY f.lam_i
+    ),
+    fullfit AS (SELECT lams.lam_i, {bsel} FROM momall, lams),
+    out1 AS (
+      SELECT v.lam_i AS lambda, v.cv_sse_unit,
+             CAST(floor(fu.b0 * 1e6 + 0.5) AS BIGINT) AS b0_micro,
+             CAST(floor(fu.b1 * 1e6 + 0.5) AS BIGINT) AS b1_micro,
+             CAST(floor(fu.b2 * 1e6 + 0.5) AS BIGINT) AS b2_micro
+      FROM val v JOIN fullfit fu ON fu.lam_i = v.lam_i
+    )
+    SELECT *, cv_sse_unit = min(cv_sse_unit) OVER () AS is_best FROM out1
+    """
+
+
+@register(
+    "ridge_lambda_path",
+    oracle=_ridge_oracle(),
+    doc="ridge-regression regularization path with 2-fold cross-"
+    "validation, entirely closed-form: price-cents ~ quantity + discount "
+    "on the bounded 50x11 feature grid; per-fold X'X/X'y moments are "
+    "exact BIGINT sums (the multiple_regression pattern), each "
+    "(fold, lambda) fit is one shared-text 3x3 Cramer solve with the "
+    "penalty added to the slope diagonal, validation SSE evaluates on "
+    "the OPPOSITE fold's cells via the sufficient-statistic identity "
+    "syy - 2*yhat*sy + n*yhat^2 frozen to whole cents^2 per cell "
+    "(order-free integer sums), and the winning lambda is flagged — "
+    "in-engine hyperparameter selection with zero data re-scans beyond "
+    "ONE grid aggregate. Full-data betas reported per lambda in integer "
+    "micro-units.",
+)
+def ridge_lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cells = (
+        li.groupBy(
+            (F.col("l_orderkey") % 2).alias("fold"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("qd"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("sy"),
+            F.sum(cents * cents).cast("bigint").alias("syy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    moms = [F.expr(e) for e in _RIDGE_MOMS.split(", ")]
+    mom = cells.groupBy("fold").agg(*moms)
+    momall = cells.agg(*moms)
+    lams = spark.createDataFrame(
+        [(x,) for x in _RIDGE_LAMBDAS], "lam_i bigint"
+    ).select("lam_i", F.col("lam_i").cast("double").alias("lam"))
+    b = _ridge_betas()
+    bsel = [F.expr(e).alias(k) for k, e in b.items()]
+    fits = mom.crossJoin(F.broadcast(lams)).select("fold", "lam_i", *bsel)
+    val = (
+        fits.alias("f")
+        .join(cells.alias("c"), F.col("c.fold") != F.col("f.fold"))
+        .groupBy("lam_i")
+        .agg(F.sum(F.expr(_RIDGE_SSE_CELL)).cast("bigint").alias("cv_sse_unit"))
+    )
+    full = momall.crossJoin(F.broadcast(lams)).select("lam_i", *bsel)
+    out1 = val.join(full, "lam_i").select(
+        F.col("lam_i").alias("lambda"),
+        "cv_sse_unit",
+        F.expr("CAST(floor(b0 * 1e6 + 0.5) AS BIGINT)").alias("b0_micro"),
+        F.expr("CAST(floor(b1 * 1e6 + 0.5) AS BIGINT)").alias("b1_micro"),
+        F.expr("CAST(floor(b2 * 1e6 + 0.5) AS BIGINT)").alias("b2_micro"),
+    )
+    return out1.select(
+        "*",
+        (
+            F.col("cv_sse_unit")
+            == F.min("cv_sse_unit").over(Window.partitionBy())
+        ).alias("is_best"),
+    )

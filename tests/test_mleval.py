@@ -220,3 +220,31 @@ def test_dbscan_clusters_are_disjoint_and_boxed(spark, sf_dir):
     # cluster ids are distinct min-cell labels
     assert len({r.cluster for r in rows}) == len(rows)
     assert total_cells == sum(r.n_cells for r in rows)
+
+
+def test_propensity_strata_weights_reconcile(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "propensity_strata_ate")
+    n = sum(r.n_s for r in rows)
+    ssum = sum(r.n_s * r.diff_ppm for r in rows)
+    # Spark div truncates toward zero; Python // floors — match div
+    implied = (abs(ssum) // n) * (1 if ssum >= 0 else -1)
+    assert implied == rows[0].ate_ppm
+    for r in rows:
+        assert r.n_treated + r.n_control == r.n_s
+
+
+def test_logrank_consistency(spark, sf_dir):
+    r = _rows(spark, sf_dir, "logrank_test")[0]
+    assert r.v_nano >= 0  # 0 only when no churn events exist at this SF
+    # E1 is a probability-weighted share of total deaths: within [0, total]
+    assert 0 <= r.e1_nano
+    assert r.significant == (abs(r.z) > 1.96)
+
+
+def test_ridge_path_shrinks_slopes(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "ridge_lambda_path"), key=lambda r: r["lambda"])
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.is_best) >= 1
+    # heavier penalty can only shrink the slope magnitude vector
+    mags = [abs(r.b1_micro) + abs(r.b2_micro) for r in rows]
+    assert mags[-1] <= mags[0]

@@ -672,6 +672,12 @@ _SANCTIONED_NESTED_LOOP = {
     "dbscan_grid_clusters": "1-row density-threshold broadcast + the "
     "8-neighborhood adjacency join over the grid-bounded CORE-CELL set "
     "(cells, never points)",
+    "propensity_strata_ate": "broadcasts the 1-row ATE and naive-diff "
+    "aggregates over the 5-stratum grid",
+    "logrank_test": "2-row group-grid crossJoin over the calendar-bounded "
+    "duration table + 1-row frozen-sum broadcasts",
+    "ridge_lambda_path": "4-row lambda grid crossJoins against the 1-row "
+    "fold moments; validation joins fits to the 550-cell grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
