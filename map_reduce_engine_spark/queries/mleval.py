@@ -2359,3 +2359,336 @@ def ridge_lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("cv_sse_unit").over(Window.partitionBy())
         ).alias("is_best"),
     )
+
+
+# --- two-round gradient-boosted regression stumps ----------------------------
+
+# split gain 'Sl^2/nl + Sr^2/nr' frozen to whole units (the only doubles in
+# the operator; everything else is exact integer arithmetic)
+_GBM_GAIN = (
+    "CAST(floor(CAST(sl AS DOUBLE) * sl / nl + CAST(sr AS DOUBLE) * sr / nr + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "gbm_two_round_stumps",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS qd,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS syy
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+      SELECT sum(n)::BIGINT AS nt, sum(sy)::BIGINT AS st, sum(syy)::BIGINT AS yyt
+      FROM cells
+    ),
+    g1 AS MATERIALIZED (
+      SELECT q, sum(n)::BIGINT AS n, sum(sy)::BIGINT AS sy FROM cells GROUP BY q
+    ),
+    p1 AS (
+      SELECT q AS s,
+             sum(n) OVER w::BIGINT AS nl, sum(sy) OVER w::BIGINT AS sl
+      FROM g1 WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s1 AS MATERIALIZED (
+      SELECT s, nl, sl, nt - nl AS nr, st - sl AS sr,
+             sl // nl AS pl, (st - sl) // (nt - nl) AS pr
+      FROM p1, tot WHERE nl > 0 AND nt - nl > 0
+      ORDER BY {_GBM_GAIN} DESC, s LIMIT 1
+    ),
+    r2 AS MATERIALIZED (
+      SELECT c.qd,
+             sum(c.n)::BIGINT AS n,
+             sum(c.sy - c.n * CASE WHEN c.q <= s1.s THEN s1.pl ELSE s1.pr END)::BIGINT AS sy,
+             sum(c.syy - 2 * CASE WHEN c.q <= s1.s THEN s1.pl ELSE s1.pr END * c.sy
+                 + c.n * CASE WHEN c.q <= s1.s THEN s1.pl ELSE s1.pr END
+                       * CASE WHEN c.q <= s1.s THEN s1.pl ELSE s1.pr END)::BIGINT AS syy
+      FROM cells c, s1 GROUP BY c.qd
+    ),
+    tot2 AS MATERIALIZED (
+      SELECT sum(n)::BIGINT AS nt, sum(sy)::BIGINT AS st, sum(syy)::BIGINT AS yyt
+      FROM r2
+    ),
+    p2 AS (
+      SELECT qd AS s, sum(n) OVER w::BIGINT AS nl, sum(sy) OVER w::BIGINT AS sl
+      FROM r2 WINDOW w AS (ORDER BY qd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS MATERIALIZED (
+      SELECT p2.s, nl, sl, tot2.nt - nl AS nr, tot2.st - sl AS sr,
+             sl // nl AS pl, (tot2.st - sl) // (tot2.nt - nl) AS pr
+      FROM p2, tot2 WHERE nl > 0 AND tot2.nt - nl > 0
+      ORDER BY {_GBM_GAIN} DESC, p2.s LIMIT 1
+    ),
+    sse0 AS (SELECT yyt - 2 * (st // nt) * st + nt * (st // nt) * (st // nt) AS v FROM tot),
+    sse1 AS (SELECT yyt FROM tot2),
+    sse2 AS (
+      SELECT sum(r2.syy - 2 * CASE WHEN r2.qd <= s2.s THEN s2.pl ELSE s2.pr END * r2.sy
+                 + r2.n * CASE WHEN r2.qd <= s2.s THEN s2.pl ELSE s2.pr END
+                       * CASE WHEN r2.qd <= s2.s THEN s2.pl ELSE s2.pr END)::BIGINT AS v
+      FROM r2, s2
+    )
+    SELECT 1::BIGINT AS round, 'quantity' AS feature, s1.s AS split_at,
+           s1.pl AS pred_left_cents, s1.pr AS pred_right_cents,
+           sse0.v::BIGINT AS sse_before_unit, sse1.yyt::BIGINT AS sse_after_unit
+    FROM s1, sse0, sse1
+    UNION ALL
+    SELECT 2::BIGINT, 'discount', s2.s, s2.pl, s2.pr,
+           sse1.yyt::BIGINT, sse2.v::BIGINT
+    FROM s2, sse1, sse2
+    """,
+    doc="two-round gradient boosting with regression stumps, almost "
+    "entirely in exact integer arithmetic: round 1 fits the best "
+    "quantity split to price-cents (gain = Sl^2/nl + Sr^2/nr over grid "
+    "prefix sums — the ONLY doubles, frozen to whole units for the "
+    "argmax), leaf predictions are integer-cent means, so the residual "
+    "moments the round-2 discount stump fits are EXACT BIGINTs (the "
+    "squared-loss boosting recursion never leaves integer space), and "
+    "every reported SSE is an exact integer. The additive-model "
+    "counterpart of decision_stump_returnflag's single split. One grid "
+    "aggregate; both split searches are grid-bounded windows.",
+)
+def gbm_two_round_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("qd"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("sy"),
+            F.sum(cents * cents).cast("bigint").alias("syy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sy").cast("bigint").alias("st"),
+        F.sum("syy").cast("bigint").alias("yyt"),
+    )
+
+    def best_split(grid, key):
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        p = grid.select(
+            F.col(key).alias("s"),
+            F.sum("n").over(w).cast("bigint").alias("nl"),
+            F.sum("sy").over(w).cast("bigint").alias("sl"),
+        )
+        t_ = grid.agg(
+            F.sum("n").cast("bigint").alias("nt"), F.sum("sy").cast("bigint").alias("st")
+        )
+        cand = (
+            p.crossJoin(F.broadcast(t_))
+            .where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+            .select(
+                "s",
+                "nl",
+                "sl",
+                (F.col("nt") - F.col("nl")).alias("nr"),
+                (F.col("st") - F.col("sl")).alias("sr"),
+                F.expr("sl div nl").alias("pl"),
+                F.expr("(st - sl) div (nt - nl)").alias("pr"),
+            )
+        )
+        return cand.orderBy(F.expr(_GBM_GAIN).desc(), "s").limit(1)
+
+    g1 = cells.groupBy("q").agg(
+        F.sum("n").cast("bigint").alias("n"), F.sum("sy").cast("bigint").alias("sy")
+    )
+    s1 = best_split(g1, "q").localCheckpoint(eager=True)
+    pred1 = "CASE WHEN q <= s THEN pl ELSE pr END"
+    r2 = (
+        cells.crossJoin(F.broadcast(s1))
+        .groupBy("qd")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(F.expr(f"sy - n * {pred1}")).cast("bigint").alias("sy"),
+            F.sum(F.expr(f"syy - 2 * {pred1} * sy + n * {pred1} * {pred1}"))
+            .cast("bigint")
+            .alias("syy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s2 = best_split(
+        r2.select(F.col("qd"), "n", "sy"), "qd"
+    ).localCheckpoint(eager=True)
+    tot2 = r2.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sy").cast("bigint").alias("st"),
+        F.sum("syy").cast("bigint").alias("yyt"),
+    )
+    sse0 = tot.select(
+        F.expr("yyt - 2 * (st div nt) * st + nt * (st div nt) * (st div nt)").alias("v")
+    )
+    pred2 = "CASE WHEN qd <= s THEN pl ELSE pr END"
+    sse2 = (
+        r2.crossJoin(F.broadcast(s2))
+        .agg(
+            F.sum(F.expr(f"syy - 2 * {pred2} * sy + n * {pred2} * {pred2}"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    row1 = (
+        s1.crossJoin(sse0)
+        .crossJoin(tot2.select(F.col("yyt").alias("after1")))
+        .select(
+            F.lit(1).cast("bigint").alias("round"),
+            F.lit("quantity").alias("feature"),
+            F.col("s").alias("split_at"),
+            F.col("pl").alias("pred_left_cents"),
+            F.col("pr").alias("pred_right_cents"),
+            F.col("v").cast("bigint").alias("sse_before_unit"),
+            F.col("after1").cast("bigint").alias("sse_after_unit"),
+        )
+    )
+    row2 = (
+        s2.crossJoin(tot2.select(F.col("yyt").alias("after1")))
+        .crossJoin(sse2)
+        .select(
+            F.lit(2).cast("bigint").alias("round"),
+            F.lit("discount").alias("feature"),
+            F.col("s").alias("split_at"),
+            F.col("pl").alias("pred_left_cents"),
+            F.col("pr").alias("pred_right_cents"),
+            F.col("after1").cast("bigint").alias("sse_before_unit"),
+            F.col("v").cast("bigint").alias("sse_after_unit"),
+        )
+    )
+    return row1.unionByName(row2)
+
+
+# --- greedy max-coverage document selection ----------------------------------
+
+_MAXCOV_K = 5
+
+# coverage universe = word 3-gram shingles (the whitespace vocabulary of the
+# fixture is tiny; shingles give a realistically large, order-sensitive
+# universe — same construction as operators/dedup.py::shingles_col)
+_MAXCOV_TOK = r"""
+    dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                      ELSE list_transform(range(1, len(l) - 1),
+                           i -> array_to_string(l[i:i+2], ' ')) END) AS token
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+              FROM documents WHERE trim(text) <> '')
+      )
+    )
+"""
+
+
+def _maxcov_oracle() -> str:
+    ctes = [_MAXCOV_TOK.strip()]
+    for r in range(1, _MAXCOV_K + 1):
+        if r == 1:
+            gains = (
+                "gains_1 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS g "
+                "FROM dt GROUP BY doc_id)"
+            )
+        else:
+            gains = (
+                f"gains_{r} AS MATERIALIZED (SELECT d.doc_id, count(*)::BIGINT AS g "
+                f"FROM dt d WHERE NOT EXISTS (SELECT 1 FROM cov_{r - 1} c "
+                f"WHERE c.token = d.token) GROUP BY d.doc_id)"
+            )
+        ctes.append(gains)
+        ctes.append(
+            f"ch_{r} AS MATERIALIZED (SELECT doc_id, g FROM gains_{r} "
+            f"ORDER BY g DESC, doc_id LIMIT 1)"
+        )
+        prev = f"SELECT token FROM cov_{r - 1} UNION " if r > 1 else ""
+        ctes.append(
+            f"cov_{r} AS MATERIALIZED ({prev}SELECT DISTINCT token FROM dt "
+            f"WHERE doc_id = (SELECT doc_id FROM ch_{r}))"
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS sel_round, doc_id, g AS new_tokens FROM ch_{r}"
+        for r in range(1, _MAXCOV_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sel AS ({rows}),
+    vocab AS (SELECT count(DISTINCT token)::BIGINT AS vocab_total FROM dt)
+    SELECT s.sel_round, s.doc_id, s.new_tokens,
+           sum(s.new_tokens) OVER (ORDER BY s.sel_round
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS covered_tokens,
+           v.vocab_total,
+           (1000000 * sum(s.new_tokens) OVER (ORDER BY s.sel_round
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             // v.vocab_total AS coverage_ppm
+    FROM sel s, vocab v"""
+    )
+
+
+@register(
+    "greedy_max_coverage_docs",
+    oracle=_maxcov_oracle(),
+    doc="greedy maximum-coverage data selection: pick 5 documents that "
+    "together cover the most distinct vocabulary, one greedy round per "
+    "pick (each round scores every document by its count of NOT-yet-"
+    "covered tokens via an anti-join, takes the argmax, and unions the "
+    "winner's tokens into the covered set) — the (1-1/e)-approximate "
+    "submodular-coverage selection used for corpus subsetting, the "
+    "set-cover counterpart of kcenter_coreset's metric diversity. "
+    "Scale shape: the covered set lives DISTRIBUTED (token rows, "
+    "checkpointed per round — never driver-held), each round is one "
+    "anti-join + one aggregate + TakeOrdered(1); k rounds total. "
+    "Reports per-pick marginal gains and cumulative vocabulary "
+    "coverage. Oracle = the identical greedy unrolled as materialized "
+    "CTEs.",
+)
+def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import shingles_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    dt = (
+        docs.select("doc_id", F.explode(shingles_col("text", 3)).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vocab_total = dt.select("token").distinct().count()
+    covered = None
+    rows = []
+    for r in range(1, _MAXCOV_K + 1):
+        cand = dt if covered is None else dt.join(covered, "token", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("g"))
+            .orderBy(F.desc("g"), "doc_id")
+            .limit(1)
+            .head()
+        )
+        if top is None:  # universe exhausted — greedy stops early (oracle
+            break  # CTEs go empty at the same round)
+        rows.append((r, int(top.doc_id), int(top.g)))
+        chosen_toks = dt.where(F.col("doc_id") == int(top.doc_id)).select("token")
+        covered = (
+            chosen_toks
+            if covered is None
+            else covered.union(chosen_toks).distinct()
+        ).localCheckpoint(eager=True)
+    sel = spark.createDataFrame(rows, "sel_round bigint, doc_id bigint, new_tokens bigint")
+    w = Window.orderBy("sel_round").rowsBetween(Window.unboundedPreceding, 0)
+    return sel.select(
+        "sel_round",
+        "doc_id",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("covered_tokens"),
+        F.lit(int(vocab_total)).cast("bigint").alias("vocab_total"),
+        F.expr(
+            f"(1000000 * CAST(sum(new_tokens) OVER (ORDER BY sel_round "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) "
+            f"div {int(vocab_total)}"
+        ).alias("coverage_ppm"),
+    )

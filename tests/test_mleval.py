@@ -248,3 +248,21 @@ def test_ridge_path_shrinks_slopes(spark, sf_dir):
     # heavier penalty can only shrink the slope magnitude vector
     mags = [abs(r.b1_micro) + abs(r.b2_micro) for r in rows]
     assert mags[-1] <= mags[0]
+
+
+def test_gbm_boosting_reduces_sse_each_round(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "gbm_two_round_stumps"), key=lambda r: r.round)
+    assert len(rows) == 2
+    for r in rows:
+        assert r.sse_after_unit <= r.sse_before_unit
+    # chained: round 2 starts where round 1 ended
+    assert rows[1].sse_before_unit == rows[0].sse_after_unit
+
+
+def test_max_coverage_gains_diminish(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "greedy_max_coverage_docs"), key=lambda r: r.sel_round)
+    gains = [r.new_tokens for r in rows]
+    # submodularity: marginal gains are non-increasing
+    assert gains == sorted(gains, reverse=True)
+    assert rows[-1].covered_tokens <= rows[-1].vocab_total
+    assert len({r.doc_id for r in rows}) == len(rows)

@@ -678,6 +678,11 @@ _SANCTIONED_NESTED_LOOP = {
     "duration table + 1-row frozen-sum broadcasts",
     "ridge_lambda_path": "4-row lambda grid crossJoins against the 1-row "
     "fold moments; validation joins fits to the 550-cell grid",
+    "gbm_two_round_stumps": "1-row split/total broadcasts over the "
+    "bounded feature grids (both split searches are grid windows)",
+    "greedy_max_coverage_docs": "k-row literal selection off the "
+    "distributed greedy loop (covered set stays distributed; only the "
+    "per-round 1-row argmax is collected)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
