@@ -2692,3 +2692,239 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div {int(vocab_total)}"
         ).alias("coverage_ppm"),
     )
+
+
+@register(
+    "ipw_ate_estimators",
+    oracle="""
+    WITH s AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS stratum,
+             CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT stratum, count(*)::BIGINT AS n_s,
+             sum(t)::BIGINT AS t_s, sum(1 - t)::BIGINT AS c_s,
+             sum(t * y)::BIGINT AS pos_t, sum((1 - t) * y)::BIGINT AS pos_c
+      FROM s GROUP BY stratum
+    ),
+    terms AS (
+      SELECT n_s,
+             (1000000 * pos_t * n_s) // t_s AS term_t,
+             (1000000 * pos_c * n_s) // c_s AS term_c,
+             (1000000 * pos_t) // t_s AS rate_t_ppm,
+             (1000000 * pos_c) // c_s AS rate_c_ppm
+      FROM g
+    ),
+    m AS (
+      SELECT sum(n_s)::BIGINT AS n,
+             (sum(term_t) - sum(term_c)) // sum(n_s) AS ate_ipw_ppm,
+             sum(n_s * (rate_t_ppm - rate_c_ppm)) // sum(n_s) AS ate_strat_ppm
+      FROM terms
+    ),
+    naive AS (
+      SELECT (1000000 * sum(t * y)) // sum(t)
+             - (1000000 * sum((1 - t) * y)) // sum(1 - t) AS naive_diff_ppm
+      FROM s
+    )
+    SELECT m.n AS n_total, m.ate_ipw_ppm, m.ate_strat_ppm, naive.naive_diff_ppm
+    FROM m, naive
+    """,
+    doc="inverse-propensity-weighted ATE beside the stratified and naive "
+    "estimators (the causal-estimator triangulation report): propensity "
+    "p(s) = treated share per quantity stratum, IPW terms "
+    "pos*n_s/t_s frozen to exact micro-integers per stratum so both "
+    "engines sum identical BIGINTs; agreement between IPW and "
+    "stratification (which are algebraically close under piecewise-"
+    "constant propensity) against the naive gap quantifies confounding. "
+    "One aggregate to 5 strata; everything after is stratum-bounded.",
+)
+def ipw_ate_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("stratum"),
+        F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("t_s"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("c_s"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("pos_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("pos_c"),
+    )
+    terms = g.select(
+        "n_s",
+        F.expr("(1000000 * pos_t * n_s) div t_s").alias("term_t"),
+        F.expr("(1000000 * pos_c * n_s) div c_s").alias("term_c"),
+        F.expr("(1000000 * pos_t) div t_s").alias("rate_t_ppm"),
+        F.expr("(1000000 * pos_c) div c_s").alias("rate_c_ppm"),
+    )
+    m = terms.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.expr("(sum(term_t) - sum(term_c)) div sum(n_s)").alias("ate_ipw_ppm"),
+        F.expr("sum(n_s * (rate_t_ppm - rate_c_ppm)) div sum(n_s)").alias(
+            "ate_strat_ppm"
+        ),
+    )
+    naive = s.agg(
+        F.expr(
+            "(1000000 * sum(t * y)) div sum(t) "
+            "- (1000000 * sum((1 - t) * y)) div sum(1 - t)"
+        ).alias("naive_diff_ppm")
+    )
+    return m.crossJoin(naive).select(
+        F.col("n").alias("n_total"), "ate_ipw_ppm", "ate_strat_ppm", "naive_diff_ppm"
+    )
+
+
+@register(
+    "james_stein_brand_rates",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand AS brand, count(*)::BIGINT AS n,
+             (1000000 * sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END))
+               // count(*) AS r_ppm
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS k, sum(r_ppm) // count(*) AS gm,
+             sum(r_ppm * (1000000 - r_ppm) // n)::BIGINT AS v_sum
+      FROM g
+    ),
+    ss AS (
+      SELECT sum((g.r_ppm - m.gm) * (g.r_ppm - m.gm))::BIGINT AS ss
+      FROM g, m
+    ),
+    b AS (
+      SELECT greatest(0, 1000000 - (1000000 * (m.k - 3) * (m.v_sum // m.k)) // ss.ss)
+               ::BIGINT AS b_ppm,
+             m.gm, m.k
+      FROM m, ss
+    )
+    SELECT g.brand, g.n, g.r_ppm AS raw_ppm,
+           b.gm + (b.b_ppm * (g.r_ppm - b.gm)) // 1000000 AS shrunk_ppm,
+           b.gm AS grand_mean_ppm, b.b_ppm AS shrink_factor_ppm
+    FROM g, b
+    """,
+    doc="James-Stein / empirical-Bayes shrinkage of the 25 per-brand "
+    "return rates toward the grand mean: the shrinkage factor "
+    "B = 1 - (k-3)*avg-sampling-variance/SS dampens small-sample brand "
+    "rates exactly as a hierarchical model would — the estimator a "
+    "pipeline should publish instead of raw small-n group rates (the "
+    "winner's-curse fix for league tables). ALL-integer: rates, grand "
+    "mean, per-group binomial variances, SS, B, and the shrunk rates "
+    "are exact BIGINT ppm — no floats anywhere. One aggregate to the "
+    "brand grid + 1-row shrinkage broadcasts.",
+)
+def james_stein_brand_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))"
+                " div count(*)"
+            ).alias("r_ppm"),
+        )
+    )
+    m = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.expr("sum(r_ppm) div count(*)").alias("gm"),
+        F.sum(F.expr("r_ppm * (1000000 - r_ppm) div n")).cast("bigint").alias("v_sum"),
+    )
+    ss = g.crossJoin(F.broadcast(m)).agg(
+        F.sum(F.expr("(r_ppm - gm) * (r_ppm - gm)")).cast("bigint").alias("ss")
+    )
+    b = m.crossJoin(ss).select(
+        F.expr(
+            "greatest(CAST(0 AS BIGINT), "
+            "1000000 - (1000000 * (k - 3) * (v_sum div k)) div ss)"
+        ).alias("b_ppm"),
+        "gm",
+        "k",
+    )
+    return g.crossJoin(F.broadcast(b)).select(
+        "brand",
+        "n",
+        F.col("r_ppm").alias("raw_ppm"),
+        F.expr("gm + (b_ppm * (r_ppm - gm)) div 1000000").alias("shrunk_ppm"),
+        F.col("gm").alias("grand_mean_ppm"),
+        F.col("b_ppm").alias("shrink_factor_ppm"),
+    )
+
+
+# --- phonetic-key blocking ----------------------------------------------------
+
+
+def _phonetic_key(tok: str, collapse_flag: str) -> str:
+    """Simplified-Soundex key over a token expression: leading letter +
+    first 3 consonant-class digits of the remainder (runs collapsed,
+    vowels/H/W/Y deleted via translate's drop-the-tail rule), zero-padded.
+    ``collapse_flag``: DuckDB needs an explicit 'g' flag on
+    regexp_replace; Spark SQL replaces globally by default."""
+    digits = (
+        f"translate(upper(substr({tok}, 2)), "
+        f"'BFPVCGJKQSXZDTLMNRAEIOUHWY', '111122222222334556')"
+    )
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}+', '{d}'{collapse_flag})"
+    return f"(upper(substr({tok}, 1, 1)) || rpad(substr({digits}, 1, 3), 3, '0'))"
+
+
+@register(
+    "phonetic_blocking_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS tok,
+             {_phonetic_key("split_part(p_name, ' ', 1)", ", 'g'")} AS pkey
+      FROM part WHERE p_partkey < 400
+    )
+    SELECT a.pkey, a.p_partkey AS id1, b.p_partkey AS id2,
+           a.tok AS tok1, b.tok AS tok2,
+           levenshtein(a.tok, b.tok)::BIGINT AS lev
+    FROM toks a JOIN toks b
+      ON a.pkey = b.pkey AND a.p_partkey < b.p_partkey AND a.tok <> b.tok
+    WHERE levenshtein(a.tok, b.tok) <= 3
+    """,
+    doc="phonetic-key blocking for entity resolution (simplified Soundex: "
+    "consonant-class digits via translate, runs collapsed, vowels "
+    "dropped — deterministic string ops only, no codec libraries): "
+    "part-name tokens sharing a phonetic key become candidate pairs via "
+    "an EQUI-join on the key (the blocking step), then edit-distance <= "
+    "3 verifies — catches sound-alike spellings (lace/lose) that "
+    "rare-token and sorted-neighborhood blocking miss; completes the ER "
+    "blocking family (LSH, prefix-filter, SNM, rare-token, now "
+    "phonetic). Key cardinality is vocabulary-bounded, so block sizes "
+    "are data-skew-bounded; verify runs on candidates only.",
+)
+def phonetic_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
+    toks = part.select(
+        "p_partkey",
+        F.expr("split_part(p_name, ' ', 1)").alias("tok"),
+        F.expr(_phonetic_key("split_part(p_name, ' ', 1)", "")).alias("pkey"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pkey") == F.col("b.pkey"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.col("a.tok") != F.col("b.tok")),
+        )
+        .where(F.levenshtein(F.col("a.tok"), F.col("b.tok")) <= 3)
+        .select(
+            F.col("a.pkey").alias("pkey"),
+            F.col("a.p_partkey").alias("id1"),
+            F.col("b.p_partkey").alias("id2"),
+            F.col("a.tok").alias("tok1"),
+            F.col("b.tok").alias("tok2"),
+            F.levenshtein(F.col("a.tok"), F.col("b.tok")).cast("bigint").alias("lev"),
+        )
+    )

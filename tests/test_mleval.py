@@ -266,3 +266,25 @@ def test_max_coverage_gains_diminish(spark, sf_dir):
     assert gains == sorted(gains, reverse=True)
     assert rows[-1].covered_tokens <= rows[-1].vocab_total
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_ipw_and_stratified_agree_directionally(spark, sf_dir):
+    r = _rows(spark, sf_dir, "ipw_ate_estimators")[0]
+    # piecewise-constant propensity => the two adjusted estimators are close
+    assert abs(r.ate_ipw_ppm - r.ate_strat_ppm) <= 2000, r
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "james_stein_brand_rates")
+    for r in rows:
+        lo, hi = sorted((r.raw_ppm, r.grand_mean_ppm))
+        assert lo - 1 <= r.shrunk_ppm <= hi + 1, r
+        assert 0 <= r.shrink_factor_ppm <= 1_000_000
+
+
+def test_phonetic_pairs_share_key_and_pass_verify(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "phonetic_blocking_pairs"):
+        assert r.id1 < r.id2
+        assert r.tok1 != r.tok2
+        assert r.lev <= 3
+        assert len(r.pkey) == 4

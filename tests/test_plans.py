@@ -683,6 +683,10 @@ _SANCTIONED_NESTED_LOOP = {
     "greedy_max_coverage_docs": "k-row literal selection off the "
     "distributed greedy loop (covered set stays distributed; only the "
     "per-round 1-row argmax is collected)",
+    "ipw_ate_estimators": "1-row estimator aggregates over the 5-stratum "
+    "grid",
+    "james_stein_brand_rates": "1-row shrinkage-factor broadcasts over "
+    "the |brands|-row rate grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
