@@ -2928,3 +2928,159 @@ def phonetic_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.tok"), F.col("b.tok")).cast("bigint").alias("lev"),
         )
     )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    g AS (SELECT c_nationkey, sum(c)::BIGINT AS tot, count(*)::BIGINT AS distinct_l
+          FROM cell GROUP BY 1),
+    h AS (
+      SELECT cell.c_nationkey,
+             sum(CAST(floor(-1e9 * (cell.c / CAST(g.tot AS DOUBLE))
+                 * ln(cell.c / CAST(g.tot AS DOUBLE)) + 0.5) AS BIGINT))::BIGINT
+               AS h_nano
+      FROM cell JOIN g USING (c_nationkey) GROUP BY cell.c_nationkey
+    )
+    SELECT g.c_nationkey, g.tot AS n_rows, g.distinct_l, h.h_nano,
+           round(exp(h.h_nano / 1e9), 4) AS entropy_l,
+           g.distinct_l >= 3 AS meets_distinct_l3
+    FROM g JOIN h USING (c_nationkey)
+    """,
+    doc="l-diversity audit over the nation quasi-identifier with market "
+    "segment as the sensitive attribute — the release gate k-anonymity "
+    "alone misses (a k-large group whose members all share one segment "
+    "still leaks the sensitive value): distinct-l per equivalence class "
+    "plus entropy-l = exp(H), with per-(class, value) entropy terms "
+    "frozen to BIGINT nano-nats (order-free sums; one ln per bounded "
+    "cell, one exp per output row). One hash aggregate to the "
+    "(classes x values)-bounded cell grid; constant-size answer at any "
+    "corpus size. Completes the privacy-gate family beside "
+    "k_anonymity_audit / dp_noisy_counts / pii_scrub.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cell = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    g = cell.groupBy("c_nationkey").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("distinct_l"),
+    )
+    h = (
+        cell.join(g, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(-1e9 * (c / CAST(tot AS DOUBLE)) "
+                    "* ln(c / CAST(tot AS DOUBLE)) + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_nano")
+        )
+    )
+    return (
+        g.join(h, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.col("tot").alias("n_rows"),
+            "distinct_l",
+            "h_nano",
+            F.round(F.expr("exp(h_nano / 1e9)"), 4).alias("entropy_l"),
+            (F.col("distinct_l") >= 3).alias("meets_distinct_l3"),
+        )
+    )
+
+
+# --- regression discontinuity ------------------------------------------------
+
+# local-linear OLS pieces over exact integer moments (shared formula text)
+_RD_B = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_RD_A = f"((sy - {_RD_B} * sx) / n)"
+
+
+@register(
+    "regression_discontinuity",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    sides AS (
+      SELECT CASE WHEN q >= 25 THEN 1 ELSE 0 END AS side,
+             CAST(sum(tot) AS DOUBLE) AS n,
+             CAST(sum(tot * (q - 25)) AS DOUBLE) AS sx,
+             CAST(sum(tot * (q - 25) * (q - 25)) AS DOUBLE) AS sxx,
+             CAST(sum(pos) AS DOUBLE) AS sy,
+             CAST(sum(pos * (q - 25)) AS DOUBLE) AS sxy
+      FROM g WHERE q >= 15 AND q <= 34
+      GROUP BY 1
+    ),
+    fit AS (
+      SELECT side, n,
+             CAST(floor({_RD_A} * 1e6 + 0.5) AS BIGINT) AS a_ppm,
+             CAST(floor({_RD_B} * 1e6 + 0.5) AS BIGINT) AS b_ppm
+      FROM sides
+    )
+    SELECT l.n::BIGINT AS n_left, r.n::BIGINT AS n_right,
+           l.a_ppm AS intercept_left_ppm, r.a_ppm AS intercept_right_ppm,
+           l.b_ppm AS slope_left_ppm, r.b_ppm AS slope_right_ppm,
+           r.a_ppm - l.a_ppm AS jump_ppm
+    FROM (SELECT * FROM fit WHERE side = 0) l,
+         (SELECT * FROM fit WHERE side = 1) r
+    """,
+    doc="sharp regression discontinuity at the quantity-25 threshold: "
+    "local-linear fits of return rate on each side of the cutoff "
+    "(bandwidth 10 grid values), with the treatment-effect estimate as "
+    "the intercept jump at the cutoff — the quasi-experimental design "
+    "for threshold-triggered policies (free shipping over X, review "
+    "over Y), completing the causal family (DID / stratification / IPW "
+    "/ RD). OLS pieces are shared formula text over EXACT BIGINT grid "
+    "moments cast to double, intercepts/slopes frozen to ppm. One "
+    "corpus aggregate to the bounded grid; the fits are "
+    "2-rows-of-moments arithmetic.",
+)
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    sides = (
+        g.where((F.col("q") >= 15) & (F.col("q") <= 34))
+        .groupBy(F.when(F.col("q") >= 25, 1).otherwise(0).alias("side"))
+        .agg(
+            F.sum("tot").cast("double").alias("n"),
+            F.sum(F.expr("tot * (q - 25)")).cast("double").alias("sx"),
+            F.sum(F.expr("tot * (q - 25) * (q - 25)")).cast("double").alias("sxx"),
+            F.sum("pos").cast("double").alias("sy"),
+            F.sum(F.expr("pos * (q - 25)")).cast("double").alias("sxy"),
+        )
+    )
+    fit = sides.select(
+        "side",
+        "n",
+        F.expr(f"CAST(floor({_RD_A} * 1e6 + 0.5) AS BIGINT)").alias("a_ppm"),
+        F.expr(f"CAST(floor({_RD_B} * 1e6 + 0.5) AS BIGINT)").alias("b_ppm"),
+    )
+    left = fit.where(F.col("side") == 0).alias("l")
+    right = fit.where(F.col("side") == 1).alias("r")
+    return left.crossJoin(right).select(
+        F.col("l.n").cast("bigint").alias("n_left"),
+        F.col("r.n").cast("bigint").alias("n_right"),
+        F.col("l.a_ppm").alias("intercept_left_ppm"),
+        F.col("r.a_ppm").alias("intercept_right_ppm"),
+        F.col("l.b_ppm").alias("slope_left_ppm"),
+        F.col("r.b_ppm").alias("slope_right_ppm"),
+        (F.col("r.a_ppm") - F.col("l.a_ppm")).alias("jump_ppm"),
+    )

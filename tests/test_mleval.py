@@ -288,3 +288,21 @@ def test_phonetic_pairs_share_key_and_pass_verify(spark, sf_dir):
         assert r.tok1 != r.tok2
         assert r.lev <= 3
         assert len(r.pkey) == 4
+
+
+def test_l_diversity_entropy_bounds(spark, sf_dir):
+    import math
+
+    for r in _rows(spark, sf_dir, "l_diversity_audit"):
+        assert 1 <= r.distinct_l
+        # entropy-l is between 1 and distinct-l (uniform maximizes it)
+        assert 1.0 - 1e-6 <= r.entropy_l <= r.distinct_l + 1e-6
+        assert r.h_nano <= math.ceil(math.log(r.distinct_l) * 1e9) + len(
+            str(r.distinct_l)
+        )
+
+
+def test_rd_jump_reconciles_with_intercepts(spark, sf_dir):
+    r = _rows(spark, sf_dir, "regression_discontinuity")[0]
+    assert r.jump_ppm == r.intercept_right_ppm - r.intercept_left_ppm
+    assert r.n_left > 0 and r.n_right > 0

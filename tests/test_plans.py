@@ -687,6 +687,8 @@ _SANCTIONED_NESTED_LOOP = {
     "grid",
     "james_stein_brand_rates": "1-row shrinkage-factor broadcasts over "
     "the |brands|-row rate grid",
+    "regression_discontinuity": "crossJoin of the two 1-row side fits "
+    "(left/right local-linear moments)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
