@@ -76,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
     fs.add_argument("output_dir")
     fs.add_argument("--min-auc-edge-ppm", type=int, default=5_000)
+    me = sub.add_parser(
+        "model-eval",
+        help="run the end-to-end model-evaluation example (Newton-trained "
+        "logistic model + AP/gains ranking quality + Brier/reliability "
+        "calibration + fairness audit with BH-FDR, with a ship gate)",
+    )
+    me.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
+    me.add_argument("output_dir")
+    me.add_argument("--max-calib-gap-ppm", type=int, default=300_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -148,6 +157,22 @@ def main(argv: list[str] | None = None) -> int:
         try:
             gate = run(
                 spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "model-eval":
+        from map_reduce_engine_spark.examples.model_eval_job import run
+
+        spark = get_spark(app_name="mre-model-eval")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                max_calib_gap_ppm=args.max_calib_gap_ppm,
             )
             gate.show(truncate=False)
         finally:

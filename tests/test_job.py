@@ -250,3 +250,24 @@ def test_feature_screen_job(spark, sf_dir, tmp_path):
     # an impossible AUC-edge floor must flip the gate
     strict = run(spark, sf_dir, str(tmp_path / "screen2"), min_auc_edge_ppm=500_001)
     assert not strict.collect()[0].feature_approved
+
+
+def test_model_eval_job(spark, sf_dir, tmp_path):
+    """The composed model-eval example writes every evaluation artifact
+    and the ship gate reconciles with them."""
+    from map_reduce_engine_spark.examples.model_eval_job import run
+
+    out = str(tmp_path / "eval")
+    gate = run(spark, sf_dir, out, max_calib_gap_ppm=1_000_000)
+    row = gate.collect()[0]
+    # a 100%-of-scale calibration bound reduces the gate to the accuracy floor
+    assert row.ship_ok == (row.accuracy_bp >= 5000)
+    model = spark.read.parquet(f"{out}/model").collect()[0]
+    assert model.accuracy_bp == row.accuracy_bp
+    calib = spark.read.parquet(f"{out}/calibration").collect()
+    assert row.max_calib_gap_ppm == max(abs(r.gap_ppm) for r in calib)
+    fdr = spark.read.parquet(f"{out}/fdr_brand_tests").collect()
+    assert row.n_brands_flagged_fdr == sum(1 for r in fdr if r.rejected)
+    # an impossible calibration bound must flip the gate
+    strict = run(spark, sf_dir, str(tmp_path / "eval2"), max_calib_gap_ppm=0)
+    assert not strict.collect()[0].ship_ok
