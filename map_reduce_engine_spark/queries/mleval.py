@@ -19,6 +19,14 @@ Scale shape: every query here is one or two hash aggregates over the fact
 table followed by arithmetic on a bounded grid (score levels, class
 labels, segments) — linear scans at 100 TB with map-side partial
 aggregation, no state that grows with corpus size.
+
+Integer-headroom note: the squared-target moments (syy in cents^2, used
+by ridge_lambda_path / gbm_two_round_stumps / shapley_r2_decomposition)
+sit ~100x below BIGINT range at the bench SF; for corpora beyond ~10^6
+rows per aggregation cell, swap the cents target for whole-dollar units
+or a DECIMAL(38) accumulator (sub-ppm effect on the reported ratios —
+the identities are scale-invariant). The freezing discipline is
+unchanged either way.
 """
 
 from __future__ import annotations
@@ -3083,4 +3091,178 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.b_ppm").alias("slope_left_ppm"),
         F.col("r.b_ppm").alias("slope_right_ppm"),
         (F.col("r.a_ppm") - F.col("l.a_ppm")).alias("jump_ppm"),
+    )
+
+
+# --- Shapley R^2 decomposition ------------------------------------------------
+
+# R^2 of single- and two-regressor fits from exact integer moments (all
+# names are pre-cast DOUBLE columns; shared formula text both engines)
+_SH_TSS = "(syy - sy * sy / n)"
+_SH_R2_1 = f"((n * s1y - sx1 * sy) * (n * s1y - sx1 * sy) / ((n * s11 - sx1 * sx1) * (n * syy - sy * sy)))"
+_SH_R2_2 = f"((n * s2y - sx2 * sy) * (n * s2y - sx2 * sy) / ((n * s22 - sx2 * sx2) * (n * syy - sy * sy)))"
+# two-regressor SSE via the normal-equations identity SSE = Syy - b'X'y
+_SH_DET = (
+    "(n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) "
+    "+ sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_SH_B0 = (
+    "((sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) "
+    f"+ sx2 * (s1y * s12 - s11 * s2y)) / {_SH_DET})"
+)
+_SH_B1 = (
+    "((n * (s1y * s22 - s2y * s12) - sy * (sx1 * s22 - s12 * sx2) "
+    f"+ sx2 * (sx1 * s2y - s1y * sx2)) / {_SH_DET})"
+)
+_SH_B2 = (
+    "((n * (s11 * s2y - s12 * s1y) - sx1 * (sx1 * s2y - s1y * sx2) "
+    f"+ sy * (sx1 * s12 - s11 * sx2)) / {_SH_DET})"
+)
+_SH_R2_12 = (
+    f"(1.0 - (syy - {_SH_B0} * sy - {_SH_B1} * s1y - {_SH_B2} * s2y) / {_SH_TSS})"
+)
+
+
+@register(
+    "shapley_r2_decomposition",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS s12,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS s22,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS s2y
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(floor({_SH_R2_1} * 1e6 + 0.5) AS BIGINT) AS r2_quantity_ppm,
+           CAST(floor({_SH_R2_2} * 1e6 + 0.5) AS BIGINT) AS r2_discount_ppm,
+           CAST(floor({_SH_R2_12} * 1e6 + 0.5) AS BIGINT) AS r2_full_ppm,
+           CAST(floor(({_SH_R2_1} + {_SH_R2_12} - {_SH_R2_2}) / 2.0 * 1e6 + 0.5)
+             AS BIGINT) AS shapley_quantity_ppm,
+           CAST(floor(({_SH_R2_2} + {_SH_R2_12} - {_SH_R2_1}) / 2.0 * 1e6 + 0.5)
+             AS BIGINT) AS shapley_discount_ppm
+    FROM m
+    """,
+    doc="Shapley decomposition of regression R^2 across the two features "
+    "(quantity, discount) predicting price: each feature's credit is its "
+    "marginal R^2 contribution averaged over both entry orders — the "
+    "exact Shapley value for two players, the standard answer to 'which "
+    "feature explains the variance' when features correlate (plain "
+    "delta-R^2 double-counts shared variance). Single- and dual-"
+    "regressor R^2 come from ONE exact-BIGINT moment aggregate (Cramer "
+    "normal-equations identity SSE = Syy - b'X'y, shared formula text); "
+    "ppm-frozen outputs. One corpus pass, 1-row arithmetic after.",
+)
+def shapley_r2_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx1"),
+        F.sum(d).cast("double").alias("sx2"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(f"CAST(floor({_SH_R2_1} * 1e6 + 0.5) AS BIGINT)").alias(
+            "r2_quantity_ppm"
+        ),
+        F.expr(f"CAST(floor({_SH_R2_2} * 1e6 + 0.5) AS BIGINT)").alias(
+            "r2_discount_ppm"
+        ),
+        F.expr(f"CAST(floor({_SH_R2_12} * 1e6 + 0.5) AS BIGINT)").alias("r2_full_ppm"),
+        F.expr(
+            f"CAST(floor(({_SH_R2_1} + {_SH_R2_12} - {_SH_R2_2}) / 2.0 * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("shapley_quantity_ppm"),
+        F.expr(
+            f"CAST(floor(({_SH_R2_2} + {_SH_R2_12} - {_SH_R2_1}) / 2.0 * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("shapley_discount_ppm"),
+    )
+
+
+@register(
+    "price_elasticity_loglog",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(floor(ln(CAST(l_quantity AS BIGINT)) * 1e3 + 0.5) AS BIGINT) AS lq,
+             CAST(floor(ln(l_extendedprice / l_quantity) * 1e3 + 0.5) AS BIGINT) AS lu
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(lu) AS DOUBLE) AS sx, CAST(sum(lq) AS DOUBLE) AS sy,
+             CAST(sum(lu * lu) AS DOUBLE) AS sxx,
+             CAST(sum(lu * lq) AS DOUBLE) AS sxy,
+             CAST(sum(lq * lq) AS DOUBLE) AS syy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+             AS BIGINT) AS elasticity_ppm,
+           CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5)
+             AS BIGINT) AS r2_ppm
+    FROM m
+    """,
+    doc="log-log price elasticity of demand: slope of ln(quantity) on "
+    "ln(unit price = extendedprice/quantity). On this fixture the "
+    "estimate lands near -0.5 with R^2 ~0.5 — NOT a real demand curve "
+    "but the textbook RATIO-CORRELATION artifact (extendedprice is "
+    "quantity-independent here, so ln u mechanically contains -ln q; "
+    "the operator is the demonstration of why elasticity regressions "
+    "need exogenous price variation, and the estimate/R^2 pair is "
+    "exactly the diagnostic that exposes it). Per-row logs freeze to "
+    "BIGINT milli-nats (one ln per row, order-free integer moment sums "
+    "safely inside BIGINT range); the OLS slope/R^2 are shared formula "
+    "text over the exact moments, ppm-frozen. One corpus pass.",
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    r = li.select(
+        F.expr(
+            "CAST(floor(ln(CAST(l_quantity AS BIGINT)) * 1e3 + 0.5) AS BIGINT)"
+        ).alias("lq"),
+        F.expr(
+            "CAST(floor(ln(l_extendedprice / l_quantity) * 1e3 + 0.5) AS BIGINT)"
+        ).alias("lu"),
+    )
+    m = r.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lu").cast("double").alias("sx"),
+        F.sum("lq").cast("double").alias("sy"),
+        F.sum(F.expr("lu * lu")).cast("double").alias("sxx"),
+        F.sum(F.expr("lu * lq")).cast("double").alias("sxy"),
+        F.sum(F.expr("lq * lq")).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("elasticity_ppm"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy) "
+            "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("r2_ppm"),
     )

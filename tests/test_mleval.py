@@ -306,3 +306,19 @@ def test_rd_jump_reconciles_with_intercepts(spark, sf_dir):
     r = _rows(spark, sf_dir, "regression_discontinuity")[0]
     assert r.jump_ppm == r.intercept_right_ppm - r.intercept_left_ppm
     assert r.n_left > 0 and r.n_right > 0
+
+
+def test_shapley_r2_credits_sum_to_full(spark, sf_dir):
+    r = _rows(spark, sf_dir, "shapley_r2_decomposition")[0]
+    # efficiency axiom: credits sum to the full-model R^2 (+-1 ppm rounding)
+    assert abs((r.shapley_quantity_ppm + r.shapley_discount_ppm) - r.r2_full_ppm) <= 1
+    assert 0 <= r.r2_quantity_ppm <= r.r2_full_ppm + 1
+    assert 0 <= r.r2_full_ppm <= 1_000_000
+
+
+def test_elasticity_near_zero_on_price_independent_demand(spark, sf_dir):
+    r = _rows(spark, sf_dir, "price_elasticity_loglog")[0]
+    # price-independent extendedprice => the ratio artifact puts the
+    # slope near -var(lnq)/(var(lnq)+var(lnp)), strictly in (-1, 0)
+    assert -1_000_000 < r.elasticity_ppm < 0
+    assert 0 <= r.r2_ppm <= 1_000_000
