@@ -3266,3 +3266,172 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+# --- Oaxaca-Blinder decomposition --------------------------------------------
+
+_OB_MOMS = (
+    "CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(q) AS DOUBLE) AS sx1, CAST(sum(qd) AS DOUBLE) AS sx2, "
+    "CAST(sum(q * q) AS DOUBLE) AS s11, CAST(sum(q * qd) AS DOUBLE) AS s12, "
+    "CAST(sum(qd * qd) AS DOUBLE) AS s22, CAST(sum(y) AS DOUBLE) AS sy, "
+    "CAST(sum(q * y) AS DOUBLE) AS s1y, CAST(sum(qd * y) AS DOUBLE) AS s2y"
+)
+
+
+@register(
+    "oaxaca_blinder_gap",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END AS grp,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS qd,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (SELECT grp, {_OB_MOMS} FROM base GROUP BY grp),
+    beta AS (
+      SELECT grp, n, sy / n AS ybar, sx1 / n AS x1bar, sx2 / n AS x2bar,
+             {_SH_B1} AS b1, {_SH_B2} AS b2
+      FROM m
+    ),
+    d AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.ybar - b.ybar AS gap,
+             (a.x1bar - b.x1bar) * b.b1 + (a.x2bar - b.x2bar) * b.b2 AS explained
+      FROM (SELECT * FROM beta WHERE grp = 'a') a,
+           (SELECT * FROM beta WHERE grp = 'b') b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor(gap * 1e3 + 0.5) AS BIGINT) AS gap_millicents,
+           CAST(floor(explained * 1e3 + 0.5) AS BIGINT) AS explained_millicents,
+           CAST(floor(gap * 1e3 + 0.5) AS BIGINT)
+             - CAST(floor(explained * 1e3 + 0.5) AS BIGINT)
+             AS unexplained_millicents
+    FROM d
+    """,
+    doc="Oaxaca-Blinder decomposition of the mean price gap between "
+    "returned and kept line items: the gap splits into the part "
+    "EXPLAINED by feature-mix differences ((x-bar_A - x-bar_B) . "
+    "beta_B, evaluated at the reference group's coefficients) and the "
+    "unexplained remainder (coefficient differences) — the standard "
+    "audit for wage/price gaps between groups, and the econometric "
+    "sibling of the fairness-audit gaps. Per-group betas are the "
+    "shared-text Cramer solves over ONE exact-BIGINT moment aggregate "
+    "per group; outputs frozen to milli-cents. One corpus pass.",
+)
+def oaxaca_blinder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", "a").otherwise("b").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("qd"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = base.groupBy("grp").agg(*[F.expr(e) for e in _OB_MOMS.split(", ")])
+    beta = m.select(
+        "grp",
+        "n",
+        F.expr("sy / n").alias("ybar"),
+        F.expr("sx1 / n").alias("x1bar"),
+        F.expr("sx2 / n").alias("x2bar"),
+        F.expr(_SH_B1).alias("b1"),
+        F.expr(_SH_B2).alias("b2"),
+    )
+    a = beta.where(F.col("grp") == "a").alias("a")
+    b = beta.where(F.col("grp") == "b").alias("b")
+    d = a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.ybar") - F.col("b.ybar")).alias("gap"),
+        (
+            (F.col("a.x1bar") - F.col("b.x1bar")) * F.col("b.b1")
+            + (F.col("a.x2bar") - F.col("b.x2bar")) * F.col("b.b2")
+        ).alias("explained"),
+    )
+    return d.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("CAST(floor(gap * 1e3 + 0.5) AS BIGINT)").alias("gap_millicents"),
+        F.expr("CAST(floor(explained * 1e3 + 0.5) AS BIGINT)").alias(
+            "explained_millicents"
+        ),
+        F.expr(
+            "CAST(floor(gap * 1e3 + 0.5) AS BIGINT) "
+            "- CAST(floor(explained * 1e3 + 0.5) AS BIGINT)"
+        ).alias("unexplained_millicents"),
+    )
+
+
+def _ppr_oracle(iterations: int = 10) -> str:
+    """DuckDB twin of seeded personalized PageRank (loop unrolled; the
+    _pagerank_oracle FP conventions: 1 - 0.85::DOUBLE damping, round-5)."""
+    rounds = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT n.node, (1 - 0.85::DOUBLE) * n.seed
+             + 0.85::DOUBLE * coalesce(s.in_sum, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.d) AS in_sum
+        FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        for i in range(iterations)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT 's' || l_suppkey, 'c' || o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT 'c' || c_custkey AS node FROM customer WHERE c_nationkey = 0),
+    nodes AS (
+      SELECT nn.node, CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 END AS seed
+      FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) nn
+      LEFT JOIN seeds s ON s.node = nn.node
+    ),
+    r0 AS (SELECT node, seed AS rank FROM nodes){rounds}
+    SELECT node, round(rank, 5) AS rank FROM r{iterations} WHERE round(rank, 5) > 0
+    """
+
+
+@register(
+    "personalized_pagerank_nation",
+    oracle=_ppr_oracle(),
+    doc="personalized PageRank (random walk with restart) seeded at one "
+    "nation's customers over the UNDIRECTED customer~supplier purchase "
+    "graph (both edge orientations) — the seeded-proximity score that "
+    "answers 'which suppliers and customers are closest to THIS "
+    "cohort', the graph-expansion primitive for seeded recommendation "
+    "and labeled-set growing; nodes the walk never reaches hold exact "
+    "0 and are filtered. Identical loop discipline to static pagerank "
+    "(operators/graph.py::personalized_pagerank — co-partitioned "
+    "checkpointed loop inputs, AQE-off loop scope); oracle = the rounds "
+    "unrolled with the same FP conventions, round-5 frozen.",
+)
+def personalized_pagerank_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import personalized_pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = cust.where(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node")
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=10)
+    return ranks.select("node", F.round("rank", 5).alias("rank")).where(
+        F.col("rank") > 0
+    )

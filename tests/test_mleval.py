@@ -322,3 +322,32 @@ def test_elasticity_near_zero_on_price_independent_demand(spark, sf_dir):
     # slope near -var(lnq)/(var(lnq)+var(lnp)), strictly in (-1, 0)
     assert -1_000_000 < r.elasticity_ppm < 0
     assert 0 <= r.r2_ppm <= 1_000_000
+
+
+def test_oaxaca_decomposition_reconciles(spark, sf_dir):
+    r = _rows(spark, sf_dir, "oaxaca_blinder_gap")[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.gap_millicents == r.explained_millicents + r.unexplained_millicents
+
+
+def test_ppr_seeds_dominate_and_mass_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "personalized_pagerank_nation")
+    assert rows, "seeded walk must reach at least the seeds"
+    # every rank is positive after the reachability filter, and no node
+    # can exceed the maximum possible inflow bound
+    for r in rows:
+        assert r.rank > 0
+    # seed nodes (customers of nation 0) retain the restart mass floor
+    from map_reduce_engine_spark.io import read_table
+    from pyspark.sql import functions as SF
+
+    seeds = {
+        "c%d" % r.c_custkey
+        for r in read_table(spark, sf_dir, "customer")
+        .where(SF.col("c_nationkey") == 0)
+        .select("c_custkey")
+        .collect()
+    }
+    by_node = {r.node: r.rank for r in rows}
+    seeded_ranks = [by_node[s] for s in seeds if s in by_node]
+    assert seeded_ranks and min(seeded_ranks) >= 0.15 - 1e-6

@@ -689,6 +689,8 @@ _SANCTIONED_NESTED_LOOP = {
     "the |brands|-row rate grid",
     "regression_discontinuity": "crossJoin of the two 1-row side fits "
     "(left/right local-linear moments)",
+    "oaxaca_blinder_gap": "crossJoin of the two 1-row per-group "
+    "beta/mean fits",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
