@@ -3435,3 +3435,90 @@ def personalized_pagerank_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 5).alias("rank")).where(
         F.col("rank") > 0
     )
+
+
+# --- Holt linear-trend smoothing ----------------------------------------------
+
+_HOLT_T = 20  # days consumed (calendar-bounded; fixture has 30)
+_HOLT_H = 7  # forecast horizon
+
+
+def _holt_oracle() -> str:
+    """Holt's linear method unrolled: level/trend freeze to BIGINT
+    milli-cents each step, so both engines replay identical IEEE doubles
+    (constants as CAST(x AS DOUBLE); y_t exact cents)."""
+    a, one_a = "CAST(0.3 AS DOUBLE)", "CAST(0.7 AS DOUBLE)"
+    b, one_b = "CAST(0.2 AS DOUBLE)", "CAST(0.8 AS DOUBLE)"
+    ctes = [
+        "d AS MATERIALIZED (SELECT ts::DATE AS day, "
+        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1)",
+        "s AS MATERIALIZED (SELECT cents, row_number() OVER (ORDER BY day) AS rn "
+        "FROM d)",
+        "st1 AS MATERIALIZED (SELECT (SELECT cents * 1000 FROM s WHERE rn = 1) AS lm, "
+        "(SELECT (b.cents - a.cents) * 1000 FROM s a, s b "
+        "WHERE a.rn = 1 AND b.rn = 2) AS bm)",
+    ]
+    for t_ in range(2, _HOLT_T + 1):
+        lm_new = (
+            f"CAST(floor(({a} * (SELECT cents FROM s WHERE rn = {t_}) "
+            f"+ {one_a} * (p.lm / 1e3 + p.bm / 1e3)) * 1e3 + 0.5) AS BIGINT)"
+        )
+        ctes.append(
+            f"st{t_} AS MATERIALIZED (SELECT lm2 AS lm, "
+            f"CAST(floor(({b} * (lm2 / 1e3 - p.lm / 1e3) + {one_b} * (p.bm / 1e3)) "
+            f"* 1e3 + 0.5) AS BIGINT) AS bm "
+            f"FROM (SELECT p.lm, p.bm, {lm_new} AS lm2 FROM st{t_ - 1} p) p)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT h, f.lm + h * f.bm AS forecast_millicents,
+           f.lm AS level_millicents, f.bm AS trend_millicents
+    FROM (SELECT unnest(range(1, {_HOLT_H + 1})) AS h), st{_HOLT_T} f
+    """
+    )
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=_holt_oracle(),
+    doc="Holt's linear-trend exponential smoothing (alpha=0.3, beta=0.2) "
+    "over the first 20 days of daily purchase revenue, with a 7-day "
+    "linear forecast — the trend-aware upgrade of "
+    "exponential_smoothing_forecast's simple smoother. The corpus cost "
+    "is ONE aggregate to the calendar-bounded daily series (<=30 rows at "
+    "ANY corpus size — the sanctioned bounded-driver-state pattern); the "
+    "level/trend recursion freezes to BIGINT milli-cents per step so the "
+    "driver arithmetic and the unrolled-CTE oracle replay identical IEEE "
+    "doubles. Forecasts are exact integer arithmetic off the frozen "
+    "final state.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    series = [
+        int(r.cents) for r in d.orderBy("day").limit(_HOLT_T).collect()
+    ]
+    lm = series[0] * 1000
+    bm = (series[1] - series[0]) * 1000
+    for t_ in range(2, _HOLT_T + 1):
+        y = series[t_ - 1]
+        lm_new = math.floor((0.3 * y + 0.7 * (lm / 1e3 + bm / 1e3)) * 1e3 + 0.5)
+        bm = math.floor(
+            (0.2 * (lm_new / 1e3 - lm / 1e3) + 0.8 * (bm / 1e3)) * 1e3 + 0.5
+        )
+        lm = lm_new
+    return spark.range(1, _HOLT_H + 1).select(
+        F.col("id").alias("h"),
+        (F.lit(lm) + F.col("id") * F.lit(bm)).cast("bigint").alias(
+            "forecast_millicents"
+        ),
+        F.lit(lm).cast("bigint").alias("level_millicents"),
+        F.lit(bm).cast("bigint").alias("trend_millicents"),
+    )

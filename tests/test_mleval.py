@@ -351,3 +351,15 @@ def test_ppr_seeds_dominate_and_mass_bounded(spark, sf_dir):
     by_node = {r.node: r.rank for r in rows}
     seeded_ranks = [by_node[s] for s in seeds if s in by_node]
     assert seeded_ranks and min(seeded_ranks) >= 0.15 - 1e-6
+
+
+def test_holt_forecast_is_linear_in_horizon(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "holt_linear_forecast"), key=lambda r: r.h)
+    assert len(rows) == 7
+    diffs = {
+        rows[i].forecast_millicents - rows[i - 1].forecast_millicents
+        for i in range(1, 7)
+    }
+    # linear extrapolation: constant step == frozen trend
+    assert diffs == {rows[0].trend_millicents}
+    assert rows[0].forecast_millicents == rows[0].level_millicents + rows[0].trend_millicents
