@@ -3522,3 +3522,93 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(lm).cast("bigint").alias("level_millicents"),
         F.lit(bm).cast("bigint").alias("trend_millicents"),
     )
+
+
+# --- mediation analysis (Sobel) ----------------------------------------------
+
+_MED_MOMS = (
+    "CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(mm) AS DOUBLE) AS sm, "
+    "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+    "CAST(sum(mm * mm) AS DOUBLE) AS smm, CAST(sum(y * y) AS DOUBLE) AS syy, "
+    "CAST(sum(x * mm) AS DOUBLE) AS sxm, CAST(sum(x * y) AS DOUBLE) AS sxy, "
+    "CAST(sum(mm * y) AS DOUBLE) AS smy"
+)
+_MED_C1 = (
+    "n, sxx - sx * sx / n AS sxxc, smm - sm * sm / n AS smmc, "
+    "syy - sy * sy / n AS syyc, sxm - sx * sm / n AS sxmc, "
+    "sxy - sx * sy / n AS sxyc, smy - sm * sy / n AS smyc"
+)
+_MED_C2 = (
+    "n, sxmc / sxxc AS a, sxyc / sxxc AS ctot, "
+    "(sxyc * smmc - sxmc * smyc) / (sxxc * smmc - sxmc * sxmc) AS cdir, "
+    "(sxxc * smyc - sxmc * sxyc) / (sxxc * smmc - sxmc * sxmc) AS b, "
+    "smmc - (sxmc / sxxc) * (sxmc / sxxc) * sxxc AS ssea, "
+    "syyc - ((sxyc * smmc - sxmc * smyc) / (sxxc * smmc - sxmc * sxmc)) * sxyc "
+    "- ((sxxc * smyc - sxmc * sxyc) / (sxxc * smmc - sxmc * sxmc)) * smyc AS ssef, "
+    "sxxc, sxxc * smmc - sxmc * sxmc AS det"
+)
+_MED_Z = (
+    "((a * b) / sqrt(b * b * ((ssea / (n - 2.0)) / sxxc) "
+    "+ a * a * (ssef * sxxc / ((n - 3.0) * det))))"
+)
+
+
+@register(
+    "mediation_sobel",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS mm,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (SELECT {_MED_MOMS} FROM base),
+    c1 AS (SELECT {_MED_C1} FROM m),
+    c2 AS (SELECT {_MED_C2} FROM c1)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(a * 1e6 + 0.5) AS BIGINT) AS a_ppm,
+           CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS b_ppm,
+           CAST(floor(ctot * 1e6 + 0.5) AS BIGINT) AS total_ppm,
+           CAST(floor(cdir * 1e6 + 0.5) AS BIGINT) AS direct_ppm,
+           CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS indirect_ppm,
+           CAST(floor(ctot * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(cdir * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS ident_gap_ppm,
+           round({_MED_Z}, 4) AS sobel_z
+    FROM c2
+    """,
+    doc="mediation analysis with the Sobel test: does discount (X) move "
+    "price (Y) THROUGH quantity (M)? Path a (M~X), paths b and c' "
+    "(Y~X+M, centered 2x2 solve), total effect c (Y~X), indirect "
+    "effect a*b, and the Sobel z for the indirect path — plus the "
+    "OLS identity c = c' + a*b surfaced as ident_gap_ppm (0 up to "
+    "ppm-freezing, a built-in self-check). Everything derives from ONE "
+    "exact-BIGINT moment aggregate via shared formula text; outputs "
+    "ppm-frozen, z at round-4. Completes the causal-paths family "
+    "(DID / strata / IPW / RD / Oaxaca / mediation). One corpus pass.",
+)
+def mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("mm"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = base.agg(*[F.expr(e) for e in _MED_MOMS.split(", ")])
+    c1 = m.selectExpr(*_MED_C1.split(", "))
+    c2 = c1.selectExpr(*_MED_C2.split(", "))
+    return c2.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("CAST(floor(a * 1e6 + 0.5) AS BIGINT)").alias("a_ppm"),
+        F.expr("CAST(floor(b * 1e6 + 0.5) AS BIGINT)").alias("b_ppm"),
+        F.expr("CAST(floor(ctot * 1e6 + 0.5) AS BIGINT)").alias("total_ppm"),
+        F.expr("CAST(floor(cdir * 1e6 + 0.5) AS BIGINT)").alias("direct_ppm"),
+        F.expr("CAST(floor(a * b * 1e6 + 0.5) AS BIGINT)").alias("indirect_ppm"),
+        F.expr(
+            "CAST(floor(ctot * 1e6 + 0.5) AS BIGINT) "
+            "- CAST(floor(cdir * 1e6 + 0.5) AS BIGINT) "
+            "- CAST(floor(a * b * 1e6 + 0.5) AS BIGINT)"
+        ).alias("ident_gap_ppm"),
+        F.round(F.expr(_MED_Z), 4).alias("sobel_z"),
+    )

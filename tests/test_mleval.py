@@ -363,3 +363,12 @@ def test_holt_forecast_is_linear_in_horizon(spark, sf_dir):
     # linear extrapolation: constant step == frozen trend
     assert diffs == {rows[0].trend_millicents}
     assert rows[0].forecast_millicents == rows[0].level_millicents + rows[0].trend_millicents
+
+
+def test_mediation_identity_holds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "mediation_sobel")[0]
+    # OLS identity: total = direct + indirect (up to ppm freezing)
+    assert abs(r.ident_gap_ppm) <= 2, r
+    import math
+
+    assert math.isfinite(r.sobel_z)
