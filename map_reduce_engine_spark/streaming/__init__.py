@@ -23,10 +23,12 @@ from map_reduce_engine_spark.streaming.windows import (
     stateful_user_stats,
     user_stats_batch_twin,
     chained_window_rollup,
+    windowed_value_sketch,
 )
 
 __all__ = [
     "ntz_of_instant",
+    "windowed_value_sketch",
     "chained_window_rollup",
     "user_stats_batch_twin",
     "stateful_user_stats",

@@ -465,3 +465,32 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def windowed_value_sketch(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window significant-digit value-sketch buckets (streaming side of
+    the mergeable quantile sketch — see queries/mleval.py::
+    hdr_histogram_quantiles): purchase values land in (digit-count,
+    3-significant-digit) integer buckets per tumbling window. The bucket
+    state is BOUNDED per window (a few hundred buckets regardless of
+    event volume) — exactly the state-size discipline a 100 TB stream
+    needs; quantile read-off happens on the drained sink, not in the
+    stateful operator."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    return (
+        stream.where(F.col("event_type") == "purchase")
+        .withColumn("cents", cents)
+        .where(F.col("cents") >= 1)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.length(F.col("cents").cast("string")).cast("bigint").alias("d"),
+            F.expr(
+                "cents div CAST(power(10, greatest(length(CAST(cents AS STRING)) - 3, 0)) AS BIGINT)"
+            ).alias("sub"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "d", "sub", "n")
+    )

@@ -372,3 +372,30 @@ def test_mediation_identity_holds(spark, sf_dir):
     import math
 
     assert math.isfinite(r.sobel_z)
+
+
+def test_streaming_sketch_matches_exact_median_within_bound(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from map_reduce_engine_spark.io import read_table
+
+    rows = _rows(spark, sf_dir, "streaming_quantile_sketch")
+    assert rows
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.where(
+        (F.col("event_type") == "purchase") & (F.round(F.col("value") * 100) >= 1)
+    ).select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("w"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    ww = W.partitionBy("w").orderBy("c")
+    exact = {
+        r.w: r.c
+        for r in vals.withColumn("rn", F.row_number().over(ww))
+        .withColumn("nw", F.count("*").over(W.partitionBy("w")))
+        .where(F.expr("rn = (5000 * (nw - 1)) div 10000 + 1"))
+        .collect()
+    }
+    for r in rows:
+        ex = exact[r.window_start]
+        assert abs(r.p50_est_cents - ex) <= max(1, ex // 100), (r, ex)
