@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
     me.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
     me.add_argument("output_dir")
     me.add_argument("--max-calib-gap-ppm", type=int, default=300_000)
+    ca = sub.add_parser(
+        "causal-audit",
+        help="run the end-to-end causal-audit example (DID + stratified/"
+        "IPW/naive ATE trio + regression discontinuity + mediation + "
+        "Oaxaca-Blinder, with a confounding flag)",
+    )
+    ca.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
+    ca.add_argument("output_dir")
+    ca.add_argument("--confounding-tol-ppm", type=int, default=2_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -157,6 +166,22 @@ def main(argv: list[str] | None = None) -> int:
         try:
             gate = run(
                 spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "causal-audit":
+        from map_reduce_engine_spark.examples.causal_audit_job import run
+
+        spark = get_spark(app_name="mre-causal-audit")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                confounding_tol_ppm=args.confounding_tol_ppm,
             )
             gate.show(truncate=False)
         finally:

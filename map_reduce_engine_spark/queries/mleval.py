@@ -3699,3 +3699,101 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p50_est_cents")
         )
     )
+
+
+@register(
+    "changepoint_binary_segmentation",
+    oracle="""
+    WITH d AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT day, cents,
+             row_number() OVER (ORDER BY day)::BIGINT AS rn FROM d
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS nt, sum(cents)::BIGINT AS st,
+             sum(cents * cents)::BIGINT AS yyt
+      FROM s
+    ),
+    pre AS (
+      SELECT rn AS k, day,
+             sum(cents) OVER (ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sl
+      FROM s
+    ),
+    cand AS (
+      SELECT k, day, sl, tot.st - sl AS sr, k AS nl, tot.nt - k AS nr,
+             CAST(floor(CAST(sl AS DOUBLE) * sl / k
+               + CAST(tot.st - sl AS DOUBLE) * (tot.st - sl) / (tot.nt - k)
+               - CAST(tot.st AS DOUBLE) * tot.st / tot.nt + 0.5) AS BIGINT)
+               AS gain_unit
+      FROM pre, tot WHERE k < tot.nt
+    ),
+    best AS (SELECT * FROM cand ORDER BY gain_unit DESC, k LIMIT 1)
+    SELECT best.day AS break_after_day, best.nl AS n_before, best.nr AS n_after,
+           best.sl // best.nl AS mean_before_cents,
+           best.sr // best.nr AS mean_after_cents,
+           best.gain_unit,
+           (tot.yyt - CAST(floor(CAST(tot.st AS DOUBLE) * tot.st / tot.nt + 0.5)
+              AS BIGINT)) AS tss_unit
+    FROM best, tot
+    """,
+    doc="changepoint LOCATION by one round of binary segmentation over "
+    "daily purchase revenue: the split k maximizing the between-segment "
+    "SSE reduction Sl^2/nl + Sr^2/nr - S^2/n — CUSUM's drift ALARM "
+    "(value_drift_cusum) tells you THAT the level moved; this tells you "
+    "WHEN, with the before/after means as exact integer cents and the "
+    "gain against total variance for an F-style severity read. One "
+    "aggregate to the calendar-bounded daily grid; the split search is "
+    "a grid window (the gbm_two_round_stumps machinery pointed at "
+    "time). Gains frozen to whole units for the argmax.",
+)
+def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    s = d.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn")
+    )
+    tot = s.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("cents").cast("bigint").alias("st"),
+        F.sum(F.expr("cents * cents")).cast("bigint").alias("yyt"),
+    )
+    w = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    pre = s.select(
+        F.col("rn").alias("k"), "day", F.sum("cents").over(w).cast("bigint").alias("sl")
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("k") < F.col("nt"))
+        .select(
+            "k",
+            "day",
+            "sl",
+            (F.col("st") - F.col("sl")).alias("sr"),
+            F.col("k").alias("nl"),
+            (F.col("nt") - F.col("k")).alias("nr"),
+            F.expr(
+                "CAST(floor(CAST(sl AS DOUBLE) * sl / k "
+                "+ CAST(st - sl AS DOUBLE) * (st - sl) / (nt - k) "
+                "- CAST(st AS DOUBLE) * st / nt + 0.5) AS BIGINT)"
+            ).alias("gain_unit"),
+        )
+    )
+    best = cand.orderBy(F.desc("gain_unit"), "k").limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("day").alias("break_after_day"),
+        F.col("nl").alias("n_before"),
+        F.col("nr").alias("n_after"),
+        F.expr("sl div nl").alias("mean_before_cents"),
+        F.expr("sr div nr").alias("mean_after_cents"),
+        "gain_unit",
+        F.expr(
+            "yyt - CAST(floor(CAST(st AS DOUBLE) * st / nt + 0.5) AS BIGINT)"
+        ).alias("tss_unit"),
+    )

@@ -271,3 +271,20 @@ def test_model_eval_job(spark, sf_dir, tmp_path):
     # an impossible calibration bound must flip the gate
     strict = run(spark, sf_dir, str(tmp_path / "eval2"), max_calib_gap_ppm=0)
     assert not strict.collect()[0].ship_ok
+
+
+def test_causal_audit_job(spark, sf_dir, tmp_path):
+    """The composed causal-audit example writes every estimator artifact
+    and the summary reconciles with them."""
+    from map_reduce_engine_spark.examples.causal_audit_job import run
+
+    out = str(tmp_path / "causal")
+    summary = run(spark, sf_dir, out, confounding_tol_ppm=0)
+    row = summary.collect()[0]
+    trio = spark.read.parquet(f"{out}/estimator_trio").collect()[0]
+    assert row.ate_ipw_ppm == trio.ate_ipw_ppm
+    assert row.naive_diff_ppm == trio.naive_diff_ppm
+    med = spark.read.parquet(f"{out}/mediation").collect()[0]
+    assert row.mediated_ppm == med.indirect_ppm
+    # tol 0: flag reduces to "estimators differ at all"
+    assert row.confounding_detected == (row.naive_diff_ppm != row.ate_strat_ppm)

@@ -399,3 +399,10 @@ def test_streaming_sketch_matches_exact_median_within_bound(spark, sf_dir):
     for r in rows:
         ex = exact[r.window_start]
         assert abs(r.p50_est_cents - ex) <= max(1, ex // 100), (r, ex)
+
+
+def test_changepoint_partitions_and_gain_bounded(spark, sf_dir):
+    r = _rows(spark, sf_dir, "changepoint_binary_segmentation")[0]
+    assert r.n_before >= 1 and r.n_after >= 1
+    # explained-by-split variance cannot exceed total variance
+    assert 0 <= r.gain_unit <= r.tss_unit + 1

@@ -691,6 +691,8 @@ _SANCTIONED_NESTED_LOOP = {
     "(left/right local-linear moments)",
     "oaxaca_blinder_gap": "crossJoin of the two 1-row per-group "
     "beta/mean fits",
+    "changepoint_binary_segmentation": "1-row totals broadcast over the "
+    "calendar-bounded daily grid (split search is a grid window)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
