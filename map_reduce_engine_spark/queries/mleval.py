@@ -3797,3 +3797,194 @@ def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFra
             "yyt - CAST(floor(CAST(st AS DOUBLE) * st / nt + 0.5) AS BIGINT)"
         ).alias("tss_unit"),
     )
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS t,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT t, cents,
+             row_number() OVER (PARTITION BY t ORDER BY cents)::BIGINT AS rn,
+             count(*) OVER (PARTITION BY t)::BIGINT AS n
+      FROM v
+    ),
+    p AS (SELECT unnest([2500, 5000, 7500]) AS p_bp),
+    q AS (
+      SELECT p.p_bp, r.t, r.cents
+      FROM p JOIN r ON r.rn = (p.p_bp * (r.n - 1)) // 10000 + 1
+    )
+    SELECT a.p_bp,
+           a.cents AS q_treated_cents, b.cents AS q_control_cents,
+           a.cents - b.cents AS qte_cents
+    FROM (SELECT * FROM q WHERE t = 1) a
+    JOIN (SELECT * FROM q WHERE t = 0) b USING (p_bp)
+    """,
+    doc="quantile treatment effects: the treated-vs-control difference of "
+    "the p25/p50/p75 price quantiles (discount as treatment) — the "
+    "DISTRIBUTIONAL companion to the mean-effect ATE estimators (a "
+    "treatment can move the tails without moving the mean and vice "
+    "versa). Discrete exact percentiles via the row_number pick "
+    "(engine-portable integer arithmetic); two ranked window passes "
+    "partitioned by arm — the same cost class as exact percentiles at "
+    "100 TB (range-partitioned sort per arm).",
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    wv = Window.partitionBy("t").orderBy("cents")
+    r = v.select(
+        "t",
+        "cents",
+        F.row_number().over(wv).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("t")).cast("bigint").alias("n"),
+    )
+    p = spark.createDataFrame([(2500,), (5000,), (7500,)], "p_bp int")
+    q = p.join(r, F.expr("rn = (p_bp * (n - 1)) div 10000 + 1"))
+    a = q.where(F.col("t") == 1).select("p_bp", F.col("cents").alias("q_treated_cents"))
+    b = q.where(F.col("t") == 0).select("p_bp", F.col("cents").alias("q_control_cents"))
+    return a.join(b, "p_bp").select(
+        "p_bp",
+        "q_treated_cents",
+        "q_control_cents",
+        (F.col("q_treated_cents") - F.col("q_control_cents")).alias("qte_cents"),
+    )
+
+
+# --- iterative proportional fitting (raking) ---------------------------------
+
+_IPF_ROUNDS = 6
+
+
+def _ipf_oracle() -> str:
+    ctes = [
+        "cells AS MATERIALIZED (SELECT p.p_brand AS brand, l.l_returnflag AS flag, "
+        "count(*)::BIGINT AS n FROM lineitem l JOIN part p "
+        "ON l.l_partkey = p.p_partkey GROUP BY 1, 2)",
+        "tot AS MATERIALIZED (SELECT sum(n)::BIGINT AS nt, "
+        "count(DISTINCT brand)::BIGINT AS nb FROM cells)",
+        "ft AS MATERIALIZED (SELECT flag, sum(n)::BIGINT AS tf FROM cells GROUP BY flag)",
+        "w0 AS MATERIALIZED (SELECT brand, flag, n, 1000000::BIGINT AS w FROM cells)",
+    ]
+    prev = "w0"
+    for r in range(1, _IPF_ROUNDS + 1):
+        ctes.append(
+            f"wr{r} AS MATERIALIZED (SELECT w.brand, w.flag, w.n, "
+            f"CAST(floor(w.w * ((t.nt / t.nb) * 1e6 / rs.rs) + 0.5) AS BIGINT) AS w "
+            f"FROM {prev} w JOIN (SELECT brand, sum(n * w)::BIGINT AS rs "
+            f"FROM {prev} GROUP BY brand) rs ON rs.brand = w.brand, tot t)"
+        )
+        ctes.append(
+            f"wc{r} AS MATERIALIZED (SELECT w.brand, w.flag, w.n, "
+            f"CAST(floor(w.w * (ft.tf * 1e6 / cs.cs) + 0.5) AS BIGINT) AS w "
+            f"FROM wr{r} w JOIN (SELECT flag, sum(n * w)::BIGINT AS cs "
+            f"FROM wr{r} GROUP BY flag) cs ON cs.flag = w.flag "
+            f"JOIN ft ON ft.flag = w.flag)"
+        )
+        prev = f"wc{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    stats AS (
+      SELECT CAST(floor(CAST(sum(n * w) AS DOUBLE) * sum(n * w)
+               / sum(n * w * w) * 1e3 + 0.5) AS BIGINT) AS ess_milli
+      FROM {prev}
+    ),
+    rowerr AS (
+      SELECT CAST(floor(max(abs(rs / 1e6 - t.nt / t.nb) / (t.nt / t.nb)) * 1e4 + 0.5)
+               AS BIGINT) AS max_margin_err_bp
+      FROM (SELECT brand, CAST(sum(n * w) AS DOUBLE) AS rs FROM {prev} GROUP BY brand), tot t
+      GROUP BY t.nt, t.nb
+    )
+    SELECT f.brand, f.flag, f.n, f.w AS weight_ppm, s.ess_milli, r.max_margin_err_bp
+    FROM {prev} f, stats s, rowerr r"""
+    )
+
+
+@register(
+    "ipf_raking_weights",
+    oracle=_ipf_oracle(),
+    doc="iterative proportional fitting (raking) of survey-style weights: "
+    "calibrate per-(brand, returnflag) cell weights so brands pull to a "
+    "UNIFORM margin while returnflag totals are preserved — the weight-"
+    "calibration step of survey analysis AND of training-data "
+    "re-balancing (domain_mixture's cousin with TWO simultaneous margin "
+    "constraints). 6 row/column scaling rounds, weights frozen to BIGINT "
+    "ppm each half-step (identical IEEE factors both engines); ships the "
+    "effective-sample-size diagnostic (Kish ESS, milli-frozen) and the "
+    "worst row-margin error in bp so the caller sees both convergence "
+    "and the variance cost of the weights. Everything after the ONE "
+    "corpus aggregate is (brands x flags)-grid arithmetic. Oracle = the "
+    "rounds unrolled as materialized CTEs.",
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_returnflag").alias("flag"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("brand").cast("bigint").alias("nb"),
+    )
+    ft = cells.groupBy("flag").agg(F.sum("n").cast("bigint").alias("tf"))
+    w = cells.select("brand", "flag", "n", F.lit(1000000).cast("bigint").alias("w"))
+    for _ in range(_IPF_ROUNDS):
+        rs = w.groupBy("brand").agg(F.sum(F.expr("n * w")).cast("bigint").alias("rs"))
+        w = (
+            w.join(rs, "brand")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "brand",
+                "flag",
+                "n",
+                F.expr(
+                    "CAST(floor(w * ((nt / nb) * 1e6 / rs) + 0.5) AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+        cs = w.groupBy("flag").agg(F.sum(F.expr("n * w")).cast("bigint").alias("cs"))
+        w = (
+            w.join(cs, "flag")
+            .join(F.broadcast(ft), "flag")
+            .select(
+                "brand",
+                "flag",
+                "n",
+                F.expr("CAST(floor(w * (tf * 1e6 / cs) + 0.5) AS BIGINT)").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    stats = w.agg(
+        F.expr(
+            "CAST(floor(CAST(sum(n * w) AS DOUBLE) * sum(n * w) "
+            "/ sum(n * w * w) * 1e3 + 0.5) AS BIGINT)"
+        ).alias("ess_milli")
+    )
+    rowerr = (
+        w.groupBy("brand")
+        .agg(F.expr("CAST(sum(n * w) AS DOUBLE)").alias("rs"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(floor(max(abs(rs / 1e6 - nt / nb) / (nt / nb)) * 1e4 + 0.5)"
+                " AS BIGINT)"
+            ).alias("max_margin_err_bp")
+        )
+    )
+    return (
+        w.select("brand", "flag", "n", F.col("w").alias("weight_ppm"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(rowerr))
+    )

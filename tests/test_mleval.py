@@ -406,3 +406,31 @@ def test_changepoint_partitions_and_gain_bounded(spark, sf_dir):
     assert r.n_before >= 1 and r.n_after >= 1
     # explained-by-split variance cannot exceed total variance
     assert 0 <= r.gain_unit <= r.tss_unit + 1
+
+
+def test_qte_quantiles_are_ordered(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "quantile_treatment_effects"), key=lambda r: r.p_bp)
+    assert [r.p_bp for r in rows] == [2500, 5000, 7500]
+    for col in ("q_treated_cents", "q_control_cents"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
+    for r in rows:
+        assert r.qte_cents == r.q_treated_cents - r.q_control_cents
+
+
+def test_ipf_raking_converges_and_preserves_flag_margins(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "ipf_raking_weights")
+    assert rows[0].max_margin_err_bp <= 5, "brand margins must rake to uniform"
+    # the LAST scaling step was the flag step: flag margins match exactly
+    from collections import defaultdict
+
+    got = defaultdict(float)
+    want = defaultdict(int)
+    for r in rows:
+        got[r.flag] += r.n * r.weight_ppm / 1e6
+        want[r.flag] += r.n
+    for f in want:
+        assert abs(got[f] - want[f]) / want[f] < 1e-4
+    # weights cost variance: ESS below N but positive
+    n_total = sum(r.n for r in rows)
+    assert 0 < rows[0].ess_milli / 1e3 <= n_total + 1

@@ -693,6 +693,10 @@ _SANCTIONED_NESTED_LOOP = {
     "beta/mean fits",
     "changepoint_binary_segmentation": "1-row totals broadcast over the "
     "calendar-bounded daily grid (split search is a grid window)",
+    "quantile_treatment_effects": "3-row percentile-target probe joined "
+    "to the per-arm ranked rows (exact-percentile pick)",
+    "ipf_raking_weights": "1-row margin-target broadcasts over the "
+    "(brands x flags)-bounded cell grid each scaling half-step",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
