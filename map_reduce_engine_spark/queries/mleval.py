@@ -3988,3 +3988,98 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(rowerr))
     )
+
+
+@register(
+    "offline_policy_ips",
+    oracle="""
+    WITH logged AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS s,
+             CAST(round(l_discount * 100) AS BIGINT) AS a,
+             CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS r
+      FROM lineitem
+    ),
+    cell AS (
+      SELECT s, a, count(*)::BIGINT AS n_sa, sum(r)::BIGINT AS r_sa
+      FROM logged GROUP BY s, a
+    ),
+    strat AS (SELECT s, sum(n_sa)::BIGINT AS n_s FROM cell GROUP BY s),
+    tot AS (SELECT sum(n_sa)::BIGINT AS n FROM cell),
+    pi AS (SELECT s, n_s, coalesce(max(CASE WHEN a = 0 THEN n_sa END), 0)::BIGINT AS n_s0,
+                  coalesce(max(CASE WHEN a = 0 THEN r_sa END), 0)::BIGINT AS r_s0
+           FROM cell JOIN strat USING (s) GROUP BY s, n_s),
+    est AS (
+      SELECT sum((1000000 * r_s0 * n_s) // n_s0)::BIGINT AS ips_num_micro,
+             sum((1000000 * n_s0 * n_s) // n_s0)::BIGINT AS ips_den_micro,
+             sum(n_s * ((1000000 * r_s0) // n_s0))::BIGINT AS dm_num_micro
+      FROM pi WHERE n_s0 > 0
+    )
+    SELECT t.n AS n_logged,
+           (1000000 * (SELECT sum(r) FROM logged)) // t.n AS behavior_value_ppm,
+           e.dm_num_micro // t.n AS dm_value_ppm,
+           e.ips_num_micro // t.n AS ips_value_ppm,
+           (1000000 * e.ips_num_micro) // e.ips_den_micro AS snips_value_ppm
+    FROM est e, tot t
+    """,
+    doc="offline policy evaluation by replay: what reward (kept-item "
+    "rate) would the 'never discount' policy earn, estimated from "
+    "LOGGED data under the empirical behavior policy — the "
+    "counterfactual read-out of bandit/RL literature, shipped as the "
+    "standard estimator triple: direct method (per-stratum outcome "
+    "model), inverse-propensity scoring (1{a=pi}/p-hat weights), and "
+    "self-normalized IPS (weight-ratio form that cancels propensity "
+    "scale). Empirical propensities and all three estimates are exact "
+    "integer arithmetic frozen per stratum to micro-units. One "
+    "aggregate to the (strata x actions) grid; everything after is "
+    "grid-bounded. The evaluation a recommendation/pricing pipeline "
+    "runs BEFORE an online A/B.",
+)
+def offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    logged = li.select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("s"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("a"),
+        F.when(F.col("l_returnflag") == "R", 0).otherwise(1).alias("r"),
+    )
+    cell = logged.groupBy("s", "a").agg(
+        F.count("*").cast("bigint").alias("n_sa"), F.sum("r").cast("bigint").alias("r_sa")
+    )
+    strat = cell.groupBy("s").agg(F.sum("n_sa").cast("bigint").alias("n_s"))
+    tot = cell.agg(F.sum("n_sa").cast("bigint").alias("n"))
+    pi = (
+        cell.join(strat, "s")
+        .groupBy("s", "n_s")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("a") == 0, F.col("n_sa"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_s0"),
+            F.coalesce(F.max(F.when(F.col("a") == 0, F.col("r_sa"))), F.lit(0))
+            .cast("bigint")
+            .alias("r_s0"),
+        )
+    )
+    est = pi.where(F.col("n_s0") > 0).agg(
+        F.sum(F.expr("(1000000 * r_s0 * n_s) div n_s0"))
+        .cast("bigint")
+        .alias("ips_num_micro"),
+        F.sum(F.expr("(1000000 * n_s0 * n_s) div n_s0"))
+        .cast("bigint")
+        .alias("ips_den_micro"),
+        F.sum(F.expr("n_s * ((1000000 * r_s0) div n_s0)"))
+        .cast("bigint")
+        .alias("dm_num_micro"),
+    )
+    behavior = logged.agg(F.sum("r").cast("bigint").alias("r_tot"))
+    return (
+        est.crossJoin(tot)
+        .crossJoin(F.broadcast(behavior))
+        .select(
+            F.col("n").alias("n_logged"),
+            F.expr("(1000000 * r_tot) div n").alias("behavior_value_ppm"),
+            F.expr("dm_num_micro div n").alias("dm_value_ppm"),
+            F.expr("ips_num_micro div n").alias("ips_value_ppm"),
+            F.expr("(1000000 * ips_num_micro) div ips_den_micro").alias(
+                "snips_value_ppm"
+            ),
+        )
+    )

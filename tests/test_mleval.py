@@ -434,3 +434,12 @@ def test_ipf_raking_converges_and_preserves_flag_margins(spark, sf_dir):
     # weights cost variance: ESS below N but positive
     n_total = sum(r.n for r in rows)
     assert 0 < rows[0].ess_milli / 1e3 <= n_total + 1
+
+
+def test_offline_policy_estimators_are_consistent(spark, sf_dir):
+    r = _rows(spark, sf_dir, "offline_policy_ips")[0]
+    for c in ("behavior_value_ppm", "dm_value_ppm", "ips_value_ppm", "snips_value_ppm"):
+        assert 0 <= r[c] <= 1_000_000
+    # SNIPS is IPS with the realized weight mass normalized out — when the
+    # weights nearly telescope (sum n_s0*n_s/n_s0 == sum n_s == N), they agree
+    assert abs(r.snips_value_ppm - r.ips_value_ppm) <= 2

@@ -697,6 +697,8 @@ _SANCTIONED_NESTED_LOOP = {
     "to the per-arm ranked rows (exact-percentile pick)",
     "ipf_raking_weights": "1-row margin-target broadcasts over the "
     "(brands x flags)-bounded cell grid each scaling half-step",
+    "offline_policy_ips": "1-row estimator aggregates over the "
+    "(strata x actions)-bounded replay grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
