@@ -4083,3 +4083,199 @@ def offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM u
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS DOUBLE) AS ng, CAST(sum(x) AS DOUBLE) AS gx,
+             CAST(sum(y) AS DOUBLE) AS gy
+      FROM u GROUP BY grp
+    ),
+    th AS (
+      SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             (syy - sy * sy / n) / n AS var_y,
+             ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
+      FROM m
+    ),
+    d AS (
+      SELECT t1.gy / t1.ng - t0.gy / t0.ng AS raw_diff,
+             (t1.gy / t1.ng - t0.gy / t0.ng)
+               - th.theta * (t1.gx / t1.ng - t0.gx / t0.ng) AS adj_diff,
+             th.n, th.theta, th.var_y, th.rho2
+      FROM (SELECT * FROM g WHERE grp = 1) t1,
+           (SELECT * FROM g WHERE grp = 0) t0, th
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(floor(theta * 1e6 + 0.5) AS BIGINT) AS theta_ppm,
+           CAST(floor(rho2 * 1e6 + 0.5) AS BIGINT) AS var_reduction_ppm,
+           CAST(floor(raw_diff * 1e3 + 0.5) AS BIGINT) AS raw_diff_millicents,
+           CAST(floor(adj_diff * 1e3 + 0.5) AS BIGINT) AS adj_diff_millicents
+    FROM d
+    """,
+    doc="CUPED variance reduction for experiment metrics: per-user "
+    "pre-period purchase revenue (Jan 1-15) as the covariate for the "
+    "post-period metric (Jan 16-30), theta = cov/var, and the A/B "
+    "readout — raw vs CUPED-adjusted arm difference (arms = user-id "
+    "parity) plus the variance-reduction factor rho^2 (the fraction of "
+    "metric variance the pre-period explains — the speedup every "
+    "experimentation platform quotes). Moments are exact BIGINT cent "
+    "sums; theta/diffs are shared formula text, ppm/milli-cent frozen. "
+    "One aggregate keyed by user; 1-row arithmetic after.",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") < cut), cents)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") >= cut), cents)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).alias("grp"), "x", "y")
+    m = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr("x * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("double").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("double").alias("syy"),
+    )
+    g = u.groupBy("grp").agg(
+        F.count("*").cast("double").alias("ng"),
+        F.sum("x").cast("double").alias("gx"),
+        F.sum("y").cast("double").alias("gy"),
+    )
+    th = m.selectExpr(
+        "n",
+        "(sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta",
+        "(syy - sy * sy / n) / n AS var_y",
+        "((sxy - sx * sy / n) * (sxy - sx * sy / n)) "
+        "/ ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2",
+    )
+    t1 = g.where(F.col("grp") == 1).alias("t1")
+    t0 = g.where(F.col("grp") == 0).alias("t0")
+    d = t1.crossJoin(t0).crossJoin(th).selectExpr(
+        "t1.gy / t1.ng - t0.gy / t0.ng AS raw_diff",
+        "(t1.gy / t1.ng - t0.gy / t0.ng) - theta * (t1.gx / t1.ng - t0.gx / t0.ng)"
+        " AS adj_diff",
+        "n",
+        "theta",
+        "var_y",
+        "rho2",
+    )
+    return d.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr("CAST(floor(theta * 1e6 + 0.5) AS BIGINT)").alias("theta_ppm"),
+        F.expr("CAST(floor(rho2 * 1e6 + 0.5) AS BIGINT)").alias("var_reduction_ppm"),
+        F.expr("CAST(floor(raw_diff * 1e3 + 0.5) AS BIGINT)").alias(
+            "raw_diff_millicents"
+        ),
+        F.expr("CAST(floor(adj_diff * 1e3 + 0.5) AS BIGINT)").alias(
+            "adj_diff_millicents"
+        ),
+    )
+
+
+@register(
+    "f1_threshold_search",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q AS thr,
+             sum(pos) OVER w::BIGINT AS tp,
+             (sum(tot) OVER w - sum(pos) OVER w)::BIGINT AS fp,
+             (sum(pos) OVER () - sum(pos) OVER w)::BIGINT AS fn
+      FROM g WINDOW w AS (ORDER BY q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT thr, tp, fp, fn,
+             (1000000 * tp) // (tp + fp) AS precision_ppm,
+             (1000000 * tp) // (tp + fn) AS recall_ppm,
+             (1000000 * 2 * tp) // (2 * tp + fp + fn) AS f1_ppm
+      FROM c WHERE tp > 0
+    )
+    SELECT thr, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm,
+           f1_ppm = max(f1_ppm) OVER ()
+             AND thr = min(thr) FILTER (WHERE f1_ppm = max_f1) OVER () AS is_best
+    FROM (SELECT *, max(f1_ppm) OVER () AS max_f1 FROM s)
+    """,
+    doc="operating-point selection: precision/recall/F1 at every decision "
+    "threshold of the quantity score (predict returned when q >= thr), "
+    "ENTIRELY in exact integer arithmetic — F1 = 2TP/(2TP+FP+FN) is a "
+    "rational of counts, so even the argmax needs no floats (ties break "
+    "to the lowest threshold = highest recall). The step after "
+    "roc_auc/average_precision answer 'is the ranker good': this one "
+    "answers 'where do we cut'. One aggregate to the 50-value grid; "
+    "cumulative windows over the grid only.",
+)
+def f1_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = g.select(
+        F.col("q").alias("thr"),
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        (F.sum("tot").over(w) - F.sum("pos").over(w)).cast("bigint").alias("fp"),
+        (F.sum("pos").over(wall) - F.sum("pos").over(w)).cast("bigint").alias("fn"),
+    )
+    s = c.where(F.col("tp") > 0).select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(1000000 * tp) div (tp + fp)").alias("precision_ppm"),
+        F.expr("(1000000 * tp) div (tp + fn)").alias("recall_ppm"),
+        F.expr("(1000000 * 2 * tp) div (2 * tp + fp + fn)").alias("f1_ppm"),
+    )
+    s2 = s.withColumn("max_f1", F.max("f1_ppm").over(wall)).withColumn(
+        "best_thr",
+        F.min(F.when(F.col("f1_ppm") == F.col("max_f1"), F.col("thr"))).over(wall),
+    )
+    return s2.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "precision_ppm",
+        "recall_ppm",
+        "f1_ppm",
+        ((F.col("f1_ppm") == F.col("max_f1")) & (F.col("thr") == F.col("best_thr"))).alias(
+            "is_best"
+        ),
+    )

@@ -443,3 +443,20 @@ def test_offline_policy_estimators_are_consistent(spark, sf_dir):
     # SNIPS is IPS with the realized weight mass normalized out — when the
     # weights nearly telescope (sum n_s0*n_s/n_s0 == sum n_s == N), they agree
     assert abs(r.snips_value_ppm - r.ips_value_ppm) <= 2
+
+
+def test_cuped_reduces_variance_fraction_in_unit_range(spark, sf_dir):
+    r = _rows(spark, sf_dir, "cuped_variance_reduction")[0]
+    assert 0 <= r.var_reduction_ppm <= 1_000_000
+    assert r.n_users > 0
+
+
+def test_f1_search_best_is_unique_argmax(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "f1_threshold_search")
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].f1_ppm == max(r.f1_ppm for r in rows)
+    for r in rows:
+        # F1 is the harmonic mean: between precision and recall
+        lo, hi = sorted((r.precision_ppm, r.recall_ppm))
+        assert lo - 1 <= r.f1_ppm <= hi + 1

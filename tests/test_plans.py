@@ -699,6 +699,8 @@ _SANCTIONED_NESTED_LOOP = {
     "(brands x flags)-bounded cell grid each scaling half-step",
     "offline_policy_ips": "1-row estimator aggregates over the "
     "(strata x actions)-bounded replay grid",
+    "cuped_variance_reduction": "crossJoins of the 1-row arm means and "
+    "1-row theta/moment aggregates",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
