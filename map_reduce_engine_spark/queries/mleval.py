@@ -4279,3 +4279,158 @@ def f1_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_best"
         ),
     )
+
+
+@register(
+    "median_confidence_interval",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c)::BIGINT AS rn,
+             count(*) OVER ()::BIGINT AS n
+      FROM v
+    ),
+    k AS (
+      SELECT n,
+             CAST(floor((n - CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)
+               AS BIGINT) AS lo_rank,
+             CAST(ceil(1 + (n + CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)
+               AS BIGINT) AS hi_rank,
+             (5000 * (n - 1)) // 10000 + 1 AS med_rank
+      FROM (SELECT DISTINCT n FROM r)
+    )
+    SELECT k.n AS n_rows,
+           max(CASE WHEN r.rn = k.med_rank THEN r.c END) AS median_cents,
+           max(CASE WHEN r.rn = k.lo_rank THEN r.c END) AS ci_lo_cents,
+           max(CASE WHEN r.rn = k.hi_rank THEN r.c END) AS ci_hi_cents
+    FROM r JOIN k ON r.rn IN (k.med_rank, k.lo_rank, k.hi_rank)
+    GROUP BY k.n
+    """,
+    doc="distribution-free 95% confidence interval for the median via "
+    "order statistics: the binomial-normal rank bounds "
+    "floor((n - 1.96*sqrt(n))/2) and ceil(1 + (n + 1.96*sqrt(n))/2) "
+    "pick two order statistics that bracket the true median with ~95% "
+    "coverage under NO distributional assumption — the uncertainty "
+    "statement that should accompany every reported median. Ranks are "
+    "exact integers from a shared formula (sqrt is the only "
+    "transcendental, applied to the row count); the three order-"
+    "statistic picks ride one ranked pass (exact-percentile cost "
+    "class).",
+)
+def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
+    r = v.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).cast("bigint").alias("rn"),
+    )
+    k = v.agg(F.count("*").cast("bigint").alias("n")).select(
+        "n",
+        F.expr(
+            "CAST(floor((n - CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+            " AS BIGINT)"
+        ).alias("lo_rank"),
+        F.expr(
+            "CAST(ceil(1 + (n + CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)"
+            " AS BIGINT)"
+        ).alias("hi_rank"),
+        F.expr("(5000 * (n - 1)) div 10000 + 1").alias("med_rank"),
+    )
+    joined = r.join(
+        F.broadcast(k),
+        (F.col("rn") == F.col("med_rank"))
+        | (F.col("rn") == F.col("lo_rank"))
+        | (F.col("rn") == F.col("hi_rank")),
+    )
+    return joined.groupBy(F.col("n").alias("n_rows")).agg(
+        F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("c"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("c"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("c"))).alias("ci_hi_cents"),
+    )
+
+
+# runs-test z over exact counts (shared text): r = runs, n1/n2 = signs
+_RUNS_Z = (
+    "((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / "
+    "sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / "
+    "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))"
+)
+
+
+@register(
+    "runs_test_randomness",
+    oracle=f"""
+    WITH d AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n FROM d
+      ) WHERE rn = (5000 * (n - 1)) // 10000 + 1
+    ),
+    s AS (
+      SELECT day, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS sign
+      FROM d, med
+    ),
+    runs AS (
+      SELECT sum(CASE WHEN prev IS NULL OR sign <> prev THEN 1 ELSE 0 END)::BIGINT AS r,
+             sum(sign)::BIGINT AS n1, sum(1 - sign)::BIGINT AS n2
+      FROM (SELECT sign, lag(sign) OVER (ORDER BY day) AS prev FROM s)
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round({_RUNS_Z}, 4) AS z,
+           abs(round({_RUNS_Z}, 4)) > 1.96 AS nonrandom
+    FROM runs
+    """,
+    doc="Wald-Wolfowitz runs test on daily purchase revenue: is the "
+    "above/below-median sequence random, or does it cluster (trend/"
+    "regime persistence) or alternate (negative autocorrelation)? Run "
+    "count, sign counts, and the normal-approximation z (shared formula "
+    "over exact integers, continuity conventions fixed) — the "
+    "randomness sanity check behind every 'is this series i.i.d. "
+    "enough' decision. One aggregate to the calendar-bounded daily "
+    "grid; the run count is one lag window over it.",
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    rk = d.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = rk.where(F.expr("rn = (5000 * (n - 1)) div 10000 + 1")).select(
+        F.col("cents").alias("m")
+    )
+    s = d.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("sign")
+    )
+    lagd = s.select(
+        "sign", F.lag("sign").over(Window.orderBy("day")).alias("prev")
+    )
+    runs = lagd.agg(
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("sign") != F.col("prev")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.sum("sign").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("sign")).cast("bigint").alias("n2"),
+    )
+    zc = F.round(F.expr(_RUNS_Z), 4)
+    return runs.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        zc.alias("z"),
+        (F.abs(zc) > 1.96).alias("nonrandom"),
+    )

@@ -460,3 +460,15 @@ def test_f1_search_best_is_unique_argmax(spark, sf_dir):
         # F1 is the harmonic mean: between precision and recall
         lo, hi = sorted((r.precision_ppm, r.recall_ppm))
         assert lo - 1 <= r.f1_ppm <= hi + 1
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    r = _rows(spark, sf_dir, "median_confidence_interval")[0]
+    assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+    assert r.ci_lo_cents < r.ci_hi_cents
+
+
+def test_runs_test_counts_reconcile(spark, sf_dir):
+    r = _rows(spark, sf_dir, "runs_test_randomness")[0]
+    assert 1 <= r.n_runs <= r.n_above + r.n_below
+    assert r.nonrandom == (abs(r.z) > 1.96)

@@ -701,6 +701,10 @@ _SANCTIONED_NESTED_LOOP = {
     "(strata x actions)-bounded replay grid",
     "cuped_variance_reduction": "crossJoins of the 1-row arm means and "
     "1-row theta/moment aggregates",
+    "median_confidence_interval": "3-rank order-statistic probe joined "
+    "to the ranked pass (1-row rank-bound broadcast)",
+    "runs_test_randomness": "1-row median broadcast over the calendar-"
+    "bounded daily grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
