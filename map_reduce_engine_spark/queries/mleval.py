@@ -4434,3 +4434,113 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         zc.alias("z"),
         (F.abs(zc) > 1.96).alias("nonrandom"),
     )
+
+
+# --- Ljung-Box portmanteau test ----------------------------------------------
+
+_LB_LAGS = 7
+
+
+def _lb_oracle() -> str:
+    """Per-lag autocorrelations from EXACT integer cross-moments (the
+    centered product expands to sab - mu*sa - mu*sb + c*mu^2, so the only
+    float work is a fixed formula over exact BIGINTs — no order-dependent
+    float summation), frozen to nano; Q from the frozen values."""
+    lag_ctes = ",\n".join(
+        f"""n{k} AS MATERIALIZED (
+      SELECT CAST(floor(1e9 * ((CAST(j.sab AS DOUBLE) - m.mu * j.sa - m.mu * j.sb
+               + j.c * m.mu * m.mu) / m.ss) + 0.5) AS BIGINT) AS r
+      FROM (SELECT sum(a.cents * b.cents)::BIGINT AS sab,
+                   sum(a.cents)::BIGINT AS sa, sum(b.cents)::BIGINT AS sb,
+                   count(*)::BIGINT AS c
+            FROM s a JOIN s b ON b.rn = a.rn + {k}) j, m)"""
+        for k in range(1, _LB_LAGS + 1)
+    )
+    q = " + ".join(
+        f"(n{k}.r / 1e9) * (n{k}.r / 1e9) / (m.n - {k})" for k in range(1, _LB_LAGS + 1)
+    )
+    r_cols = ", ".join(f"n{k}.r AS r{k}_nano" for k in range(1, _LB_LAGS + 1))
+    r_from = ", ".join(f"n{k}" for k in range(1, _LB_LAGS + 1))
+    return f"""
+    WITH d AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS MATERIALIZED (
+      SELECT cents, row_number() OVER (ORDER BY day)::BIGINT AS rn FROM d
+    ),
+    m AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS mu,
+             CAST(sum(cents * cents) AS DOUBLE)
+               - CAST(sum(cents) AS DOUBLE) * sum(cents) / count(*) AS ss
+      FROM s
+    ),
+    {lag_ctes}
+    SELECT CAST(m.n AS BIGINT) AS n_days, {r_cols},
+           round(m.n * (m.n + 2.0) * ({q}), 4) AS q_stat,
+           round(m.n * (m.n + 2.0) * ({q}), 4) > 14.067 AS autocorrelated
+    FROM m, {r_from}
+    """
+
+
+@register(
+    "ljung_box_test",
+    oracle=_lb_oracle(),
+    doc="Ljung-Box portmanteau test on daily purchase revenue: are the "
+    "first 7 autocorrelations jointly zero? Each lag's r_k comes from "
+    "EXACT BIGINT cross-moments (the centered product expanded so no "
+    "order-dependent float summation exists), frozen to nano; "
+    "Q = n(n+2) SUM r_k^2/(n-k) is one shared formula against the "
+    "chi-square(7) 95% cut 14.067 — the 'is there structure left' "
+    "gate run before trusting i.i.d.-assuming statistics, completing "
+    "the diagnostics trio with the runs test and the ACF. One "
+    "aggregate to the calendar-bounded daily grid; lag joins are "
+    "grid-bounded.",
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    s = d.select(
+        "cents", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn")
+    ).localCheckpoint(eager=True)
+    m = s.agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr("CAST(sum(cents) AS DOUBLE) / count(*)").alias("mu"),
+        F.expr(
+            "CAST(sum(cents * cents) AS DOUBLE) "
+            "- CAST(sum(cents) AS DOUBLE) * sum(cents) / count(*)"
+        ).alias("ss"),
+    )
+    out = m
+    a, b = s.alias("a"), s.alias("b")
+    for k in range(1, _LB_LAGS + 1):
+        j = (
+            a.join(b, F.col("b.rn") == F.col("a.rn") + k)
+            .agg(
+                F.sum(F.expr("a.cents * b.cents")).cast("bigint").alias("sab"),
+                F.sum(F.col("a.cents")).cast("bigint").alias("sa"),
+                F.sum(F.col("b.cents")).cast("bigint").alias("sb"),
+                F.count("*").cast("bigint").alias("c"),
+            )
+        )
+        rk = (
+            j.crossJoin(F.broadcast(m))
+            .select(
+                F.expr(
+                    "CAST(floor(1e9 * ((CAST(sab AS DOUBLE) - mu * sa - mu * sb "
+                    "+ c * mu * mu) / ss) + 0.5) AS BIGINT)"
+                ).alias(f"r{k}_nano")
+            )
+        )
+        out = out.crossJoin(rk)
+    q = " + ".join(f"(r{k}_nano / 1e9) * (r{k}_nano / 1e9) / (n - {k})" for k in range(1, _LB_LAGS + 1))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        *[F.col(f"r{k}_nano") for k in range(1, _LB_LAGS + 1)],
+        F.round(F.expr(f"n * (n + 2.0) * ({q})"), 4).alias("q_stat"),
+        (F.round(F.expr(f"n * (n + 2.0) * ({q})"), 4) > 14.067).alias("autocorrelated"),
+    )

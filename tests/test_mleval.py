@@ -472,3 +472,11 @@ def test_runs_test_counts_reconcile(spark, sf_dir):
     r = _rows(spark, sf_dir, "runs_test_randomness")[0]
     assert 1 <= r.n_runs <= r.n_above + r.n_below
     assert r.nonrandom == (abs(r.z) > 1.96)
+
+
+def test_ljung_box_autocorrelations_bounded(spark, sf_dir):
+    r = _rows(spark, sf_dir, "ljung_box_test")[0]
+    for k in range(1, 8):
+        assert -1_100_000_000 <= r[f"r{k}_nano"] <= 1_100_000_000
+    assert r.q_stat >= 0
+    assert r.autocorrelated == (r.q_stat > 14.067)

@@ -705,6 +705,8 @@ _SANCTIONED_NESTED_LOOP = {
     "to the ranked pass (1-row rank-bound broadcast)",
     "runs_test_randomness": "1-row median broadcast over the calendar-"
     "bounded daily grid",
+    "ljung_box_test": "1-row per-lag moment crossJoins over the "
+    "calendar-bounded daily grid (7 bounded lag joins)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
