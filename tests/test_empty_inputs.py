@@ -249,3 +249,53 @@ def test_k_core_empty_edges(spark):
     out = k_core(edges, k=3)
     assert out.columns == ["node", "core_degree"]
     assert out.count() == 0
+
+
+def test_personalized_pagerank_empty_edges(spark):
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = personalized_pagerank(edges, seeds, iterations=2)
+    assert out.count() == 0  # no nodes -> no ranks, no crash
+
+
+def test_personalized_pagerank_seed_outside_graph(spark):
+    from map_reduce_engine_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zz",)], "node string")
+    rows = {r.node: r.rank for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+    # no restart mass anywhere reachable: everything decays to exactly 0
+    assert set(rows) == {"a", "b"}
+    assert all(v == 0.0 for v in rows.values())
+
+
+def test_windowed_value_sketch_empty_batch(spark, tmp_path):
+    """The sketch stream plans (and drains to zero rows) on an events file
+    with no qualifying purchases."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        windowed_value_sketch,
+    )
+
+    p = tmp_path / "ev"
+    p.mkdir()
+    df = spark.createDataFrame(
+        [(1, 0, "click", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(
+        str(p / "events.parquet")
+    )
+    run_to_memory(
+        windowed_value_sketch(events_stream(spark, str(p))),
+        "mre_test_qsketch_empty",
+        output_mode="complete",
+    )
+    assert spark.table("mre_test_qsketch_empty").count() == 0
