@@ -4544,3 +4544,91 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"n * (n + 2.0) * ({q})"), 4).alias("q_stat"),
         (F.round(F.expr(f"n * (n + 2.0) * ({q})"), 4) > 14.067).alias("autocorrelated"),
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH d AS (
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT day, cents, row_number() OVER (ORDER BY day)::BIGINT AS rn,
+             count(*) OVER ()::BIGINT AS n,
+             date_diff('day', DATE '1970-01-05', day) % 7 AS dow
+      FROM d
+    ),
+    tr AS (
+      SELECT day, cents, rn, n, dow,
+             (sum(cents) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+               // 7 AS trend_cents
+      FROM s
+    ),
+    mid AS (SELECT * FROM tr WHERE rn >= 4 AND rn <= n - 3),
+    seas AS (
+      SELECT dow,
+             CAST(floor(CAST(sum(cents - trend_cents) AS DOUBLE) / count(*) + 0.5)
+               AS BIGINT) AS seasonal_cents
+      FROM mid GROUP BY dow
+    )
+    SELECT m.day, m.cents, m.trend_cents, m.dow AS weekday_idx,
+           se.seasonal_cents,
+           m.cents - m.trend_cents - se.seasonal_cents AS remainder_cents
+    FROM mid m JOIN seas se USING (dow)
+    """,
+    doc="classical additive seasonal decomposition of daily purchase "
+    "revenue: trend = centered 7-day moving average (integer cents, full "
+    "windows only), weekday seasonal = mean detrended residual per "
+    "days-since-Monday index (frozen via floor(avg+0.5) — integer div "
+    "truncates differently across engines on NEGATIVE residuals, so the "
+    "freeze goes through the deterministic double), remainder = the "
+    "series minus both — the STL-lite decomposition behind every "
+    "seasonally-adjusted dashboard, complementing the monthly "
+    "multiplicative index. One aggregate to the calendar-bounded daily "
+    "grid; windows over the grid only.",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    s = d.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+        ).alias("dow"),
+    )
+    wm = Window.orderBy("rn").rowsBetween(-3, 3)
+    tr = s.select(
+        "day",
+        "cents",
+        "rn",
+        "n",
+        "dow",
+        F.expr(
+            "CAST(sum(cents) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " AS BIGINT) div 7"
+        ).alias("trend_cents"),
+    )
+    mid = tr.where((F.col("rn") >= 4) & (F.col("rn") <= F.col("n") - 3))
+    seas = mid.groupBy("dow").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(cents - trend_cents) AS DOUBLE) / count(*) + 0.5)"
+            " AS BIGINT)"
+        ).alias("seasonal_cents")
+    )
+    return mid.join(seas, "dow").select(
+        "day",
+        "cents",
+        "trend_cents",
+        F.col("dow").alias("weekday_idx"),
+        "seasonal_cents",
+        (F.col("cents") - F.col("trend_cents") - F.col("seasonal_cents")).alias(
+            "remainder_cents"
+        ),
+    )

@@ -213,6 +213,21 @@ HEADLINE = [
         "equi-join + one keyed aggregate off checkpointed factors — the "
         "canonical alternating shuffle; SSE joins both factor sides back",
     ),
+    (
+        "gbm_two_round_stumps",
+        "boosted stumps: one grid aggregate (checkpointed), split "
+        "searches as grid windows, residual moments stay exact integers",
+    ),
+    (
+        "dbscan_grid_clusters",
+        "grid DBSCAN: cell aggregate, density-threshold broadcast, "
+        "core-cell adjacency join, component loop over CELLS not points",
+    ),
+    (
+        "ipf_raking_weights",
+        "IPF raking (final half-step): margin-sum join + 1-row target "
+        "broadcast per scaling step over the bounded cell grid",
+    ),
 ]
 
 

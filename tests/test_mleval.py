@@ -480,3 +480,15 @@ def test_ljung_box_autocorrelations_bounded(spark, sf_dir):
         assert -1_100_000_000 <= r[f"r{k}_nano"] <= 1_100_000_000
     assert r.q_stat >= 0
     assert r.autocorrelated == (r.q_stat > 14.067)
+
+
+def test_seasonal_decomposition_reconstructs(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "seasonal_decompose_daily")
+    assert rows
+    for r in rows:
+        assert r.cents == r.trend_cents + r.seasonal_cents + r.remainder_cents
+        assert 0 <= r.weekday_idx <= 6
+    # seasonal terms roughly center around zero across observed weekdays
+    seas = {r.weekday_idx: r.seasonal_cents for r in rows}
+    n = len(seas)
+    assert abs(sum(seas.values())) <= max(abs(v) for v in seas.values()) * n
