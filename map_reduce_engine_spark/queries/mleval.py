@@ -4632,3 +4632,145 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remainder_cents"
         ),
     )
+
+
+# --- Huber robust trend (IRLS) -----------------------------------------------
+
+_HUBER_ROUNDS = 3
+# weighted-OLS fit over ppm-frozen weights (shared text; moments exact ints)
+_HUB_B = (
+    "((CAST(sw AS DOUBLE) * swxy - CAST(swx AS DOUBLE) * swy) "
+    "/ (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx))"
+)
+_HUB_A = f"((CAST(swy AS DOUBLE) - {_HUB_B} * swx) / sw)"
+
+
+def _huber_oracle() -> str:
+    moms = (
+        "SELECT sum(w)::BIGINT AS sw, sum(w * rn)::BIGINT AS swx, "
+        "sum(w * cents)::BIGINT AS swy, sum(w * rn * rn)::BIGINT AS swxx, "
+        "sum(w * rn * cents)::BIGINT AS swxy FROM {src}"
+    )
+    ctes = [
+        "d AS MATERIALIZED (SELECT ts::DATE AS day, "
+        "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1)",
+        "s AS MATERIALIZED (SELECT day, cents, "
+        "row_number() OVER (ORDER BY day)::BIGINT AS rn FROM d)",
+        "w0 AS MATERIALIZED (SELECT day, cents, rn, 1000000::BIGINT AS w FROM s)",
+    ]
+    prev = "w0"
+    for r in range(1, _HUBER_ROUNDS + 1):
+        ctes.append(f"m{r} AS MATERIALIZED ({moms.format(src=prev)})")
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT {_HUB_A} AS a, {_HUB_B} AS b FROM m{r})"
+        )
+        ctes.append(
+            f"res{r} AS MATERIALIZED (SELECT p.day, p.cents, p.rn, "
+            f"abs(p.cents - (f.a + f.b * p.rn)) AS ar FROM {prev} p, f{r} f)"
+        )
+        ctes.append(
+            f"mad{r} AS MATERIALIZED (SELECT ar AS mad FROM ("
+            f"SELECT ar, row_number() OVER (ORDER BY ar, day) AS k, "
+            f"count(*) OVER () AS n FROM res{r}) "
+            f"WHERE k = (5000 * (n - 1)) // 10000 + 1)"
+        )
+        if r < _HUBER_ROUNDS:
+            ctes.append(
+                f"w{r} AS MATERIALIZED (SELECT r.day, r.cents, r.rn, "
+                f"CASE WHEN r.ar <= CAST(1.345 AS DOUBLE) * m.mad THEN 1000000::BIGINT "
+                f"ELSE CAST(floor(CAST(1.345 AS DOUBLE) * m.mad / r.ar * 1e6 + 0.5) "
+                f"AS BIGINT) END AS w FROM res{r} r, mad{r} m)"
+            )
+            prev = f"w{r}"
+    k = _HUBER_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_days,
+           CAST(floor(f.a * 1e3 + 0.5) AS BIGINT) AS intercept_millicents,
+           CAST(floor(f.b * 1e3 + 0.5) AS BIGINT) AS slope_millicents_per_day,
+           CAST(floor(m.mad * 1e3 + 0.5) AS BIGINT) AS mad_millicents,
+           (SELECT sum(CASE WHEN r.ar > CAST(1.345 AS DOUBLE) * m2.mad THEN 1 ELSE 0 END)
+            FROM res{k} r, mad{k} m2)::BIGINT AS n_downweighted
+    FROM f{k} f, mad{k} m"""
+    )
+
+
+@register(
+    "huber_robust_trend",
+    oracle=_huber_oracle(),
+    doc="Huber robust trend line over daily purchase revenue by 3 IRLS "
+    "rounds: weighted OLS with weights min(1, 1.345*MAD/|resid|) frozen "
+    "to BIGINT ppm per round, the scale re-estimated each round as the "
+    "exact discrete median absolute residual — outlier days lose "
+    "influence instead of dragging the slope (the robust counterpart of "
+    "ols_value_trend, distribution-free like theil_sen but with an "
+    "explicit efficiency/robustness dial). Weighted moments are exact "
+    "BIGINT sums; fits are shared formula text; final intercept/slope/"
+    "MAD frozen to milli-cents with the downweighted-day count. All "
+    "rounds run on the calendar-bounded daily grid.",
+)
+def huber_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    s = d.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn")
+    ).localCheckpoint(eager=True)
+    w = s.select("day", "cents", "rn", F.lit(1000000).cast("bigint").alias("w"))
+    fit = mad = res = None
+    for r in range(1, _HUBER_ROUNDS + 1):
+        m = w.agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.expr("w * rn")).cast("bigint").alias("swx"),
+            F.sum(F.expr("w * cents")).cast("bigint").alias("swy"),
+            F.sum(F.expr("w * rn * rn")).cast("bigint").alias("swxx"),
+            F.sum(F.expr("w * rn * cents")).cast("bigint").alias("swxy"),
+        )
+        fit = m.select(F.expr(_HUB_A).alias("a"), F.expr(_HUB_B).alias("b"))
+        res = w.crossJoin(F.broadcast(fit)).select(
+            "day", "cents", "rn", F.expr("abs(cents - (a + b * rn))").alias("ar")
+        )
+        ranked = res.select(
+            "ar",
+            F.row_number().over(Window.orderBy("ar", "day")).alias("k"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        mad = ranked.where(F.expr("k = (5000 * (n - 1)) div 10000 + 1")).select(
+            F.col("ar").alias("mad")
+        )
+        if r < _HUBER_ROUNDS:
+            w = res.crossJoin(F.broadcast(mad)).select(
+                "day",
+                "cents",
+                "rn",
+                F.expr(
+                    "CASE WHEN ar <= CAST(1.345 AS DOUBLE) * mad THEN CAST(1000000 AS BIGINT) "
+                    "ELSE CAST(floor(CAST(1.345 AS DOUBLE) * mad / ar * 1e6 + 0.5) AS BIGINT) END"
+                ).alias("w"),
+            ).localCheckpoint(eager=True)
+    n_days = s.agg(F.count("*").cast("bigint").alias("n_days"))
+    ndw = res.crossJoin(F.broadcast(mad)).agg(
+        F.sum(
+            F.when(F.col("ar") > F.expr("CAST(1.345 AS DOUBLE) * mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_downweighted")
+    )
+    return (
+        fit.crossJoin(mad)
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(ndw))
+        .select(
+            "n_days",
+            F.expr("CAST(floor(a * 1e3 + 0.5) AS BIGINT)").alias("intercept_millicents"),
+            F.expr("CAST(floor(b * 1e3 + 0.5) AS BIGINT)").alias(
+                "slope_millicents_per_day"
+            ),
+            F.expr("CAST(floor(mad * 1e3 + 0.5) AS BIGINT)").alias("mad_millicents"),
+            "n_downweighted",
+        )
+    )

@@ -492,3 +492,10 @@ def test_seasonal_decomposition_reconstructs(spark, sf_dir):
     seas = {r.weekday_idx: r.seasonal_cents for r in rows}
     n = len(seas)
     assert abs(sum(seas.values())) <= max(abs(v) for v in seas.values()) * n
+
+
+def test_huber_downweights_but_keeps_scale_positive(spark, sf_dir):
+    r = _rows(spark, sf_dir, "huber_robust_trend")[0]
+    assert r.n_days > 0
+    assert r.mad_millicents >= 0
+    assert 0 <= r.n_downweighted <= r.n_days

@@ -707,6 +707,8 @@ _SANCTIONED_NESTED_LOOP = {
     "bounded daily grid",
     "ljung_box_test": "1-row per-lag moment crossJoins over the "
     "calendar-bounded daily grid (7 bounded lag joins)",
+    "huber_robust_trend": "1-row fit/scale broadcasts per IRLS round "
+    "over the calendar-bounded daily grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
