@@ -4774,3 +4774,142 @@ def huber_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_downweighted",
         )
     )
+
+
+@register(
+    "overdispersion_index",
+    oracle="""
+    WITH pc AS (
+      SELECT event_type, user_id, count(*)::BIGINT AS k
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n_users,
+             sum(k)::BIGINT AS sk, sum(k * k)::BIGINT AS skk
+      FROM pc GROUP BY 1
+    )
+    SELECT event_type, n_users, sk AS n_events,
+           CAST(floor((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n_users)
+             / (n_users - 1.0) / (CAST(sk AS DOUBLE) / n_users) * 1e6 + 0.5)
+             AS BIGINT) AS dispersion_ppm,
+           CAST(floor((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n_users)
+             / (CAST(sk AS DOUBLE) / n_users) + 0.5) AS BIGINT) AS chi2_unit,
+           CAST(floor((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n_users)
+             / (n_users - 1.0) / (CAST(sk AS DOUBLE) / n_users) * 1e6 + 0.5)
+             AS BIGINT) > 1500000 AS overdispersed
+    FROM m
+    """,
+    doc="Poisson overdispersion index per event type: variance-to-mean "
+    "ratio of per-user event counts (=1 under Poisson arrivals; >1 means "
+    "clumpy users — the burstiness signal at the COUNT level, "
+    "complementing interarrival_burstiness at the timing level) plus the "
+    "dispersion chi-square. Decides Poisson vs negative-binomial "
+    "modeling and flags bot-like concentration. Exact BIGINT count "
+    "moments; the ratio is a shared formula frozen to ppm with a 1.5x "
+    "flag. Two hash aggregates; |event types| output rows.",
+)
+def overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pc = ev.groupBy("event_type", "user_id").agg(F.count("*").cast("bigint").alias("k"))
+    m = pc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.expr("k * k")).cast("bigint").alias("skk"),
+    )
+    disp = (
+        "CAST(floor((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n_users)"
+        " / (n_users - 1.0) / (CAST(sk AS DOUBLE) / n_users) * 1e6 + 0.5) AS BIGINT)"
+    )
+    return m.select(
+        "event_type",
+        "n_users",
+        F.col("sk").alias("n_events"),
+        F.expr(disp).alias("dispersion_ppm"),
+        F.expr(
+            "CAST(floor((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n_users)"
+            " / (CAST(sk AS DOUBLE) / n_users) + 0.5) AS BIGINT)"
+        ).alias("chi2_unit"),
+        (F.expr(disp) > 1500000).alias("overdispersed"),
+    )
+
+
+@register(
+    "column_entropy_profile",
+    oracle="""
+    WITH cols AS (
+      SELECT 'c_mktsegment' AS col, c_mktsegment AS v FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+      UNION ALL
+      SELECT 'balance_sign', CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+      FROM customer
+    ),
+    cell AS (SELECT col, v, count(*)::BIGINT AS c FROM cols GROUP BY 1, 2),
+    tot AS (SELECT col, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct
+            FROM cell GROUP BY col),
+    h AS (
+      SELECT cell.col,
+             sum(CAST(floor(-1e9 * (cell.c / CAST(tot.n AS DOUBLE))
+                 * ln(cell.c / CAST(tot.n AS DOUBLE)) + 0.5) AS BIGINT))::BIGINT
+               AS h_nano
+      FROM cell JOIN tot USING (col) GROUP BY cell.col
+    )
+    SELECT tot.col AS column_name, tot.n AS n_rows, tot.n_distinct, h.h_nano,
+           (1000000 * tot.n_distinct) // tot.n AS distinct_ratio_ppm
+    FROM tot JOIN h USING (col)
+    """,
+    doc="column-level entropy/cardinality profile (the data-profiling "
+    "pass beside null_profile_report): per column, distinct count, "
+    "Shannon entropy in nano-nats (per-value terms frozen — order-free "
+    "integer sums), and the distinct ratio — the signals that drive "
+    "encoding choices (dictionary vs raw), join-key viability, and "
+    "quasi-identifier risk screening. Columns unpivot into one value "
+    "stream so the profile is ONE aggregate pass regardless of column "
+    "count; value-cardinality-bounded output.",
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cols = (
+        cust.select(F.lit("c_mktsegment").alias("col"), F.col("c_mktsegment").alias("v"))
+        .unionByName(
+            cust.select(
+                F.lit("c_nationkey").alias("col"),
+                F.col("c_nationkey").cast("string").alias("v"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.lit("balance_sign").alias("col"),
+                F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("v"),
+            )
+        )
+    )
+    cell = cols.groupBy("col", "v").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cell.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    h = (
+        cell.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(-1e9 * (c / CAST(n AS DOUBLE)) "
+                    "* ln(c / CAST(n AS DOUBLE)) + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_nano")
+        )
+    )
+    return (
+        tot.join(h, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            F.col("n").alias("n_rows"),
+            "n_distinct",
+            "h_nano",
+            F.expr("(1000000 * n_distinct) div n").alias("distinct_ratio_ppm"),
+        )
+    )

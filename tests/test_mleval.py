@@ -499,3 +499,26 @@ def test_huber_downweights_but_keeps_scale_positive(spark, sf_dir):
     assert r.n_days > 0
     assert r.mad_millicents >= 0
     assert 0 <= r.n_downweighted <= r.n_days
+
+
+def test_overdispersion_rows_per_event_type(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "overdispersion_index")
+    assert len(rows) == 5
+    for r in rows:
+        assert r.dispersion_ppm >= 0
+        assert r.overdispersed == (r.dispersion_ppm > 1_500_000)
+
+
+def test_column_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = _rows(spark, sf_dir, "column_entropy_profile")
+    assert {r.column_name for r in rows} == {
+        "c_mktsegment",
+        "c_nationkey",
+        "balance_sign",
+    }
+    for r in rows:
+        # H <= ln(distinct), with per-cell rounding slack
+        assert r.h_nano <= math.log(r.n_distinct) * 1e9 + r.n_distinct
+        assert 0 < r.distinct_ratio_ppm <= 1_000_000
