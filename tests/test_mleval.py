@@ -522,3 +522,11 @@ def test_column_entropy_bounds(spark, sf_dir):
         # H <= ln(distinct), with per-cell rounding slack
         assert r.h_nano <= math.log(r.n_distinct) * 1e9 + r.n_distinct
         assert 0 < r.distinct_ratio_ppm <= 1_000_000
+
+
+def test_sinkhorn_mass_and_cost_sane(spark, sf_dir):
+    r = _rows(spark, sf_dir, "sinkhorn_distribution_distance")[0]
+    # scaling converges to a coupling carrying ~all marginal mass
+    assert abs(r.transported_mass_nano - 1_000_000_000) < 20_000_000
+    # cost per unit mass is bounded by the grid diameter (49 quantity units)
+    assert 0 <= r.transport_cost_nano <= 49 * r.transported_mass_nano

@@ -709,6 +709,9 @@ _SANCTIONED_NESTED_LOOP = {
     "calendar-bounded daily grid (7 bounded lag joins)",
     "huber_robust_trend": "1-row fit/scale broadcasts per IRLS round "
     "over the calendar-bounded daily grid",
+    "sinkhorn_distribution_distance": "50x50 grid-bounded kernel "
+    "crossJoin + 1-row marginal/cost aggregates (Sinkhorn scaling "
+    "rounds over the bounded grid)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
