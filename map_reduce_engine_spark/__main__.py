@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
     ca.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
     ca.add_argument("output_dir")
     ca.add_argument("--confounding-tol-ppm", type=int, default=2_000)
+    th = sub.add_parser(
+        "timeseries-health",
+        help="run the end-to-end time-series health example (Mann-Kendall "
+        "+ Huber trend + runs/Ljung-Box randomness + changepoint + "
+        "seasonal decomposition + Holt forecast, with an iid gate)",
+    )
+    th.add_argument("sf_dir", help="fixture dir containing events.parquet")
+    th.add_argument("output_dir")
+    th.add_argument("--max-changepoint-share-bp", type=int, default=5000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -166,6 +175,22 @@ def main(argv: list[str] | None = None) -> int:
         try:
             gate = run(
                 spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "timeseries-health":
+        from map_reduce_engine_spark.examples.timeseries_health_job import run
+
+        spark = get_spark(app_name="mre-timeseries-health")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                max_changepoint_share_bp=args.max_changepoint_share_bp,
             )
             gate.show(truncate=False)
         finally:

@@ -288,3 +288,27 @@ def test_causal_audit_job(spark, sf_dir, tmp_path):
     assert row.mediated_ppm == med.indirect_ppm
     # tol 0: flag reduces to "estimators differ at all"
     assert row.confounding_detected == (row.naive_diff_ppm != row.ate_strat_ppm)
+
+
+def test_timeseries_health_job(spark, sf_dir, tmp_path):
+    """The composed time-series health example writes every diagnostic
+    and the gate reconciles with them."""
+    from map_reduce_engine_spark.examples.timeseries_health_job import run
+
+    out = str(tmp_path / "tsh")
+    gate = run(spark, sf_dir, out, max_changepoint_share_bp=10_000)
+    row = gate.collect()[0]
+    mk = spark.read.parquet(f"{out}/mann_kendall").collect()[0]
+    assert row.mk_trend == mk.trend and row.mk_z == mk.z
+    cp = spark.read.parquet(f"{out}/changepoint").collect()[0]
+    assert row.cp_day == cp.break_after_day
+    expect_ok = (
+        row.mk_trend == "none"
+        and not row.runs_nonrandom
+        and not row.lb_autocorrelated
+        and row.cp_explained_share_bp <= 10_000
+    )
+    assert row.iid_assumption_ok == expect_ok
+    # an impossible changepoint bound must flip the gate when a break exists
+    strict = run(spark, sf_dir, str(tmp_path / "tsh2"), max_changepoint_share_bp=-1)
+    assert not strict.collect()[0].iid_assumption_ok
