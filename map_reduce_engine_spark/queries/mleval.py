@@ -1,12 +1,19 @@
-"""ML-evaluation and data-selection conformance queries.
+"""ML evaluation, in-engine training, causal inference, and advanced
+statistics — the round-4-continuous tier.
 
-The measurement layer a training-data pipeline runs AFTER the corpus-prep
-operators (dedup, quality scoring, classifiers) and BEFORE anything ships:
-ranking-quality metrics (average precision), inter-rater agreement
-(Cohen's kappa between the heuristic classifier and the labeled column),
-group-fairness audits (demographic parity / equalized odds by segment),
-calibration diagnostics (reliability bins + Brier score), and
-leave-one-group-out ablation (which source is dragging the corpus metric).
+Four sub-families, all sharing one discipline (exact integer freezing):
+- EVALUATION: average precision, gains/lift deciles, F1 threshold search,
+  Brier + isotonic calibration, Cohen's kappa, fairness + BH-FDR audits,
+  split-conformal intervals, CUPED variance reduction;
+- TRAINING / SELECTION: Newton logistic regression, ridge CV path,
+  boosted stumps, rank-1 ALS, k-center coresets, greedy max-coverage,
+  Markov stationary/attribution chains, Sinkhorn optimal transport,
+  IPF raking, grid DBSCAN, phonetic blocking, James-Stein shrinkage;
+- CAUSAL / SURVIVAL: stratified + IPW + RD + Oaxaca + mediation + QTE +
+  offline-policy replay, log-rank survival comparison;
+- TIME-SERIES / NONPARAMETRIC DIAGNOSTICS: Mann-Kendall, runs test,
+  Ljung-Box, changepoint location, seasonal decomposition, Holt
+  forecasting, Huber robust trends, median CIs, overdispersion.
 
 Cross-engine exactness strategy (same as the stats tier in
 ``queries/relational.py``): every metric is pushed to integer

@@ -67,12 +67,14 @@ SECTIONS = {
         "passes a corpus pipeline runs between cleaning and training.",
     ),
     "mleval": (
-        "ML evaluation + data selection (SURVEY §2 Part C)",
-        "The measurement layer over the pipeline's classifiers and corpora: average precision, "
-        "Cohen's kappa, fairness parity audits, BH-FDR multiple testing, Brier/isotonic "
-        "calibration, Mann-Kendall trend significance, leave-one-group-out ablation, "
-        "mutual-NN / hard-negative contrastive mining, greedy k-center coresets, and the "
-        "Markov stationary distribution — all frozen to exact integer units.",
+        "ML evaluation, in-engine training, causal inference + advanced stats (SURVEY §2 Part C)",
+        "The round-4-continuous tier: evaluation (AP, gains, F1 search, calibration, kappa, "
+        "fairness + BH-FDR, conformal, CUPED), in-engine training/selection (Newton logistic, "
+        "ridge CV, boosted stumps, rank-1 ALS, coresets, max-coverage, Markov chains, Sinkhorn "
+        "OT, IPF raking, grid DBSCAN, James-Stein), causal/survival (strata/IPW/RD/Oaxaca/"
+        "mediation/QTE/offline-policy, log-rank), and time-series diagnostics (Mann-Kendall, "
+        "runs, Ljung-Box, changepoint, seasonal decomposition, Holt, Huber) — all frozen to "
+        "exact integer units.",
     ),
 }
 
