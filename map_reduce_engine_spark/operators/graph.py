@@ -688,3 +688,69 @@ def personalized_pagerank(
             else:
                 ranks = new_ranks
     return ranks
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_iter: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(u, v, n_triangles) — the k-truss of an undirected edge list: the
+    maximal subgraph where every edge closes at least k-2 triangles
+    WITHIN the subgraph. Cohesion one level up from k-core (degree can
+    be faked by hubs; triangle support cannot) — the standard community
+    nucleus before clique-ish analysis.
+
+    Edges must be canonical (u < v). Each peel round enumerates
+    triangles once via the ordered 3-way equi-join (a<b<c, so each
+    triangle appears exactly once), explodes them to their three edges,
+    and drops edges below support k-2; peeling is monotone so a bounded
+    unrolling equals the fixpoint (the k_core argument). Support of the
+    SURVIVING subgraph is recomputed for the output. Loop discipline as
+    k_core: checkpointed rounds, early break at fixpoint.
+    """
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    prev_n = e.count()
+    spark = edges.sparkSession
+    conf = spark.conf
+    session_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        num_partitions = max(1, min(session_parts, prev_n // 200_000 + 1))
+
+    def support(ed: DataFrame) -> DataFrame:
+        e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+            )
+        )
+        sides = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        )
+        return sides.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+    with loop_conf(spark, num_partitions):
+        for _ in range(max_iter):
+            s = support(e)
+            e = (
+                e.join(s, ["u", "v"])
+                .where(F.col("n_triangles") >= k - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            n = e.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        out = e.join(support(e), ["u", "v"], "left").select(
+            "u", "v", F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles")
+        )
+    return out.localCheckpoint(eager=True)

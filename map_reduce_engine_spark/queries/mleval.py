@@ -5063,3 +5063,88 @@ def sinkhorn_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("mass_n").cast("bigint").alias("transported_mass_nano"),
     )
     return nab.crossJoin(agg)
+
+
+def _k_truss_oracle(k: int = 4, rounds: int = 5) -> str:
+    """Unrolled k-truss peel (the _k_core_oracle template one level up):
+    bounded MATERIALIZED rounds of triangle-support filtering; peeling is
+    monotone, so the fixed unrolling equals the Spark fixpoint."""
+    parts = [
+        """items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT u, v, count(*)::BIGINT AS n FROM (
+        SELECT a AS u, b AS v FROM t{r}
+        UNION ALL SELECT b, c FROM t{r}
+        UNION ALL SELECT a, c FROM t{r}
+      ) GROUP BY u, v
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e JOIN s{r} s ON s.u = e.u AND s.v = e.v
+      WHERE s.n >= {k - 2}
+    )"""
+        )
+        prev = f"e{r}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    tf AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sf AS (
+      SELECT u, v, count(*)::BIGINT AS n FROM (
+        SELECT a AS u, b AS v FROM tf
+        UNION ALL SELECT b, c FROM tf
+        UNION ALL SELECT a, c FROM tf
+      ) GROUP BY u, v
+    )
+    SELECT e.u, e.v, coalesce(sf.n, 0)::BIGINT AS n_triangles
+    FROM {prev} e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+    """
+
+
+@register(
+    "k_truss_parts",
+    oracle=_k_truss_oracle(k=4, rounds=5),
+    doc="4-truss of the co-purchase graph (same edges as k_core_parts): "
+    "every surviving edge closes >= 2 triangles WITHIN the survivors — "
+    "the cohesion level degree-based k-core cannot certify (hubs fake "
+    "degree; they cannot fake closed triangles). Each peel round is one "
+    "ordered 3-way equi-join triangle enumeration (a<b<c — each "
+    "triangle exactly once) + a 3-way edge explosion aggregate + a "
+    "support filter, bounded rounds with the monotone-peel fixpoint "
+    "argument (operators/graph.py::k_truss, k_core loop discipline). "
+    "Output: surviving edges with within-truss support.",
+)
+def k_truss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.graph import k_truss
+
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    return k_truss(edges, k=4, max_iter=5)

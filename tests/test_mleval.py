@@ -530,3 +530,22 @@ def test_sinkhorn_mass_and_cost_sane(spark, sf_dir):
     assert abs(r.transported_mass_nano - 1_000_000_000) < 20_000_000
     # cost per unit mass is bounded by the grid diameter (49 quantity units)
     assert 0 <= r.transport_cost_nano <= 49 * r.transported_mass_nano
+
+
+def test_k_truss_edges_meet_support_floor(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "k_truss_parts")
+    for r in rows:
+        assert r.u < r.v
+        assert r.n_triangles >= 2, "every truss edge must close >= k-2 triangles"
+
+
+def test_k_truss_invariants_on_synthetic_graph(spark):
+    """K5 survives a 4-truss intact; a pendant triangle chain does not."""
+    from map_reduce_engine_spark.operators.graph import k_truss
+
+    k5 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    chain = [(10, 11), (11, 12), (10, 12), (12, 13)]  # triangle + pendant edge
+    edges = spark.createDataFrame(k5 + chain, "u bigint, v bigint")
+    out = {(r.u, r.v): r.n_triangles for r in k_truss(edges, k=4, max_iter=5).collect()}
+    assert set(out) == set(k5), "only the K5 clique is 4-truss-cohesive"
+    assert all(n == 3 for n in out.values()), "each K5 edge closes exactly 3 triangles"
