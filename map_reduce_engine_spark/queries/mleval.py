@@ -5148,3 +5148,140 @@ def k_truss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return k_truss(edges, k=4, max_iter=5)
+
+
+# --- Bradley-Terry paired-comparison ranking ---------------------------------
+
+_BT_ROUNDS = 8
+# frozen MM pieces: per-pair denominator term and the raw update, both
+# single divisions over exact/frozen integers (identical text both engines)
+_BT_TERM = "CAST(floor(n_ij * 1e12 / (pi + pj) + 0.5) AS BIGINT)"
+_BT_RAW = "CAST(floor(w * 1e12 / d + 0.5) AS BIGINT)"
+
+
+def _bt_oracle() -> str:
+    ctes = [
+        "ob AS MATERIALIZED (SELECT l.l_orderkey AS ok, p.p_brand AS brand, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS cents "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2)",
+        "duels AS MATERIALIZED (SELECT a.brand AS wi, b.brand AS lo "
+        "FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand "
+        "AND a.cents > b.cents)",
+        "pairs AS MATERIALIZED (SELECT wi AS i, lo AS j, count(*)::BIGINT AS w "
+        "FROM duels GROUP BY 1, 2)",
+        "nsym AS MATERIALIZED (SELECT p1.i, p1.j, "
+        "p1.w + coalesce(p2.w, 0) AS n_ij FROM pairs p1 "
+        "LEFT JOIN pairs p2 ON p2.i = p1.j AND p2.j = p1.i)",
+        "wins AS MATERIALIZED (SELECT i AS brand, sum(w)::BIGINT AS w FROM pairs GROUP BY i)",
+        "b0 AS MATERIALIZED (SELECT brand, 40000::BIGINT AS p FROM wins)",
+    ]
+    prev = "b0"
+    for r in range(1, _BT_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT n.i AS brand, "
+            f"sum({_BT_TERM})::BIGINT AS d FROM nsym n "
+            f"JOIN {prev} x ON x.brand = n.i "
+            f"JOIN {prev} y ON y.brand = n.j, "
+            f"LATERAL (SELECT x.p AS pi, y.p AS pj) GROUP BY n.i)"
+        )
+        ctes.append(
+            f"r{r} AS MATERIALIZED (SELECT w.brand, {_BT_RAW} AS praw "
+            f"FROM wins w JOIN d{r} USING (brand))"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT brand, "
+            f"(1000000 * praw) // (SELECT sum(praw) FROM r{r}) AS p FROM r{r})"
+        )
+        prev = f"b{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    games AS (
+      SELECT brand, sum(n_ij)::BIGINT AS games
+      FROM (SELECT i AS brand, n_ij FROM nsym) GROUP BY brand
+    )
+    SELECT f.brand, w.w AS wins, g.games, f.p AS strength_ppm,
+           row_number() OVER (ORDER BY f.p DESC, f.brand)::BIGINT AS rank
+    FROM {prev} f JOIN wins w ON w.brand = f.brand JOIN games g ON g.brand = f.brand"""
+    )
+
+
+@register(
+    "bradley_terry_preferences",
+    oracle=_bt_oracle(),
+    doc="Bradley-Terry preference-strength estimation over brand 'duels' "
+    "(within each order, the brand with the larger line-revenue beats "
+    "the other) via 8 minorize-maximize rounds — THE paired-comparison "
+    "model behind chess ratings and LLM reward modeling / preference "
+    "ranking, here trained entirely in-engine. Per-pair MM denominators "
+    "and raw updates freeze to integers (single divisions over frozen "
+    "ppm strengths — no order-dependent float sums), strengths "
+    "renormalize to exact ppm each round. The duel extraction is one "
+    "within-order self-join; everything after is (brands^2)-bounded. "
+    "Output: per-brand wins, games, converged strength, rank.",
+)
+def bradley_terry_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") != F.col("b.brand"))
+            & (F.col("a.cents") > F.col("b.cents")),
+        )
+        .groupBy(F.col("a.brand").alias("i"), F.col("b.brand").alias("j"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    p2 = pairs.select(F.col("i").alias("j"), F.col("j").alias("i"), F.col("w").alias("w2"))
+    nsym = (
+        pairs.join(p2, ["i", "j"], "left")
+        .select("i", "j", (F.col("w") + F.coalesce("w2", F.lit(0))).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    wins = pairs.groupBy(F.col("i").alias("brand")).agg(F.sum("w").cast("bigint").alias("w"))
+    p = wins.select("brand", F.lit(40000).cast("bigint").alias("p"))
+    for _ in range(_BT_ROUNDS):
+        x = p.select(F.col("brand").alias("i"), F.col("p").alias("pi"))
+        y = p.select(F.col("brand").alias("j"), F.col("p").alias("pj"))
+        d = (
+            nsym.join(x, "i")
+            .join(y, "j")
+            .groupBy(F.col("i").alias("brand"))
+            .agg(F.sum(F.expr(_BT_TERM)).cast("bigint").alias("d"))
+        )
+        raw = wins.join(d, "brand").select("brand", F.expr(_BT_RAW).alias("praw"))
+        tot = raw.agg(F.sum("praw").cast("bigint").alias("tp"))
+        p = (
+            raw.crossJoin(F.broadcast(tot))
+            .select("brand", F.expr("(1000000 * praw) div tp").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    games = nsym.groupBy(F.col("i").alias("brand")).agg(
+        F.sum("n_ij").cast("bigint").alias("games")
+    )
+    wr = Window.orderBy(F.desc("p"), "brand")
+    return (
+        p.join(wins, "brand")
+        .join(games, "brand")
+        .select(
+            "brand",
+            F.col("w").alias("wins"),
+            "games",
+            F.col("p").alias("strength_ppm"),
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+    )

@@ -549,3 +549,13 @@ def test_k_truss_invariants_on_synthetic_graph(spark):
     out = {(r.u, r.v): r.n_triangles for r in k_truss(edges, k=4, max_iter=5).collect()}
     assert set(out) == set(k5), "only the K5 clique is 4-truss-cohesive"
     assert all(n == 3 for n in out.values()), "each K5 edge closes exactly 3 triangles"
+
+
+def test_bradley_terry_strengths_normalize_and_rank(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "bradley_terry_preferences"), key=lambda r: r.rank)
+    total = sum(r.strength_ppm for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)  # integer-div remainder only
+    strengths = [r.strength_ppm for r in rows]
+    assert strengths == sorted(strengths, reverse=True)
+    for r in rows:
+        assert 0 <= r.wins <= r.games

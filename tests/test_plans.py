@@ -712,6 +712,8 @@ _SANCTIONED_NESTED_LOOP = {
     "sinkhorn_distribution_distance": "50x50 grid-bounded kernel "
     "crossJoin + 1-row marginal/cost aggregates (Sinkhorn scaling "
     "rounds over the bounded grid)",
+    "bradley_terry_preferences": "1-row normalizer broadcast per MM "
+    "round over the |brands|^2-bounded duel grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
