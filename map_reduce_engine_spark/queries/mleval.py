@@ -5285,3 +5285,219 @@ def bradley_terry_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("bigint").alias("rank"),
         )
     )
+
+
+@register(
+    "restricted_mean_survival",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT date_diff('day', first_day, last_day) AS dur,
+             (last_day >= DATE '2024-01-28') AS censored
+      FROM u
+    ),
+    per_dur AS (
+      SELECT dur, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_churned
+      FROM d GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, n_churned,
+             CAST(sum(n_users) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_at_risk
+      FROM per_dur
+    ),
+    steps AS (
+      SELECT dur,
+             CAST(round(1000000000.0 *
+                  (ln((n_at_risk - n_churned)::DOUBLE) - ln(n_at_risk::DOUBLE)))
+                  AS BIGINT) AS lnterm_nano
+      FROM risk WHERE n_churned > 0
+    ),
+    surv AS (
+      SELECT dur,
+             round(exp(CAST(sum(lnterm_nano) OVER (ORDER BY dur
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)::DOUBLE / 1000000000.0), 4) AS s
+      FROM steps
+    ),
+    seg AS (
+      SELECT dur, s,
+             coalesce(lead(dur) OVER (ORDER BY dur), 29) AS next_dur
+      FROM surv WHERE dur < 29
+    ),
+    first_t AS (SELECT coalesce(min(dur), 29) AS t0 FROM seg)
+    SELECT 29::BIGINT AS horizon_days,
+           (SELECT count(*) FROM d)::BIGINT AS n_users,
+           CAST(f.t0 * 1000 + coalesce(sum(CAST(floor(seg.s * (seg.next_dur - seg.dur)
+             * 1e3 + 0.5) AS BIGINT)), 0) AS BIGINT) AS rmst_millidays
+    FROM first_t f LEFT JOIN seg ON TRUE
+    GROUP BY f.t0
+    """,
+    doc="restricted mean survival time (RMST) to a 29-day horizon off the "
+    "Kaplan-Meier curve (same duration/censoring definitions as "
+    "kaplan_meier_retention): the area under the survival step function "
+    "— 'average days retained per user within the window', the "
+    "clinically standard effect-size summary that stays defined under "
+    "heavy censoring where median survival is not. Segment areas use "
+    "the round-4 frozen survival values times exact day widths, frozen "
+    "to milli-days (order-free integer sums). Calendar-bounded "
+    "duration-grid arithmetic after one per-user aggregate.",
+)
+def restricted_mean_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    d = u.select(
+        F.datediff("last_day", "first_day").alias("dur"),
+        (F.col("last_day") >= F.lit("2024-01-28").cast("date")).alias("censored"),
+    )
+    per = d.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("bigint").alias("n_churned"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = per.select(
+        "dur", "n_churned", F.sum("n_users").over(wdesc).cast("bigint").alias("n_at_risk")
+    )
+    steps = risk.where(F.col("n_churned") > 0).select(
+        "dur",
+        F.round(
+            F.lit(1000000000.0)
+            * (
+                F.log((F.col("n_at_risk") - F.col("n_churned")).cast("double"))
+                - F.log(F.col("n_at_risk").cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("lnterm_nano"),
+    )
+    wasc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    surv = steps.select(
+        "dur",
+        F.round(
+            F.exp(F.sum("lnterm_nano").over(wasc).cast("bigint").cast("double") / 1e9), 4
+        ).alias("s"),
+    )
+    seg = surv.where(F.col("dur") < 29).select(
+        "dur",
+        "s",
+        F.coalesce(F.lead("dur").over(Window.orderBy("dur")), F.lit(29)).alias(
+            "next_dur"
+        ),
+    )
+    first_t = seg.agg(F.coalesce(F.min("dur"), F.lit(29)).alias("t0"))
+    nu = d.agg(F.count("*").cast("bigint").alias("n_users"))
+    area = seg.agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(floor(s * (next_dur - dur) * 1e3 + 0.5) AS BIGINT)")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tail_milli")
+    )
+    return (
+        first_t.crossJoin(nu)
+        .crossJoin(area)
+        .select(
+            F.lit(29).cast("bigint").alias("horizon_days"),
+            "n_users",
+            (F.col("t0") * 1000 + F.col("tail_milli")).cast("bigint").alias(
+                "rmst_millidays"
+            ),
+        )
+    )
+
+
+@register(
+    "distribution_fit_mom",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(round(o_totalprice) AS BIGINT) AS cd,
+             CAST(floor(ln(o_totalprice * 100) * 1e6 + 0.5) AS BIGINT) AS lc
+      FROM orders WHERE o_totalprice > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(cd) AS DOUBLE) AS s,
+             CAST(sum(cd * cd) AS DOUBLE) AS ss, CAST(sum(lc) AS DOUBLE) AS sl,
+             CAST(sum(lc * lc) AS DOUBLE) AS sll
+      FROM v
+    ),
+    emp AS (
+      SELECT c AS med FROM (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS nn
+        FROM v
+      ) WHERE rn = (5000 * (nn - 1)) // 10000 + 1
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_rows,
+           CAST(floor(m.sl / m.n + 0.5) AS BIGINT) AS lognormal_mu_micro,
+           CAST(floor((m.sll / 1e6 - m.sl / 1e6 * m.sl / m.n) / m.n * 1e6 + 0.5)
+             AS BIGINT) AS lognormal_sigma2_micro,
+           CAST(floor(exp((m.sl / m.n) / 1e6) + 0.5) AS BIGINT)
+             AS lognormal_median_cents,
+           CAST(floor((m.s / m.n) * (m.s / m.n)
+             / ((m.ss - m.s * m.s / m.n) / m.n) * 1e6 + 0.5) AS BIGINT)
+             AS gamma_shape_micro,
+           CAST(floor(((m.ss - m.s * m.s / m.n) / m.n) / (m.s / m.n) + 0.5) AS BIGINT)
+             AS gamma_scale_dollars,
+           emp.med AS empirical_median_cents
+    FROM m, emp
+    """,
+    doc="parametric distribution fitting by method of moments: lognormal "
+    "(mu/sigma^2 of per-row micro-frozen logs — one ln per row, order-"
+    "free integer moment sums — with the implied exp(mu) median) and "
+    "gamma (shape = mean^2/var, scale = var/mean from exact whole-dollar "
+    "moments) fits of order totals, beside the exact empirical median — "
+    "comparing the implied vs empirical median is the quickest 'which "
+    "family fits' read before simulating revenue or setting SLA "
+    "envelopes. One corpus pass + one ranked pick.",
+)
+def distribution_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("cd"),
+        F.expr(
+            "CAST(floor(ln(o_totalprice * 100) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lc"),
+    )
+    m = v.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("cd").cast("double").alias("s"),
+        F.sum(F.expr("cd * cd")).cast("double").alias("ss"),
+        F.sum("lc").cast("double").alias("sl"),
+        F.sum(F.expr("lc * lc")).cast("double").alias("sll"),
+    )
+    ranked = v.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nn"),
+    )
+    emp = ranked.where(F.expr("rn = (5000 * (nn - 1)) div 10000 + 1")).select(
+        F.col("c").alias("med")
+    )
+    return m.crossJoin(F.broadcast(emp)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("CAST(floor(sl / n + 0.5) AS BIGINT)").alias("lognormal_mu_micro"),
+        F.expr(
+            "CAST(floor((sll / 1e6 - sl / 1e6 * sl / n) / n * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lognormal_sigma2_micro"),
+        F.expr("CAST(floor(exp((sl / n) / 1e6) + 0.5) AS BIGINT)").alias(
+            "lognormal_median_cents"
+        ),
+        F.expr(
+            "CAST(floor((s / n) * (s / n) / ((ss - s * s / n) / n) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("gamma_shape_micro"),
+        F.expr(
+            "CAST(floor(((ss - s * s / n) / n) / (s / n) + 0.5) AS BIGINT)"
+        ).alias("gamma_scale_dollars"),
+        F.col("med").alias("empirical_median_cents"),
+    )

@@ -559,3 +559,17 @@ def test_bradley_terry_strengths_normalize_and_rank(spark, sf_dir):
     assert strengths == sorted(strengths, reverse=True)
     for r in rows:
         assert 0 <= r.wins <= r.games
+
+
+def test_rmst_bounded_by_horizon(spark, sf_dir):
+    r = _rows(spark, sf_dir, "restricted_mean_survival")[0]
+    assert 0 <= r.rmst_millidays <= r.horizon_days * 1000
+    assert r.n_users > 0
+
+
+def test_distribution_fits_are_positive_and_comparable(spark, sf_dir):
+    r = _rows(spark, sf_dir, "distribution_fit_mom")[0]
+    assert r.gamma_shape_micro > 0 and r.gamma_scale_dollars > 0
+    assert r.lognormal_sigma2_micro > 0
+    # implied lognormal median lands within an order of magnitude of empirical
+    assert r.empirical_median_cents / 10 <= r.lognormal_median_cents <= r.empirical_median_cents * 10

@@ -714,6 +714,10 @@ _SANCTIONED_NESTED_LOOP = {
     "rounds over the bounded grid)",
     "bradley_terry_preferences": "1-row normalizer broadcast per MM "
     "round over the |brands|^2-bounded duel grid",
+    "restricted_mean_survival": "1-row area/count crossJoins over the "
+    "calendar-bounded KM step table",
+    "distribution_fit_mom": "1-row empirical-median broadcast into the "
+    "1-row moment aggregate",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
