@@ -5501,3 +5501,115 @@ def distribution_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gamma_scale_dollars"),
         F.col("med").alias("empirical_median_cents"),
     )
+
+
+# tau-b over exact pair counts (shared text): C, D concordance, tie-adjusted
+_TAUB = (
+    "((cc - dd) / sqrt((CAST(n0 AS DOUBLE) - t1) * (CAST(n0 AS DOUBLE) - t2)))"
+)
+
+
+@register(
+    "kendall_tau_b",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN a.n * b.n ELSE 0 END)
+               ::BIGINT AS cc,
+             sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN a.n * b.n ELSE 0 END)
+               ::BIGINT AS dd
+      FROM g a JOIN g b
+        ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ),
+    tx AS (
+      SELECT sum(s * (s - 1) / 2)::BIGINT AS t1
+      FROM (SELECT sum(n)::BIGINT AS s FROM g GROUP BY x)
+    ),
+    ty AS (
+      SELECT sum(s * (s - 1) / 2)::BIGINT AS t2
+      FROM (SELECT sum(n)::BIGINT AS s FROM g GROUP BY y)
+    ),
+    tot AS (
+      SELECT sum(n)::BIGINT AS nn, sum(n) * (sum(n) - 1) / 2 AS n0 FROM g
+    )
+    SELECT tot.nn AS n_rows, p.cc AS concordant, p.dd AS discordant,
+           tx.t1 AS ties_x, ty.t2 AS ties_y,
+           CAST(floor({_TAUB} * 1e6 + 0.5) AS BIGINT) AS tau_b_ppm,
+           round({_TAUB} * sqrt(9.0 * tot.nn * (tot.nn - 1.0)
+             / (2.0 * (2.0 * tot.nn + 5.0))), 4) AS z
+    FROM pairs p, tx, ty, tot
+    """,
+    doc="Kendall tau-b rank correlation between quantity and discount: "
+    "concordant/discordant pair counts computed EXACTLY from the "
+    "bounded 50x11 grid (cell-pair products — never row pairs; the "
+    "grid join is 550^2-bounded at any corpus size) with the standard "
+    "tie corrections in the denominator, plus the normal-approximation "
+    "z. Completes the correlation family (Pearson moments, Spearman "
+    "ranks, now Kendall pairs) — tau is the one that transforms "
+    "monotonically-invariantly AND handles heavy ties honestly. All "
+    "counts exact BIGINTs; tau/z are shared formula text, ppm/round-4 "
+    "frozen.",
+)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.x") < F.col("b.x"))
+        | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y")) > 0,
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cc"),
+        F.sum(
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y")) < 0,
+                F.col("a.n") * F.col("b.n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dd"),
+    )
+    tx = (
+        g.groupBy("x")
+        .agg(F.sum("n").cast("bigint").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) / 2")).cast("bigint").alias("t1"))
+    )
+    ty = (
+        g.groupBy("y")
+        .agg(F.sum("n").cast("bigint").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) / 2")).cast("bigint").alias("t2"))
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.expr("sum(n) * (sum(n) - 1) div 2").alias("n0"),
+    )
+    out = pairs.crossJoin(tx).crossJoin(ty).crossJoin(tot)
+    return out.select(
+        F.col("nn").alias("n_rows"),
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("t1").alias("ties_x"),
+        F.col("t2").alias("ties_y"),
+        F.expr(f"CAST(floor({_TAUB} * 1e6 + 0.5) AS BIGINT)").alias("tau_b_ppm"),
+        F.round(
+            F.expr(
+                f"{_TAUB} * sqrt(9.0 * nn * (nn - 1.0) / (2.0 * (2.0 * nn + 5.0)))"
+            ),
+            4,
+        ).alias("z"),
+    )

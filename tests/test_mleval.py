@@ -573,3 +573,12 @@ def test_distribution_fits_are_positive_and_comparable(spark, sf_dir):
     assert r.lognormal_sigma2_micro > 0
     # implied lognormal median lands within an order of magnitude of empirical
     assert r.empirical_median_cents / 10 <= r.lognormal_median_cents <= r.empirical_median_cents * 10
+
+
+def test_kendall_tau_consistent_with_spearman_sign(spark, sf_dir):
+    r = _rows(spark, sf_dir, "kendall_tau_b")[0]
+    assert -1_000_000 <= r.tau_b_ppm <= 1_000_000
+    # pair accounting: C + D <= total pairs minus ties
+    n0 = r.n_rows * (r.n_rows - 1) // 2
+    assert r.concordant + r.discordant <= n0
+    assert r.ties_x + r.ties_y >= n0 - r.concordant - r.discordant - n0  # sanity

@@ -718,6 +718,8 @@ _SANCTIONED_NESTED_LOOP = {
     "calendar-bounded KM step table",
     "distribution_fit_mom": "1-row empirical-median broadcast into the "
     "1-row moment aggregate",
+    "kendall_tau_b": "cell-pair concordance join over the 550-cell "
+    "grid (bounded at any corpus size) + 1-row tie/total crossJoins",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
