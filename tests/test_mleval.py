@@ -581,4 +581,6 @@ def test_kendall_tau_consistent_with_spearman_sign(spark, sf_dir):
     # pair accounting: C + D <= total pairs minus ties
     n0 = r.n_rows * (r.n_rows - 1) // 2
     assert r.concordant + r.discordant <= n0
-    assert r.ties_x + r.ties_y >= n0 - r.concordant - r.discordant - n0  # sanity
+    # non-concordant-non-discordant pairs are tied in x or y
+    # (inclusion-exclusion: their count is at most t1 + t2)
+    assert n0 - r.concordant - r.discordant <= r.ties_x + r.ties_y
