@@ -5613,3 +5613,78 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    cls AS (SELECT c_nationkey, sum(c)::BIGINT AS nc FROM cell GROUP BY 1),
+    gm AS (SELECT c_mktsegment, sum(c)::BIGINT AS g FROM cell GROUP BY 1),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM cell),
+    grid AS (
+      SELECT cls.c_nationkey, gm.c_mktsegment, cls.nc, gm.g, tot.n,
+             coalesce(cell.c, 0)::BIGINT AS c
+      FROM cls CROSS JOIN gm
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.c_mktsegment = gm.c_mktsegment, tot
+    ),
+    tv AS (
+      SELECT c_nationkey, any_value(nc) AS n_rows,
+             sum(abs((1000000 * c) // nc - (1000000 * g) // n))::BIGINT // 2
+               AS t_ppm
+      FROM grid GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_rows::BIGINT AS n_rows, t_ppm,
+           t_ppm <= 200000 AS meets_t02
+    FROM tv
+    """,
+    doc="t-closeness audit completing the privacy trio (k-anonymity: "
+    "classes big enough; l-diversity: values varied enough; "
+    "t-closeness: values distributed LIKE THE POPULATION — a class can "
+    "pass both k and l while still leaking that its members are, say, "
+    "90% one segment): per quasi-identifier class, the total-variation "
+    "distance between the class's sensitive-attribute distribution and "
+    "the global one, in exact ppm (per-value shares frozen by integer "
+    "div before the absolute differences, so both engines subtract "
+    "identical integers), flagged against t = 0.2. One aggregate to the "
+    "(classes x values) grid; class-bounded arithmetic after.",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cell = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cls = cell.groupBy("c_nationkey").agg(F.sum("c").cast("bigint").alias("nc"))
+    glob = cell.groupBy("c_mktsegment").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cell, ["c_nationkey", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "nc",
+            "g",
+            "n",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tv = grid.groupBy("c_nationkey").agg(
+        F.any_value("nc").alias("n_rows"),
+        F.expr(
+            "sum(abs((1000000 * c) div nc - (1000000 * g) div n)) div 2"
+        )
+        .cast("bigint")
+        .alias("t_ppm"),
+    )
+    return tv.select(
+        "c_nationkey",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "t_ppm",
+        (F.col("t_ppm") <= 200000).alias("meets_t02"),
+    )

@@ -584,3 +584,11 @@ def test_kendall_tau_consistent_with_spearman_sign(spark, sf_dir):
     # non-concordant-non-discordant pairs are tied in x or y
     # (inclusion-exclusion: their count is at most t1 + t2)
     assert n0 - r.concordant - r.discordant <= r.ties_x + r.ties_y
+
+
+def test_t_closeness_is_a_tv_distance(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "t_closeness_audit")
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 <= r.t_ppm <= 1_000_000
+        assert r.meets_t02 == (r.t_ppm <= 200_000)

@@ -720,6 +720,8 @@ _SANCTIONED_NESTED_LOOP = {
     "1-row moment aggregate",
     "kendall_tau_b": "cell-pair concordance join over the 550-cell "
     "grid (bounded at any corpus size) + 1-row tie/total crossJoins",
+    "t_closeness_audit": "classes x values grid crossJoin (both sides "
+    "value-cardinality-bounded) + 1-row total broadcast",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
