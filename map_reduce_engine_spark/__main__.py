@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None) -> int:
     th.add_argument("sf_dir", help="fixture dir containing events.parquet")
     th.add_argument("output_dir")
     th.add_argument("--max-changepoint-share-bp", type=int, default=5000)
+    pa = sub.add_parser(
+        "privacy-audit",
+        help="run the end-to-end privacy release audit (k-anonymity + "
+        "l-diversity + t-closeness ladder + DP release counts, with a "
+        "release gate)",
+    )
+    pa.add_argument("sf_dir", help="fixture dir containing customer.parquet")
+    pa.add_argument("output_dir")
+    pa.add_argument("--max-at-risk-share", type=float, default=0.05)
+    pa.add_argument("--min-l", type=int, default=3)
+    pa.add_argument("--max-t-ppm", type=int, default=300_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -175,6 +186,24 @@ def main(argv: list[str] | None = None) -> int:
         try:
             gate = run(
                 spark, args.sf_dir, args.output_dir, min_hitrate_ppm=args.min_hitrate_ppm
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "privacy-audit":
+        from map_reduce_engine_spark.examples.privacy_audit_job import run
+
+        spark = get_spark(app_name="mre-privacy-audit")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                max_at_risk_share=args.max_at_risk_share,
+                min_l=args.min_l,
+                max_t_ppm=args.max_t_ppm,
             )
             gate.show(truncate=False)
         finally:

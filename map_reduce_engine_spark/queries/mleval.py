@@ -5688,3 +5688,67 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_ppm",
         (F.col("t_ppm") <= 200000).alias("meets_t02"),
     )
+
+
+@register(
+    "species_richness_chao1",
+    oracle=r"""
+    WITH sh AS (
+      SELECT token, count(*)::BIGINT AS f FROM (
+        SELECT unnest(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+               ELSE list_transform(range(1, len(l) - 1),
+                    i -> array_to_string(l[i:i+2], ' ')) END) AS token
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS l
+              FROM documents WHERE trim(text) <> '')
+      ) GROUP BY token
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS v, sum(f)::BIGINT AS n,
+             sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+      FROM sh
+    )
+    SELECT n AS n_tokens, v AS v_observed, n1 AS n_singletons, n2 AS n_doubletons,
+           v + CASE WHEN n2 > 0 THEN (n1 * n1) // (2 * n2)
+                    ELSE n1 * (n1 - 1) // 2 END AS chao1_richness,
+           (1000000 * n1) // n AS unseen_mass_ppm,
+           1000000 - (1000000 * n1) // n AS coverage_ppm
+    FROM m
+    """,
+    doc="vocabulary richness and coverage estimation over the 3-gram "
+    "shingle 'species': Chao1 lower-bound richness V + n1^2/(2*n2) "
+    "(bias-corrected form when no doubletons) estimates how many "
+    "shingle types the corpus has NOT yet seen, and the Good-Turing "
+    "unseen-mass n1/N gives the probability the next sample is novel — "
+    "THE 'is more data still adding new content' signals for corpus "
+    "curation, complementing heaps_law_fit's growth-curve view with "
+    "closed-form estimates. All exact BIGINT frequency-of-frequency "
+    "arithmetic; one shingle aggregate + one 4-counter rollup.",
+)
+def species_richness_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import shingles_col
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sh = (
+        docs.select(F.explode(shingles_col("text", 3)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    m = sh.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("f").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    return m.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("v_observed"),
+        F.col("n1").alias("n_singletons"),
+        F.col("n2").alias("n_doubletons"),
+        F.expr(
+            "v + CASE WHEN n2 > 0 THEN (n1 * n1) div (2 * n2) "
+            "ELSE n1 * (n1 - 1) div 2 END"
+        ).alias("chao1_richness"),
+        F.expr("(1000000 * n1) div n").alias("unseen_mass_ppm"),
+        F.expr("1000000 - (1000000 * n1) div n").alias("coverage_ppm"),
+    )

@@ -312,3 +312,21 @@ def test_timeseries_health_job(spark, sf_dir, tmp_path):
     # an impossible changepoint bound must flip the gate when a break exists
     strict = run(spark, sf_dir, str(tmp_path / "tsh2"), max_changepoint_share_bp=-1)
     assert not strict.collect()[0].iid_assumption_ok
+
+
+def test_privacy_audit_job(spark, sf_dir, tmp_path):
+    """The composed privacy audit writes all three ladder levels and the
+    gate reconciles with them."""
+    from map_reduce_engine_spark.examples.privacy_audit_job import run
+
+    out = str(tmp_path / "priv")
+    gate = run(spark, sf_dir, out, max_at_risk_share=1.0, min_l=1, max_t_ppm=1_000_000)
+    row = gate.collect()[0]
+    assert row.release_ok  # fully permissive thresholds always pass
+    ldiv = spark.read.parquet(f"{out}/l_diversity").collect()
+    assert row.min_distinct_l == min(r.distinct_l for r in ldiv)
+    tc = spark.read.parquet(f"{out}/t_closeness").collect()
+    assert row.worst_t_ppm == max(r.t_ppm for r in tc)
+    # impossible closeness bound must flip the gate
+    strict = run(spark, sf_dir, str(tmp_path / "priv2"), max_t_ppm=-1)
+    assert not strict.collect()[0].release_ok

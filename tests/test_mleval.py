@@ -592,3 +592,10 @@ def test_t_closeness_is_a_tv_distance(spark, sf_dir):
     for r in rows:
         assert 0 <= r.t_ppm <= 1_000_000
         assert r.meets_t02 == (r.t_ppm <= 200_000)
+
+
+def test_chao1_bounds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "species_richness_chao1")[0]
+    assert r.chao1_richness >= r.v_observed
+    assert r.n_singletons + 2 * r.n_doubletons <= r.n_tokens
+    assert r.unseen_mass_ppm + r.coverage_ppm == 1_000_000
