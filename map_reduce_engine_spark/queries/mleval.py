@@ -5752,3 +5752,65 @@ def species_richness_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n1) div n").alias("unseen_mass_ppm"),
         F.expr("1000000 - (1000000 * n1) div n").alias("coverage_ppm"),
     )
+
+
+@register(
+    "streaming_cusum_monitor",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pre AS (
+      SELECT user_id, rn,
+             sum(c - 25000 - 5000) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS su,
+             sum(25000 - c - 5000) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS sd,
+             max(rn) OVER (PARTITION BY user_id)::BIGINT AS n
+      FROM p
+    ),
+    fin AS (
+      SELECT user_id, n,
+             max(CASE WHEN rn = n THEN su END)
+               - least(0, min(least(0, su)) )::BIGINT AS _x,
+             max(CASE WHEN rn = n THEN su END)::BIGINT AS su_n,
+             min(least(su, 0))::BIGINT AS su_min,
+             max(CASE WHEN rn = n THEN sd END)::BIGINT AS sd_n,
+             min(least(sd, 0))::BIGINT AS sd_min
+      FROM pre GROUP BY user_id, n
+    )
+    SELECT user_id,
+           su_n - least(su_min, 0) AS s_plus_cents,
+           sd_n - least(sd_min, 0) AS s_minus_cents,
+           n AS n_purchases
+    FROM fin
+    """,
+    doc="streaming per-user CUSUM drift monitor (applyInPandasWithState, "
+    "O(1) integer state per key — value_drift_cusum's streaming "
+    "sibling): two-sided cumulative-sum statistics over purchase cents "
+    "against a fixed target, exact integer recursion with "
+    "deterministic within-batch ordering. The oracle exploits the CUSUM "
+    "closed form s+_n = S_n - min(0, min prefix S) — the clamped "
+    "recursion equals plain prefix-sum window arithmetic, so a drained "
+    "stream hash-matches exact batch integers. At 100 TB the state "
+    "store holds 3 BIGINTs per active user.",
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        streaming_cusum_monitor as op,
+    )
+
+    name = "mre_stream_cusum"
+    run_to_memory(op(events_stream(spark, sf_dir)), name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_purchases"))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "s_plus_cents", "s_minus_cents", "n_purchases")
+    )

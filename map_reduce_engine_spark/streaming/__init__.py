@@ -24,10 +24,12 @@ from map_reduce_engine_spark.streaming.windows import (
     user_stats_batch_twin,
     chained_window_rollup,
     windowed_value_sketch,
+    streaming_cusum_monitor,
 )
 
 __all__ = [
     "ntz_of_instant",
+    "streaming_cusum_monitor",
     "windowed_value_sketch",
     "chained_window_rollup",
     "user_stats_batch_twin",

@@ -494,3 +494,72 @@ def windowed_value_sketch(
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(F.col("w.start").alias("window_start"), "d", "sub", "n")
     )
+
+
+_CUSUM_TARGET_CENTS = 25000
+_CUSUM_SLACK_CENTS = 5000
+_CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("s_plus_cents", T.LongType()),
+        T.StructField("s_minus_cents", T.LongType()),
+        T.StructField("n_purchases", T.LongType()),
+    ]
+)
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.LongType()),
+        T.StructField("sm", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _cusum_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user two-sided CUSUM drift monitor over purchase cents.
+
+    Exact integer recursion s+ = max(0, s+ + (x - target - k)),
+    s- = max(0, s- + (target - x - k)); rows are sorted by (ts, event_id)
+    inside the batch so the state trajectory is deterministic regardless
+    of shuffle order."""
+    sp, sm, n = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for c in pdf["cents"].astype("int64"):
+            sp = max(0, sp + (int(c) - _CUSUM_TARGET_CENTS - _CUSUM_SLACK_CENTS))
+            sm = max(0, sm + (_CUSUM_TARGET_CENTS - int(c) - _CUSUM_SLACK_CENTS))
+            n += 1
+    state.update((sp, sm, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "s_plus_cents": [sp],
+            "s_minus_cents": [sm],
+            "n_purchases": [n],
+        }
+    )
+
+
+def streaming_cusum_monitor(stream: DataFrame) -> DataFrame:
+    """Per-user streaming CUSUM drift state via applyInPandasWithState —
+    the change-detection monitor (value_drift_cusum's streaming sibling)
+    with O(1) integer state per key."""
+    return (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_fn,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

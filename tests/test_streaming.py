@@ -587,3 +587,44 @@ def test_chained_stateful_aggregations_share_watermark(spark, sf_dir):
     got = {tuple(r) for r in spark.table("t_chain").collect()}
     want = {tuple(r) for r in l2.collect()}
     assert got == want and got
+
+
+def test_streaming_cusum_matches_exact_recursion(spark, sf_dir):
+    """The drained CUSUM state must equal the exact integer recursion
+    replayed in Python over the batch rows in (ts, event_id) order."""
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.streaming import streaming_cusum_monitor
+    from map_reduce_engine_spark.streaming.windows import (
+        _CUSUM_SLACK_CENTS,
+        _CUSUM_TARGET_CENTS,
+    )
+    from pyspark.sql import functions as F
+
+    run_to_memory(
+        streaming_cusum_monitor(events_stream(spark, sf_dir)),
+        "t_cusum",
+        output_mode="update",
+    )
+    got = {
+        r.user_id: (r.s_plus_cents, r.s_minus_cents, r.n_purchases)
+        for r in spark.table("t_cusum").collect()
+    }
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    )
+    want: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        sp, sm, n = want.get(r.user_id, (0, 0, 0))
+        sp = max(0, sp + (r.cents - _CUSUM_TARGET_CENTS - _CUSUM_SLACK_CENTS))
+        sm = max(0, sm + (_CUSUM_TARGET_CENTS - r.cents - _CUSUM_SLACK_CENTS))
+        want[r.user_id] = (sp, sm, n + 1)
+    assert got == want and got
