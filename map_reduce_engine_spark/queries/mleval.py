@@ -5814,3 +5814,459 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", "s_plus_cents", "s_minus_cents", "n_purchases")
     )
+
+
+@register(
+    "dft_periodogram_weekly",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day,
+             sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS dollars
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT min(day) AS d0, count(*)::BIGINT AS nt, sum(dollars)::BIGINT AS st
+      FROM d
+    ),
+    dev AS (
+      SELECT date_diff('day', m.d0, d.day)::BIGINT AS t,
+             d.dollars - m.st // m.nt AS dev
+      FROM d, m
+    ),
+    term AS (
+      SELECT p.p::BIGINT AS p,
+             sum(CAST(floor(CAST(dev AS DOUBLE)
+               * cos(2 * pi() * CAST(t % p AS DOUBLE) / p) + 0.5)
+               AS BIGINT))::BIGINT AS c_unit,
+             sum(CAST(floor(CAST(dev AS DOUBLE)
+               * sin(2 * pi() * CAST(t % p AS DOUBLE) / p) + 0.5)
+               AS BIGINT))::BIGINT AS s_unit
+      FROM dev, (SELECT unnest([7, 14, 30, 91]) AS p) p
+      GROUP BY 1
+    )
+    SELECT p, c_unit, s_unit,
+           ((c_unit // 1000) * (c_unit // 1000)
+             + (s_unit // 1000) * (s_unit // 1000))::BIGINT AS power_k,
+           row_number() OVER (ORDER BY (c_unit // 1000) * (c_unit // 1000)
+             + (s_unit // 1000) * (s_unit // 1000) DESC, p)::BIGINT AS rank
+    FROM term
+    """,
+    doc="discrete-Fourier periodogram probe of daily order revenue at "
+    "candidate periods {7, 14, 30, 91}: per-day deviations from the "
+    "exact integer mean (whole dollars), DFT cos/sin terms frozen to "
+    "BIGINT units per (day, period) before summation — the only float "
+    "work is cos/sin on bounded angles (engines agree per the "
+    "transcendental-parity note), so C/S sums and the kilo-unit power "
+    "ranking are exact integers. Spectral seasonality detection that "
+    "pairs with weekday_revenue_profile (which asserts the weekly shape) "
+    "and seasonal_index_monthly: this one RANKS candidate cycle lengths. "
+    "Scale shape: one hash aggregate to the calendar-bounded daily grid, "
+    "then a 4-row period explode over that grid — linear scan at 100 TB "
+    "with map-side partials; gaps in the calendar are absent rows "
+    "(observed-day series), documented semantics.",
+)
+def dft_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("dollars")
+    )
+    m = d.agg(
+        F.min("day").alias("d0"),
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("dollars").cast("bigint").alias("st"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("t"),
+        F.expr("dollars - st div nt").alias("dev"),
+    )
+    periods = spark.range(0).sparkSession.createDataFrame(
+        [(7,), (14,), (30,), (91,)], "p int"
+    )
+    term = (
+        dev.crossJoin(F.broadcast(periods))
+        .groupBy(F.col("p").cast("bigint").alias("p"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(CAST(dev AS DOUBLE)"
+                    " * cos(2 * pi() * CAST(t % p AS DOUBLE) / p) + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("c_unit"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(CAST(dev AS DOUBLE)"
+                    " * sin(2 * pi() * CAST(t % p AS DOUBLE) / p) + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("s_unit"),
+        )
+    )
+    power = F.expr(
+        "(c_unit div 1000) * (c_unit div 1000) + (s_unit div 1000) * (s_unit div 1000)"
+    )
+    return term.select(
+        "p",
+        "c_unit",
+        "s_unit",
+        power.cast("bigint").alias("power_k"),
+        F.row_number()
+        .over(Window.orderBy(power.desc(), F.asc("p")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+@register(
+    "cooks_distance_outlier_days",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day,
+             sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS dollars
+      FROM orders GROUP BY 1
+    ),
+    m0 AS (SELECT min(day) AS d0 FROM d),
+    s AS (
+      SELECT date_diff('day', m0.d0, d.day)::BIGINT AS t, d.day, d.dollars
+      FROM d, m0
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS nt, sum(t)::BIGINT AS sx,
+             sum(dollars)::BIGINT AS sy, sum(t * t)::BIGINT AS sxx,
+             sum(t * dollars)::BIGINT AS sxy,
+             sum(dollars * dollars)::BIGINT AS syy
+      FROM s
+    ),
+    fit AS (
+      SELECT nt, sx, sy, sxx,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt AS sxxc,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt) AS b,
+             ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / nt)
+               - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)
+               * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt))
+               / (nt - 2) AS s2
+      FROM mom
+    ),
+    diag AS (
+      SELECT s.day, s.dollars,
+             CAST(s.dollars AS DOUBLE)
+               - (CAST(f.sy AS DOUBLE) - f.b * f.sx) / f.nt
+               - f.b * s.t AS e,
+             1.0 / f.nt
+               + (CAST(s.t AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.nt)
+               * (CAST(s.t AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.nt)
+               / f.sxxc AS h,
+             f.nt, f.s2
+      FROM s, fit f
+    ),
+    ck AS (
+      SELECT day, dollars, nt,
+             CAST(floor(e * e / (2 * s2) * h / ((1 - h) * (1 - h))
+               * 1000000 + 0.5) AS BIGINT) AS cooks_micro
+      FROM diag
+    )
+    SELECT day, dollars, cooks_micro,
+           (cooks_micro * nt > 4000000) AS influential,
+           row_number() OVER (ORDER BY cooks_micro DESC, day)::BIGINT AS rank
+    FROM ck
+    QUALIFY rank <= 10
+    """,
+    doc="Cook's-distance influence diagnostics on the daily-revenue OLS "
+    "trend: leverage h_i and residual e_i from the closed-form simple "
+    "regression (all from ONE exact-BIGINT moment aggregate — SSE via "
+    "the identity syy_c - b*sxy_c, never a float residual sum), Cook's "
+    "D = e^2/(2s^2) * h/(1-h)^2 frozen to integer micro-units, top-10 "
+    "most influential days with the D > 4/n flag compared in exact "
+    "integers (cooks_micro * n > 4e6). The regression-diagnostics "
+    "counterpart of value_outliers_mad (which flags raw outliers; this "
+    "flags days that BEND the fitted trend). Scale: one aggregate to "
+    "the calendar-bounded daily grid + a 1-row fit broadcast; whole-"
+    "dollar units keep syy ~20x inside BIGINT at bench SF (same "
+    "headroom note as the module docstring).",
+)
+def cooks_distance_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("dollars")
+    )
+    m0 = d.agg(F.min("day").alias("d0"))
+    s = d.crossJoin(F.broadcast(m0)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("t"),
+        "day",
+        "dollars",
+    )
+    mom = s.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("dollars").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("t * dollars")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("dollars * dollars")).cast("bigint").alias("syy"),
+    )
+    fit = mom.select(
+        "nt",
+        "sx",
+        "sy",
+        "sxx",
+        F.expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt").alias("sxxc"),
+        F.expr(
+            "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt)"
+        ).alias("b"),
+        F.expr(
+            "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / nt)"
+            " - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)"
+            " * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt))"
+            " / (nt - 2)"
+        ).alias("s2"),
+    )
+    diag = s.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "dollars",
+        F.expr(
+            "CAST(dollars AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE) - b * sx) / nt"
+            " - b * t"
+        ).alias("e"),
+        F.expr(
+            "1.0 / nt"
+            " + (CAST(t AS DOUBLE) - CAST(sx AS DOUBLE) / nt)"
+            " * (CAST(t AS DOUBLE) - CAST(sx AS DOUBLE) / nt)"
+            " / sxxc"
+        ).alias("h"),
+        "nt",
+        "s2",
+    )
+    ck = diag.select(
+        "day",
+        "dollars",
+        "nt",
+        F.expr(
+            "CAST(floor(e * e / (2 * s2) * h / ((1 - h) * (1 - h))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("cooks_micro"),
+    )
+    return (
+        ck.select(
+            "day",
+            "dollars",
+            "cooks_micro",
+            F.expr("cooks_micro * nt > 4000000").alias("influential"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cooks_micro"), F.asc("day")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+
+
+from map_reduce_engine_spark.queries.relational import (  # noqa: E402
+    _COPURCHASE_EDGES_SQL,
+)
+
+
+@register(
+    "adamic_adar_link_prediction",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (SELECT a AS node, count(*)::BIGINT AS degree FROM und GROUP BY a),
+    wedge AS (
+      SELECT w1.b AS x, w2.b AS y, w1.a AS w
+      FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+    ),
+    cand AS (
+      SELECT j.x, j.y, count(*)::BIGINT AS n_common,
+             sum(CAST(floor(1000000000 / ln(CAST(d.degree AS DOUBLE)) + 0.5)
+               AS BIGINT))::BIGINT AS aa_nano
+      FROM wedge j JOIN deg d ON d.node = j.w
+      GROUP BY j.x, j.y
+    ),
+    new_pairs AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.x AND e.v = c.y)
+    )
+    SELECT x, y, n_common, aa_nano,
+           row_number() OVER (ORDER BY aa_nano DESC, x, y)::BIGINT AS rank
+    FROM new_pairs
+    QUALIFY rank <= 20
+    """,
+    doc="Adamic-Adar link prediction on the co-purchase graph: for every "
+    "non-adjacent part pair sharing >= 1 common neighbor, score "
+    "sum_w 1/ln(deg(w)) over common neighbors w (rarer mutual "
+    "connections count more), top-20 predicted next co-purchase edges. "
+    "Per-wedge weights frozen to BIGINT nano-units before the group sum "
+    "(ln on small integer degrees — engine-identical doubles), so "
+    "scores and ranking are exact integers; deg(w) >= 2 by "
+    "construction, ln never hits zero. Completes the graph family "
+    "(components/pagerank/triangles/assortativity describe the graph "
+    "that IS; this predicts the edge that ISN'T YET). Scale shape: "
+    "wedges enumerate via one equi self-join on the shared neighbor "
+    "(Sigma deg^2 — at 100 TB cap hub degrees or orient by degree the "
+    "way operators/graph.py::triangle_count does), candidate filter is "
+    "a left-anti equi-join, everything else hash aggregates.",
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds und twice + the anti-join
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+    w1, w2 = und.alias("w1"), und.alias("w2")
+    wedge = (
+        w1.join(w2, (F.col("w1.a") == F.col("w2.a")) & (F.col("w1.b") < F.col("w2.b")))
+        .select(
+            F.col("w1.b").alias("x"), F.col("w2.b").alias("y"), F.col("w1.a").alias("w")
+        )
+    )
+    cand = (
+        wedge.join(deg, wedge.w == deg.node)
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(1000000000 / ln(CAST(degree AS DOUBLE)) + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("aa_nano"),
+        )
+    )
+    new_pairs = cand.join(
+        edges,
+        (cand.x == edges.u) & (cand.y == edges.v),
+        "left_anti",
+    )
+    return (
+        new_pairs.select(
+            "x",
+            "y",
+            "n_common",
+            "aa_nano",
+            F.row_number()
+            .over(Window.orderBy(F.desc("aa_nano"), F.asc("x"), F.asc("y")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "neyman_allocation_sources",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_h, sum(n_chars)::BIGINT AS sx,
+             sum(n_chars * n_chars)::BIGINT AS sxx
+      FROM documents GROUP BY source HAVING count(*) >= 2
+    ),
+    w AS (
+      SELECT source, n_h,
+             CAST(floor(sqrt((CAST(n_h AS DOUBLE) * sxx
+               - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000 + 0.5)
+               AS BIGINT) AS s_milli,
+             CAST(floor(n_h * sqrt((CAST(n_h AS DOUBLE) * sxx
+               - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000000 + 0.5)
+               AS BIGINT) AS w_micro
+      FROM s
+    ),
+    tot AS (SELECT sum(w_micro)::BIGINT AS tw FROM w),
+    b AS (
+      SELECT w.source, w.n_h, w.s_milli,
+             (10000 * w.w_micro) // t.tw AS base,
+             (10000 * w.w_micro) % t.tw AS rem,
+             ((1000000 * w.w_micro) // t.tw)::BIGINT AS share_ppm
+      FROM w, tot t
+    ),
+    l AS (SELECT (10000 - sum(base))::BIGINT AS leftover FROM b),
+    r AS (
+      SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b
+    )
+    SELECT r.source, r.n_h AS n_docs, r.s_milli, r.share_ppm,
+           (r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc_n
+    FROM r, l
+    """,
+    doc="Neyman-optimal sample allocation of a 10,000-document labeling "
+    "budget across the 20 corpus sources: allocate proportional to "
+    "N_h * S_h (stratum size x n_chars standard deviation — the "
+    "variance-minimizing design for stratified estimation of the mean), "
+    "with the largest-remainder method distributing the integer "
+    "leftover deterministically. Stratum weights freeze to BIGINT "
+    "micro-units (sqrt of the exact-integer variance — identical "
+    "doubles), so shares, bases, remainders, and the final integer "
+    "allocation are exact in both engines. The sampling-DESIGN "
+    "counterpart of stratified_sample (which draws; this says how much "
+    "to draw from where). Scale: one hash aggregate to the "
+    "|sources|-bounded grid + 1-row total broadcasts.",
+)
+def neyman_allocation_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            F.sum("n_chars").cast("bigint").alias("sx"),
+            F.sum(F.expr("n_chars * n_chars")).cast("bigint").alias("sxx"),
+        )
+        .where(F.col("n_h") >= 2)
+    )
+    w = s.select(
+        "source",
+        "n_h",
+        F.expr(
+            "CAST(floor(sqrt((CAST(n_h AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("s_milli"),
+        F.expr(
+            "CAST(floor(n_h * sqrt((CAST(n_h AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("tw"))
+    b = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "s_milli",
+        F.expr("(10000 * w_micro) div tw").alias("base"),
+        F.expr("(10000 * w_micro) % tw").alias("rem"),
+        F.expr("(1000000 * w_micro) div tw").cast("bigint").alias("share_ppm"),
+    )
+    leftover = b.agg((F.lit(10000) - F.sum("base")).cast("bigint").alias("leftover"))
+    r = b.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("n_h").alias("n_docs"),
+        "s_milli",
+        "share_ppm",
+        F.expr("CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "alloc_n"
+        ),
+    )

@@ -599,3 +599,73 @@ def test_chao1_bounds(spark, sf_dir):
     assert r.chao1_richness >= r.v_observed
     assert r.n_singletons + 2 * r.n_doubletons <= r.n_tokens
     assert r.unseen_mass_ppm + r.coverage_ppm == 1_000_000
+
+
+def test_dft_periodogram_parseval_and_ranking(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dft_periodogram_weekly")
+    assert {r.p for r in rows} == {7, 14, 30, 91}
+    # power is the exact square sum of the kilo-unit C/S terms.
+    # Engine `div` TRUNCATES negatives; Python // floors — mirror with trunc.
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    for r in rows:
+        assert r.power_k == tdiv(r.c_unit, 1000) ** 2 + tdiv(r.s_unit, 1000) ** 2
+    ranked = sorted(rows, key=lambda r: (-r.power_k, r.p))
+    assert [r.rank for r in ranked] == [1, 2, 3, 4]
+
+
+def test_cooks_distance_flags_match_threshold(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "cooks_distance_outlier_days")
+    assert len(rows) == 10 and all(r.cooks_micro >= 0 for r in rows)
+    # the emitted flag IS the exact integer comparison, row by row
+    n_days = (
+        REGISTRY["cooks_distance_outlier_days"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.influential == (r.cooks_micro * n_days > 4_000_000)
+    # top-10 is sorted by influence
+    ds = [r.cooks_micro for r in rows]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_adamic_adar_predicts_only_new_edges(spark, sf_dir):
+    from map_reduce_engine_spark.queries.base import t as read_t
+
+    rows = _rows(spark, sf_dir, "adamic_adar_link_prediction")
+    assert rows and all(r.x < r.y and r.n_common >= 1 for r in rows)
+    # every predicted pair shares >=1 neighbor but is NOT an existing edge
+    items = (
+        read_t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .collect()
+    }
+    assert all((r.x, r.y) not in edges for r in rows)
+    # more common neighbors of min degree 2 bounds the score from below:
+    # each wedge contributes at least 1e9/ln(max_degree) > 0
+    assert all(r.aa_nano >= r.n_common for r in rows)
+
+
+def test_neyman_allocation_exhausts_budget(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "neyman_allocation_sources")
+    assert sum(r.alloc_n for r in rows) == 10_000
+    assert sum(r.share_ppm for r in rows) <= 1_000_000  # floor rounding
+    # allocation follows the weight ordering within +/-1 (largest remainder)
+    by_share = sorted(rows, key=lambda r: (-r.share_ppm, r.source))
+    allocs = [r.alloc_n for r in by_share]
+    assert all(a + 1 >= b for a, b in zip(allocs, allocs[1:]))

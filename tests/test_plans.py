@@ -722,6 +722,12 @@ _SANCTIONED_NESTED_LOOP = {
     "grid (bounded at any corpus size) + 1-row tie/total crossJoins",
     "t_closeness_audit": "classes x values grid crossJoin (both sides "
     "value-cardinality-bounded) + 1-row total broadcast",
+    "dft_periodogram_weekly": "4-row period-literal crossJoin over the "
+    "calendar-bounded daily grid + 1-row mean/origin broadcast",
+    "cooks_distance_outlier_days": "1-row origin and fit broadcasts over "
+    "the calendar-bounded daily grid",
+    "neyman_allocation_sources": "1-row total-weight and leftover "
+    "broadcasts over the |sources|-bounded stratum grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
