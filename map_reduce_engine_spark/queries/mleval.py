@@ -6270,3 +6270,388 @@ def neyman_allocation_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_n"
         ),
     )
+
+
+@register(
+    "vif_collinearity_screen",
+    oracle="""
+    WITH d AS (
+      SELECT l_shipdate::DATE AS day,
+             sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(l_discount * 10000) AS BIGINT))::BIGINT AS db
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS nt,
+             sum(q)::BIGINT AS s1, sum(n)::BIGINT AS s2, sum(db)::BIGINT AS s3,
+             sum(q * q)::BIGINT AS s11, sum(n * n)::BIGINT AS s22,
+             sum(db * db)::BIGINT AS s33,
+             sum(q * n)::BIGINT AS s12, sum(q * db)::BIGINT AS s13,
+             sum(n * db)::BIGINT AS s23
+      FROM d
+    ),
+    r AS (
+      SELECT nt,
+             (nt * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2)
+               / sqrt((nt * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                    * (nt * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)) AS r12,
+             (nt * CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3)
+               / sqrt((nt * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                    * (nt * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3)) AS r13,
+             (nt * CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3)
+               / sqrt((nt * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)
+                    * (nt * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3)) AS r23
+      FROM m
+    )
+    SELECT nt AS n_days,
+           CAST(floor(r12 * 1000 + 0.5) AS BIGINT) AS r_qty_lines_milli,
+           CAST(floor(r13 * 1000 + 0.5) AS BIGINT) AS r_qty_disc_milli,
+           CAST(floor(r23 * 1000 + 0.5) AS BIGINT) AS r_lines_disc_milli,
+           CAST(floor(1000000 * (1 - r23 * r23)
+             / (1 - r12 * r12 - r13 * r13 - r23 * r23
+                + 2 * r12 * r13 * r23) + 0.5) AS BIGINT) AS vif_qty_micro,
+           CAST(floor(1000000 * (1 - r13 * r13)
+             / (1 - r12 * r12 - r13 * r13 - r23 * r23
+                + 2 * r12 * r13 * r23) + 0.5) AS BIGINT) AS vif_lines_micro,
+           CAST(floor(1000000 * (1 - r12 * r12)
+             / (1 - r12 * r12 - r13 * r13 - r23 * r23
+                + 2 * r12 * r13 * r23) + 0.5) AS BIGINT) AS vif_disc_micro
+    FROM r
+    """,
+    doc="variance-inflation-factor collinearity screen over three daily "
+    "shipment features (total quantity, line count, discount "
+    "basis-points): pairwise correlations from ONE exact-BIGINT moment "
+    "aggregate, then the closed 3-variable identity VIF_j = "
+    "(1 - r_kl^2)/det(R) with det(R) = 1 - r12^2 - r13^2 - r23^2 + "
+    "2*r12*r13*r23 — no matrix inversion, identical double replay, "
+    "micro-frozen. Quantity and line count are collinear by "
+    "construction (more lines => more quantity), so the screen "
+    "demonstrably fires; the pre-flight check that tells "
+    "multiple_regression_two_features / ridge_lambda_path whether their "
+    "coefficients are interpretable. Scale: one aggregate to the "
+    "calendar-bounded daily grid, 1-row arithmetic after.",
+)
+def vif_collinearity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("q"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("db"),
+    )
+    m = d.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum("n").cast("bigint").alias("s2"),
+        F.sum("db").cast("bigint").alias("s3"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("s11"),
+        F.sum(F.expr("n * n")).cast("bigint").alias("s22"),
+        F.sum(F.expr("db * db")).cast("bigint").alias("s33"),
+        F.sum(F.expr("q * n")).cast("bigint").alias("s12"),
+        F.sum(F.expr("q * db")).cast("bigint").alias("s13"),
+        F.sum(F.expr("n * db")).cast("bigint").alias("s23"),
+    )
+    r = m.select(
+        "nt",
+        F.expr(
+            "(nt * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2)"
+            " / sqrt((nt * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+            "      * (nt * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2))"
+        ).alias("r12"),
+        F.expr(
+            "(nt * CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3)"
+            " / sqrt((nt * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)"
+            "      * (nt * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3))"
+        ).alias("r13"),
+        F.expr(
+            "(nt * CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3)"
+            " / sqrt((nt * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)"
+            "      * (nt * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3))"
+        ).alias("r23"),
+    )
+    det = (
+        "(1 - r12 * r12 - r13 * r13 - r23 * r23"
+        " + 2 * r12 * r13 * r23)"
+    )
+    return r.select(
+        F.col("nt").alias("n_days"),
+        F.expr("CAST(floor(r12 * 1000 + 0.5) AS BIGINT)").alias("r_qty_lines_milli"),
+        F.expr("CAST(floor(r13 * 1000 + 0.5) AS BIGINT)").alias("r_qty_disc_milli"),
+        F.expr("CAST(floor(r23 * 1000 + 0.5) AS BIGINT)").alias("r_lines_disc_milli"),
+        F.expr(
+            f"CAST(floor(1000000 * (1 - r23 * r23) / {det} + 0.5) AS BIGINT)"
+        ).alias("vif_qty_micro"),
+        F.expr(
+            f"CAST(floor(1000000 * (1 - r13 * r13) / {det} + 0.5) AS BIGINT)"
+        ).alias("vif_lines_micro"),
+        F.expr(
+            f"CAST(floor(1000000 * (1 - r12 * r12) / {det} + 0.5) AS BIGINT)"
+        ).alias("vif_disc_micro"),
+    )
+
+
+@register(
+    "durbin_watson_trend_residuals",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day,
+             sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS dollars
+      FROM orders GROUP BY 1
+    ),
+    m0 AS (SELECT min(day) AS d0 FROM d),
+    s AS (
+      SELECT date_diff('day', m0.d0, d.day)::BIGINT AS t, d.dollars
+      FROM d, m0
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS nt, sum(t)::BIGINT AS sx,
+             sum(dollars)::BIGINT AS sy, sum(t * t)::BIGINT AS sxx,
+             sum(t * dollars)::BIGINT AS sxy
+      FROM s
+    ),
+    e AS (
+      SELECT s.t,
+             CAST(floor((CAST(s.dollars AS DOUBLE)
+               - (CAST(m.sy AS DOUBLE)
+                  - (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.nt)
+                    / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.nt)
+                    * m.sx) / m.nt
+               - (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.nt)
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.nt)
+                 * s.t) / 1000 + 0.5) AS BIGINT) AS ei
+      FROM s, mom m
+    ),
+    lagd AS (
+      SELECT ei, lag(ei) OVER (ORDER BY t) AS ep FROM e
+    ),
+    agg AS (
+      SELECT sum(ei * ei)::BIGINT AS se2,
+             sum(CASE WHEN ep IS NULL THEN 0
+                 ELSE (ei - ep) * (ei - ep) END)::BIGINT AS sd2,
+             count(*)::BIGINT AS nt
+      FROM lagd
+    )
+    SELECT nt AS n_days, se2 AS sse_units, sd2 AS ssd_units,
+           ((1000000 * sd2) // se2)::BIGINT AS dw_micro,
+           ((1000000 * sd2) // se2 < 1500000) AS positive_autocorr
+    FROM agg
+    """,
+    doc="Durbin-Watson test on the daily-revenue OLS trend residuals: "
+    "residuals frozen to kilo-dollar BIGINT units (identical-double slope/"
+    "intercept replay), then DW = sum (e_t - e_(t-1))^2 / sum e_t^2 as "
+    "an exact integer micro-ratio with the classic DW < 1.5 "
+    "positive-autocorrelation flag. Complements ljung_box_test (which "
+    "tests the RAW series; this tests what the TREND FIT leaves behind "
+    "— the standard 'is OLS inference valid' check, and the reason "
+    "huber_robust_trend/ols_value_trend report slopes, not p-values). "
+    "Scale: one aggregate to the daily grid, a 1-row fit broadcast, "
+    "one lag window over the bounded grid. Kilo-dollar residual units "
+    "keep the micro-scaled e^2 sums ~3 orders inside BIGINT at bench SF.",
+)
+def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("dollars")
+    )
+    m0 = d.agg(F.min("day").alias("d0"))
+    s = d.crossJoin(F.broadcast(m0)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("t"), "dollars"
+    )
+    mom = s.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("dollars").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("t * dollars")).cast("bigint").alias("sxy"),
+    )
+    e = s.crossJoin(F.broadcast(mom)).select(
+        "t",
+        F.expr(
+            "CAST(floor((CAST(dollars AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE)"
+            "    - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)"
+            "      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt)"
+            "      * sx) / nt"
+            " - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nt)"
+            "   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nt)"
+            "   * t) / 1000 + 0.5) AS BIGINT)"
+        ).alias("ei"),
+    )
+    lagd = e.select("ei", F.lag("ei").over(Window.orderBy("t")).alias("ep"))
+    agg = lagd.agg(
+        F.sum(F.expr("ei * ei")).cast("bigint").alias("se2"),
+        F.sum(F.expr("CASE WHEN ep IS NULL THEN 0 ELSE (ei - ep) * (ei - ep) END"))
+        .cast("bigint")
+        .alias("sd2"),
+        F.count("*").cast("bigint").alias("nt"),
+    )
+    return agg.select(
+        F.col("nt").alias("n_days"),
+        F.col("se2").alias("sse_units"),
+        F.col("sd2").alias("ssd_units"),
+        F.expr("(1000000 * sd2) div se2").cast("bigint").alias("dw_micro"),
+        F.expr("(1000000 * sd2) div se2 < 1500000").alias("positive_autocorr"),
+    )
+
+
+@register(
+    "event_pair_sequence_support",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, event_type,
+             min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))::BIGINT
+               AS first_us,
+             max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))::BIGINT
+               AS last_us
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             count(*)::BIGINT AS support_users
+      FROM span a JOIN span b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+       AND a.first_us < b.last_us
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.support_users,
+           ((1000000 * p.support_users) // t.n_users)::BIGINT AS support_ppm,
+           row_number() OVER (ORDER BY p.support_users DESC,
+                              p.antecedent, p.consequent)::BIGINT AS rank
+    FROM pairs p, tot t
+    """,
+    doc="sequential-pattern support mining over all ordered event-type "
+    "pairs: support(a -> b) = users with SOME a-event strictly before "
+    "SOME b-event, computed exactly from per-(user, type) first/last "
+    "timestamps — 'exists a before b' is equivalent to first(a) < "
+    "last(b), so the sequence scan collapses to one hash aggregate plus "
+    "a per-user equi-join with <= |event types|^2 fan-out per user. "
+    "Timestamps compare as exact epoch microseconds (strict <; "
+    "simultaneous events don't count as ordered). events_funnel checks "
+    "ONE fixed funnel; this MINES the full pairwise precedence matrix "
+    "that funnels are built from. Scale: two hash aggregates + a "
+    "bounded-fan-out self-join on user_id, support shares in integer "
+    "ppm, deterministic ranking.",
+)
+def event_pair_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    span = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).cast("bigint").alias("first_us"),
+        F.max(us).cast("bigint").alias("last_us"),
+    )
+    tot = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    a, b = span.alias("a"), span.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_us") < F.col("b.last_us")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support_users"))
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "antecedent",
+        "consequent",
+        "support_users",
+        F.expr("(1000000 * support_users) div n_users").cast("bigint").alias("support_ppm"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("support_users"), F.asc("antecedent"), F.asc("consequent")
+            )
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+@register(
+    "gumbel_return_levels",
+    oracle="""
+    WITH mx AS (
+      SELECT o_orderdate::DATE AS day,
+             max(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS peak
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS nt, sum(peak)::BIGINT AS sx,
+             sum(peak * peak)::BIGINT AS sxx
+      FROM mx
+    ),
+    fit AS (
+      SELECT nt,
+             CAST(sx AS DOUBLE) / nt AS mean,
+             sqrt((CAST(nt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / (CAST(nt AS DOUBLE) * (nt - 1)))
+               * sqrt(CAST(6 AS DOUBLE)) / pi() AS beta
+      FROM m
+    )
+    SELECT nt AS n_days,
+           CAST(floor((mean - 0.5772156649015329 * beta) * 1000 + 0.5)
+             AS BIGINT) AS mu_milli,
+           CAST(floor(beta * 1000 + 0.5) AS BIGINT) AS beta_milli,
+           CAST(floor((mean - 0.5772156649015329 * beta
+             - beta * ln(-ln(1 - CAST(1 AS DOUBLE) / 30))) * 1000 + 0.5) AS BIGINT)
+             AS rl30_milli,
+           CAST(floor((mean - 0.5772156649015329 * beta
+             - beta * ln(-ln(1 - CAST(1 AS DOUBLE) / 100))) * 1000 + 0.5) AS BIGINT)
+             AS rl100_milli,
+           CAST(floor((mean - 0.5772156649015329 * beta
+             - beta * ln(-ln(1 - CAST(1 AS DOUBLE) / 365))) * 1000 + 0.5) AS BIGINT)
+             AS rl365_milli
+    FROM fit
+    """,
+    doc="extreme-value analysis of daily peak order prices: Gumbel "
+    "method-of-moments fit on the block maxima (beta = s*sqrt(6)/pi, "
+    "mu = mean - gamma*beta with the Euler-Mascheroni literal), then "
+    "30/100/365-day return levels mu - beta*ln(-ln(1 - 1/T)) — 'how "
+    "large an order should we expect once a month / quarter / year', "
+    "the tail-risk capacity-planning number that mean-based monitors "
+    "(value_outliers_mad) structurally underestimate. Block maxima via "
+    "one hash aggregate; mean/std from exact BIGINT moments; all "
+    "outputs milli-frozen identical-double replay. Extends the "
+    "distribution-fitting family (distribution_fit_mom covers the BODY "
+    "of the distribution; this fits the TAIL).",
+)
+def gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("peak")
+    )
+    m = mx.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("peak").cast("bigint").alias("sx"),
+        F.sum(F.expr("peak * peak")).cast("bigint").alias("sxx"),
+    )
+    fit = m.select(
+        "nt",
+        F.expr("CAST(sx AS DOUBLE) / nt").alias("mean"),
+        F.expr(
+            "sqrt((CAST(nt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(nt AS DOUBLE) * (nt - 1)))"
+            " * sqrt(CAST(6 AS DOUBLE)) / pi()"
+        ).alias("beta"),
+    )
+    rl = (
+        "CAST(floor((mean - 0.5772156649015329 * beta"
+        " - beta * ln(-ln(1 - CAST(1 AS DOUBLE) / {T}))) * 1000 + 0.5) AS BIGINT)"
+    )
+    return fit.select(
+        F.col("nt").alias("n_days"),
+        F.expr(
+            "CAST(floor((mean - 0.5772156649015329 * beta) * 1000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("mu_milli"),
+        F.expr("CAST(floor(beta * 1000 + 0.5) AS BIGINT)").alias("beta_milli"),
+        F.expr(rl.format(T=30)).alias("rl30_milli"),
+        F.expr(rl.format(T=100)).alias("rl100_milli"),
+        F.expr(rl.format(T=365)).alias("rl365_milli"),
+    )

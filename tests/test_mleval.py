@@ -669,3 +669,48 @@ def test_neyman_allocation_exhausts_budget(spark, sf_dir):
     by_share = sorted(rows, key=lambda r: (-r.share_ppm, r.source))
     allocs = [r.alloc_n for r in by_share]
     assert all(a + 1 >= b for a, b in zip(allocs, allocs[1:]))
+
+
+def test_vif_symmetric_and_above_one(spark, sf_dir):
+    r = _rows(spark, sf_dir, "vif_collinearity_screen")[0]
+    # VIF >= 1 by definition (equality iff orthogonal features)
+    assert min(r.vif_qty_micro, r.vif_lines_micro, r.vif_disc_micro) >= 1_000_000
+    # quantity and line count are collinear by construction: their VIFs
+    # dominate the discount's
+    assert r.vif_qty_micro > r.vif_disc_micro
+    assert r.vif_lines_micro > r.vif_disc_micro
+    assert abs(r.r_qty_lines_milli) <= 1000
+
+
+def test_durbin_watson_in_valid_range(spark, sf_dir):
+    r = _rows(spark, sf_dir, "durbin_watson_trend_residuals")[0]
+    # DW lives in [0, 4]; flag is the exact integer comparison
+    assert 0 <= r.dw_micro <= 4_000_000
+    assert r.positive_autocorr == (r.dw_micro < 1_500_000)
+    assert r.sse_units > 0
+
+
+def test_event_pair_support_is_asymmetric_and_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "event_pair_sequence_support")
+    n_users = (
+        REGISTRY["event_pair_sequence_support"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert all(0 < r.support_users <= n_users for r in rows)
+    assert all(r.antecedent != r.consequent for r in rows)
+    # support(a->b) + support(b->a) >= support of users having both types:
+    # at least one direction is ordered for any user with both (strict ts
+    # ties can void both, so just check presence of both directions' keys)
+    keys = {(r.antecedent, r.consequent) for r in rows}
+    assert len(keys) == len(rows)
+
+
+def test_gumbel_return_levels_increase_with_horizon(spark, sf_dir):
+    r = _rows(spark, sf_dir, "gumbel_return_levels")[0]
+    assert r.beta_milli > 0
+    # longer horizon => strictly larger return level, all above the mode
+    assert r.mu_milli < r.rl30_milli < r.rl100_milli < r.rl365_milli

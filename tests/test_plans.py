@@ -728,6 +728,10 @@ _SANCTIONED_NESTED_LOOP = {
     "the calendar-bounded daily grid",
     "neyman_allocation_sources": "1-row total-weight and leftover "
     "broadcasts over the |sources|-bounded stratum grid",
+    "durbin_watson_trend_residuals": "1-row origin and fit-moment "
+    "broadcasts over the calendar-bounded daily grid",
+    "event_pair_sequence_support": "1-row user-count broadcast over the "
+    "|event types|^2-bounded precedence grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
