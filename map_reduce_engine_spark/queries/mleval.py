@@ -6655,3 +6655,322 @@ def gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(rl.format(T=100)).alias("rl100_milli"),
         F.expr(rl.format(T=365)).alias("rl365_milli"),
     )
+
+
+@register(
+    "streaming_kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    ),
+    stats AS (
+      SELECT event_type, least(count(*), 64)::BIGINT AS n_in_state,
+             max(CASE WHEN rk = 64 THEN h END)::BIGINT AS hk
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_in_state, hk,
+           (CASE WHEN n_in_state < 64 THEN n_in_state * 1000
+                 ELSE (2 * 63 * 2147483648 * 1000 + hk) // (2 * hk)
+            END)::BIGINT AS est_milli
+    FROM stats
+    """,
+    doc="streaming per-event-type distinct-user KMV sketch "
+    "(applyInPandasWithState, O(k)=64 BIGINT state per key — "
+    "kmv_distinct_sketch's streaming sibling): the state holds the k "
+    "smallest DISTINCT engine-portable md5-prefix hashes, an order-"
+    "independent merge (min-k is associative over set union), so the "
+    "drained stream hash-matches the batch oracle bit-for-bit including "
+    "the milli-frozen estimate (k-1)*2^31/h_k (pure-integer round-half-"
+    "up: (2A+hk) div (2hk)). At 100 TB the state store holds 64 BIGINTs "
+    "per active key regardless of user cardinality — the composition "
+    "the sketch family exists for.",
+)
+def streaming_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        streaming_kmv_distinct as op,
+    )
+
+    name = "mre_stream_kmv"
+    run_to_memory(op(events_stream(spark, sf_dir)), name, output_mode="update")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_in_state"), F.asc_nulls_last("hk")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", "n_in_state", "hk", "est_milli")
+    )
+
+
+@register(
+    "mcnemar_filter_disagreement",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             (n_chars >= 250) AS pass_len,
+             (2 * len(list_distinct(string_split(text, ' ')))
+                >= len(string_split(text, ' '))) AS pass_lex
+      FROM documents
+    ),
+    c AS (
+      SELECT sum(CASE WHEN pass_len AND pass_lex THEN 1 ELSE 0 END)::BIGINT
+               AS both_pass,
+             sum(CASE WHEN pass_len AND NOT pass_lex THEN 1 ELSE 0 END)::BIGINT
+               AS len_only,
+             sum(CASE WHEN NOT pass_len AND pass_lex THEN 1 ELSE 0 END)::BIGINT
+               AS lex_only,
+             sum(CASE WHEN NOT pass_len AND NOT pass_lex THEN 1 ELSE 0 END)::BIGINT
+               AS neither
+      FROM f
+    )
+    SELECT both_pass, len_only, lex_only, neither,
+           ((1000 * (abs(len_only - lex_only) - 1)
+                  * (abs(len_only - lex_only) - 1))
+             // (len_only + lex_only))::BIGINT AS mcnemar_milli,
+           ((1000 * (abs(len_only - lex_only) - 1)
+                  * (abs(len_only - lex_only) - 1))
+             // (len_only + lex_only) > 3841) AS filters_differ
+    FROM c
+    """,
+    doc="McNemar's paired test on two document-quality filters evaluated "
+    "on the SAME corpus (length >= 250 chars vs lexical diversity "
+    ">= 0.5 distinct-token ratio): the 2x2 agreement table and the "
+    "continuity-corrected statistic (|b-c|-1)^2/(b+c) on the DISCORDANT "
+    "cells only — the correct test when comparing two classifiers on "
+    "paired data (a two-proportion z-test here would be wrong: the "
+    "samples aren't independent). Pure BIGINT arithmetic end-to-end "
+    "(milli-frozen statistic, significance = exact integer comparison "
+    "against the chi2(1) 5% critical value 3.841). Completes the "
+    "paired-vs-independent test pair with ab_welch_test / "
+    "conversion_ztest. Scale: one scan, one 1-row aggregate.",
+)
+def mcnemar_filter_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        (F.col("n_chars") >= 250).alias("pass_len"),
+        F.expr(
+            "2 * size(array_distinct(split(text, ' '))) >= size(split(text, ' '))"
+        ).alias("pass_lex"),
+    )
+    c = f.agg(
+        F.sum(F.expr("CASE WHEN pass_len AND pass_lex THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("both_pass"),
+        F.sum(F.expr("CASE WHEN pass_len AND NOT pass_lex THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("len_only"),
+        F.sum(F.expr("CASE WHEN NOT pass_len AND pass_lex THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("lex_only"),
+        F.sum(F.expr("CASE WHEN NOT pass_len AND NOT pass_lex THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("neither"),
+    )
+    stat = (
+        "(1000 * (abs(len_only - lex_only) - 1)"
+        " * (abs(len_only - lex_only) - 1))"
+        " div (len_only + lex_only)"
+    )
+    return c.select(
+        "both_pass",
+        "len_only",
+        "lex_only",
+        "neither",
+        F.expr(stat).cast("bigint").alias("mcnemar_milli"),
+        F.expr(f"{stat} > 3841").alias("filters_differ"),
+    )
+
+
+@register(
+    "theil_index_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_nationkey AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nation, count(*)::BIGINT AS n_g, sum(x)::BIGINT AS sum_g
+      FROM cust GROUP BY nation
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM cust
+    ),
+    term AS (
+      SELECT c.nation,
+             sum(CAST(floor(CAST(c.x AS DOUBLE) * g.n_g / g.sum_g
+               * ln(CAST(c.x AS DOUBLE) * g.n_g / g.sum_g)
+               * 1000000000 + 0.5) AS BIGINT))::BIGINT AS t_sum
+      FROM cust c JOIN g ON g.nation = c.nation
+      GROUP BY c.nation
+    )
+    SELECT g.nation, g.n_g AS n_customers,
+           ((1000000 * g.sum_g) // t.s)::BIGINT AS revenue_share_ppm,
+           (term.t_sum // g.n_g)::BIGINT AS theil_within_nano,
+           CAST(floor(CAST(g.n_g AS DOUBLE) / t.n
+             * (CAST(g.sum_g AS DOUBLE) * t.n / (CAST(t.s AS DOUBLE) * g.n_g))
+             * ln(CAST(g.sum_g AS DOUBLE) * t.n / (CAST(t.s AS DOUBLE) * g.n_g))
+             * 1000000000 + 0.5) AS BIGINT) AS theil_between_nano
+    FROM g JOIN term USING (nation), tot t
+    """,
+    doc="Theil-T inequality index of customer revenue, decomposed by "
+    "nation — the inequality measure gini_coefficient_revenue can't "
+    "give you: Theil is ADDITIVELY DECOMPOSABLE, T = sum_g w_g*T_g + "
+    "T_between with w_g = revenue share, so each nation row carries its "
+    "within-nation inequality (t_within_nano) and its between-nation "
+    "contribution (theil_between_nano, negative for below-average "
+    "nations). Per-customer (x/mu_g)ln(x/mu_g) terms freeze to BIGINT "
+    "nano-units before the group sum (identical-double ratio text "
+    "x*n_g/sum_g on both engines); shares and the within normalization "
+    "are exact integer division. Scale: one join + two hash "
+    "aggregates; the term scan is linear with map-side partials.",
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_custkey"), F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    g = cust.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("sum_g"),
+    )
+    tot = cust.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    term = (
+        cust.join(g, "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(CAST(x AS DOUBLE) * n_g / sum_g"
+                    " * ln(CAST(x AS DOUBLE) * n_g / sum_g)"
+                    " * 1000000000 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("t_sum")
+        )
+    )
+    return (
+        g.join(term, "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            F.expr("(1000000 * sum_g) div s").cast("bigint").alias("revenue_share_ppm"),
+            F.expr("t_sum div n_g").cast("bigint").alias("theil_within_nano"),
+            F.expr(
+                "CAST(floor(CAST(n_g AS DOUBLE) / n"
+                " * (CAST(sum_g AS DOUBLE) * n / (CAST(s AS DOUBLE) * n_g))"
+                " * ln(CAST(sum_g AS DOUBLE) * n / (CAST(s AS DOUBLE) * n_g))"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("theil_between_nano"),
+        )
+    )
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id,
+             date_diff('day', first_day, last_day) AS dur,
+             (last_day >= DATE '2024-01-28') AS censored
+      FROM u
+    ),
+    per_dur AS (
+      SELECT dur, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_churned
+      FROM d GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, n_users, n_churned,
+             CAST(sum(n_users) OVER (ORDER BY dur DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM per_dur
+    ),
+    steps AS (
+      SELECT dur, n_at_risk, n_churned,
+             ((1000000000 * n_churned) // n_at_risk)::BIGINT AS hazard_step_nano
+      FROM risk WHERE n_churned > 0
+    )
+    SELECT dur AS dur_days, n_at_risk, n_churned, hazard_step_nano,
+           CAST(sum(hazard_step_nano) OVER (ORDER BY dur
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_nano
+    FROM steps
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator on the same duration/"
+    "censoring model as kaplan_meier_retention: H(t) = sum d_i/n_i over "
+    "event durations <= t — PURE INTEGER end-to-end (per-step hazard is "
+    "exact nano division, the cumulative sum is BIGINT), no ln/exp at "
+    "all, which makes it the numerically-sturdiest member of the "
+    "survival family (KM needs frozen ln-sums; this needs nothing). "
+    "H also feeds the log-rank family directly (expected counts are "
+    "hazard-weighted risk sets). Windows run over the duration-"
+    "aggregated table, calendar-bounded, never raw events.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    d = u.select(
+        F.datediff("last_day", "first_day").alias("dur"),
+        (F.col("last_day") >= F.lit("2024-01-28").cast("date")).alias("censored"),
+    )
+    per_dur = d.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.expr("CASE WHEN censored THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_dur.select(
+        "dur",
+        "n_churned",
+        F.sum("n_users").over(w_desc).cast("bigint").alias("n_at_risk"),
+    )
+    steps = risk.where(F.col("n_churned") > 0).select(
+        "dur",
+        "n_at_risk",
+        "n_churned",
+        F.expr("(1000000000 * n_churned) div n_at_risk")
+        .cast("bigint")
+        .alias("hazard_step_nano"),
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("dur").alias("dur_days"),
+        "n_at_risk",
+        "n_churned",
+        "hazard_step_nano",
+        F.sum("hazard_step_nano").over(w_asc).cast("bigint").alias("cumhaz_nano"),
+    )

@@ -25,11 +25,13 @@ from map_reduce_engine_spark.streaming.windows import (
     chained_window_rollup,
     windowed_value_sketch,
     streaming_cusum_monitor,
+    streaming_kmv_distinct,
 )
 
 __all__ = [
     "ntz_of_instant",
     "streaming_cusum_monitor",
+    "streaming_kmv_distinct",
     "windowed_value_sketch",
     "chained_window_rollup",
     "user_stats_batch_twin",

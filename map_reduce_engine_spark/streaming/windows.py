@@ -563,3 +563,72 @@ def streaming_cusum_monitor(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+_KMV_STREAM_K = 64
+_KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_in_state", T.LongType()),
+        T.StructField("hk", T.LongType()),
+        T.StructField("est_milli", T.LongType()),
+    ]
+)
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("kmin", T.ArrayType(T.LongType()))]
+)
+
+
+def _kmv_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded KMV distinct-count state: the k smallest DISTINCT portable
+    hashes seen for this key. Min-k is associative/commutative over set
+    union, so the state is order-independent — any micro-batch arrival
+    order yields the same sketch (what makes the drained stream
+    hash-match the batch oracle exactly)."""
+    (kmin,) = state.get if state.exists else ([],)
+    vals = set(kmin)
+    for pdf in pdfs:
+        vals.update(int(h) for h in pdf["h"])
+    kmin = sorted(vals)[:_KMV_STREAM_K]
+    state.update((kmin,))
+    n = len(kmin)
+    if n < _KMV_STREAM_K:
+        hk, est = None, n * 1000
+    else:
+        hk = kmin[-1]
+        # same estimator as kmv_distinct_sketch, milli-frozen:
+        # floor((k-1) * 2^31 * 1000 / hk + 0.5) replayed via exact ints
+        est = ((_KMV_STREAM_K - 1) * 2147483648 * 2000 + hk) // (2 * hk)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_in_state": [n],
+            "hk": pd.array([hk], dtype="Int64"),
+            "est_milli": [est],
+        }
+    )
+
+
+def streaming_kmv_distinct(stream: DataFrame) -> DataFrame:
+    """Per-event-type streaming distinct-user KMV sketch via
+    applyInPandasWithState — O(k) BIGINT state per key, the streaming
+    sibling of kmv_distinct_sketch/kmv_distinct_tree. Hashes are computed
+    JVM-side with the engine-portable md5-prefix family BEFORE the
+    stateful operator, so the Python state fn only merges integers."""
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    return (
+        stream.select(
+            "event_type", portable_base31(F.col("user_id").cast("string")).alias("h")
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_fn,
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

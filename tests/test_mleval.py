@@ -714,3 +714,89 @@ def test_gumbel_return_levels_increase_with_horizon(spark, sf_dir):
     assert r.beta_milli > 0
     # longer horizon => strictly larger return level, all above the mode
     assert r.mu_milli < r.rl30_milli < r.rl100_milli < r.rl365_milli
+
+
+def test_mcnemar_cells_partition_corpus(spark, sf_dir):
+    r = _rows(spark, sf_dir, "mcnemar_filter_disagreement")[0]
+    n_docs = (
+        REGISTRY["mcnemar_filter_disagreement"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .count()
+    )
+    assert r.both_pass + r.len_only + r.lex_only + r.neither == n_docs
+    assert r.filters_differ == (r.mcnemar_milli > 3841)
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """Within + between must reconstruct the pooled Theil index up to
+    the per-term nano-freeze drift."""
+    import math
+
+    rows = _rows(spark, sf_dir, "theil_index_decomposition")
+    # pooled Theil recomputed exactly from raw data
+    from map_reduce_engine_spark.io import read_table
+
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(read_table(spark, sf_dir, "orders"), F.expr("o_custkey = c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+        .collect()
+    )
+    xs = [r.x for r in cust]
+    n, s = len(xs), sum(xs)
+    pooled = sum((x * n / s) * math.log(x * n / s) for x in xs) / n
+    # reconstruct from the decomposition rows
+    recon = sum(
+        (r.revenue_share_ppm / 1e6) * (r.theil_within_nano / 1e9)
+        + r.theil_between_nano / 1e9
+        for r in rows
+    )
+    assert abs(recon - pooled) < 5e-4, (recon, pooled)
+    # between-contributions sum to a nonnegative quantity (Jensen)
+    assert sum(r.theil_between_nano for r in rows) >= -len(rows)
+
+
+def test_nelson_aalen_dominates_km_ln_survival(spark, sf_dir):
+    """-ln(S_KM(t)) >= H_NA(t) pointwise (classic inequality: -ln(1-x) >= x),
+    and the cumulative hazard is nondecreasing."""
+    import math
+
+    na = sorted(_rows(spark, sf_dir, "nelson_aalen_hazard"), key=lambda r: r.dur_days)
+    cum = [r.cumhaz_nano for r in na]
+    assert cum == sorted(cum) and all(c >= 0 for c in cum)
+    km = {
+        r.dur_days: r.survival
+        for r in _rows(spark, sf_dir, "kaplan_meier_retention")
+    }
+    for r in na:
+        if r.dur_days in km and km[r.dur_days] > 0:
+            assert -math.log(km[r.dur_days]) >= r.cumhaz_nano / 1e9 - 1e-3
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, sf_dir):
+    """The drained stream state must equal the batch k-smallest-distinct
+    sketch (min-k is order-independent), including the exact branch."""
+    rows = _rows(spark, sf_dir, "streaming_kmv_distinct_users")
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    hashed = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", portable_base31(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hashed:
+        by_type.setdefault(r.event_type, set()).add(r.h)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        kmin = sorted(by_type[r.event_type])[:64]
+        assert r.n_in_state == len(kmin)
+        if len(kmin) == 64:
+            assert r.hk == kmin[-1]
+            assert r.est_milli == (2 * 63 * 2147483648 * 1000 + r.hk) // (2 * r.hk)
+        else:
+            assert r.hk is None and r.est_milli == len(kmin) * 1000

@@ -732,6 +732,8 @@ _SANCTIONED_NESTED_LOOP = {
     "broadcasts over the calendar-bounded daily grid",
     "event_pair_sequence_support": "1-row user-count broadcast over the "
     "|event types|^2-bounded precedence grid",
+    "theil_index_decomposition": "1-row grand-total broadcast over the "
+    "|nations|-bounded decomposition grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
