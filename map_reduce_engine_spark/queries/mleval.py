@@ -6974,3 +6974,413 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hazard_step_nano",
         F.sum("hazard_step_nano").over(w_asc).cast("bigint").alias("cumhaz_nano"),
     )
+
+
+@register(
+    "kruskal_wallis_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    grid AS (
+      SELECT cents, count(*)::BIGINT AS tt,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+      FROM v GROUP BY cents
+    ),
+    ranked AS (
+      SELECT *,
+             (2 * (sum(tt) OVER (ORDER BY cents
+                ROWS UNBOUNDED PRECEDING) - tt) + tt + 1)::BIGINT AS r2
+      FROM grid
+    ),
+    gstat AS (
+      SELECT g.event_type, g.n_g, r.s2,
+             t.n, t.ties
+      FROM (
+        SELECT 'click' AS event_type, sum(n_click)::BIGINT AS n_g FROM grid
+        UNION ALL SELECT 'error', sum(n_error) FROM grid
+        UNION ALL SELECT 'purchase', sum(n_purchase) FROM grid
+        UNION ALL SELECT 'signup', sum(n_signup) FROM grid
+        UNION ALL SELECT 'view', sum(n_view) FROM grid
+      ) g
+      JOIN (
+        SELECT 'click' AS event_type, sum(n_click * r2)::BIGINT AS s2 FROM ranked
+        UNION ALL SELECT 'error', sum(n_error * r2) FROM ranked
+        UNION ALL SELECT 'purchase', sum(n_purchase * r2) FROM ranked
+        UNION ALL SELECT 'signup', sum(n_signup * r2) FROM ranked
+        UNION ALL SELECT 'view', sum(n_view * r2) FROM ranked
+      ) r USING (event_type)
+      CROSS JOIN (
+        SELECT sum(tt)::BIGINT AS n,
+               sum(tt * tt * tt - tt)::BIGINT AS ties
+        FROM grid
+      ) t
+    ),
+    terms AS (
+      SELECT event_type, n_g, n, ties,
+             (500 * s2) // n_g AS mean_rank_milli,
+             CAST(floor(CAST(s2 - n_g * (n + 1) AS DOUBLE)
+               * (s2 - n_g * (n + 1)) / (4 * n_g) + 0.5) AS BIGINT) AS term_unit
+      FROM gstat
+    ),
+    h AS (
+      SELECT CAST(floor(12.0 * sum(term_unit)
+               / (CAST(max(n) AS DOUBLE) * max(n) * (max(n) + 1))
+               / (1 - CAST(max(ties) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * max(n) * max(n) - max(n)))
+               * 1000 + 0.5) AS BIGINT) AS h_milli
+      FROM terms
+    )
+    SELECT t.event_type, t.n_g, t.mean_rank_milli::BIGINT AS mean_rank_milli,
+           h.h_milli, (h.h_milli > 9488) AS significant
+    FROM terms t, h
+    """,
+    doc="Kruskal-Wallis rank test: do the five event types draw their "
+    "values from the same distribution? Tie-averaged ranks in exact "
+    "HALF-units (2R = 2*count_below + t + 1) over the distinct-cents "
+    "grid, per-group rank sums as BIGINTs, the H statistic via the "
+    "identity n_g*(Rbar - (n+1)/2)^2 = (S2_g - n_g(n+1))^2/(4n_g) with "
+    "per-group terms unit-frozen before the 5-term sum, full tie "
+    "correction 1 - sum(t^3-t)/(n^3-n) in exact integers. The "
+    "nonparametric companion of anova_event_types (which assumes "
+    "normal residuals; this only assumes exchangeability) and the "
+    ">2-group extension of the Mann-Whitney/AUC screen. Scale: one "
+    "hash aggregate to the value grid, one ordered window over that "
+    "GRID (price-granularity-bounded, not row-count), 5-row "
+    "arithmetic after.",
+)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    grid = v.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("tt"),
+        *[
+            F.sum(F.expr(f"CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"n_{ty}")
+            for ty in types
+        ],
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.withColumn(
+        "r2",
+        (2 * (F.sum("tt").over(wc) - F.col("tt")) + F.col("tt") + 1).cast("bigint"),
+    ).localCheckpoint(eager=True)  # feeds 5 per-group sums + the totals
+    tot = ranked.agg(
+        F.sum("tt").cast("bigint").alias("n"),
+        F.sum(F.expr("tt * tt * tt - tt")).cast("bigint").alias("ties"),
+    )
+    per_group = None
+    for ty in types:
+        gi = ranked.agg(
+            F.lit(ty).alias("event_type"),
+            F.sum(f"n_{ty}").cast("bigint").alias("n_g"),
+            F.sum(F.expr(f"n_{ty} * r2")).cast("bigint").alias("s2"),
+        )
+        per_group = gi if per_group is None else per_group.unionByName(gi)
+    terms = per_group.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_g",
+        "n",
+        "ties",
+        F.expr("(500 * s2) div n_g").alias("mean_rank_milli"),
+        F.expr(
+            "CAST(floor(CAST(s2 - n_g * (n + 1) AS DOUBLE)"
+            " * (s2 - n_g * (n + 1)) / (4 * n_g) + 0.5) AS BIGINT)"
+        ).alias("term_unit"),
+    )
+    h = terms.agg(
+        F.expr(
+            "CAST(floor(12.0 * sum(term_unit)"
+            " / (CAST(max(n) AS DOUBLE) * max(n) * (max(n) + 1))"
+            " / (1 - CAST(max(ties) AS DOUBLE)"
+            "    / (CAST(max(n) AS DOUBLE) * max(n) * max(n) - max(n)))"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("h_milli")
+    )
+    return terms.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        "n_g",
+        F.col("mean_rank_milli").cast("bigint").alias("mean_rank_milli"),
+        "h_milli",
+        (F.col("h_milli") > 9488).alias("significant"),
+    )
+
+
+@register(
+    "horvitz_thompson_total",
+    oracle="""
+    WITH rates AS (
+      SELECT source,
+             CASE (('0x' || substr(md5(source), 1, 8))::BIGINT
+                   & 2147483647) % 4
+               WHEN 0 THEN 125 WHEN 1 THEN 200 WHEN 2 THEN 250 ELSE 500
+             END AS permille
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    d AS (
+      SELECT doc.source, doc.n_chars, r.permille,
+             ((('0x' || substr(md5(doc.doc_id::VARCHAR), 1, 8))::BIGINT
+               & 2147483647) % 1000 < r.permille) AS sampled
+      FROM documents doc JOIN rates r ON r.source = doc.source
+    )
+    SELECT source, max(permille)::BIGINT AS permille,
+           sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN sampled
+               THEN n_chars * (1000 // permille) ELSE 0 END)::BIGINT
+             AS ht_total_chars,
+           sum(n_chars)::BIGINT AS true_total_chars,
+           ((10000 * abs(sum(CASE WHEN sampled
+               THEN n_chars * (1000 // permille) ELSE 0 END)
+               - sum(n_chars))) // sum(n_chars))::BIGINT AS abs_err_bp
+    FROM d GROUP BY source
+    """,
+    doc="Horvitz-Thompson estimation under deterministic Poisson "
+    "sampling: each source gets an inclusion probability from "
+    "{1/8, 1/5, 1/4, 1/2} (hash-assigned, all dividing 1000 so the "
+    "inverse-probability weight 1000/permille is an EXACT INTEGER), "
+    "docs enter the sample by portable md5 hash residue, and the HT "
+    "total sum x_i/pi_i is pure BIGINT arithmetic — estimator, truth, "
+    "and basis-point error all exact. The estimation-theory closer of "
+    "the sampling family: neyman_allocation_sources designs the "
+    "sample, weighted_priority_sample draws one, THIS estimates "
+    "population totals from it with the design weights, per source. "
+    "Scale: one broadcast-joined scan + one hash aggregate.",
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    docs = t(spark, sf_dir, "documents")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.expr(
+                "CASE (conv(substring(md5(source), 1, 8), 16, 10)"
+                " & 2147483647) % 4"
+                " WHEN 0 THEN 125 WHEN 1 THEN 200 WHEN 2 THEN 250 ELSE 500"
+                " END"
+            )
+            .cast("bigint")
+            .alias("permille"),
+        )
+    )
+    d = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "n_chars",
+        "permille",
+        (portable_base31(F.col("doc_id").cast("string")) % 1000 < F.col("permille")).alias(
+            "sampled"
+        ),
+    )
+    return d.groupBy("source").agg(
+        F.max("permille").cast("bigint").alias("permille"),
+        F.sum(F.expr("CASE WHEN sampled THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("CASE WHEN sampled THEN n_chars * (1000 div permille) ELSE 0 END"))
+        .cast("bigint")
+        .alias("ht_total_chars"),
+        F.sum("n_chars").cast("bigint").alias("true_total_chars"),
+        F.expr(
+            "(10000 * abs(sum(CASE WHEN sampled"
+            " THEN n_chars * (1000 div permille) ELSE 0 END)"
+            " - sum(n_chars))) div sum(n_chars)"
+        )
+        .cast("bigint")
+        .alias("abs_err_bp"),
+    )
+
+
+@register(
+    "capture_recapture_users",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts::DATE BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts::DATE BETWEEN DATE '2024-01-15' AND DATE '2024-01-21'
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM w1)::BIGINT AS n1,
+             (SELECT count(*) FROM w2)::BIGINT AS n2,
+             (SELECT count(*) FROM w1 JOIN w2 USING (user_id))::BIGINT AS m
+    ),
+    truth AS (SELECT count(DISTINCT user_id)::BIGINT AS true_users FROM events)
+    SELECT c.n1, c.n2, c.m AS m_overlap,
+           (((c.n1 + 1) * (c.n2 + 1)) // (c.m + 1) - 1)::BIGINT
+             AS chapman_estimate,
+           t.true_users,
+           ((10000 * abs(((c.n1 + 1) * (c.n2 + 1)) // (c.m + 1) - 1
+               - t.true_users)) // t.true_users)::BIGINT AS abs_err_bp
+    FROM c, truth t
+    """,
+    doc="capture-recapture population estimation (Chapman's "
+    "bias-corrected Lincoln-Petersen): week-1 actives are the first "
+    "capture, week-3 actives the recapture, and the overlap sizes the "
+    "unseen population — N_hat = (n1+1)(n2+1)/(m+1) - 1, PURE INTEGER. "
+    "The ecology estimator that doubles as a data-pipeline coverage "
+    "check: 'how many total users exist given two partial views' "
+    "(species_richness_chao1 asks it of vocabulary via abundance; this "
+    "asks it of populations via two samples, with the exact truth and "
+    "basis-point error alongside). Scale: two distinct aggregates + "
+    "one equi-join on user_id.",
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w1 = (
+        ev.where(day.between(F.lit("2024-01-01"), F.lit("2024-01-07")))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        ev.where(day.between(F.lit("2024-01-15"), F.lit("2024-01-21")))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.agg(F.count("*").cast("bigint").alias("n1"))
+    n2 = w2.agg(F.count("*").cast("bigint").alias("n2"))
+    m = w1.join(w2, "user_id").agg(F.count("*").cast("bigint").alias("m"))
+    truth = ev.agg(F.countDistinct("user_id").cast("bigint").alias("true_users"))
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m)).crossJoin(
+        F.broadcast(truth)
+    )
+    return c.select(
+        "n1",
+        "n2",
+        F.col("m").alias("m_overlap"),
+        F.expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1")
+        .cast("bigint")
+        .alias("chapman_estimate"),
+        "true_users",
+        F.expr(
+            "(10000 * abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - true_users))"
+            " div true_users"
+        )
+        .cast("bigint")
+        .alias("abs_err_bp"),
+    )
+
+
+@register(
+    "brown_forsythe_variance_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, cents AS med FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_g
+        FROM v
+      ) WHERE rk = (n_g - 1) // 2 + 1
+    ),
+    z AS (
+      SELECT v.event_type, abs(v.cents - m.med)::BIGINT AS z
+      FROM v JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_g, sum(z)::BIGINT AS s_g,
+             sum(z * z)::BIGINT AS ss_g,
+             CAST(floor(CAST(sum(z) AS DOUBLE) * sum(z) / count(*) * 1000
+               + 0.5) AS BIGINT) AS sq_milli
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+             sum(s_g)::BIGINT AS s, sum(ss_g)::BIGINT AS ss,
+             sum(sq_milli)::BIGINT AS sumsq_milli
+      FROM g
+    ),
+    f AS (
+      SELECT k, n,
+             CAST(floor((CAST(sumsq_milli AS DOUBLE) / 1000
+                 - CAST(s AS DOUBLE) * s / n) / (k - 1)
+               / ((CAST(ss AS DOUBLE) - CAST(sumsq_milli AS DOUBLE) / 1000)
+                  / (n - k)) * 1000 + 0.5) AS BIGINT) AS f_milli
+      FROM tot
+    )
+    SELECT g.event_type, g.n_g,
+           (g.s_g // g.n_g)::BIGINT AS mean_absdev_cents,
+           f.f_milli, f.k - 1 AS df_between, f.n - f.k AS df_within,
+           (f.f_milli > 2372) AS variances_differ
+    FROM g, f
+    """,
+    doc="Brown-Forsythe (median-centered Levene) homogeneity-of-variance "
+    "test across event types: z = |cents - group median| (exact "
+    "integers — the discrete lower median makes z BIGINT), then the "
+    "one-way ANOVA F on z with per-group S^2/n terms milli-frozen "
+    "before the cross-group sums. THE assumption check for "
+    "anova_event_types (pooled-variance ANOVA is invalid under "
+    "heteroscedasticity — this is the gate that says so) and the "
+    "median-centered robust cousin of the classic Levene. Significance "
+    "compares the milli-frozen F against the F(4, inf) 95% critical "
+    "value 2.372 in exact integers. Scale: one grid median pick per "
+    "group (value-grid window), two hash aggregates.",
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    med = (
+        v.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("rk"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("n_g"),
+        )
+        .where(F.expr("rk = (n_g - 1) div 2 + 1"))
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).cast("bigint").alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(F.expr("z * z")).cast("bigint").alias("ss_g"),
+        F.expr(
+            "CAST(floor(CAST(sum(z) AS DOUBLE) * sum(z) / count(*) * 1000"
+            " + 0.5) AS BIGINT)"
+        ).alias("sq_milli"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.sum("sq_milli").cast("bigint").alias("sumsq_milli"),
+    )
+    f = tot.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(floor((CAST(sumsq_milli AS DOUBLE) / 1000"
+            "   - CAST(s AS DOUBLE) * s / n) / (k - 1)"
+            " / ((CAST(ss AS DOUBLE) - CAST(sumsq_milli AS DOUBLE) / 1000)"
+            "    / (n - k)) * 1000 + 0.5) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+    return g.crossJoin(F.broadcast(f)).select(
+        "event_type",
+        "n_g",
+        F.expr("s_g div n_g").cast("bigint").alias("mean_absdev_cents"),
+        "f_milli",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        (F.col("f_milli") > 2372).alias("variances_differ"),
+    )

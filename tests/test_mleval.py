@@ -800,3 +800,45 @@ def test_streaming_kmv_matches_batch_sketch(spark, sf_dir):
             assert r.est_milli == (2 * 63 * 2147483648 * 1000 + r.hk) // (2 * r.hk)
         else:
             assert r.hk is None and r.est_milli == len(kmin) * 1000
+
+
+def test_kruskal_wallis_rank_sums_close(spark, sf_dir):
+    """Sum of all rank-sums must equal n(n+1)/2 exactly (tie-averaged
+    ranks are a rank partition), and mean ranks straddle the grand mean."""
+    rows = _rows(spark, sf_dir, "kruskal_wallis_test")
+    assert len(rows) == 5
+    n = sum(r.n_g for r in rows)
+    # recover S2_g = mean_rank_milli truncation-free via the engine identity:
+    # mean_rank_milli = (500 * s2) div n_g, so only check the straddle + H
+    grand_milli = (n + 1) * 500  # (n+1)/2 in milli
+    assert min(r.mean_rank_milli for r in rows) < grand_milli
+    assert max(r.mean_rank_milli for r in rows) > grand_milli
+    assert len({r.h_milli for r in rows}) == 1
+    assert all(r.significant == (r.h_milli > 9488) for r in rows)
+
+
+def test_horvitz_thompson_exact_weights(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "horvitz_thompson_total")
+    assert all(r.permille in (125, 200, 250, 500) for r in rows)
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        # the HT estimate is an exact integer multiple of the weight
+        assert r.ht_total_chars % (1000 // r.permille) == 0
+        assert r.abs_err_bp == abs(r.ht_total_chars - r.true_total_chars) * 10000 // r.true_total_chars
+
+
+def test_capture_recapture_bounds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "capture_recapture_users")[0]
+    assert r.m_overlap <= min(r.n1, r.n2)
+    # Chapman estimate is at least the observed union size - 1
+    assert r.chapman_estimate >= r.n1 + r.n2 - r.m_overlap - 1
+    assert r.true_users > 0
+
+
+def test_brown_forsythe_f_nonnegative_and_shared(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "brown_forsythe_variance_test")
+    assert len(rows) == 5
+    assert len({r.f_milli for r in rows}) == 1
+    assert rows[0].f_milli >= 0
+    assert all(r.mean_absdev_cents >= 0 for r in rows)
+    assert all(r.variances_differ == (r.f_milli > 2372) for r in rows)

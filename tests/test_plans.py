@@ -734,6 +734,12 @@ _SANCTIONED_NESTED_LOOP = {
     "|event types|^2-bounded precedence grid",
     "theil_index_decomposition": "1-row grand-total broadcast over the "
     "|nations|-bounded decomposition grid",
+    "kruskal_wallis_test": "1-row total/H broadcasts over the "
+    "|event types|-bounded rank-sum grid",
+    "capture_recapture_users": "crossJoins of four 1-row capture-count "
+    "aggregates",
+    "brown_forsythe_variance_test": "1-row F-statistic broadcast over "
+    "the |event types|-bounded deviation grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
