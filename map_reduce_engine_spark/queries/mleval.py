@@ -7384,3 +7384,358 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("k")).alias("df_within"),
         (F.col("f_milli") > 2372).alias("variances_differ"),
     )
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(round(l_quantity) AS BIGINT) // 10, 4)::BIGINT AS bucket,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+      FROM lineitem
+    ),
+    g AS (
+      SELECT bucket, count(*)::BIGINT AS n_i, sum(r)::BIGINT AS r_i
+      FROM b GROUP BY bucket
+    ),
+    m AS (
+      SELECT sum(n_i)::BIGINT AS n, sum(r_i)::BIGINT AS r,
+             sum(bucket * r_i)::BIGINT AS sr,
+             sum(bucket * n_i)::BIGINT AS sn,
+             sum(bucket * bucket * n_i)::BIGINT AS snn
+      FROM g
+    ),
+    z AS (
+      SELECT n, r,
+             CAST(floor((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)
+               * (CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)
+               / ((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)
+                  * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))
+               * 1000 + 0.5) AS BIGINT) AS z2_milli
+      FROM m
+    )
+    SELECT g.bucket, g.n_i, g.r_i,
+           ((1000000 * g.r_i) // g.n_i)::BIGINT AS rate_ppm,
+           z.z2_milli, (z.z2_milli > 3841) AS trend_significant
+    FROM g, z
+    """,
+    doc="Cochran-Armitage trend test: does the return rate rise or fall "
+    "MONOTONICALLY with order quantity (5 ordered buckets, scores = "
+    "bucket index)? Z^2 = [sum s_i(r_i - p*n_i)]^2 / [p(1-p)(sum s_i^2 "
+    "n_i - (sum s_i n_i)^2/N)] from ONE exact-BIGINT moment aggregate, "
+    "milli-frozen, compared against the chi2(1) 5% cut in exact "
+    "integers. The ORDERED-alternative test chi2_independence throws "
+    "away (independence tests treat buckets as unordered labels; this "
+    "spends its single degree of freedom on the dose-response "
+    "direction). Scale: one scan, one 5-row grid, 1-row arithmetic.",
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("least(CAST(round(l_quantity) AS BIGINT) div 10, 4)")
+        .cast("bigint")
+        .alias("bucket"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("r"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("r").cast("bigint").alias("r_i"),
+    )
+    m = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.expr("bucket * r_i")).cast("bigint").alias("sr"),
+        F.sum(F.expr("bucket * n_i")).cast("bigint").alias("sn"),
+        F.sum(F.expr("bucket * bucket * n_i")).cast("bigint").alias("snn"),
+    )
+    z = m.select(
+        "n",
+        "r",
+        F.expr(
+            "CAST(floor((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)"
+            " * (CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n)"
+            " / ((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)"
+            "    * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n))"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+    return g.crossJoin(F.broadcast(z)).select(
+        "bucket",
+        "n_i",
+        "r_i",
+        F.expr("(1000000 * r_i) div n_i").cast("bigint").alias("rate_ppm"),
+        "z2_milli",
+        (F.col("z2_milli") > 3841).alias("trend_significant"),
+    )
+
+
+# Shapley coalition-pair grid: 4 channels x 8 subsets of the other three.
+# Weight w = |S|! * (4-|S|-1)!  (denominator 4! = 24 applied at the end).
+_SHAPLEY_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+_SHAPLEY_PAIRS = [
+    (name, s, s | bit, _SHAPLEY_W[bin(s).count("1")])
+    for name, bit in _SHAPLEY_CHANNELS
+    for s in range(16)
+    if not s & bit
+]
+_SHAPLEY_VALUES_SQL = ",\n      ".join(
+    f"('{n}', {s}, {si}, {w})" for n, s, si, w in _SHAPLEY_PAIRS
+)
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             (max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             )::BIGINT AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    coal AS (
+      SELECT mask, count(*)::BIGINT AS n_users,
+             ((1000000 * sum(converted)) // count(*))::BIGINT AS v_ppm
+      FROM u GROUP BY mask
+    ),
+    pairs(channel, s_mask, si_mask, w) AS (
+      VALUES {_SHAPLEY_VALUES_SQL}
+    ),
+    contrib AS (
+      SELECT p.channel,
+             sum(p.w * (coalesce(c1.v_ppm, 0) - coalesce(c0.v_ppm, 0)))::BIGINT
+               AS numer_ppm24
+      FROM pairs p
+      LEFT JOIN coal c0 ON c0.mask = p.s_mask
+      LEFT JOIN coal c1 ON c1.mask = p.si_mask
+      GROUP BY p.channel
+    )
+    SELECT channel, numer_ppm24,
+           (CASE WHEN numer_ppm24 >= 0 THEN numer_ppm24 // 24
+                 ELSE -((-numer_ppm24) // 24) END)::BIGINT AS shapley_ppm
+    FROM contrib
+    """,
+    doc="Shapley-value channel attribution: treat the four non-purchase "
+    "event types as a 16-coalition cooperative game with v(S) = exact "
+    "ppm conversion rate of users whose channel set is exactly S "
+    "(unobserved coalitions contribute v=0, documented), and compute "
+    "each channel's Shapley value phi_i = sum |S|!(n-|S|-1)!/n! "
+    "[v(S+i) - v(S)] over the 32 literal coalition pairs — weights and "
+    "marginals are pure integers (x24 numerator emitted for the exact "
+    "efficiency identity sum numer = 24*(v(full) - v(empty))). The "
+    "game-theoretic member of the attribution family (first/last-touch "
+    "ignore interactions, U-shaped guesses them, markov_removal_effect "
+    "needs path order; Shapley is the axiomatically-fair set-based "
+    "answer). Scale: one hash aggregate per user, one to the 16-row "
+    "coalition grid, then literal-grid joins.",
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            " + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("mask"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("converted"),
+    )
+    coal = u.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("(1000000 * sum(converted)) div count(*)")
+        .cast("bigint")
+        .alias("v_ppm"),
+    )
+    pairs = coal.sparkSession.createDataFrame(
+        _SHAPLEY_PAIRS, "channel string, s_mask bigint, si_mask bigint, w bigint"
+    )
+    c0 = coal.select(F.col("mask").alias("m0"), F.col("v_ppm").alias("v0"))
+    c1 = coal.select(F.col("mask").alias("m1"), F.col("v_ppm").alias("v1"))
+    contrib = (
+        pairs.join(F.broadcast(c0), pairs.s_mask == c0.m0, "left")
+        .join(F.broadcast(c1), pairs.si_mask == c1.m1, "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr("w * (coalesce(v1, 0) - coalesce(v0, 0))")
+            )
+            .cast("bigint")
+            .alias("numer_ppm24")
+        )
+    )
+    return contrib.select(
+        "channel",
+        "numer_ppm24",
+        F.expr("numer_ppm24 div 24").cast("bigint").alias("shapley_ppm"),
+    )
+
+
+@register(
+    "cochrans_q_filters",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS f2,
+             CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+               AS f3
+      FROM documents
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(f1)::BIGINT AS c1, sum(f2)::BIGINT AS c2,
+             sum(f3)::BIGINT AS c3,
+             sum(f1 + f2 + f3)::BIGINT AS t,
+             sum((f1 + f2 + f3) * (f1 + f2 + f3))::BIGINT AS sr2
+      FROM f
+    )
+    SELECT n AS n_docs, c1 AS pass_len, c2 AS pass_lex, c3 AS pass_tokens,
+           ((1000 * 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t))
+             // (3 * t - sr2))::BIGINT AS q_milli,
+           ((1000 * 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t))
+             // (3 * t - sr2) > 5991) AS filters_differ
+    FROM m
+    """,
+    doc="Cochran's Q test on THREE paired binary quality filters (length, "
+    "lexical diversity, token count) over the same documents — the "
+    "k-filter generalization of mcnemar_filter_disagreement, asking "
+    "'do these filters pass different fractions?' while respecting the "
+    "pairing. The identity Q = (k-1)(k*sum C_j^2 - T^2)/(k*T - sum "
+    "R_i^2) makes the whole statistic PURE INTEGER (numerator and "
+    "denominator BIGINT; milli-frozen only by the final integer "
+    "division), significance vs the exact chi2(2) 5% cut 5.991. "
+    "Scale: one scan, one 1-row moment aggregate.",
+)
+def cochrans_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr("CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END").alias("f1"),
+        F.expr(
+            "CASE WHEN 2 * size(array_distinct(split(text, ' ')))"
+            " >= size(split(text, ' ')) THEN 1 ELSE 0 END"
+        ).alias("f2"),
+        F.expr("CASE WHEN size(split(text, ' ')) >= 40 THEN 1 ELSE 0 END").alias("f3"),
+    )
+    m = f.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("f1").cast("bigint").alias("c1"),
+        F.sum("f2").cast("bigint").alias("c2"),
+        F.sum("f3").cast("bigint").alias("c3"),
+        F.sum(F.expr("f1 + f2 + f3")).cast("bigint").alias("t"),
+        F.sum(F.expr("(f1 + f2 + f3) * (f1 + f2 + f3)")).cast("bigint").alias("sr2"),
+    )
+    q = (
+        "(1000 * 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t))"
+        " div (3 * t - sr2)"
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("c1").alias("pass_len"),
+        F.col("c2").alias("pass_lex"),
+        F.col("c3").alias("pass_tokens"),
+        F.expr(q).cast("bigint").alias("q_milli"),
+        F.expr(f"{q} > 5991").alias("filters_differ"),
+    )
+
+
+@register(
+    "cronbach_alpha_quality",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS f2,
+             CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+               AS f3,
+             CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+               AS f4
+      FROM documents
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(f1)::BIGINT AS c1, sum(f2)::BIGINT AS c2,
+             sum(f3)::BIGINT AS c3, sum(f4)::BIGINT AS c4,
+             sum(f1 + f2 + f3 + f4)::BIGINT AS t,
+             sum((f1 + f2 + f3 + f4) * (f1 + f2 + f3 + f4))::BIGINT AS sr2
+      FROM m0
+    ),
+    m0 AS (SELECT * FROM f)
+    SELECT n AS n_docs, c1, c2, c3, c4,
+           CAST(floor((4.0 / 3)
+             * (1 - ((CAST(n AS DOUBLE) * c1 - CAST(c1 AS DOUBLE) * c1)
+                   + (CAST(n AS DOUBLE) * c2 - CAST(c2 AS DOUBLE) * c2)
+                   + (CAST(n AS DOUBLE) * c3 - CAST(c3 AS DOUBLE) * c3)
+                   + (CAST(n AS DOUBLE) * c4 - CAST(c4 AS DOUBLE) * c4))
+                  / (CAST(n AS DOUBLE) * sr2 - CAST(t AS DOUBLE) * t))
+             * 1000 + 0.5) AS BIGINT) AS alpha_milli,
+           (CAST(floor((4.0 / 3)
+             * (1 - ((CAST(n AS DOUBLE) * c1 - CAST(c1 AS DOUBLE) * c1)
+                   + (CAST(n AS DOUBLE) * c2 - CAST(c2 AS DOUBLE) * c2)
+                   + (CAST(n AS DOUBLE) * c3 - CAST(c3 AS DOUBLE) * c3)
+                   + (CAST(n AS DOUBLE) * c4 - CAST(c4 AS DOUBLE) * c4))
+                  / (CAST(n AS DOUBLE) * sr2 - CAST(t AS DOUBLE) * t))
+             * 1000 + 0.5) AS BIGINT) >= 700) AS internally_consistent
+    FROM m
+    """,
+    doc="Cronbach's alpha internal-consistency coefficient over a 4-item "
+    "binary quality scale (length, lexical diversity, and two token-"
+    "count items): alpha = k/(k-1) * (1 - sum var_item / var_total), "
+    "with every variance expanded to the exact-BIGINT moment form "
+    "n*sum - sum^2 (binary items: sum == sum of squares) and the "
+    "4-term item-variance sum written as ONE fixed-order expression in "
+    "both engines (never a float SUM over rows), milli-frozen with the "
+    "conventional 0.7 reliability gate as an exact integer comparison. "
+    "The measurement-theory audit for composite quality scores "
+    "(quality_linear_score averages items; this says whether they "
+    "measure one construct at all). Scale: one scan, one 1-row moment "
+    "aggregate.",
+)
+def cronbach_alpha_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr("CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END").alias("f1"),
+        F.expr(
+            "CASE WHEN 2 * size(array_distinct(split(text, ' ')))"
+            " >= size(split(text, ' ')) THEN 1 ELSE 0 END"
+        ).alias("f2"),
+        F.expr("CASE WHEN size(split(text, ' ')) >= 40 THEN 1 ELSE 0 END").alias("f3"),
+        F.expr("CASE WHEN size(split(text, ' ')) >= 55 THEN 1 ELSE 0 END").alias("f4"),
+    )
+    m = f.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("f1").cast("bigint").alias("c1"),
+        F.sum("f2").cast("bigint").alias("c2"),
+        F.sum("f3").cast("bigint").alias("c3"),
+        F.sum("f4").cast("bigint").alias("c4"),
+        F.sum(F.expr("f1 + f2 + f3 + f4")).cast("bigint").alias("t"),
+        F.sum(F.expr("(f1 + f2 + f3 + f4) * (f1 + f2 + f3 + f4)"))
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    alpha = (
+        "CAST(floor((4.0 / 3)"
+        " * (1 - ((CAST(n AS DOUBLE) * c1 - CAST(c1 AS DOUBLE) * c1)"
+        "       + (CAST(n AS DOUBLE) * c2 - CAST(c2 AS DOUBLE) * c2)"
+        "       + (CAST(n AS DOUBLE) * c3 - CAST(c3 AS DOUBLE) * c3)"
+        "       + (CAST(n AS DOUBLE) * c4 - CAST(c4 AS DOUBLE) * c4))"
+        "      / (CAST(n AS DOUBLE) * sr2 - CAST(t AS DOUBLE) * t))"
+        " * 1000 + 0.5) AS BIGINT)"
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        F.expr(alpha).alias("alpha_milli"),
+        F.expr(f"{alpha} >= 700").alias("internally_consistent"),
+    )

@@ -842,3 +842,57 @@ def test_brown_forsythe_f_nonnegative_and_shared(spark, sf_dir):
     assert rows[0].f_milli >= 0
     assert all(r.mean_absdev_cents >= 0 for r in rows)
     assert all(r.variances_differ == (r.f_milli > 2372) for r in rows)
+
+
+def test_cochran_armitage_shared_statistic(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "cochran_armitage_trend")
+    assert len(rows) == 5 and {r.bucket for r in rows} == set(range(5))
+    assert len({r.z2_milli for r in rows}) == 1
+    for r in rows:
+        assert r.rate_ppm == 1_000_000 * r.r_i // r.n_i
+        assert r.trend_significant == (r.z2_milli > 3841)
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """Game-theory identity: sum of Shapley numerators (x24) equals
+    24 * (v(grand coalition) - v(empty coalition)) EXACTLY."""
+    rows = _rows(spark, sf_dir, "shapley_channel_attribution")
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+    from map_reduce_engine_spark.io import read_table
+
+    u = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+                " + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+                " + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("mask"),
+            F.expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").alias("conv"),
+        )
+        .groupBy("mask")
+        .agg(F.expr("(1000000 * sum(conv)) div count(*)").alias("v_ppm"))
+        .collect()
+    )
+    v = {r.mask: r.v_ppm for r in u}
+    expected = 24 * (v.get(15, 0) - v.get(0, 0))
+    assert sum(r.numer_ppm24 for r in rows) == expected
+
+
+def test_cochrans_q_reduces_to_paired_structure(spark, sf_dir):
+    r = _rows(spark, sf_dir, "cochrans_q_filters")[0]
+    assert r.q_milli >= 0
+    assert r.filters_differ == (r.q_milli > 5991)
+    # column sums bounded by corpus size
+    assert max(r.pass_len, r.pass_lex, r.pass_tokens) <= r.n_docs
+
+
+def test_cronbach_alpha_bounded_above_by_one(spark, sf_dir):
+    r = _rows(spark, sf_dir, "cronbach_alpha_quality")[0]
+    assert r.alpha_milli <= 1000
+    assert r.internally_consistent == (r.alpha_milli >= 700)
+    # the two token-count items overlap (>=55 implies >=40)
+    assert r.c4 <= r.c3

@@ -740,6 +740,8 @@ _SANCTIONED_NESTED_LOOP = {
     "aggregates",
     "brown_forsythe_variance_test": "1-row F-statistic broadcast over "
     "the |event types|-bounded deviation grid",
+    "cochran_armitage_trend": "1-row trend-statistic broadcast over the "
+    "5-bucket dose grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
