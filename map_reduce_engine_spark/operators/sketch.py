@@ -19,7 +19,7 @@ engine-specific HLL/CMS binaries).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.operators.dedup import _MASK31, minhash_family, portable_base31
@@ -247,3 +247,63 @@ def ams_f2_sketch(
         .agg((F.sum(F.col("z") * F.col("z")) / F.lit(float(group_size))).alias("m"))
     )
     return means.agg(F.sort_array(F.collect_list("m")).alias("f2_group_means"))
+
+
+def misra_gries_summary(df: DataFrame, item_col: str, k: int = 16) -> DataFrame:
+    """Misra-Gries frequent-items summary: (item, mg_count) candidates with
+    the deterministic guarantee true_count - n/(k+1) <= mg_count <=
+    true_count, hence EVERY item with true frequency > n/(k+1) survives.
+
+    Bounded memory at every step, the property exact ``groupBy`` counting
+    lacks: each input partition folds its Arrow batches into k counters
+    (per batch: exact value_counts merged via the Agarwal et al. MG merge —
+    sum counters, subtract the (k+1)-th largest, drop non-positive), then
+    the <= k-row partials merge once more in SQL with the same rule. Merge
+    error is additive and totals <= n/(k+1) for any partition layout or
+    batch order; the CANDIDATE SET may vary with layout, but the guarantee
+    (superset of true heavy hitters) holds for every layout — which is what
+    the registry query's oracle checks. At 100 TB: one narrow pass plus a
+    (num_partitions x k)-row shuffle, state never exceeds k counters per
+    task.
+    """
+    import pandas as pd
+
+    def fold(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                # MG merge rule: subtract the (k+1)-th largest, keep positives
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - sub for i, c in counters.items() if c - sub > 0}
+        yield pd.DataFrame(
+            {"item": list(counters), "c": list(counters.values())}
+        )
+
+    partials = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        fold, schema="item string, c bigint"
+    )
+    merged = partials.groupBy("item").agg(F.sum("c").cast("bigint").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("item"))
+    ranked = merged.withColumn("rk", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )  # bounded (num_partitions x k rows); feeds threshold + filter
+    # 1-row aggregate, NOT a filtered row: when merged holds <= k items the
+    # threshold row doesn't exist, and a crossJoin with an EMPTY frame would
+    # wipe the candidates (no subtraction needed in that case -> sub = 0).
+    sub = ranked.agg(
+        F.max(F.when(F.col("rk") == k + 1, F.col("c"))).alias("sub")
+    )
+    return (
+        ranked.where(F.col("rk") <= k)
+        .crossJoin(F.broadcast(sub))  # 1-row threshold broadcast
+        .where(F.col("c") - F.coalesce(F.col("sub"), F.lit(0)) > 0)
+        .select(
+            "item",
+            (F.col("c") - F.coalesce(F.col("sub"), F.lit(0)))
+            .cast("bigint")
+            .alias("mg_count"),
+        )
+    )

@@ -7739,3 +7739,276 @@ def cronbach_alpha_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(alpha).alias("alpha_milli"),
         F.expr(f"{alpha} >= 700").alias("internally_consistent"),
     )
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 4 < 2
+               THEN 'hot_' || CAST(user_id % 2 AS VARCHAR)
+               ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS item
+      FROM events
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM keyed),
+    exact AS (
+      SELECT item, count(*)::BIGINT AS true_count FROM keyed GROUP BY item
+    )
+    SELECT e.item, e.true_count,
+           ((1000000 * e.true_count) // t.n)::BIGINT AS share_ppm,
+           TRUE AS in_mg_candidates
+    FROM exact e, tot t
+    WHERE e.true_count * 17 > t.n
+    ORDER BY e.true_count DESC, e.item
+    """,
+    doc="Misra-Gries frequent-items sketch (k=16 counters) over a "
+    "deterministically skewed key stream (half the events map to two "
+    "hot keys, the rest to per-user cold keys — a synthetic skew "
+    "transform, since the fixture's natural keys are uniform): the MG "
+    "guarantee says every item with true frequency > n/(k+1) MUST "
+    "survive the bounded-memory pass, for ANY partition layout or "
+    "batch order, so the emitted verdict column (true heavy hitter is "
+    "in the candidate set) is layout-invariant even though the "
+    "candidate SET itself is not — a broken counter/merge rule flips "
+    "the boolean and hash-mismatches the oracle's literal TRUE. The "
+    "deterministic-guarantee counter sketch beside cms_heavy_hitters "
+    "(probabilistic overestimates) — operators/sketch.py::"
+    "misra_gries_summary holds k counters per task and merges partials "
+    "with the Agarwal et al. rule. Exact counts shown for comparison.",
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.sketch import misra_gries_summary
+
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.expr(
+            "CASE WHEN user_id % 4 < 2"
+            " THEN 'hot_' || CAST(user_id % 2 AS STRING)"
+            " ELSE 'cold_' || CAST(user_id AS STRING) END"
+        ).alias("item")
+    )
+    candidates = misra_gries_summary(keyed, "item", k=16).select(
+        F.col("item").alias("cand_item")
+    )
+    tot = keyed.agg(F.count("*").cast("bigint").alias("n"))
+    exact = keyed.groupBy("item").agg(F.count("*").cast("bigint").alias("true_count"))
+    hh = (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.expr("true_count * 17 > n"))
+        .join(F.broadcast(candidates), F.col("item") == F.col("cand_item"), "left")
+    )
+    return hh.select(
+        "item",
+        "true_count",
+        F.expr("(1000000 * true_count) div n").cast("bigint").alias("share_ppm"),
+        F.col("cand_item").isNotNull().alias("in_mg_candidates"),
+    ).orderBy(F.desc("true_count"), F.asc("item"))
+
+
+@register(
+    "tukey_hsd_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_g, sum(cents)::BIGINT AS s_g,
+             sum(cents * cents)::BIGINT AS ss_g,
+             CAST(floor(CAST(sum(cents) AS DOUBLE) * sum(cents) / count(*)
+               * 1000 + 0.5) AS BIGINT) AS sq_milli
+      FROM v GROUP BY event_type
+    ),
+    msw AS (
+      SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+             (CAST(sum(ss_g) AS DOUBLE)
+              - CAST(sum(sq_milli) AS DOUBLE) / 1000)
+               / (sum(n_g) - count(*)) AS ms_within
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n_g AS n_a, b.n_g AS n_b,
+             CAST(floor(abs(CAST(a.s_g AS DOUBLE) / a.n_g
+               - CAST(b.s_g AS DOUBLE) / b.n_g) * 1000 + 0.5) AS BIGINT)
+               AS mean_diff_milli,
+             CAST(floor(abs(CAST(a.s_g AS DOUBLE) / a.n_g
+                 - CAST(b.s_g AS DOUBLE) / b.n_g)
+               / sqrt(m.ms_within / 2
+                      * (1.0 / a.n_g + 1.0 / b.n_g))
+               * 1000 + 0.5) AS BIGINT) AS q_milli
+      FROM g a JOIN g b ON a.event_type < b.event_type, msw m
+    )
+    SELECT type_a, type_b, n_a, n_b, mean_diff_milli, q_milli,
+           (q_milli > 3858) AS pair_differs
+    FROM pairs
+    """,
+    doc="Tukey-Kramer HSD post-hoc pairwise comparisons after the one-way "
+    "ANOVA: for each of the 10 event-type pairs, the studentized-range "
+    "statistic q = |mean_i - mean_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) "
+    "with MS-within from exact-BIGINT moments (per-group S^2/n "
+    "milli-frozen before the cross-group sum, the brown_forsythe "
+    "recipe), milli-frozen q against the exact studentized-range "
+    "critical value q(0.05; 5, inf) = 3.858. anova_event_types says "
+    "THAT means differ; this says WHICH pairs do, with the family-wise "
+    "error rate the pairwise z-tests would inflate. Scale: one moment "
+    "aggregate, then a 5x5-bounded grid self-join.",
+)
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    g = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+        F.sum(F.expr("cents * cents")).cast("bigint").alias("ss_g"),
+        F.expr(
+            "CAST(floor(CAST(sum(cents) AS DOUBLE) * sum(cents) / count(*)"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("sq_milli"),
+    ).localCheckpoint(eager=True)  # 5-row grid feeds msw + both pair sides
+    msw = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.expr(
+            "(CAST(sum(ss_g) AS DOUBLE)"
+            " - CAST(sum(sq_milli) AS DOUBLE) / 1000)"
+            " / (sum(n_g) - count(*))"
+        ).alias("ms_within"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("s_g").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("s_g").alias("sb"),
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(floor(abs(CAST(sa AS DOUBLE) / n_a"
+                " - CAST(sb AS DOUBLE) / n_b) * 1000 + 0.5) AS BIGINT)"
+            ).alias("mean_diff_milli"),
+            F.expr(
+                "CAST(floor(abs(CAST(sa AS DOUBLE) / n_a"
+                "   - CAST(sb AS DOUBLE) / n_b)"
+                " / sqrt(ms_within / 2"
+                "        * (1.0 / n_a + 1.0 / n_b))"
+                " * 1000 + 0.5) AS BIGINT)"
+            ).alias("q_milli"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "mean_diff_milli",
+        "q_milli",
+        (F.col("q_milli") > 3858).alias("pair_differs"),
+    )
+
+
+@register(
+    "friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT ts::DATE AS day, event_type,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT a.day, a.event_type,
+             (2 * sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+              + 1)::BIGINT AS r2
+      FROM cell a JOIN cell b ON a.day = b.day
+      GROUP BY a.day, a.event_type
+    ),
+    blocks AS (SELECT count(DISTINCT day)::BIGINT AS n FROM cell),
+    sums AS (
+      SELECT event_type, sum(r2)::BIGINT AS r2_sum FROM r GROUP BY event_type
+    ),
+    a2 AS (SELECT sum(r2 * r2)::BIGINT AS a2 FROM r),
+    q AS (
+      SELECT ((1000 * 4 * (SELECT sum((r2_sum - n * 6) * (r2_sum - n * 6))
+                FROM sums, blocks))
+             // ((SELECT a2 FROM a2)
+                - (SELECT n FROM blocks) * 5 * 36))::BIGINT AS q_milli
+    )
+    SELECT s.event_type, s.r2_sum,
+           ((500 * s.r2_sum) // b.n)::BIGINT AS mean_rank_milli,
+           q.q_milli, (q.q_milli > 9488) AS significant
+    FROM sums s, blocks b, q
+    """,
+    doc="Friedman test with days as blocks: does any event type "
+    "systematically out-earn the others DAY AFTER DAY? Each day ranks "
+    "its five per-type revenue cells (tie-averaged ranks in exact "
+    "half-units via the bounded 5x5 within-day comparison join), and "
+    "the tie-robust statistic Q = (k-1) * sum_j (R2_j - n(k+1))^2 / "
+    "(sum r2^2 - nk(k+1)^2) is PURE INTEGER end-to-end (the 2R "
+    "substitution cancels every /4). The repeated-measures member of "
+    "the test family: kruskal_wallis_test pools all values (a hot day "
+    "lifts every type and drowns the signal); blocking by day removes "
+    "exactly that nuisance. Significance vs the exact chi2(4) cut. "
+    "Scale: one aggregate to the (days x types) grid, one bounded "
+    "within-day join, |types|-row arithmetic.",
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    ).localCheckpoint(eager=True)  # (days x types) grid; feeds both join sides
+    a, b = cell.alias("a"), cell.alias("b")
+    r = (
+        a.join(b, F.col("a.day") == F.col("b.day"))
+        .groupBy(F.col("a.day").alias("day"), F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.expr(
+                "CAST(2 * sum(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)"
+                " + sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)"
+                " + 1 AS BIGINT)"
+            ).alias("r2")
+        )
+    )
+    blocks = cell.agg(F.countDistinct("day").cast("bigint").alias("n"))
+    sums = r.groupBy("event_type").agg(F.sum("r2").cast("bigint").alias("r2_sum"))
+    a2 = r.agg(F.sum(F.expr("r2 * r2")).cast("bigint").alias("a2"))
+    num = (
+        sums.crossJoin(F.broadcast(blocks))
+        .agg(
+            F.sum(F.expr("(r2_sum - n * 6) * (r2_sum - n * 6)"))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    q = (
+        num.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(blocks))
+        .select(
+            F.expr("(1000 * 4 * num) div (a2 - n * 5 * 36)")
+            .cast("bigint")
+            .alias("q_milli")
+        )
+    )
+    return (
+        sums.crossJoin(F.broadcast(blocks))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "event_type",
+            "r2_sum",
+            F.expr("(500 * r2_sum) div n").cast("bigint").alias("mean_rank_milli"),
+            "q_milli",
+            (F.col("q_milli") > 9488).alias("significant"),
+        )
+    )

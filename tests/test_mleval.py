@@ -896,3 +896,59 @@ def test_cronbach_alpha_bounded_above_by_one(spark, sf_dir):
     assert r.internally_consistent == (r.alpha_milli >= 700)
     # the two token-count items overlap (>=55 implies >=40)
     assert r.c4 <= r.c3
+
+
+def test_misra_gries_guarantee_under_repartition(spark, sf_dir):
+    """The MG containment guarantee must hold for ANY layout: repartition
+    the keyed stream adversarially and re-check every true heavy hitter
+    still survives the bounded-memory pass."""
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.sketch import misra_gries_summary
+
+    rows = _rows(spark, sf_dir, "misra_gries_heavy_hitters")
+    assert rows and all(r.in_mg_candidates for r in rows)
+    keyed = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CASE WHEN user_id % 4 < 2"
+                " THEN 'hot_' || CAST(user_id % 2 AS STRING)"
+                " ELSE 'cold_' || CAST(user_id AS STRING) END"
+            ).alias("item")
+        )
+        .repartition(23)
+    )
+    cands = {r.item for r in misra_gries_summary(keyed, "item", k=16).collect()}
+    for r in rows:
+        assert r.item in cands
+    # and MG counts never exceed true counts
+    exact = {r.item: r.true_count for r in rows}
+    for r in misra_gries_summary(keyed, "item", k=16).collect():
+        if r.item in exact:
+            assert r.mg_count <= exact[r.item]
+
+
+def test_tukey_pairs_complete_and_symmetric_threshold(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "tukey_hsd_pairs")
+    assert len(rows) == 10  # C(5,2)
+    assert all(r.type_a < r.type_b for r in rows)
+    for r in rows:
+        assert r.q_milli >= 0
+        assert r.pair_differs == (r.q_milli > 3858)
+
+
+def test_friedman_rank_sums_partition(spark, sf_dir):
+    """Within every block ranks sum to k(k+1)/2, so total 2R over all
+    types must be n * k * (k+1) exactly."""
+    rows = _rows(spark, sf_dir, "friedman_test")
+    assert len(rows) == 5
+    n_days = (
+        REGISTRY["friedman_test"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.r2_sum for r in rows) == n_days * 5 * 6
+    assert len({r.q_milli for r in rows}) == 1

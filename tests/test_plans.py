@@ -742,6 +742,12 @@ _SANCTIONED_NESTED_LOOP = {
     "the |event types|-bounded deviation grid",
     "cochran_armitage_trend": "1-row trend-statistic broadcast over the "
     "5-bucket dose grid",
+    "misra_gries_heavy_hitters": "1-row MG threshold and total broadcasts "
+    "over the (partitions x k)-bounded counter grid",
+    "tukey_hsd_pairs": "5x5-bounded group-grid pair join + 1-row "
+    "MS-within broadcast",
+    "friedman_test": "1-row block-count/A2/Q broadcasts over the "
+    "|types|-bounded rank-sum grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
