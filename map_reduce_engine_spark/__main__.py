@@ -114,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--max-at-risk-share", type=float, default=0.05)
     pa.add_argument("--min-l", type=int, default=3)
     pa.add_argument("--max-t-ppm", type=int, default=300_000)
+    gc = sub.add_parser(
+        "group-comparison",
+        help="run the assumption-gated multi-group comparison dossier "
+        "(ANOVA + Brown-Forsythe gate + Tukey HSD post-hoc + "
+        "Kruskal-Wallis + Friedman, with a verdict gate)",
+    )
+    gc.add_argument("sf_dir", help="fixture dir containing events.parquet")
+    gc.add_argument("output_dir")
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -205,6 +213,17 @@ def main(argv: list[str] | None = None) -> int:
                 min_l=args.min_l,
                 max_t_ppm=args.max_t_ppm,
             )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "group-comparison":
+        from map_reduce_engine_spark.examples.group_comparison_job import run
+
+        spark = get_spark(app_name="mre-group-comparison")
+        try:
+            gate = run(spark, args.sf_dir, args.output_dir)
             gate.show(truncate=False)
         finally:
             spark.stop()

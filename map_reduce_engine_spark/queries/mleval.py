@@ -8012,3 +8012,128 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_milli") > 9488).alias("significant"),
         )
     )
+
+
+# --- MMR diversified retrieval ------------------------------------------------
+
+_MMR_ROUNDS = 5
+# Seeded literal query vector, micro-frozen — the seeded-literal-oracle
+# recipe (LSH planes / JL projection): both engines replay identical
+# integers, so relevance and redundancy dots are exact BIGINTs.
+import numpy as _np  # noqa: E402
+
+_MMR_Q = [
+    int(x)
+    for x in _np.floor(
+        _np.random.default_rng(20240815).standard_normal(64) * 1_000_000 + 0.5
+    ).astype("int64")
+]
+
+
+def _mmr_dot(x: str, y: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(64), "
+        f"i -> {x}[i+1] * {y}[i+1])) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    v = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    q = "[" + ", ".join(f"{x}::BIGINT" for x in _MMR_Q) + "]"
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, {v} AS v FROM embeddings)",
+        f"rel AS MATERIALIZED (SELECT vec_id, v, {_mmr_dot('v', q)} AS rel FROM e)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, rel FROM rel "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT r.vec_id, r.v, r.rel, "
+        f"{_mmr_dot('r.v', 'c.v')} AS smax FROM rel r, c1 c "
+        f"WHERE r.vec_id <> c.vec_id)",
+    ]
+    for r in range(2, _MMR_ROUNDS + 1):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, v, rel, smax FROM d{r - 1} "
+            f"ORDER BY 7 * rel - 3 * smax DESC, vec_id LIMIT 1)"
+        )
+        if r < _MMR_ROUNDS:
+            ctes.append(
+                f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.v, d.rel, "
+                f"greatest(d.smax, {_mmr_dot('d.v', 'c.v')}) AS smax "
+                f"FROM d{r - 1} d, c{r} c WHERE d.vec_id <> c.vec_id)"
+            )
+    rows = [
+        "SELECT 1::BIGINT AS sel_round, vec_id, rel AS rel_dot, "
+        "0::BIGINT AS maxsim_dot, (7 * rel)::BIGINT AS mmr_score FROM c1"
+    ]
+    rows += [
+        f"SELECT {r}::BIGINT, vec_id, rel, smax::BIGINT, "
+        f"(7 * rel - 3 * smax)::BIGINT FROM c{r}"
+        for r in range(2, _MMR_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="maximal-marginal-relevance diversified retrieval: greedily pick "
+    "5 vectors maximizing lambda*relevance - (1-lambda)*redundancy "
+    "(lambda = 0.7, scaled x10 so the objective is the exact integer "
+    "7*rel - 3*maxsim) against a seeded literal query vector — the "
+    "re-ranking step that keeps a retrieved context window from being "
+    "5 copies of the same passage, completing the retrieval family "
+    "(knn/ann rank by relevance alone; rrf fuses rankers; THIS trades "
+    "relevance against redundancy). Vectors micro-freeze so every "
+    "dot product is an exact BIGINT and the greedy argmax sequence is "
+    "deterministic in both engines; redundancy is a running max "
+    "maintained kcenter-style (each round ONE corpus scan vs the "
+    "driver-held selected vectors + TakeOrdered(1) — k scans at "
+    "100 TB, no pairwise blowup). Oracle is the identical greedy "
+    "unrolled as a materialized CTE chain.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def dot(v, lit):
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    q = F.array(*[F.lit(x).cast("bigint") for x in _MMR_Q])
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000000.0 + 0.5).cast("bigint"),
+        ).alias("v"),
+    )
+    rel = e.select("vec_id", "v", dot(F.col("v"), q).alias("rel")).localCheckpoint(
+        eager=True
+    )  # relevance dots computed once; k rounds re-scan this
+    first = rel.orderBy(F.desc("rel"), "vec_id").head()
+    rows = [(1, int(first.vec_id), int(first.rel), 0, 7 * int(first.rel))]
+    c = F.array(*[F.lit(int(x)).cast("bigint") for x in first.v])
+    df = rel.where(F.col("vec_id") != int(first.vec_id)).select(
+        "vec_id", "v", "rel", dot(F.col("v"), c).alias("smax")
+    )
+    for r in range(2, _MMR_ROUNDS + 1):
+        top = df.orderBy(F.expr("7 * rel - 3 * smax").desc(), "vec_id").head()
+        rows.append(
+            (r, int(top.vec_id), int(top.rel), int(top.smax),
+             7 * int(top.rel) - 3 * int(top.smax))
+        )
+        if r < _MMR_ROUNDS:
+            c = F.array(*[F.lit(int(x)).cast("bigint") for x in top.v])
+            df = df.where(F.col("vec_id") != int(top.vec_id)).select(
+                "vec_id",
+                "v",
+                "rel",
+                F.greatest(F.col("smax"), dot(F.col("v"), c)).alias("smax"),
+            )
+    return spark.createDataFrame(
+        rows,
+        "sel_round bigint, vec_id bigint, rel_dot bigint, "
+        "maxsim_dot bigint, mmr_score bigint",
+    )

@@ -330,3 +330,23 @@ def test_privacy_audit_job(spark, sf_dir, tmp_path):
     # impossible closeness bound must flip the gate
     strict = run(spark, sf_dir, str(tmp_path / "priv2"), max_t_ppm=-1)
     assert not strict.collect()[0].release_ok
+
+
+def test_group_comparison_job(spark, sf_dir, tmp_path):
+    """The composed group-comparison dossier writes all five tests and the
+    gate implements the assumption-gated decision rule."""
+    from map_reduce_engine_spark.examples.group_comparison_job import run
+
+    out = str(tmp_path / "gc")
+    gate = run(spark, sf_dir, out)
+    row = gate.collect()[0]
+    # decision rule: variance heterogeneity defers to Kruskal-Wallis
+    expected = row.kw_significant if row.variances_differ else row.anova_significant
+    assert row.groups_differ == expected
+    assert row.tests_agree == (row.anova_significant == row.kw_significant)
+    # artifacts exist and reconcile
+    tukey = spark.read.parquet(f"{out}/tukey_hsd").collect()
+    assert row.n_pairs_differ == sum(1 for r in tukey if r.pair_differs)
+    assert len(tukey) == 10
+    kw = spark.read.parquet(f"{out}/kruskal_wallis").collect()
+    assert {r.event_type for r in kw} == {"click", "error", "purchase", "signup", "view"}

@@ -952,3 +952,15 @@ def test_friedman_rank_sums_partition(spark, sf_dir):
     )
     assert sum(r.r2_sum for r in rows) == n_days * 5 * 6
     assert len({r.q_milli for r in rows}) == 1
+
+
+def test_mmr_trades_relevance_for_diversity(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "mmr_diversified_topk"), key=lambda r: r.sel_round)
+    assert len(rows) == 5
+    assert len({r.vec_id for r in rows}) == 5
+    # round 1 is the pure-relevance argmax; its score is 7*rel by convention
+    assert rows[0].maxsim_dot == 0 and rows[0].mmr_score == 7 * rows[0].rel_dot
+    for r in rows[1:]:
+        assert r.mmr_score == 7 * r.rel_dot - 3 * r.maxsim_dot
+    # later picks never beat the first pick's pure relevance
+    assert all(r.rel_dot <= rows[0].rel_dot for r in rows)
