@@ -8137,3 +8137,329 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_round bigint, vec_id bigint, rel_dot bigint, "
         "maxsim_dot bigint, mmr_score bigint",
     )
+
+
+@register(
+    "power_sample_size_design",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) / 2 AS p1,
+             count(DISTINCT user_id)::BIGINT AS n_users
+      FROM events
+    ),
+    mde AS (SELECT unnest([100, 50, 20, 10]) AS mde_pct),
+    d AS (
+      SELECT m.mde_pct::BIGINT AS mde_pct, p.n_users, p.p1,
+             p.p1 * (1 + CAST(m.mde_pct AS DOUBLE) / 100) AS p2
+      FROM p, mde m
+    )
+    SELECT mde_pct, n_users,
+           CAST(floor(p1 * 1000000 + 0.5) AS BIGINT) AS baseline_ppm,
+           CAST(floor(p2 * 1000000 + 0.5) AS BIGINT) AS target_ppm,
+           CAST(ceil((CAST(1.959963984540054 AS DOUBLE)
+                 + CAST(0.8416212335729143 AS DOUBLE))
+               * (CAST(1.959963984540054 AS DOUBLE)
+                 + CAST(0.8416212335729143 AS DOUBLE))
+               * (p1 * (1 - p1) + p2 * (1 - p2))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+           (CAST(ceil((CAST(1.959963984540054 AS DOUBLE)
+                 + CAST(0.8416212335729143 AS DOUBLE))
+               * (CAST(1.959963984540054 AS DOUBLE)
+                 + CAST(0.8416212335729143 AS DOUBLE))
+               * (p1 * (1 - p1) + p2 * (1 - p2))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) * 2 <= n_users)
+             AS feasible_with_current_users
+    FROM d
+    """,
+    doc="experiment power / sample-size design: for relative MDEs of "
+    "+100/+50/+20/+10 percent on a x"
+    "the required n per arm for 80% power at two-sided alpha = 5%: "
+    "n = (z_0.975 + z_0.80)^2 (p1 q1 + p2 q2) / (p2 - p1)^2, with the "
+    "z quantiles as full-precision shared literals (the A&S-constant "
+    "recipe) so both engines replay identical doubles, ppm-frozen "
+    "rates and a feasibility flag against the observed user count. The "
+    "DESIGN-TIME member of the experimentation family: conversion_ztest "
+    "and cuped_variance_reduction analyze a finished experiment; this "
+    "says whether it was ever adequately powered. Scale: one aggregate, "
+    "4-row literal grid.",
+)
+def power_sample_size_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    p = ev.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*) / 2"
+        ).alias("p1"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    mde = p.sparkSession.createDataFrame([(100,), (50,), (20,), (10,)], "mde_pct int")
+    d = p.crossJoin(F.broadcast(mde)).select(
+        F.col("mde_pct").cast("bigint").alias("mde_pct"),
+        "n_users",
+        "p1",
+        F.expr("p1 * (1 + CAST(mde_pct AS DOUBLE) / 100)").alias("p2"),
+    )
+    n_expr = (
+        "CAST(ceil((CAST(1.959963984540054 AS DOUBLE)"
+        "      + CAST(0.8416212335729143 AS DOUBLE))"
+        "    * (CAST(1.959963984540054 AS DOUBLE)"
+        "      + CAST(0.8416212335729143 AS DOUBLE))"
+        "    * (p1 * (1 - p1) + p2 * (1 - p2))"
+        "    / ((p2 - p1) * (p2 - p1))) AS BIGINT)"
+    )
+    return d.select(
+        "mde_pct",
+        "n_users",
+        F.expr("CAST(floor(p1 * 1000000 + 0.5) AS BIGINT)").alias("baseline_ppm"),
+        F.expr("CAST(floor(p2 * 1000000 + 0.5) AS BIGINT)").alias("target_ppm"),
+        F.expr(n_expr).alias("n_per_arm"),
+        F.expr(f"{n_expr} * 2 <= n_users").alias("feasible_with_current_users"),
+    )
+
+
+@register(
+    "poisson_rate_ratio_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', min(ts::DATE), max(ts::DATE)) + 1 AS exposure_days,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS errors,
+             (user_id % 2 = 0) AS cohort_a
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT sum(CASE WHEN cohort_a THEN errors ELSE 0 END)::BIGINT AS x_a,
+             sum(CASE WHEN cohort_a THEN exposure_days ELSE 0 END)::BIGINT AS t_a,
+             sum(CASE WHEN NOT cohort_a THEN errors ELSE 0 END)::BIGINT AS x_b,
+             sum(CASE WHEN NOT cohort_a THEN exposure_days ELSE 0 END)::BIGINT AS t_b
+      FROM u
+    )
+    SELECT x_a, t_a, x_b, t_b,
+           ((1000000 * x_a) // t_a)::BIGINT AS rate_a_ppm,
+           ((1000000 * x_b) // t_b)::BIGINT AS rate_b_ppm,
+           CAST(floor((CAST(x_a AS DOUBLE) * t_b) / (CAST(x_b AS DOUBLE) * t_a)
+             * 1000 + 0.5) AS BIGINT) AS rate_ratio_milli,
+           CAST(floor((ln(CAST(x_a AS DOUBLE) * t_b)
+               - ln(CAST(x_b AS DOUBLE) * t_a))
+             / sqrt(CAST(1 AS DOUBLE) / x_a + CAST(1 AS DOUBLE) / x_b)
+             * 1000 + 0.5) AS BIGINT) AS z_milli,
+           (abs(CAST(floor((ln(CAST(x_a AS DOUBLE) * t_b)
+               - ln(CAST(x_b AS DOUBLE) * t_a))
+             / sqrt(CAST(1 AS DOUBLE) / x_a + CAST(1 AS DOUBLE) / x_b)
+             * 1000 + 0.5) AS BIGINT)) > 1959) AS rates_differ
+    FROM g
+    """,
+    doc="Poisson rate-ratio test on per-user error rates: cohort A vs B "
+    "(hash split), events per EXPOSURE-DAY rather than per user — the "
+    "rate comparison conversion_ztest cannot do (proportions ignore "
+    "unequal observation windows). Wald test on the log rate ratio, "
+    "ln(x_a t_b) - ln(x_b t_a) over sqrt(1/x_a + 1/x_b), milli-frozen "
+    "with the exact |z| > 1.959 comparison; exposure totals, ppm "
+    "rates, and the milli rate ratio all exact integers. Scale: one "
+    "per-user aggregate + one 1-row moment aggregate.",
+)
+def poisson_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias(
+            "exposure_days"
+        ),
+        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("errors"),
+        (F.col("user_id") % 2 == 0).alias("cohort_a"),
+    )
+    g = u.agg(
+        F.sum(F.expr("CASE WHEN cohort_a THEN errors ELSE 0 END"))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.expr("CASE WHEN cohort_a THEN exposure_days ELSE 0 END"))
+        .cast("bigint")
+        .alias("t_a"),
+        F.sum(F.expr("CASE WHEN NOT cohort_a THEN errors ELSE 0 END"))
+        .cast("bigint")
+        .alias("x_b"),
+        F.sum(F.expr("CASE WHEN NOT cohort_a THEN exposure_days ELSE 0 END"))
+        .cast("bigint")
+        .alias("t_b"),
+    )
+    zexpr = (
+        "CAST(floor((ln(CAST(x_a AS DOUBLE) * t_b)"
+        "    - ln(CAST(x_b AS DOUBLE) * t_a))"
+        "  / sqrt(CAST(1 AS DOUBLE) / x_a + CAST(1 AS DOUBLE) / x_b)"
+        "  * 1000 + 0.5) AS BIGINT)"
+    )
+    return g.select(
+        "x_a",
+        "t_a",
+        "x_b",
+        "t_b",
+        F.expr("(1000000 * x_a) div t_a").cast("bigint").alias("rate_a_ppm"),
+        F.expr("(1000000 * x_b) div t_b").cast("bigint").alias("rate_b_ppm"),
+        F.expr(
+            "CAST(floor((CAST(x_a AS DOUBLE) * t_b) / (CAST(x_b AS DOUBLE) * t_a)"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("rate_ratio_milli"),
+        F.expr(zexpr).alias("z_milli"),
+        F.expr(f"abs({zexpr}) > 1959").alias("rates_differ"),
+    )
+
+
+@register(
+    "effect_size_report",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    grid AS (
+      SELECT cents,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM v GROUP BY cents
+    ),
+    cum AS (
+      SELECT ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cb_less,
+             coalesce(sum(cb) OVER (ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cb_greater
+      FROM grid
+    ),
+    mw AS (
+      SELECT sum(ca * cb_less)::BIGINT AS n_gt,
+             sum(ca * cb_greater)::BIGINT AS n_lt
+      FROM cum
+    ),
+    m AS (
+      SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::BIGINT AS s_a,
+             sum(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END)::BIGINT AS ss_a,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)::BIGINT AS s_b,
+             sum(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END)::BIGINT AS ss_b
+      FROM v
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+                     + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+                    / (n_a + n_b - 2)) AS cohens_d,
+             CAST(floor((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               * 1000 + 0.5) AS BIGINT) AS mean_diff_milli
+      FROM m
+    )
+    SELECT d.n_a, d.n_b, d.mean_diff_milli,
+           CAST(floor(d.cohens_d * 1000 + 0.5) AS BIGINT) AS cohens_d_milli,
+           CAST(floor(d.cohens_d * (1 - CAST(3 AS DOUBLE)
+             / (4 * (d.n_a + d.n_b) - 9)) * 1000 + 0.5) AS BIGINT)
+             AS hedges_g_milli,
+           ((1000 * (mw.n_gt - mw.n_lt)) // (d.n_a * d.n_b))::BIGINT
+             AS cliffs_delta_milli,
+           CASE WHEN abs(CAST(floor(d.cohens_d * 1000 + 0.5) AS BIGINT)) < 200
+                  THEN 'negligible'
+                WHEN abs(CAST(floor(d.cohens_d * 1000 + 0.5) AS BIGINT)) < 500
+                  THEN 'small'
+                WHEN abs(CAST(floor(d.cohens_d * 1000 + 0.5) AS BIGINT)) < 800
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d, mw
+    """,
+    doc="effect-size report for purchase-vs-click values: Cohen's d "
+    "(pooled-SD standardized mean difference from exact BIGINT "
+    "moments), Hedges' g (the small-sample bias correction 1 - "
+    "3/(4N-9)), and Cliff's delta (the nonparametric (P(a>b) - "
+    "P(a<b)) from EXACT Mann-Whitney concordance counts over the "
+    "value grid — pure integers), with the conventional "
+    "negligible/small/medium/large banding as exact milli comparisons. "
+    "The magnitude companion every significance test in the tier needs: "
+    "with n in the tens of thousands, tiny effects reach p < 0.05 — "
+    "ab_welch_test says WHETHER, this says HOW MUCH. Scale: one value-"
+    "grid aggregate + one grid window + 1-row arithmetic.",
+)
+def effect_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    grid = v.groupBy("cents").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w_asc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w_asc), F.lit(0)).cast("bigint").alias("cb_less"),
+        F.coalesce(F.sum("cb").over(w_desc), F.lit(0))
+        .cast("bigint")
+        .alias("cb_greater"),
+    )
+    mw = cum.agg(
+        F.sum(F.expr("ca * cb_less")).cast("bigint").alias("n_gt"),
+        F.sum(F.expr("ca * cb_greater")).cast("bigint").alias("n_lt"),
+    )
+    m = v.agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END"))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END"))
+        .cast("bigint")
+        .alias("ss_a"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN cents ELSE 0 END"))
+        .cast("bigint")
+        .alias("s_b"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END"))
+        .cast("bigint")
+        .alias("ss_b"),
+    )
+    d = m.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+            " / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)"
+            "       + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))"
+            "      / (n_a + n_b - 2))"
+        ).alias("cohens_d"),
+        F.expr(
+            "CAST(floor((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("mean_diff_milli"),
+    )
+    dm = "CAST(floor(cohens_d * 1000 + 0.5) AS BIGINT)"
+    return d.crossJoin(F.broadcast(mw)).select(
+        "n_a",
+        "n_b",
+        "mean_diff_milli",
+        F.expr(dm).alias("cohens_d_milli"),
+        F.expr(
+            "CAST(floor(cohens_d * (1 - CAST(3 AS DOUBLE)"
+            " / (4 * (n_a + n_b) - 9)) * 1000 + 0.5) AS BIGINT)"
+        ).alias("hedges_g_milli"),
+        F.expr("(1000 * (n_gt - n_lt)) div (n_a * n_b)")
+        .cast("bigint")
+        .alias("cliffs_delta_milli"),
+        F.expr(
+            f"CASE WHEN abs({dm}) < 200 THEN 'negligible'"
+            f" WHEN abs({dm}) < 500 THEN 'small'"
+            f" WHEN abs({dm}) < 800 THEN 'medium'"
+            f" ELSE 'large' END"
+        ).alias("magnitude"),
+    )

@@ -964,3 +964,33 @@ def test_mmr_trades_relevance_for_diversity(spark, sf_dir):
         assert r.mmr_score == 7 * r.rel_dot - 3 * r.maxsim_dot
     # later picks never beat the first pick's pure relevance
     assert all(r.rel_dot <= rows[0].rel_dot for r in rows)
+
+
+def test_power_design_monotone_in_mde(spark, sf_dir):
+    """Smaller detectable effects need more samples — strictly."""
+    rows = sorted(_rows(spark, sf_dir, "power_sample_size_design"), key=lambda r: r.mde_pct)
+    ns = [r.n_per_arm for r in rows]  # mde 10, 20, 50, 100
+    assert ns == sorted(ns, reverse=True)
+    assert all(r.target_ppm > r.baseline_ppm for r in rows)
+    for r in rows:
+        assert r.feasible_with_current_users == (2 * r.n_per_arm <= r.n_users)
+
+
+def test_poisson_rate_ratio_reconciles(spark, sf_dir):
+    r = _rows(spark, sf_dir, "poisson_rate_ratio_test")[0]
+    assert r.rate_a_ppm == 1_000_000 * r.x_a // r.t_a
+    assert r.rate_b_ppm == 1_000_000 * r.x_b // r.t_b
+    assert r.rates_differ == (abs(r.z_milli) > 1959)
+    # ratio direction agrees with the z sign
+    assert (r.rate_ratio_milli >= 1000) == (r.z_milli >= 0)
+
+
+def test_effect_size_measures_agree_in_sign(spark, sf_dir):
+    r = _rows(spark, sf_dir, "effect_size_report")[0]
+    # parametric and nonparametric effect directions must agree
+    if r.cohens_d_milli != 0 and r.cliffs_delta_milli != 0:
+        assert (r.cohens_d_milli > 0) == (r.cliffs_delta_milli > 0)
+    # Hedges g shrinks toward zero and delta is bounded
+    assert abs(r.hedges_g_milli) <= abs(r.cohens_d_milli)
+    assert -1000 <= r.cliffs_delta_milli <= 1000
+    assert r.magnitude in ("negligible", "small", "medium", "large")

@@ -748,6 +748,10 @@ _SANCTIONED_NESTED_LOOP = {
     "MS-within broadcast",
     "friedman_test": "1-row block-count/A2/Q broadcasts over the "
     "|types|-bounded rank-sum grid",
+    "power_sample_size_design": "4-row MDE-literal crossJoin with the "
+    "1-row baseline-rate aggregate",
+    "effect_size_report": "crossJoin of the two 1-row moment/concordance "
+    "aggregates",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
