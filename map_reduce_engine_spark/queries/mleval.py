@@ -8463,3 +8463,173 @@ def effect_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 'large' END"
         ).alias("magnitude"),
     )
+
+
+@register(
+    "streaming_mg_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 4 < 2
+               THEN 'hot_' || CAST(user_id % 2 AS VARCHAR)
+               ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS item
+      FROM events
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM keyed),
+    exact AS (
+      SELECT item, count(*)::BIGINT AS true_count FROM keyed GROUP BY item
+    )
+    SELECT e.item, e.true_count,
+           ((1000000 * e.true_count) // t.n)::BIGINT AS share_ppm,
+           TRUE AS in_stream_candidates
+    FROM exact e, tot t
+    WHERE e.true_count * 17 > t.n
+    ORDER BY e.true_count DESC, e.item
+    """,
+    doc="streaming Misra-Gries frequent-items monitor "
+    "(applyInPandasWithState, k=16 counters per shard — "
+    "misra_gries_heavy_hitters' streaming sibling): items hash-"
+    "partition onto 8 shard keys, each shard folds its micro-batches "
+    "into bounded counters with the Agarwal merge rule, and because an "
+    "item's WHOLE count lives in one shard's substream the containment "
+    "guarantee (true freq > n/(k+1) implies survival) holds for any "
+    "batch order — the drained verdict hash-matches the oracle's "
+    "literal TRUE. At 100 TB the state store holds 8 x 16 counters "
+    "total, regardless of key cardinality.",
+)
+def streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        streaming_mg_heavy_hitters as op,
+    )
+
+    item_expr = (
+        "CASE WHEN user_id % 4 < 2"
+        " THEN 'hot_' || CAST(user_id % 2 AS STRING)"
+        " ELSE 'cold_' || CAST(user_id AS STRING) END"
+    )
+    name = "mre_stream_mg"
+    run_to_memory(
+        op(events_stream(spark, sf_dir), item_expr), name, output_mode="update"
+    )
+    # last state per (shard, item): max mg_count across emitted batches
+    cand = (
+        spark.table(name)
+        .groupBy("item")
+        .agg(F.max("mg_count").alias("c"))
+        .select(F.col("item").alias("cand_item"))
+    )
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(F.expr(item_expr).alias("item"))
+    tot = keyed.agg(F.count("*").cast("bigint").alias("n"))
+    exact = keyed.groupBy("item").agg(F.count("*").cast("bigint").alias("true_count"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.expr("true_count * 17 > n"))
+        .join(F.broadcast(cand), F.col("item") == F.col("cand_item"), "left")
+        .select(
+            "item",
+            "true_count",
+            F.expr("(1000000 * true_count) div n").cast("bigint").alias("share_ppm"),
+            F.col("cand_item").isNotNull().alias("in_stream_candidates"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("item"))
+    )
+
+
+@register(
+    "bigram_surprisal_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.w AS w, t.pos AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ),
+    big AS (
+      SELECT a.doc_id, a.w AS prev, b.w AS cur
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cb AS (SELECT prev, cur, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+    cu AS (SELECT prev, sum(c)::BIGINT AS cn FROM cb GROUP BY prev),
+    voc AS (SELECT count(DISTINCT w)::BIGINT AS v FROM tok),
+    scored AS (
+      SELECT g.doc_id,
+             count(*)::BIGINT AS n_bigrams,
+             sum(CAST(floor(-(ln(CAST(cb.c + 1 AS DOUBLE))
+               - ln(CAST(cu.cn + voc.v AS DOUBLE))) * 1000000000 + 0.5)
+               AS BIGINT))::BIGINT AS surprisal_sum_nano
+      FROM big g
+      JOIN cb ON cb.prev = g.prev AND cb.cur = g.cur
+      JOIN cu ON cu.prev = g.prev, voc
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           (surprisal_sum_nano // n_bigrams)::BIGINT AS avg_surprisal_nano,
+           row_number() OVER (ORDER BY surprisal_sum_nano // n_bigrams DESC,
+                              doc_id)::BIGINT AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+    doc="bigram language-model surprisal scoring: train an add-one-"
+    "smoothed bigram LM on the corpus itself (P(w|prev) = (c(prev,w)+1)"
+    "/(c(prev)+V)), then score every document by its mean per-bigram "
+    "surprisal -ln P — the canonical 'LM quality filter' of training-"
+    "data pipelines (CCNet/Gopher-style: high-surprisal documents are "
+    "noise/outliers under the corpus's own statistics), upgrading "
+    "unigram surprisal with one token of context. Per-bigram terms "
+    "freeze to BIGINT nanos before the per-doc sum (ln on exact "
+    "integer counts — engine-identical doubles); top-20 most "
+    "surprising docs with exact integer ranking. Scale: token explode, "
+    "two hash-aggregated count tables, equi-joins on (prev, cur) and "
+    "prev — linear scans with map-side partials, no Python.",
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    a, b = tok.alias("a"), tok.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.w").alias("prev"), F.col("b.w").alias("cur"))
+    cb = big.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("c"))
+    cu = cb.groupBy("prev").agg(F.sum("c").cast("bigint").alias("cn"))
+    voc = tok.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    scored = (
+        big.join(cb, ["prev", "cur"])
+        .join(cu, "prev")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(-(ln(CAST(c + 1 AS DOUBLE))"
+                    " - ln(CAST(cn + v AS DOUBLE))) * 1000000000 + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("surprisal_sum_nano"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("surprisal_sum_nano div n_bigrams")
+            .cast("bigint")
+            .alias("avg_surprisal_nano"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.expr("surprisal_sum_nano div n_bigrams").desc(), F.asc("doc_id")
+                )
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )

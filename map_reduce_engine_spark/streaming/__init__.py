@@ -26,12 +26,14 @@ from map_reduce_engine_spark.streaming.windows import (
     windowed_value_sketch,
     streaming_cusum_monitor,
     streaming_kmv_distinct,
+    streaming_mg_heavy_hitters,
 )
 
 __all__ = [
     "ntz_of_instant",
     "streaming_cusum_monitor",
     "streaming_kmv_distinct",
+    "streaming_mg_heavy_hitters",
     "windowed_value_sketch",
     "chained_window_rollup",
     "user_stats_batch_twin",

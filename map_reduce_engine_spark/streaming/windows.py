@@ -632,3 +632,64 @@ def streaming_kmv_distinct(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+_MG_STREAM_K = 16
+_MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+    ]
+)
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _mg_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-shard Misra-Gries counters (k=16): fold each micro-batch's exact
+    value_counts in with the Agarwal merge rule (sum, subtract the (k+1)-th
+    largest, keep positives). Items hash-partition onto shards, so each
+    item's whole count lives in ONE shard's substream and the containment
+    guarantee (freq > n_shard/(k+1) survives) holds per shard."""
+    items, counts = state.get if state.exists else ([], [])
+    counters = dict(zip(items, (int(c) for c in counts)))
+    for pdf in pdfs:
+        for item, cnt in pdf["item"].value_counts().items():
+            counters[item] = counters.get(item, 0) + int(cnt)
+        if len(counters) > _MG_STREAM_K:
+            sub = sorted(counters.values(), reverse=True)[_MG_STREAM_K]
+            counters = {i: c - sub for i, c in counters.items() if c - sub > 0}
+    state.update((list(counters), [counters[i] for i in counters]))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(counters),
+            "item": list(counters),
+            "mg_count": [counters[i] for i in counters],
+        }
+    )
+
+
+def streaming_mg_heavy_hitters(stream: DataFrame, item_expr: str) -> DataFrame:
+    """Streaming Misra-Gries frequent-items state via applyInPandasWithState
+    — O(k) counters per shard key, the streaming sibling of
+    operators/sketch.py::misra_gries_summary. ``item_expr`` is a SQL
+    expression producing the item string from the stream's columns."""
+    return (
+        stream.select(F.expr(item_expr).alias("item"))
+        .withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(8)).cast("bigint"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _mg_fn,
+            outputStructType=_MG_OUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

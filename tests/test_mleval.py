@@ -994,3 +994,35 @@ def test_effect_size_measures_agree_in_sign(spark, sf_dir):
     assert abs(r.hedges_g_milli) <= abs(r.cohens_d_milli)
     assert -1000 <= r.cliffs_delta_milli <= 1000
     assert r.magnitude in ("negligible", "small", "medium", "large")
+
+
+def test_streaming_mg_guarantee(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "streaming_mg_heavy_hitters")
+    assert rows and all(r.in_stream_candidates for r in rows)
+    # the streaming and batch sketches agree on the heavy-hitter set
+    batch = {r.item for r in _rows(spark, sf_dir, "misra_gries_heavy_hitters")}
+    assert {r.item for r in rows} == batch
+
+
+def test_bigram_surprisal_bounds(spark, sf_dir):
+    """Add-one smoothing bounds every per-bigram surprisal by
+    ln(cn + V) (unseen) and the mean must stay positive."""
+    import math
+
+    rows = _rows(spark, sf_dir, "bigram_surprisal_scores")
+    assert len(rows) == 20
+    assert all(r.avg_surprisal_nano > 0 for r in rows)
+    from map_reduce_engine_spark.io import read_table
+
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    v = tok.distinct().count()
+    n = tok.count()
+    # worst possible surprisal: never-seen continuation after the rarest
+    # prefix: ln(cn + V) <= ln(n + V)
+    cap = math.log(n + v) * 1e9
+    assert all(r.avg_surprisal_nano <= cap for r in rows)
+    ranks = [r.rank for r in sorted(rows, key=lambda r: (-r.avg_surprisal_nano, r.doc_id))]
+    assert ranks == list(range(1, 21))

@@ -752,6 +752,10 @@ _SANCTIONED_NESTED_LOOP = {
     "1-row baseline-rate aggregate",
     "effect_size_report": "crossJoin of the two 1-row moment/concordance "
     "aggregates",
+    "streaming_mg_heavy_hitters": "1-row total broadcast over the "
+    "shard-bounded candidate set",
+    "bigram_surprisal_scores": "1-row vocabulary-size broadcast over the "
+    "bigram-count join",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
