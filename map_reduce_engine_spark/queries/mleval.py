@@ -8633,3 +8633,326 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 20)
     )
+
+
+@register(
+    "wasserstein_1d_distance",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    grid AS (
+      SELECT cents,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM v GROUP BY cents
+    ),
+    tot AS (
+      SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM grid
+    ),
+    cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_a,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_b,
+             lead(cents) OVER (ORDER BY cents) AS next_cents
+      FROM grid
+    ),
+    area AS (
+      SELECT sum(abs(c.cum_a * t.nb - c.cum_b * t.na)
+                 * (c.next_cents - c.cents))::BIGINT AS w_scaled,
+             max(t.na)::BIGINT AS na, max(t.nb)::BIGINT AS nb
+      FROM cum c, tot t
+      WHERE c.next_cents IS NOT NULL
+    )
+    SELECT na AS n_purchase, nb AS n_click, w_scaled,
+           (w_scaled // (na * nb))::BIGINT AS w1_cents,
+           ((100 * w_scaled) // (na * nb))::BIGINT AS w1_centicents
+    FROM area
+    """,
+    doc="exact 1-D Wasserstein-1 (earth-mover) distance between the "
+    "purchase and click value distributions: W1 = integral |F_a - F_b| "
+    "over the value axis, computed as the EXACT INTEGER sum of "
+    "|cumA*nB - cumB*nA| * segment-width over the distinct-cents grid "
+    "(cross-multiplied CDFs — no floats anywhere until the final "
+    "integer division into cents). The exact, unregularized companion "
+    "of sinkhorn_distribution_distance (entropic, 50x50-binned) and "
+    "the MAGNITUDE twin of ks_two_sample_test (KS = max CDF gap; W1 = "
+    "total CDF gap — a distribution can pass KS yet move a lot of "
+    "mass). Scale: one value-grid aggregate, one ordered window over "
+    "the price-granularity-bounded grid, 1-row output.",
+)
+def wasserstein_1d_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    grid = v.groupBy("cents").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = grid.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "cents",
+        F.sum("ca").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(wc).cast("bigint").alias("cum_b"),
+        F.lead("cents").over(Window.orderBy("cents")).alias("next_cents"),
+    )
+    area = (
+        cum.where(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr("abs(cum_a * nb - cum_b * na) * (next_cents - cents)")
+            )
+            .cast("bigint")
+            .alias("w_scaled"),
+            F.max("na").cast("bigint").alias("na"),
+            F.max("nb").cast("bigint").alias("nb"),
+        )
+    )
+    return area.select(
+        F.col("na").alias("n_purchase"),
+        F.col("nb").alias("n_click"),
+        "w_scaled",
+        F.expr("w_scaled div (na * nb)").cast("bigint").alias("w1_cents"),
+        F.expr("(100 * w_scaled) div (na * nb)").cast("bigint").alias("w1_centicents"),
+    )
+
+
+def _jt_pairs_expr(prefix_n: str, prefix_g: str) -> str:
+    """Sum over ordered bucket pairs i<j of n_i(v) * (2*above_j(v) + n_j(v))
+    — the per-grid-row contribution to 2*J, fixed term order."""
+    terms = [
+        f"{prefix_n}{i} * (2 * {prefix_g}{j} + {prefix_n}{j})"
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "jonckheere_terpstra_trend",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(round(l_quantity) AS BIGINT) // 10, 4) AS bucket,
+             CAST(round(l_extendedprice) AS BIGINT) // 10 AS deka
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT deka,
+             {', '.join(f"sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END)::BIGINT AS n{i}" for i in range(5))}
+      FROM b GROUP BY deka
+    ),
+    cum AS (
+      SELECT *,
+             {', '.join(f"coalesce(sum(n{i}) OVER (ORDER BY deka DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS g{i}" for i in range(5))}
+      FROM grid
+    ),
+    j2 AS (
+      SELECT sum({_jt_pairs_expr('n', 'g')})::BIGINT AS j2,
+             {', '.join(f"sum(n{i})::BIGINT AS t{i}" for i in range(5))}
+      FROM cum
+    )
+    SELECT j2, (t0 + t1 + t2 + t3 + t4)::BIGINT AS n_rows,
+           CAST(floor((CAST(j2 AS DOUBLE) / 2
+             - (CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)
+                  * (t0 + t1 + t2 + t3 + t4)
+                - (CAST(t0 AS DOUBLE) * t0 + CAST(t1 AS DOUBLE) * t1
+                   + CAST(t2 AS DOUBLE) * t2 + CAST(t3 AS DOUBLE) * t3
+                   + CAST(t4 AS DOUBLE) * t4)) / 4)
+             / sqrt((CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)
+                  * (t0 + t1 + t2 + t3 + t4)
+                  * (2 * (t0 + t1 + t2 + t3 + t4) + 3)
+                - (CAST(t0 AS DOUBLE) * t0 * (2 * t0 + 3)
+                   + CAST(t1 AS DOUBLE) * t1 * (2 * t1 + 3)
+                   + CAST(t2 AS DOUBLE) * t2 * (2 * t2 + 3)
+                   + CAST(t3 AS DOUBLE) * t3 * (2 * t3 + 3)
+                   + CAST(t4 AS DOUBLE) * t4 * (2 * t4 + 3))) / 72)
+             * 1000 + 0.5) AS BIGINT) AS z_milli,
+           (CAST(floor((CAST(j2 AS DOUBLE) / 2
+             - (CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)
+                  * (t0 + t1 + t2 + t3 + t4)
+                - (CAST(t0 AS DOUBLE) * t0 + CAST(t1 AS DOUBLE) * t1
+                   + CAST(t2 AS DOUBLE) * t2 + CAST(t3 AS DOUBLE) * t3
+                   + CAST(t4 AS DOUBLE) * t4)) / 4)
+             / sqrt((CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)
+                  * (t0 + t1 + t2 + t3 + t4)
+                  * (2 * (t0 + t1 + t2 + t3 + t4) + 3)
+                - (CAST(t0 AS DOUBLE) * t0 * (2 * t0 + 3)
+                   + CAST(t1 AS DOUBLE) * t1 * (2 * t1 + 3)
+                   + CAST(t2 AS DOUBLE) * t2 * (2 * t2 + 3)
+                   + CAST(t3 AS DOUBLE) * t3 * (2 * t3 + 3)
+                   + CAST(t4 AS DOUBLE) * t4 * (2 * t4 + 3))) / 72)
+             * 1000 + 0.5) AS BIGINT) > 1644) AS increasing_trend
+    FROM j2
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative test: do line prices "
+    "rise stochastically with the quantity bucket? J = sum of pairwise "
+    "Mann-Whitney U over ordered bucket pairs, kept in exact 2U "
+    "half-units (tie-split via the strictly-above cumulative over the "
+    "deka-dollar value grid — all BIGINT), with the standard no-tie "
+    "normal approximation for z (identical-double replay; ties thin at "
+    "deka-dollar granularity, documented). The continuous-outcome "
+    "sibling of cochran_armitage_trend (binary outcome) and the "
+    "ordered upgrade of kruskal_wallis_test (which wastes the bucket "
+    "ordering); one-sided at z > 1.645. Scale: one hash aggregate to "
+    "the value grid, one descending window over that grid, 1-row "
+    "arithmetic.",
+)
+def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("least(CAST(round(l_quantity) AS BIGINT) div 10, 4)").alias("bucket"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT) div 10").alias("deka"),
+    )
+    grid = b.groupBy("deka").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN bucket = {i} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(5)
+        ]
+    )
+    wd = Window.orderBy(F.desc("deka")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "*",
+        *[
+            F.coalesce(F.sum(f"n{i}").over(wd), F.lit(0))
+            .cast("bigint")
+            .alias(f"g{i}")
+            for i in range(5)
+        ],
+    )
+    j2 = cum.agg(
+        F.sum(F.expr(_jt_pairs_expr("n", "g"))).cast("bigint").alias("j2"),
+        *[F.sum(f"n{i}").cast("bigint").alias(f"t{i}") for i in range(5)],
+    )
+    zexpr = (
+        "CAST(floor((CAST(j2 AS DOUBLE) / 2"
+        " - (CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)"
+        "      * (t0 + t1 + t2 + t3 + t4)"
+        "    - (CAST(t0 AS DOUBLE) * t0 + CAST(t1 AS DOUBLE) * t1"
+        "       + CAST(t2 AS DOUBLE) * t2 + CAST(t3 AS DOUBLE) * t3"
+        "       + CAST(t4 AS DOUBLE) * t4)) / 4)"
+        " / sqrt((CAST(t0 + t1 + t2 + t3 + t4 AS DOUBLE)"
+        "      * (t0 + t1 + t2 + t3 + t4)"
+        "      * (2 * (t0 + t1 + t2 + t3 + t4) + 3)"
+        "    - (CAST(t0 AS DOUBLE) * t0 * (2 * t0 + 3)"
+        "       + CAST(t1 AS DOUBLE) * t1 * (2 * t1 + 3)"
+        "       + CAST(t2 AS DOUBLE) * t2 * (2 * t2 + 3)"
+        "       + CAST(t3 AS DOUBLE) * t3 * (2 * t3 + 3)"
+        "       + CAST(t4 AS DOUBLE) * t4 * (2 * t4 + 3))) / 72)"
+        " * 1000 + 0.5) AS BIGINT)"
+    )
+    return j2.select(
+        "j2",
+        F.expr("t0 + t1 + t2 + t3 + t4").cast("bigint").alias("n_rows"),
+        F.expr(zexpr).alias("z_milli"),
+        F.expr(f"{zexpr} > 1644").alias("increasing_trend"),
+    )
+
+
+@register(
+    "tail_dependence_daily",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day,
+             count(*)::BIGINT AS n_orders,
+             sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS dollars
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, n_orders, dollars,
+             row_number() OVER (ORDER BY n_orders, day)::BIGINT AS rk_n,
+             row_number() OVER (ORDER BY dollars, day)::BIGINT AS rk_d,
+             count(*) OVER ()::BIGINT AS n
+      FROM d
+    ),
+    x AS (
+      SELECT n,
+             sum(CASE WHEN 20 * rk_n > 19 * n THEN 1 ELSE 0 END)::BIGINT
+               AS n_hi_orders,
+             sum(CASE WHEN 20 * rk_d > 19 * n THEN 1 ELSE 0 END)::BIGINT
+               AS n_hi_dollars,
+             sum(CASE WHEN 20 * rk_n > 19 * n AND 20 * rk_d > 19 * n
+                 THEN 1 ELSE 0 END)::BIGINT AS n_joint_hi,
+             sum(CASE WHEN 20 * rk_n <= n AND 20 * rk_d <= n
+                 THEN 1 ELSE 0 END)::BIGINT AS n_joint_lo,
+             sum(CASE WHEN 20 * rk_n <= n THEN 1 ELSE 0 END)::BIGINT
+               AS n_lo_orders
+      FROM r GROUP BY n
+    )
+    SELECT n AS n_days, n_hi_orders, n_joint_hi, n_joint_lo,
+           ((1000 * n_joint_hi) // n_hi_orders)::BIGINT AS lambda_upper_milli,
+           ((1000 * n_joint_lo) // n_lo_orders)::BIGINT AS lambda_lower_milli,
+           (20 * n_joint_hi > n_hi_orders) AS upper_tails_dependent
+    FROM x
+    """,
+    doc="empirical tail-dependence coefficients between daily order "
+    "COUNT and daily revenue: lambda_U = P(revenue in top 5% | count "
+    "in top 5%) and lambda_L for the bottom 5% — the copula-level "
+    "question 'do extremes co-occur' that spearman_rank_corr (a "
+    "whole-distribution average) cannot answer; two series can be "
+    "strongly rank-correlated yet tail-independent, and it is the "
+    "joint tail that breaks capacity planning. Quantile membership by "
+    "exact integer rank comparison (20*rk > 19*n), coefficients as "
+    "exact integer milli ratios; dependence flag = joint exceedance "
+    "beats the independence baseline (5%) in exact integers. Scale: "
+    "one daily aggregate, two rank windows over the calendar-bounded "
+    "grid.",
+)
+def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("dollars"),
+    )
+    r = d.select(
+        "n_orders",
+        "dollars",
+        F.row_number().over(Window.orderBy("n_orders", "day")).cast("bigint").alias("rk_n"),
+        F.row_number().over(Window.orderBy("dollars", "day")).cast("bigint").alias("rk_d"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    x = r.groupBy("n").agg(
+        F.sum(F.expr("CASE WHEN 20 * rk_n > 19 * n THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hi_orders"),
+        F.sum(F.expr("CASE WHEN 20 * rk_d > 19 * n THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hi_dollars"),
+        F.sum(
+            F.expr("CASE WHEN 20 * rk_n > 19 * n AND 20 * rk_d > 19 * n THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_joint_hi"),
+        F.sum(F.expr("CASE WHEN 20 * rk_n <= n AND 20 * rk_d <= n THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_joint_lo"),
+        F.sum(F.expr("CASE WHEN 20 * rk_n <= n THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_lo_orders"),
+    )
+    return x.select(
+        F.col("n").alias("n_days"),
+        "n_hi_orders",
+        "n_joint_hi",
+        "n_joint_lo",
+        F.expr("(1000 * n_joint_hi) div n_hi_orders")
+        .cast("bigint")
+        .alias("lambda_upper_milli"),
+        F.expr("(1000 * n_joint_lo) div n_lo_orders")
+        .cast("bigint")
+        .alias("lambda_lower_milli"),
+        F.expr("20 * n_joint_hi > n_hi_orders").alias("upper_tails_dependent"),
+    )

@@ -1026,3 +1026,32 @@ def test_bigram_surprisal_bounds(spark, sf_dir):
     assert all(r.avg_surprisal_nano <= cap for r in rows)
     ranks = [r.rank for r in sorted(rows, key=lambda r: (-r.avg_surprisal_nano, r.doc_id))]
     assert ranks == list(range(1, 21))
+
+
+def test_wasserstein_dominates_nothing_but_positive(spark, sf_dir):
+    """W1 >= |mean difference| (Jensen) and the scaled integer reconciles."""
+    r = _rows(spark, sf_dir, "wasserstein_1d_distance")[0]
+    assert r.w_scaled >= 0
+    assert r.w1_cents == r.w_scaled // (r.n_purchase * r.n_click)
+    eff = _rows(spark, sf_dir, "effect_size_report")[0]
+    # W1 in cents >= |mean diff| in cents (milli -> cents: /1000)
+    assert r.w1_centicents * 10 >= abs(eff.mean_diff_milli) - 1000
+
+
+def test_jonckheere_flag_consistent_and_bounded(spark, sf_dir):
+    r = _rows(spark, sf_dir, "jonckheere_terpstra_trend")[0]
+    # the fixture generates extendedprice INDEPENDENT of quantity (the
+    # documented elasticity artifact), so direction is near zero — assert
+    # the exact flag identity and bounds, not a direction
+    assert r.increasing_trend == (r.z_milli > 1644)
+    assert abs(r.z_milli) < 10_000  # |z| < 10 on a null-ish relationship
+    # J2 bounded by twice the total pair count across ordered group pairs
+    assert 0 <= r.j2 <= r.n_rows * r.n_rows
+
+
+def test_tail_dependence_bounds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "tail_dependence_daily")[0]
+    assert 0 <= r.lambda_upper_milli <= 1000
+    assert 0 <= r.lambda_lower_milli <= 1000
+    assert r.n_joint_hi <= r.n_hi_orders
+    assert r.upper_tails_dependent == (20 * r.n_joint_hi > r.n_hi_orders)

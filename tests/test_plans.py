@@ -756,6 +756,8 @@ _SANCTIONED_NESTED_LOOP = {
     "shard-bounded candidate set",
     "bigram_surprisal_scores": "1-row vocabulary-size broadcast over the "
     "bigram-count join",
+    "wasserstein_1d_distance": "1-row total-count broadcast over the "
+    "price-granularity-bounded value grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
