@@ -1055,3 +1055,37 @@ def test_tail_dependence_bounds(spark, sf_dir):
     assert 0 <= r.lambda_lower_milli <= 1000
     assert r.n_joint_hi <= r.n_hi_orders
     assert r.upper_tails_dependent == (20 * r.n_joint_hi > r.n_hi_orders)
+
+
+def test_hurst_in_unit_range_and_blocks_count(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "hurst_rs_exponent")
+    assert {r.size for r in rows} == {16, 32, 64}
+    assert len({r.h_milli for r in rows}) == 1
+    h = rows[0].h_milli
+    assert 0 < h < 1500  # H in (0, 1.5) sanity envelope
+    # bigger blocks => larger rescaled range (R/S grows with n)
+    by_size = sorted(rows, key=lambda r: r.size)
+    rss = [r.mean_rs_micro for r in by_size]
+    assert rss == sorted(rss)
+    for r in by_size:
+        assert r.regime == (
+            "trending" if h > 600 else "mean_reverting" if h < 400 else "random_walk_like"
+        )
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    """phi_11 IS r_1 by definition — cross-check against Ljung-Box's r1."""
+    rows = {r.lag: r for r in _rows(spark, sf_dir, "pacf_durbin_levinson")}
+    assert set(rows) == {1, 2, 3}
+    lb = _rows(spark, sf_dir, "ljung_box_test")[0]
+    assert rows[1].pacf_nano == lb.r1_nano
+    for r in rows.values():
+        assert abs(r.pacf_nano) <= 1_200_000_000  # |pacf| <= ~1
+
+
+def test_granger_f_nonnegative_and_flags(spark, sf_dir):
+    r = _rows(spark, sf_dir, "granger_causality_daily")[0]
+    assert r.f_count_causes_revenue_milli >= 0
+    assert r.f_revenue_causes_count_milli >= 0
+    assert r.count_causes_revenue == (r.f_count_causes_revenue_milli > 3841)
+    assert r.revenue_causes_count == (r.f_revenue_causes_count_milli > 3841)

@@ -758,6 +758,12 @@ _SANCTIONED_NESTED_LOOP = {
     "bigram-count join",
     "wasserstein_1d_distance": "1-row total-count broadcast over the "
     "price-granularity-bounded value grid",
+    "hurst_rs_exponent": "3-row block-size literal crossJoin over the "
+    "calendar-bounded daily grid + 1-row slope broadcast",
+    "pacf_durbin_levinson": "1-row per-lag moment crossJoins over the "
+    "calendar-bounded daily grid (3 bounded lag joins) + 3-row lag grid",
+    "granger_causality_daily": "1-row moment aggregate over the "
+    "calendar-bounded lag-joined grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
