@@ -9386,3 +9386,242 @@ def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{f_xy} > 3841").alias("count_causes_revenue"),
         F.expr(f"{f_yx} > 3841").alias("revenue_causes_count"),
     )
+
+
+@register(
+    "aipw_doubly_robust_ate",
+    oracle="""
+    WITH s AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS stratum,
+             CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    fit AS (
+      SELECT
+        (CAST(sum(t * q * y) AS DOUBLE) - CAST(sum(t * q) AS DOUBLE) * sum(t * y) / sum(t))
+          / (CAST(sum(t * q * q) AS DOUBLE) - CAST(sum(t * q) AS DOUBLE) * sum(t * q) / sum(t)) AS b1,
+        (CAST(sum(t * y) AS DOUBLE)
+          - (CAST(sum(t * q * y) AS DOUBLE) - CAST(sum(t * q) AS DOUBLE) * sum(t * y) / sum(t))
+            / (CAST(sum(t * q * q) AS DOUBLE) - CAST(sum(t * q) AS DOUBLE) * sum(t * q) / sum(t))
+            * sum(t * q)) / sum(t) AS a1,
+        (CAST(sum((1 - t) * q * y) AS DOUBLE) - CAST(sum((1 - t) * q) AS DOUBLE) * sum((1 - t) * y) / sum(1 - t))
+          / (CAST(sum((1 - t) * q * q) AS DOUBLE) - CAST(sum((1 - t) * q) AS DOUBLE) * sum((1 - t) * q) / sum(1 - t)) AS b0,
+        (CAST(sum((1 - t) * y) AS DOUBLE)
+          - (CAST(sum((1 - t) * q * y) AS DOUBLE) - CAST(sum((1 - t) * q) AS DOUBLE) * sum((1 - t) * y) / sum(1 - t))
+            / (CAST(sum((1 - t) * q * q) AS DOUBLE) - CAST(sum((1 - t) * q) AS DOUBLE) * sum((1 - t) * q) / sum(1 - t))
+            * sum((1 - t) * q)) / sum(1 - t) AS a0
+      FROM s
+    ),
+    e AS (
+      SELECT stratum, count(*)::BIGINT AS n_s, sum(t)::BIGINT AS t_s,
+             sum(1 - t)::BIGINT AS c_s
+      FROM s GROUP BY stratum
+    ),
+    terms AS (
+      SELECT sum(CAST(floor(((f.a1 + f.b1 * s.q) - (f.a0 + f.b0 * s.q)
+               + s.t * (s.y - (f.a1 + f.b1 * s.q))
+                 * CAST(e.n_s AS DOUBLE) / e.t_s
+               - (1 - s.t) * (s.y - (f.a0 + f.b0 * s.q))
+                 * CAST(e.n_s AS DOUBLE) / e.c_s)
+             * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_micro,
+             count(*)::BIGINT AS n
+      FROM s JOIN e USING (stratum), fit f
+    )
+    SELECT n AS n_total, (sum_micro // n)::BIGINT AS ate_aipw_ppm
+    FROM terms
+    """,
+    doc="AIPW (augmented inverse-propensity-weighted) doubly-robust ATE: "
+    "linear outcome models y ~ quantity fit separately on treated and "
+    "control (closed-form Cramer from one moment aggregate), stratum "
+    "propensity e(s) = treated share, combined as m1 - m0 + "
+    "t(y-m1)/e - (1-t)(y-m0)/(1-e) — consistent if EITHER the outcome "
+    "model OR the propensity model is right, the property neither "
+    "ipw_ate_estimators member has alone (and the deliberate model "
+    "MISMATCH here — global linear outcome vs stratum propensity — "
+    "keeps the augmentation non-degenerate; with stratum-mean outcome "
+    "models AIPW collapses to the stratified estimator exactly). "
+    "Per-row terms freeze to micro before the single sum. Scale: one "
+    "moment aggregate, one 5-row broadcast, one frozen scan.",
+)
+def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("stratum"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CASE WHEN l_discount > 0 THEN 1 ELSE 0 END").alias("t"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("y"),
+    )
+    slope = (
+        "(CAST(sum({w} * q * y) AS DOUBLE) - CAST(sum({w} * q) AS DOUBLE)"
+        " * sum({w} * y) / sum({w}))"
+        " / (CAST(sum({w} * q * q) AS DOUBLE) - CAST(sum({w} * q) AS DOUBLE)"
+        " * sum({w} * q) / sum({w}))"
+    )
+    intercept = (
+        "(CAST(sum({w} * y) AS DOUBLE) - " + slope + " * sum({w} * q)) / sum({w})"
+    )
+    fit = s.agg(
+        F.expr(slope.format(w="t")).alias("b1"),
+        F.expr(intercept.format(w="t")).alias("a1"),
+        F.expr(slope.format(w="(1 - t)")).alias("b0"),
+        F.expr(intercept.format(w="(1 - t)")).alias("a0"),
+    )
+    e = s.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("t_s"),
+        F.sum(F.expr("1 - t")).cast("bigint").alias("c_s"),
+    )
+    terms = (
+        s.join(F.broadcast(e), "stratum")
+        .crossJoin(F.broadcast(fit))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(((a1 + b1 * q) - (a0 + b0 * q)"
+                    " + t * (y - (a1 + b1 * q))"
+                    "   * CAST(n_s AS DOUBLE) / t_s"
+                    " - (1 - t) * (y - (a0 + b0 * q))"
+                    "   * CAST(n_s AS DOUBLE) / c_s)"
+                    " * 1000000 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_micro"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    return terms.select(
+        F.col("n").alias("n_total"),
+        F.expr("sum_micro div n").cast("bigint").alias("ate_aipw_ppm"),
+    )
+
+
+@register(
+    "meta_analysis_brand_effects",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT brand,
+             sum(t)::BIGINT AS n1, sum(t * y)::BIGINT AS y1,
+             sum(1 - t)::BIGINT AS n0, sum((1 - t) * y)::BIGINT AS y0
+      FROM s GROUP BY brand
+      HAVING sum(t) >= 3 AND sum(1 - t) >= 3
+    ),
+    eff AS (
+      SELECT brand, n1, n0,
+             ((1000000 * y1) // n1 - (1000000 * y0) // n0)::BIGINT AS d_ppm,
+             CAST(floor(1000 / ((CAST(y1 AS DOUBLE) / n1)
+                 * (1 - CAST(y1 AS DOUBLE) / n1) / n1
+               + (CAST(y0 AS DOUBLE) / n0)
+                 * (1 - CAST(y0 AS DOUBLE) / n0) / n0) + 0.5) AS BIGINT)
+               AS w_milli
+      FROM g
+    ),
+    pool AS (
+      SELECT (sum(w_milli * d_ppm) // sum(w_milli))::BIGINT AS pooled_ppm,
+             count(*)::BIGINT AS k
+      FROM eff
+    ),
+    het AS (
+      SELECT sum(CAST(floor(CAST(e.w_milli AS DOUBLE) / 1000
+               * ((CAST(e.d_ppm - p.pooled_ppm AS DOUBLE)) / 1000000)
+               * ((CAST(e.d_ppm - p.pooled_ppm AS DOUBLE)) / 1000000)
+               * 1000000 + 0.5) AS BIGINT))::BIGINT AS q_micro,
+             max(p.k)::BIGINT AS k, max(p.pooled_ppm)::BIGINT AS pooled_ppm
+      FROM eff e, pool p
+    )
+    SELECT e.brand, e.d_ppm, e.w_milli, h.pooled_ppm, h.q_micro,
+           h.k - 1 AS df,
+           (CASE WHEN h.q_micro > (h.k - 1) * 1000000
+                 THEN ((h.q_micro - (h.k - 1) * 1000000) * 1000000) // h.q_micro
+                 ELSE 0 END)::BIGINT AS i2_ppm
+    FROM eff e, het h
+    """,
+    doc="fixed-effect inverse-variance meta-analysis of the per-brand "
+    "discount-return effects: each brand with >= 3 units per arm "
+    "contributes d = exact ppm rate difference with weight 1/var "
+    "(milli-frozen), pooled = weighted mean in exact integers, plus "
+    "Cochran's Q heterogeneity (per-brand terms micro-frozen before "
+    "the sum) and the I^2 = (Q - df)/Q share as exact integer ppm — "
+    "the 'is one pooled number even meaningful' audit. The many-"
+    "small-studies member of the causal family: promo_effect_did "
+    "estimates ONE effect; this pools 25 brand-level replications and "
+    "says how much they disagree (I^2 > 50% = don't pool, look for "
+    "moderators — the james_stein_brand_rates shrinkage target). "
+    "Scale: one join + one brand-grid aggregate; everything after is "
+    "|brands|-bounded.",
+)
+def meta_analysis_brand_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    s = li.join(F.broadcast(part), F.expr("p_partkey = l_partkey")).select(
+        F.col("p_brand").alias("brand"),
+        F.expr("CASE WHEN l_discount > 0 THEN 1 ELSE 0 END").alias("t"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("y"),
+    )
+    g = (
+        s.groupBy("brand")
+        .agg(
+            F.sum("t").cast("bigint").alias("n1"),
+            F.sum(F.expr("t * y")).cast("bigint").alias("y1"),
+            F.sum(F.expr("1 - t")).cast("bigint").alias("n0"),
+            F.sum(F.expr("(1 - t) * y")).cast("bigint").alias("y0"),
+        )
+        .where(F.expr("n1 >= 3 AND n0 >= 3"))
+    )
+    eff = g.select(
+        "brand",
+        "n1",
+        "n0",
+        F.expr("(1000000 * y1) div n1 - (1000000 * y0) div n0")
+        .cast("bigint")
+        .alias("d_ppm"),
+        F.expr(
+            "CAST(floor(1000 / ((CAST(y1 AS DOUBLE) / n1)"
+            "   * (1 - CAST(y1 AS DOUBLE) / n1) / n1"
+            " + (CAST(y0 AS DOUBLE) / n0)"
+            "   * (1 - CAST(y0 AS DOUBLE) / n0) / n0) + 0.5) AS BIGINT)"
+        ).alias("w_milli"),
+    ).localCheckpoint(eager=True)  # |brands| grid feeds pool + het + output
+    pool = eff.agg(
+        F.expr("sum(w_milli * d_ppm) div sum(w_milli)")
+        .cast("bigint")
+        .alias("pooled_ppm"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    het = eff.crossJoin(F.broadcast(pool)).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(w_milli AS DOUBLE) / 1000"
+                " * ((CAST(d_ppm - pooled_ppm AS DOUBLE)) / 1000000)"
+                " * ((CAST(d_ppm - pooled_ppm AS DOUBLE)) / 1000000)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("q_micro"),
+        F.max("k").cast("bigint").alias("k"),
+        F.max("pooled_ppm").cast("bigint").alias("pooled_ppm"),
+    )
+    return eff.crossJoin(F.broadcast(het)).select(
+        "brand",
+        "d_ppm",
+        "w_milli",
+        "pooled_ppm",
+        "q_micro",
+        (F.col("k") - 1).alias("df"),
+        F.expr(
+            "CASE WHEN q_micro > (k - 1) * 1000000"
+            " THEN ((q_micro - (k - 1) * 1000000) * 1000000) div q_micro"
+            " ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("i2_ppm"),
+    )

@@ -1089,3 +1089,26 @@ def test_granger_f_nonnegative_and_flags(spark, sf_dir):
     assert r.f_revenue_causes_count_milli >= 0
     assert r.count_causes_revenue == (r.f_count_causes_revenue_milli > 3841)
     assert r.revenue_causes_count == (r.f_revenue_causes_count_milli > 3841)
+
+
+def test_aipw_close_to_stratified(spark, sf_dir):
+    """With near-null treatment effects the doubly-robust estimator and
+    the stratified estimator must land in the same neighborhood."""
+    a = _rows(spark, sf_dir, "aipw_doubly_robust_ate")[0]
+    i = _rows(spark, sf_dir, "ipw_ate_estimators")[0]
+    assert abs(a.ate_aipw_ppm - i.ate_strat_ppm) < 100_000  # within 10pp
+    assert a.n_total == i.n_total
+
+
+def test_meta_analysis_pooled_inside_envelope(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "meta_analysis_brand_effects")
+    assert rows
+    pooled = rows[0].pooled_ppm
+    assert len({r.pooled_ppm for r in rows}) == 1
+    # pooled effect lies inside the per-brand effect envelope
+    assert min(r.d_ppm for r in rows) <= pooled <= max(r.d_ppm for r in rows)
+    # I^2 bounded and consistent with Q vs df
+    r0 = rows[0]
+    assert 0 <= r0.i2_ppm < 1_000_000
+    if r0.q_micro <= r0.df * 1_000_000:
+        assert r0.i2_ppm == 0

@@ -764,6 +764,10 @@ _SANCTIONED_NESTED_LOOP = {
     "calendar-bounded daily grid (3 bounded lag joins) + 3-row lag grid",
     "granger_causality_daily": "1-row moment aggregate over the "
     "calendar-bounded lag-joined grid",
+    "aipw_doubly_robust_ate": "1-row outcome-model fit broadcast over "
+    "the frozen AIPW scan",
+    "meta_analysis_brand_effects": "1-row pooled/heterogeneity "
+    "broadcasts over the |brands|-bounded effect grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
