@@ -122,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     gc.add_argument("sf_dir", help="fixture dir containing events.parquet")
     gc.add_argument("output_dir")
+    sm = sub.add_parser(
+        "stream-monitor",
+        help="drain the bounded-state streaming monitors (error-rate SLA + "
+        "CUSUM drift + KMV reach + Misra-Gries hot keys) into one ops gate",
+    )
+    sm.add_argument("sf_dir", help="fixture dir containing events.parquet")
+    sm.add_argument("output_dir")
+    sm.add_argument("--cusum-alarm-cents", type=int, default=100_000)
     args = parser.parse_args(argv)
 
     if args.verb == "list":
@@ -212,6 +220,22 @@ def main(argv: list[str] | None = None) -> int:
                 max_at_risk_share=args.max_at_risk_share,
                 min_l=args.min_l,
                 max_t_ppm=args.max_t_ppm,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "stream-monitor":
+        from map_reduce_engine_spark.examples.stream_monitor_job import run
+
+        spark = get_spark(app_name="mre-stream-monitor")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                cusum_alarm_cents=args.cusum_alarm_cents,
             )
             gate.show(truncate=False)
         finally:

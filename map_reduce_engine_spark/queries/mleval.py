@@ -9625,3 +9625,90 @@ def meta_analysis_brand_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("i2_ppm"),
     )
+
+
+_GOPHER_RULES = [
+    ("too_few_tokens", "n_tok < 50"),
+    ("mean_word_len_out_of_range", "10 * n_alnum < 30 * n_tok OR 10 * n_alnum > 100 * n_tok"),
+    ("overlong_word", "max_wlen > 15"),
+    ("low_alpha_share", "10 * n_alpha < 6 * n_char"),
+    ("high_duplicate_tokens", "10 * n_uniq < 3 * n_tok"),
+    ("no_stopwords", "n_stop = 0"),
+]
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             len(string_split(text, ' '))::BIGINT AS n_tok,
+             len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+             length(replace(text, ' ', ''))::BIGINT AS n_alnum,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+             length(text)::BIGINT AS n_char,
+             list_max(list_transform(string_split(text, ' '),
+                      w -> length(w)))::BIGINT AS max_wlen,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'and', 'of', 'to', 'a')))::BIGINT AS n_stop
+      FROM documents WHERE trim(text) <> ''
+    ),
+    flags AS (
+      SELECT source, r.rule,
+             CASE r.rule
+               {' '.join(f"WHEN '{name}' THEN CASE WHEN {cond} THEN 1 ELSE 0 END" for name, cond in _GOPHER_RULES)}
+             END AS fail
+      FROM feat, (SELECT unnest([{', '.join(repr(n) for n, _ in _GOPHER_RULES)}]) AS rule) r
+    )
+    SELECT source, rule, count(*)::BIGINT AS n_docs,
+           sum(fail)::BIGINT AS n_fail,
+           ((1000000 * sum(fail)) // count(*))::BIGINT AS fail_ppm
+    FROM flags GROUP BY source, rule
+    """,
+    doc="Gopher-style quality-rule audit matrix, per source x rule: the "
+    "canonical pretraining repetition/shape filters (token count >= 50, "
+    "mean word length in [3,10], no overlong words, >= 60% alphabetic, "
+    "duplicate-token share, stopword presence) evaluated corpus-wide "
+    "and grouped so the DIRTIEST SOURCE per rule is visible — the "
+    "per-source release dashboard built on top of quality_score's "
+    "per-doc features (that query scores documents; this one audits "
+    "SOURCES before a mixture is trained on them, the dataset_card's "
+    "failure-mode companion). Every rule is exact integer arithmetic "
+    "(cross-multiplied ratios, never a float threshold). Scale: one "
+    "scan, a 6-row rule-literal explode, one hash aggregate to the "
+    "(sources x rules) grid.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    feat = docs.select(
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias("n_uniq"),
+        F.expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").alias("n_alnum"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_char"),
+        F.expr(
+            "CAST(array_max(transform(split(text, ' '), w -> length(w))) AS BIGINT)"
+        ).alias("max_wlen"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '),"
+            " w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    rules = feat.sparkSession.createDataFrame(
+        [(n,) for n, _ in _GOPHER_RULES], "rule string"
+    )
+    case = " ".join(
+        f"WHEN '{name}' THEN CASE WHEN {cond} THEN 1 ELSE 0 END"
+        for name, cond in _GOPHER_RULES
+    )
+    flags = feat.crossJoin(F.broadcast(rules)).select(
+        "source", "rule", F.expr(f"CASE rule {case} END").alias("fail")
+    )
+    return flags.groupBy("source", "rule").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("fail").cast("bigint").alias("n_fail"),
+        F.expr("(1000000 * sum(fail)) div count(*)").cast("bigint").alias("fail_ppm"),
+    )

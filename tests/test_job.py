@@ -350,3 +350,24 @@ def test_group_comparison_job(spark, sf_dir, tmp_path):
     assert len(tukey) == 10
     kw = spark.read.parquet(f"{out}/kruskal_wallis").collect()
     assert {r.event_type for r in kw} == {"click", "error", "purchase", "signup", "view"}
+
+
+def test_stream_monitor_job(spark, sf_dir, tmp_path):
+    """The composed streaming monitor writes all four artifacts and the
+    gate reconciles with them."""
+    from map_reduce_engine_spark.examples.stream_monitor_job import run
+
+    out = str(tmp_path / "sm")
+    gate = run(spark, sf_dir, out)
+    row = gate.collect()[0]
+    sla = spark.read.parquet(f"{out}/error_rate_sla").collect()
+    assert row.n_sla_windows == len(sla)
+    assert row.n_sla_breaches == sum(1 for r in sla if r.sla_breach)
+    mg = spark.read.parquet(f"{out}/mg_heavy_hitters").collect()
+    assert row.n_mg_guarantee_misses == sum(1 for r in mg if not r.in_stream_candidates)
+    assert row.n_mg_guarantee_misses == 0  # the MG theorem, end to end
+    assert row.stream_healthy == (
+        row.n_sla_breaches == 0
+        and row.n_drift_alarms == 0
+        and row.n_mg_guarantee_misses == 0
+    )

@@ -1112,3 +1112,23 @@ def test_meta_analysis_pooled_inside_envelope(spark, sf_dir):
     assert 0 <= r0.i2_ppm < 1_000_000
     if r0.q_micro <= r0.df * 1_000_000:
         assert r0.i2_ppm == 0
+
+
+def test_gopher_rules_matrix_complete(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "gopher_quality_rules")
+    rules = {
+        "too_few_tokens",
+        "mean_word_len_out_of_range",
+        "overlong_word",
+        "low_alpha_share",
+        "high_duplicate_tokens",
+        "no_stopwords",
+    }
+    by_source: dict = {}
+    for r in rows:
+        assert r.rule in rules
+        assert 0 <= r.n_fail <= r.n_docs
+        assert r.fail_ppm == 1_000_000 * r.n_fail // r.n_docs
+        by_source.setdefault(r.source, set()).add(r.rule)
+    # every source carries the full rule matrix
+    assert all(v == rules for v in by_source.values())

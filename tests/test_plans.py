@@ -768,6 +768,8 @@ _SANCTIONED_NESTED_LOOP = {
     "the frozen AIPW scan",
     "meta_analysis_brand_effects": "1-row pooled/heterogeneity "
     "broadcasts over the |brands|-bounded effect grid",
+    "gopher_quality_rules": "6-row rule-literal crossJoin over the "
+    "per-doc feature scan",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
