@@ -9712,3 +9712,402 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fail").cast("bigint").alias("n_fail"),
         F.expr("(1000000 * sum(fail)) div count(*)").cast("bigint").alias("fail_ppm"),
     )
+
+
+@register(
+    "funnel_order_violations",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type,
+             min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))::BIGINT
+               AS first_us
+      FROM events WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+      GROUP BY 1, 2
+    ),
+    stages AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN first_us END) AS f_view,
+             max(CASE WHEN event_type = 'click' THEN first_us END) AS f_click,
+             max(CASE WHEN event_type = 'signup' THEN first_us END) AS f_signup,
+             max(CASE WHEN event_type = 'purchase' THEN first_us END) AS f_purchase
+      FROM first_seen GROUP BY user_id
+    ),
+    v AS (
+      SELECT p.earlier, p.later,
+             sum(CASE
+               WHEN p.earlier = 'view' AND p.later = 'click'
+                 THEN CASE WHEN f_click < f_view THEN 1 ELSE 0 END
+               WHEN p.earlier = 'view' AND p.later = 'signup'
+                 THEN CASE WHEN f_signup < f_view THEN 1 ELSE 0 END
+               WHEN p.earlier = 'view' AND p.later = 'purchase'
+                 THEN CASE WHEN f_purchase < f_view THEN 1 ELSE 0 END
+               WHEN p.earlier = 'click' AND p.later = 'signup'
+                 THEN CASE WHEN f_signup < f_click THEN 1 ELSE 0 END
+               WHEN p.earlier = 'click' AND p.later = 'purchase'
+                 THEN CASE WHEN f_purchase < f_click THEN 1 ELSE 0 END
+               ELSE CASE WHEN f_purchase < f_signup THEN 1 ELSE 0 END
+             END)::BIGINT AS n_violations,
+             sum(CASE
+               WHEN p.earlier = 'view' AND p.later = 'click'
+                 THEN CASE WHEN f_click IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END
+               WHEN p.earlier = 'view' AND p.later = 'signup'
+                 THEN CASE WHEN f_signup IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END
+               WHEN p.earlier = 'view' AND p.later = 'purchase'
+                 THEN CASE WHEN f_purchase IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END
+               WHEN p.earlier = 'click' AND p.later = 'signup'
+                 THEN CASE WHEN f_signup IS NOT NULL AND f_click IS NOT NULL THEN 1 ELSE 0 END
+               WHEN p.earlier = 'click' AND p.later = 'purchase'
+                 THEN CASE WHEN f_purchase IS NOT NULL AND f_click IS NOT NULL THEN 1 ELSE 0 END
+               ELSE CASE WHEN f_purchase IS NOT NULL AND f_signup IS NOT NULL THEN 1 ELSE 0 END
+             END)::BIGINT AS n_comparable
+      FROM stages, (VALUES ('view', 'click'), ('view', 'signup'),
+                           ('view', 'purchase'), ('click', 'signup'),
+                           ('click', 'purchase'), ('signup', 'purchase'))
+                    p(earlier, later)
+      GROUP BY p.earlier, p.later
+    )
+    SELECT earlier, later, n_comparable, n_violations,
+           CASE WHEN n_comparable > 0
+                THEN (1000000 * n_violations) // n_comparable
+                ELSE 0 END::BIGINT AS violation_ppm
+    FROM v
+    """,
+    doc="process-conformance audit against the normative funnel order "
+    "view -> click -> signup -> purchase: for each of the 6 stage "
+    "pairs, among users who reached BOTH stages, how often does the "
+    "later stage's FIRST occurrence precede the earlier stage's "
+    "(first-touch inversion)? event_pair_sequence_support MINES what "
+    "orders exist; this CHECKS a declared order and counts violations "
+    "— the conformance-checking half of process mining, exact epoch-"
+    "microsecond comparisons and integer ppm shares over the bounded "
+    "6-pair grid. Scale: one per-(user, stage) aggregate, one 6-row "
+    "literal explode.",
+)
+def funnel_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    )
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    first_seen = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).cast("bigint").alias("first_us")
+    )
+    stages = first_seen.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == ty, F.col("first_us"))).alias(f"f_{ty}")
+            for ty in ("view", "click", "signup", "purchase")
+        ]
+    )
+    pairs = stages.sparkSession.createDataFrame(
+        [
+            ("view", "click"),
+            ("view", "signup"),
+            ("view", "purchase"),
+            ("click", "signup"),
+            ("click", "purchase"),
+            ("signup", "purchase"),
+        ],
+        "earlier string, later string",
+    )
+    viol = (
+        "CASE"
+        " WHEN earlier = 'view' AND later = 'click'"
+        "   THEN CASE WHEN f_click < f_view THEN 1 ELSE 0 END"
+        " WHEN earlier = 'view' AND later = 'signup'"
+        "   THEN CASE WHEN f_signup < f_view THEN 1 ELSE 0 END"
+        " WHEN earlier = 'view' AND later = 'purchase'"
+        "   THEN CASE WHEN f_purchase < f_view THEN 1 ELSE 0 END"
+        " WHEN earlier = 'click' AND later = 'signup'"
+        "   THEN CASE WHEN f_signup < f_click THEN 1 ELSE 0 END"
+        " WHEN earlier = 'click' AND later = 'purchase'"
+        "   THEN CASE WHEN f_purchase < f_click THEN 1 ELSE 0 END"
+        " ELSE CASE WHEN f_purchase < f_signup THEN 1 ELSE 0 END END"
+    )
+    comp = (
+        "CASE"
+        " WHEN earlier = 'view' AND later = 'click'"
+        "   THEN CASE WHEN f_click IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END"
+        " WHEN earlier = 'view' AND later = 'signup'"
+        "   THEN CASE WHEN f_signup IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END"
+        " WHEN earlier = 'view' AND later = 'purchase'"
+        "   THEN CASE WHEN f_purchase IS NOT NULL AND f_view IS NOT NULL THEN 1 ELSE 0 END"
+        " WHEN earlier = 'click' AND later = 'signup'"
+        "   THEN CASE WHEN f_signup IS NOT NULL AND f_click IS NOT NULL THEN 1 ELSE 0 END"
+        " WHEN earlier = 'click' AND later = 'purchase'"
+        "   THEN CASE WHEN f_purchase IS NOT NULL AND f_click IS NOT NULL THEN 1 ELSE 0 END"
+        " ELSE CASE WHEN f_purchase IS NOT NULL AND f_signup IS NOT NULL THEN 1 ELSE 0 END END"
+    )
+    v = (
+        stages.crossJoin(F.broadcast(pairs))
+        .groupBy("earlier", "later")
+        .agg(
+            F.sum(F.expr(viol)).cast("bigint").alias("n_violations"),
+            F.sum(F.expr(comp)).cast("bigint").alias("n_comparable"),
+        )
+    )
+    return v.select(
+        "earlier",
+        "later",
+        "n_comparable",
+        "n_violations",
+        F.expr(
+            "CASE WHEN n_comparable > 0"
+            " THEN (1000000 * n_violations) div n_comparable ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("violation_ppm"),
+    )
+
+
+@register(
+    "rbo_ranking_overlap",
+    oracle="""
+    WITH ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rka
+      FROM documents QUALIFY rka <= 20
+    ),
+    rb AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY len(list_distinct(string_split(text, ' '))) DESC,
+                                doc_id) AS rkb
+      FROM documents QUALIFY rkb <= 20
+    ),
+    shared AS (
+      SELECT greatest(ra.rka, rb.rkb)::BIGINT AS joined_at
+      FROM ra JOIN rb USING (doc_id)
+    ),
+    depth AS (
+      SELECT d.d::BIGINT AS d,
+             (SELECT count(*) FROM shared WHERE joined_at <= d.d)::BIGINT
+               AS overlap_d
+      FROM (SELECT unnest(range(1, 21)) AS d) d
+    ),
+    terms AS (
+      SELECT sum(CAST(floor((1 - CAST(0.9 AS DOUBLE))
+               * pow(CAST(0.9 AS DOUBLE), d - 1)
+               * overlap_d / d * 1000000000 + 0.5) AS BIGINT))::BIGINT
+               AS rbo_nano,
+             max(CASE WHEN d = 20 THEN overlap_d END)::BIGINT AS overlap_at_20
+      FROM depth
+    )
+    SELECT overlap_at_20, rbo_nano,
+           CAST(floor(pow(CAST(0.9 AS DOUBLE), 20) * 1000000000 + 0.5)
+             AS BIGINT) AS unseen_tail_nano
+    FROM terms
+    """,
+    doc="rank-biased overlap (RBO, p = 0.9, depth 20) between two document "
+    "rankings — by length (n_chars) vs by lexical richness (distinct "
+    "tokens): RBO = sum (1-p) p^(d-1) |A_d intersect B_d| / d, the "
+    "top-weighted similarity for INDEFINITE rankings (Kendall/Spearman "
+    "need both lists to rank everything; RBO handles truncated top-k "
+    "lists and weights the head, which is what retrieval comparisons "
+    "need). Prefix overlaps are exact integers (a shared doc joins the "
+    "intersection at depth max(rank_a, rank_b)); per-depth terms freeze "
+    "to nano before the 20-term sum; the residual p^20 tail mass ships "
+    "alongside so the truncation is explicit. Completes the ranking-"
+    "comparison family (ann_ranking_metrics scores ONE ranking against "
+    "relevance; this compares TWO rankings to each other). Scale: two "
+    "top-k windows + a <= 20-row bounded join and 20-row grid.",
+)
+def rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ra = (
+        docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .alias("rka"),
+        )
+        .where(F.col("rka") <= 20)
+    )
+    rb = (
+        docs.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.expr("size(array_distinct(split(text, ' ')))").desc(),
+                    F.asc("doc_id"),
+                )
+            )
+            .alias("rkb"),
+        )
+        .where(F.col("rkb") <= 20)
+    )
+    shared = ra.join(rb, "doc_id").select(
+        F.greatest("rka", "rkb").cast("bigint").alias("joined_at")
+    )
+    depths = docs.sparkSession.createDataFrame([(d,) for d in range(1, 21)], "d int")
+    depth = (
+        F.broadcast(depths)
+        .crossJoin(F.broadcast(shared))
+        .groupBy(F.col("d").cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.expr("CASE WHEN joined_at <= d THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("overlap_d")
+        )
+    )
+    terms = depth.agg(
+        F.sum(
+            F.expr(
+                "CAST(floor((1 - CAST(0.9 AS DOUBLE))"
+                " * pow(CAST(0.9 AS DOUBLE), d - 1)"
+                " * overlap_d / d * 1000000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("rbo_nano"),
+        F.max(F.expr("CASE WHEN d = 20 THEN overlap_d END"))
+        .cast("bigint")
+        .alias("overlap_at_20"),
+    )
+    return terms.select(
+        "overlap_at_20",
+        "rbo_nano",
+        F.expr(
+            "CAST(floor(pow(CAST(0.9 AS DOUBLE), 20) * 1000000000 + 0.5) AS BIGINT)"
+        ).alias("unseen_tail_nano"),
+    )
+
+
+@register(
+    "newey_west_trend_se",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS day,
+             sum(CAST(round(o_totalprice / 1000) AS BIGINT))::BIGINT AS kilo
+      FROM orders GROUP BY 1
+    ),
+    m0 AS (SELECT min(day) AS d0 FROM d),
+    s AS (
+      SELECT date_diff('day', m0.d0, d.day)::BIGINT AS x, d.kilo AS y
+      FROM d, m0
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+             sum(y * y)::BIGINT AS syy
+      FROM s
+    ),
+    u AS (
+      SELECT s.x, (m.n * s.x - m.sx)::BIGINT AS cx,
+             CAST(floor(CAST(s.y AS DOUBLE)
+               - (CAST(m.sy AS DOUBLE)
+                  - (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+                    / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                    * m.sx) / m.n
+               - (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                 * s.x + 0.5) AS BIGINT) AS e
+      FROM s, mom m
+    ),
+    uu AS (SELECT x, (cx * e) // 1000 AS v FROM u),
+    gam AS (
+      SELECT
+        (SELECT sum(a.v * a.v) FROM uu a)::BIGINT AS g0,
+        (SELECT sum(a.v * b.v) FROM uu a JOIN uu b ON b.x = a.x + 1)::BIGINT AS g1,
+        (SELECT sum(a.v * b.v) FROM uu a JOIN uu b ON b.x = a.x + 2)::BIGINT AS g2,
+        (SELECT sum(a.v * b.v) FROM uu a JOIN uu b ON b.x = a.x + 3)::BIGINT AS g3
+    )
+    SELECT m.n AS n_days,
+           CAST(floor((CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+             / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+             * 1000 + 0.5) AS BIGINT) AS slope_milli,
+           CAST(floor(sqrt(((CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n)
+               - (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+                 * (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n))
+               / (m.n - 2)
+               / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n))
+             * 1000000 + 0.5) AS BIGINT) AS se_ols_micro,
+           CAST(floor(sqrt((4 * CAST(g.g0 AS DOUBLE) + 6 * g.g1 + 4 * g.g2 + 2 * g.g3)
+               * 1000000 / 4 / (CAST(m.n AS DOUBLE) * m.n)
+               / ((CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                  * (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)))
+             * 1000000 + 0.5) AS BIGINT) AS se_nw_micro
+    FROM mom m, gam g
+    """,
+    doc="Newey-West (HAC, Bartlett L=3) standard error for the daily-"
+    "revenue trend slope beside the classical OLS SE: autocovariances "
+    "of the score u_t = n(x_t - xbar) * e_t div 1000 are EXACT BIGINTs (frozen, kilo-rescaled for BIGINT headroom; the 1e6 scale is restored inside the one sqrt) ("
+    "integer residuals times an integer-scaled regressor, lag-joined), "
+    "so the Bartlett combination 4G0 + 6G1 + 4G2 + 2G3 is pure integer "
+    "before the one final sqrt. When durbin_watson_trend_residuals "
+    "flags autocorrelation, the OLS SE understates uncertainty — the "
+    "NW/OLS SE ratio quantifies by how much, which is the number that "
+    "decides whether ols_value_trend's slope is actually significant. "
+    "Scale: one daily aggregate, one frozen scan, three grid-bounded "
+    "lag joins, 1-row arithmetic.",
+)
+def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") / 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("kilo")
+    )
+    m0 = d.agg(F.min("day").alias("d0"))
+    s = d.crossJoin(F.broadcast(m0)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("bigint").alias("x"),
+        F.col("kilo").alias("y"),
+    )
+    mom = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    u = s.crossJoin(F.broadcast(mom)).select(
+        "x",
+        F.expr("CAST(n * x - sx AS BIGINT)").alias("cx"),
+        F.expr(
+            "CAST(floor(CAST(y AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE)"
+            "    - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            "      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+            "      * sx) / n"
+            " - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            "   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+            "   * x + 0.5) AS BIGINT)"
+        ).alias("e"),
+    )
+    uu = u.select("x", F.expr("(cx * e) div 1000").alias("v")).localCheckpoint(
+        eager=True
+    )  # calendar-bounded; feeds g0 + three lag joins
+    g0 = uu.agg(F.sum(F.expr("v * v")).cast("bigint").alias("g0"))
+    a, b = uu.alias("a"), uu.alias("b")
+    gs = [g0]
+    for lag in (1, 2, 3):
+        gs.append(
+            a.join(b, F.col("b.x") == F.col("a.x") + lag)
+            .agg(F.sum(F.expr("a.v * b.v")).cast("bigint").alias(f"g{lag}"))
+        )
+    gam = gs[0]
+    for gdf in gs[1:]:
+        gam = gam.crossJoin(F.broadcast(gdf))
+    return mom.crossJoin(F.broadcast(gam)).select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+            " * 1000 + 0.5) AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            "CAST(floor(sqrt(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+            "   - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            "     * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            "     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))"
+            "   / (n - 2)"
+            "   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("se_ols_micro"),
+        F.expr(
+            "CAST(floor(sqrt((4 * CAST(g0 AS DOUBLE) + 6 * g1 + 4 * g2 + 2 * g3)"
+            "   * 1000000 / 4 / (CAST(n AS DOUBLE) * n)"
+            "   / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+            "      * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("se_nw_micro"),
+    )

@@ -1132,3 +1132,31 @@ def test_gopher_rules_matrix_complete(spark, sf_dir):
         by_source.setdefault(r.source, set()).add(r.rule)
     # every source carries the full rule matrix
     assert all(v == rules for v in by_source.values())
+
+
+def test_funnel_violations_bounded_by_comparable(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "funnel_order_violations")
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_comparable
+        if r.n_comparable:
+            assert r.violation_ppm == 1_000_000 * r.n_violations // r.n_comparable
+
+
+def test_rbo_bounded_and_tail_exact(spark, sf_dir):
+    import math
+
+    r = _rows(spark, sf_dir, "rbo_ranking_overlap")[0]
+    assert 0 <= r.overlap_at_20 <= 20
+    # truncated RBO mass is bounded by 1 - p^20
+    assert 0 <= r.rbo_nano <= 1_000_000_000 - r.unseen_tail_nano + 20
+    assert r.unseen_tail_nano == math.floor(0.9**20 * 1e9 + 0.5)
+
+
+def test_newey_west_wider_than_ols_under_autocorr(spark, sf_dir):
+    r = _rows(spark, sf_dir, "newey_west_trend_se")[0]
+    assert r.se_ols_micro > 0 and r.se_nw_micro > 0
+    dw = _rows(spark, sf_dir, "durbin_watson_trend_residuals")[0]
+    if dw.positive_autocorr:
+        # positive autocorrelation inflates the truth: NW must widen
+        assert r.se_nw_micro > r.se_ols_micro

@@ -770,6 +770,12 @@ _SANCTIONED_NESTED_LOOP = {
     "broadcasts over the |brands|-bounded effect grid",
     "gopher_quality_rules": "6-row rule-literal crossJoin over the "
     "per-doc feature scan",
+    "funnel_order_violations": "6-row stage-pair literal crossJoin over "
+    "the per-user stage table",
+    "rbo_ranking_overlap": "20x20-bounded depth-grid crossJoin of two "
+    "top-k lists",
+    "newey_west_trend_se": "1-row moment/autocovariance broadcasts over "
+    "the calendar-bounded daily grid (3 bounded lag joins)",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
