@@ -10111,3 +10111,286 @@ def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("se_nw_micro"),
     )
+
+
+@register(
+    "tost_equivalence_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, (user_id % 2 = 0) AS arm_a,
+             max(CASE WHEN event_type = 'purchase'
+                 AND ts::DATE <= DATE '2024-01-03' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN arm_a THEN conv ELSE 0 END)::BIGINT AS x_a,
+             sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN NOT arm_a THEN conv ELSE 0 END)::BIGINT AS x_b
+      FROM u
+    ),
+    z AS (
+      SELECT n_a, x_a, n_b, x_b,
+             ((1000000 * x_a) // n_a - (1000000 * x_b) // n_b)::BIGINT AS diff_ppm,
+             sqrt((CAST(x_a AS DOUBLE) / n_a) * (1 - CAST(x_a AS DOUBLE) / n_a) / n_a
+                + (CAST(x_b AS DOUBLE) / n_b) * (1 - CAST(x_b AS DOUBLE) / n_b) / n_b)
+               AS se
+      FROM g
+    )
+    SELECT n_a, n_b, diff_ppm,
+           CAST(floor(se * 1000000 + 0.5) AS BIGINT) AS se_ppm,
+           CAST(floor(((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             - CAST(-0.05 AS DOUBLE)) / se * 1000 + 0.5) AS BIGINT) AS z_lower_milli,
+           CAST(floor((CAST(0.05 AS DOUBLE)
+             - (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)) / se
+             * 1000 + 0.5) AS BIGINT) AS z_upper_milli,
+           (CAST(floor(((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+              - CAST(-0.05 AS DOUBLE)) / se * 1000 + 0.5) AS BIGINT) > 1644
+            AND
+            CAST(floor((CAST(0.05 AS DOUBLE)
+              - (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)) / se
+              * 1000 + 0.5) AS BIGINT) > 1644) AS equivalent_within_5pp
+    FROM z
+    """,
+    doc="TOST equivalence test (two one-sided tests, margin +/-5pp) x: both one-sided "
+    "z's must clear 1.645 to declare the arms EQUIVALENT — the "
+    "question conversion_ztest cannot answer ('not significantly "
+    "different' is not 'the same'; absence of evidence vs evidence of "
+    "absence). Exact ppm difference, frozen SE and z's, flags as exact "
+    "integer comparisons. The hash split is a true null, so at "
+    "adequate n the test demonstrably declares equivalence. Scale: one "
+    "per-user aggregate + 1-row arithmetic.",
+)
+def tost_equivalence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr("user_id % 2 = 0").alias("arm_a"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase'"
+            " AND to_date(ts) <= DATE '2024-01-03' THEN 1 ELSE 0 END)"
+        ).alias("conv"),
+    )
+    g = u.agg(
+        F.sum(F.expr("CASE WHEN arm_a THEN 1 ELSE 0 END")).cast("bigint").alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm_a THEN conv ELSE 0 END")).cast("bigint").alias("x_a"),
+        F.sum(F.expr("CASE WHEN NOT arm_a THEN 1 ELSE 0 END")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("CASE WHEN NOT arm_a THEN conv ELSE 0 END"))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    z = g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("(1000000 * x_a) div n_a - (1000000 * x_b) div n_b")
+        .cast("bigint")
+        .alias("diff_ppm"),
+        F.expr(
+            "sqrt((CAST(x_a AS DOUBLE) / n_a) * (1 - CAST(x_a AS DOUBLE) / n_a) / n_a"
+            "   + (CAST(x_b AS DOUBLE) / n_b) * (1 - CAST(x_b AS DOUBLE) / n_b) / n_b)"
+        ).alias("se"),
+    )
+    zl = (
+        "CAST(floor(((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)"
+        " - CAST(-0.05 AS DOUBLE)) / se * 1000 + 0.5) AS BIGINT)"
+    )
+    zu = (
+        "CAST(floor((CAST(0.05 AS DOUBLE)"
+        " - (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)) / se"
+        " * 1000 + 0.5) AS BIGINT)"
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        "diff_ppm",
+        F.expr("CAST(floor(se * 1000000 + 0.5) AS BIGINT)").alias("se_ppm"),
+        F.expr(zl).alias("z_lower_milli"),
+        F.expr(zu).alias("z_upper_milli"),
+        F.expr(f"{zl} > 1644 AND {zu} > 1644").alias("equivalent_within_5pp"),
+    )
+
+
+@register(
+    "bland_altman_agreement",
+    oracle="""
+    WITH pairdiff AS (
+      SELECT doc_id,
+             (10 * length(text)
+              - 100 * len(list_distinct(string_split(text, ' '))))::BIGINT
+               AS d
+      FROM documents WHERE trim(text) <> ''
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS s,
+             sum(d * d)::BIGINT AS q
+      FROM pairdiff
+    ),
+    lim AS (
+      SELECT n, s // n AS bias,
+             CAST(floor(CAST(s AS DOUBLE) / n
+               - 1.96 * sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                             / (CAST(n AS DOUBLE) * (n - 1))) + 0.5) AS BIGINT)
+               AS lo,
+             CAST(floor(CAST(s AS DOUBLE) / n
+               + 1.96 * sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                             / (CAST(n AS DOUBLE) * (n - 1))) + 0.5) AS BIGINT)
+               AS hi
+      FROM m
+    )
+    SELECT l.n AS n_docs, l.bias::BIGINT AS bias_units, l.lo AS loa_lower,
+           l.hi AS loa_upper,
+           (SELECT sum(CASE WHEN p.d < l.lo OR p.d > l.hi THEN 1 ELSE 0 END)
+            FROM pairdiff p)::BIGINT AS n_outside,
+           ((10000 * (SELECT sum(CASE WHEN p.d < l.lo OR p.d > l.hi
+                      THEN 1 ELSE 0 END) FROM pairdiff p)) // l.n)::BIGINT
+             AS outside_bp
+    FROM lim l
+    """,
+    doc="Bland-Altman agreement analysis between two document-size "
+    "'measurement methods' (character length x10 vs distinct-token "
+    "count x100 — deliberately different scales measuring the same "
+    "construct): per-doc differences as exact integers, mean bias, "
+    "1.96-SD limits of agreement from exact moments, and the share of "
+    "docs outside the limits (~5% if differences are normal-ish). The "
+    "method-COMPARISON member of the agreement family: cohens_kappa "
+    "handles categorical raters, cronbach_alpha handles item scales, "
+    "Bland-Altman handles two CONTINUOUS instruments — correlation is "
+    "the famously wrong tool here (two methods can correlate at 0.99 "
+    "and still disagree by a constant bias). Scale: one scan + 1-row "
+    "moments + one flagged rescan.",
+)
+def bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    pairdiff = docs.select(
+        F.expr(
+            "CAST(10 * length(text)"
+            " - 100 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+        ).alias("d")
+    ).localCheckpoint(eager=True)  # feeds moments + the flagged rescan
+    m = pairdiff.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("q"),
+    )
+    sd = (
+        "sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1)))"
+    )
+    lim = m.select(
+        "n",
+        F.expr("s div n").alias("bias"),
+        F.expr(f"CAST(floor(CAST(s AS DOUBLE) / n - 1.96 * {sd} + 0.5) AS BIGINT)").alias(
+            "lo"
+        ),
+        F.expr(f"CAST(floor(CAST(s AS DOUBLE) / n + 1.96 * {sd} + 0.5) AS BIGINT)").alias(
+            "hi"
+        ),
+    )
+    out = pairdiff.crossJoin(F.broadcast(lim)).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("bias").cast("bigint").alias("bias"),
+        F.max("lo").cast("bigint").alias("lo"),
+        F.max("hi").cast("bigint").alias("hi"),
+        F.sum(F.expr("CASE WHEN d < lo OR d > hi THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_outside"),
+    )
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("bias").alias("bias_units"),
+        F.col("lo").alias("loa_lower"),
+        F.col("hi").alias("loa_upper"),
+        "n_outside",
+        F.expr("(10000 * n_outside) div n").cast("bigint").alias("outside_bp"),
+    )
+
+
+@register(
+    "indirect_standardization_smr",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey AS nation,
+             (CAST(l.l_quantity AS BIGINT) - 1) // 10 AS stratum,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ref AS (
+      SELECT stratum, count(*)::BIGINT AS n_ref, sum(y)::BIGINT AS y_ref
+      FROM s GROUP BY stratum
+    ),
+    nat AS (
+      SELECT nation, stratum, count(*)::BIGINT AS n_ns, sum(y)::BIGINT AS y_ns
+      FROM s GROUP BY nation, stratum
+    ),
+    smr AS (
+      SELECT n.nation, sum(n.n_ns)::BIGINT AS n_lines,
+             sum(n.y_ns)::BIGINT AS observed,
+             sum((1000000 * n.n_ns * r.y_ref) // r.n_ref)::BIGINT
+               AS expected_micro
+      FROM nat n JOIN ref r USING (stratum)
+      GROUP BY n.nation
+    )
+    SELECT nation, n_lines, observed,
+           (expected_micro // 1000000)::BIGINT AS expected_returns,
+           ((1000000000 * observed) // expected_micro)::BIGINT AS smr_milli,
+           ((1000000000 * observed) // expected_micro > 1100) AS elevated
+    FROM smr
+    """,
+    doc="indirectly standardized return ratio (SMR) per customer nation: "
+    "expected returns = sum over quantity strata of the nation's "
+    "exposure times the CORPUS-WIDE stratum return rate (micro-frozen "
+    "exact integers), SMR = observed/expected — the epidemiology-style "
+    "mix adjustment that return_rate_by_brand's raw rates lack: a "
+    "nation buying mostly large-quantity lines inherits their higher "
+    "return rate, and the SMR removes exactly that compositional "
+    "effect (the aggregation-level answer to the confounding that "
+    "ipw_ate_estimators handles at the unit level). Flag = SMR > 1.1 "
+    "in exact integers. Scale: one 3-table join, two grid aggregates "
+    "(strata, nation x strata), one broadcast-joined rollup.",
+)
+def indirect_standardization_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    s = (
+        li.join(orders, F.expr("o_orderkey = l_orderkey"))
+        .join(F.broadcast(cust), F.expr("c_custkey = o_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("stratum"),
+            F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # feeds the reference and nation grids
+    )
+    ref = s.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_ref"),
+        F.sum("y").cast("bigint").alias("y_ref"),
+    )
+    nat = s.groupBy("nation", "stratum").agg(
+        F.count("*").cast("bigint").alias("n_ns"),
+        F.sum("y").cast("bigint").alias("y_ns"),
+    )
+    smr = (
+        nat.join(F.broadcast(ref), "stratum")
+        .groupBy("nation")
+        .agg(
+            F.sum("n_ns").cast("bigint").alias("n_lines"),
+            F.sum("y_ns").cast("bigint").alias("observed"),
+            F.sum(F.expr("(1000000 * n_ns * y_ref) div n_ref"))
+            .cast("bigint")
+            .alias("expected_micro"),
+        )
+    )
+    return smr.select(
+        "nation",
+        "n_lines",
+        "observed",
+        F.expr("expected_micro div 1000000").cast("bigint").alias("expected_returns"),
+        F.expr("(1000000000 * observed) div expected_micro")
+        .cast("bigint")
+        .alias("smr_milli"),
+        F.expr("(1000000000 * observed) div expected_micro > 1100").alias("elevated"),
+    )

@@ -1160,3 +1160,31 @@ def test_newey_west_wider_than_ols_under_autocorr(spark, sf_dir):
     if dw.positive_autocorr:
         # positive autocorrelation inflates the truth: NW must widen
         assert r.se_nw_micro > r.se_ols_micro
+
+
+def test_tost_flags_reconcile(spark, sf_dir):
+    r = _rows(spark, sf_dir, "tost_equivalence_test")[0]
+    assert r.equivalent_within_5pp == (r.z_lower_milli > 1644 and r.z_upper_milli > 1644)
+    assert r.se_ppm > 0
+    # the hash split is a true null: the observed gap sits inside the margin
+    assert abs(r.diff_ppm) < 50_000 or not r.equivalent_within_5pp
+
+
+def test_bland_altman_limits_bracket_bias(spark, sf_dir):
+    r = _rows(spark, sf_dir, "bland_altman_agreement")[0]
+    assert r.loa_lower < r.bias_units < r.loa_upper
+    assert 0 <= r.n_outside <= r.n_docs
+    # roughly normal differences: < 20% land outside the 1.96-SD limits
+    assert r.outside_bp < 2000
+
+
+def test_smr_exposure_weighted_mean_is_one(spark, sf_dir):
+    """Indirect standardization identity: total observed == total expected
+    (the reference rates are fit on the pooled data), so the exposure-
+    weighted SMR must center on 1 up to integer-freeze drift."""
+    rows = _rows(spark, sf_dir, "indirect_standardization_smr")
+    obs = sum(r.observed for r in rows)
+    exp = sum(r.expected_returns for r in rows)
+    assert abs(obs - exp) <= len(rows)  # per-nation floor rounding only
+    for r in rows:
+        assert r.elevated == (r.smr_milli > 1100)

@@ -776,6 +776,8 @@ _SANCTIONED_NESTED_LOOP = {
     "top-k lists",
     "newey_west_trend_se": "1-row moment/autocovariance broadcasts over "
     "the calendar-bounded daily grid (3 bounded lag joins)",
+    "bland_altman_agreement": "1-row limit-of-agreement broadcast over "
+    "the flagged rescan",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
