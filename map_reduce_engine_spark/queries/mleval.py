@@ -10394,3 +10394,211 @@ def indirect_standardization_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("smr_milli"),
         F.expr("(1000000000 * observed) div expected_micro > 1100").alias("elevated"),
     )
+
+
+@register(
+    "sprt_early_stopping",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                 AND ts::DATE <= DATE '2024-01-03' THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id < 2000 GROUP BY user_id
+    ),
+    walk AS (
+      SELECT user_id, conv,
+             row_number() OVER (ORDER BY user_id)::BIGINT AS rn,
+             sum(CASE WHEN conv = 1
+                 THEN CAST(floor(ln(CAST(0.35 AS DOUBLE) / CAST(0.25 AS DOUBLE))
+                      * 1000000000 + 0.5) AS BIGINT)
+                 ELSE CAST(floor(ln(CAST(0.65 AS DOUBLE) / CAST(0.75 AS DOUBLE))
+                      * 1000000000 + 0.5) AS BIGINT) END)
+               OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING)::BIGINT AS llr
+      FROM u
+    ),
+    bound AS (
+      SELECT CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+               AS b_hi
+    ),
+    crossing AS (
+      SELECT min(CASE WHEN w.llr >= b.b_hi OR w.llr <= -b.b_hi
+                 THEN w.rn END)::BIGINT AS n_decide
+      FROM walk w, bound b
+    )
+    SELECT t.n_total, t.n_conv,
+           ((1000000 * t.n_conv) // t.n_total)::BIGINT AS rate_ppm,
+           c.n_decide,
+           coalesce((SELECT llr FROM walk w WHERE w.rn = c.n_decide),
+                    t.final_llr)::BIGINT AS llr_at_stop,
+           CASE WHEN c.n_decide IS NULL THEN 'continue'
+                WHEN (SELECT llr FROM walk w WHERE w.rn = c.n_decide) >= b.b_hi
+                  THEN 'accept_h1_rate_is_high'
+                ELSE 'accept_h0_rate_is_low' END AS decision
+    FROM (SELECT count(*)::BIGINT AS n_total, sum(conv)::BIGINT AS n_conv,
+                 max(CASE WHEN rn = (SELECT max(rn) FROM walk) THEN llr END)
+                   AS final_llr
+          FROM walk) t,
+         crossing c, bound b
+    """,
+    doc="Wald's SPRT sequential early-stopping monitor on early "
+    "conversion (H0: p = 0.25 vs H1: p = 0.35, alpha = beta = 0.05): "
+    "the log-likelihood-ratio walk takes one of two CONSTANT nano-"
+    "frozen steps per user (ln of literal ratios — identical doubles), "
+    "so the entire sequential test is an exact BIGINT cumulative sum "
+    "with integer threshold crossings at +/-ln(19), and the decision "
+    "point (the first user index where the experiment could have "
+    "STOPPED) is deterministic. The sequential member of the "
+    "experimentation family: power_sample_size_design fixes n in "
+    "advance; SPRT shows the expected-sample-size saving of optional "
+    "stopping with controlled error rates. Evaluated over the bounded "
+    "enrollment prefix (user_id < 2000, documented). Scale: one "
+    "per-user aggregate + one ordered window over that bounded prefix.",
+)
+def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 2000)
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase'"
+            " AND to_date(ts) <= DATE '2024-01-03' THEN 1 ELSE 0 END)"
+        ).alias("conv")
+    )
+    step = (
+        "CASE WHEN conv = 1"
+        " THEN CAST(floor(ln(CAST(0.35 AS DOUBLE) / CAST(0.25 AS DOUBLE))"
+        "      * 1000000000 + 0.5) AS BIGINT)"
+        " ELSE CAST(floor(ln(CAST(0.65 AS DOUBLE) / CAST(0.75 AS DOUBLE))"
+        "      * 1000000000 + 0.5) AS BIGINT) END"
+    )
+    wcum = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
+    walk = u.select(
+        "user_id",
+        "conv",
+        F.row_number().over(Window.orderBy("user_id")).cast("bigint").alias("rn"),
+        F.sum(F.expr(step)).over(wcum).cast("bigint").alias("llr"),
+    ).localCheckpoint(eager=True)  # bounded prefix; feeds totals + crossing + pick
+    b_hi = "CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
+    crossing = walk.agg(
+        F.min(
+            F.expr(f"CASE WHEN llr >= {b_hi} OR llr <= -{b_hi} THEN rn END")
+        )
+        .cast("bigint")
+        .alias("n_decide")
+    )
+    tot = walk.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    # final llr = llr at max rn
+    fin = walk.orderBy(F.desc("rn")).limit(1).select(F.col("llr").alias("final_llr"))
+    d = walk.select(F.col("rn").alias("drn"), F.col("llr").alias("dllr"))
+    out = (
+        tot.crossJoin(F.broadcast(crossing))
+        .crossJoin(F.broadcast(fin))
+        .join(F.broadcast(d), F.expr("drn = n_decide"), "left")
+    )
+    return out.select(
+        "n_total",
+        "n_conv",
+        F.expr("(1000000 * n_conv) div n_total").cast("bigint").alias("rate_ppm"),
+        "n_decide",
+        F.coalesce(F.col("dllr"), F.col("final_llr")).cast("bigint").alias("llr_at_stop"),
+        F.expr(
+            f"CASE WHEN n_decide IS NULL THEN 'continue'"
+            f" WHEN dllr >= {b_hi} THEN 'accept_h1_rate_is_high'"
+            f" ELSE 'accept_h0_rate_is_low' END"
+        ).alias("decision"),
+    )
+
+
+@register(
+    "gpd_peaks_over_threshold",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS dollars FROM orders
+    ),
+    thr AS (
+      SELECT dollars AS u FROM (
+        SELECT dollars, row_number() OVER (ORDER BY dollars) AS rk,
+               count(*) OVER () AS n
+        FROM v
+      ) WHERE rk = (19 * n) // 20 + 1
+    ),
+    exc AS (
+      SELECT (v.dollars - t.u)::BIGINT AS e
+      FROM v, thr t WHERE v.dollars > t.u
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS k, sum(e)::BIGINT AS s,
+             sum(e * e)::BIGINT AS q
+      FROM exc
+    ),
+    fit AS (
+      SELECT k,
+             CAST(s AS DOUBLE) / k AS mean,
+             (CAST(k AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+               / (CAST(k AS DOUBLE) * (k - 1)) AS var
+      FROM m
+    )
+    SELECT t.u AS threshold_dollars, f.k AS n_exceedances,
+           CAST(floor(f.mean * 1000 + 0.5) AS BIGINT) AS mean_excess_milli,
+           CAST(floor(0.5 * (1 - f.mean * f.mean / f.var) * 1000000 + 0.5)
+             AS BIGINT) AS xi_micro,
+           CAST(floor(0.5 * f.mean * (f.mean * f.mean / f.var + 1) * 1000 + 0.5)
+             AS BIGINT) AS beta_milli,
+           (0.5 * (1 - f.mean * f.mean / f.var) > 0) AS heavy_tailed
+    FROM fit f, thr t
+    """,
+    doc="generalized-Pareto peaks-over-threshold fit (method of moments) "
+    "on order-price exceedances above the exact discrete 95th "
+    "percentile: xi = (1 - mean^2/var)/2 and beta = mean(mean^2/var "
+    "+ 1)/2 from exact BIGINT exceedance moments, with the xi > 0 "
+    "heavy-tail verdict as a shared-formula comparison. The OTHER "
+    "canonical extreme-value method beside gumbel_return_levels (block "
+    "maxima waste data when exceedances are plentiful; POT uses every "
+    "tail observation) — together they complete the EVT pair every "
+    "tail-risk report runs. Threshold by the pure-integer discrete "
+    "percentile pick. Scale: one rank window over the value-bounded "
+    "grid... (row ranks on raw rows: the discrete-percentile pick is "
+    "the time_to_convert_cohorts pattern), one filtered moment "
+    "aggregate, 1-row arithmetic.",
+)
+def gpd_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    v = orders.select(F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"))
+    ranked = v.select(
+        "dollars",
+        F.row_number().over(Window.orderBy("dollars")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    thr = ranked.where(F.expr("rk = (19 * n) div 20 + 1")).select(
+        F.col("dollars").alias("u")
+    )
+    exc = v.crossJoin(F.broadcast(thr)).where(F.expr("dollars > u")).select(
+        (F.col("dollars") - F.col("u")).cast("bigint").alias("e"), "u"
+    )
+    m = exc.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("e").cast("bigint").alias("s"),
+        F.sum(F.expr("e * e")).cast("bigint").alias("q"),
+    )
+    fit = m.select(
+        "u",
+        "k",
+        F.expr("CAST(s AS DOUBLE) / k").alias("mean"),
+        F.expr(
+            "(CAST(k AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+            " / (CAST(k AS DOUBLE) * (k - 1))"
+        ).alias("var"),
+    )
+    return fit.select(
+        F.col("u").alias("threshold_dollars"),
+        F.col("k").alias("n_exceedances"),
+        F.expr("CAST(floor(mean * 1000 + 0.5) AS BIGINT)").alias("mean_excess_milli"),
+        F.expr(
+            "CAST(floor(0.5 * (1 - mean * mean / var) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("xi_micro"),
+        F.expr(
+            "CAST(floor(0.5 * mean * (mean * mean / var + 1) * 1000 + 0.5) AS BIGINT)"
+        ).alias("beta_milli"),
+        F.expr("0.5 * (1 - mean * mean / var) > 0").alias("heavy_tailed"),
+    )

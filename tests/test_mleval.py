@@ -1188,3 +1188,31 @@ def test_smr_exposure_weighted_mean_is_one(spark, sf_dir):
     assert abs(obs - exp) <= len(rows)  # per-nation floor rounding only
     for r in rows:
         assert r.elevated == (r.smr_milli > 1100)
+
+
+def test_sprt_decision_consistent_with_walk(spark, sf_dir):
+    import math
+
+    r = _rows(spark, sf_dir, "sprt_early_stopping")[0]
+    b_hi = math.floor(math.log(19.0) * 1e9 + 0.5)
+    if r.decision == "continue":
+        assert r.n_decide is None and abs(r.llr_at_stop) < b_hi
+    else:
+        assert 1 <= r.n_decide <= r.n_total
+        if r.decision == "accept_h1_rate_is_high":
+            assert r.llr_at_stop >= b_hi
+        else:
+            assert r.llr_at_stop <= -b_hi
+    # the fixture's early-conversion rate is far above p1 -> H1 at any
+    # adequate n; at tiny n the walk may not cross, so only check shape
+    assert 0 <= r.rate_ppm <= 1_000_000
+
+
+def test_gpd_tail_fit_sane(spark, sf_dir):
+    r = _rows(spark, sf_dir, "gpd_peaks_over_threshold")[0]
+    assert r.n_exceedances > 0
+    assert r.mean_excess_milli > 0
+    # xi < 1/2 required for finite variance to exist at all under MoM
+    assert r.xi_micro < 500_000
+    assert r.heavy_tailed == (r.xi_micro > 0)
+    assert r.beta_milli > 0

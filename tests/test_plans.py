@@ -778,6 +778,10 @@ _SANCTIONED_NESTED_LOOP = {
     "the calendar-bounded daily grid (3 bounded lag joins)",
     "bland_altman_agreement": "1-row limit-of-agreement broadcast over "
     "the flagged rescan",
+    "sprt_early_stopping": "1-row crossing/final broadcasts over the "
+    "bounded enrollment-prefix walk",
+    "gpd_peaks_over_threshold": "1-row threshold broadcast over the "
+    "exceedance scan",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
