@@ -10602,3 +10602,105 @@ def gpd_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("beta_milli"),
         F.expr("0.5 * (1 - mean * mean / var) > 0").alias("heavy_tailed"),
     )
+
+
+@register(
+    "actuarial_life_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts::DATE) AS first_day, max(ts::DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT date_diff('day', first_day, last_day) // 7 AS interval_w,
+             (last_day >= DATE '2024-01-28') AS censored
+      FROM u
+    ),
+    per AS (
+      SELECT interval_w::BIGINT AS interval_w, count(*)::BIGINT AS n_ending,
+             sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS n_censored,
+             sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_churned
+      FROM d GROUP BY 1
+    ),
+    risk AS (
+      SELECT interval_w, n_churned, n_censored,
+             CAST(sum(n_ending) OVER (ORDER BY interval_w DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_entering
+      FROM per
+    ),
+    q AS (
+      SELECT interval_w, n_entering, n_churned, n_censored,
+             ((1000000 * 2 * n_churned)
+               // (2 * n_entering - n_censored))::BIGINT AS hazard_ppm
+      FROM risk
+    )
+    SELECT interval_w, n_entering, n_churned, n_censored, hazard_ppm,
+           CAST(floor(exp(sum(ln(1 - hazard_ppm / CAST(1000000 AS DOUBLE)))
+                OVER (ORDER BY interval_w ROWS UNBOUNDED PRECEDING))
+             * 1000000 + 0.5) AS BIGINT) AS survival_ppm
+    FROM q WHERE hazard_ppm < 1000000
+    """,
+    doc="actuarial (life-table) survival estimator on weekly intervals: "
+    "the classical interval-grouped method with the half-censor "
+    "adjustment q_i = d_i / (n_i - c_i/2), computed as the exact "
+    "integer ratio 2d/(2n - c) in ppm — the 5th member of the survival "
+    "family and the one that handles INTERVAL-grouped durations "
+    "(kaplan_meier_retention needs exact event times; registries and "
+    "billing systems often only give you the week). Survival is the "
+    "running product of (1 - q_i) via an ln-sum window over the "
+    "interval-bounded table (identical-double replay on ppm-frozen "
+    "hazards; final ppm freeze absorbs the ulp). Scale: one per-user "
+    "aggregate + windows over the <= 5-row weekly grid.",
+)
+def actuarial_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    d = u.select(
+        F.expr("CAST(datediff(last_day, first_day) div 7 AS BIGINT)").alias(
+            "interval_w"
+        ),
+        (F.col("last_day") >= F.lit("2024-01-28").cast("date")).alias("censored"),
+    )
+    per = d.groupBy("interval_w").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum(F.expr("CASE WHEN censored THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_censored"),
+        F.sum(F.expr("CASE WHEN censored THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    w_desc = Window.orderBy(F.desc("interval_w")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.select(
+        "interval_w",
+        "n_churned",
+        "n_censored",
+        F.sum("n_ending").over(w_desc).cast("bigint").alias("n_entering"),
+    )
+    q = risk.select(
+        "interval_w",
+        "n_entering",
+        "n_churned",
+        "n_censored",
+        F.expr("(1000000 * 2 * n_churned) div (2 * n_entering - n_censored)")
+        .cast("bigint")
+        .alias("hazard_ppm"),
+    )
+    w_asc = Window.orderBy("interval_w").rowsBetween(Window.unboundedPreceding, 0)
+    return q.where(F.col("hazard_ppm") < 1000000).select(
+        "interval_w",
+        "n_entering",
+        "n_churned",
+        "n_censored",
+        "hazard_ppm",
+        F.expr(
+            "CAST(floor(exp(sum(ln(1 - hazard_ppm / CAST(1000000 AS DOUBLE)))"
+            " OVER (ORDER BY interval_w ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("survival_ppm"),
+    )

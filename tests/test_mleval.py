@@ -1216,3 +1216,15 @@ def test_gpd_tail_fit_sane(spark, sf_dir):
     assert r.xi_micro < 500_000
     assert r.heavy_tailed == (r.xi_micro > 0)
     assert r.beta_milli > 0
+
+
+def test_actuarial_survival_monotone_and_below_na(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "actuarial_life_table"), key=lambda r: r.interval_w)
+    surv = [r.survival_ppm for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert all(0 <= s <= 1_000_000 for s in surv)
+    for r in rows:
+        # half-censor adjustment: hazard uses the exact 2d/(2n-c) ratio
+        assert r.hazard_ppm == 1_000_000 * 2 * r.n_churned // (
+            2 * r.n_entering - r.n_censored
+        )
