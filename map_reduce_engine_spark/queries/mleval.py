@@ -10704,3 +10704,296 @@ def actuarial_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND CURRENT ROW)) * 1000000 + 0.5) AS BIGINT)"
         ).alias("survival_ppm"),
     )
+
+
+@register(
+    "youden_j_cutpoint",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS pos,
+             count(*)::BIGINT AS tot
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT q AS thr,
+             sum(pos) OVER w::BIGINT AS tp,
+             (sum(tot) OVER w - sum(pos) OVER w)::BIGINT AS fp,
+             (sum(pos) OVER () - sum(pos) OVER w)::BIGINT AS fn,
+             ((sum(tot) OVER () - sum(pos) OVER ())
+               - (sum(tot) OVER w - sum(pos) OVER w))::BIGINT AS tn
+      FROM g WINDOW w AS (ORDER BY q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT thr, tp, fp, fn, tn,
+             (1000000 * tp) // (tp + fn) AS sensitivity_ppm,
+             (1000000 * tn) // (tn + fp) AS specificity_ppm,
+             (1000000 * tp) // (tp + fn)
+               + (1000000 * tn) // (tn + fp) - 1000000 AS j_ppm
+      FROM c WHERE tp + fn > 0 AND tn + fp > 0
+    )
+    SELECT thr, tp, fp, fn, tn, sensitivity_ppm, specificity_ppm, j_ppm,
+           (j_ppm = max(j_ppm) OVER ()
+            AND thr = min(thr) FILTER (WHERE j_ppm = max_j) OVER ()) AS is_best
+    FROM (SELECT *, max(j_ppm) OVER () AS max_j FROM s)
+    """,
+    doc="Youden-J optimal cutpoint search on the quantity score: J = "
+    "sensitivity + specificity - 1 at every threshold, ENTIRELY exact "
+    "integer arithmetic (both rates are rationals of the running "
+    "confusion counts, ppm-frozen before the sum), argmax flagged with "
+    "the deterministic min-threshold tiebreak. The prevalence-FREE "
+    "operating point beside f1_threshold_search (F1 ignores true "
+    "negatives and chases the positive class; J weighs both error "
+    "types equally — the two argmaxes genuinely differ whenever "
+    "classes are imbalanced) and the scalar summary of the ROC curve "
+    "roc_auc_mann_whitney integrates. Scale: one score-grid aggregate "
+    "+ ordered windows over that grid.",
+)
+def youden_j_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.expr("CAST(l_quantity AS BIGINT)").alias("q")).agg(
+        F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("pos"),
+        F.count("*").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = g.select(
+        F.col("q").alias("thr"),
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        (F.sum("tot").over(w) - F.sum("pos").over(w)).cast("bigint").alias("fp"),
+        (F.sum("pos").over(wall) - F.sum("pos").over(w)).cast("bigint").alias("fn"),
+        (
+            (F.sum("tot").over(wall) - F.sum("pos").over(wall))
+            - (F.sum("tot").over(w) - F.sum("pos").over(w))
+        )
+        .cast("bigint")
+        .alias("tn"),
+    )
+    s = c.where(F.expr("tp + fn > 0 AND tn + fp > 0")).select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("(1000000 * tp) div (tp + fn)").alias("sensitivity_ppm"),
+        F.expr("(1000000 * tn) div (tn + fp)").alias("specificity_ppm"),
+        F.expr(
+            "(1000000 * tp) div (tp + fn) + (1000000 * tn) div (tn + fp) - 1000000"
+        ).alias("j_ppm"),
+    )
+    s2 = s.withColumn("max_j", F.max("j_ppm").over(Window.partitionBy()))
+    best_thr = F.min(F.when(F.col("j_ppm") == F.col("max_j"), F.col("thr"))).over(
+        Window.partitionBy()
+    )
+    return s2.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "sensitivity_ppm",
+        "specificity_ppm",
+        "j_ppm",
+        ((F.col("j_ppm") == F.col("max_j")) & (F.col("thr") == best_thr)).alias(
+            "is_best"
+        ),
+    )
+
+
+def _dunn_oracle() -> str:
+    from map_reduce_engine_spark.queries.pipeline import _kmeans1d_cte_parts
+
+    parts = _kmeans1d_cte_parts(5)
+    final = """,
+    seg AS (
+      SELECT a::BIGINT AS cluster_id, min(cents)::BIGINT AS lo,
+             max(cents)::BIGINT AS hi, count(*)::BIGINT AS n_orders
+      FROM afin GROUP BY a
+    ),
+    gap AS (
+      SELECT *, (lead(lo) OVER (ORDER BY cluster_id) - hi)::BIGINT AS gap_to_next
+      FROM seg
+    ),
+    dunn AS (
+      SELECT (1000 * min(gap_to_next))
+               // max(hi - lo) AS dunn_milli
+      FROM gap
+    )
+    SELECT g.cluster_id, g.n_orders, g.lo AS min_cents, g.hi AS max_cents,
+           (g.hi - g.lo)::BIGINT AS diameter_cents, g.gap_to_next,
+           d.dunn_milli::BIGINT AS dunn_milli,
+           (d.dunn_milli >= 100) AS well_separated
+    FROM gap g, dunn d
+    """
+    return ",\n".join(parts) + final
+
+
+@register(
+    "dunn_index_segments",
+    oracle=_dunn_oracle(),
+    doc="Dunn validity index for the 1-D k-means order segmentation: "
+    "min inter-cluster gap over max intra-cluster diameter — in 1-D "
+    "the clusters are contiguous intervals, so BOTH terms are exact "
+    "integers from per-segment min/max (no distance matrix at all) "
+    "and the index is a pure integer milli-ratio. Completes the "
+    "cluster-validity trio (silhouette_1d_kmeans averages per-point "
+    "fit, davies_bouldin averages worst pairs; Dunn is the worst-case "
+    "SEPARATION guarantee — the one a downstream stratifier actually "
+    "needs). Same frozen Lloyd fit as kmeans_1d_value_segments, so "
+    "the three indices grade the identical clustering. Scale: the "
+    "kmeans fit's scan + a 3-row segment grid.",
+)
+def dunn_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.queries.pipeline import (
+        _kmeans1d_assign_col,
+        _kmeans1d_fit,
+    )
+
+    base, cents_c = _kmeans1d_fit(spark, sf_dir)
+    seg = (
+        base.select("cents", _kmeans1d_assign_col(cents_c))
+        .groupBy(F.col("a").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.min("cents").cast("bigint").alias("lo"),
+            F.max("cents").cast("bigint").alias("hi"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    gap = seg.withColumn(
+        "gap_to_next",
+        (F.lead("lo").over(Window.orderBy("cluster_id")) - F.col("hi")).cast("bigint"),
+    ).localCheckpoint(eager=True)  # 3-row grid feeds dunn + output
+    dunn = gap.agg(
+        F.expr("(1000 * min(gap_to_next)) div max(hi - lo)").alias("dunn_milli")
+    )
+    return gap.crossJoin(F.broadcast(dunn)).select(
+        "cluster_id",
+        "n_orders",
+        F.col("lo").alias("min_cents"),
+        F.col("hi").alias("max_cents"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("diameter_cents"),
+        "gap_to_next",
+        F.col("dunn_milli").cast("bigint").alias("dunn_milli"),
+        (F.col("dunn_milli") >= 100).alias("well_separated"),
+    )
+
+
+@register(
+    "page_trend_test",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_nationkey AS nation,
+             (CAST(l.l_quantity AS BIGINT) - 1) // 10 AS bucket,
+             ((1000000 * sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END))
+               // count(*))::BIGINT AS rate_ppm
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    full_blocks AS (
+      SELECT nation FROM cell GROUP BY nation HAVING count(*) = 5
+    ),
+    r AS (
+      SELECT a.nation, a.bucket,
+             (2 * sum(CASE WHEN b.rate_ppm < a.rate_ppm THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.rate_ppm = a.rate_ppm THEN 1 ELSE 0 END)
+              + 1)::BIGINT AS r2
+      FROM cell a
+      JOIN full_blocks fb ON fb.nation = a.nation
+      JOIN cell b ON b.nation = a.nation
+      GROUP BY a.nation, a.bucket
+    ),
+    sums AS (
+      SELECT bucket, sum(r2)::BIGINT AS r2_sum,
+             count(*)::BIGINT AS n FROM r GROUP BY bucket
+    ),
+    l2 AS (
+      SELECT sum((bucket + 1) * r2_sum)::BIGINT AS l2, max(n)::BIGINT AS n
+      FROM sums
+    )
+    SELECT s.bucket::BIGINT AS bucket, s.r2_sum,
+           ((500 * s.r2_sum) // s.n)::BIGINT AS mean_rank_milli,
+           l.l2,
+           CAST(floor((CAST(l.l2 AS DOUBLE) / 2 - l.n * 5 * 36 / CAST(4 AS DOUBLE))
+             / sqrt(CAST(l.n AS DOUBLE) * 25 * 6 * 24 / 144) * 1000 + 0.5)
+             AS BIGINT) AS z_milli,
+           (CAST(floor((CAST(l.l2 AS DOUBLE) / 2 - l.n * 5 * 36 / CAST(4 AS DOUBLE))
+             / sqrt(CAST(l.n AS DOUBLE) * 25 * 6 * 24 / 144) * 1000 + 0.5)
+             AS BIGINT) > 1644) AS increasing_with_bucket
+    FROM sums s, l2 l
+    """,
+    doc="Page's L trend test: do per-nation return-rate RANKS rise "
+    "monotonically across the ordered quantity buckets? Within each "
+    "complete nation block the five bucket rates rank via tie-averaged "
+    "half-unit ranks (the 5x5 bounded within-block join), L = sum "
+    "j * R_j is PURE INTEGER in 2R units, and the normal approximation "
+    "z = (L - nk(k+1)^2/4) / sqrt(nk^2(k+1)(k^2-1)/144) is a shared-"
+    "formula frozen double (k = 5 literal: 36 = (k+1)^2, 25*6*24 = "
+    "k^2(k+1)(k^2-1)). The BLOCKED ordered-alternative test completing "
+    "the trio: cochran_armitage pools binary outcomes, jonckheere "
+    "pools continuous values, Page RANKS WITHIN BLOCKS so one big "
+    "nation cannot drive the trend. Scale: one 3-table join to the "
+    "(nations x buckets) grid, bounded within-block join, 5-row "
+    "arithmetic.",
+)
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cell = (
+        li.join(orders, F.expr("o_orderkey = l_orderkey"))
+        .join(F.broadcast(cust), F.expr("c_custkey = o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "(1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("rate_ppm")
+        )
+        .localCheckpoint(eager=True)  # (nations x buckets) grid, joined twice
+    )
+    full_blocks = (
+        cell.groupBy("nation").agg(F.count("*").alias("nb")).where(F.col("nb") == 5)
+    ).select("nation")
+    a, b = cell.alias("a"), cell.alias("b")
+    r = (
+        a.join(F.broadcast(full_blocks), "nation")
+        .join(b, "nation")
+        .groupBy(F.col("nation"), F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.expr(
+                "CAST(2 * sum(CASE WHEN b.rate_ppm < a.rate_ppm THEN 1 ELSE 0 END)"
+                " + sum(CASE WHEN b.rate_ppm = a.rate_ppm THEN 1 ELSE 0 END)"
+                " + 1 AS BIGINT)"
+            ).alias("r2")
+        )
+    )
+    sums = r.groupBy("bucket").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    l2 = sums.agg(
+        F.sum(F.expr("(bucket + 1) * r2_sum")).cast("bigint").alias("l2"),
+        F.max("n").cast("bigint").alias("nb"),
+    )
+    z = (
+        "CAST(floor((CAST(l2 AS DOUBLE) / 2 - nb * 5 * 36 / CAST(4 AS DOUBLE))"
+        " / sqrt(CAST(nb AS DOUBLE) * 25 * 6 * 24 / 144) * 1000 + 0.5)"
+        " AS BIGINT)"
+    )
+    return sums.crossJoin(F.broadcast(l2)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "r2_sum",
+        F.expr("(500 * r2_sum) div n").cast("bigint").alias("mean_rank_milli"),
+        "l2",
+        F.expr(z).alias("z_milli"),
+        F.expr(f"{z} > 1644").alias("increasing_with_bucket"),
+    )

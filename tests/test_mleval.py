@@ -1228,3 +1228,34 @@ def test_actuarial_survival_monotone_and_below_na(spark, sf_dir):
         assert r.hazard_ppm == 1_000_000 * 2 * r.n_churned // (
             2 * r.n_entering - r.n_censored
         )
+
+
+def test_youden_vs_f1_argmax_semantics(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "youden_j_cutpoint")
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    b = best[0]
+    assert b.j_ppm == max(r.j_ppm for r in rows)
+    for r in rows:
+        assert r.j_ppm == r.sensitivity_ppm + r.specificity_ppm - 1_000_000
+        assert -1_000_000 <= r.j_ppm <= 1_000_000
+
+
+def test_dunn_index_from_interval_geometry(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "dunn_index_segments"), key=lambda r: r.cluster_id)
+    assert len(rows) == 3
+    # 1-D kmeans clusters are disjoint intervals in cluster-id order
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents < b.min_cents
+        assert a.gap_to_next == b.min_cents - a.max_cents
+    min_gap = min(r.gap_to_next for r in rows if r.gap_to_next is not None)
+    max_diam = max(r.diameter_cents for r in rows)
+    assert rows[0].dunn_milli == 1000 * min_gap // max_diam
+
+
+def test_page_l_consistent_with_rank_sums(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "page_trend_test"), key=lambda r: r.bucket)
+    assert len(rows) == 5
+    assert rows[0].l2 == sum((r.bucket + 1) * r.r2_sum for r in rows)
+    assert len({r.z_milli for r in rows}) == 1
+    assert all(r.increasing_with_bucket == (r.z_milli > 1644) for r in rows)

@@ -782,6 +782,10 @@ _SANCTIONED_NESTED_LOOP = {
     "bounded enrollment-prefix walk",
     "gpd_peaks_over_threshold": "1-row threshold broadcast over the "
     "exceedance scan",
+    "dunn_index_segments": "1-row Dunn-ratio broadcast over the 3-row "
+    "segment grid",
+    "page_trend_test": "1-row L-statistic broadcast over the 5-bucket "
+    "rank-sum grid",
 }
 # The UDTF surface demo is the one sanctioned row-Python plan: Python UDTFs
 # have no Arrow path, and demonstrating the lateral-join UDTF API is the
