@@ -2686,7 +2686,7 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observed_scan_metrics",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
            min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
            max(CAST(round(value * 100) AS BIGINT)) AS max_cents
     FROM events WHERE event_type = 'purchase'
@@ -2725,7 +2725,7 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_delete_compaction",
     oracle="""
     SELECT c_nationkey, count(*) AS n_remaining,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
     FROM customer
     WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
     GROUP BY c_nationkey

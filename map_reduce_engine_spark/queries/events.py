@@ -1929,7 +1929,7 @@ def error_rate_sla_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c JOIN tot t USING (user_id)
     )
     SELECT user_id, count(*)::BIGINT AS n_event_types,
-           sum(h_micro) AS entropy_micro
+           sum(h_micro)::BIGINT AS entropy_micro
     FROM contrib GROUP BY user_id
     """,
     doc="behavioral diversity per user: Shannon entropy of the event-type "
@@ -1958,7 +1958,8 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ma_crossover_signals",
     oracle="""
     WITH daily AS (
-      SELECT ts::DATE AS day, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      SELECT ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
       FROM events GROUP BY ts::DATE
     ),
     w AS (
@@ -2414,7 +2415,7 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT ts::DATE AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
     ),
     idx AS (
@@ -2430,7 +2431,7 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT a.day, a.cents, a.i,
              sum(CAST(round(0.3 * pow(0.7, (a.i - b.i)::DOUBLE)
-                            * b.cents * 1000000.0) AS BIGINT))
+                            * b.cents * 1000000.0) AS BIGINT))::BIGINT
                AS smooth_micro_partial
       FROM idx a JOIN idx b ON b.i <= a.i
       GROUP BY a.day, a.cents, a.i

@@ -226,19 +226,19 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored GROUP BY brand
     ),
     o AS (
-      SELECT (1000000 * sum(n_sel)) // sum(n) AS o_sel,
-             (1000000 * sum(tp)) // sum(tp + fn) AS o_tpr,
-             (1000000 * sum(fp)) // sum(fp + tn) AS o_fpr
+      SELECT CAST((1000000 * CAST(sum(n_sel) AS BIGINT)) // CAST(sum(n) AS BIGINT) AS BIGINT) AS o_sel,
+             CAST((1000000 * CAST(sum(tp) AS BIGINT)) // CAST(sum(tp + fn) AS BIGINT) AS BIGINT) AS o_tpr,
+             CAST((1000000 * CAST(sum(fp) AS BIGINT)) // CAST(sum(fp + tn) AS BIGINT) AS BIGINT) AS o_fpr
       FROM g
     )
     SELECT brand, n,
-           (1000000 * n_sel) // n AS sel_ppm,
-           (1000000 * tp) // (tp + fn) AS tpr_ppm,
-           (1000000 * fp) // (fp + tn) AS fpr_ppm,
-           (1000000 * n_sel) // n - o_sel AS sel_gap_ppm,
-           (1000000 * tp) // (tp + fn) - o_tpr AS tpr_gap_ppm,
-           (1000000 * fp) // (fp + tn) - o_fpr AS fpr_gap_ppm
-    FROM g, o
+           CAST((1000000 * n_sel) // n AS BIGINT) AS sel_ppm,
+           CAST((1000000 * tp) // (tp + fn) AS BIGINT) AS tpr_ppm,
+           CAST((1000000 * fp) // (fp + tn) AS BIGINT) AS fpr_ppm,
+           CAST((1000000 * n_sel) // n - o_sel AS BIGINT) AS sel_gap_ppm,
+           CAST((1000000 * tp) // (tp + fn) - o_tpr AS BIGINT) AS tpr_gap_ppm,
+           CAST((1000000 * fp) // (fp + tn) - o_fpr AS BIGINT) AS fpr_gap_ppm
+    FROM g CROSS JOIN o
     """,
     doc="group-fairness audit of the quantity>=25 return-risk stump across "
     "part brands: demographic parity (selection rate), equalized odds "
@@ -335,7 +335,8 @@ def ablation_group_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     o AS (
       SELECT count(*)::BIGINT AS n_total,
-             (1000000 * sum((q - 50 * y) * (q - 50 * y))) // (2500 * count(*))
+             CAST((1000000 * CAST(sum((q - 50 * y) * (q - 50 * y)) AS BIGINT))
+                  // (2500 * count(*)) AS BIGINT)
                AS brier_ppm
       FROM scored
     ),
@@ -1236,7 +1237,8 @@ def logistic_regression_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 2 = 1
     ),
     model AS (
-      SELECT q, sum(cents) // count(*) AS pred_cents FROM calib GROUP BY q
+      SELECT q, CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents
+      FROM calib GROUP BY q
     ),
     res AS (
       SELECT abs(c.cents - m.pred_cents) AS r,
@@ -2013,22 +2015,27 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT stratum, count(*)::BIGINT AS n_s,
              sum(t)::BIGINT AS n_treated,
              sum(1 - t)::BIGINT AS n_control,
-             (1000000 * sum(t * y)) // sum(t) AS rate_t_ppm,
-             (1000000 * sum((1 - t) * y)) // sum(1 - t) AS rate_c_ppm
+             CAST((1000000 * CAST(sum(t * y) AS BIGINT))
+                  // CAST(sum(t) AS BIGINT) AS BIGINT) AS rate_t_ppm,
+             CAST((1000000 * CAST(sum((1 - t) * y) AS BIGINT))
+                  // CAST(sum(1 - t) AS BIGINT) AS BIGINT) AS rate_c_ppm
       FROM s GROUP BY stratum
     ),
     o AS (
-      SELECT sum(g.n_s * (g.rate_t_ppm - g.rate_c_ppm)) // sum(g.n_s) AS ate_ppm
+      SELECT CAST(CAST(sum(g.n_s * (g.rate_t_ppm - g.rate_c_ppm)) AS BIGINT)
+                  // CAST(sum(g.n_s) AS BIGINT) AS BIGINT) AS ate_ppm
       FROM g
     ),
     naive AS (
-      SELECT (1000000 * sum(t * y)) // sum(t)
-             - (1000000 * sum((1 - t) * y)) // sum(1 - t) AS naive_diff_ppm
+      SELECT CAST((1000000 * CAST(sum(t * y) AS BIGINT))
+                    // CAST(sum(t) AS BIGINT)
+                  - (1000000 * CAST(sum((1 - t) * y) AS BIGINT))
+                    // CAST(sum(1 - t) AS BIGINT) AS BIGINT) AS naive_diff_ppm
       FROM s
     )
     SELECT stratum, n_s, n_treated, n_control, rate_t_ppm, rate_c_ppm,
            rate_t_ppm - rate_c_ppm AS diff_ppm, o.ate_ppm, naive.naive_diff_ppm
-    FROM g, o, naive
+    FROM g CROSS JOIN o CROSS JOIN naive
     """,
     doc="stratified-adjustment average treatment effect: treatment = any "
     "discount, outcome = returned, stratified on the quantity confounder "
@@ -2639,10 +2646,10 @@ def _maxcov_oracle() -> str:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
              AS covered_tokens,
            v.vocab_total,
-           (1000000 * sum(s.new_tokens) OVER (ORDER BY s.sel_round
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             // v.vocab_total AS coverage_ppm
-    FROM sel s, vocab v"""
+           CAST((1000000 * CAST(sum(s.new_tokens) OVER (ORDER BY s.sel_round
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+             // v.vocab_total AS BIGINT) AS coverage_ppm
+    FROM sel s CROSS JOIN vocab v"""
     )
 
 
@@ -2734,17 +2741,21 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT sum(n_s)::BIGINT AS n,
-             (sum(term_t) - sum(term_c)) // sum(n_s) AS ate_ipw_ppm,
-             sum(n_s * (rate_t_ppm - rate_c_ppm)) // sum(n_s) AS ate_strat_ppm
+             CAST((CAST(sum(term_t) AS BIGINT) - CAST(sum(term_c) AS BIGINT))
+                  // CAST(sum(n_s) AS BIGINT) AS BIGINT) AS ate_ipw_ppm,
+             CAST(CAST(sum(n_s * (rate_t_ppm - rate_c_ppm)) AS BIGINT)
+                  // CAST(sum(n_s) AS BIGINT) AS BIGINT) AS ate_strat_ppm
       FROM terms
     ),
     naive AS (
-      SELECT (1000000 * sum(t * y)) // sum(t)
-             - (1000000 * sum((1 - t) * y)) // sum(1 - t) AS naive_diff_ppm
+      SELECT CAST((1000000 * CAST(sum(t * y) AS BIGINT))
+                    // CAST(sum(t) AS BIGINT)
+                  - (1000000 * CAST(sum((1 - t) * y) AS BIGINT))
+                    // CAST(sum(1 - t) AS BIGINT) AS BIGINT) AS naive_diff_ppm
       FROM s
     )
     SELECT m.n AS n_total, m.ate_ipw_ppm, m.ate_strat_ppm, naive.naive_diff_ppm
-    FROM m, naive
+    FROM m CROSS JOIN naive
     """,
     doc="inverse-propensity-weighted ATE beside the stratified and naive "
     "estimators (the causal-estimator triangulation report): propensity "
@@ -2799,30 +2810,33 @@ def ipw_ate_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT p.p_brand AS brand, count(*)::BIGINT AS n,
-             (1000000 * sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END))
-               // count(*) AS r_ppm
+             CAST((1000000 * CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                                      THEN 1 ELSE 0 END) AS BIGINT))
+               // count(*) AS BIGINT) AS r_ppm
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1
     ),
     m AS (
-      SELECT count(*)::BIGINT AS k, sum(r_ppm) // count(*) AS gm,
+      SELECT count(*)::BIGINT AS k,
+             CAST(CAST(sum(r_ppm) AS BIGINT) // count(*) AS BIGINT) AS gm,
              sum(r_ppm * (1000000 - r_ppm) // n)::BIGINT AS v_sum
       FROM g
     ),
     ss AS (
       SELECT sum((g.r_ppm - m.gm) * (g.r_ppm - m.gm))::BIGINT AS ss
-      FROM g, m
+      FROM g CROSS JOIN m
     ),
     b AS (
       SELECT greatest(0, 1000000 - (1000000 * (m.k - 3) * (m.v_sum // m.k)) // ss.ss)
                ::BIGINT AS b_ppm,
              m.gm, m.k
-      FROM m, ss
+      FROM m CROSS JOIN ss
     )
     SELECT g.brand, g.n, g.r_ppm AS raw_ppm,
-           b.gm + (b.b_ppm * (g.r_ppm - b.gm)) // 1000000 AS shrunk_ppm,
+           CAST(b.gm + (b.b_ppm * (g.r_ppm - b.gm)) // 1000000 AS BIGINT)
+             AS shrunk_ppm,
            b.gm AS grand_mean_ppm, b.b_ppm AS shrink_factor_ppm
-    FROM g, b
+    FROM g CROSS JOIN b
     """,
     doc="James-Stein / empirical-Bayes shrinkage of the 25 per-brand "
     "return rates toward the grand mean: the shrinkage factor "
@@ -4022,11 +4036,12 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pi WHERE n_s0 > 0
     )
     SELECT t.n AS n_logged,
-           (1000000 * (SELECT sum(r) FROM logged)) // t.n AS behavior_value_ppm,
+           CAST((1000000 * (SELECT CAST(sum(r) AS BIGINT) FROM logged)) // t.n
+                AS BIGINT) AS behavior_value_ppm,
            e.dm_num_micro // t.n AS dm_value_ppm,
            e.ips_num_micro // t.n AS ips_value_ppm,
            (1000000 * e.ips_num_micro) // e.ips_den_micro AS snips_value_ppm
-    FROM est e, tot t
+    FROM est e CROSS JOIN tot t
     """,
     doc="offline policy evaluation by replay: what reward (kept-item "
     "rate) would the 'never discount' policy earn, estimated from "
@@ -4569,8 +4584,9 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tr AS (
       SELECT day, cents, rn, n, dow,
-             (sum(cents) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
-               // 7 AS trend_cents
+             CAST(CAST(sum(cents) OVER (ORDER BY rn
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               // 7 AS BIGINT) AS trend_cents
       FROM s
     ),
     mid AS (SELECT * FROM tr WHERE rn >= 4 AND rn <= n - 3),
@@ -5190,7 +5206,9 @@ def _bt_oracle() -> str:
         )
         ctes.append(
             f"b{r} AS MATERIALIZED (SELECT brand, "
-            f"(1000000 * praw) // (SELECT sum(praw) FROM r{r}) AS p FROM r{r})"
+            f"CAST((1000000 * praw) // "
+            f"(SELECT CAST(sum(praw) AS BIGINT) FROM r{r}) AS BIGINT) AS p "
+            f"FROM r{r})"
         )
         prev = f"b{r}"
     return (
@@ -7003,10 +7021,10 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
              t.n, t.ties
       FROM (
         SELECT 'click' AS event_type, sum(n_click)::BIGINT AS n_g FROM grid
-        UNION ALL SELECT 'error', sum(n_error) FROM grid
-        UNION ALL SELECT 'purchase', sum(n_purchase) FROM grid
-        UNION ALL SELECT 'signup', sum(n_signup) FROM grid
-        UNION ALL SELECT 'view', sum(n_view) FROM grid
+        UNION ALL SELECT 'error', sum(n_error)::BIGINT FROM grid
+        UNION ALL SELECT 'purchase', sum(n_purchase)::BIGINT FROM grid
+        UNION ALL SELECT 'signup', sum(n_signup)::BIGINT FROM grid
+        UNION ALL SELECT 'view', sum(n_view)::BIGINT FROM grid
       ) g
       JOIN (
         SELECT 'click' AS event_type, sum(n_click * r2)::BIGINT AS s2 FROM ranked

@@ -1468,7 +1468,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*)::BIGINT AS n_cells,
            sum(CAST(round(1000000.0 * (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp)
-               AS BIGINT)) AS chi2_micro,
+               AS BIGINT))::BIGINT AS chi2_micro,
            ((SELECT count(*) FROM rows_) - 1) * ((SELECT count(*) FROM cols_) - 1)
              AS dof
     FROM cells
@@ -1595,14 +1595,14 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_totalprice > 0
     ),
     o AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
-    n AS (SELECT sum(observed) AS total FROM o)
+    n AS (SELECT sum(observed)::BIGINT AS total FROM o)
     SELECT o.digit, o.observed,
-           1000000 * o.observed // n.total AS observed_ppm,
+           CAST(1000000 * o.observed // n.total AS BIGINT) AS observed_ppm,
            CAST(round(1000000.0 * ln(1.0 + 1.0 / o.digit) / ln(10.0)) AS BIGINT)
              AS benford_ppm,
-           1000000 * o.observed // n.total
+           CAST(1000000 * o.observed // n.total
              - CAST(round(1000000.0 * ln(1.0 + 1.0 / o.digit) / ln(10.0)) AS BIGINT)
-             AS deviation_ppm
+             AS BIGINT) AS deviation_ppm
     FROM o CROSS JOIN n
     """,
     doc="Benford's-law first-digit audit over order totals: observed "
@@ -1646,7 +1646,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_totalprice > 0
     )
     SELECT o_orderpriority, count(*) AS n,
-           sum(ln_micro) AS sum_ln_micro,
+           sum(ln_micro)::BIGINT AS sum_ln_micro,
            round(exp(sum(ln_micro)::DOUBLE / count(*)::DOUBLE / 1000000.0) / 100.0, 2)
              AS geometric_mean
     FROM c GROUP BY o_orderpriority

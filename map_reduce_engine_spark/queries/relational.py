@@ -1890,7 +1890,7 @@ def sql_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT r_name AS region, n_name AS nation,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -1898,8 +1898,10 @@ def sql_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r_name, n_name
     )
     SELECT region, nation, cents AS revenue_cents,
-           10000 * cents // sum(cents) OVER (PARTITION BY region) AS share_bp,
-           10000 * cents // sum(cents) OVER () AS global_share_bp
+           CAST(10000 * cents // CAST(sum(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS BIGINT) AS share_bp,
+           CAST(10000 * cents // CAST(sum(cents) OVER () AS BIGINT)
+                AS BIGINT) AS global_share_bp
     FROM n
     """,
     doc="percent-of-parent hierarchy rollup: each nation's revenue share "
@@ -1938,7 +1940,7 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(r_name)::BIGINT AS g_region,
            GROUPING(n_name)::BIGINT AS g_nation,
            count(*) AS n_customers,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1990,7 +1992,7 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM open_o
     )
     SELECT o_orderpriority, age_bucket,
-           count(*) AS n_orders, sum(cents) AS backlog_cents
+           count(*) AS n_orders, sum(cents)::BIGINT AS backlog_cents
     FROM aged GROUP BY o_orderpriority, age_bucket
     """,
     doc="open-order backlog aging: unfulfilled orders (status O/P) bucketed "
@@ -2026,14 +2028,16 @@ def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey, l_suppkey
     ),
-    tot AS (SELECT s_nationkey, sum(cents) AS total FROM rev GROUP BY s_nationkey),
+    tot AS (SELECT s_nationkey, sum(cents)::BIGINT AS total
+            FROM rev GROUP BY s_nationkey),
     shares AS (
-      SELECT r.s_nationkey, 10000 * r.cents // t.total AS share_bp
+      SELECT r.s_nationkey,
+             CAST(10000 * r.cents // t.total AS BIGINT) AS share_bp
       FROM rev r JOIN tot t USING (s_nationkey)
     )
     SELECT s_nationkey,
            count(*) AS n_suppliers,
-           sum(share_bp * share_bp) AS hhi_bp2,
+           sum(share_bp * share_bp)::BIGINT AS hhi_bp2,
            max(share_bp) AS top_share_bp
     FROM shares GROUP BY s_nationkey
     """,
@@ -2190,8 +2194,9 @@ def promo_effect_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (SELECT lag_days // 7 AS week_bucket FROM lag_t),
     c AS (SELECT week_bucket, count(*) AS n FROM b GROUP BY week_bucket),
-    tot AS (SELECT sum(n) AS total FROM c)
-    SELECT c.week_bucket, c.n, 10000 * c.n // t.total AS share_bp
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT c.week_bucket, c.n,
+           CAST(10000 * c.n // t.total AS BIGINT) AS share_bp
     FROM c CROSS JOIN tot t
     """,
     doc="order-to-ship lag histogram in week buckets with integer-bp "
@@ -2291,7 +2296,8 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT p_brand, count(*) AS n_lines,
              sum(returned)::BIGINT AS returned_lines,
-             sum(CASE WHEN returned = 1 THEN cents ELSE 0 END) AS returned_cents
+             sum(CASE WHEN returned = 1 THEN cents ELSE 0 END)::BIGINT
+               AS returned_cents
       FROM l GROUP BY p_brand
     )
     SELECT p_brand, n_lines, returned_lines,
@@ -2341,10 +2347,11 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
-    p AS (SELECT dow, count(*) AS n_orders, sum(cents) AS cents FROM d GROUP BY dow),
-    tot AS (SELECT sum(cents) AS total FROM p)
+    p AS (SELECT dow, count(*) AS n_orders, sum(cents)::BIGINT AS cents
+          FROM d GROUP BY dow),
+    tot AS (SELECT sum(cents)::BIGINT AS total FROM p)
     SELECT p.dow, p.n_orders, p.cents AS revenue_cents,
-           10000 * p.cents // t.total AS revenue_share_bp,
+           CAST(10000 * p.cents // t.total AS BIGINT) AS revenue_share_bp,
            (p.dow >= 5) AS is_weekend
     FROM p CROSS JOIN tot t
     """,

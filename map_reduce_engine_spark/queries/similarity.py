@@ -891,9 +891,9 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_balance_audit",
     oracle="""
     WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
-    t AS (SELECT sum(n) AS total, max(n) AS max_n, min(n) AS min_n FROM c)
+    t AS (SELECT sum(n)::BIGINT AS total, max(n) AS max_n, min(n) AS min_n FROM c)
     SELECT c.label, c.n,
-           10000 * c.n // t.total AS share_bp,
+           CAST(10000 * c.n // t.total AS BIGINT) AS share_bp,
            100 * t.max_n // t.min_n AS imbalance_pct
     FROM c CROSS JOIN t
     """,

@@ -337,7 +337,7 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_split",
     oracle="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
     FROM (
       SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
                   WHEN doc_id % 100 < 90 THEN 'val'
@@ -953,7 +953,7 @@ def distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     row_t AS (SELECT true_lang, sum(n) AS row_n FROM cell GROUP BY true_lang)
     SELECT c.true_lang, c.predicted_lang, c.n,
-           10000 * c.n // r.row_n AS row_share_bp,
+           CAST(10000 * c.n // CAST(r.row_n AS BIGINT) AS BIGINT) AS row_share_bp,
            (c.true_lang = c.predicted_lang) AS is_correct
     FROM cell c JOIN row_t r USING (true_lang)
     """,
