@@ -62,6 +62,26 @@ def test_matches_oracle(name, spark, duck, sf_dir):
         pytest.fail(f"{name}: value mismatch, first diffs (spark, duck): {diffs}")
 
 
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_output_types_portable(name, duck):
+    """No oracle may emit HUGEINT (or other non-portable) output columns.
+
+    DuckDB widens integer sum() to HUGEINT; duckdb 1.0.0 fetchall() happens
+    to render HUGEINT as a Python int, but other builds/fetch paths render it
+    differently — the round-4 driver red on fairness_parity_audit (rows and
+    schema matched, values hash-mismatched, unreproducible locally) was
+    exactly this. Oracles must CAST sums and //-results to BIGINT so the
+    value representation cannot depend on the DuckDB version running them.
+    """
+    rel = duck.sql(REGISTRY[name].oracle)
+    bad = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, [str(x) for x in rel.types])
+        if "HUGEINT" in t or "INT128" in t or t.startswith("DECIMAL")
+    ]
+    assert bad == [], f"{name}: non-portable oracle output columns {bad}"
+
+
 def test_every_query_has_an_oracle():
     """The registry's invariant since round 2: NO rows-only entries — every
     query (including trained-model ones, via verdict oracles) is
