@@ -42,12 +42,121 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+# Operators that bound the data volume flowing up through them: after one of
+# these, the frame is an aggregate grid / limited prefix / broadcast-sized
+# side, so a single-partition sort above is a bounded-frame sort, not a
+# scale-killer. (HashAggregate keys can still be high-cardinality — a groupBy
+# on a user key feeding a global window stays a design smell — but that is
+# not statically distinguishable from a value grid; the gate catches the
+# unambiguous case: raw fact rows with no aggregation at all.)
+_BOUNDING_OPS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "BroadcastExchange",
+    "ReusedExchange",
+    "LocalTableScan",
+    "Range",
+    "Subquery",
+    "ReusedSubquery",
+)
+
+_RAW_LEAVES = ("Scan ", "FileScan", "BatchScan")
+
+_TREE_LINE = re.compile(r"^([\s:+\-]*)(\*\s*)?([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+_DETAIL_HEADER = re.compile(r"^\((\d+)\) (.+?)(?:\s*\[codegen id : \d+\])?\s*$")
+
+
+def _tree_children(formatted: str) -> tuple[dict[int, list[int]], dict[int, str]]:
+    """Parse every operator tree in a formatted plan into a children map.
+
+    Formatted mode prints one indented tree per (sub)plan with each node as
+    ``OpName (id)``; indentation depth encodes parenthood (3 chars/level).
+    Detail blocks (``(id) OpName`` at column 0) are skipped — they never
+    match the tree shape because the id leads instead of trails.
+    """
+    children: dict[int, list[int]] = {}
+    ops: dict[int, str] = {}
+    stack: list[tuple[int, int]] = []  # (depth, id)
+    for line in formatted.splitlines():
+        m = _TREE_LINE.match(line)
+        if not m or _DETAIL_HEADER.match(line):
+            stack.clear()  # a non-tree line ends the current tree segment
+            continue
+        depth = len(m.group(1)) // 3
+        node_id = int(m.group(4))
+        ops[node_id] = m.group(3).strip()
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            children.setdefault(stack[-1][1], []).append(node_id)
+        stack.append((depth, node_id))
+    return children, ops
+
+
+def _single_partition_exchanges(formatted: str) -> list[int]:
+    """Node ids of Exchange operators whose partitioning is SinglePartition."""
+    out: list[int] = []
+    cur_id: int | None = None
+    cur_op = ""
+    for line in formatted.splitlines():
+        m = _DETAIL_HEADER.match(line)
+        if m:
+            cur_id, cur_op = int(m.group(1)), m.group(2)
+            continue
+        if (
+            cur_id is not None
+            and cur_op.startswith("Exchange")
+            and line.startswith("Arguments: SinglePartition")
+        ):
+            out.append(cur_id)
+    return out
+
+
+def _reaches_raw_leaf(
+    node: int, children: dict[int, list[int]], ops: dict[int, str]
+) -> bool:
+    """True if any path below ``node`` hits a relation scan without first
+    crossing a bounding operator (aggregate / limit / broadcast)."""
+    for child in children.get(node, []):
+        op = ops.get(child, "")
+        if op.startswith(_BOUNDING_OPS):
+            continue
+        if op.startswith(_RAW_LEAVES):
+            return True
+        if _reaches_raw_leaf(child, children, ops):
+            return True
+    return False
+
+
+def single_partition_raw_nodes(formatted: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose input is raw relation
+    rows (no aggregation/limit anywhere below).
+
+    This is the funnel-everything-through-one-task shape — typically a
+    ``Window.orderBy`` with no ``partitionBy`` over a fact table, or a
+    ``repartition(1)`` before a write. Correct and quick at test SF; at
+    100x the single task sorts the whole table. Windows over aggregate
+    GRIDS (value grids, day grids) are excused by the aggregate below them.
+    """
+    children, tree_ops = _tree_children(formatted)
+    return sum(
+        _reaches_raw_leaf(eid, children, tree_ops)
+        for eid in _single_partition_exchanges(formatted)
+    )
+
+
 @dataclass
 class PlanReport:
     cartesian_products: int = 0
     nested_loop_joins: int = 0
     row_python_evals: int = 0
     arrow_python_stages: int = 0
+    single_partition_raw: int = 0
     shuffle_exchanges: int = 0
     broadcast_exchanges: int = 0
     wholestage_codegen_spans: int = 0
@@ -108,6 +217,15 @@ def plan_report(df: DataFrame) -> PlanReport:
             "10-100x slower than Arrow-batched pandas UDFs; use pandas_udf / "
             "mapInPandas or a built-in expression"
         )
+    r.single_partition_raw = single_partition_raw_nodes(p)
+    if r.single_partition_raw:
+        r.warnings.append(
+            f"{r.single_partition_raw} Exchange SinglePartition over raw relation "
+            "rows: every row funnels through ONE task (unpartitioned window/sort "
+            "on a fact table) — aggregate to a bounded grid first (value-grid "
+            "rank-select), shard the walk with per-shard offsets, or add a "
+            "partitionBy"
+        )
     return r
 
 
@@ -119,12 +237,16 @@ def assert_scalable(
     df: DataFrame,
     allow_nested_loop: bool = False,
     allow_row_python: bool = False,
+    allow_single_partition_raw: bool = False,
 ) -> PlanReport:
     """Raise ``PlanQualityError`` if the plan would not survive a scale-up.
 
     ``allow_nested_loop`` sanctions broadcast-nested-loop joins for the
-    deliberate small-broadcast patterns (exact kNN's probe set); row-Python
-    eval has no sanctioned use in this engine's hot paths.
+    deliberate small-broadcast patterns (exact kNN's probe set);
+    ``allow_single_partition_raw`` sanctions a single-partition exchange over
+    un-aggregated rows for frames that are provably bounded upstream of the
+    plan (rare — prefer value-grid rank-select); row-Python eval has no
+    sanctioned use in this engine's hot paths.
     """
     r = plan_report(df)
     fatal = []
@@ -134,6 +256,8 @@ def assert_scalable(
         fatal.append(next(w for w in r.warnings if "NestedLoop" in w))
     if r.row_python_evals and not allow_row_python:
         fatal.append(next(w for w in r.warnings if "BatchEvalPython" in w))
+    if r.single_partition_raw and not allow_single_partition_raw:
+        fatal.append(next(w for w in r.warnings if "SinglePartition" in w))
     if fatal:
         raise PlanQualityError("; ".join(fatal))
     return r

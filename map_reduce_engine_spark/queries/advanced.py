@@ -293,19 +293,48 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ntile quartile bucketing with a deterministic total order "
     "(tiebreak on c_custkey — both engines use the standard earlier-tiles-"
-    "get-extras distribution)",
+    "get-extras distribution). Spark side reconstructs the ntile result "
+    "from the distinct-balance VALUE GRID instead of sorting raw rows in "
+    "one task: tile q spans ranks (lo_q, hi_q] by the earlier-tiles-get-"
+    "extras closed form, and a grid row with cumulative-count interval "
+    "(cum-cnt, cum] contributes to every tile its ranks overlap — the "
+    "per-tile count/min/max are tiebreak-independent, so the grid "
+    "reconstruction is bit-identical to the raw-row ntile the oracle "
+    "runs (F.ntile itself stays API-covered by rfm_segmentation's "
+    "aggregated windows).",
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    g = cust.groupBy("c_acctbal").agg(F.count("*").cast("bigint").alias("cnt"))
+    wv = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "c_acctbal", "cnt", F.sum("cnt").over(wv).cast("bigint").alias("cum")
+    )
+    n1 = cust.agg(F.count("*").cast("bigint").alias("n"))
+    tiles = (
+        spark.range(1, 5)
+        .select(F.col("id").cast("int").alias("quartile"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "quartile",
+            F.expr("(quartile - 1) * (n div 4) + least(quartile - 1, n % 4)").alias(
+                "lo"
+            ),
+            F.expr("quartile * (n div 4) + least(quartile, n % 4)").alias("hi"),
         )
+    )
+    overlap = cum.join(
+        F.broadcast(tiles),
+        (F.col("cum") > F.col("lo")) & (F.col("cum") - F.col("cnt") < F.col("hi")),
+    )
+    return overlap.groupBy("quartile", "lo", "hi").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    ).select(
+        "quartile",
+        (F.col("hi") - F.col("lo")).alias("n"),
+        "min_bal",
+        "max_bal",
     )
 
 
@@ -776,15 +805,22 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="value-based RANGE frame (peers within 100.0 of the current account "
     "balance) — a frame ROWS BETWEEN cannot express; ties are handled "
-    "identically by both engines because RANGE frames are value-determined",
+    "identically by both engines because RANGE frames are value-determined. "
+    "Spark side exploits exactly that value-determinedness for scale: the "
+    "RANGE frame runs over the distinct-balance VALUE GRID (summing grid "
+    "counts within the 100.0 band) and the per-value result joins back to "
+    "the rows on an equi-key — bit-identical to the raw-row window the "
+    "oracle runs, with no single-task sort of the fact table.",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal").rangeBetween(-100, Window.currentRow)
-    return cust.select(
-        "c_custkey",
-        "c_acctbal",
-        F.count("*").over(w).cast("bigint").alias("n_within_100"),
+    g = cust.groupBy("c_acctbal").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = Window.orderBy("c_acctbal").rangeBetween(-100, Window.currentRow)
+    per_value = g.select(
+        "c_acctbal", F.sum("cnt").over(wg).cast("bigint").alias("n_within_100")
+    )
+    return cust.select("c_custkey", "c_acctbal").join(per_value, "c_acctbal").select(
+        "c_custkey", "c_acctbal", "n_within_100"
     )
 
 
@@ -2498,11 +2534,21 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_value"),
         "target",
     )
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select("o_totalprice", F.row_number().over(w).alias("rn"))
-    exact = est.select("p", "target").join(
-        ranked, F.col("rn") == F.col("target")
-    ).select("p", F.col("o_totalprice").alias("exact_disc"))
+    # exact side by value-grid rank-select (no raw-row global sort): the
+    # target-rank order statistic is the smallest price whose cumulative
+    # count reaches the target — tiebreak-independent, so identical to the
+    # oracle's row_number pick.
+    gx = orders.groupBy("o_totalprice").agg(F.count("*").cast("bigint").alias("xcnt"))
+    wx = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, 0)
+    cumx = gx.select(
+        "o_totalprice", F.sum("xcnt").over(wx).cast("bigint").alias("xcum")
+    )
+    exact = (
+        est.select("p", "target")
+        .join(cumx, F.col("xcum") >= F.col("target"))
+        .groupBy("p")
+        .agg(F.min("o_totalprice").alias("exact_disc"))
+    )
     return (
         est.join(exact, "p")
         .select(

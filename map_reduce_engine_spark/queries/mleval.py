@@ -1269,10 +1269,9 @@ def logistic_regression_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guarantee), and the achieved coverage on the held-out odd half — "
     "the uncertainty-quantification wrapper that turns ANY point "
     "predictor into calibrated intervals. All-integer cents; the "
-    "conformal rank is the discrete row_number pick (exact percentile "
-    "pattern). One global residual rank (same cost class as exact "
-    "percentiles — range-partitioned sort at 100 TB); the model and "
-    "q-hat travel as broadcasts.",
+    "conformal rank is resolved by value-grid rank-select (cumulative "
+    "counts over the distinct-residual grid — no raw-row global sort "
+    "at any scale); the model and q-hat travel as broadcasts.",
 )
 def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
@@ -1287,19 +1286,25 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("sum(cents) div count(*)").alias("pred_cents")
     )
     res = calib.join(F.broadcast(model), "q").select(
-        F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
-        "l_orderkey",
-        "l_linenumber",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("r")
     )
-    wr = Window.orderBy("r", "l_orderkey", "l_linenumber")
-    ranked = res.select(
-        "r",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_calib"),
+    # qhat = the ceil(0.9*(n+1))-th smallest residual, found by value-grid
+    # rank-select: hash-aggregate residuals to their (distinct value, count)
+    # grid, cumulative-count over the GRID (value-domain-bounded, never raw
+    # rows — the kruskal_wallis_test pattern), then min value whose
+    # cumulative count reaches k. Bit-identical to ranking raw rows: the
+    # k-th row in residual order carries the k-th order statistic no matter
+    # how ties are broken.
+    grid = res.groupBy("r").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("r", F.sum("cnt").over(wg).cast("bigint").alias("cum"))
+    tot = res.agg(F.count("*").cast("bigint").alias("n_calib"))
+    qhat = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.expr("cum >= (9 * (n_calib + 1) + 9) div 10"))
+        .groupBy("n_calib")
+        .agg(F.min("r").alias("qhat_cents"))
     )
-    qhat = ranked.where(
-        F.expr("rn = (9 * (n_calib + 1) + 9) div 10")
-    ).select("n_calib", F.col("r").alias("qhat_cents"))
     cov = (
         test.join(F.broadcast(model), "q")
         .crossJoin(F.broadcast(qhat))
@@ -1645,14 +1650,23 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_cents")
         )
     )
-    ranked = v.select(
-        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    # exact audit side by value-grid rank-select (no raw-row global sort):
+    # cumulative counts over the distinct-cents GRID, then the grid row
+    # whose [lo, hi] rank interval contains the target rank — identical to
+    # row_number on raw rows because the k-th row in value order carries
+    # the k-th order statistic.
+    gexact = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wcg = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cumx = gexact.select(
+        "c",
+        (F.sum("cnt").over(wcg) - F.col("cnt")).cast("bigint").alias("xlo"),
+        F.sum("cnt").over(wcg).cast("bigint").alias("xhi"),
     )
     nrow = v.agg(F.count("*").cast("bigint").alias("n_total"))
     exact = (
         ps.crossJoin(F.broadcast(nrow))
-        .select("p_bp", F.expr("(p_bp * (n_total - 1)) div 10000 + 1").alias("rn"))
-        .join(ranked, "rn")
+        .select("p_bp", F.expr("(p_bp * (n_total - 1)) div 10000 + 1").alias("k"))
+        .join(cumx, (F.col("xlo") < F.col("k")) & (F.col("xhi") >= F.col("k")))
         .select("p_bp", F.col("c").alias("exact_cents"))
     )
     return exact.join(est, "p_bp").select(
@@ -4338,16 +4352,18 @@ def f1_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statement that should accompany every reported median. Ranks are "
     "exact integers from a shared formula (sqrt is the only "
     "transcendental, applied to the row count); the three order-"
-    "statistic picks ride one ranked pass (exact-percentile cost "
-    "class).",
+    "statistic picks ride one cumulative pass over the distinct-cents "
+    "value grid (no raw-row global sort at any scale).",
 )
 def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     v = li.select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
-    r = v.select(
-        "c",
-        F.row_number().over(Window.orderBy("c")).cast("bigint").alias("rn"),
-    )
+    # order-statistic picks by value-grid rank-select (cumulative counts over
+    # the distinct-cents grid, never a raw-row global sort): the value at
+    # rank k is the smallest c whose cumulative count reaches k.
+    g = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select("c", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
     k = v.agg(F.count("*").cast("bigint").alias("n")).select(
         "n",
         F.expr(
@@ -4360,18 +4376,16 @@ def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hi_rank"),
         F.expr("(5000 * (n - 1)) div 10000 + 1").alias("med_rank"),
     )
-    joined = r.join(
-        F.broadcast(k),
-        (F.col("rn") == F.col("med_rank"))
-        | (F.col("rn") == F.col("lo_rank"))
-        | (F.col("rn") == F.col("hi_rank")),
-    )
-    return joined.groupBy(F.col("n").alias("n_rows")).agg(
-        F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("c"))).alias(
+    return cum.crossJoin(F.broadcast(k)).groupBy(F.col("n").alias("n_rows")).agg(
+        F.min(F.when(F.col("cum") >= F.col("med_rank"), F.col("c"))).alias(
             "median_cents"
         ),
-        F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("c"))).alias("ci_lo_cents"),
-        F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("c"))).alias("ci_hi_cents"),
+        F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("c"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("c"))).alias(
+            "ci_hi_cents"
+        ),
     )
 
 
@@ -5493,13 +5507,15 @@ def distribution_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lc").cast("double").alias("sl"),
         F.sum(F.expr("lc * lc")).cast("double").alias("sll"),
     )
-    ranked = v.select(
-        "c",
-        F.row_number().over(Window.orderBy("c")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("nn"),
-    )
-    emp = ranked.where(F.expr("rn = (5000 * (nn - 1)) div 10000 + 1")).select(
-        F.col("c").alias("med")
+    # empirical median by value-grid rank-select (no raw-row global sort)
+    gq = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    wq = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cumq = gq.select("c", F.sum("cnt").over(wq).cast("bigint").alias("cum"))
+    ntot = v.agg(F.count("*").cast("bigint").alias("nn"))
+    emp = (
+        cumq.crossJoin(F.broadcast(ntot))
+        .where(F.expr("cum >= (5000 * (nn - 1)) div 10000 + 1"))
+        .agg(F.min("c").alias("med"))
     )
     return m.crossJoin(F.broadcast(emp)).select(
         F.col("n").cast("bigint").alias("n_rows"),
@@ -10470,7 +10486,9 @@ def indirect_standardization_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "advance; SPRT shows the expected-sample-size saving of optional "
     "stopping with controlled error rates. Evaluated over the bounded "
     "enrollment prefix (user_id < 2000, documented). Scale: one "
-    "per-user aggregate + one ordered window over that bounded prefix.",
+    "per-user aggregate + a SHARDED prefix sum (contiguous user_id "
+    "shards cumsum in parallel; offsets from the shard-total grid) — "
+    "no single-partition window over the walk at any enrollment size.",
 )
 def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").where(F.col("user_id") < 2000)
@@ -10487,13 +10505,52 @@ def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(floor(ln(CAST(0.65 AS DOUBLE) / CAST(0.75 AS DOUBLE))"
         "      * 1000000000 + 0.5) AS BIGINT) END"
     )
-    wcum = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
-    walk = u.select(
+    # distributed prefix sum: shard the enrollment order into contiguous
+    # user_id ranges, cumulative-sum WITHIN each shard in parallel, then add
+    # per-shard offsets computed from the (n_shards)-sized shard-total grid —
+    # no single-partition window ever touches the raw walk rows, and the
+    # result is bit-identical to a global ORDER BY user_id running sum.
+    sharded = u.select(
         "user_id",
         "conv",
-        F.row_number().over(Window.orderBy("user_id")).cast("bigint").alias("rn"),
-        F.sum(F.expr(step)).over(wcum).cast("bigint").alias("llr"),
-    ).localCheckpoint(eager=True)  # bounded prefix; feeds totals + crossing + pick
+        F.expr("user_id div 256").alias("shard"),
+        F.expr(step).alias("stp"),
+    )
+    wloc = (
+        Window.partitionBy("shard")
+        .orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = sharded.select(
+        "user_id",
+        "conv",
+        "shard",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("user_id"))
+        .cast("bigint")
+        .alias("rn_loc"),
+        F.sum("stp").over(wloc).cast("bigint").alias("llr_loc"),
+    )
+    stot = sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("cnt_s"),
+        F.sum("stp").cast("bigint").alias("sum_s"),
+    )
+    woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = stot.select(
+        "shard",
+        F.coalesce(F.sum("cnt_s").over(woff), F.lit(0)).cast("bigint").alias("cnt_off"),
+        F.coalesce(F.sum("sum_s").over(woff), F.lit(0)).cast("bigint").alias("sum_off"),
+    )
+    walk = (
+        loc.join(F.broadcast(off), "shard")
+        .select(
+            "user_id",
+            "conv",
+            (F.col("rn_loc") + F.col("cnt_off")).cast("bigint").alias("rn"),
+            (F.col("llr_loc") + F.col("sum_off")).cast("bigint").alias("llr"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals + crossing + pick
+    )
     b_hi = "CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
     crossing = walk.agg(
         F.min(
@@ -10575,21 +10632,27 @@ def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maxima waste data when exceedances are plentiful; POT uses every "
     "tail observation) — together they complete the EVT pair every "
     "tail-risk report runs. Threshold by the pure-integer discrete "
-    "percentile pick. Scale: one rank window over the value-bounded "
-    "grid... (row ranks on raw rows: the discrete-percentile pick is "
-    "the time_to_convert_cohorts pattern), one filtered moment "
-    "aggregate, 1-row arithmetic.",
+    "percentile pick via value-grid rank-select: cumulative counts "
+    "over the distinct-dollars GRID (value-domain-bounded, never a "
+    "raw-row sort), one filtered moment aggregate, 1-row arithmetic.",
 )
 def gpd_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     v = orders.select(F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"))
-    ranked = v.select(
-        "dollars",
-        F.row_number().over(Window.orderBy("dollars")).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # P95 threshold by value-grid rank-select: cumulative counts over the
+    # distinct-dollars grid (never a row_number over raw orders), then the
+    # smallest value whose cumulative count reaches the target rank — the
+    # same order statistic the raw-row rank would pick.
+    gd = v.groupBy("dollars").agg(F.count("*").cast("bigint").alias("cnt"))
+    wgd = Window.orderBy("dollars").rowsBetween(Window.unboundedPreceding, 0)
+    cumd = gd.select(
+        "dollars", F.sum("cnt").over(wgd).cast("bigint").alias("cum")
     )
-    thr = ranked.where(F.expr("rk = (19 * n) div 20 + 1")).select(
-        F.col("dollars").alias("u")
+    ntot = v.agg(F.count("*").cast("bigint").alias("n"))
+    thr = (
+        cumd.crossJoin(F.broadcast(ntot))
+        .where(F.expr("cum >= (19 * n) div 20 + 1"))
+        .agg(F.min("dollars").alias("u"))
     )
     exc = v.crossJoin(F.broadcast(thr)).where(F.expr("dollars > u")).select(
         (F.col("dollars") - F.col("u")).cast("bigint").alias("e"), "u"

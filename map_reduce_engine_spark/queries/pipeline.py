@@ -2182,20 +2182,21 @@ def _kmeans1d_fit(spark: SparkSession, sf_dir: str, rounds: int = 5):
         .localCheckpoint(eager=True)
     )
     n = base.count()
-    wr = Window.orderBy("cents")
-    picks = {(n - 1) // 4 + 1, (n - 1) // 2 + 1, (3 * (n - 1)) // 4 + 1}
-    ranked = (
-        base.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk").isin(*picks))
-        .orderBy("rk")
-        .collect()
-    )
-    by_rank = {r["rk"]: r["cents"] for r in ranked}
-    cents_c = [
-        by_rank[(n - 1) // 4 + 1],
-        by_rank[(n - 1) // 2 + 1],
-        by_rank[(3 * (n - 1)) // 4 + 1],
-    ]
+    # discrete-quartile init by value-grid rank-select: cumulative counts
+    # over the distinct-cents GRID (never a row_number over raw orders);
+    # the k-th order statistic is the smallest value whose cumulative
+    # count reaches k — identical integers to the former raw-row rank.
+    picks = [(n - 1) // 4 + 1, (n - 1) // 2 + 1, (3 * (n - 1)) // 4 + 1]
+    gv = base.groupBy("cents").agg(F.count("*").cast("bigint").alias("cnt"))
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = gv.select("cents", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
+    row = cumv.agg(
+        *[
+            F.min(F.when(F.col("cum") >= k, F.col("cents"))).alias(f"q{i}")
+            for i, k in enumerate(picks)
+        ]
+    ).collect()[0]
+    cents_c = [row[f"q{i}"] for i in range(3)]
     for _ in range(rounds):
         row = (
             base.select("cents", _kmeans1d_assign_col(cents_c))
@@ -2231,9 +2232,9 @@ def _kmeans1d_fit(spark: SparkSession, sf_dir: str, rounds: int = 5):
     "division mean — no floats anywhere, so 5 rounds land on identical "
     "integers in any engine. Scale shape: the cents column is localCheck"
     "pointed once and each round is one 3-column conditional aggregate "
-    "(k driver-held integers, the PQ-codebook pattern); only the "
-    "quartile init uses a global ranked window — at 100 TB swap it for "
-    "approx_percentile seeds without touching the loop.",
+    "(k driver-held integers, the PQ-codebook pattern); the quartile "
+    "init rank-selects over the distinct-cents value grid, so no window "
+    "ever sorts raw fact rows.",
 )
 def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, cents_c = _kmeans1d_fit(spark, sf_dir)
@@ -2294,16 +2295,36 @@ def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixing pipeline applies before comparing per-source quality "
     "thresholds. All-integer position arithmetic with a deterministic "
     "(value, doc_id) tiebreak, so the mapping is engine-exact. Scale "
-    "shape: one per-source window (keyed, bounded state) + one global "
-    "ranked pass + an equi-join on position; at 100 TB the global rank "
-    "comes from a range-partitioned sort (Spark's SortExec over range "
-    "exchange), the same cost class as any percentile computation.",
+    "shape: one per-source window (keyed, bounded state) + a SHARDED "
+    "two-pass global rank (value-range shards ranked in parallel, "
+    "per-shard offsets from the shard-count grid — never a single-task "
+    "sort) + an equi-join on position.",
 )
 def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    pooled = d.select(
+    # pooled global rank as a distributed two-pass prefix: shard by the
+    # n_chars value range (monotone in the sort key, so shard order +
+    # within-shard (n_chars, doc_id) order = the global order), rank within
+    # each shard in parallel, then add per-shard offsets from the
+    # (n_shards)-sized shard-count grid — bit-identical to a global
+    # row_number with no single-task sort of the corpus.
+    sh = d.select(
         F.col("n_chars").alias("pooled_chars"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("p"),
+        "doc_id",
+        F.expr("n_chars div 256").alias("shard"),
+    )
+    wl = Window.partitionBy("shard").orderBy("pooled_chars", "doc_id")
+    loc = sh.select(
+        "pooled_chars", "shard", F.row_number().over(wl).cast("bigint").alias("lrn")
+    )
+    sc = sh.groupBy("shard").agg(F.count("*").cast("bigint").alias("scnt"))
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    soff = sc.select(
+        "shard",
+        F.coalesce(F.sum("scnt").over(wo), F.lit(0)).cast("bigint").alias("soff"),
+    )
+    pooled = loc.join(F.broadcast(soff), "shard").select(
+        "pooled_chars", (F.col("lrn") + F.col("soff")).alias("p")
     )
     nn = d.agg(F.count("*").alias("n"))
     ranked = d.select(

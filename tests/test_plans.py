@@ -558,6 +558,8 @@ _SANCTIONED_NESTED_LOOP = {
     "q22_idle_customers": "broadcasts the 1-row average balance (TPC-H shape)",
     "q11_important_stock": "broadcasts the 1-row value threshold (TPC-H shape)",
     "poisson_bootstrap_ci": "broadcasts the 1-row replicate summary",
+    "ntile_quartiles": "rank-interval overlap join against the broadcast"
+    " 4-row tile-boundary frame (grid ntile reconstruction)",
     "domain_mixture": "broadcasts the 1-row corpus totals",
     "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
     "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
@@ -792,13 +794,32 @@ _SANCTIONED_NESTED_LOOP = {
 # query's entire purpose.
 _SANCTIONED_ROW_PYTHON = {"udtf_sentence_stats", "udtf_polymorphic_ngrams"}
 
+# Queries whose plans legitimately contain an Exchange SinglePartition over
+# rows the detector cannot prove bounded (a localCheckpoint / createDataFrame
+# leaf hides the upstream aggregation from the plan). Every name must state
+# why the single-partition frame is bounded BY CONSTRUCTION; anything sorting
+# genuinely raw fact rows through one task must be fixed (value-grid
+# rank-select / sharded prefix sums), not added here.
+_SANCTIONED_SINGLE_PARTITION = {
+    "huber_robust_trend": "IRLS rounds rank the checkpointed calendar-bounded"
+    " daily grid (~30 rows), not raw events",
+    "greedy_max_coverage_docs": "final cumulative window over the k=5-row"
+    " driver-built selection frame",
+    "bradley_terry_preferences": "final rank window over the checkpointed"
+    " 25-brand strength table",
+    "pareto_frontier_parts": "phase-2 skyline merge: repartition(1) of the"
+    " phase-1 per-partition-pruned candidate set (frontier-sized by"
+    " construction; the documented two-phase skyline shape)",
+}
+
 
 def test_registry_all_scalable(spark, sf_dir):
     """Every registry query's physical plan passes the scale-killer gate
     (plans.py::assert_scalable): no cartesian products anywhere, and nested
-    -loop joins / row-Python eval only where explicitly sanctioned above.
-    A future query landing with an unkeyed join or a row-at-a-time Python
-    UDF in the hot path fails here at plan time."""
+    -loop joins / row-Python eval / single-partition exchanges over raw rows
+    only where explicitly sanctioned above. A future query landing with an
+    unkeyed join, a row-at-a-time Python UDF, or an unpartitioned
+    window/sort over a fact table fails here at plan time."""
     from map_reduce_engine_spark.plans import assert_scalable
 
     failures = []
@@ -808,6 +829,7 @@ def test_registry_all_scalable(spark, sf_dir):
                 q.fn(spark, sf_dir),
                 allow_nested_loop=name in _SANCTIONED_NESTED_LOOP,
                 allow_row_python=name in _SANCTIONED_ROW_PYTHON,
+                allow_single_partition_raw=name in _SANCTIONED_SINGLE_PARTITION,
             )
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures.append(f"{name}: {str(e)[:100]}")
