@@ -103,6 +103,39 @@ def host_calibration_sec() -> float:
     return round(statistics.median(once() for _ in range(3)), 3)
 
 
+def host_calibration_mc_sec(n_threads: int | None = None) -> float:
+    """Multicore companion to ``host_calibration_sec``: the same CPU-bound
+    work run on SPARK_GRAFT_CPUS concurrent threads (numpy matmuls release
+    the GIL, so the pool genuinely contends for every core the way 32
+    executor threads do). The single-core probe provably misses co-tenant
+    CONTENTION: round 4 showed a uniform 1.1-1.4x query board while the
+    single-core calibration sat at a near-reference 0.221 s. Tripwire
+    adjudication should normalize per-query deltas by the ratio of THIS
+    number across rounds before calling anything a regression."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    n = n_threads or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def work(seed: int) -> float:
+        a = (
+            np.arange(250_000, dtype=np.float64).reshape(500, 500) + seed
+        ) / 1e6
+        for _ in range(8):
+            a = a @ a % 1.7
+        return float(a[0, 0])
+
+    def once() -> float:
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            list(ex.map(work, range(n)))
+        return time.time() - t0
+
+    once()  # warm the pool
+    return round(statistics.median(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="mre-bench")
     # Session-level warmup BEFORE any timing: the first query otherwise pays
@@ -134,6 +167,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_value,
         "host_calibration_sec": host_calibration_sec(),
+        "host_calibration_mc_sec": host_calibration_mc_sec(),
     }
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
@@ -153,6 +187,27 @@ def main() -> None:
             out["regressed_over_1_5x"] = regressed
             if regressed:
                 print(f"# REGRESSION >1.5x vs {prev_files[-1].name}: {regressed}", file=sys.stderr)
+            # Calibration-normalized tripwire: divide each delta by the
+            # multicore host-speed ratio so co-tenant contention (which moves
+            # the whole board AND the calibration together) cannot fake a
+            # regression. Falls back to raw deltas when the previous round
+            # predates the mc probe.
+            prev_mc = prev_doc.get("parsed", prev_doc).get("host_calibration_mc_sec")
+            if prev_mc:
+                calib_ratio = out["host_calibration_mc_sec"] / prev_mc
+                out["calib_ratio_mc"] = round(calib_ratio, 3)
+                normed = {
+                    k: round(r / calib_ratio, 3) for k, r in deltas.items()
+                }
+                out["regressed_over_1_5x_calibrated"] = {
+                    k: r for k, r in normed.items() if r > 1.5
+                }
+                if out["regressed_over_1_5x_calibrated"]:
+                    print(
+                        f"# CALIBRATED REGRESSION >1.5x: "
+                        f"{out['regressed_over_1_5x_calibrated']}",
+                        file=sys.stderr,
+                    )
         except (json.JSONDecodeError, KeyError, TypeError):
             pass
     print(json.dumps(out))

@@ -12,10 +12,13 @@ visible to anything planned on the same ``SparkSession`` while a loop runs
 — callers that interleave planning with a running loop operator should use
 a separate session (``spark.newSession()`` shares the context but not the
 SQLConf). What this module DOES guarantee is overlap safety within a
-session: each conf key's pristine value is recorded by the *outermost*
-scope and restored only when the *last* scope holding it exits, so two
-overlapping loops can never leave the session stuck on the inner loop's
-values (the naive save/set/restore-in-finally idiom is last-writer-wins).
+session: scopes form a per-(session, key) STACK — the first scope records
+the pristine value, every scope pushes its own value, and when any scope
+exits the next-innermost still-active scope's value is re-applied (the
+pristine value only when the last holder exits). So a loop nested inside
+another loop neither leaks its value into the remainder of the outer scope
+nor clobbers the outer restore (the naive save/set/restore-in-finally idiom
+is last-writer-wins on both counts).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from collections.abc import Iterator, Mapping
 from pyspark.sql import SparkSession
 
 _lock = threading.Lock()
-# (id(session), conf key) -> [depth, pristine value]
+# (id(session), conf key) -> [pristine value, [(scope token, value), ...]]
 _held: dict[tuple[int, str], list] = {}
 
 
@@ -35,30 +38,35 @@ _held: dict[tuple[int, str], list] = {}
 def scoped_conf(spark: SparkSession, settings: Mapping[str, object]) -> Iterator[None]:
     """Set ``settings`` on ``spark.conf`` for the scope, then restore.
 
-    Re-entrant and overlap-safe per (session, key): the first scope to
-    touch a key records its pristine value; nested/overlapping scopes may
-    re-set the key, and the pristine value is restored only when the last
-    scope for that key exits.
+    Re-entrant and overlap-safe per (session, key): scopes stack. The first
+    scope to touch a key records its pristine value; on exit, each scope
+    removes its own entry and re-applies the value of the next-innermost
+    scope still holding the key (the pristine value when none remains) —
+    so an inner scope exiting mid-way through an outer scope restores the
+    OUTER scope's value, not the session default and not its own leftover.
     """
-    keys = [(id(spark), k) for k in settings]
+    token = object()
+    sid = id(spark)
     with _lock:
-        for (sid, k) in keys:
+        for k, v in settings.items():
             slot = _held.get((sid, k))
             if slot is None:
-                _held[(sid, k)] = [1, spark.conf.get(k)]
+                _held[(sid, k)] = [spark.conf.get(k), [(token, str(v))]]
             else:
-                slot[0] += 1
+                slot[1].append((token, str(v)))
     try:
         for k, v in settings.items():
             spark.conf.set(k, str(v))
         yield
     finally:
         with _lock:
-            for (sid, k) in keys:
+            for k in settings:
                 slot = _held[(sid, k)]
-                slot[0] -= 1
-                if slot[0] == 0:
-                    spark.conf.set(k, slot[1])
+                slot[1] = [e for e in slot[1] if e[0] is not token]
+                if slot[1]:
+                    spark.conf.set(k, slot[1][-1][1])
+                else:
+                    spark.conf.set(k, slot[0])
                     del _held[(sid, k)]
 
 

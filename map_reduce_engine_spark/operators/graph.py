@@ -256,6 +256,11 @@ def hits(
     ``loop_conf``, and the only driver state is the loop counter. The
     2-norm is a 1-row aggregate broadcast back — never a driver collect.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits() needs iterations >= 1 (got {iterations}): auth scores "
+            "only exist after the first half-step"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
@@ -350,9 +355,13 @@ def sssp(
         num_partitions = max(1, min(session_parts, e.count() // 200_000 + 1))
     with loop_conf(spark, num_partitions):
         we = e.repartition(num_partitions, "src").localCheckpoint(eager=True)
+        # seeds union in: an isolated seed (no incident edges) must still
+        # carry its distance-0 row — "seeds carry distance 0" holds even
+        # when the node never appears in the edge list
         nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
+            .union(seeds.select(F.col("node")))
             .distinct()
             .repartition(num_partitions, "node")
             .localCheckpoint(eager=True)

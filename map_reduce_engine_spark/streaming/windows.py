@@ -588,10 +588,17 @@ def _kmv_fn(
     order yields the same sketch (what makes the drained stream
     hash-match the batch oracle exactly)."""
     (kmin,) = state.get if state.exists else ([],)
-    vals = set(kmin)
+    # fold each Arrow chunk into the running k-smallest so working memory
+    # stays O(k + chunk) — never O(distinct-in-batch) for a hot key
+    # (ADVICE r04): dedupe within the chunk, merge, truncate to k. Min-k
+    # of a union equals min-k of min-k'd parts, so chunk order is
+    # irrelevant and the sketch stays bit-identical to the batch twin.
+    kset = set(kmin)
     for pdf in pdfs:
-        vals.update(int(h) for h in pdf["h"])
-    kmin = sorted(vals)[:_KMV_STREAM_K]
+        kset.update(int(h) for h in pd.unique(pdf["h"]))
+        if len(kset) > _KMV_STREAM_K:
+            kset = set(sorted(kset)[:_KMV_STREAM_K])
+    kmin = sorted(kset)[:_KMV_STREAM_K]
     state.update((kmin,))
     n = len(kmin)
     if n < _KMV_STREAM_K:

@@ -23,16 +23,18 @@ def test_scoped_conf_restores_on_error(spark):
     assert spark.conf.get(KEY) == before
 
 
-def test_nested_scopes_restore_pristine_not_inner(spark):
-    """The naive save/restore idiom is last-writer-wins: an inner scope's
-    `finally` would re-install the OUTER scope's override as if it were the
-    session default. The registry tracks the pristine value instead."""
+def test_nested_scopes_restore_outer_then_pristine(spark):
+    """Scopes stack per key: when the inner scope exits, the OUTER scope's
+    value is re-applied for the remainder of the outer scope (a BPE loop
+    nested under a graph loop must not leave the graph loop running on the
+    BPE partition count); the pristine session value returns only when the
+    last holder exits."""
     before = spark.conf.get(KEY)
     with scoped_conf(spark, {KEY: "5"}):
         with scoped_conf(spark, {KEY: "2"}):
             assert spark.conf.get(KEY) == "2"
-        # inner exit must NOT restore yet — the outer scope still holds it
-        assert spark.conf.get(KEY) == "2"
+        # inner exit re-applies the still-active outer scope's value
+        assert spark.conf.get(KEY) == "5"
     assert spark.conf.get(KEY) == before
 
 

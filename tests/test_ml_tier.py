@@ -88,6 +88,29 @@ def test_sssp_seed_zero_and_no_negatives(spark, sf_dir):
     assert dist.where(F.col("dist") < 0).count() == 0
 
 
+def test_sssp_isolated_seed_keeps_distance_zero(spark):
+    """A seed with no incident edges must still appear at distance 0 —
+    'seeds carry distance 0' is unconditional (ADVICE r04)."""
+    from map_reduce_engine_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w int")
+    seeds = spark.createDataFrame([("z",), ("a",)], "node string")
+    rows = {r["node"]: r["dist"] for r in sssp(edges, seeds, iterations=1).collect()}
+    assert rows["z"] == 0 and rows["a"] == 0 and rows["b"] == 1
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iterations=0 used to crash with AttributeError at the final join;
+    it must be a clear ValueError instead (ADVICE r04)."""
+    import pytest as _pytest
+
+    from map_reduce_engine_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="iterations >= 1"):
+        hits(edges, iterations=0)
+
+
 def test_hits_scores_normalized(spark, sf_dir):
     import math
 
