@@ -132,25 +132,25 @@ def _minhash_ctes(unit_sql: str, cands_cond: str = "a.id < b.id") -> str:
       SELECT doc_id AS id, {_DUCK_L} AS l
       FROM documents WHERE trim(text) <> ''
     ),
-    docs_t AS (SELECT id, {unit_sql} AS units FROM docs_l),
+    docs_t AS MATERIALIZED (SELECT id, {unit_sql} AS units FROM docs_l),
     toks AS (
       SELECT id, ('0x' || substr(md5(u), 1, 8))::BIGINT & 2147483647 AS h
       FROM docs_t, unnest(units) AS t(u)
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT id, {slots}
       FROM toks GROUP BY id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       {bands_sql}
     ),
-    cands AS (
+    cands AS MATERIALIZED (
       SELECT DISTINCT a.id AS id1, b.id AS id2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND {cands_cond}
     ),
-    sets AS (SELECT id, list_distinct(units) AS s FROM docs_t),
-    scored AS (
+    sets AS MATERIALIZED (SELECT id, list_distinct(units) AS s FROM docs_t),
+    scored AS MATERIALIZED (
       SELECT c.id1, c.id2,
              round(len(list_intersect(s1.s, s2.s))::DOUBLE
                    / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))),
@@ -180,8 +180,8 @@ def _neardup_pipeline_oracle() -> str:
     """
     return f"""
     WITH RECURSIVE {_minhash_ctes("l")},
-    verified AS (SELECT id1, id2 FROM scored WHERE jaccard >= 0.7),
-    und AS (
+    verified AS MATERIALIZED (SELECT id1, id2 FROM scored WHERE jaccard >= 0.7),
+    und AS MATERIALIZED (
       SELECT id1 AS a, id2 AS b FROM verified
       UNION
       SELECT id2, id1 FROM verified
@@ -279,9 +279,15 @@ def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
     cands = dd.minhash_candidate_pairs(sigs, bands=16, rows_per_band=4)
-    verified = dd.jaccard_pairs(
-        docs, "doc_id", "text", min_jaccard=0.7, candidates=cands
-    ).select("id1", "id2")
+    # freeze the verified pair set before clustering: the component loop's
+    # doubled-edge union references its input TWICE, so an unmaterialized
+    # verify pipeline would execute once per union branch (the
+    # golden_record_fields lesson)
+    verified = (
+        dd.jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.7, candidates=cands)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
     cc = connected_components(verified)
     return (
         cc.groupBy("component")

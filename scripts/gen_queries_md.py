@@ -102,10 +102,12 @@ def main() -> None:
         "",
         "Generated from `map_reduce_engine_spark/queries/` (one line per registry",
         "entry; regenerate with the snippet in the footer). Every entry is run by",
-        "the driver at sf0.01: **oracle** entries hash-compare against the listed",
-        "DuckDB SQL twin; **rows-only** entries (approximate / hash-family-dependent",
-        "/ streaming) get schema+count stability checks plus the bound/parity tests",
-        "noted in their module.",
+        "the driver at sf0.01 and hash-compared against its DuckDB SQL twin —",
+        "the registry has had ZERO oracle-less entries since round 2 (asserted by",
+        "`tests/test_oracle_parity.py::test_every_query_has_an_oracle`).",
+        "Approximate / hash-family-dependent / streaming operators are fully",
+        "hash-checkable too: they emit the exact side plus a deterministic",
+        "within-documented-bound verdict that the oracle recomputes literally.",
         "",
     ]
     mods: dict[str, list] = {}
