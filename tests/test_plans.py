@@ -515,6 +515,45 @@ def test_plan_report_flags_scale_killers(spark, sf_dir):
         assert_scalable(knn)  # and flagged when not explicitly sanctioned
 
 
+def test_single_partition_raw_detector(spark, sf_dir):
+    """The round-5 gate: an unpartitioned window over raw fact rows is
+    flagged; the same window over an aggregate grid, a partitioned window,
+    a global aggregate, and repartition(1) behave as documented."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.plans import (
+        PlanQualityError,
+        assert_scalable,
+        plan_report,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_quantity", "l_orderkey")
+    bad = li.select(
+        "l_quantity", F.row_number().over(Window.orderBy("l_quantity")).alias("rn")
+    )
+    assert plan_report(bad).single_partition_raw == 1
+    with _pytest.raises(PlanQualityError, match="SinglePartition"):
+        assert_scalable(bad)
+    assert_scalable(bad, allow_single_partition_raw=True)  # sanctioned path
+
+    grid = li.groupBy("l_quantity").agg(F.count("*").alias("c"))
+    good = grid.select(
+        "l_quantity", F.sum("c").over(Window.orderBy("l_quantity")).alias("cum")
+    )
+    assert plan_report(good).single_partition_raw == 0
+
+    keyed = li.select(
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_quantity"))
+        .alias("rn")
+    )
+    assert plan_report(keyed).single_partition_raw == 0
+    assert plan_report(li.agg(F.sum("l_quantity"))).single_partition_raw == 0
+    # repartition(1) funnels raw rows through one task too — flagged
+    assert plan_report(li.repartition(1)).single_partition_raw == 1
+
+
 def test_kmv_tree_has_no_rank_window(spark, sf_dir):
     """The tree-merged KMV path must contain NO window operator (the whole
     point vs the rank-k formulation) — two hash aggregates only — and its
