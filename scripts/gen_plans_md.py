@@ -228,6 +228,33 @@ HEADLINE = [
         "IPF raking (final half-step): margin-sum join + 1-row target "
         "broadcast per scaling step over the bounded cell grid",
     ),
+    # round-5: single-partition-sort retirements (the plans that replaced
+    # Exchange SinglePartition over raw rows — gated by plans.py since r05)
+    (
+        "conformal_interval_calibration",
+        "value-grid rank-select: residuals hash-agg to the distinct-value "
+        "grid, cumulative window over the GRID only, 1-row q-hat broadcast",
+    ),
+    (
+        "sprt_early_stopping",
+        "sharded prefix sum: per-shard cumsums in parallel, offsets from "
+        "the shard-total grid — no single-partition window over the walk",
+    ),
+    (
+        "gpd_peaks_over_threshold",
+        "P95 threshold by grid rank-select feeding one filtered moment "
+        "aggregate; no raw-row global sort",
+    ),
+    (
+        "quantile_normalize_sources",
+        "pooled global rank as value-range shards + offset grid; per-source "
+        "windows keyed; equi-join on position",
+    ),
+    (
+        "window_range_frame",
+        "RANGE frame over the distinct-balance value grid, equi-joined back "
+        "to rows — value-determined frames make this bit-identical",
+    ),
 ]
 
 
