@@ -11078,3 +11078,92 @@ def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("z_milli"),
         F.expr(f"{z} > 1644").alias("increasing_with_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# pass@k (unbiased estimator) — the generation-eval metric
+# --------------------------------------------------------------------------
+
+_PASSK_KS = (1, 3, 5)
+_PASSK_N_CAP = 200  # BIGINT headroom: 1e6 * n^5 must stay < 2^63
+
+
+def _passk_expr(k: int, intdiv: str) -> str:
+    """1e6-scaled unbiased pass@k: 1 - C(n-c, k)/C(n, k) with the binomial
+    ratio unrolled to k exact integer factors (k is a literal, so the
+    product needs no product-aggregate; nc < k makes the numerator 0 and
+    the estimator exactly 1). ``intdiv`` = 'div' (Spark) or '//' (DuckDB)."""
+    numer = " * ".join(f"(nc - {i})" for i in range(k))
+    denom = " * ".join(f"(n - {i})" for i in range(k))
+    return (
+        f"CASE WHEN nc >= {k}"
+        f" THEN 1000000 - (1000000 * ({numer})) {intdiv} ({denom})"
+        f" ELSE 1000000 END"
+    )
+
+
+def _passk_oracle() -> str:
+    ks = ",\n    ".join(
+        f"k{k} AS (SELECT {k}::BIGINT AS k, count(*)::BIGINT AS n_tasks,"
+        f" CAST(CAST(sum({_passk_expr(k, '//')}) AS BIGINT) // count(*)"
+        f" AS BIGINT) AS mean_pass_ppm FROM t2 WHERE n >= {k})"
+        for k in _PASSK_KS
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM k{k}" for k in _PASSK_KS)
+    return f"""
+    WITH tasks AS (
+      SELECT o_custkey, count(*)::BIGINT AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS c
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) <= {_PASSK_N_CAP}
+    ),
+    t2 AS (SELECT n, n - c AS nc FROM tasks),
+    {ks}
+    {union}
+    """
+
+
+@register(
+    "pass_at_k_eval",
+    oracle=_passk_oracle(),
+    doc="pass@k with the unbiased estimator (Chen et al. 2021, 'Evaluating "
+    "Large Language Models Trained on Code'): per task, n samples with c "
+    "successes give pass@k = 1 - C(n-c,k)/C(n,k) — the numerically right "
+    "way to score generate-k-candidates evals (the naive 1-(1-c/n)^k is "
+    "biased). Tasks = customers, samples = their orders, success = "
+    "fulfilled ('F'); reported as the task-mean in exact ppm for "
+    "k in (1, 3, 5). The binomial ratio unrolls to k literal integer "
+    "factors so every per-task estimate is EXACT BIGINT arithmetic (tasks "
+    "capped at n <= 200 for headroom — the documented log-space fallback "
+    "applies beyond). Scale: one hash aggregate to per-task counts, "
+    "|ks| 1-row aggregates after; linear at any corpus size.",
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    tasks = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") <= _PASSK_N_CAP)
+    )
+    t2 = tasks.select("n", (F.col("n") - F.col("c")).alias("nc"))
+    per_k = [
+        t2.where(F.col("n") >= k).agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_tasks"),
+            F.expr(
+                f"CAST(sum({_passk_expr(k, 'div')}) AS BIGINT) div count(*)"
+            )
+            .cast("bigint")
+            .alias("mean_pass_ppm"),
+        )
+        for k in _PASSK_KS
+    ]
+    out = per_k[0]
+    for df in per_k[1:]:
+        out = out.union(df)
+    return out

@@ -2543,3 +2543,122 @@ def davies_bouldin_1d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.expr("sum(r_max_micro) div count(*)").alias("db_index_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for LM pretraining)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, token FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> ''
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT & 2147483647) % 1024
+               AS bucket
+      FROM tok
+    ),
+    ct AS (SELECT bucket, count(*)::BIGINT AS c FROM b WHERE lang = 'en'
+           GROUP BY bucket),
+    cr AS (SELECT bucket, count(*)::BIGINT AS c FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en')::BIGINT AS nt,
+                   count(*)::BIGINT AS nr
+            FROM b),
+    spine AS (SELECT j AS bucket FROM generate_series(0, 1023) AS t(j)),
+    w AS MATERIALIZED (
+      SELECT s.bucket,
+             CAST(floor((ln((coalesce(ct.c, 0) + 1)
+                            / CAST(tot.nt + 1024 AS DOUBLE))
+                       - ln((coalesce(cr.c, 0) + 1)
+                            / CAST(tot.nr + 1024 AS DOUBLE)))
+                        * 1000000000 + 0.5) AS BIGINT) AS lr_nano
+      FROM spine s LEFT JOIN ct ON ct.bucket = s.bucket
+                   LEFT JOIN cr ON cr.bucket = s.bucket
+                   CROSS JOIN tot
+    ),
+    feat AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS x
+             FROM b GROUP BY 1, 2, 3),
+    score AS (
+      SELECT f.doc_id, f.lang, CAST(sum(f.x * w.lr_nano) AS BIGINT) AS score_nano
+      FROM feat f JOIN w USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, score_nano,
+           row_number() OVER (ORDER BY score_nano DESC, doc_id)::BIGINT
+             AS sel_rank
+    FROM score ORDER BY score_nano DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, Data Selection via "
+    "Importance Resampling): per-document importance weight = sum over "
+    "token instances of the log-ratio between a TARGET unigram model "
+    "(lang='en' docs) and the RAW-corpus model, both over 1024 hashed "
+    "n-gram buckets (portable md5-prefix hash, add-one smoothing) — the "
+    "principled 'select raw data that looks like the target distribution' "
+    "step a pretraining pipeline runs before mixing. Per-bucket log "
+    "ratios are identical-double shared formulas frozen to BIGINT nano, "
+    "so every document score is an exact integer sum; output = top-50 "
+    "selected docs with rank. Scale: token explode -> 1024-bounded "
+    "bucket aggregates, weight table BROADCAST back (hashing-trick "
+    "deployment, no model artifact), one per-doc aggregate, "
+    "TakeOrderedAndProject for the selection — no global sort, linear "
+    "at 100 TB.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("token")
+    )
+    b = tok.select(
+        "doc_id", "lang", (portable_base31(F.col("token")) % 1024).alias("bucket")
+    )
+    ct = b.where(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("tc")
+    )
+    cr = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("rc"))
+    tot = b.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.count("*").cast("bigint").alias("nr"),
+    )
+    spine = spark.range(1024).select(F.col("id").alias("bucket"))
+    w = (
+        spine.join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(floor((ln((coalesce(tc, 0) + 1)"
+                " / CAST(nt + 1024 AS DOUBLE))"
+                " - ln((coalesce(rc, 0) + 1)"
+                " / CAST(nr + 1024 AS DOUBLE)))"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("lr_nano"),
+        )
+    )
+    feat = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    score = (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.expr("x * lr_nano")).cast("bigint").alias("score_nano"))
+    )
+    top = score.orderBy(F.desc("score_nano"), "doc_id").limit(50)
+    wr = Window.orderBy(F.desc("score_nano"), "doc_id")
+    return top.select(
+        "doc_id",
+        "lang",
+        "score_nano",
+        F.row_number().over(wr).cast("bigint").alias("sel_rank"),
+    )

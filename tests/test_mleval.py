@@ -1259,3 +1259,39 @@ def test_page_l_consistent_with_rank_sums(spark, sf_dir):
     assert rows[0].l2 == sum((r.bucket + 1) * r.r2_sum for r in rows)
     assert len({r.z_milli for r in rows}) == 1
     assert all(r.increasing_with_bucket == (r.z_milli > 1644) for r in rows)
+
+
+def test_dsir_selection_enriches_target(spark, sf_dir):
+    """DSIR invariants: contiguous ranks, non-increasing scores, and the
+    selected sample is enriched in the target (lang='en') distribution
+    relative to the raw corpus — the property the importance weights exist
+    to deliver."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert [r["sel_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score_nano"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.trim("text") != ""
+    )
+    overall_en = docs.where(F.col("lang") == "en").count() / docs.count()
+    top_en = sum(r["lang"] == "en" for r in rows) / len(rows)
+    assert top_en >= overall_en, (top_en, overall_en)
+
+
+def test_pass_at_k_estimator_properties(spark, sf_dir):
+    """pass@k invariants: one row per k, ppm in [0, 1e6], eligible-task
+    counts non-increasing in k, and the fixture's task-mean non-decreasing
+    in k (more draws can only help)."""
+    rows = {r["k"]: r for r in REGISTRY["pass_at_k_eval"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 3, 5]
+    for r in rows.values():
+        assert 0 <= r["mean_pass_ppm"] <= 1_000_000
+    assert rows[1]["n_tasks"] >= rows[3]["n_tasks"] >= rows[5]["n_tasks"]
+    assert (
+        rows[1]["mean_pass_ppm"]
+        <= rows[3]["mean_pass_ppm"]
+        <= rows[5]["mean_pass_ppm"]
+    )

@@ -599,6 +599,8 @@ _SANCTIONED_NESTED_LOOP = {
     "poisson_bootstrap_ci": "broadcasts the 1-row replicate summary",
     "ntile_quartiles": "rank-interval overlap join against the broadcast"
     " 4-row tile-boundary frame (grid ntile reconstruction)",
+    "dsir_importance_weights": "broadcasts the 1-row corpus token totals"
+    " onto the 1024-bucket spine",
     "domain_mixture": "broadcasts the 1-row corpus totals",
     "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
     "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
