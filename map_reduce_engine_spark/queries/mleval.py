@@ -11167,3 +11167,80 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_k[1:]:
         out = out.union(df)
     return out
+
+
+@register(
+    "expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    b AS (
+      SELECT (q - 1) // 5 AS bin, count(*)::BIGINT AS n,
+             sum(q)::BIGINT AS sq, sum(y)::BIGINT AS pos
+      FROM scored GROUP BY 1
+    ),
+    g AS (
+      SELECT bin, n,
+             CAST((1000000 * sq) // (50 * n) AS BIGINT) AS conf_ppm,
+             CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm
+      FROM b
+    ),
+    e AS (
+      SELECT CAST(CAST(sum(n * abs(acc_ppm - conf_ppm)) AS BIGINT)
+                  // CAST(sum(n) AS BIGINT) AS BIGINT) AS ece_ppm,
+             max(abs(acc_ppm - conf_ppm)) AS mce_ppm,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM g
+    )
+    SELECT g.bin, g.n, g.conf_ppm, g.acc_ppm,
+           abs(g.acc_ppm - g.conf_ppm) AS gap_ppm,
+           e.ece_ppm, e.mce_ppm, e.n_total
+    FROM g CROSS JOIN e
+    """,
+    doc="expected calibration error of the naive p(return)=quantity/50 "
+    "scorer: 10 equal-width confidence bins, ECE = the bin-size-weighted "
+    "mean |accuracy - confidence| and MCE = the worst bin, all in exact "
+    "BIGINT ppm (conf = q/50 makes per-bin confidence an exact integer "
+    "ratio) — THE headline calibration scalar quoted next to accuracy, "
+    "complementing calibration_brier's reliability table (same bins, "
+    "different summary: Brier mixes calibration with refinement; ECE "
+    "isolates calibration). One hash aggregate to the 10-bin grid; "
+    "1-row summary broadcast back onto the bins.",
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    b = scored.groupBy(F.expr("(q - 1) div 5").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    g = b.select(
+        "bin",
+        "n",
+        F.expr("(1000000 * sq) div (50 * n)").cast("bigint").alias("conf_ppm"),
+        F.expr("(1000000 * pos) div n").cast("bigint").alias("acc_ppm"),
+    )
+    e = g.agg(
+        F.expr("sum(n * abs(acc_ppm - conf_ppm)) div sum(n)")
+        .cast("bigint")
+        .alias("ece_ppm"),
+        F.max(F.expr("abs(acc_ppm - conf_ppm)")).alias("mce_ppm"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return g.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n",
+        "conf_ppm",
+        "acc_ppm",
+        F.expr("abs(acc_ppm - conf_ppm)").alias("gap_ppm"),
+        "ece_ppm",
+        "mce_ppm",
+        "n_total",
+    )

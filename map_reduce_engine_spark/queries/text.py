@@ -1367,3 +1367,74 @@ def keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tag")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "distinct_n_diversity",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+               AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+      SELECT source, unnest(toks) AS g FROM d
+    ),
+    bi AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM d WHERE len(toks) >= 2
+    ),
+    u AS (SELECT source, count(*)::BIGINT AS total1,
+                 count(DISTINCT g)::BIGINT AS uniq1
+          FROM uni GROUP BY source),
+    b2 AS (SELECT source, count(*)::BIGINT AS total2,
+                  count(DISTINCT g)::BIGINT AS uniq2
+           FROM bi GROUP BY source)
+    SELECT u.source, u.total1, u.uniq1,
+           CAST((1000000 * u.uniq1) // u.total1 AS BIGINT) AS distinct1_ppm,
+           b2.total2, b2.uniq2,
+           CAST((1000000 * b2.uniq2) // b2.total2 AS BIGINT) AS distinct2_ppm
+    FROM u JOIN b2 USING (source)
+    """,
+    doc="distinct-n lexical diversity per source (Li et al. 2016, 'A "
+    "Diversity-Promoting Objective Function for Neural Conversation "
+    "Models'): distinct unigrams / total unigrams and distinct bigrams / "
+    "total bigrams in exact ppm — the standard degenerate-repetition "
+    "check run on generated corpora and on ingest feeds (a source whose "
+    "distinct-2 collapses is boilerplate or model slop). Bigrams come "
+    "from an in-array transform (no positional self-join); two hash "
+    "aggregates to the |sources| grid. Linear at 100 TB.",
+)
+def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    d = docs.select("source", text_ops.tokens_col("text").alias("toks"))
+    uni = d.select("source", F.explode("toks").alias("g"))
+    bi = d.where(F.size("toks") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total1"),
+        F.countDistinct("g").cast("bigint").alias("uniq1"),
+    )
+    b2 = bi.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total2"),
+        F.countDistinct("g").cast("bigint").alias("uniq2"),
+    )
+    return u.join(b2, "source").select(
+        "source",
+        "total1",
+        "uniq1",
+        F.expr("(1000000 * uniq1) div total1").cast("bigint").alias("distinct1_ppm"),
+        "total2",
+        "uniq2",
+        F.expr("(1000000 * uniq2) div total2").cast("bigint").alias("distinct2_ppm"),
+    )

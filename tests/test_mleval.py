@@ -1295,3 +1295,30 @@ def test_pass_at_k_estimator_properties(spark, sf_dir):
         <= rows[3]["mean_pass_ppm"]
         <= rows[5]["mean_pass_ppm"]
     )
+
+
+def test_ece_consistent_with_bins(spark, sf_dir):
+    """ECE invariants: gap_ppm = |acc - conf| per bin, ECE is between the
+    min and max bin gap (it is a weighted mean), MCE is the max gap, and
+    n_total is the sum of bin sizes."""
+    rows = REGISTRY["expected_calibration_error"].fn(spark, sf_dir).collect()
+    gaps = [r["gap_ppm"] for r in rows]
+    ece = rows[0]["ece_ppm"]
+    assert all(r["gap_ppm"] == abs(r["acc_ppm"] - r["conf_ppm"]) for r in rows)
+    assert min(gaps) <= ece <= max(gaps)
+    assert rows[0]["mce_ppm"] == max(gaps)
+    assert sum(r["n"] for r in rows) == rows[0]["n_total"]
+
+
+def test_distinct_n_diversity_bounds(spark, sf_dir):
+    """distinct-n invariants: uniq <= total, ratios in (0, 1e6], and
+    distinct-2 >= distinct-1 on natural text (bigrams are rarer than their
+    parts, so their distinct share is higher)."""
+    rows = REGISTRY["distinct_n_diversity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["uniq1"] <= r["total1"]
+        assert 0 < r["uniq2"] <= r["total2"]
+        assert 0 < r["distinct1_ppm"] <= 1_000_000
+        assert 0 < r["distinct2_ppm"] <= 1_000_000
+        assert r["distinct2_ppm"] >= r["distinct1_ppm"]

@@ -601,6 +601,8 @@ _SANCTIONED_NESTED_LOOP = {
     " 4-row tile-boundary frame (grid ntile reconstruction)",
     "dsir_importance_weights": "broadcasts the 1-row corpus token totals"
     " onto the 1024-bucket spine",
+    "expected_calibration_error": "broadcasts the 1-row ECE/MCE summary"
+    " back onto the 10-bin grid",
     "domain_mixture": "broadcasts the 1-row corpus totals",
     "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
     "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
