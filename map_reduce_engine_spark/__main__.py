@@ -76,6 +76,16 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("sf_dir", help="fixture dir containing the TPC-H parquet")
     fs.add_argument("output_dir")
     fs.add_argument("--min-auc-edge-ppm", type=int, default=5_000)
+    dsel = sub.add_parser(
+        "data-selection",
+        help="run the end-to-end pretraining data-selection example (DSIR "
+        "importance resampling + within-selection near-dup audit + "
+        "contamination screen + distinct-n diversity, with a sign-off gate)",
+    )
+    dsel.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    dsel.add_argument("output_dir")
+    dsel.add_argument("--max-dup-pairs", type=int, default=5)
+    dsel.add_argument("--max-contaminated", type=int, default=10)
     me = sub.add_parser(
         "model-eval",
         help="run the end-to-end model-evaluation example (Newton-trained "
@@ -311,6 +321,23 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf_dir,
                 args.output_dir,
                 min_auc_edge_ppm=args.min_auc_edge_ppm,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "data-selection":
+        from map_reduce_engine_spark.examples.data_selection_job import run
+
+        spark = get_spark(app_name="mre-data-selection")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                max_dup_pairs=args.max_dup_pairs,
+                max_contaminated=args.max_contaminated,
             )
             gate.show(truncate=False)
         finally:

@@ -371,3 +371,27 @@ def test_stream_monitor_job(spark, sf_dir, tmp_path):
         and row.n_drift_alarms == 0
         and row.n_mg_guarantee_misses == 0
     )
+
+
+def test_data_selection_job(spark, sf_dir, tmp_path):
+    """The composed data-selection example writes the selection manifest
+    plus all three audits; the gate counts reconcile with the artifacts."""
+    from map_reduce_engine_spark.examples.data_selection_job import run
+
+    out = str(tmp_path / "dsel")
+    # generous bounds: the gate's COUNTS are what the test pins; approval
+    # thresholds are the caller's policy knob
+    gate = run(spark, sf_dir, out, max_dup_pairs=10**6, max_contaminated=10**6)
+    row = gate.collect()[0]
+    assert row.selection_approved
+    sel = spark.read.parquet(f"{out}/selection")
+    assert row.n_selected == sel.count() and 0 < row.n_selected <= 50
+    dups = spark.read.parquet(f"{out}/within_selection_dups")
+    assert row.n_dup_pairs == dups.count()
+    sel_ids = {r.doc_id for r in sel.collect()}
+    for r in dups.collect():  # both ends inside the selection
+        assert r.id1 in sel_ids and r.id2 in sel_ids
+    cont = spark.read.parquet(f"{out}/contaminated_picks")
+    assert row.n_contaminated_picks == cont.count()
+    div = spark.read.parquet(f"{out}/diversity")
+    assert {"source", "distinct1_ppm", "distinct2_ppm"} <= set(div.columns)
