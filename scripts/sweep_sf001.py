@@ -21,6 +21,7 @@ import argparse
 import json
 import math
 import sys
+import threading
 import time
 import traceback
 from pathlib import Path
@@ -87,6 +88,24 @@ def main() -> int:
         }
         t0 = time.time()
         try:
+            # evaluate the DuckDB oracle CONCURRENTLY with the Spark job —
+            # the two engines share no state, and overlapping them saves
+            # min(spark, duck) wall time per entry (~20% of a full sweep).
+            # The comparison semantics are unchanged: both sides still
+            # materialize fully before the hash compare.
+            duck_box: dict = {}
+
+            def _run_oracle(sql=q.oracle):
+                try:
+                    rel = con.sql(sql)
+                    duck_box["cols"], duck_box["rows"] = rel.columns, rel.fetchall()
+                except Exception as e:  # noqa: BLE001 — re-raised on join
+                    duck_box["err"] = e
+
+            th = None
+            if q.oracle is not None:
+                th = threading.Thread(target=_run_oracle)
+                th.start()
             sdf = q.fn(spark, args.sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
@@ -94,9 +113,10 @@ def main() -> int:
             if q.oracle is None:
                 rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
             else:
-                rel = con.sql(q.oracle)
-                d_cols = rel.columns
-                d_rows = rel.fetchall()
+                th.join()
+                if "err" in duck_box:
+                    raise duck_box["err"]
+                d_cols, d_rows = duck_box["cols"], duck_box["rows"]
                 rec["oracle_rows"] = len(d_rows)
                 rec["rows_match"] = len(s_rows) == len(d_rows)
                 rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
