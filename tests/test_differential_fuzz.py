@@ -114,6 +114,37 @@ PROJ = {
     2: ["l_orderkey", "p_brand", "p_size"],
 }
 
+# keyed window functions: (partition key, order prefix) per source, plus a
+# pool of window expressions templated on those. Sums inside windows are
+# BIGINT-wrapped (DuckDB widens to HUGEINT). The ORDER BY appends the
+# windowed VALUE as the final tiebreak: the fixture's "key" columns are NOT
+# unique (duplicate (l_orderkey, l_linenumber) rows exist — found by this
+# fuzzer), and rows that tie on keys AND value are indistinguishable in the
+# output projection, so the multiset comparison is engine-stable.
+WIN_SPEC = {
+    0: ("l_returnflag", "l_orderkey, l_linenumber, {v}", "l_orderkey"),
+    1: ("o_orderstatus", "o_orderdate, o_orderkey, {v}", "o_orderkey"),
+    2: ("p_brand", "l_orderkey, l_linenumber, {v}", "l_orderkey"),
+}
+WIN_VALUE = {
+    0: "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    1: "CAST(round(o_totalprice * 100) AS BIGINT)",
+    2: "CAST(p_size AS BIGINT)",
+}
+# {w} = the unframed window spec, {wf} = the same spec with a running
+# frame. Specs are inlined (Spark cannot extend a named WINDOW with a
+# frame the way DuckDB can).
+WIN_FNS = [
+    "row_number() OVER ({w}) AS wf",
+    "rank() OVER ({w}) AS wf",
+    "dense_rank() OVER ({w}) AS wf",
+    "lag({v}) OVER ({w}) AS wf",
+    "lead({v}) OVER ({w}) AS wf",
+    "CAST(SUM({v}) OVER ({w} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wf",
+    "MIN({v}) OVER ({w} ROWS UNBOUNDED PRECEDING) AS wf",
+    "MAX({v}) OVER ({w} ROWS UNBOUNDED PRECEDING) AS wf",
+]
+
 
 @st.composite
 def queries(draw):
@@ -134,8 +165,14 @@ def queries(draw):
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
     frm = f"FROM {table} {join or ''}"
 
-    aggregate = draw(st.booleans())
-    if aggregate:
+    kind = draw(st.sampled_from(["agg", "proj", "window"]))
+    if kind == "window":
+        part, order, uniq = WIN_SPEC[src]
+        v = WIN_VALUE[src]
+        w = f"PARTITION BY {part} ORDER BY {order.format(v=v)}"
+        fn = draw(st.sampled_from(WIN_FNS)).format(v=v, w=w)
+        return f"SELECT {uniq}, {part} AS pk, {fn} {frm}{where}"
+    if kind == "agg":
         keys = draw(
             st.lists(st.sampled_from(KEYS[src]), min_size=0, max_size=2, unique=True)
         )
@@ -180,7 +217,7 @@ def spark_views(spark, sf_dir):
 
 
 @settings(
-    max_examples=40,
+    max_examples=60,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
