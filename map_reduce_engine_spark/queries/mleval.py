@@ -11244,3 +11244,122 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mce_ppm",
         "n_total",
     )
+
+
+@register(
+    "hill_tail_index",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    grid AS (
+      SELECT d, count(*)::BIGINT AS cnt,
+             CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS ln_micro
+      FROM v GROUP BY d
+    ),
+    cum AS (
+      SELECT d, cnt, ln_micro,
+             CAST(sum(cnt) OVER (ORDER BY d DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl,
+             CAST(sum(cnt) OVER (ORDER BY d DESC
+               ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cum_excl
+      FROM grid
+    ),
+    nk AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             greatest(CAST(sum(cnt) AS BIGINT) // 20, 10) AS k
+      FROM grid
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN c.cum_incl <= nk.k THEN c.cnt * c.ln_micro
+                           WHEN c.cum_excl < nk.k
+                             THEN (nk.k - c.cum_excl) * c.ln_micro
+                           ELSE 0 END) AS BIGINT) AS s_top,
+             max(CASE WHEN c.cum_excl < nk.k + 1 AND c.cum_incl >= nk.k + 1
+                      THEN c.ln_micro END) AS ln_ref_micro,
+             max(CASE WHEN c.cum_excl < nk.k + 1 AND c.cum_incl >= nk.k + 1
+                      THEN c.d END) AS threshold_dollars
+      FROM cum c CROSS JOIN nk
+    )
+    SELECT nk.n, nk.k, s.threshold_dollars,
+           CAST((s.s_top - nk.k * s.ln_ref_micro) // nk.k AS BIGINT)
+             AS hill_micro,
+           CAST(1000000000000 // ((s.s_top - nk.k * s.ln_ref_micro) // nk.k)
+             AS BIGINT) AS alpha_micro,
+           (1000000000000 // ((s.s_top - nk.k * s.ln_ref_micro) // nk.k))
+             < 3000000 AS heavy_tailed
+    FROM s CROSS JOIN nk
+    """,
+    doc="Hill tail-index estimator on order totals: gamma-hat = mean over "
+    "the top-k order statistics of ln(x_i / x_(k+1)) with k = max(n/20, "
+    "10), alpha = 1/gamma-hat, heavy-tail verdict alpha < 3 — the third "
+    "classical EVT tool beside gumbel_return_levels (block maxima) and "
+    "gpd_peaks_over_threshold (excess moments): Hill reads the tail "
+    "exponent directly from order statistics, no distributional fit. "
+    "Engine-exact: ln is applied once per DISTINCT value on the grid and "
+    "frozen to BIGINT micro, the top-k sum splits the straddling tied "
+    "value by exact rank arithmetic (full grid rows inside the top-k "
+    "contribute cnt*ln, the boundary row contributes its remaining "
+    "multiplicity), and everything after is integer division. Scale: one "
+    "hash aggregate to the value grid, one window over the GRID, 1-row "
+    "summary — no raw-row sort at any size.",
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    v = orders.select(F.round(F.col("o_totalprice")).cast("bigint").alias("d"))
+    grid = (
+        v.groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn(
+            "ln_micro",
+            F.expr("CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "d",
+        "cnt",
+        "ln_micro",
+        F.sum("cnt").over(wdesc).cast("bigint").alias("cum_incl"),
+        (F.sum("cnt").over(wdesc) - F.col("cnt")).cast("bigint").alias("cum_excl"),
+    )
+    nk = grid.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("greatest(CAST(sum(cnt) AS BIGINT) div 20, 10)").alias("k"),
+    )
+    s = cum.crossJoin(F.broadcast(nk)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN cum_incl <= k THEN cnt * ln_micro"
+                " WHEN cum_excl < k THEN (k - cum_excl) * ln_micro"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("s_top"),
+        F.max(
+            F.expr(
+                "CASE WHEN cum_excl < k + 1 AND cum_incl >= k + 1"
+                " THEN ln_micro END"
+            )
+        ).alias("ln_ref_micro"),
+        F.max(
+            F.expr("CASE WHEN cum_excl < k + 1 AND cum_incl >= k + 1 THEN d END")
+        ).alias("threshold_dollars"),
+    )
+    return s.crossJoin(F.broadcast(nk)).select(
+        "n",
+        "k",
+        "threshold_dollars",
+        F.expr("CAST((s_top - k * ln_ref_micro) div k AS BIGINT)").alias(
+            "hill_micro"
+        ),
+        F.expr(
+            "CAST(1000000000000 div ((s_top - k * ln_ref_micro) div k) AS BIGINT)"
+        ).alias("alpha_micro"),
+        F.expr(
+            "(1000000000000 div ((s_top - k * ln_ref_micro) div k)) < 3000000"
+        ).alias("heavy_tailed"),
+    )

@@ -1322,3 +1322,16 @@ def test_distinct_n_diversity_bounds(spark, sf_dir):
         assert 0 < r["distinct1_ppm"] <= 1_000_000
         assert 0 < r["distinct2_ppm"] <= 1_000_000
         assert r["distinct2_ppm"] >= r["distinct1_ppm"]
+
+
+def test_hill_tail_index_consistency(spark, sf_dir):
+    """Hill invariants: k = max(n div 20, 10), gamma-hat positive (top-k
+    values exceed the reference order statistic), alpha ~ 1/gamma at the
+    micro scale, and the threshold is a real data value below the max."""
+    row = REGISTRY["hill_tail_index"].fn(spark, sf_dir).collect()[0]
+    assert row.k == max(row.n // 20, 10)
+    assert row.hill_micro > 0
+    assert abs(row.alpha_micro - 10**12 // row.hill_micro) <= 1
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = orders.agg({"o_totalprice": "max"}).collect()[0][0]
+    assert 0 < row.threshold_dollars <= round(mx)

@@ -603,6 +603,8 @@ _SANCTIONED_NESTED_LOOP = {
     " onto the 1024-bucket spine",
     "expected_calibration_error": "broadcasts the 1-row ECE/MCE summary"
     " back onto the 10-bin grid",
+    "hill_tail_index": "broadcasts the 1-row (n, k) frame onto the value"
+    " grid and the 1-row top-k summary",
     "domain_mixture": "broadcasts the 1-row corpus totals",
     "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
     "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
