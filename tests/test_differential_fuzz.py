@@ -165,7 +165,38 @@ def queries(draw):
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
     frm = f"FROM {table} {join or ''}"
 
-    kind = draw(st.sampled_from(["agg", "proj", "window"]))
+    kind = draw(st.sampled_from(["agg", "proj", "window", "setop", "semi"]))
+    if kind == "setop" and src != 2:
+        # set operations between two filtered projections of the same table
+        # (UNION/INTERSECT/EXCEPT are SQL-standard in both dialects; DISTINCT
+        # semantics make the result order-free and duplicate-free)
+        op = draw(st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]))
+        cols = ", ".join(
+            draw(st.lists(st.sampled_from(PROJ[src]), min_size=1, max_size=2,
+                          unique=True))
+        )
+        p1 = draw(st.sampled_from(PREDS[src])).format(**consts)
+        p2 = draw(st.sampled_from(PREDS[src])).format(**consts)
+        return (
+            f"SELECT {cols} {frm} WHERE {p1}"
+            f" {op} SELECT {cols} {frm} WHERE {p2}"
+        )
+    if kind == "semi" and src == 0:
+        # IN / NOT IN subquery against the orders table (non-null keys, so
+        # NOT IN has no three-valued-logic trap)
+        neg = draw(st.sampled_from(["IN", "NOT IN"]))
+        sub_pred = draw(st.sampled_from(PREDS[1])).format(**consts)
+        cols = ", ".join(
+            draw(st.lists(st.sampled_from(PROJ[0]), min_size=1, max_size=2,
+                          unique=True))
+        )
+        extra = f" AND {' AND '.join(preds)}" if preds else ""
+        return (
+            f"SELECT {cols} FROM lineitem WHERE l_orderkey {neg} "
+            f"(SELECT o_orderkey FROM orders WHERE {sub_pred}){extra}"
+        )
+    if kind in ("setop", "semi"):
+        kind = "proj"  # sources without a set-op/semi form fall back
     if kind == "window":
         part, order, uniq = WIN_SPEC[src]
         v = WIN_VALUE[src]
@@ -217,7 +248,7 @@ def spark_views(spark, sf_dir):
 
 
 @settings(
-    max_examples=60,
+    max_examples=80,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
