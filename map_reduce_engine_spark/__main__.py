@@ -34,6 +34,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("output_dir", nargs="?", help="write parquet here; omit to print")
     q.add_argument("--limit", type=int, default=20, help="rows to print without output_dir")
     sub.add_parser("list", help="list registry queries (name + check kind)")
+    pl = sub.add_parser(
+        "plan",
+        help="pre-flight plan audit for a registry query: the scale-killer "
+        "report (cartesian/BNL/row-Python/single-partition-raw, pushdown, "
+        "codegen spans) plus the formatted physical plan",
+    )
+    pl.add_argument("name", help="registry name (see `list`)")
+    pl.add_argument("sf_dir", help="directory of fixture parquet tables")
+    pl.add_argument("--full", action="store_true", help="print the whole formatted plan")
     cp = sub.add_parser(
         "corpus-pipeline",
         help="run the end-to-end corpus prep example (quality gate → exact "
@@ -162,6 +171,37 @@ def main(argv: list[str] | None = None) -> int:
                 df.write.mode("overwrite").parquet(args.output_dir)
             else:
                 df.show(args.limit, truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "plan":
+        from map_reduce_engine_spark.plans import physical_plan, plan_report
+        from map_reduce_engine_spark.queries import REGISTRY
+
+        if args.name not in REGISTRY:
+            parser.error(f"unknown query {args.name!r}; run `list`")
+        spark = get_spark(app_name=f"mre-plan-{args.name}")
+        try:
+            df = REGISTRY[args.name].fn(spark, args.sf_dir)
+            r = plan_report(df)
+            for field_name in (
+                "cartesian_products",
+                "nested_loop_joins",
+                "row_python_evals",
+                "single_partition_raw",
+                "arrow_python_stages",
+                "shuffle_exchanges",
+                "broadcast_exchanges",
+                "wholestage_codegen_spans",
+                "scans",
+                "scans_with_pushed_filters",
+            ):
+                print(f"{field_name}: {getattr(r, field_name)}")
+            for w in r.warnings:
+                print(f"WARNING: {w}")
+            if args.full:
+                print(physical_plan(df, "formatted"))
         finally:
             spark.stop()
         return 0

@@ -395,3 +395,19 @@ def test_data_selection_job(spark, sf_dir, tmp_path):
     assert row.n_contaminated_picks == cont.count()
     div = spark.read.parquet(f"{out}/diversity")
     assert {"source", "distinct1_ppm", "distinct2_ppm"} <= set(div.columns)
+
+
+def test_plan_verb(spark, sf_dir, monkeypatch, capsys):
+    """The `plan` CLI verb prints the scale-killer report for a registry
+    query. The verb is pointed at the shared test session (and its stop()
+    is shadowed) so the suite's session survives the call."""
+    import map_reduce_engine_spark.__main__ as cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["plan", "q6_forecast_revenue", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cartesian_products: 0" in out
+    assert "single_partition_raw: 0" in out
+    assert "scans_with_pushed_filters: 1" in out
