@@ -35,6 +35,8 @@ SOURCES = [
     ("lineitem", None),
     ("orders", None),
     ("lineitem", "JOIN part ON l_partkey = p_partkey"),
+    ("documents", None),
+    ("events", None),
 ]
 
 # per-source pools: bounded-cardinality group keys and predicates
@@ -54,6 +56,22 @@ KEYS = {
         "p_brand",
         "l_returnflag",
         "p_size % 10",
+    ],
+    # string-function group keys: upper/substr/length are SQL-standard and
+    # 1-indexed in both dialects; the fixture text is ASCII so length
+    # semantics cannot diverge on encoding
+    3: [
+        "lang",
+        "source",
+        "upper(lang)",
+        "substr(source, 1, 3)",
+        "n_chars % 7",
+        "length(text) % 5",
+    ],
+    4: [
+        "event_type",
+        "user_id % 5",
+        "CAST(ts AS DATE)",
     ],
 }
 
@@ -83,6 +101,24 @@ PREDS = {
         "p_brand LIKE 'Brand#1%'",
         "l_returnflag = 'A'",
     ],
+    3: [
+        "n_chars >= {nc}",
+        "n_chars < {nc}",
+        "lang = 'en'",
+        "lang IN ('en', 'fr', 'de')",
+        "source LIKE 'src1%'",
+        "trim(text) <> ''",
+        "length(text) >= {nc}",
+        "doc_id % {m} = 0",
+    ],
+    4: [
+        "event_type = 'purchase'",
+        "event_type IN ('click', 'view')",
+        "value >= {v}",
+        "value < {v}",
+        "CAST(ts AS DATE) >= DATE '2024-01-10'",
+        "user_id % {m} = 2",
+    ],
 }
 
 AGGS = {
@@ -105,6 +141,22 @@ AGGS = {
         "COUNT(DISTINCT l_partkey) AS n_parts",
         "MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents",
     ],
+    3: [
+        "COUNT(*) AS n",
+        "CAST(SUM(n_chars) AS BIGINT) AS s_chars",
+        "MIN(n_chars) AS min_chars",
+        "MAX(length(text)) AS max_len",
+        "COUNT(DISTINCT lang) AS n_langs",
+        "MIN(lang) AS min_lang",
+    ],
+    4: [
+        "COUNT(*) AS n",
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_cents",
+        "MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents",
+        "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents",
+        "COUNT(DISTINCT user_id) AS n_users",
+        "MIN(CAST(ts AS DATE)) AS first_day",
+    ],
 }
 
 # projection pools for non-aggregate (multiset) queries
@@ -112,6 +164,8 @@ PROJ = {
     0: ["l_orderkey", "l_linenumber", "l_returnflag", "CAST(l_quantity AS BIGINT) AS q"],
     1: ["o_orderkey", "o_orderstatus", "o_orderpriority"],
     2: ["l_orderkey", "p_brand", "p_size"],
+    3: ["doc_id", "lang", "source", "n_chars", "substr(text, 1, 8) AS head"],
+    4: ["event_id", "user_id", "event_type", "CAST(ts AS DATE) AS day"],
 }
 
 # keyed window functions: (partition key, order prefix) per source, plus a
@@ -125,11 +179,15 @@ WIN_SPEC = {
     0: ("l_returnflag", "l_orderkey, l_linenumber, {v}", "l_orderkey"),
     1: ("o_orderstatus", "o_orderdate, o_orderkey, {v}", "o_orderkey"),
     2: ("p_brand", "l_orderkey, l_linenumber, {v}", "l_orderkey"),
+    3: ("lang", "doc_id, {v}", "doc_id"),
+    4: ("event_type", "ts, event_id, {v}", "event_id"),
 }
 WIN_VALUE = {
     0: "CAST(round(l_extendedprice * 100) AS BIGINT)",
     1: "CAST(round(o_totalprice * 100) AS BIGINT)",
     2: "CAST(p_size AS BIGINT)",
+    3: "n_chars",
+    4: "CAST(round(value * 100) AS BIGINT)",
 }
 # {w} = the unframed window spec, {wf} = the same spec with a running
 # frame. Specs are inlined (Spark cannot extend a named WINDOW with a
@@ -148,10 +206,12 @@ WIN_FNS = [
 
 @st.composite
 def queries(draw):
-    src = draw(st.integers(min_value=0, max_value=2))
+    src = draw(st.integers(min_value=0, max_value=4))
     table, join = SOURCES[src]
     consts = {
         "q": draw(st.integers(min_value=1, max_value=50)),
+        "nc": draw(st.integers(min_value=50, max_value=550)),
+        "v": draw(st.integers(min_value=1, max_value=300)),
         "p": draw(st.integers(min_value=1000, max_value=300000)),
         "s": draw(st.integers(min_value=1, max_value=50)),
         "m": draw(st.integers(min_value=2, max_value=9)),
@@ -166,7 +226,7 @@ def queries(draw):
     frm = f"FROM {table} {join or ''}"
 
     kind = draw(st.sampled_from(["agg", "proj", "window", "setop", "semi"]))
-    if kind == "setop" and src != 2:
+    if kind == "setop" and src not in (2,):
         # set operations between two filtered projections of the same table
         # (UNION/INTERSECT/EXCEPT are SQL-standard in both dialects; DISTINCT
         # semantics make the result order-free and duplicate-free)
@@ -242,13 +302,13 @@ def _normalize(rows, columns):
 
 @pytest.fixture(scope="module")
 def spark_views(spark, sf_dir):
-    for t in ("lineitem", "orders", "part"):
+    for t in ("lineitem", "orders", "part", "documents", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark
 
 
 @settings(
-    max_examples=80,
+    max_examples=120,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
