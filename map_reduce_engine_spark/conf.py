@@ -47,11 +47,17 @@ def scoped_conf(spark: SparkSession, settings: Mapping[str, object]) -> Iterator
     """
     token = object()
     sid = id(spark)
+    # read every current value BEFORE mutating the registry: conf.get can
+    # raise for keys without defaults, and a partial registration would
+    # leave phantom stack entries that later scopes would "restore". For a
+    # key no scope holds, the current value IS the pristine value (the
+    # only case the lookup below uses).
+    pristine = {k: spark.conf.get(k) for k in settings}
     with _lock:
         for k, v in settings.items():
             slot = _held.get((sid, k))
             if slot is None:
-                _held[(sid, k)] = [spark.conf.get(k), [(token, str(v))]]
+                _held[(sid, k)] = [pristine[k], [(token, str(v))]]
             else:
                 slot[1].append((token, str(v)))
     try:

@@ -43,8 +43,16 @@ def run(
     from map_reduce_engine_spark.io import write_parquet
     from map_reduce_engine_spark.queries.base import REGISTRY
 
-    selection = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
-    pairs = REGISTRY["minhash_near_dup"].fn(spark, sf_dir)
+    # the two heavy pipelines are each referenced by several writes AND the
+    # gate counts below — freeze them once (the neardup_pipeline lesson:
+    # every un-checkpointed reference re-executes the whole upstream DAG)
+    selection = (
+        REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
+        .localCheckpoint(eager=True)  # top-k rows — tiny
+    )
+    pairs = REGISTRY["minhash_near_dup"].fn(spark, sf_dir).localCheckpoint(
+        eager=True  # verified dup pairs — bounded by banding, not corpus
+    )
     contamination = REGISTRY["contamination_check"].fn(spark, sf_dir)
     diversity = REGISTRY["distinct_n_diversity"].fn(spark, sf_dir)
 
@@ -56,11 +64,12 @@ def run(
         pairs.join(sel_ids.withColumnRenamed("doc_id", "id1"), "id1")
         .join(sel_ids.withColumnRenamed("doc_id", "id2"), "id2")
         .select("id1", "id2", "jaccard")
+        .localCheckpoint(eager=True)  # written AND counted by the gate
     )
     contaminated_picks = selection.join(
         contamination.where(F.col("n_contaminated") > 0).select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
 
     write_parquet(selection, f"{out_dir}/selection")
     write_parquet(within, f"{out_dir}/within_selection_dups")

@@ -304,12 +304,10 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregated windows).",
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.rankselect import value_grid_cum
+
     cust = t(spark, sf_dir, "customer")
-    g = cust.groupBy("c_acctbal").agg(F.count("*").cast("bigint").alias("cnt"))
-    wv = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
-        "c_acctbal", "cnt", F.sum("cnt").over(wv).cast("bigint").alias("cum")
-    )
+    cum = value_grid_cum(cust, "c_acctbal")
     n1 = cust.agg(F.count("*").cast("bigint").alias("n"))
     tiles = (
         spark.range(1, 5)
@@ -2538,20 +2536,22 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_value"),
         "target",
     )
-    # exact side by value-grid rank-select (no raw-row global sort): the
-    # target-rank order statistic is the smallest price whose cumulative
-    # count reaches the target — tiebreak-independent, so identical to the
-    # oracle's row_number pick.
-    gx = orders.groupBy("o_totalprice").agg(F.count("*").cast("bigint").alias("xcnt"))
-    wx = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, 0)
-    cumx = gx.select(
-        "o_totalprice", F.sum("xcnt").over(wx).cast("bigint").alias("xcum")
-    )
+    # exact side by value-grid rank-select (operators/rankselect.py): the
+    # tight (cum-cnt, cum] interval join emits exactly ONE grid row per
+    # percentile (the one-sided cum >= target form would materialize the
+    # whole upper tail of the grid per percentile before re-aggregating) —
+    # tiebreak-independent, so identical to the oracle's row_number pick.
+    from map_reduce_engine_spark.operators.rankselect import value_grid_cum
+
+    cumx = value_grid_cum(orders, "o_totalprice")
     exact = (
         est.select("p", "target")
-        .join(cumx, F.col("xcum") >= F.col("target"))
-        .groupBy("p")
-        .agg(F.min("o_totalprice").alias("exact_disc"))
+        .join(
+            cumx,
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("cum") >= F.col("target")),
+        )
+        .select("p", F.col("o_totalprice").alias("exact_disc"))
     )
     return (
         est.join(exact, "p")

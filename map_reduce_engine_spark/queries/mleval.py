@@ -1288,22 +1288,29 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     res = calib.join(F.broadcast(model), "q").select(
         F.abs(F.col("cents") - F.col("pred_cents")).alias("r")
     )
-    # qhat = the ceil(0.9*(n+1))-th smallest residual, found by value-grid
-    # rank-select: hash-aggregate residuals to their (distinct value, count)
-    # grid, cumulative-count over the GRID (value-domain-bounded, never raw
-    # rows — the kruskal_wallis_test pattern), then min value whose
-    # cumulative count reaches k. Bit-identical to ranking raw rows: the
-    # k-th row in residual order carries the k-th order statistic no matter
-    # how ties are broken.
-    grid = res.groupBy("r").agg(F.count("*").cast("bigint").alias("cnt"))
-    wg = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select("r", F.sum("cnt").over(wg).cast("bigint").alias("cum"))
+    # qhat = the ceil(0.9*(n+1))-th smallest residual by value-grid
+    # rank-select (operators/rankselect.py): the only ordered window runs
+    # over the value-domain-bounded residual GRID, never raw rows, and the
+    # pick is bit-identical to ranking rows because ties never change the
+    # value at a rank.
+    from map_reduce_engine_spark.operators.rankselect import (
+        rank_pick,
+        value_grid_cum,
+    )
+
+    cum = value_grid_cum(res, "r")
     tot = res.agg(F.count("*").cast("bigint").alias("n_calib"))
     qhat = (
         cum.crossJoin(F.broadcast(tot))
-        .where(F.expr("cum >= (9 * (n_calib + 1) + 9) div 10"))
         .groupBy("n_calib")
-        .agg(F.min("r").alias("qhat_cents"))
+        .agg(
+            rank_pick("r", "cum", "(9 * (n_calib + 1) + 9) div 10").alias(
+                "qhat_cents"
+            )
+        )
+        # k > n (tiny calibration set) picks nothing: drop the NULL row so
+        # the frame is EMPTY exactly like the oracle's `WHERE rn = k`
+        .where(F.col("qhat_cents").isNotNull())
     )
     cov = (
         test.join(F.broadcast(model), "q")
@@ -1650,23 +1657,22 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_cents")
         )
     )
-    # exact audit side by value-grid rank-select (no raw-row global sort):
-    # cumulative counts over the distinct-cents GRID, then the grid row
-    # whose [lo, hi] rank interval contains the target rank — identical to
-    # row_number on raw rows because the k-th row in value order carries
-    # the k-th order statistic.
-    gexact = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
-    wcg = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cumx = gexact.select(
-        "c",
-        (F.sum("cnt").over(wcg) - F.col("cnt")).cast("bigint").alias("xlo"),
-        F.sum("cnt").over(wcg).cast("bigint").alias("xhi"),
-    )
+    # exact audit side by value-grid rank-select (operators/rankselect.py):
+    # the grid row whose (cum-cnt, cum] rank interval contains the target —
+    # identical to row_number on raw rows because the k-th row in value
+    # order carries the k-th order statistic.
+    from map_reduce_engine_spark.operators.rankselect import value_grid_cum
+
+    cumx = value_grid_cum(v, "c")
     nrow = v.agg(F.count("*").cast("bigint").alias("n_total"))
     exact = (
         ps.crossJoin(F.broadcast(nrow))
         .select("p_bp", F.expr("(p_bp * (n_total - 1)) div 10000 + 1").alias("k"))
-        .join(cumx, (F.col("xlo") < F.col("k")) & (F.col("xhi") >= F.col("k")))
+        .join(
+            cumx,
+            (F.col("cum") - F.col("cnt") < F.col("k"))
+            & (F.col("cum") >= F.col("k")),
+        )
         .select("p_bp", F.col("c").alias("exact_cents"))
     )
     return exact.join(est, "p_bp").select(
@@ -4358,12 +4364,13 @@ def f1_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     v = li.select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
-    # order-statistic picks by value-grid rank-select (cumulative counts over
-    # the distinct-cents grid, never a raw-row global sort): the value at
-    # rank k is the smallest c whose cumulative count reaches k.
-    g = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
-    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select("c", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
+    # order-statistic picks by value-grid rank-select (operators/rankselect.py)
+    from map_reduce_engine_spark.operators.rankselect import (
+        rank_pick,
+        value_grid_cum,
+    )
+
+    cum = value_grid_cum(v, "c")
     k = v.agg(F.count("*").cast("bigint").alias("n")).select(
         "n",
         F.expr(
@@ -4377,15 +4384,9 @@ def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(5000 * (n - 1)) div 10000 + 1").alias("med_rank"),
     )
     return cum.crossJoin(F.broadcast(k)).groupBy(F.col("n").alias("n_rows")).agg(
-        F.min(F.when(F.col("cum") >= F.col("med_rank"), F.col("c"))).alias(
-            "median_cents"
-        ),
-        F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("c"))).alias(
-            "ci_lo_cents"
-        ),
-        F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("c"))).alias(
-            "ci_hi_cents"
-        ),
+        rank_pick("c", "cum", "med_rank").alias("median_cents"),
+        rank_pick("c", "cum", "lo_rank").alias("ci_lo_cents"),
+        rank_pick("c", "cum", "hi_rank").alias("ci_hi_cents"),
     )
 
 
@@ -5507,15 +5508,16 @@ def distribution_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lc").cast("double").alias("sl"),
         F.sum(F.expr("lc * lc")).cast("double").alias("sll"),
     )
-    # empirical median by value-grid rank-select (no raw-row global sort)
-    gq = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
-    wq = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cumq = gq.select("c", F.sum("cnt").over(wq).cast("bigint").alias("cum"))
+    # empirical median by value-grid rank-select (operators/rankselect.py)
+    from map_reduce_engine_spark.operators.rankselect import (
+        rank_pick,
+        value_grid_cum,
+    )
+
+    cumq = value_grid_cum(v, "c")
     ntot = v.agg(F.count("*").cast("bigint").alias("nn"))
-    emp = (
-        cumq.crossJoin(F.broadcast(ntot))
-        .where(F.expr("cum >= (5000 * (nn - 1)) div 10000 + 1"))
-        .agg(F.min("c").alias("med"))
+    emp = cumq.crossJoin(F.broadcast(ntot)).agg(
+        rank_pick("c", "cum", "(5000 * (nn - 1)) div 10000 + 1").alias("med")
     )
     return m.crossJoin(F.broadcast(emp)).select(
         F.col("n").cast("bigint").alias("n_rows"),
@@ -10505,50 +10507,16 @@ def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(floor(ln(CAST(0.65 AS DOUBLE) / CAST(0.75 AS DOUBLE))"
         "      * 1000000000 + 0.5) AS BIGINT) END"
     )
-    # distributed prefix sum: shard the enrollment order into contiguous
-    # user_id ranges, cumulative-sum WITHIN each shard in parallel, then add
-    # per-shard offsets computed from the (n_shards)-sized shard-total grid —
-    # no single-partition window ever touches the raw walk rows, and the
-    # result is bit-identical to a global ORDER BY user_id running sum.
-    sharded = u.select(
-        "user_id",
-        "conv",
-        F.expr("user_id div 256").alias("shard"),
-        F.expr(step).alias("stp"),
-    )
-    wloc = (
-        Window.partitionBy("shard")
-        .orderBy("user_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    loc = sharded.select(
-        "user_id",
-        "conv",
-        "shard",
-        F.row_number()
-        .over(Window.partitionBy("shard").orderBy("user_id"))
-        .cast("bigint")
-        .alias("rn_loc"),
-        F.sum("stp").over(wloc).cast("bigint").alias("llr_loc"),
-    )
-    stot = sharded.groupBy("shard").agg(
-        F.count("*").cast("bigint").alias("cnt_s"),
-        F.sum("stp").cast("bigint").alias("sum_s"),
-    )
-    woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    off = stot.select(
-        "shard",
-        F.coalesce(F.sum("cnt_s").over(woff), F.lit(0)).cast("bigint").alias("cnt_off"),
-        F.coalesce(F.sum("sum_s").over(woff), F.lit(0)).cast("bigint").alias("sum_off"),
-    )
+    # distributed prefix sum (operators/rankselect.py::sharded_running):
+    # contiguous user_id shards cumsum in parallel, per-shard offsets come
+    # from the shard-total grid — no single-partition window ever touches
+    # the raw walk rows, bit-identical to a global ORDER BY user_id cumsum.
+    from map_reduce_engine_spark.operators.rankselect import sharded_running
+
+    base_walk = u.select("user_id", "conv", F.expr(step).alias("stp"))
     walk = (
-        loc.join(F.broadcast(off), "shard")
-        .select(
-            "user_id",
-            "conv",
-            (F.col("rn_loc") + F.col("cnt_off")).cast("bigint").alias("rn"),
-            (F.col("llr_loc") + F.col("sum_off")).cast("bigint").alias("llr"),
-        )
+        sharded_running(base_walk, "user_id div 256", ["user_id"], ["stp"])
+        .select("user_id", "conv", "rn", F.col("cum_stp").alias("llr"))
         .localCheckpoint(eager=True)  # feeds totals + crossing + pick
     )
     b_hi = "CAST(floor(ln(CAST(19 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)"
@@ -10639,20 +10607,16 @@ def sprt_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gpd_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     v = orders.select(F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"))
-    # P95 threshold by value-grid rank-select: cumulative counts over the
-    # distinct-dollars grid (never a row_number over raw orders), then the
-    # smallest value whose cumulative count reaches the target rank — the
-    # same order statistic the raw-row rank would pick.
-    gd = v.groupBy("dollars").agg(F.count("*").cast("bigint").alias("cnt"))
-    wgd = Window.orderBy("dollars").rowsBetween(Window.unboundedPreceding, 0)
-    cumd = gd.select(
-        "dollars", F.sum("cnt").over(wgd).cast("bigint").alias("cum")
+    # P95 threshold by value-grid rank-select (operators/rankselect.py)
+    from map_reduce_engine_spark.operators.rankselect import (
+        rank_pick,
+        value_grid_cum,
     )
+
+    cumd = value_grid_cum(v, "dollars")
     ntot = v.agg(F.count("*").cast("bigint").alias("n"))
-    thr = (
-        cumd.crossJoin(F.broadcast(ntot))
-        .where(F.expr("cum >= (19 * n) div 20 + 1"))
-        .agg(F.min("dollars").alias("u"))
+    thr = cumd.crossJoin(F.broadcast(ntot)).agg(
+        rank_pick("dollars", "cum", "(19 * n) div 20 + 1").alias("u")
     )
     exc = v.crossJoin(F.broadcast(thr)).where(F.expr("dollars > u")).select(
         (F.col("dollars") - F.col("u")).cast("bigint").alias("e"), "u"

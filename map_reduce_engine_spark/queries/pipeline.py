@@ -2182,19 +2182,17 @@ def _kmeans1d_fit(spark: SparkSession, sf_dir: str, rounds: int = 5):
         .localCheckpoint(eager=True)
     )
     n = base.count()
-    # discrete-quartile init by value-grid rank-select: cumulative counts
-    # over the distinct-cents GRID (never a row_number over raw orders);
-    # the k-th order statistic is the smallest value whose cumulative
-    # count reaches k — identical integers to the former raw-row rank.
+    # discrete-quartile init by value-grid rank-select
+    # (operators/rankselect.py) — identical integers to a raw-row rank pick
+    from map_reduce_engine_spark.operators.rankselect import (
+        rank_pick,
+        value_grid_cum,
+    )
+
     picks = [(n - 1) // 4 + 1, (n - 1) // 2 + 1, (3 * (n - 1)) // 4 + 1]
-    gv = base.groupBy("cents").agg(F.count("*").cast("bigint").alias("cnt"))
-    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cumv = gv.select("cents", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
+    cumv = value_grid_cum(base, "cents")
     row = cumv.agg(
-        *[
-            F.min(F.when(F.col("cum") >= k, F.col("cents"))).alias(f"q{i}")
-            for i, k in enumerate(picks)
-        ]
+        *[rank_pick("cents", "cum", str(k)).alias(f"q{i}") for i, k in enumerate(picks)]
     ).collect()[0]
     cents_c = [row[f"q{i}"] for i in range(3)]
     for _ in range(rounds):
@@ -2302,30 +2300,17 @@ def kmeans_1d_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    # pooled global rank as a distributed two-pass prefix: shard by the
-    # n_chars value range (monotone in the sort key, so shard order +
-    # within-shard (n_chars, doc_id) order = the global order), rank within
-    # each shard in parallel, then add per-shard offsets from the
-    # (n_shards)-sized shard-count grid — bit-identical to a global
-    # row_number with no single-task sort of the corpus.
-    sh = d.select(
-        F.col("n_chars").alias("pooled_chars"),
-        "doc_id",
-        F.expr("n_chars div 256").alias("shard"),
-    )
-    wl = Window.partitionBy("shard").orderBy("pooled_chars", "doc_id")
-    loc = sh.select(
-        "pooled_chars", "shard", F.row_number().over(wl).cast("bigint").alias("lrn")
-    )
-    sc = sh.groupBy("shard").agg(F.count("*").cast("bigint").alias("scnt"))
-    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    soff = sc.select(
-        "shard",
-        F.coalesce(F.sum("scnt").over(wo), F.lit(0)).cast("bigint").alias("soff"),
-    )
-    pooled = loc.join(F.broadcast(soff), "shard").select(
-        "pooled_chars", (F.col("lrn") + F.col("soff")).alias("p")
-    )
+    # pooled global rank as a distributed two-pass prefix
+    # (operators/rankselect.py::sharded_running): value-range shards are
+    # monotone in the sort key, so shard order + within-shard
+    # (n_chars, doc_id) order = the global order — bit-identical to a
+    # global row_number with no single-task sort of the corpus.
+    from map_reduce_engine_spark.operators.rankselect import sharded_running
+
+    sh = d.select(F.col("n_chars").alias("pooled_chars"), "doc_id")
+    pooled = sharded_running(
+        sh, "pooled_chars div 256", ["pooled_chars", "doc_id"], rn="p"
+    ).select("pooled_chars", "p")
     nn = d.agg(F.count("*").alias("n"))
     ranked = d.select(
         "doc_id",

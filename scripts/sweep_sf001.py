@@ -87,22 +87,30 @@ def main() -> int:
             "err": None,
         }
         t0 = time.time()
-        try:
-            # evaluate the DuckDB oracle CONCURRENTLY with the Spark job —
-            # the two engines share no state, and overlapping them saves
-            # min(spark, duck) wall time per entry (~20% of a full sweep).
-            # The comparison semantics are unchanged: both sides still
-            # materialize fully before the hash compare.
-            duck_box: dict = {}
+        # evaluate the DuckDB oracle CONCURRENTLY with the Spark job — the
+        # two engines share no state, and overlapping them saves
+        # min(spark, duck) wall time per entry (~20% of a full sweep). The
+        # comparison semantics are unchanged: both sides still materialize
+        # fully before the hash compare. The thread runs on its OWN cursor
+        # (DuckDB connections are not safe for concurrent statements) and
+        # is ALWAYS joined before the next iteration, even when the Spark
+        # side throws — an orphan oracle racing the next entry's would
+        # corrupt the sweep.
+        duck_box: dict = {}
+        th = None
 
-            def _run_oracle(sql=q.oracle):
+        def _run_oracle(sql=q.oracle):
+            try:
+                cur = con.cursor()
                 try:
-                    rel = con.sql(sql)
+                    rel = cur.sql(sql)
                     duck_box["cols"], duck_box["rows"] = rel.columns, rel.fetchall()
-                except Exception as e:  # noqa: BLE001 — re-raised on join
-                    duck_box["err"] = e
+                finally:
+                    cur.close()
+            except Exception as e:  # noqa: BLE001 — re-raised on join
+                duck_box["err"] = e
 
-            th = None
+        try:
             if q.oracle is not None:
                 th = threading.Thread(target=_run_oracle)
                 th.start()
@@ -126,6 +134,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — the sweep must finish
             rec["err"] = f"{type(e).__name__}: {e}"
             traceback.print_exc(limit=3)
+        finally:
+            if th is not None:
+                th.join()
         rec["sec"] = round(time.time() - t0, 3)
         ok = rec["err"] is None and rec["hash_match"] in (True, None)
         if not ok:

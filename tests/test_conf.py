@@ -59,3 +59,19 @@ def test_loop_conf_profile(spark):
         assert spark.conf.get(AQE) == "false"
     assert spark.conf.get(KEY) == before_parts
     assert spark.conf.get(AQE) == before_aqe
+
+
+def test_failed_registration_leaves_no_phantom(spark):
+    """A scope whose settings include an unreadable key must fail BEFORE
+    registering anything: no phantom stack entry may survive to be
+    're-applied' by a later scope's exit (review finding r05)."""
+    import pytest as _pytest
+
+    before = spark.conf.get(KEY)
+    with _pytest.raises(Exception):
+        with scoped_conf(spark, {KEY: "3", "mre.no.such.key.ever": "x"}):
+            pass  # pragma: no cover — registration must raise first
+    assert spark.conf.get(KEY) == before
+    with scoped_conf(spark, {KEY: "5"}):
+        assert spark.conf.get(KEY) == "5"
+    assert spark.conf.get(KEY) == before
