@@ -11327,3 +11327,83 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000000000 div ((s_top - k * ln_ref_micro) div k)) < 3000000"
         ).alias("heavy_tailed"),
     )
+
+
+@register(
+    "trimmed_mean_orders",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    grid AS (SELECT cents, count(*)::BIGINT AS cnt FROM v GROUP BY cents),
+    cum AS (
+      SELECT cents, cnt,
+             CAST(sum(cnt) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM grid
+    ),
+    nk AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) // 20 AS trim_k
+      FROM grid
+    ),
+    s AS (
+      SELECT CAST(sum(greatest(0, least(c.cum, nk.n - nk.trim_k)
+                        - greatest(c.cum - c.cnt, nk.trim_k)) * c.cents)
+               AS BIGINT) AS kept_sum,
+             CAST(sum(c.cnt * c.cents) AS BIGINT) AS full_sum
+      FROM cum c CROSS JOIN nk
+    )
+    SELECT nk.n, nk.trim_k,
+           CAST(s.kept_sum // (nk.n - 2 * nk.trim_k) AS BIGINT)
+             AS trimmed_mean_cents,
+           CAST(s.full_sum // nk.n AS BIGINT) AS raw_mean_cents,
+           CAST(s.full_sum // nk.n - s.kept_sum // (nk.n - 2 * nk.trim_k)
+             AS BIGINT) AS tail_pull_cents
+    FROM s CROSS JOIN nk
+    """,
+    doc="exact 5%-per-side trimmed mean of order totals beside the raw "
+    "mean: ranks (k, n-k] survive, where each grid row contributes the "
+    "OVERLAP of its (cum-cnt, cum] rank interval with the kept range — "
+    "the same exact tie-splitting arithmetic as hill_tail_index, so the "
+    "statistic is bit-identical to sorting raw rows and dropping k from "
+    "each end. tail_pull (raw minus trimmed) quantifies how much the "
+    "tails move the headline average — the robust-location companion to "
+    "winsorized_mean_value (which CLAMPS tails instead of dropping "
+    "them). Scale: one hash aggregate to the value grid, one window over "
+    "the GRID, 1-row arithmetic; no raw-row sort at any size.",
+)
+def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.rankselect import value_grid_cum
+
+    orders = t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    cum = value_grid_cum(v, "cents")
+    nk = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("count(*) div 20").cast("bigint").alias("trim_k"),
+    )
+    s = cum.crossJoin(F.broadcast(nk)).agg(
+        F.sum(
+            F.expr(
+                "greatest(0, least(cum, n - trim_k)"
+                " - greatest(cum - cnt, trim_k)) * cents"
+            )
+        )
+        .cast("bigint")
+        .alias("kept_sum"),
+        F.sum(F.expr("cnt * cents")).cast("bigint").alias("full_sum"),
+    )
+    return s.crossJoin(F.broadcast(nk)).select(
+        "n",
+        "trim_k",
+        F.expr("kept_sum div (n - 2 * trim_k)").cast("bigint").alias(
+            "trimmed_mean_cents"
+        ),
+        F.expr("full_sum div n").cast("bigint").alias("raw_mean_cents"),
+        F.expr("full_sum div n - kept_sum div (n - 2 * trim_k)")
+        .cast("bigint")
+        .alias("tail_pull_cents"),
+    )

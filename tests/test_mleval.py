@@ -1335,3 +1335,20 @@ def test_hill_tail_index_consistency(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     mx = orders.agg({"o_totalprice": "max"}).collect()[0][0]
     assert 0 < row.threshold_dollars <= round(mx)
+
+
+def test_trimmed_mean_between_bounds(spark, sf_dir):
+    """Trimmed-mean invariants: trim_k = n div 20, the trimmed mean lies
+    within the kept value range (strictly inside the raw min/max when the
+    tails are nonempty), and tail_pull = raw - trimmed exactly."""
+    row = REGISTRY["trimmed_mean_orders"].fn(spark, sf_dir).collect()[0]
+    assert row.trim_k == row.n // 20
+    assert row.tail_pull_cents == row.raw_mean_cents - row.trimmed_mean_cents
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mn, mx = orders.agg(
+        F.min(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+    ).collect()[0]
+    assert mn < row.trimmed_mean_cents < mx

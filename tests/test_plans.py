@@ -605,6 +605,8 @@ _SANCTIONED_NESTED_LOOP = {
     " back onto the 10-bin grid",
     "hill_tail_index": "broadcasts the 1-row (n, k) frame onto the value"
     " grid and the 1-row top-k summary",
+    "trimmed_mean_orders": "broadcasts the 1-row (n, trim_k) frame onto the"
+    " value grid and the 1-row kept-sum summary",
     "domain_mixture": "broadcasts the 1-row corpus totals",
     "unigram_lm_surprisal": "broadcasts the vocabulary-bounded LM table",
     "bigram_lm_quality": "broadcasts the vocabulary-bounded LM table",
