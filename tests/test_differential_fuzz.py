@@ -1,7 +1,7 @@
 """Differential query fuzzing: hypothesis-generated relational queries run
 through BOTH engines and hash-compared.
 
-The conformance registry proves 453 hand-written queries; this fuzzer walks
+The conformance registry proves its hand-written queries pairwise; this fuzzer walks
 a constrained query space (filters x group-bys x integer-exact aggregates x
 a broadcast dim join) and asserts Spark and DuckDB agree on EVERY sampled
 point — the systematic version of the registry's pairwise checks, catching
