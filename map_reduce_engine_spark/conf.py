@@ -47,13 +47,17 @@ def scoped_conf(spark: SparkSession, settings: Mapping[str, object]) -> Iterator
     """
     token = object()
     sid = id(spark)
-    # read every current value BEFORE mutating the registry: conf.get can
-    # raise for keys without defaults, and a partial registration would
-    # leave phantom stack entries that later scopes would "restore". For a
-    # key no scope holds, the current value IS the pristine value (the
-    # only case the lookup below uses).
-    pristine = {k: spark.conf.get(k) for k in settings}
     with _lock:
+        # Read pristine values INSIDE the lock (a concurrent scope's
+        # set/restore of the same key must not be snapshotted as
+        # "pristine") but BEFORE any mutation of the registry: conf.get
+        # can raise for keys without defaults, and reads-then-writes
+        # ordering means a raise leaves no phantom stack entries that
+        # later scopes would "restore". Only keys no scope currently
+        # holds need a read — held keys already carry their pristine.
+        pristine = {
+            k: spark.conf.get(k) for k in settings if (sid, k) not in _held
+        }
         for k, v in settings.items():
             slot = _held.get((sid, k))
             if slot is None:

@@ -554,6 +554,41 @@ def test_single_partition_raw_detector(spark, sf_dir):
     assert plan_report(li.repartition(1)).single_partition_raw == 1
 
 
+def test_single_partition_detector_parser_canary(spark, sf_dir):
+    """Format-drift canary (ADVICE r05): the raw-detector parses formatted
+    explain text (3-chars-per-indent tree lines, '(n) OpName' detail
+    headers, 'Arguments: SinglePartition'). If a Spark upgrade changes that
+    layout, the gate must fail HERE with empty parser structures — not
+    silently return zero findings for every plan and wave scale-killers
+    through."""
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.plans import (
+        _single_partition_exchanges,
+        _tree_children,
+        physical_plan,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_quantity")
+    bad = li.select(
+        F.row_number().over(Window.orderBy("l_quantity")).alias("rn")
+    )
+    p = physical_plan(bad, "formatted")
+    children, ops = _tree_children(p)
+    assert ops, "tree parser found no operator nodes — explain format drift"
+    assert children, "tree parser found no parent/child edges — format drift"
+    assert any(o.startswith("Window") for o in ops.values()), ops
+    assert any(o.startswith(("Scan", "FileScan", "BatchScan")) for o in ops.values()), ops
+    sp = _single_partition_exchanges(p)
+    assert sp, (
+        "SinglePartition detail parser found nothing in a plan KNOWN to "
+        "contain an unpartitioned window — explain format drift"
+    )
+    # every detected exchange id must exist in the parsed tree (the two
+    # parsers must agree on node ids for _reaches_raw_leaf to walk)
+    assert all(e in ops for e in sp), (sp, sorted(ops))
+
+
 def test_kmv_tree_has_no_rank_window(spark, sf_dir):
     """The tree-merged KMV path must contain NO window operator (the whole
     point vs the rank-k formulation) — two hash aggregates only — and its
