@@ -136,7 +136,91 @@ def host_calibration_mc_sec(n_threads: int | None = None) -> float:
     return round(statistics.median(once() for _ in range(3)), 3)
 
 
+# First recorded idle-host multicore calibration (BASELINE.md "Host-speed
+# calibration", 2026-08-15). The artifact gate refuses to start timing while
+# the host is measurably contended relative to this pin.
+IDLE_MC_REF_SEC = 2.106
+GATE_THRESHOLD_SEC = round(IDLE_MC_REF_SEC * 1.25, 3)  # 2.633
+
+
+def regression_fields(
+    timings: dict[str, float], cur_mc: float, prev_doc: dict, prev_name: str
+) -> dict:
+    """Cross-round tripwire fields, pure function of the two bench docs
+    (unit-testable — the r05 adjudication replay is pinned in tests).
+
+    Calibration may only EXCUSE an apparent regression, never manufacture
+    one: the mc ratio is clamped to >= 1 before dividing. Query wall time
+    does not scale 1:1 with the mc probe (round-5: a 3.5x-contended probe
+    came with a ~1.2x query board), so when the PREVIOUS round was the
+    contended one the symmetric division inflated every delta ~3x and
+    printed twenty false "calibrated regressions". Raw deltas measured
+    against a contended previous round are already flattering — a real
+    regression masked that way resurfaces in the next idle-vs-idle pair.
+    """
+    parsed = prev_doc.get("parsed", prev_doc)
+    prev = parsed["queries"]
+    fields: dict = {}
+    deltas = {k: round(v / prev[k], 3) for k, v in timings.items() if prev.get(k)}
+    fields["prev_round"] = prev_name
+    fields["deltas_vs_prev"] = deltas
+    fields["regressed_over_1_5x"] = {k: r for k, r in deltas.items() if r > 1.5}
+    prev_mc = parsed.get("host_calibration_mc_sec")
+    if prev_mc:
+        calib_ratio = cur_mc / prev_mc
+        fields["calib_ratio_mc"] = round(calib_ratio, 3)
+        used = max(calib_ratio, 1.0)
+        fields["calib_ratio_mc_used"] = round(used, 3)
+        normed = {k: round(r / used, 3) for k, r in deltas.items()}
+        fields["regressed_over_1_5x_calibrated"] = {
+            k: r for k, r in normed.items() if r > 1.5
+        }
+    return fields
+
+
+def wait_for_idle_host(
+    threshold: float = GATE_THRESHOLD_SEC,
+    attempts: int = 5,
+    sleep_sec: float = 45.0,
+) -> dict:
+    """Idle-host artifact gate: probe the multicore calibration up front and
+    wait out co-tenant contention before timing anything. BENCH_r05 was
+    recorded at mc 7.44 s (3.5x the idle pin) and its three >1.5x tripwire
+    hits cost a full judge re-run to adjudicate as noise. Bounded retries —
+    the bench still runs (and says so in the gate record) if the host never
+    quiets down, because the driver contract is one JSON line per round.
+    Disable with SPARK_GRAFT_BENCH_GATE=0."""
+    history: list[float] = []
+    for i in range(attempts):
+        mc = host_calibration_mc_sec()
+        history.append(mc)
+        if mc <= threshold:
+            break
+        if i < attempts - 1:
+            print(
+                f"# host contended (mc {mc}s > gate {threshold}s), "
+                f"waiting {sleep_sec}s (attempt {i + 1}/{attempts})",
+                file=sys.stderr,
+            )
+            time.sleep(sleep_sec)
+    return {
+        "threshold_sec": threshold,
+        "idle_ref_sec": IDLE_MC_REF_SEC,
+        "probes": history,
+        "passed": history[-1] <= threshold,
+    }
+
+
 def main() -> None:
+    gate = None
+    if os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+        gate = wait_for_idle_host()
+        if not gate["passed"]:
+            print(
+                f"# WARNING: idle-host gate never passed ({gate['probes']}) — "
+                "timings below are contention-suspect; prefer re-running",
+                file=sys.stderr,
+            )
     spark = get_spark(app_name="mre-bench")
     # Session-level warmup BEFORE any timing: the first query otherwise pays
     # one-time JVM/codegen/scan-infrastructure costs (q1 measured 1.36x its
@@ -169,6 +253,8 @@ def main() -> None:
         "host_calibration_sec": host_calibration_sec(),
         "host_calibration_mc_sec": host_calibration_mc_sec(),
     }
+    if gate is not None:
+        out["idle_host_gate"] = gate
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
     # one-line contract read metric/value/queries/sf as before.
@@ -176,38 +262,26 @@ def main() -> None:
     if prev_files:
         try:
             prev_doc = json.loads(prev_files[-1].read_text())
-            # driver rounds wrap the bench line under "parsed"
-            prev = prev_doc.get("parsed", prev_doc)["queries"]
-            deltas = {
-                k: round(v / prev[k], 3) for k, v in timings.items() if prev.get(k)
-            }
-            out["prev_round"] = prev_files[-1].name
-            out["deltas_vs_prev"] = deltas
-            regressed = {k: r for k, r in deltas.items() if r > 1.5}
-            out["regressed_over_1_5x"] = regressed
-            if regressed:
-                print(f"# REGRESSION >1.5x vs {prev_files[-1].name}: {regressed}", file=sys.stderr)
-            # Calibration-normalized tripwire: divide each delta by the
-            # multicore host-speed ratio so co-tenant contention (which moves
-            # the whole board AND the calibration together) cannot fake a
-            # regression. Falls back to raw deltas when the previous round
-            # predates the mc probe.
-            prev_mc = prev_doc.get("parsed", prev_doc).get("host_calibration_mc_sec")
-            if prev_mc:
-                calib_ratio = out["host_calibration_mc_sec"] / prev_mc
-                out["calib_ratio_mc"] = round(calib_ratio, 3)
-                normed = {
-                    k: round(r / calib_ratio, 3) for k, r in deltas.items()
-                }
-                out["regressed_over_1_5x_calibrated"] = {
-                    k: r for k, r in normed.items() if r > 1.5
-                }
-                if out["regressed_over_1_5x_calibrated"]:
-                    print(
-                        f"# CALIBRATED REGRESSION >1.5x: "
-                        f"{out['regressed_over_1_5x_calibrated']}",
-                        file=sys.stderr,
-                    )
+            out.update(
+                regression_fields(
+                    timings,
+                    out["host_calibration_mc_sec"],
+                    prev_doc,
+                    prev_files[-1].name,
+                )
+            )
+            if out.get("regressed_over_1_5x"):
+                print(
+                    f"# REGRESSION >1.5x vs {prev_files[-1].name}: "
+                    f"{out['regressed_over_1_5x']}",
+                    file=sys.stderr,
+                )
+            if out.get("regressed_over_1_5x_calibrated"):
+                print(
+                    f"# CALIBRATED REGRESSION >1.5x: "
+                    f"{out['regressed_over_1_5x_calibrated']}",
+                    file=sys.stderr,
+                )
         except (json.JSONDecodeError, KeyError, TypeError):
             pass
     print(json.dumps(out))

@@ -1,0 +1,83 @@
+"""Unit tests for bench.py's cross-round regression tripwire.
+
+Pins the round-5 adjudication scenario (VERDICT r05 item 2): BENCH_r05 was
+recorded on a 3.5x-contended host (mc 7.44 s vs the 2.106 s idle pin); the
+judge's idle re-run (mc 2.522 s) had every raw delta <= 1.16 yet the old
+symmetric calibration (divide by cur_mc/prev_mc = 0.339) inflated all
+twenty into false "calibrated regressions". Calibration must only EXCUSE
+an apparent regression (current round contended), never manufacture one
+(previous round contended).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from bench import GATE_THRESHOLD_SEC, IDLE_MC_REF_SEC, regression_fields
+
+R05_MC = 7.44
+IDLE_RERUN_MC = 2.522
+
+
+def _prev_doc(queries: dict[str, float], mc: float | None = R05_MC) -> dict:
+    doc: dict = {"queries": queries}
+    if mc is not None:
+        doc["host_calibration_mc_sec"] = mc
+    return doc
+
+
+def test_idle_rerun_against_contended_prev_round_is_quiet():
+    """The r05 -> judge-idle replay: raw deltas <= 1.16 against a
+    contended previous artifact must yield an EMPTY calibrated set."""
+    prev = {"q1": 1.0, "q8": 2.0, "q17": 1.5, "q20": 1.6}
+    cur = {k: round(v * 1.16, 3) for k, v in prev.items()}
+    out = regression_fields(cur, IDLE_RERUN_MC, _prev_doc(prev), "BENCH_r05.json")
+    assert out["calib_ratio_mc"] == round(IDLE_RERUN_MC / R05_MC, 3)  # 0.339
+    assert out["calib_ratio_mc_used"] == 1.0  # clamped: never inflate
+    assert out["regressed_over_1_5x"] == {}
+    assert out["regressed_over_1_5x_calibrated"] == {}
+
+
+def test_contended_current_round_is_excused_but_raw_still_reported():
+    """The original (round-4) direction still works: a contended CURRENT
+    round moving the whole board 2x is excused by calibration while the
+    raw tripwire still reports it."""
+    prev = {"q1": 1.0, "q4": 2.0}
+    cur = {"q1": 2.0, "q4": 4.0}
+    out = regression_fields(cur, 7.44, _prev_doc(prev, mc=2.106), "BENCH_rX.json")
+    assert out["regressed_over_1_5x"] == {"q1": 2.0, "q4": 2.0}
+    assert out["calib_ratio_mc_used"] > 3.0
+    assert out["regressed_over_1_5x_calibrated"] == {}
+
+
+def test_real_regression_at_idle_fires_both_tripwires():
+    prev = {"q1": 1.0, "q4": 2.0}
+    cur = {"q1": 2.2, "q4": 2.0}
+    out = regression_fields(cur, 2.1, _prev_doc(prev, mc=2.106), "BENCH_rX.json")
+    assert out["regressed_over_1_5x"] == {"q1": 2.2}
+    assert out["regressed_over_1_5x_calibrated"] == {"q1": 2.2}
+
+
+def test_prev_round_without_mc_probe_skips_calibrated_fields():
+    prev = {"q1": 1.0}
+    out = regression_fields({"q1": 1.0}, 2.1, _prev_doc(prev, mc=None), "BENCH_r03.json")
+    assert "regressed_over_1_5x" in out
+    assert "regressed_over_1_5x_calibrated" not in out
+
+
+def test_replay_committed_r05_artifact_quiet_at_idle():
+    """End-to-end replay against the actual committed BENCH_r05.json: an
+    idle re-run with r05's own raw timings must produce zero calibrated
+    regressions (this was the judge's adjudication outcome)."""
+    p = Path(__file__).resolve().parents[1] / "BENCH_r05.json"
+    doc = json.loads(p.read_text())
+    parsed = doc.get("parsed", doc)
+    # judge's idle numbers: every query within 1.16x of the r05 artifact
+    cur = {k: round(v * 1.1, 3) for k, v in parsed["queries"].items()}
+    out = regression_fields(cur, IDLE_RERUN_MC, doc, "BENCH_r05.json")
+    assert out["regressed_over_1_5x_calibrated"] == {}
+
+
+def test_gate_threshold_pinned_to_idle_reference():
+    assert GATE_THRESHOLD_SEC == round(IDLE_MC_REF_SEC * 1.25, 3)
