@@ -308,7 +308,7 @@ def spark_views(spark, sf_dir):
 
 
 @settings(
-    max_examples=120,
+    max_examples=240,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -317,6 +317,160 @@ def spark_views(spark, sf_dir):
 def test_differential_spark_vs_duckdb(spark_views, duck, sql):
     """Every sampled query must hash-match across engines (driver semantics:
     order-insensitive multiset, columns sorted by name)."""
+    sdf = spark_views.sql(sql)
+    s = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = duck.sql(sql)
+    d = _normalize(rel.fetchall(), rel.columns)
+    assert s == d, f"divergence on: {sql}\nfirst diffs: " + str(
+        [p for p in zip(s, d) if p[0] != p[1]][:3]
+    )
+
+
+# -------------------------------------------------- round-6 dialect edges
+#
+# The edges that bit in earlier rounds, systematically fuzzed (VERDICT r05
+# item 6): outer-join NULL grids (aggregates over non-matching rows),
+# RANGE window frames (peer-inclusive and numeric-offset), string-function
+# round-trips (substr/instr 1-indexing — note substr START 0 is a REAL
+# dialect divergence: Spark treats 0 as 1, DuckDB drops position-0 chars
+# into the length budget; the generator therefore only emits instr(..)+1
+# starts, which are always >= 1), and decimal-cents division corners
+# (floor-of-double division, modulo on BIGINT-wrapped sums — DuckDB's
+# HUGEINT SUM widening makes the outer CAST mandatory). Bare decimal
+# literals stay banned (DECIMAL math in DuckDB, DOUBLE in Spark):
+# constants divide through CAST(n AS DOUBLE).
+
+# (left table, right table, join key equality, right-side ON-preds pool)
+OUTER_SRC = [
+    (
+        "orders",
+        "lineitem",
+        "l_orderkey = o_orderkey",
+        [
+            "l_quantity >= 45",
+            "l_returnflag = 'R'",
+            "l_discount >= 0.09",
+            "CAST(l_shipdate AS DATE) >= DATE '1998-06-01'",
+        ],
+        ["o_orderstatus", "o_orderpriority", "o_custkey % 5"],
+        "CAST(l_quantity AS BIGINT)",
+        "l_orderkey",
+    ),
+    (
+        "part",
+        "lineitem",
+        "l_partkey = p_partkey",
+        [
+            "l_quantity >= 45",
+            "l_linestatus = 'F'",
+            "l_orderkey % 7 = 0",
+        ],
+        ["p_brand", "p_size % 10"],
+        "CAST(l_quantity AS BIGINT)",
+        "l_orderkey",
+    ),
+]
+
+STR_FUNCS = [
+    "substr(source, instr(source, '{ch}') + 1, {ln})",
+    "upper(lang) || '_' || substr(source, 1, 2)",
+    "reverse(substr(source, 1, {ln}))",
+    "replace(source, 'src', 'S')",
+    "length(replace(text, ' ', '')) % 11",
+    "lower(trim(substr(text, 1, {ln})))",
+    "CAST(instr(source, '{ch}') AS BIGINT)",
+]
+
+RANGE_FRAMES = [
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN {n} PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN {n} PRECEDING AND {n} FOLLOWING",
+    "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+]
+RANGE_AGGS = ["SUM", "MIN", "MAX", "COUNT"]
+
+
+@st.composite
+def edge_queries(draw):
+    kind = draw(st.sampled_from(["outer", "full_grid", "range_window", "strings", "division"]))
+    m = draw(st.integers(min_value=2, max_value=13))
+    if kind == "outer":
+        # LEFT JOIN with a selective predicate in the ON clause: the NULL
+        # grid of non-matching rows flows into COUNT(col)/SUM/MIN semantics
+        lt, rt, on, on_preds, keys, val, _ = OUTER_SRC[draw(st.integers(0, 1))]
+        preds = draw(st.lists(st.sampled_from(on_preds), min_size=1, max_size=2, unique=True))
+        key = draw(st.sampled_from(keys))
+        return (
+            f"SELECT {key} AS k0, COUNT(*) AS n, COUNT(l_orderkey) AS n_match, "
+            f"CAST(SUM({val}) AS BIGINT) AS s_val, MIN({val}) AS min_val "
+            f"FROM {lt} LEFT JOIN {rt} ON {on} AND {' AND '.join(preds)} "
+            f"GROUP BY {key}"
+        )
+    if kind == "full_grid":
+        # FULL JOIN of two independently-filtered aggregate grids on a
+        # modular key: both sides contribute NULL rows to the other
+        p1 = draw(st.sampled_from(PREDS[1])).format(p=draw(st.integers(1000, 300000)), m=m)
+        p2 = draw(st.sampled_from(PREDS[0])).format(q=draw(st.integers(1, 50)), m=m)
+        return (
+            f"SELECT coalesce(a.k, b.k) AS k, a.n AS an, b.n AS bn "
+            f"FROM (SELECT o_custkey % {m} AS k, COUNT(*) AS n FROM orders "
+            f"      WHERE {p1} GROUP BY o_custkey % {m}) a "
+            f"FULL JOIN (SELECT l_suppkey % {m} AS k, COUNT(*) AS n FROM lineitem "
+            f"      WHERE {p2} GROUP BY l_suppkey % {m}) b ON a.k = b.k"
+        )
+    if kind == "range_window":
+        # RANGE frames order by the VALUE itself (both engines require a
+        # single numeric sort key for numeric offsets); peers share wf, so
+        # the (uniq, pk, v, wf) multiset is engine-stable
+        src = draw(st.sampled_from([0, 1, 4]))
+        part, _, uniq = WIN_SPEC[src]
+        v = WIN_VALUE[src]
+        frame = draw(st.sampled_from(RANGE_FRAMES)).format(
+            n=draw(st.integers(min_value=1, max_value=500))
+        )
+        agg = draw(st.sampled_from(RANGE_AGGS))
+        inner = "*" if agg == "COUNT" else v
+        table = SOURCES[src][0]
+        return (
+            f"SELECT {uniq}, {part} AS pk, {v} AS v, "
+            f"CAST({agg}({inner}) OVER (PARTITION BY {part} ORDER BY {v} {frame}) "
+            f"AS BIGINT) AS wf FROM {table}"
+        )
+    if kind == "strings":
+        exprs = draw(st.lists(st.sampled_from(STR_FUNCS), min_size=1, max_size=3, unique=True))
+        consts = {
+            "ch": draw(st.sampled_from(["c", "1", "r", "z"])),
+            "ln": draw(st.integers(min_value=1, max_value=9)),
+        }
+        cols = ", ".join(f"{e.format(**consts)} AS s{i}" for i, e in enumerate(exprs))
+        pred = draw(st.sampled_from(PREDS[3])).format(
+            nc=draw(st.integers(50, 550)), m=m
+        )
+        return f"SELECT doc_id, {cols} FROM documents WHERE {pred}"
+    # division: floor-of-double quotients, modulo on HUGEINT-prone sums,
+    # basis-point ratios through CAST(n AS DOUBLE) — never a bare decimal
+    d = draw(st.integers(min_value=2, max_value=97))
+    key = draw(st.sampled_from(KEYS[1]))
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    return (
+        f"SELECT {key} AS k0, COUNT(*) AS n, "
+        f"CAST(floor(CAST(SUM({cents}) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_cents_floor, "
+        f"CAST(SUM({cents}) % {d} AS BIGINT) AS mod_d, "
+        f"CAST(floor(CAST(10000 AS DOUBLE) * COUNT(DISTINCT o_custkey) / COUNT(*)) AS BIGINT) AS bp "
+        f"FROM orders GROUP BY {key}"
+    )
+
+
+@settings(
+    max_examples=160,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=edge_queries())
+def test_differential_dialect_edges(spark_views, duck, sql):
+    """Round-6 edge fuzz: outer-join NULL grids, RANGE frames, string
+    round-trips, division corners — hash-matched across engines."""
     sdf = spark_views.sql(sql)
     s = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
     rel = duck.sql(sql)

@@ -168,7 +168,9 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
 def _protobuf_available() -> bool:
     # transformWithStateInPandas speaks protobuf to the JVM; the container
     # lacks a working google.protobuf — gate, don't fail (env limitation,
-    # not an API one)
+    # not an API one). Install re-attempted rounds 5 and 6: pip reports
+    # "no matching distribution" (no package index in the container); the
+    # oracle-checked batch twin (typed_state_user_stats) stays the record.
     try:
         from google.protobuf import descriptor  # noqa: F401
 
