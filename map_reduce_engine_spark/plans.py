@@ -133,6 +133,86 @@ def _reaches_raw_leaf(
     return False
 
 
+_AGG_KEYS_LINE = re.compile(r"Keys(?: \[\d+\])?: \[(.*)\]\s*$")
+
+
+def _agg_keys(formatted: str) -> dict[int, str]:
+    """Node id -> grouping-keys string for aggregate detail blocks."""
+    keys: dict[int, str] = {}
+    cur_id: int | None = None
+    cur_op = ""
+    for line in formatted.splitlines():
+        m = _DETAIL_HEADER.match(line)
+        if m:
+            cur_id, cur_op = int(m.group(1)), m.group(2)
+            continue
+        if cur_id is not None and "Aggregate" in cur_op:
+            km = _AGG_KEYS_LINE.match(line.strip())
+            if km:
+                keys[cur_id] = km.group(1)
+    return keys
+
+
+def _bounding_frontier(
+    node: int, children: dict[int, list[int]], ops: dict[int, str]
+) -> list[tuple[int, str]]:
+    """The bounding operators (or raw leaves) where the walk below an
+    exchange stops — the operators whose output the exchange funnels."""
+    out: list[tuple[int, str]] = []
+    for child in children.get(node, []):
+        op = ops.get(child, "")
+        if op.startswith(_BOUNDING_OPS):
+            out.append((child, op))
+        elif op.startswith(_RAW_LEAVES):
+            out.append((child, "RAW"))
+        else:
+            out.extend(_bounding_frontier(child, children, ops))
+    return out
+
+
+# grouping keys that mark the engine's own two-pass scan shapes: a window
+# over SHARD TOTALS is n_shards-bounded by construction
+_SHARD_KEY_MARKERS = ("_shard", "_vg_shard")
+
+
+def single_partition_grid_nodes(formatted: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes excused ONLY by keyed,
+    non-shard aggregates — windows/sorts over an aggregate GRID whose
+    boundedness is an assumption about the grouping key's domain (a day
+    grid, a decile grid, ...), not a structural guarantee.
+
+    These are legitimate when the key domain is genuinely bounded, and a
+    scale bug when it is not (the round-5 weak item: a cents-valued value
+    grid reaches ~5e7 distinct keys at 100x). The raw detector cannot see
+    the difference, so this count is informational — the registry test
+    pins the set of queries allowed to carry such nodes, forcing every new
+    one to state its bound. Excluded: exchanges excused by a limit /
+    broadcast / local relation (structurally bounded), by a KEYLESS
+    aggregate (1 row), or by a shard-total aggregate (n_shards rows — the
+    ``operators/rankselect.py`` two-pass scan shape).
+    """
+    children, tree_ops = _tree_children(formatted)
+    keys = _agg_keys(formatted)
+    n = 0
+    for eid in _single_partition_exchanges(formatted):
+        frontier = _bounding_frontier(eid, children, tree_ops)
+        if any(op == "RAW" for _, op in frontier):
+            continue  # counted by single_partition_raw_nodes
+        aggs = [(i, op) for i, op in frontier if "Aggregate" in op]
+        if not aggs:
+            continue  # limit / broadcast / local relation below
+        if any(
+            marker in keys.get(i, "")
+            for i, _ in aggs
+            for marker in _SHARD_KEY_MARKERS
+        ):
+            continue  # shard-total grid: n_shards-bounded by construction
+        if all(keys.get(i, "") == "" for i, _ in aggs):
+            continue  # global aggregates: 1-row frames
+        n += 1
+    return n
+
+
 def single_partition_raw_nodes(formatted: str) -> int:
     """Count ``Exchange SinglePartition`` nodes whose input is raw relation
     rows (no aggregation/limit anywhere below).
@@ -157,6 +237,7 @@ class PlanReport:
     row_python_evals: int = 0
     arrow_python_stages: int = 0
     single_partition_raw: int = 0
+    single_partition_grid: int = 0
     shuffle_exchanges: int = 0
     broadcast_exchanges: int = 0
     wholestage_codegen_spans: int = 0
@@ -218,6 +299,17 @@ def plan_report(df: DataFrame) -> PlanReport:
             "mapInPandas or a built-in expression"
         )
     r.single_partition_raw = single_partition_raw_nodes(p)
+    # Informational (never fatal in assert_scalable): grid windows are the
+    # right shape for genuinely bounded key domains; the registry test pins
+    # which queries may carry them so new ones must state their bound.
+    r.single_partition_grid = single_partition_grid_nodes(p)
+    if r.single_partition_grid:
+        r.warnings.append(
+            f"{r.single_partition_grid} Exchange SinglePartition over a keyed "
+            "aggregate grid: bounded only if the grouping key's domain is — "
+            "for high-cardinality value domains use value-grid rank-select "
+            "with sharded prefix sums (operators/rankselect.py)"
+        )
     if r.single_partition_raw:
         r.warnings.append(
             f"{r.single_partition_raw} Exchange SinglePartition over raw relation "
@@ -257,7 +349,9 @@ def assert_scalable(
     if r.row_python_evals and not allow_row_python:
         fatal.append(next(w for w in r.warnings if "BatchEvalPython" in w))
     if r.single_partition_raw and not allow_single_partition_raw:
-        fatal.append(next(w for w in r.warnings if "SinglePartition" in w))
+        fatal.append(
+            next(w for w in r.warnings if "SinglePartition over raw" in w)
+        )
     if fatal:
         raise PlanQualityError("; ".join(fatal))
     return r

@@ -554,6 +554,40 @@ def test_single_partition_raw_detector(spark, sf_dir):
     assert plan_report(li.repartition(1)).single_partition_raw == 1
 
 
+def test_single_partition_grid_detector(spark, sf_dir):
+    """The round-6 tightening: a single-partition window over a KEYED
+    aggregate grid is counted (bounded only by the key domain), while the
+    engine's own shard-total windows (rankselect two-pass scans), keyless
+    1-row aggregates, and raw windows are not."""
+    from pyspark.sql import Window
+
+    from map_reduce_engine_spark.operators.rankselect import value_grid_cum
+    from map_reduce_engine_spark.plans import plan_report
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_quantity", "l_orderkey")
+
+    # pre-r06 shape: ordered window over a keyed value grid -> counted
+    grid = li.groupBy("l_quantity").agg(F.count("*").alias("c"))
+    naive = grid.select(
+        "l_quantity", F.sum("c").over(Window.orderBy("l_quantity")).alias("cum")
+    )
+    r = plan_report(naive)
+    assert r.single_partition_grid == 1 and r.single_partition_raw == 0
+
+    # the sharded replacement: shard-total window only -> NOT counted
+    r = plan_report(value_grid_cum(li, "l_quantity"))
+    assert r.single_partition_grid == 0 and r.single_partition_raw == 0
+
+    # keyless (1-row) aggregate below -> not counted
+    r = plan_report(li.agg(F.sum("l_quantity").alias("s")))
+    assert r.single_partition_grid == 0
+
+    # raw window -> the raw counter, not the grid counter
+    bad = li.select(F.row_number().over(Window.orderBy("l_quantity")).alias("rn"))
+    r = plan_report(bad)
+    assert r.single_partition_grid == 0 and r.single_partition_raw == 1
+
+
 def test_single_partition_detector_parser_canary(spark, sf_dir):
     """Format-drift canary (ADVICE r05): the raw-detector parses formatted
     explain text (3-chars-per-indent tree lines, '(n) OpName' detail
@@ -895,27 +929,104 @@ _SANCTIONED_SINGLE_PARTITION = {
 }
 
 
+# Queries whose plans carry an Exchange SinglePartition over a KEYED,
+# non-shard aggregate grid (plans.single_partition_grid_nodes) — the round-6
+# tightening of the blanket "HashAggregate below excuses the window" rule.
+# Such a window is bounded only if the grouping key's DOMAIN is bounded; the
+# round-5 weak item was exactly a value grid whose key domain (cents) grows
+# to ~5e7 at 100x, and the rankselect sharding removed those nodes from all
+# nine call sites. Every entry below is key-domain-bounded by construction:
+# calendar grids (day/week/month over the fixture's date range), bounded
+# bucket grids (deciles, percentile bins, thresholds over a score grid,
+# lag/period literals), bounded category grids (brand, nation, event type,
+# source, RFM cells, path trigrams over |event types|^3), or event-time
+# grids clamped by sessionization/survival semantics. A NEW query exceeding
+# its pinned count fails this test and must either shard its walk
+# (operators/rankselect.py) or pin itself here with a bounded key.
+_GRID_WINDOW_PIN = {
+    "actuarial_life_table": 1,
+    "average_precision_eval": 1,
+    "benjamini_hochberg_brands": 1,
+    "changepoint_binary_segmentation": 1,
+    "cross_correlation_lags": 2,
+    "cumulative_distinct_users": 1,
+    "cumulative_gains_deciles": 1,
+    "decision_stump_returnflag": 1,
+    "dft_periodogram_weekly": 1,
+    "durbin_watson_trend_residuals": 1,
+    "effect_size_report": 1,
+    "event_pair_sequence_support": 1,
+    "exponential_smoothing_forecast": 3,
+    "f1_threshold_search": 1,
+    "geo_cell_density": 1,
+    "gini_coefficient_revenue": 1,
+    "hdr_histogram_quantiles": 1,
+    "heaps_law_fit": 1,
+    "hill_tail_index": 1,
+    "hurst_rs_exponent": 6,
+    "isotonic_calibration": 2,
+    "jonckheere_terpstra_trend": 1,
+    "kaplan_meier_retention": 1,
+    "ks_two_sample_test": 1,
+    "ma_crossover_signals": 1,
+    "nelson_aalen_hazard": 1,
+    "neyman_allocation_sources": 1,
+    "peak_concurrent_sessions": 1,
+    "poisson_bootstrap_ci": 1,
+    "restricted_mean_survival": 1,
+    "return_rate_by_brand": 1,
+    "revenue_autocorrelation": 2,
+    "revenue_concentration_8020": 1,
+    "rfm_segmentation": 1,
+    "ridge_lambda_path": 1,
+    "roc_auc_mann_whitney": 1,
+    "runs_test_randomness": 2,
+    "seasonal_decompose_daily": 2,
+    "session_path_trigrams": 1,
+    "share_of_parent_rollup": 1,
+    "tail_dependence_daily": 1,
+    "theil_sen_trend": 1,
+    "vocab_coverage": 1,
+    "wasserstein_1d_distance": 1,
+    "watermark_late_audit": 1,
+    "weekly_growth_rate": 1,
+    "window_lag_delta": 1,
+    "window_range_frame": 1,
+    "youden_j_cutpoint": 1,
+}
+
+
 def test_registry_all_scalable(spark, sf_dir):
     """Every registry query's physical plan passes the scale-killer gate
     (plans.py::assert_scalable): no cartesian products anywhere, and nested
     -loop joins / row-Python eval / single-partition exchanges over raw rows
     only where explicitly sanctioned above. A future query landing with an
     unkeyed join, a row-at-a-time Python UDF, or an unpartitioned
-    window/sort over a fact table fails here at plan time."""
+    window/sort over a fact table fails here at plan time. Additionally,
+    single-partition windows over KEYED aggregate grids are budgeted by
+    _GRID_WINDOW_PIN — a new one must state its key-domain bound there or
+    shard the walk instead."""
     from map_reduce_engine_spark.plans import assert_scalable
 
     failures = []
+    grid_excess = {}
     for name, q in REGISTRY.items():
         try:
-            assert_scalable(
+            r = assert_scalable(
                 q.fn(spark, sf_dir),
                 allow_nested_loop=name in _SANCTIONED_NESTED_LOOP,
                 allow_row_python=name in _SANCTIONED_ROW_PYTHON,
                 allow_single_partition_raw=name in _SANCTIONED_SINGLE_PARTITION,
             )
+            if r.single_partition_grid > _GRID_WINDOW_PIN.get(name, 0):
+                grid_excess[name] = r.single_partition_grid
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures.append(f"{name}: {str(e)[:100]}")
     assert not failures, "\n".join(failures)
+    assert not grid_excess, (
+        "unpinned single-partition grid windows (state the key-domain bound "
+        f"in _GRID_WINDOW_PIN or shard via operators/rankselect.py): {grid_excess}"
+    )
 
 
 def test_triangle_count_degree_oriented(spark, sf_dir):
