@@ -1438,3 +1438,351 @@ def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uniq2",
         F.expr("(1000000 * uniq2) div total2").cast("bigint").alias("distinct2_ppm"),
     )
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str):
+    """(pairs, toks) for the reference↔candidate generation-eval family:
+    each document is scored as a CANDIDATE against the previous document
+    of the same source (lag over (source, doc_id)) as its REFERENCE — a
+    deterministic pairing with non-trivial n-gram overlap on the fixture's
+    bounded vocabulary. pairs = (source, cid, rid); toks = (doc_id, ts)."""
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = docs.select("doc_id", "source", text_ops.tokens_col("text").alias("ts"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        toks.select(
+            "source",
+            F.col("doc_id").alias("cid"),
+            F.lag("doc_id").over(w).alias("rid"),
+        )
+        .where(F.col("rid").isNotNull())
+    )
+    return pairs, toks
+
+
+def _pair_clip_totals(pairs: DataFrame, gr: DataFrame) -> DataFrame:
+    """Per-source micro totals of the clipped n-gram overlap: anchor =
+    every source with >= 1 pair; m = Σ min(cand_count, ref_count), c/r =
+    Σ candidate / reference gram counts over the pairs. All equi-joins on
+    (doc, gram) — per-pair work ∝ the two documents' gram multisets, never
+    all-pairs; linear at 100 TB."""
+    candb = pairs.join(gr, pairs.cid == gr.doc_id).select(
+        "source", "cid", "g", F.col("c").alias("cc")
+    )
+    refb = pairs.join(gr, pairs.rid == gr.doc_id).select(
+        F.col("cid").alias("rcid"), F.col("g").alias("rg"), F.col("c").alias("rc")
+    )
+    m = (
+        candb.join(refb, (candb.cid == refb.rcid) & (candb.g == refb.rg))
+        .groupBy("source")
+        .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias("m"))
+    )
+    c = candb.groupBy("source").agg(F.sum("cc").cast("bigint").alias("c_tot"))
+    r = (
+        pairs.join(gr, pairs.rid == gr.doc_id)
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("r_tot"))
+    )
+    anchor = pairs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    return (
+        anchor.join(c, "source", "left")
+        .join(r, "source", "left")
+        .join(m, "source", "left")
+        .select(
+            "source",
+            "n_pairs",
+            F.coalesce("m", F.lit(0)).cast("bigint").alias("m"),
+            F.coalesce("c_tot", F.lit(0)).cast("bigint").alias("c_tot"),
+            F.coalesce("r_tot", F.lit(0)).cast("bigint").alias("r_tot"),
+        )
+    )
+
+
+def _bigram_counts(toks: DataFrame) -> DataFrame:
+    return (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.col("ts")[i], F.col("ts")[i + 1]
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+# shared oracle CTE prefix: tokenized docs, lag pairs, per-doc gram counts
+_EVAL_PAIR_SQL = r"""
+    d AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+               AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT source, cid, rid FROM (
+        SELECT source, doc_id AS cid,
+               lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS rid
+        FROM d
+      ) WHERE rid IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM d WHERE len(ts) >= 2
+    ),
+    gr2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, g)
+"""
+
+_CLIP_SQL = """
+    candb{n} AS (
+      SELECT p.source, p.cid, g.g, g.c AS cc
+      FROM pairs p JOIN gr{n} g ON p.cid = g.doc_id
+    ),
+    refb{n} AS (
+      SELECT p.cid AS rcid, g.g AS rg, g.c AS rc
+      FROM pairs p JOIN gr{n} g ON p.rid = g.doc_id
+    ),
+    m{n} AS (
+      SELECT source, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+      FROM candb{n} JOIN refb{n} ON cid = rcid AND g = rg
+      GROUP BY source
+    ),
+    c{n} AS (SELECT source, CAST(sum(cc) AS BIGINT) AS c_tot
+             FROM candb{n} GROUP BY source),
+    r{n} AS (
+      SELECT p.source, CAST(sum(g.c) AS BIGINT) AS r_tot
+      FROM pairs p JOIN gr{n} g ON p.rid = g.doc_id GROUP BY p.source
+    )
+"""
+
+_ANCHOR_SQL = """
+    anchor AS (SELECT source, count(*)::BIGINT AS n_pairs
+               FROM pairs GROUP BY source)
+"""
+
+
+@register(
+    "rouge2_corpus_eval",
+    oracle=f"""
+    WITH {_EVAL_PAIR_SQL},
+    {_CLIP_SQL.format(n=2)},
+    {_ANCHOR_SQL}
+    SELECT a.source, a.n_pairs,
+           coalesce(m2.m, 0)::BIGINT AS matched,
+           coalesce(c2.c_tot, 0)::BIGINT AS cand_bigrams,
+           coalesce(r2.r_tot, 0)::BIGINT AS ref_bigrams,
+           CASE WHEN coalesce(c2.c_tot, 0) > 0
+                THEN CAST((1000000 * coalesce(m2.m, 0)) // c2.c_tot AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN coalesce(r2.r_tot, 0) > 0
+                THEN CAST((1000000 * coalesce(m2.m, 0)) // r2.r_tot AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN coalesce(c2.c_tot, 0) + coalesce(r2.r_tot, 0) > 0
+                THEN CAST((2000000 * coalesce(m2.m, 0))
+                          // (c2.c_tot + r2.r_tot) AS BIGINT)
+           END AS f1_ppm
+    FROM anchor a
+    LEFT JOIN c2 ON c2.source = a.source
+    LEFT JOIN r2 ON r2.source = a.source
+    LEFT JOIN m2 ON m2.source = a.source
+    """,
+    doc="micro-averaged corpus ROUGE-2 per source (Lin 2004, 'ROUGE: A "
+    "Package for Automatic Evaluation of Summaries'): each document scores "
+    "as candidate against the previous same-source document as reference "
+    "(deterministic lag pairing); matched = clipped bigram-multiset "
+    "intersection per pair; precision/recall/F1 from the per-source "
+    "INTEGER totals in exact ppm (F1 = 2M/(C+R) — one integer division, "
+    "no float summation anywhere). The generation-eval staple for "
+    "summarization corpora, here doubling as a near-boilerplate detector "
+    "on ingest feeds (consecutive docs sharing most bigrams). Per-pair "
+    "work is two (doc, gram) equi-joins — never all-pairs; three hash "
+    "aggregates to the |sources| grid. Linear at 100 TB.",
+)
+def rouge2_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, toks = _eval_pairs(spark, sf_dir)
+    tot = _pair_clip_totals(pairs, _bigram_counts(toks))
+    return tot.select(
+        "source",
+        "n_pairs",
+        F.col("m").alias("matched"),
+        F.col("c_tot").alias("cand_bigrams"),
+        F.col("r_tot").alias("ref_bigrams"),
+        F.expr(
+            "CASE WHEN c_tot > 0 THEN CAST((1000000 * m) div c_tot AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN r_tot > 0 THEN CAST((1000000 * m) div r_tot AS BIGINT) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN c_tot + r_tot > 0 "
+            "THEN CAST((2000000 * m) div (c_tot + r_tot) AS BIGINT) END"
+        ).alias("f1_ppm"),
+    )
+
+
+@register(
+    "bleu2_corpus_eval",
+    oracle=f"""
+    WITH {_EVAL_PAIR_SQL},
+    ug AS (SELECT doc_id, unnest(ts) AS g FROM d),
+    gr1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM ug GROUP BY doc_id, g),
+    {_CLIP_SQL.format(n=1)},
+    {_CLIP_SQL.format(n=2)},
+    {_ANCHOR_SQL}
+    SELECT a.source, a.n_pairs,
+           coalesce(m1.m, 0)::BIGINT AS m1,
+           coalesce(c1.c_tot, 0)::BIGINT AS cand_len,
+           coalesce(r1.r_tot, 0)::BIGINT AS ref_len,
+           coalesce(m2.m, 0)::BIGINT AS m2,
+           coalesce(c2.c_tot, 0)::BIGINT AS c2,
+           round(CASE WHEN coalesce(m1.m, 0) = 0 OR coalesce(m2.m, 0) = 0
+                      THEN CAST(0 AS DOUBLE)
+                      ELSE (CASE WHEN c1.c_tot >= r1.r_tot THEN CAST(1 AS DOUBLE)
+                                 ELSE exp(CAST(1 AS DOUBLE)
+                                          - CAST(r1.r_tot AS DOUBLE) / c1.c_tot)
+                            END)
+                           * sqrt((CAST(m1.m AS DOUBLE) / c1.c_tot)
+                                  * (CAST(m2.m AS DOUBLE) / c2.c_tot))
+                 END, 6) AS bleu2
+    FROM anchor a
+    LEFT JOIN c1 ON c1.source = a.source
+    LEFT JOIN r1 ON r1.source = a.source
+    LEFT JOIN m1 ON m1.source = a.source
+    LEFT JOIN c2 ON c2.source = a.source
+    LEFT JOIN m2 ON m2.source = a.source
+    """,
+    doc="corpus BLEU-2 per source (Papineni et al. 2002): modified "
+    "(clipped) unigram and bigram precisions from per-source INTEGER "
+    "numerators/denominators over the lag-paired candidate↔reference "
+    "docs, brevity penalty exp(1 - r/c) when the candidate side is "
+    "shorter, score = BP * sqrt(p1 * p2). All counting is exact BIGINT; "
+    "the only float math is the final fixed-order expression (two "
+    "divisions, one sqrt — IEEE-correctly-rounded — and at most one exp, "
+    "written identically on both engines per the shared-formula rule), "
+    "rounded to 6 dp. Same two-equi-join clip shape as rouge2 at both "
+    "gram orders; linear at 100 TB.",
+)
+def bleu2_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, toks = _eval_pairs(spark, sf_dir)
+    gr1 = (
+        toks.select("doc_id", F.explode("ts").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    t1 = _pair_clip_totals(pairs, gr1).select(
+        "source",
+        "n_pairs",
+        F.col("m").alias("m1"),
+        F.col("c_tot").alias("cand_len"),
+        F.col("r_tot").alias("ref_len"),
+    )
+    t2 = _pair_clip_totals(pairs, _bigram_counts(toks)).select(
+        "source", F.col("m").alias("m2"), F.col("c_tot").alias("c2")
+    )
+    return t1.join(t2, "source").select(
+        "source",
+        "n_pairs",
+        "m1",
+        "cand_len",
+        "ref_len",
+        "m2",
+        "c2",
+        F.round(
+            F.expr(
+                "CASE WHEN m1 = 0 OR m2 = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE (CASE WHEN cand_len >= ref_len THEN CAST(1 AS DOUBLE) "
+                "           ELSE exp(CAST(1 AS DOUBLE) "
+                "                    - CAST(ref_len AS DOUBLE) / cand_len) END) "
+                "     * sqrt((CAST(m1 AS DOUBLE) / cand_len) "
+                "            * (CAST(m2 AS DOUBLE) / c2)) END"
+            ),
+            6,
+        ).alias("bleu2"),
+    )
+
+
+@register(
+    "chrf3_corpus_eval",
+    oracle=f"""
+    WITH {_EVAL_PAIR_SQL},
+    ch AS (
+      SELECT doc_id, regexp_replace(trim(text), '\\s+', '', 'g') AS s
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+                    i -> substr(s, i, 3))) AS g
+      FROM ch WHERE length(s) >= 3
+    ),
+    gr3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM cg GROUP BY doc_id, g),
+    {_CLIP_SQL.format(n=3)},
+    {_ANCHOR_SQL}
+    SELECT a.source, a.n_pairs,
+           coalesce(m3.m, 0)::BIGINT AS matched,
+           coalesce(c3.c_tot, 0)::BIGINT AS cand_grams,
+           coalesce(r3.r_tot, 0)::BIGINT AS ref_grams,
+           CASE WHEN 4 * coalesce(r3.r_tot, 0) + coalesce(c3.c_tot, 0) > 0
+                THEN CAST((5000000 * coalesce(m3.m, 0))
+                          // (4 * r3.r_tot + c3.c_tot) AS BIGINT)
+           END AS chrf3_f2_ppm
+    FROM anchor a
+    LEFT JOIN c3 ON c3.source = a.source
+    LEFT JOIN r3 ON r3.source = a.source
+    LEFT JOIN m3 ON m3.source = a.source
+    """,
+    doc="character-3-gram F2 per source (Popović 2015, 'chrF: character "
+    "n-gram F-score for automatic MT evaluation', single-order n=3 "
+    "variant): whitespace-stripped character 3-grams, clipped multiset "
+    "intersection over the lag pairs, and the recall-weighted F2 from "
+    "integer micro totals — F2 = (1+β²)PR/(β²P+R) with β=2 reduces to "
+    "5M/(4R+C), ONE integer division in exact ppm, no float anywhere. "
+    "The tokenization-free companion to rouge2/bleu2 (robust to "
+    "morphology and tokenizer drift). Character explode is ~|chars| rows "
+    "per doc — the same linear shape as the shingle dedup family.",
+)
+def chrf3_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, _ = _eval_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    ch = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim("text"), r"\s+", "").alias("s"),
+    )
+    gr3 = (
+        ch.where(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = _pair_clip_totals(pairs, gr3)
+    return tot.select(
+        "source",
+        "n_pairs",
+        F.col("m").alias("matched"),
+        F.col("c_tot").alias("cand_grams"),
+        F.col("r_tot").alias("ref_grams"),
+        F.expr(
+            "CASE WHEN 4 * r_tot + c_tot > 0 "
+            "THEN CAST((5000000 * m) div (4 * r_tot + c_tot) AS BIGINT) END"
+        ).alias("chrf3_f2_ppm"),
+    )
+
+
