@@ -255,6 +255,19 @@ HEADLINE = [
         "RANGE frame over the distinct-balance value grid, equi-joined back "
         "to rows — value-determined frames make this bit-identical",
     ),
+    # round-6: the sharded value grid itself + the generation-eval trio
+    (
+        "trimmed_mean_orders",
+        "sharded value-grid rank-select: the grid's cumulative count runs "
+        "as per-shard prefixes over 256 value-range shards (scalar-subquery "
+        "bounds), only the shard-total grid crosses one task",
+    ),
+    (
+        "rouge2_corpus_eval",
+        "clipped n-gram overlap: lag pairing (keyed window), two (doc, "
+        "gram) equi-joins, hash aggregates to the |sources| grid — "
+        "never all-pairs",
+    ),
 ]
 
 
