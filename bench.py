@@ -258,21 +258,25 @@ def main() -> None:
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
     # one-line contract read metric/value/queries/sf as before.
+    # newest PARSEABLE round wins: a shell redirect into a BENCH_r*.json
+    # name pre-creates an empty file that must not shadow the real record
     prev_files = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
-    if prev_files:
+    for prev_file in reversed(prev_files):
         try:
-            prev_doc = json.loads(prev_files[-1].read_text())
+            prev_doc = json.loads(prev_file.read_text())
+            if "queries" not in prev_doc.get("parsed", prev_doc):
+                continue
             out.update(
                 regression_fields(
                     timings,
                     out["host_calibration_mc_sec"],
                     prev_doc,
-                    prev_files[-1].name,
+                    prev_file.name,
                 )
             )
             if out.get("regressed_over_1_5x"):
                 print(
-                    f"# REGRESSION >1.5x vs {prev_files[-1].name}: "
+                    f"# REGRESSION >1.5x vs {prev_file.name}: "
                     f"{out['regressed_over_1_5x']}",
                     file=sys.stderr,
                 )
@@ -282,8 +286,9 @@ def main() -> None:
                     f"{out['regressed_over_1_5x_calibrated']}",
                     file=sys.stderr,
                 )
+            break
         except (json.JSONDecodeError, KeyError, TypeError):
-            pass
+            continue
     print(json.dumps(out))
     spark.stop()
 
