@@ -1475,3 +1475,162 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (p, q) -> abs(p - q)))) AS BIGINT)"
         ).alias("max_dim_shift_micro"),
     )
+
+
+@register(
+    "rocchio_feedback_rerank",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, vi AS qvi
+          FROM e WHERE vec_id < 3),
+    s1 AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+             e.vi AS nvi,
+             round(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, nid) AS rk
+        FROM s1
+      ) WHERE rk <= 10
+    ),
+    counts AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM top GROUP BY query_id
+    ),
+    dims AS (
+      SELECT query_id, i,
+             CAST(sum(CASE WHEN nlabel = qlabel THEN nvi[i] ELSE 0 END) AS BIGINT) AS sp,
+             CAST(sum(CASE WHEN nlabel <> qlabel THEN nvi[i] ELSE 0 END) AS BIGINT) AS sn
+      FROM top CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY query_id, i
+    ),
+    vecs AS (SELECT query_id, list(sp ORDER BY i) AS spv,
+                    list(sn ORDER BY i) AS snv
+             FROM dims GROUP BY query_id),
+    qp AS (
+      SELECT q.query_id, c.np, c.nn,
+             list_transform(range(1, 65), i ->
+               20 * greatest(c.np, 1) * greatest(c.nn, 1) * q.qvi[i]
+               + 15 * greatest(c.nn, 1) * v.spv[i]
+               - 3 * greatest(c.np, 1) * v.snv[i]) AS qpv
+      FROM q JOIN counts c USING (query_id) JOIN vecs v USING (query_id)
+    ),
+    s2 AS (
+      SELECT qp.query_id, qp.np AS n_pos, qp.nn AS n_neg,
+             e.vec_id AS neighbor_id,
+             round(list_dot_product(qp.qpv::DOUBLE[], e.v)
+                   / (sqrt(list_dot_product(qp.qpv::DOUBLE[], qp.qpv::DOUBLE[]))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM qp JOIN e ON e.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank, n_pos, n_neg
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM s2)
+    WHERE rank <= 10
+    """,
+    doc="Rocchio relevance-feedback re-ranking (Rocchio 1971, the classic "
+    "IR feedback loop): 3 probe vectors retrieve exact cosine top-10; "
+    "neighbors sharing the probe's label are positive feedback, the rest "
+    "negative; the modified query alpha*q + beta*mean(pos) - gamma*mean(neg) "
+    "(alpha=1, beta=0.75, gamma=0.15) re-ranks the corpus. Exactness trick: "
+    "embeddings freeze to integer micro-units and the modified query is "
+    "scaled through by 20*|P|*|N| — q'' = 20*P*N*q + 15*N*sum(pos) - "
+    "3*P*sum(neg), pure BIGINT arithmetic (cosine is scale-invariant, so "
+    "the re-ranking is IDENTICAL to the float formula); empty feedback "
+    "sets degrade via greatest(|S|, 1) with a zero sum. Both cosine "
+    "passes rank on the 6-dp-rounded score (engine-stable); dot products "
+    "accumulate left-to-right identically in both engines. Scale: the "
+    "probe side stays broadcast-tiny through both passes (same shape as "
+    "knn_cosine_topk); per-dim feedback sums aggregate <= k*dim rows per "
+    "probe; at production scale the second pass composes with the ANN "
+    "index instead of brute force (documented pivot, same semantics).",
+)
+def rocchio_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("vi"),
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    top = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    qmeta = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vi").alias("qvi"),
+    )
+    nmeta = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("vi").alias("nvi"),
+    )
+    fb = top.join(nmeta, "neighbor_id").join(qmeta, "query_id")
+    counts = fb.groupBy("query_id").agg(
+        F.sum((F.col("nlabel") == F.col("qlabel")).cast("int"))
+        .cast("bigint")
+        .alias("np"),
+        F.sum((F.col("nlabel") != F.col("qlabel")).cast("int"))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    dims = fb.select(
+        "query_id", "qlabel", "nlabel", F.posexplode("nvi").alias("pos", "val")
+    )
+    sums = dims.groupBy("query_id", "pos").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), F.col("val")).otherwise(0))
+        .cast("bigint")
+        .alias("sp"),
+        F.sum(F.when(F.col("nlabel") != F.col("qlabel"), F.col("val")).otherwise(0))
+        .cast("bigint")
+        .alias("sn"),
+    )
+    vecs = sums.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, sp))), s -> s.sp)"
+        ).alias("spv"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, sn))), s -> s.sn)"
+        ).alias("snv"),
+    )
+    qp = (
+        qmeta.join(counts, "query_id")
+        .join(vecs, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "20 * greatest(np, 1) * greatest(nn, 1) * element_at(qvi, i) "
+                "+ 15 * greatest(nn, 1) * element_at(spv, i) "
+                "- 3 * greatest(np, 1) * element_at(snv, i))"
+            ).alias("embedding"),
+            "np",
+            "nn",
+        )
+    )
+    rer = sim.cosine_topk(emb, qp, id_col="vec_id", vec_col="embedding", k=10)
+    return rer.join(
+        qp.select(F.col("vec_id").alias("query_id"), "np", "nn"), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+    )

@@ -299,3 +299,27 @@ def test_windowed_value_sketch_empty_batch(spark, tmp_path):
         output_mode="complete",
     )
     assert spark.table("mre_test_qsketch_empty").count() == 0
+
+
+def test_pair_clip_totals_empty_and_disjoint(spark):
+    """The generation-eval clip helper (rouge2/bleu2/chrf3): no pairs ->
+    empty frame with the right schema; a pair whose documents share no
+    grams keeps its totals with a zero match (coalesced, not dropped)."""
+    from map_reduce_engine_spark.queries.text import _pair_clip_totals
+
+    empty_pairs = spark.createDataFrame(
+        [], "source string, cid bigint, rid bigint"
+    )
+    empty_gr = spark.createDataFrame([], "doc_id bigint, g string, c bigint")
+    out = _pair_clip_totals(empty_pairs, empty_gr)
+    assert out.columns == ["source", "n_pairs", "m", "c_tot", "r_tot"]
+    assert out.count() == 0
+
+    pairs = spark.createDataFrame(
+        [("s", 2, 1)], "source string, cid bigint, rid bigint"
+    )
+    gr = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c d", 3)], "doc_id bigint, g string, c bigint"
+    )
+    row = _pair_clip_totals(pairs, gr).collect()[0]
+    assert (row.n_pairs, row.m, row.c_tot, row.r_tot) == (1, 0, 3, 2)

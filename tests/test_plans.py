@@ -641,6 +641,8 @@ def test_kmv_tree_has_no_rank_window(spark, sf_dir):
 _SANCTIONED_NESTED_LOOP = {
     # tiny probe set × corpus — the sanctioned exact-kNN ground-truth shape
     "knn_cosine_topk": "probe set is a bounded query sample",
+    "rocchio_feedback_rerank": "3-row probe set broadcast through both "
+    "cosine passes (initial retrieval + feedback re-rank)",
     "knn_cosine_int8": "probe set is a bounded query sample",
     "embedding_near_dup": "bounded probe set",
     "binary_hamming_topk": "one-word-per-vector scan against the broadcast query codes",
