@@ -1634,3 +1634,194 @@ def rocchio_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
     )
+
+
+# Frozen DCG position weights: w_i = round(1e9 / log2(i + 1)) for ranks
+# 1..10, plus their prefix sums (IDCG lookup). Emitting the weights as
+# INTEGER literals on both engines turns DCG into a pure BIGINT sum — no
+# transcendental call and no float summation order anywhere in the metric.
+import math as _math
+
+_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, 11)]
+_DCG_P = [sum(_DCG_W[: j + 1]) for j in range(10)]
+_W_SQL = ", ".join(str(w) for w in _DCG_W)
+_P_SQL = ", ".join(str(p) for p in _DCG_P)
+
+# shared oracle prefix: exact cosine top-10 for 5 probes with binary
+# label relevance (neighbor label == probe label), the same retrieval as
+# knn_cosine_topk
+_RANKED_REL_SQL = """
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 5),
+    s1 AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+             round(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT query_id, qlabel, nlabel,
+             CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel, rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, nid) AS rk
+            FROM s1)
+      WHERE rk <= 10
+    )
+"""
+
+
+@register(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+    WITH {_RANKED_REL_SQL},
+    dcg AS (
+      SELECT query_id, any_value(qlabel) AS qlabel,
+             CAST(sum(rel * ([{_W_SQL}])[rk]) AS BIGINT) AS dcg_nano,
+             CAST(sum(rel) AS BIGINT) AS n_rel_topk
+      FROM top GROUP BY query_id
+    ),
+    corpus_rel AS (
+      SELECT q.query_id,
+             CAST(count(*) AS BIGINT) AS n_rel_corpus
+      FROM (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+            WHERE vec_id < 5) q
+      JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT d.query_id, d.n_rel_topk,
+           coalesce(c.n_rel_corpus, 0)::BIGINT AS n_rel_corpus,
+           d.dcg_nano,
+           CASE WHEN coalesce(c.n_rel_corpus, 0) > 0
+                THEN ([{_P_SQL}])[least(c.n_rel_corpus, 10)]
+                ELSE 0 END::BIGINT AS idcg_nano,
+           CASE WHEN coalesce(c.n_rel_corpus, 0) > 0
+                THEN CAST((1000000 * d.dcg_nano)
+                          // ([{_P_SQL}])[least(c.n_rel_corpus, 10)] AS BIGINT)
+           END AS ndcg_ppm
+    FROM dcg d LEFT JOIN corpus_rel c USING (query_id)
+    """,
+    doc="nDCG@10 per probe query (Järvelin & Kekäläinen 2002): exact "
+    "cosine top-10 retrieval with binary label relevance; DCG uses "
+    "nano-frozen 1/log2(i+1) position weights emitted as INTEGER literals "
+    "on both engines, so the whole metric is exact BIGINT arithmetic — "
+    "no transcendental and no float sum. IDCG is the textbook ideal: the "
+    "weight prefix sum at min(|corpus relevant|, 10), looked up from a "
+    "literal prefix-sum array. ndcg_ppm = (1e6 * DCG) div IDCG, one "
+    "integer division. The standard graded-ranking quality score beside "
+    "average_precision_eval / cumulative_gains_deciles. Scale: retrieval "
+    "is the broadcast-probe kNN shape; relevance totals are one "
+    "label-keyed aggregate.",
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    top = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    qmeta = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nmeta = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    w_arr = ", ".join(str(w) for w in _DCG_W)
+    p_arr = ", ".join(str(p) for p in _DCG_P)
+    rel = (
+        top.join(nmeta, "neighbor_id")
+        .join(qmeta, "query_id")
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("nlabel") == F.col("qlabel")).cast("int").alias("rel"),
+            F.col("rank").alias("rk"),
+        )
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.expr(f"CAST(sum(rel * element_at(array({w_arr}), CAST(rk AS INT))) AS BIGINT)").alias(
+            "dcg_nano"
+        ),
+        F.sum("rel").cast("bigint").alias("n_rel_topk"),
+    )
+    corpus_rel = (
+        qmeta.join(
+            emb.select("vec_id", F.col("label").alias("nlabel")),
+            (F.col("nlabel") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_rel_corpus"))
+    )
+    return (
+        dcg.join(corpus_rel, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel_topk",
+            F.coalesce("n_rel_corpus", F.lit(0)).cast("bigint").alias("n_rel_corpus"),
+            "dcg_nano",
+            F.expr(
+                f"CASE WHEN coalesce(n_rel_corpus, 0) > 0 THEN "
+                f"element_at(array({p_arr}), CAST(least(n_rel_corpus, 10) AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+            .cast("bigint")
+            .alias("idcg_nano"),
+            F.expr(
+                f"CASE WHEN coalesce(n_rel_corpus, 0) > 0 THEN "
+                f"CAST((1000000 * dcg_nano) div "
+                f"element_at(array({p_arr}), CAST(least(n_rel_corpus, 10) AS INT)) AS BIGINT) END"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+@register(
+    "mrr_retrieval_eval",
+    oracle=f"""
+    WITH {_RANKED_REL_SQL},
+    first_rel AS (
+      SELECT query_id, min(CASE WHEN rel = 1 THEN rk END) AS first_rank
+      FROM top GROUP BY query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_relevant,
+           CAST(sum(coalesce(1000000 // first_rank, 0)) // count(*)
+                AS BIGINT) AS mrr_ppm
+    FROM first_rel
+    """,
+    doc="MRR@10 over the 5 probe queries: reciprocal rank of the first "
+    "label-relevant neighbor in the exact cosine top-10, zero when none "
+    "is relevant, averaged in exact integer ppm (1e6 div rank per query, "
+    "sum div n — deterministic integer semantics documented in lieu of "
+    "float reciprocals). The first-hit ranking metric beside nDCG's "
+    "graded view. Same broadcast-probe retrieval shape.",
+)
+def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    top = sim.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    qmeta = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nmeta = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    first_rel = (
+        top.join(nmeta, "neighbor_id")
+        .join(qmeta, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("nlabel") == F.col("qlabel"), F.col("rank"))
+            ).alias("first_rank")
+        )
+    )
+    return first_rel.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.col("first_rank").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_with_relevant"),
+        F.expr(
+            "CAST(sum(coalesce(1000000 div first_rank, 0)) div count(*) AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )

@@ -643,6 +643,8 @@ _SANCTIONED_NESTED_LOOP = {
     "knn_cosine_topk": "probe set is a bounded query sample",
     "rocchio_feedback_rerank": "3-row probe set broadcast through both "
     "cosine passes (initial retrieval + feedback re-rank)",
+    "ndcg_retrieval_eval": "5-row probe set broadcast (kNN retrieval shape)",
+    "mrr_retrieval_eval": "5-row probe set broadcast (kNN retrieval shape)",
     "knn_cosine_int8": "probe set is a bounded query sample",
     "embedding_near_dup": "bounded probe set",
     "binary_hamming_topk": "one-word-per-vector scan against the broadcast query codes",
