@@ -433,3 +433,86 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=10,
     )
+
+
+@register(
+    "query_likelihood_dirichlet",
+    oracle=f"""
+    WITH tok AS ({_DUCK_TOK_STREAM}),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS dl,
+             CAST(sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+             CAST(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             CAST(sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      FROM tok GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS cf0,
+             CAST(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS cf1,
+             CAST(sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS cf2,
+             CAST(sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS cf3
+      FROM tok
+    ),
+    scored AS (
+      SELECT d.doc_id, d.dl,
+             round(
+               ln((d.tf0 + CAST(100 AS DOUBLE) * c.cf0 / c.tot) / (d.dl + CAST(100 AS DOUBLE)))
+             + ln((d.tf1 + CAST(100 AS DOUBLE) * c.cf1 / c.tot) / (d.dl + CAST(100 AS DOUBLE)))
+             + ln((d.tf2 + CAST(100 AS DOUBLE) * c.cf2 / c.tot) / (d.dl + CAST(100 AS DOUBLE)))
+             + ln((d.tf3 + CAST(100 AS DOUBLE) * c.cf3 / c.tot) / (d.dl + CAST(100 AS DOUBLE))), 6)
+               AS loglik,
+             CAST(((d.tf0 > 0)::INT + (d.tf1 > 0)::INT + (d.tf2 > 0)::INT
+                   + (d.tf3 > 0)::INT) AS BIGINT) AS n_terms_present
+      FROM per_doc d CROSS JOIN corpus c
+    )
+    SELECT doc_id, dl, loglik, n_terms_present
+    FROM scored ORDER BY loglik DESC, doc_id LIMIT 20
+    """,
+    doc="query-likelihood retrieval with Dirichlet smoothing (Ponte & "
+    "Croft 1998; Zhai & Lafferty 2001), mu=100, over the same fixed "
+    "4-term query as bm25_doc_scores — the language-modeling retrieval "
+    "twin beside BM25's probabilistic one. score(d) = sum_i ln((tf_i + "
+    "mu*cf_i/|C|) / (|d| + mu)); smoothing scores EVERY document (absent "
+    "terms contribute the corpus prior), so per-doc term frequencies come "
+    "from ONE conditional hash aggregate over the token stream (no "
+    "per-term join), corpus stats are a 1-row broadcast, and the four "
+    "ln terms sum in a FIXED-ORDER expression — unlike an aggregate "
+    "float sum, bit-stable on both engines. Top-20 is "
+    "TakeOrderedAndProject; one corpus pass total. Linear at 100 TB.",
+)
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens_col("text")).alias("token")
+    )
+    terms = _BM25_TERMS
+    tf_aggs = [
+        F.sum((F.col("token") == w).cast("int")).cast("bigint").alias(f"tf{i}")
+        for i, w in enumerate(terms)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl"), *tf_aggs
+    )
+    cf_aggs = [
+        F.sum((F.col("token") == w).cast("int")).cast("bigint").alias(f"cf{i}")
+        for i, w in enumerate(terms)
+    ]
+    corpus = tok.agg(F.count("*").cast("bigint").alias("tot"), *cf_aggs)
+    mu = "CAST(100 AS DOUBLE)"
+    score = " + ".join(
+        f"ln((tf{i} + {mu} * cf{i} / tot) / (dl + {mu}))" for i in range(4)
+    )
+    present = " + ".join(f"CAST(tf{i} > 0 AS INT)" for i in range(4))
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "dl",
+            F.round(F.expr(score), 6).alias("loglik"),
+            F.expr(f"CAST({present} AS BIGINT)").alias("n_terms_present"),
+        )
+        .orderBy(F.desc("loglik"), "doc_id")
+        .limit(20)
+    )

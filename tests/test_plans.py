@@ -645,6 +645,8 @@ _SANCTIONED_NESTED_LOOP = {
     "cosine passes (initial retrieval + feedback re-rank)",
     "ndcg_retrieval_eval": "5-row probe set broadcast (kNN retrieval shape)",
     "mrr_retrieval_eval": "5-row probe set broadcast (kNN retrieval shape)",
+    "query_likelihood_dirichlet": "1-row corpus-stats broadcast (Dirichlet "
+    "prior terms)",
     "knn_cosine_int8": "probe set is a bounded query sample",
     "embedding_near_dup": "bounded probe set",
     "binary_hamming_topk": "one-word-per-vector scan against the broadcast query codes",
