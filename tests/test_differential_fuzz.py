@@ -392,7 +392,11 @@ RANGE_AGGS = ["SUM", "MIN", "MAX", "COUNT"]
 
 @st.composite
 def edge_queries(draw):
-    kind = draw(st.sampled_from(["outer", "full_grid", "range_window", "strings", "division"]))
+    kind = draw(
+        st.sampled_from(
+            ["outer", "full_grid", "range_window", "strings", "division", "rollup"]
+        )
+    )
     m = draw(st.integers(min_value=2, max_value=13))
     if kind == "outer":
         # LEFT JOIN with a selective predicate in the ON clause: the NULL
@@ -447,6 +451,31 @@ def edge_queries(draw):
             nc=draw(st.integers(50, 550)), m=m
         )
         return f"SELECT doc_id, {cols} FROM documents WHERE {pred}"
+    if kind == "rollup":
+        # ROLLUP/CUBE super-aggregate grids: the NULL placeholder rows and
+        # GROUPING() markers must align across engines (group keys are
+        # non-null, so placeholder NULLs are unambiguous)
+        src = draw(st.sampled_from([0, 1, 3, 4]))
+        table = SOURCES[src][0]
+        keys = draw(
+            st.lists(st.sampled_from(KEYS[src]), min_size=2, max_size=2, unique=True)
+        )
+        op = draw(st.sampled_from(["ROLLUP", "CUBE"]))
+        agg = draw(st.sampled_from(AGGS[src]))
+        consts_r = {
+            "q": draw(st.integers(1, 50)),
+            "nc": draw(st.integers(50, 550)),
+            "v": draw(st.integers(1, 300)),
+            "p": draw(st.integers(1000, 300000)),
+            "m": draw(st.integers(2, 9)),
+        }
+        pred = draw(st.sampled_from(PREDS[src])).format(**consts_r)
+        return (
+            f"SELECT {keys[0]} AS k0, {keys[1]} AS k1, "
+            f"CAST(GROUPING({keys[0]}) AS BIGINT) AS g0, "
+            f"CAST(GROUPING({keys[1]}) AS BIGINT) AS g1, {agg} "
+            f"FROM {table} WHERE {pred} GROUP BY {op}({keys[0]}, {keys[1]})"
+        )
     # division: floor-of-double quotients, modulo on HUGEINT-prone sums,
     # basis-point ratios through CAST(n AS DOUBLE) — never a bare decimal
     d = draw(st.integers(min_value=2, max_value=97))
@@ -462,7 +491,7 @@ def edge_queries(draw):
 
 
 @settings(
-    max_examples=160,
+    max_examples=200,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -470,7 +499,8 @@ def edge_queries(draw):
 @given(sql=edge_queries())
 def test_differential_dialect_edges(spark_views, duck, sql):
     """Round-6 edge fuzz: outer-join NULL grids, RANGE frames, string
-    round-trips, division corners — hash-matched across engines."""
+    round-trips, division corners, ROLLUP/CUBE super-aggregates —
+    hash-matched across engines."""
     sdf = spark_views.sql(sql)
     s = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
     rel = duck.sql(sql)

@@ -162,3 +162,71 @@ def test_sharded_running_matches_global_window(spark):
         .agg(F.min("rn").alias("rn"), F.min("cum_x").alias("cum_x"))
     )
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+# ---------------------------------------------------------- properties
+# Hypothesis sweeps over adversarial integer distributions: the sharded
+# two-pass grid cum must be bit-identical to the naive global window on
+# EVERY input, including duplicates-only, extreme spreads, and negatives.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_value_grid_cum_property(spark, xs):
+    df = spark.createDataFrame([(int(v),) for v in xs], "v bigint")
+    got = {r.v: (r.cnt, r.cum) for r in value_grid_cum(df, "v").collect()}
+    want = {r.v: (r.cnt, r.cum) for r in _naive_grid_cum(df, "v").collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_sharded_running_property(spark, rows):
+    df = spark.createDataFrame(
+        [(int(k), int(x)) for k, x in rows], "k bigint, x bigint"
+    )
+    got = (
+        sharded_running(df, "k div 16", ["k", "x"], ["x"])
+        .groupBy("k", "x")
+        .agg(F.min("rn").alias("rn"), F.min("cum_x").alias("cum_x"))
+    )
+    w = Window.orderBy("k", "x").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select(
+            "k",
+            "x",
+            F.row_number().over(Window.orderBy("k", "x")).alias("rn"),
+            F.sum("x").over(w).alias("cum_x"),
+        )
+        .groupBy("k", "x")
+        .agg(F.min("rn").alias("rn"), F.min("cum_x").alias("cum_x"))
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
