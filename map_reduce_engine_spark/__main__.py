@@ -95,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
     dsel.add_argument("output_dir")
     dsel.add_argument("--max-dup-pairs", type=int, default=5)
     dsel.add_argument("--max-contaminated", type=int, default=10)
+    rev = sub.add_parser(
+        "retrieval-eval",
+        help="run the end-to-end retrieval-evaluation example (BM25 + "
+        "Dirichlet query-likelihood lexical rankers with agreement, dense "
+        "nDCG@10/MRR@10 probe eval, Rocchio feedback lift, with a "
+        "sign-off gate)",
+    )
+    rev.add_argument(
+        "sf_dir", help="fixture dir containing documents/embeddings parquet"
+    )
+    rev.add_argument("output_dir")
+    rev.add_argument("--min-mean-ndcg-ppm", type=int, default=0)
+    rev.add_argument("--min-common-at20", type=int, default=1)
     me = sub.add_parser(
         "model-eval",
         help="run the end-to-end model-evaluation example (Newton-trained "
@@ -378,6 +391,23 @@ def main(argv: list[str] | None = None) -> int:
                 args.output_dir,
                 max_dup_pairs=args.max_dup_pairs,
                 max_contaminated=args.max_contaminated,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "retrieval-eval":
+        from map_reduce_engine_spark.examples.retrieval_eval_job import run
+
+        spark = get_spark(app_name="mre-retrieval-eval")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                min_mean_ndcg_ppm=args.min_mean_ndcg_ppm,
+                min_common_at20=args.min_common_at20,
             )
             gate.show(truncate=False)
         finally:

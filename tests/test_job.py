@@ -411,3 +411,33 @@ def test_plan_verb(spark, sf_dir, monkeypatch, capsys):
     assert "cartesian_products: 0" in out
     assert "single_partition_raw: 0" in out
     assert "scans_with_pushed_filters: 1" in out
+
+
+def test_retrieval_eval_job(spark, sf_dir, tmp_path):
+    """The composed retrieval-eval example writes all seven artifacts; the
+    gate counts reconcile with them."""
+    from map_reduce_engine_spark.examples.retrieval_eval_job import run
+
+    out = str(tmp_path / "reval")
+    # min-common 0: at sf0.001 the two 20-doc lexical rankings MAY overlap
+    # little; the gate's COUNTS are what the test pins, thresholds are the
+    # caller's policy knob
+    gate = run(spark, sf_dir, out, min_mean_ndcg_ppm=0, min_common_at20=0)
+    row = gate.collect()[0]
+    assert row.retrieval_approved
+    ndcg = spark.read.parquet(f"{out}/ndcg")
+    assert row.n_probe_queries == ndcg.count() == 5
+    mrr = spark.read.parquet(f"{out}/mrr")
+    assert row.mrr_ppm == mrr.collect()[0].mrr_ppm
+    agree = spark.read.parquet(f"{out}/lexical_agreement")
+    assert row.lexical_common_at20 == agree.count()
+    b20 = spark.read.parquet(f"{out}/bm25_top20")
+    q20 = spark.read.parquet(f"{out}/query_likelihood_top20")
+    assert b20.count() <= 20 and q20.count() <= 20
+    common = {r.doc_id for r in b20.collect()} & {r.doc_id for r in q20.collect()}
+    assert row.lexical_common_at20 == len(common)
+    lift = spark.read.parquet(f"{out}/feedback_lift")
+    assert row.feedback_pos_lift == sum(r.pos_lift for r in lift.collect())
+    # every probe's rerank positives stay within [0, 10]
+    for r in lift.collect():
+        assert 0 <= r.n_pos_rerank <= 10 and 0 <= r.n_pos_initial <= 10
