@@ -1825,3 +1825,83 @@ def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(coalesce(1000000 div first_rank, 0)) div count(*) AS BIGINT)"
         ).alias("mrr_ppm"),
     )
+
+
+@register(
+    "embedding_similarity_reliability",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine,
+             CASE WHEN x.label = y.label THEN 1 ELSE 0 END AS same
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+    )
+    SELECT CAST(least(9, floor(cosine * 10)) AS BIGINT) AS cos_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same_label,
+           CAST((1000000 * sum(same)) // count(*) AS BIGINT) AS same_rate_ppm
+    FROM pairs
+    GROUP BY least(9, floor(cosine * 10))
+    """,
+    doc="similarity->same-label reliability curve of the embedding space: "
+    "every pair in a bounded slice scored by exact cosine, bucketed into "
+    "cosine deciles (top decile inclusive of 1.0 via least(9, .)), and "
+    "the empirical P(same label | decile) reported in exact integer ppm. "
+    "The metric-learning calibration view beside expected_calibration_"
+    "error's classifier view: a healthy embedding shows the rate rising "
+    "monotonically with cosine; a flat curve means distances carry no "
+    "label signal and every downstream ANN/dedup threshold is arbitrary. "
+    "Scale: the all-pairs slice is the oracle-checkable form; at corpus "
+    "scale the same two aggregates run over LSH-bucketed or sampled "
+    "pairs (the blocking_recall_report candidate generator), identical "
+    "semantics per pair.",
+)
+def embedding_similarity_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    x = e.select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("v1")
+    )
+    y = e.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("v2")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0 AS DOUBLE),"
+        " (acc, el) -> acc + el)"
+    )
+    pairs = x.join(y, F.col("id1") < F.col("id2")).select(
+        F.round(
+            F.expr(
+                f"{dot.format(a='v1', b='v2')} / (sqrt({dot.format(a='v1', b='v1')})"
+                f" * sqrt({dot.format(a='v2', b='v2')}))"
+            ),
+            6,
+        ).alias("cosine"),
+        (F.col("l1") == F.col("l2")).cast("int").alias("same"),
+    )
+    return (
+        pairs.groupBy(
+            F.expr("CAST(least(9, floor(cosine * 10)) AS BIGINT)").alias(
+                "cos_decile"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("same").cast("bigint").alias("n_same_label"),
+        )
+        .select(
+            "cos_decile",
+            "n_pairs",
+            "n_same_label",
+            F.expr("CAST((1000000 * n_same_label) div n_pairs AS BIGINT)").alias(
+                "same_rate_ppm"
+            ),
+        )
+    )

@@ -647,6 +647,9 @@ _SANCTIONED_NESTED_LOOP = {
     "mrr_retrieval_eval": "5-row probe set broadcast (kNN retrieval shape)",
     "query_likelihood_dirichlet": "1-row corpus-stats broadcast (Dirichlet "
     "prior terms)",
+    "embedding_similarity_reliability": "bounded 200-vector slice "
+    "self-pairs (all-pairs is the oracle-checkable form; LSH-bucketed at "
+    "corpus scale, documented pivot)",
     "knn_cosine_int8": "probe set is a bounded query sample",
     "embedding_near_dup": "bounded probe set",
     "binary_hamming_topk": "one-word-per-vector scan against the broadcast query codes",
