@@ -64,6 +64,10 @@ SENTINELS = [
     # prune, spatial must stay a cell equi-join — never all-pairs)
     ("q19_pareto", "pareto_frontier_parts", None),
     ("q20_spatial_join", "spatial_radius_join", None),
+    # round-6 sentinel: the TeraSort shape — total-order rank of the whole
+    # fact table via sharded prefix sums (a regression here means the
+    # two-pass distributed scan degenerated into a single-task sort)
+    ("q21_total_order_rank", "total_order_rank", None),
 ]
 
 

@@ -4348,3 +4348,42 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@register(
+    "total_order_rank",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                AS BIGINT) AS rank,
+           cents, l_orderkey, l_linenumber
+    FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 l_orderkey, l_linenumber
+          FROM lineitem)
+    """,
+    doc="TeraSort-shaped total-order ranking of the whole fact table "
+    "(O'Malley 2008 — THE MapReduce sort benchmark, the global version "
+    "of the reference's per-reducer sorted runs): every lineitem row gets "
+    "its exact global rank by (price cents, key tiebreak) with NO "
+    "single-task sort anywhere — value-range shards (cents div 65536, "
+    "monotone by construction) rank in parallel and per-shard offsets "
+    "come from the shard-total grid (operators/rankselect.py::"
+    "sharded_running, the two-pass distributed scan). This is the same "
+    "sampled-range-partition strategy Spark's own orderBy/RangePartitioner "
+    "uses, expressed with deterministic literal split points so the "
+    "result is oracle-exact. Output is data-sized by design (a rank per "
+    "row); at 100x the shard fan-out widens with the cluster while the "
+    "only ordered single-partition frame stays the ~160-row shard-total "
+    "grid.",
+)
+def total_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.rankselect import sharded_running
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = sharded_running(
+        li, "cents div 65536", ["cents", "l_orderkey", "l_linenumber"], rn="rank"
+    )
+    return ranked.select("rank", "cents", "l_orderkey", "l_linenumber")
