@@ -144,11 +144,15 @@ def sharded_running(
             )
     reserved = {"_shard", "_lrn", "_cnt", "_ocnt"}
     reserved.update(f"_{p}_{c}" for c in sum_cols for p in ("lc", "s", "o"))
+    # output names must not collide with input columns either — the final
+    # select would silently produce a duplicate-named frame
+    reserved.add(rn)
+    reserved.update(f"cum_{c}" for c in sum_cols)
     clash = reserved.intersection(df.columns)
     if clash:
         raise ValueError(
-            f"sharded_running reserves internal column names {sorted(clash)}"
-            f" — rename them in the input frame"
+            f"sharded_running reserves internal/output column names "
+            f"{sorted(clash)} — rename them in the input frame"
         )
     d = df.withColumn("_shard", F.expr(shard_sql))
     wr = Window.partitionBy("_shard").orderBy(*order_cols)

@@ -185,7 +185,19 @@ def main() -> int:
                 name = work.get_nowait()
             except Empty:
                 return
-            rec = run_entry(name, session)
+            try:
+                rec = run_entry(name, session)
+            except Exception as e:  # noqa: BLE001 — a dead worker would
+                # silently drop every entry still in the queue
+                rec = {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {e}",
+                    "sec": 0.0,
+                }
             ok = rec["err"] is None and rec["hash_match"] in (True, None)
             with print_lock:
                 results[name] = rec

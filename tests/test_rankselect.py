@@ -230,3 +230,12 @@ def test_sharded_running_property(spark, rows):
         .agg(F.min("rn").alias("rn"), F.min("cum_x").alias("cum_x"))
     )
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_sharded_running_rejects_output_name_collisions(spark):
+    df = spark.createDataFrame([(1, 2)], "k bigint, cum_x bigint")
+    with pytest.raises(ValueError, match="cum_x"):
+        sharded_running(df.withColumnRenamed("cum_x", "x").withColumn("cum_x", F.lit(1)), "k div 2", ["k"], ["x"])
+    df2 = spark.createDataFrame([(1, 2)], "k bigint, rn bigint")
+    with pytest.raises(ValueError, match="rn"):
+        sharded_running(df2, "k div 2", ["k"])
