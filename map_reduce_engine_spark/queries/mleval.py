@@ -6208,6 +6208,102 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_link_prediction",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (SELECT a AS node, count(*)::BIGINT AS degree FROM und GROUP BY a),
+    wedge AS (
+      SELECT w1.b AS x, w2.b AS y
+      FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+    ),
+    cand AS (
+      SELECT x, y, count(*)::BIGINT AS n_common FROM wedge GROUP BY x, y
+    ),
+    new_pairs AS (
+      SELECT c.x, c.y, c.n_common,
+             dx.degree AS deg_x, dy.degree AS deg_y,
+             CAST((1000000 * c.n_common)
+                  // (dx.degree + dy.degree - c.n_common) AS BIGINT)
+               AS jaccard_ppm
+      FROM cand c
+      JOIN deg dx ON dx.node = c.x
+      JOIN deg dy ON dy.node = c.y
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.x AND e.v = c.y)
+    )
+    SELECT x, y, n_common, deg_x, deg_y, jaccard_ppm,
+           row_number() OVER (ORDER BY jaccard_ppm DESC, x, y)::BIGINT AS rank
+    FROM new_pairs
+    QUALIFY rank <= 20
+    """,
+    doc="Jaccard-coefficient link prediction on the co-purchase graph "
+    "(Liben-Nowell & Kleinberg 2003): for every non-adjacent part pair "
+    "sharing >= 1 common neighbor, score |N(x) ∩ N(y)| / |N(x) ∪ N(y)| = "
+    "n_common / (deg(x) + deg(y) - n_common) in exact integer ppm — the "
+    "normalized companion to adamic_adar_link_prediction (which up-weights "
+    "RARE mutual neighbors; Jaccard instead discounts promiscuous "
+    "endpoints). Pure BIGINT arithmetic end to end: wedge counts, two "
+    "degree joins, one integer division — no transcendental at all. Same "
+    "scale shape as the AA query: wedges via one equi self-join on the "
+    "shared neighbor, candidate filter a left-anti equi-join, hash "
+    "aggregates everywhere; at 100 TB orient or cap hub degrees as in "
+    "operators/graph.py::triangle_count.",
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds und twice + the anti-join
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    w1, w2 = und.alias("w1"), und.alias("w2")
+    wedge = w1.join(
+        w2, (F.col("w1.a") == F.col("w2.a")) & (F.col("w1.b") < F.col("w2.b"))
+    ).select(F.col("w1.b").alias("x"), F.col("w2.b").alias("y"))
+    cand = wedge.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("deg_y"))
+    new_pairs = (
+        cand.join(edges, (cand.x == edges.u) & (cand.y == edges.v), "left_anti")
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            "deg_x",
+            "deg_y",
+            F.expr(
+                "CAST((1000000 * n_common) div (deg_x + deg_y - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return (
+        new_pairs.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.desc("jaccard_ppm"), F.asc("x"), F.asc("y")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+@register(
     "neyman_allocation_sources",
     oracle="""
     WITH s AS (
