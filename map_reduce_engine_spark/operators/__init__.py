@@ -22,6 +22,8 @@ from map_reduce_engine_spark.operators.dedup import (
     jaccard_pairs,
     simhash,
     repeated_span_coverage,
+    substring_dedup_spans,
+    substring_dedup_survivors,
 )
 from map_reduce_engine_spark.operators.temporal import (
     asof_join,
@@ -57,6 +59,8 @@ __all__ = [
     "ivfpq_topk",
     "semantic_dedup",
     "repeated_span_coverage",
+    "substring_dedup_spans",
+    "substring_dedup_survivors",
     "merge_upsert",
     "merge_delete",
     "scd2_apply",

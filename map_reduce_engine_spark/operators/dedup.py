@@ -472,3 +472,143 @@ def repeated_span_coverage(
             F.expr("(10000 * coalesce(covered_tokens, 0)) div n_tokens").alias("coverage_bp"),
         )
     )
+
+
+def _substring_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """((id, n_tokens) base, (id, i, h) k-gram occurrences) shared by the
+    exact-substring dedup tier. Positions ``i`` are 1-based token offsets;
+    ``h`` is the engine-portable md5-prefix hash of the k-gram starting at
+    ``i`` (operators/packing.py::winnow_hashes_col), so the DuckDB oracle
+    recomputes identical tiles."""
+    from map_reduce_engine_spark.operators.packing import winnow_hashes_col
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("l")
+    ).select("id", "l", F.size("l").cast("bigint").alias("n_tokens"))
+    occ = (
+        base.where(F.size("l") >= k)
+        .select("id", F.posexplode(winnow_hashes_col("l", k=k)).alias("pos0", "h"))
+        .select("id", (F.col("pos0") + 1).cast("bigint").alias("i"), "h")
+    )
+    return base, occ
+
+
+def _merge_spans(positions: DataFrame, k: int) -> DataFrame:
+    """(id, span_start, span_end, span_tokens) — merge the k-token intervals
+    [i, i+k-1] of a (id, i) position frame into maximal spans (classic
+    gaps-and-islands). Two intervals merge iff the later start is within
+    ``k`` of the earlier (equal-length intervals overlap or touch exactly
+    then). Both windows partition by the DOCUMENT id — per-doc state only,
+    never a single-partition exchange; a document contributes at most
+    n_tokens positions, so the window state is document-bounded."""
+    w = Window.partitionBy("id").orderBy("i")
+    isl = (
+        positions.withColumn("prev_i", F.lag("i").over(w))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w))
+    )
+    return isl.groupBy("id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        (F.max("i") + F.lit(k) - F.min("i")).cast("bigint").alias("span_tokens"),
+    ).select("id", "span_start", "span_end", "span_tokens")
+
+
+def substring_dedup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_df: int = 2
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens) — maximal duplicated token
+    spans per document: every position covered by a ``k``-token run that
+    also occurs verbatim in at least ``min_df`` distinct documents, merged
+    into maximal intervals.
+
+    The EXACT-substring dedup tier (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — their ExactSubstr with
+    k=50 tokens): whole-document MinHash/SimHash misses a 50-token license
+    block pasted into two otherwise-distinct documents; this catches it
+    exactly. A true suffix array doesn't distribute; overlapping fixed-k
+    tile hashes give the same guarantee band — a shared run of length
+    L >= k is found exactly (its L-k+1 tiles all repeat, and the merged
+    island reconstructs the full [start, start+L-1] span); a shared run of
+    length < k is invisible by design (below the memorization-hazard
+    threshold the k parameter encodes).
+
+    Scale shape (every stage an equi-keyed shuffle, no all-pairs anything):
+    tokenize -> one posexplode to (doc, pos, tile-hash) -> repeated tiles
+    via ONE hash aggregate on the tile hash (map-side distinct first, so
+    the shuffle carries unique (doc, hash) pairs) -> equi-join occurrences
+    back to the repeated-tile set -> per-DOCUMENT interval merge (windows
+    keyed by doc id). Cross-document repetition only (min_df counts
+    distinct docs): within-doc repeats are the self-similarity measured by
+    repeated_span_coverage / repetition_stats.
+    """
+    base, occ = _substring_occurrences(df, id_col, text_col, k)
+    rep = (
+        occ.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    dup = occ.join(rep, "h").select("id", "i").distinct()
+    return _merge_spans(dup, k)
+
+
+def substring_dedup_survivors(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_df: int = 2
+) -> DataFrame:
+    """(id, n_tokens, removed_tokens, kept_tokens, removed_bp) — per-document
+    removal accounting for exact-substring dedup, mirroring ``dedup_exact``'s
+    deterministic keep-best rule at span granularity.
+
+    For each duplicated ``k``-token tile, the CANONICAL holder is the
+    document with the smallest id (the same first-under-order survivorship
+    rule as dedup_exact); every occurrence of that tile in any OTHER
+    document is removable. Removable positions merge into maximal spans
+    per document (see substring_dedup_spans) and roll up to integer token
+    counts + basis points — nothing for engines to round differently. All
+    documents appear (left join, zero-coalesced), so the output is a full
+    corpus token-retention ledger: sum(kept_tokens) is the post-dedup
+    corpus size the training pipeline actually feeds the tokenizer.
+    """
+    base, occ = _substring_occurrences(df, id_col, text_col, k)
+    canon = (
+        occ.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"), F.min("id").alias("canon_id"))
+        .where(F.col("df") >= min_df)
+        .select("h", "canon_id")
+    )
+    rem = (
+        occ.join(canon, "h")
+        .where(F.col("id") != F.col("canon_id"))
+        .select("id", "i")
+        .distinct()
+    )
+    removed = _merge_spans(rem, k).groupBy("id").agg(
+        F.sum("span_tokens").alias("removed_tokens")
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(removed, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.expr("(10000 * coalesce(removed_tokens, 0)) div n_tokens").alias(
+                "removed_bp"
+            ),
+        )
+    )

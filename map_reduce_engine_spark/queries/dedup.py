@@ -395,6 +395,108 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.repeated_span_coverage(docs, "doc_id", "text", k=8)
 
 
+# Shared CTE prefix for the exact-substring (k=50) tier: token arrays ->
+# 50-token tile hashes at every position. Tile hash = full (un-masked)
+# md5-prefix bigint, the exact DuckDB twin of
+# operators/packing.py::winnow_hashes_col.
+_DUCK_SUBSTR_G = f"""
+    d AS (
+      SELECT doc_id, {_DUCK_L} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(l[i:i+49], ' ')), 1, 8))::BIGINT AS h
+      FROM d, unnest(range(1, len(l) - 48)) AS u(i)
+      WHERE len(l) >= 50
+    )
+"""
+
+# Gaps-and-islands merge of k=50 interval starts into maximal spans, over a
+# `dup(doc_id, i)` CTE the caller defines. Same merge rule as
+# operators/dedup.py::_merge_spans: new island when the gap exceeds k.
+_DUCK_SUBSTR_ISL = """
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN prev_i IS NULL OR i - prev_i > 50 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM dup
+      )
+    )
+"""
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH {_DUCK_SUBSTR_G},
+    rep AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h HAVING count(*) >= 2
+    ),
+    dup AS (SELECT DISTINCT g.doc_id, g.i FROM g JOIN rep USING (h)),
+    {_DUCK_SUBSTR_ISL}
+    SELECT doc_id AS id,
+           min(i)::BIGINT AS span_start,
+           (max(i) + 49)::BIGINT AS span_end,
+           (max(i) + 49 - min(i) + 1)::BIGINT AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="EXACT-substring dedup tier (Lee et al. ACL'22 ExactSubstr, k=50): "
+    "maximal duplicated token spans per document — every position covered "
+    "by a verbatim 50-token run shared with another document, merged into "
+    "maximal intervals. The tier MinHash/SimHash misses: a 50-token "
+    "license block inside two otherwise-distinct documents. Distributed "
+    "shape: one posexplode to (doc, pos, tile-hash), repeated tiles via "
+    "one hash aggregate (map-side distinct first), equi-join back, per-DOC "
+    "interval merge (windows keyed by doc id). A shared run of length "
+    ">= 50 is recovered exactly; < 50 is invisible by design",
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.substring_dedup_spans(docs, "doc_id", "text", k=50)
+
+
+@register(
+    "substring_dedup_survivors",
+    oracle=f"""
+    WITH {_DUCK_SUBSTR_G},
+    canon AS (
+      SELECT h, min(doc_id) AS canon_id
+      FROM (SELECT DISTINCT doc_id, h FROM g)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    dup AS (
+      SELECT DISTINCT g.doc_id, g.i
+      FROM g JOIN canon USING (h) WHERE g.doc_id <> canon.canon_id
+    ),
+    {_DUCK_SUBSTR_ISL},
+    spans AS (
+      SELECT doc_id, max(i) + 49 - min(i) + 1 AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    ),
+    r AS (SELECT doc_id, sum(span_tokens) AS removed_tokens FROM spans GROUP BY doc_id)
+    SELECT d.doc_id AS id,
+           len(d.l)::BIGINT AS n_tokens,
+           coalesce(r.removed_tokens, 0)::BIGINT AS removed_tokens,
+           (len(d.l) - coalesce(r.removed_tokens, 0))::BIGINT AS kept_tokens,
+           ((10000 * coalesce(r.removed_tokens, 0)) // len(d.l))::BIGINT AS removed_bp
+    FROM d LEFT JOIN r USING (doc_id)
+    """,
+    doc="exact-substring dedup survivorship ledger: per document, tokens "
+    "removed under the keep-best rule (the smallest doc_id holding a "
+    "duplicated 50-token tile keeps its copy; every other occurrence is "
+    "removable), merged to maximal spans and rolled up to integer counts "
+    "+ basis points. sum(kept_tokens) is the post-dedup corpus size the "
+    "training pipeline actually feeds the tokenizer. Mirrors dedup_exact's "
+    "deterministic first-under-order survivorship at span granularity",
+)
+def substring_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.substring_dedup_survivors(docs, "doc_id", "text", k=50)
+
+
 @register(
     "incremental_batch_dedup",
     oracle="""

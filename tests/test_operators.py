@@ -406,6 +406,50 @@ def test_repeated_span_coverage_exact_counts(spark):
     assert got[3] == (10, 0, 0), got
 
 
+def test_substring_dedup_k50_catches_60_not_40(spark):
+    """The exact-substring tier's defining property (Lee et al. ACL'22): a
+    planted 60-token verbatim copy inside two otherwise-distinct documents
+    is caught at k=50 — with the FULL 60-token span recovered exactly from
+    the merged tile islands — while a 40-token overlap (below k) is
+    invisible by design."""
+    from map_reduce_engine_spark.operators.dedup import (
+        substring_dedup_spans,
+        substring_dedup_survivors,
+    )
+
+    shared60 = " ".join(f"s{i}" for i in range(60))
+    shared40 = " ".join(f"t{i}" for i in range(40))
+    pre_a = " ".join(f"a{i}" for i in range(10))
+    post_b = " ".join(f"b{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            # doc 1: 10 unique + 60 shared -> span must be [11, 70]
+            (1, f"{pre_a} {shared60}"),
+            # doc 2: 60 shared + 15 unique -> span must be [1, 60]
+            (2, f"{shared60} {post_b}"),
+            # docs 3/4 share only a 40-token run: below k=50, invisible
+            (3, f"{shared40} " + " ".join(f"c{i}" for i in range(20))),
+            (4, " ".join(f"d{i}" for i in range(20)) + f" {shared40}"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r.id: (r.span_start, r.span_end, r.span_tokens)
+        for r in substring_dedup_spans(df, "doc_id", "text", k=50).collect()
+    }
+    assert spans == {1: (11, 70, 60), 2: (1, 60, 60)}, spans
+
+    # Survivorship: doc 1 (smallest id) keeps its copy; doc 2 sheds the
+    # full 60-token span; docs 3/4 keep everything.
+    surv = {
+        r.id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.removed_bp)
+        for r in substring_dedup_survivors(df, "doc_id", "text", k=50).collect()
+    }
+    assert surv[1] == (70, 0, 70, 0), surv
+    assert surv[2] == (75, 60, 15, 10000 * 60 // 75), surv
+    assert surv[3] == (60, 0, 60, 0) and surv[4] == (60, 0, 60, 0), surv
+
+
 def test_udtf_sentence_stats_lateral(spark):
     """Python UDTF + LATERAL correlation: per-sentence relations with typed
     columns; empty docs yield no rows, unpunctuated docs one row."""
