@@ -68,6 +68,12 @@ SENTINELS = [
     # fact table via sharded prefix sums (a regression here means the
     # two-pass distributed scan degenerated into a single-task sort)
     ("q21_total_order_rank", "total_order_rank", None),
+    # round-7 sentinel: the exact-substring dedup tier (Lee et al. k=50
+    # tiles). q8 covers MinHash only; this pins the OTHER dedup family —
+    # posexplode -> repeated-tile hash aggregate -> per-doc island merge.
+    # A regression here means the tile aggregate or the keyed window
+    # degenerated (e.g. the map-side distinct stopped pruning the shuffle).
+    ("q22_substring_dedup", "substring_dedup_spans", None),
 ]
 
 
@@ -141,10 +147,43 @@ def host_calibration_mc_sec(n_threads: int | None = None) -> float:
 
 
 # First recorded idle-host multicore calibration (BASELINE.md "Host-speed
-# calibration", 2026-08-15). The artifact gate refuses to start timing while
-# the host is measurably contended relative to this pin.
-IDLE_MC_REF_SEC = 2.106
-GATE_THRESHOLD_SEC = round(IDLE_MC_REF_SEC * 1.25, 3)  # 2.633
+# calibration", 2026-08-15) — the FALLBACK pin only; see resolve_idle_mc_ref.
+_IDLE_MC_FALLBACK_SEC = 2.106
+
+
+def resolve_idle_mc_ref() -> float:
+    """Idle-host calibration pin for the artifact gate, in precedence order:
+
+    1. ``SPARK_GRAFT_IDLE_MC_REF`` env var — the escape hatch for a host
+       whose idle speed genuinely differs from every recorded round (the
+       hardcoded pin made the gate unconditionally fail on slower machines,
+       burning ~4x45 s of sleeps per run — ADVICE r06);
+    2. the FASTEST parseable ``BENCH_r*.json`` whose own idle-host gate
+       PASSED (a gated round's mc number is a verified-idle observation of
+       whatever host recorded it; the minimum is the tightest honest pin,
+       and ungated or contended rounds — r05 ran at mc 7.44 s — can never
+       loosen the gate);
+    3. the first recorded idle pin (2.106 s) when no gated round exists.
+    """
+    env = os.environ.get("SPARK_GRAFT_IDLE_MC_REF")
+    if env:
+        return float(env)
+    gated: list[float] = []
+    for f in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        try:
+            doc = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed", doc)
+        gate = parsed.get("idle_host_gate") or {}
+        mc = parsed.get("host_calibration_mc_sec")
+        if gate.get("passed") and isinstance(mc, (int, float)) and mc > 0:
+            gated.append(float(mc))
+    return min(gated) if gated else _IDLE_MC_FALLBACK_SEC
+
+
+IDLE_MC_REF_SEC = resolve_idle_mc_ref()
+GATE_THRESHOLD_SEC = round(IDLE_MC_REF_SEC * 1.25, 3)
 
 
 def regression_fields(

@@ -137,11 +137,19 @@ def run(
     write_parquet(rocchio, f"{out_dir}/rocchio_rerank")
     write_parquet(lift, f"{out_dir}/feedback_lift")
 
+    # mean_ndcg_ppm follows the CONVENTIONAL mean-over-evaluable-queries: a
+    # probe with NULL ndcg_ppm (zero corpus-relevant docs) is excluded from
+    # the denominator rather than coalesced to 0 — zeros-included silently
+    # deflated the gate metric relative to the per-query ndcg artifact
+    # (ADVICE r06). n_evaluable_queries exposes the denominator so the gate
+    # row reconciles against the artifact exactly.
     gate = (
         ndcg.agg(
             F.count("*").cast("bigint").alias("n_probe_queries"),
+            F.count("ndcg_ppm").cast("bigint").alias("n_evaluable_queries"),
             F.expr(
-                "CAST(sum(coalesce(ndcg_ppm, 0)) div count(*) AS BIGINT)"
+                "CAST(CASE WHEN count(ndcg_ppm) = 0 THEN 0 "
+                "ELSE sum(ndcg_ppm) div count(ndcg_ppm) END AS BIGINT)"
             ).alias("mean_ndcg_ppm"),
         )
         .crossJoin(F.broadcast(mrr.select("mrr_ppm", "n_with_relevant")))
@@ -158,12 +166,17 @@ def run(
         .crossJoin(
             F.broadcast(
                 lift.agg(
-                    F.sum("pos_lift").cast("bigint").alias("feedback_pos_lift")
+                    # coalesced like lexical_displacement: an empty lift
+                    # frame must gate as 0, not NULL (ADVICE r06)
+                    F.coalesce(F.sum("pos_lift"), F.lit(0))
+                    .cast("bigint")
+                    .alias("feedback_pos_lift")
                 )
             )
         )
         .select(
             "n_probe_queries",
+            "n_evaluable_queries",
             "mean_ndcg_ppm",
             "mrr_ppm",
             "n_with_relevant",

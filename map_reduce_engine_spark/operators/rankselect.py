@@ -66,8 +66,11 @@ def value_grid_cum(
     erroring. Non-numeric grids (rare: genuinely domain-bounded label/date
     grids) keep the single ordered window over the grid.
     """
+    # _vg_lo/_vg_hi are the bounds aliases in the sharding SQL below — a
+    # col/cnt colliding with them would surface as an opaque ambiguous-
+    # reference analysis error instead of this clear one (ADVICE r06)
     for name in (col, cnt):
-        if name in ("_vg_shard",):
+        if name in ("_vg_shard", "_vg_lo", "_vg_hi"):
             raise ValueError(f"value_grid_cum reserves column name {name!r}")
     g = df.groupBy(col).agg(F.count("*").cast("bigint").alias(cnt))
     base = dict(g.dtypes)[col].split("(")[0]

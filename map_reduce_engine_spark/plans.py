@@ -171,8 +171,13 @@ def _bounding_frontier(
 
 
 # grouping keys that mark the engine's own two-pass scan shapes: a window
-# over SHARD TOTALS is n_shards-bounded by construction
-_SHARD_KEY_MARKERS = ("_shard", "_vg_shard")
+# over SHARD TOTALS is n_shards-bounded by construction. Matched as the
+# EXACT engine-internal attribute names (_shard#N / _vg_shard#N, as
+# rankselect.py emits them) — bare substring containment would silently
+# exempt any user column whose name merely contains "_shard" (e.g. a
+# future day_shard grouping key) from the _GRID_WINDOW_PIN budget
+# (ADVICE r06). The negative lookbehind rejects such suffix matches.
+_SHARD_KEY_RE = re.compile(r"(?<![0-9A-Za-z_])_(?:vg_)?shard#\d+")
 
 
 def single_partition_grid_nodes(formatted: str) -> int:
@@ -201,11 +206,7 @@ def single_partition_grid_nodes(formatted: str) -> int:
         aggs = [(i, op) for i, op in frontier if "Aggregate" in op]
         if not aggs:
             continue  # limit / broadcast / local relation below
-        if any(
-            marker in keys.get(i, "")
-            for i, _ in aggs
-            for marker in _SHARD_KEY_MARKERS
-        ):
+        if any(_SHARD_KEY_RE.search(keys.get(i, "")) for i, _ in aggs):
             continue  # shard-total grid: n_shards-bounded by construction
         if all(keys.get(i, "") == "" for i, _ in aggs):
             continue  # global aggregates: 1-row frames

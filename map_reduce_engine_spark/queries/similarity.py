@@ -1854,10 +1854,10 @@ def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "error's classifier view: a healthy embedding shows the rate rising "
     "monotonically with cosine; a flat curve means distances carry no "
     "label signal and every downstream ANN/dedup threshold is arbitrary. "
-    "Scale: the all-pairs slice is the oracle-checkable form; at corpus "
-    "scale the same two aggregates run over LSH-bucketed or sampled "
-    "pairs (the blocking_recall_report candidate generator), identical "
-    "semantics per pair.",
+    "Scale: the all-pairs slice is the unbiased-census form; the shipped "
+    "corpus-scale sibling is embedding_similarity_reliability_lsh (same "
+    "decile aggregates over an LSH bucket equi-join on the whole table), "
+    "identical semantics per pair.",
 )
 def embedding_similarity_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -1891,6 +1891,116 @@ def embedding_similarity_reliability(spark: SparkSession, sf_dir: str) -> DataFr
             F.expr("CAST(least(9, floor(cosine * 10)) AS BIGINT)").alias(
                 "cos_decile"
             )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("same").cast("bigint").alias("n_same_label"),
+        )
+        .select(
+            "cos_decile",
+            "n_pairs",
+            "n_same_label",
+            F.expr("CAST((1000000 * n_same_label) div n_pairs AS BIGINT)").alias(
+                "same_rate_ppm"
+            ),
+        )
+    )
+
+
+def _reliability_lsh_oracle(n_planes: int = 4, seed: int = 7, dim: int = 64) -> str:
+    """DuckDB twin of the LSH-bucketed reliability curve: the seeded
+    hyperplanes are regenerated with the same numpy seed and inlined as
+    repr-round-tripped double literals (the ``_ann_lsh_oracle`` recipe), so
+    both engines assign bit-identical buckets and score the identical
+    candidate-pair set."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    terms = []
+    for p, row in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in row)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "(" + " + ".join(terms) + ")::BIGINT"
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, {bucket} AS bucket FROM emb),
+    pairs AS (
+      SELECT round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine,
+             CASE WHEN x.label = y.label THEN 1 ELSE 0 END AS same
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT CAST(least(9, floor(cosine * 10)) AS BIGINT) AS cos_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same_label,
+           CAST((1000000 * sum(same)) // count(*) AS BIGINT) AS same_rate_ppm
+    FROM pairs
+    GROUP BY least(9, floor(cosine * 10))
+    """
+
+
+@register(
+    "embedding_similarity_reliability_lsh",
+    oracle=_reliability_lsh_oracle(),
+    doc="the CORPUS-SCALE sibling of embedding_similarity_reliability: the "
+    "same similarity->same-label decile curve, but over pairs generated "
+    "by a seeded random-hyperplane LSH bucket EQUI-JOIN on the WHOLE "
+    "embedding table instead of all-pairs on a bounded slice. 2^4 "
+    "buckets bound the per-bucket join fan-out, so pair volume is "
+    "~n^2/16 per bucket rather than n^2 global — the shape that survives "
+    "100x (more planes for bigger corpora, operators/sizing.py). The "
+    "bucketed curve is biased TOWARD high-cosine pairs by construction "
+    "(that is the point: those are the pairs ANN/dedup thresholds act "
+    "on); the bounded-slice sibling remains the unbiased census. FULLY "
+    "oracle-checked: seeded planes inlined as literals on both engines, "
+    "so bucket assignment, candidate set, cosine, and deciles replay "
+    "bit-identically",
+)
+def embedding_similarity_reliability_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    b = sim.random_hyperplane_buckets(emb, "vec_id", "embedding", n_planes=4, seed=7)
+    e = b.select(
+        "vec_id",
+        "label",
+        "bucket",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    x = e.select(
+        "bucket",
+        F.col("vec_id").alias("id1"),
+        F.col("label").alias("l1"),
+        F.col("v").alias("v1"),
+    )
+    y = e.select(
+        "bucket",
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("l2"),
+        F.col("v").alias("v2"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (p, q) -> p * q), CAST(0 AS DOUBLE),"
+        " (acc, el) -> acc + el)"
+    )
+    pairs = (
+        x.join(y, "bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            F.round(
+                F.expr(
+                    f"{dot.format(a='v1', b='v2')} / (sqrt({dot.format(a='v1', b='v1')})"
+                    f" * sqrt({dot.format(a='v2', b='v2')}))"
+                ),
+                6,
+            ).alias("cosine"),
+            (F.col("l1") == F.col("l2")).cast("int").alias("same"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr("CAST(least(9, floor(cosine * 10)) AS BIGINT)").alias("cos_decile")
         )
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),

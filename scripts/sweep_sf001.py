@@ -12,6 +12,16 @@ columns sorted by name) over EVERY registry entry at the requested scale
 factor and writes one JSON object per query — a committable artifact for
 the "273 green at sf0.01" claim.
 
+Per-entry timing rule (round 7): under the default 4-way parallel sweep,
+each entry's ``sec`` is CONTENDED wall time (up to 3 co-tenant queries on
+the same JVM), so the "no entry > 10 s" performance target cannot be
+adjudicated from it directly. Any green entry whose parallel ``sec``
+breaches the 10 s cap is automatically RE-TIMED in isolation at sweep end
+and gets a ``sec_exclusive`` field; the cap is judged against
+``sec_exclusive`` (the ``slow_entries_retimed`` summary block lists both
+numbers). Entries without ``sec_exclusive`` were under the cap even while
+contended.
+
 Exit status is the number of failing queries (0 = all green).
 """
 
@@ -217,6 +227,25 @@ def main() -> int:
         th_.join()
     results = {n: results[n] for n in names if n in results}
 
+    # Timing-honesty pass (see module docstring): re-time cap breaches in
+    # isolation — all workers have joined, so the host is exclusively ours.
+    PER_ENTRY_CAP_SEC = 10.0
+    retimed: dict[str, dict] = {}
+    for name, rec in results.items():
+        if rec.get("err") is None and (rec.get("sec") or 0) > PER_ENTRY_CAP_SEC:
+            solo = run_entry(name, spark)
+            rec["sec_exclusive"] = solo["sec"]
+            retimed[name] = {
+                "sec_parallel": rec["sec"],
+                "sec_exclusive": solo["sec"],
+                "over_cap": solo["sec"] > PER_ENTRY_CAP_SEC,
+            }
+            print(
+                f"retimed {name} in isolation: {solo['sec']}s "
+                f"(parallel was {rec['sec']}s)",
+                flush=True,
+            )
+
     summary = {
         "sf_dir": args.sf_dir,
         "jobs": n_jobs,
@@ -224,6 +253,8 @@ def main() -> int:
         "n_green": len(names) - n_fail,
         "n_fail": n_fail,
         "total_sec": round(time.time() - t_all, 1),
+        "per_entry_cap_sec": PER_ENTRY_CAP_SEC,
+        "slow_entries_retimed": retimed,
         "results": results,
     }
     out = args.out or "SWEEP.json"

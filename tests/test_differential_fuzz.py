@@ -508,3 +508,140 @@ def test_differential_dialect_edges(spark_views, duck, sql):
     assert s == d, f"divergence on: {sql}\nfirst diffs: " + str(
         [p for p in zip(s, d) if p[0] != p[1]][:3]
     )
+
+
+# -------------------------------------------------- round-7 dialect edges
+#
+# The round-6 operator surface, systematically fuzzed (VERDICT r06 item 5):
+# clipped-multiset intersection shapes (the ROUGE/BLEU micro-F aggregate:
+# SUM(LEAST(cand_n, ref_n)) over an equi-join of two count grids), window-
+# rank pruning (the subquery WHERE rn <= k form — QUALIFY itself is a REAL
+# dialect gap: DuckDB parses it, Spark 4 does not, so the portable subset
+# prunes through a subquery), and div-sharded running sums vs the plain
+# unpartitioned cumulative window on hypothesis-RANDOM inline VALUES rows
+# (the rankselect.py sharded_running identity: per-shard cumsum + previous-
+# shard offsets == global cumsum, checked bit-identically across engines).
+# Window SUMs stay CAST(... AS BIGINT)-wrapped (DuckDB widens to HUGEINT).
+
+RANK_FUNCS = ["row_number()", "rank()", "dense_rank()"]
+
+
+@st.composite
+def round7_queries(draw):
+    kind = draw(st.sampled_from(["clip", "rank_prune", "sharded_cumsum"]))
+    if kind == "clip":
+        # clipped multiset intersection between two independently-filtered
+        # count grids over the same bounded key — the ROUGE/BLEU shape:
+        # match = sum(least(c, r)), micro-F as floor-of-double ppm
+        src = draw(st.sampled_from([0, 1, 3]))
+        table = SOURCES[src][0]
+        key = draw(st.sampled_from(KEYS[src]))
+        consts = {
+            "q": draw(st.integers(1, 50)),
+            "nc": draw(st.integers(50, 550)),
+            "p": draw(st.integers(1000, 300000)),
+            "m": draw(st.integers(2, 9)),
+            "v": draw(st.integers(1, 300)),
+        }
+        p1 = draw(st.sampled_from(PREDS[src])).format(**consts)
+        p2 = draw(st.sampled_from(PREDS[src])).format(**consts)
+        join = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+        return (
+            f"WITH c AS (SELECT {key} AS g, COUNT(*) AS n FROM {table} "
+            f"           WHERE {p1} GROUP BY {key}), "
+            f"r AS (SELECT {key} AS g, COUNT(*) AS n FROM {table} "
+            f"      WHERE {p2} GROUP BY {key}) "
+            f"SELECT CAST(SUM(least(c.n, coalesce(r.n, 0))) AS BIGINT) AS clipped, "
+            f"CAST(SUM(c.n) AS BIGINT) AS c_total, "
+            f"CAST(SUM(coalesce(r.n, 0)) AS BIGINT) AS r_total, "
+            f"CAST(floor(CAST(2000000 AS DOUBLE) * SUM(least(c.n, coalesce(r.n, 0))) "
+            f"     / (SUM(c.n) + SUM(coalesce(r.n, 0)))) AS BIGINT) AS f1_ppm "
+            f"FROM c {join} r ON c.g = r.g"
+        )
+    if kind == "rank_prune":
+        # window-rank pruning through a subquery (the portable QUALIFY):
+        # rank()/dense_rank() are tie-deterministic on the value ordering;
+        # row_number() gets a unique tiebreak column appended
+        src = draw(st.sampled_from([0, 1, 4]))
+        table = SOURCES[src][0]
+        part = WIN_SPEC[src][0]
+        # TRULY unique row key per source (WIN_SPEC's uniq is l_orderkey,
+        # which repeats across line numbers — a row_number tiebreak on it
+        # would be nondeterministic); l_linenumber <= 7 so *10 is injective
+        uniq = {
+            0: "CAST(l_orderkey * 10 + l_linenumber AS BIGINT)",
+            1: "o_orderkey",
+            4: "event_id",
+        }[src]
+        v = WIN_VALUE[src]
+        fn = draw(st.sampled_from(RANK_FUNCS))
+        k = draw(st.integers(min_value=1, max_value=7))
+        direction = draw(st.sampled_from(["ASC", "DESC"]))
+        order = f"{v} {direction}, {uniq}" if fn == "row_number()" else f"{v} {direction}"
+        cols = "uid, pk, v" if fn == "row_number()" else "pk, v"
+        return (
+            f"SELECT {cols}, CAST(rn AS BIGINT) AS rn FROM ("
+            f"SELECT {uniq} AS uid, {part} AS pk, {v} AS v, "
+            f"{fn} OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
+            f"FROM {table}) WHERE rn <= {k}"
+        )
+    # sharded_cumsum: hypothesis-random inline VALUES rows; the global
+    # running sum computed plainly AND via the shard decomposition must
+    # agree with each other and across engines. idx is unique by
+    # construction -> ROWS frames are order-deterministic.
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),   # k (shard source)
+                st.integers(min_value=-1000, max_value=1000),  # v
+            ),
+            min_size=3,
+            max_size=24,
+        )
+    )
+    w = draw(st.integers(min_value=2, max_value=16))
+    vals = ", ".join(f"({i}, {k}, {v})" for i, (k, v) in enumerate(rows))
+    # trunc-div semantics differ from floor on negatives in NEITHER engine
+    # (both truncate toward zero); shards must still be monotone in k, so
+    # shift k non-negative before dividing
+    return (
+        f"WITH src AS (SELECT * FROM (VALUES {vals}) AS t(idx, k, v)), "
+        f"d AS (SELECT idx, k, v, CAST(floor(CAST(k + 50 AS DOUBLE) / {w}) AS BIGINT) AS shard "
+        f"      FROM src), "
+        f"c AS (SELECT idx, k, v, shard, "
+        f"      CAST(SUM(v) OVER (ORDER BY k, idx ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"           AND CURRENT ROW) AS BIGINT) AS plain, "
+        f"      CAST(SUM(v) OVER (PARTITION BY shard ORDER BY k, idx ROWS BETWEEN "
+        f"           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS within "
+        f"      FROM d), "
+        f"tot AS (SELECT shard, CAST(SUM(v) AS BIGINT) AS stot FROM d GROUP BY shard), "
+        f"off AS (SELECT shard, CAST(coalesce(SUM(stot) OVER (ORDER BY shard ROWS BETWEEN "
+        f"        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM tot) "
+        f"SELECT c.idx, c.k, c.plain, CAST(c.within + off.o AS BIGINT) AS sharded, "
+        f"CAST(CASE WHEN c.plain = c.within + off.o THEN 1 ELSE 0 END AS BIGINT) AS agree "
+        f"FROM c JOIN off ON c.shard = off.shard"
+    )
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=round7_queries())
+def test_differential_round7_edges(spark_views, duck, sql):
+    """Round-7 edge fuzz: clipped multiset intersections, window-rank
+    pruning, sharded-vs-plain running sums — hash-matched across engines,
+    and the shard identity must hold (agree = 1 on every row)."""
+    sdf = spark_views.sql(sql)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s = _normalize(s_rows, sdf.columns)
+    rel = duck.sql(sql)
+    d = _normalize(rel.fetchall(), rel.columns)
+    assert s == d, f"divergence on: {sql}\nfirst diffs: " + str(
+        [p for p in zip(s, d) if p[0] != p[1]][:3]
+    )
+    if "agree" in sdf.columns:
+        i = sdf.columns.index("agree")
+        assert all(r[i] == 1 for r in s_rows), f"shard identity broke on: {sql}"

@@ -427,6 +427,12 @@ def test_retrieval_eval_job(spark, sf_dir, tmp_path):
     assert row.retrieval_approved
     ndcg = spark.read.parquet(f"{out}/ndcg")
     assert row.n_probe_queries == ndcg.count() == 5
+    # mean-over-EVALUABLE convention: NULL-ndcg probes (zero relevant docs)
+    # are excluded from the denominator, and the denominator is exposed
+    evaluable = [r.ndcg_ppm for r in ndcg.collect() if r.ndcg_ppm is not None]
+    assert row.n_evaluable_queries == len(evaluable)
+    # ppm values are non-negative, so Python floor-div == engine trunc-div
+    assert row.mean_ndcg_ppm == (sum(evaluable) // len(evaluable) if evaluable else 0)
     mrr = spark.read.parquet(f"{out}/mrr")
     assert row.mrr_ppm == mrr.collect()[0].mrr_ppm
     agree = spark.read.parquet(f"{out}/lexical_agreement")

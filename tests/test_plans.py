@@ -944,64 +944,116 @@ _SANCTIONED_SINGLE_PARTITION = {
 # Such a window is bounded only if the grouping key's DOMAIN is bounded; the
 # round-5 weak item was exactly a value grid whose key domain (cents) grows
 # to ~5e7 at 100x, and the rankselect sharding removed those nodes from all
-# nine call sites. Every entry below is key-domain-bounded by construction:
-# calendar grids (day/week/month over the fixture's date range), bounded
-# bucket grids (deciles, percentile bins, thresholds over a score grid,
-# lag/period literals), bounded category grids (brand, nation, event type,
-# source, RFM cells, path trigrams over |event types|^3), or event-time
-# grids clamped by sessionization/survival semantics. A NEW query exceeding
-# its pinned count fails this test and must either shard its walk
+# nine call sites.
+#
+# Each entry is ``name: (budget, bound)`` — the allowed node count plus the
+# STATED key-domain bound that justifies it (round-7: the nested-loop
+# sanction list already carried per-name justifications; these now do too).
+# "Calendar" grids are bounded by the DATA'S DATE SPAN (~3.7k days/decade),
+# not corpus size; "dimension" grids grow with a dimension table, not fact
+# rows, and name their shard escape hatch. A NEW query exceeding its pinned
+# count fails this test and must either shard its walk
 # (operators/rankselect.py) or pin itself here with a bounded key.
-_GRID_WINDOW_PIN = {
-    "actuarial_life_table": 1,
-    "average_precision_eval": 1,
-    "benjamini_hochberg_brands": 1,
-    "changepoint_binary_segmentation": 1,
-    "cross_correlation_lags": 2,
-    "cumulative_distinct_users": 1,
-    "cumulative_gains_deciles": 1,
-    "decision_stump_returnflag": 1,
-    "dft_periodogram_weekly": 1,
-    "durbin_watson_trend_residuals": 1,
-    "effect_size_report": 1,
-    "event_pair_sequence_support": 1,
-    "exponential_smoothing_forecast": 3,
-    "f1_threshold_search": 1,
-    "geo_cell_density": 1,
-    "gini_coefficient_revenue": 1,
-    "hdr_histogram_quantiles": 1,
-    "heaps_law_fit": 1,
-    "hill_tail_index": 1,
-    "hurst_rs_exponent": 6,
-    "isotonic_calibration": 2,
-    "jonckheere_terpstra_trend": 1,
-    "kaplan_meier_retention": 1,
-    "ks_two_sample_test": 1,
-    "ma_crossover_signals": 1,
-    "nelson_aalen_hazard": 1,
-    "neyman_allocation_sources": 1,
-    "peak_concurrent_sessions": 1,
-    "poisson_bootstrap_ci": 1,
-    "restricted_mean_survival": 1,
-    "return_rate_by_brand": 1,
-    "revenue_autocorrelation": 2,
-    "revenue_concentration_8020": 1,
-    "rfm_segmentation": 1,
-    "ridge_lambda_path": 1,
-    "roc_auc_mann_whitney": 1,
-    "runs_test_randomness": 2,
-    "seasonal_decompose_daily": 2,
-    "session_path_trigrams": 1,
-    "share_of_parent_rollup": 1,
-    "tail_dependence_daily": 1,
-    "theil_sen_trend": 1,
-    "vocab_coverage": 1,
-    "wasserstein_1d_distance": 1,
-    "watermark_late_audit": 1,
-    "weekly_growth_rate": 1,
-    "window_lag_delta": 1,
-    "window_range_frame": 1,
-    "youden_j_cutpoint": 1,
+_GRID_WINDOW_PIN: dict[str, tuple[int, str]] = {
+    "actuarial_life_table": (1, "weekly-interval tenure grid (calendar-bounded weeks)"),
+    "average_precision_eval": (1, "l_quantity rank grid (TPC-H quantity domain is 1..50)"),
+    "benjamini_hochberg_brands": (1, "per-brand p-value grid (|brands| = 25, fixed part attribute)"),
+    "changepoint_binary_segmentation": (1, "calendar-day revenue grid"),
+    "cross_correlation_lags": (
+        2,
+        "calendar-day grid twice: the day-index window and the +/-7-lag "
+        "pairing both key on days (~3.7k/decade at ANY corpus size)",
+    ),
+    "cumulative_distinct_users": (1, "calendar-day grid (running count over daily firsts)"),
+    "cumulative_gains_deciles": (1, "decile grid (10 rows by construction)"),
+    "decision_stump_returnflag": (1, "split-candidate grid over l_quantity (integer 1..50)"),
+    "dft_periodogram_weekly": (1, "calendar-day grid (DFT terms per day index)"),
+    "durbin_watson_trend_residuals": (1, "calendar-day residual grid"),
+    "effect_size_report": (1, "two-group (purchase vs click) summary grid"),
+    "event_pair_sequence_support": (1, "ordered event-type pair grid (|event_types|^2; fixture has 5 types)"),
+    "exponential_smoothing_forecast": (
+        3,
+        "calendar-day grid three ways: day-index window, <=30x30 closed-"
+        "form term join, final smoothing walk — all keyed on days, "
+        "~3.7k/decade regardless of corpus size",
+    ),
+    "f1_threshold_search": (1, "decision-threshold grid over integer l_quantity scores (1..50)"),
+    "geo_cell_density": (1, "spatial cell grid (fixed cell size over bounded lat/lon span)"),
+    "gini_coefficient_revenue": (
+        1,
+        "per-customer revenue grid — DIMENSION-bounded (grows with "
+        "|customers|, not fact rows); shard via sharded_running if the "
+        "customer dimension approaches 10^7",
+    ),
+    "hdr_histogram_quantiles": (1, "significant-digit bucket grid (~900 buckets per decade of value range)"),
+    "heaps_law_fit": (1, "corpus-prefix sample grid (fixed probe points on the doc axis)"),
+    "hill_tail_index": (1, "top-k tail order-statistic grid (k fixed)"),
+    "hurst_rs_exponent": (
+        6,
+        "calendar-day grid through the R/S pipeline: per-(size, block) "
+        "windows over DAILY revenue at 3 fixed block sizes (16/32/64 "
+        "days) plus the 3-point log-log pivot — every key domain is "
+        "days (~3.7k/decade) x 3 sizes",
+    ),
+    "isotonic_calibration": (
+        2,
+        "ppm-rate value grid (<=125k distinct rate values by the ppm "
+        "freeze) for the PAVA sweep; interval joins are grid-bounded",
+    ),
+    "jonckheere_terpstra_trend": (1, "ordered-group value grid (3 fixed groups x frozen price grid)"),
+    "kaplan_meier_retention": (1, "duration-day grid (event-time span, calendar-bounded)"),
+    "ks_two_sample_test": (1, "merged value grid of the two frozen-cents samples (daily aggregates)"),
+    "ma_crossover_signals": (1, "calendar-day grid (7d/28d moving averages)"),
+    "nelson_aalen_hazard": (1, "duration-day grid (same axis as kaplan_meier_retention)"),
+    "neyman_allocation_sources": (1, "per-source stratum grid (|sources| ~ 4 fixture categories)"),
+    "peak_concurrent_sessions": (1, "sweep-line event-time grid per day (calendar-bounded)"),
+    "poisson_bootstrap_ci": (1, "bootstrap-replicate grid (fixed B replicates)"),
+    "restricted_mean_survival": (1, "duration-day grid clamped to the 29-day horizon"),
+    "return_rate_by_brand": (1, "per-brand grid (|brands| = 25)"),
+    "revenue_autocorrelation": (
+        2,
+        "calendar-day grid twice: day-index window and the lag-{1,2,3,7} "
+        "pairing join — both keyed on days (~3.7k/decade)",
+    ),
+    "revenue_concentration_8020": (
+        1,
+        "per-customer revenue grid — DIMENSION-bounded like "
+        "gini_coefficient_revenue; same sharded_running escape hatch",
+    ),
+    "rfm_segmentation": (1, "RFM cell grid (5x5x5 = 125 cells) over per-customer aggregates"),
+    "ridge_lambda_path": (1, "lambda grid (fixed regularization path points)"),
+    "roc_auc_mann_whitney": (1, "l_quantity value grid (integer 1..50)"),
+    "runs_test_randomness": (
+        2,
+        "calendar-day sign grid: the lag window and the run-boundary "
+        "cumulative count both key on days (~3.7k/decade)",
+    ),
+    "seasonal_decompose_daily": (
+        2,
+        "calendar-day grid: centered 7-day trend window plus the "
+        "weekday-index (7-row) seasonal mean — both day-keyed",
+    ),
+    "session_path_trigrams": (1, "path-trigram grid (|event_types|^3 = 125 at 5 types)"),
+    "share_of_parent_rollup": (1, "nation/region hierarchy grid (25 nations, 5 regions)"),
+    "tail_dependence_daily": (1, "calendar-day joint-exceedance grid"),
+    "theil_sen_trend": (
+        1,
+        "day-PAIR slope grid (~n_days^2/2; ~7M pairs per decade of data — "
+        "bounded by the DATE SPAN squared, not corpus size; re-shard if "
+        "the span exceeds ~30 years)",
+    ),
+    "vocab_coverage": (1, "token-frequency rank grid (vocabulary-bounded, sub-linear in corpus)"),
+    "wasserstein_1d_distance": (1, "merged frozen-value grid of the two compared distributions"),
+    "watermark_late_audit": (1, "event-time grid clamped by the 30-minute watermark semantics"),
+    "weekly_growth_rate": (1, "calendar-week grid (~520 weeks/decade)"),
+    "window_lag_delta": (1, "calendar-month grid (~120 months/decade)"),
+    "window_range_frame": (
+        1,
+        "per-account balance grid — DIMENSION-bounded (demo of the RANGE "
+        "frame over |customers| aggregate rows); sharded_running escape "
+        "hatch applies if the dimension explodes",
+    ),
+    "youden_j_cutpoint": (1, "cutpoint grid over integer l_quantity scores (1..50)"),
 }
 
 
@@ -1027,8 +1079,12 @@ def test_registry_all_scalable(spark, sf_dir):
                 allow_row_python=name in _SANCTIONED_ROW_PYTHON,
                 allow_single_partition_raw=name in _SANCTIONED_SINGLE_PARTITION,
             )
-            if r.single_partition_grid > _GRID_WINDOW_PIN.get(name, 0):
-                grid_excess[name] = r.single_partition_grid
+            budget, bound = _GRID_WINDOW_PIN.get(name, (0, "UNPINNED"))
+            if r.single_partition_grid > budget:
+                grid_excess[name] = (
+                    f"{r.single_partition_grid} grid windows > budget "
+                    f"{budget} (pinned bound: {bound})"
+                )
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures.append(f"{name}: {str(e)[:100]}")
     assert not failures, "\n".join(failures)
