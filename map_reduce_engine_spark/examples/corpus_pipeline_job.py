@@ -12,6 +12,11 @@ Stages (all declarative, all scale-shaped — see SCALE.md):
   2. exact dedup    — normalized-text fingerprint, min-id survivor
   3. near dedup     — MinHash-LSH candidates + exact-Jaccard verify,
                       connected components, min-id survivor per cluster
+  3b. substring tier — exact-substring rewrite (Lee et al. ACL'22): every
+                      non-canonical occurrence of a duplicated >= k-token
+                      run excised from the text (span-level, so one shared
+                      license block no longer drags whole documents out);
+                      audit row is in TOKEN units
   4. split          — deterministic key-modulus train/val/test
   5. write          — parquet partitioned by split
 
@@ -31,6 +36,7 @@ def run(
     out_dir: str,
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.85,
+    substring_k: int = 50,
 ) -> DataFrame:
     """Execute the pipeline; returns the per-stage audit DataFrame
     (stage, rows_in, rows_out) after writing the final corpus."""
@@ -66,8 +72,30 @@ def run(
     nd = e.join(drop, "doc_id", "left_anti").localCheckpoint(eager=True)
     n3 = nd.count()
 
+    # 3b. exact-substring rewrite: duplicated >= k-token runs excised from
+    # every non-canonical holder (the canonical = min-doc_id copy survives
+    # verbatim). Token-unit stage: document count is unchanged unless a
+    # document was NOTHING but duplicated spans (then it empties and drops
+    # like the input blank filter).
+    rw = dd.substring_dedup_rewrite(nd, "doc_id", "text", k=substring_k)
+    tok = rw.agg(
+        F.sum("n_tokens").cast("bigint").alias("t_in"),
+        (F.sum("n_tokens") - F.sum("removed_tokens")).cast("bigint").alias("t_out"),
+    ).collect()[0]
+    nd2 = (
+        nd.drop("text")
+        .join(
+            rw.where(F.col("text") != "").select(
+                F.col("id").alias("doc_id"), "text"
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n3b = nd2.count()
+
     # 4. deterministic split (key modulus — stable under re-runs/partitioning)
-    final = nd.withColumn(
+    final = nd2.withColumn(
         "split",
         F.when(F.col("doc_id") % 10 < 8, "train")
         .when(F.col("doc_id") % 10 == 8, "val")
@@ -83,7 +111,9 @@ def run(
             ("1_quality_gate", n0, n1),
             ("2_exact_dedup", n1, n2),
             ("3_near_dedup", n2, n3),
-            ("4_split_write", n3, n3),
+            ("3b_substring_rewrite_tokens", int(tok.t_in), int(tok.t_out)),
+            ("3b_substring_rewrite_docs", n3, n3b),
+            ("4_split_write", n3b, n3b),
         ],
         "stage string, rows_in bigint, rows_out bigint",
     )

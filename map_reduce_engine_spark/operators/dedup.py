@@ -612,3 +612,63 @@ def substring_dedup_survivors(
             ),
         )
     )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_df: int = 2
+) -> DataFrame:
+    """(id, text, n_tokens, removed_tokens) — the corpus with duplicated
+    spans EXCISED: every non-canonical occurrence of a duplicated
+    ``k``-token run (see substring_dedup_survivors' keep-best rule) is cut
+    out of the document text; the canonical copy survives verbatim.
+
+    This is the actual rewrite step of Lee et al. ACL'22 (their ExactSubstr
+    removes the span, not the document — most documents are mostly unique
+    and deleting them wholesale over one shared license block throws away
+    good tokens). Reassembly is JVM-side end to end: kept token positions
+    anti-joined against removal positions, then position-ordered
+    ``array_sort(collect_list(struct(pos, tok)))`` -> ``concat_ws`` — one
+    shuffle keyed on the doc id. Documents with nothing to remove pass
+    through byte-identical (modulo the tokenizer's whitespace
+    normalization, applied uniformly so downstream fingerprints agree).
+    """
+    base, occ = _substring_occurrences(df, id_col, text_col, k)
+    canon = (
+        occ.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"), F.min("id").alias("canon_id"))
+        .where(F.col("df") >= min_df)
+        .select("h", "canon_id")
+    )
+    rem_pos = (
+        occ.join(canon, "h")
+        .where(F.col("id") != F.col("canon_id"))
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
+        .distinct()
+    )
+    toks = base.select("id", "n_tokens", F.posexplode("l").alias("p0", "tok")).select(
+        "id", "n_tokens", (F.col("p0") + 1).cast("bigint").alias("p"), "tok"
+    )
+    kept = toks.join(rem_pos, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id", "n_tokens").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        ).alias("text"),
+        F.count("*").cast("bigint").alias("kept_tokens"),
+    )
+    # documents whose EVERY token was removed vanish from `kept` — restore
+    # them as empty strings so the corpus row set is stable
+    return (
+        base.select("id", "n_tokens")
+        .join(rebuilt.select("id", "text", "kept_tokens"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("removed_tokens"),
+        )
+    )

@@ -157,6 +157,13 @@ def test_corpus_pipeline_example_end_to_end(spark, tmp_path):
     assert audit["2_exact_dedup"][1] <= audit["2_exact_dedup"][0]
     assert audit["3_near_dedup"][1] <= audit["3_near_dedup"][0]
     assert audit["3_near_dedup"][1] > 0
+    # substring tier: token ledger is monotone and consistent with the
+    # doc-count row (docs only drop if they emptied entirely)
+    t_in, t_out = audit["3b_substring_rewrite_tokens"]
+    assert 0 < t_out <= t_in
+    d_in, d_out = audit["3b_substring_rewrite_docs"]
+    assert 0 < d_out <= d_in == audit["3_near_dedup"][1]
+    assert audit["4_split_write"][0] == d_out
 
     from pyspark.sql import functions as F
 

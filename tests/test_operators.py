@@ -449,6 +449,28 @@ def test_substring_dedup_k50_catches_60_not_40(spark):
     assert surv[2] == (75, 60, 15, 10000 * 60 // 75), surv
     assert surv[3] == (60, 0, 60, 0) and surv[4] == (60, 0, 60, 0), surv
 
+    # Rewrite: doc 2's shared block is EXCISED (its unique suffix survives
+    # in order), doc 1 (canonical) and docs 3/4 pass through verbatim.
+    from map_reduce_engine_spark.operators.dedup import substring_dedup_rewrite
+
+    rw = {
+        r.id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in substring_dedup_rewrite(df, "doc_id", "text", k=50).collect()
+    }
+    assert rw[1] == (f"{pre_a} {shared60}", 70, 0), rw[1]
+    assert rw[2] == (post_b, 75, 60), rw[2]
+    assert rw[3][2] == 0 and rw[4][2] == 0
+
+    # a document that is NOTHING but a duplicated span empties, not vanishes
+    df2 = spark.createDataFrame(
+        [(1, f"{pre_a} {shared60}"), (2, shared60)], ["doc_id", "text"]
+    )
+    rw2 = {
+        r.id: (r.text, r.removed_tokens)
+        for r in substring_dedup_rewrite(df2, "doc_id", "text", k=50).collect()
+    }
+    assert rw2[2] == ("", 60) and rw2[1][1] == 0, rw2
+
 
 def test_udtf_sentence_stats_lateral(spark):
     """Python UDTF + LATERAL correlation: per-sentence relations with typed
