@@ -151,7 +151,7 @@ def host_calibration_mc_sec(n_threads: int | None = None) -> float:
 _IDLE_MC_FALLBACK_SEC = 2.106
 
 
-def resolve_idle_mc_ref() -> float:
+def resolve_idle_mc_ref(bench_dir: Path | None = None) -> float:
     """Idle-host calibration pin for the artifact gate, in precedence order:
 
     1. ``SPARK_GRAFT_IDLE_MC_REF`` env var — the escape hatch for a host
@@ -169,7 +169,7 @@ def resolve_idle_mc_ref() -> float:
     if env:
         return float(env)
     gated: list[float] = []
-    for f in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+    for f in (bench_dir or Path(__file__).resolve().parent).glob("BENCH_r*.json"):
         try:
             doc = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):

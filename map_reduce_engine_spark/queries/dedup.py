@@ -1372,3 +1372,51 @@ def golden_record_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_lang",
         )
     )
+
+
+@register(
+    "substring_dedup_rewrite",
+    oracle=f"""
+    WITH {_DUCK_SUBSTR_G},
+    canon AS (
+      SELECT h, min(doc_id) AS canon_id
+      FROM (SELECT DISTINCT doc_id, h FROM g)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT g.doc_id, g.i + o.k AS p
+      FROM g JOIN canon USING (h) CROSS JOIN unnest(range(0, 50)) AS o(k)
+      WHERE g.doc_id <> canon.canon_id
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, l[i] AS tok
+      FROM d, unnest(range(1, len(l) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+             count(*) AS kept FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(reb.text, '') AS text,
+           len(d.l)::BIGINT AS n_tokens,
+           (len(d.l) - coalesce(reb.kept, 0))::BIGINT AS removed_tokens
+    FROM d LEFT JOIN reb USING (doc_id)
+    """,
+    doc="the exact-substring REWRITE (Lee et al. ACL'22's actual output): "
+    "the corpus with every non-canonical occurrence of a duplicated "
+    "50-token run excised from the text — span removal, not document "
+    "removal, so one shared license block no longer drags whole documents "
+    "out of the corpus. Reassembly is a position anti-join + ordered "
+    "collect per document (one doc-keyed shuffle); fully-duplicated "
+    "documents empty rather than vanish. The rebuilt STRINGS are part of "
+    "the oracle comparison, so the excision boundaries are verified "
+    "byte-for-byte, not just counted",
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return dd.substring_dedup_rewrite(docs, "doc_id", "text", k=50)

@@ -268,6 +268,19 @@ HEADLINE = [
         "gram) equi-joins, hash aggregates to the |sources| grid — "
         "never all-pairs",
     ),
+    # round-7: the exact-substring dedup tier (bench sentinel q22) + the
+    # LSH-bucketed reliability scale path
+    (
+        "substring_dedup_spans",
+        "exact-substring dedup (Lee et al. k=50): tile posexplode, map-side-"
+        "distinct repeated-tile aggregate (broadcast back), per-DOCUMENT "
+        "gaps-and-islands windows — no global window, no cartesian",
+    ),
+    (
+        "embedding_similarity_reliability_lsh",
+        "seeded-hyperplane LSH bucket self-equi-join feeding the decile "
+        "aggregate — the corpus-scale pair generator (never all-pairs)",
+    ),
 ]
 
 

@@ -81,3 +81,44 @@ def test_replay_committed_r05_artifact_quiet_at_idle():
 
 def test_gate_threshold_pinned_to_idle_reference():
     assert GATE_THRESHOLD_SEC == round(IDLE_MC_REF_SEC * 1.25, 3)
+
+
+def test_resolve_idle_mc_ref_precedence(tmp_path, monkeypatch):
+    """The idle pin resolves env > fastest GATED round > fallback — and a
+    contended or ungated round can never loosen the gate (ADVICE r06: the
+    hardcoded pin made the gate unconditionally fail on slower hosts)."""
+    import json
+
+    from bench import _IDLE_MC_FALLBACK_SEC, resolve_idle_mc_ref
+
+    monkeypatch.delenv("SPARK_GRAFT_IDLE_MC_REF", raising=False)
+
+    # no records at all -> fallback
+    assert resolve_idle_mc_ref(tmp_path) == _IDLE_MC_FALLBACK_SEC
+
+    # an UNGATED round (r05-style contended artifact) must not move the pin
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"queries": {}, "host_calibration_mc_sec": 7.44})
+    )
+    assert resolve_idle_mc_ref(tmp_path) == _IDLE_MC_FALLBACK_SEC
+
+    # two gate-PASSED rounds -> the fastest wins (tightest honest pin)
+    for name, mc in (("BENCH_r06.json", 2.371), ("BENCH_r06_b.json", 2.654)):
+        (tmp_path / name).write_text(
+            json.dumps(
+                {
+                    "queries": {},
+                    "host_calibration_mc_sec": mc,
+                    "idle_host_gate": {"passed": True},
+                }
+            )
+        )
+    assert resolve_idle_mc_ref(tmp_path) == 2.371
+
+    # a corrupt artifact is skipped, not fatal (the empty-redirect lesson)
+    (tmp_path / "BENCH_r07.json").write_text("")
+    assert resolve_idle_mc_ref(tmp_path) == 2.371
+
+    # env var overrides everything (the slower-host escape hatch)
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_MC_REF", "5.0")
+    assert resolve_idle_mc_ref(tmp_path) == 5.0
