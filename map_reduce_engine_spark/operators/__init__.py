@@ -22,6 +22,7 @@ from map_reduce_engine_spark.operators.dedup import (
     jaccard_pairs,
     simhash,
     repeated_span_coverage,
+    cross_corpus_contamination_spans,
     substring_dedup_rewrite,
     substring_dedup_spans,
     substring_dedup_survivors,
@@ -60,6 +61,7 @@ __all__ = [
     "ivfpq_topk",
     "semantic_dedup",
     "repeated_span_coverage",
+    "cross_corpus_contamination_spans",
     "substring_dedup_rewrite",
     "substring_dedup_spans",
     "substring_dedup_survivors",

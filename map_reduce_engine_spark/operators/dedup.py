@@ -672,3 +672,33 @@ def substring_dedup_rewrite(
             .alias("removed_tokens"),
         )
     )
+
+
+def cross_corpus_contamination_spans(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 13,
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens) — maximal spans of each TEST
+    document covered by a ``k``-token run that appears verbatim anywhere in
+    the TRAIN corpus.
+
+    The GPT-3 decontamination tier (Brown et al. 2020, appendix C: 13-gram
+    overlap against the training set, contaminated spans removed from eval
+    sets): where substring_dedup_spans is symmetric within one corpus, this
+    is the ASYMMETRIC probe an eval-suite pipeline runs before trusting a
+    benchmark number. Scale shape: the train side reduces to its DISTINCT
+    tile-hash set via one hash aggregate (map-side distinct on (doc, hash)
+    is skipped — only hash identity matters, so the distinct is on the
+    hash alone, strictly smaller); test occurrences equi-join that set and
+    merge per-document (doc-keyed windows). Train tiles are corpus-scale
+    but the join keys on the hash — never all-pairs, and the test side is
+    typically orders of magnitude smaller.
+    """
+    _, test_occ = _substring_occurrences(test_df, id_col, text_col, k)
+    _, train_occ = _substring_occurrences(train_df, id_col, text_col, k)
+    train_tiles = train_occ.select("h").distinct()
+    hits = test_occ.join(train_tiles, "h").select("id", "i").distinct()
+    return _merge_spans(hits, k)

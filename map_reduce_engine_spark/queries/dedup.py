@@ -1420,3 +1420,54 @@ def golden_record_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
     return dd.substring_dedup_rewrite(docs, "doc_id", "text", k=50)
+
+
+@register(
+    "decontamination_spans",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 >= 90 AS is_test, {_DUCK_L} AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, is_test, i,
+             ('0x' || substr(md5(array_to_string(l[i:i+12], ' ')), 1, 8))::BIGINT AS h
+      FROM d, unnest(range(1, len(l) - 11)) AS u(i)
+      WHERE len(l) >= 13
+    ),
+    train_tiles AS (SELECT DISTINCT h FROM g WHERE NOT is_test),
+    dup AS (
+      SELECT DISTINCT g.doc_id, g.i FROM g JOIN train_tiles USING (h)
+      WHERE g.is_test
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN prev_i IS NULL OR i - prev_i > 13 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM dup
+      )
+    )
+    SELECT doc_id AS id,
+           min(i)::BIGINT AS span_start,
+           (max(i) + 12)::BIGINT AS span_end,
+           (max(i) + 12 - min(i) + 1)::BIGINT AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="GPT-3-style span-level decontamination (Brown et al. 2020 app. C: "
+    "13-gram overlap against the training set): for every TEST document "
+    "(the same doc_id%100>=90 holdout convention as contamination_check), "
+    "the maximal spans covered by a verbatim 13-token run appearing "
+    "anywhere in the TRAIN split — the spans an eval pipeline excises (or "
+    "flags) before trusting a benchmark number. Asymmetric sibling of "
+    "substring_dedup_spans: the train side reduces to its distinct "
+    "tile-hash set (one hash aggregate), the test side equi-joins it and "
+    "merges per-document; where contamination_check reports a 5-gram "
+    "RATE, this returns the exact 13-gram span EXTENTS",
+)
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    test = docs.where(F.col("doc_id") % 100 >= 90)
+    train = docs.where(F.col("doc_id") % 100 < 90)
+    return dd.cross_corpus_contamination_spans(test, train, "doc_id", "text", k=13)

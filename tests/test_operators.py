@@ -472,6 +472,44 @@ def test_substring_dedup_k50_catches_60_not_40(spark):
     assert rw2[2] == ("", 60) and rw2[1][1] == 0, rw2
 
 
+def test_cross_corpus_contamination_spans_k13(spark):
+    """GPT-3-style decontamination probe: a 13-token run shared between a
+    test doc and ANY train doc is recovered as an exact span; a 12-token
+    overlap is invisible; train-train repetition alone flags nothing."""
+    from map_reduce_engine_spark.operators.dedup import (
+        cross_corpus_contamination_spans,
+    )
+
+    leak13 = " ".join(f"q{i}" for i in range(13))
+    leak12 = " ".join(f"w{i}" for i in range(12))
+    train = spark.createDataFrame(
+        [
+            (1, f"{leak13} " + " ".join(f"a{i}" for i in range(10))),
+            (2, f"{leak12} " + " ".join(f"b{i}" for i in range(10))),
+            # train-train duplication (both contain leak13) must not
+            # produce TEST spans by itself
+            (3, " ".join(f"c{i}" for i in range(5)) + f" {leak13}"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            # 5 unique + the 13-token leak -> span [6, 18]
+            (100, " ".join(f"x{i}" for i in range(5)) + f" {leak13}"),
+            # only the 12-token overlap: below k, clean
+            (101, f"{leak12} " + " ".join(f"y{i}" for i in range(8))),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r.id: (r.span_start, r.span_end, r.span_tokens)
+        for r in cross_corpus_contamination_spans(
+            test, train, "doc_id", "text", k=13
+        ).collect()
+    }
+    assert spans == {100: (6, 18, 13)}, spans
+
+
 def test_udtf_sentence_stats_lateral(spark):
     """Python UDTF + LATERAL correlation: per-sentence relations with typed
     columns; empty docs yield no rows, unpunctuated docs one row."""
