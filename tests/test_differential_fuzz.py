@@ -528,7 +528,33 @@ RANK_FUNCS = ["row_number()", "rank()", "dense_rank()"]
 
 @st.composite
 def round7_queries(draw):
-    kind = draw(st.sampled_from(["clip", "rank_prune", "sharded_cumsum"]))
+    kind = draw(
+        st.sampled_from(["clip", "rank_prune", "sharded_cumsum", "interval_join"])
+    )
+    if kind == "interval_join":
+        # non-equi BETWEEN join (the as-of / range-join dialect surface):
+        # value intervals derived from one aggregate, points from another,
+        # LEFT JOIN so empty intervals surface as zero-count rows. All
+        # BIGINT arithmetic — no date-interval syntax (a REAL dialect gap:
+        # Spark date_add vs DuckDB INTERVAL addition).
+        key = draw(st.sampled_from(KEYS[1]))
+        width = draw(st.integers(min_value=100, max_value=5_000_000))
+        p1 = draw(st.sampled_from(PREDS[1])).format(
+            p=draw(st.integers(1000, 300000)), m=draw(st.integers(2, 9))
+        )
+        p2 = draw(st.sampled_from(PREDS[1])).format(
+            p=draw(st.integers(1000, 300000)), m=draw(st.integers(2, 9))
+        )
+        cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+        return (
+            f"WITH a AS (SELECT {key} AS k, CAST(MIN({cents}) AS BIGINT) AS lo, "
+            f"           CAST(MIN({cents}) + {width} AS BIGINT) AS hi "
+            f"           FROM orders WHERE {p1} GROUP BY {key}), "
+            f"b AS (SELECT {cents} AS v FROM orders WHERE {p2}) "
+            f"SELECT a.k, a.lo, a.hi, CAST(COUNT(b.v) AS BIGINT) AS n_in "
+            f"FROM a LEFT JOIN b ON b.v BETWEEN a.lo AND a.hi "
+            f"GROUP BY a.k, a.lo, a.hi"
+        )
     if kind == "clip":
         # clipped multiset intersection between two independently-filtered
         # count grids over the same bounded key — the ROUGE/BLEU shape:
@@ -624,7 +650,7 @@ def round7_queries(draw):
 
 
 @settings(
-    max_examples=100,
+    max_examples=140,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -632,7 +658,8 @@ def round7_queries(draw):
 @given(sql=round7_queries())
 def test_differential_round7_edges(spark_views, duck, sql):
     """Round-7 edge fuzz: clipped multiset intersections, window-rank
-    pruning, sharded-vs-plain running sums — hash-matched across engines,
+    pruning, sharded-vs-plain running sums, non-equi BETWEEN interval
+    joins — hash-matched across engines,
     and the shard identity must hold (agree = 1 on every row)."""
     sdf = spark_views.sql(sql)
     s_rows = [tuple(r) for r in sdf.collect()]
