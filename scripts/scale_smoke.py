@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Synthetic scale-up smoke for the dedup family: does wall time stay
+~linear as the corpus grows, with the plans already gated shuffle-bounded?
+
+Replicates the sf0.1 documents table 1x/4x/16x by unioning doc_id-shifted
+copies — deliberately ADVERSARIAL for dedup: every document becomes an
+exact N-way duplicate, so every substring tile repeats, every MinHash pair
+co-buckets, and the candidate/island volume is the worst case the operator
+family can see at that row count (real corpora repeat far less). A
+sub-linear-to-linear time curve here, against worst-case duplication, is
+direct evidence the shapes hold at 100x; a super-linear curve exposes an
+all-pairs or single-task degeneration the plan gate missed.
+
+Writes one JSON object (factors, per-op seconds, rows) to --out.
+Usage: python scripts/scale_smoke.py [--out SCALE_SMOKE.json]
+       [--sf-dir /root/testdata/sf0.1] [--factors 1 4 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from map_reduce_engine_spark.io import read_table  # noqa: E402
+from map_reduce_engine_spark.operators import dedup as dd  # noqa: E402
+from map_reduce_engine_spark.session import get_spark  # noqa: E402
+
+ID_OFFSET = 10_000_000  # far above any fixture doc_id
+
+
+def replicate(docs, n: int):
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
+        for i in range(n)
+    ]
+    return reduce(lambda a, b: a.unionAll(b), copies)
+
+
+def timed(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm (codegen + scan)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="SCALE_SMOKE.json")
+    ap.add_argument("--factors", type=int, nargs="*", default=[1, 4, 16])
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="mre-scale-smoke")
+    base = read_table(spark, args.sf_dir, "documents").where(F.trim("text") != "")
+    results: dict = {"sf_dir": args.sf_dir, "factors": args.factors, "ops": {}}
+
+    def op_suite(docs):
+        return {
+            "substring_dedup_spans_k50": dd.substring_dedup_spans(
+                docs, "doc_id", "text", k=50
+            ),
+            "substring_dedup_survivors_k50": dd.substring_dedup_survivors(
+                docs, "doc_id", "text", k=50
+            ),
+            # NOTE: no pair-OUTPUT operator (minhash_near_dup etc.) belongs
+            # in a replication smoke — N-way replication makes the pair
+            # output itself quadratic in N (every copy pairs with every
+            # other), so linear wall time is semantically impossible
+            # regardless of plan quality. Pair operators' scale evidence is
+            # the banded-bucket plan gate + blocking_recall_report instead.
+            # The ops below all have output linear in the corpus.
+            "substring_dedup_rewrite_k50": dd.substring_dedup_rewrite(
+                docs, "doc_id", "text", k=50
+            ),
+            "dedup_exact_survivors": dd.dedup_exact(
+                docs, subset=["text"], order_by=["doc_id"]
+            ),
+        }
+
+    for n in args.factors:
+        docs = replicate(base, n).localCheckpoint(eager=True)  # isolate op cost
+        n_docs = docs.count()
+        row: dict = {"n_docs": n_docs, "sec": {}, "rows": {}}
+        for name, df in op_suite(docs).items():
+            row["sec"][name] = timed(df)
+            row["rows"][name] = df.count()
+        results["ops"][str(n)] = row
+        print(f"factor {n}: {row}", flush=True)
+
+    # linearity verdict: per-op ratio of (sec at max factor) to
+    # (sec at factor 1 x max factor) — <= ~1 means at-or-below linear
+    fmin, fmax = str(min(args.factors)), str(max(args.factors))
+    scale = max(args.factors) / min(args.factors)
+    verdict = {}
+    for name in results["ops"][fmin]["sec"]:
+        s0 = results["ops"][fmin]["sec"][name]
+        s1 = results["ops"][fmax]["sec"][name]
+        verdict[name] = round(s1 / (s0 * scale), 3) if s0 > 0 else None
+    results["linear_ratio_at_max"] = verdict
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    print(f"wrote {args.out}; linear ratios (<=1 is at-or-below linear): {verdict}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

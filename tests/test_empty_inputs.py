@@ -323,3 +323,46 @@ def test_pair_clip_totals_empty_and_disjoint(spark):
     )
     row = _pair_clip_totals(pairs, gr).collect()[0]
     assert (row.n_pairs, row.m, row.c_tot, row.r_tot) == (1, 0, 3, 2)
+
+
+def test_substring_dedup_empty_and_short(spark):
+    """The substring tier on an empty corpus and on a corpus where every
+    document is shorter than k: no spans, full-retention ledgers, texts
+    pass through the rewrite."""
+    empty = _empty_docs(spark)
+    assert dd.substring_dedup_spans(empty, "doc_id", "text", k=50).count() == 0
+    assert dd.substring_dedup_survivors(empty, "doc_id", "text", k=50).count() == 0
+    assert dd.substring_dedup_rewrite(empty, "doc_id", "text", k=50).count() == 0
+
+    short = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )  # exact dups, but BELOW the k threshold: the substring tier ignores them
+    assert dd.substring_dedup_spans(short, "doc_id", "text", k=50).count() == 0
+    surv = {
+        r.id: (r.n_tokens, r.removed_tokens, r.kept_tokens)
+        for r in dd.substring_dedup_survivors(short, "doc_id", "text", k=50).collect()
+    }
+    assert surv == {1: (3, 0, 3), 2: (3, 0, 3)}, surv
+    rw = {
+        r.id: r.text
+        for r in dd.substring_dedup_rewrite(short, "doc_id", "text", k=50).collect()
+    }
+    assert rw == {1: "a b c", 2: "a b c"}, rw
+
+
+def test_cross_corpus_contamination_empty_sides(spark):
+    """Decontamination with an empty train corpus (nothing can contaminate)
+    and an empty test corpus (nothing to probe) both yield empty spans with
+    the right schema."""
+    from map_reduce_engine_spark.operators.dedup import (
+        cross_corpus_contamination_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    empty = _empty_docs(spark)
+    for test_df, train_df in ((empty, docs), (docs, empty), (empty, empty)):
+        out = cross_corpus_contamination_spans(test_df, train_df, "doc_id", "text", k=13)
+        assert out.columns == ["id", "span_start", "span_end", "span_tokens"]
+        assert out.count() == 0
