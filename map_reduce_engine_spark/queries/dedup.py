@@ -1471,3 +1471,61 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.where(F.col("doc_id") % 100 >= 90)
     train = docs.where(F.col("doc_id") % 100 < 90)
     return dd.cross_corpus_contamination_spans(test, train, "doc_id", "text", k=13)
+
+
+# Fixed demo blocklist for the phrase-filter query: multi-token phrases that
+# occur in the fixture vocabulary (plus one that never matches, so the
+# no-hit path is exercised). A production run swaps the literal list for a
+# broadcast table; the matching expression is identical.
+_BLOCKLIST = ("slow query", "big table", "merge batch", "data leak")
+
+
+@register(
+    "blocklist_phrase_filter",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, source,
+             ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ' AS padded
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             list_filter({list(_BLOCKLIST)!r},
+                         p -> instr(padded, ' ' || p || ' ') > 0) AS hl
+      FROM d
+    )
+    SELECT doc_id, source,
+           len(hl)::BIGINT AS n_hits,
+           array_to_string(list_sort(hl), ',') AS hit_phrases
+    FROM hits WHERE len(hl) > 0
+    """,
+    doc="blocklist phrase filter (the C4-style 'banned word list' gate, "
+    "Raffel et al. 2020): every document containing any of a fixed "
+    "multi-token phrase list as a whole-word substring, with the matched "
+    "phrases. Whole-word semantics via single-space normalization + "
+    "space-padded containment — no regex per phrase, no tokenizer "
+    "dependence. Scale shape: pure column expressions over one scan "
+    "(zero shuffles, zero Python); a production blocklist of 10^4+ "
+    "phrases swaps the literal array for a broadcast join on the "
+    "first-token blocking key, same verify expression",
+)
+def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    arr = "array(" + ", ".join(f"'{p}'" for p in _BLOCKLIST) + ")"
+    padded = r"' ' || regexp_replace(trim(text), '\\s+', ' ') || ' '"
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"filter({arr}, p -> instr({padded}, ' ' || p || ' ') > 0)"
+            ).alias("hl"),
+        )
+        .where(F.size("hl") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("hl").cast("bigint").alias("n_hits"),
+            F.array_join(F.array_sort("hl"), ",").alias("hit_phrases"),
+        )
+    )
