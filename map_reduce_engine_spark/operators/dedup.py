@@ -484,6 +484,15 @@ def _substring_occurrences(
     recomputes identical tiles."""
     from map_reduce_engine_spark.operators.packing import winnow_hashes_col
 
+    # the tile explode fans each doc out k-fold md5 evaluations wide — make
+    # sure that stage is at least core-parallel. A single small input file
+    # otherwise serializes the whole hash pipeline into one task (the
+    # operators/bootstrap.py precedent; measured ~1 s/pass single-task at
+    # sf0.1). At production scale input partitions exceed cores and this is
+    # a no-op — the guard never triggers, so no corpus-wide shuffle is added.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     base = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("l")
     ).select("id", "l", F.size("l").cast("bigint").alias("n_tokens"))
