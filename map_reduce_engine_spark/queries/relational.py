@@ -2096,16 +2096,23 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue dashboard leads with",
 )
 def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.rankselect import sharded_running
+
     orders = t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cents"),
-    )
+    # descending global rank + running sum with NO single-partition window:
+    # shard on the NEGATED cents (div truncates toward zero, which is
+    # monotone non-decreasing on the all-negative column, so shard order +
+    # within-shard order still equals the global cents-DESC order)
+    ranked = sharded_running(
+        rev.withColumn("neg_cents", (-F.col("cents")).cast("bigint")),
+        "neg_cents div 65536",
+        ["neg_cents", "o_custkey"],
+        ["cents"],
+        rn="rnk",
+    ).select("cents", "rnk", "cum_cents")
     tot = rev.agg(F.count("*").alias("n_customers"), F.sum("cents").alias("total"))
     return (
         ranked.crossJoin(F.broadcast(tot))
@@ -2475,12 +2482,19 @@ def reorder_cadence_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never raw orders",
 )
 def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators.rankselect import sharded_running
+
     orders = t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    r = rev.select("cents", F.row_number().over(w).cast("bigint").alias("i"))
+    # global rank over (cents, o_custkey) with NO single-partition window:
+    # value-range shards + shard-total offsets (the total_order_rank
+    # machinery) — the per-customer grid grows with the customer DIMENSION,
+    # so round 7 removed its bounded-domain pin by sharding the walk
+    r = sharded_running(
+        rev, "cents div 65536", ["cents", "o_custkey"], rn="i"
+    ).select("cents", "i")
     m = r.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),

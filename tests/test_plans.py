@@ -1004,12 +1004,6 @@ _GRID_WINDOW_PIN: dict[str, tuple[int, str]] = {
     ),
     "f1_threshold_search": (1, "decision-threshold grid over integer l_quantity scores (1..50)"),
     "geo_cell_density": (1, "spatial cell grid (fixed cell size over bounded lat/lon span)"),
-    "gini_coefficient_revenue": (
-        1,
-        "per-customer revenue grid — DIMENSION-bounded (grows with "
-        "|customers|, not fact rows); shard via sharded_running if the "
-        "customer dimension approaches 10^7",
-    ),
     "hdr_histogram_quantiles": (1, "significant-digit bucket grid (~900 buckets per decade of value range)"),
     "heaps_law_fit": (1, "corpus-prefix sample grid (fixed probe points on the doc axis)"),
     "hill_tail_index": (1, "top-k tail order-statistic grid (k fixed)"),
@@ -1039,11 +1033,6 @@ _GRID_WINDOW_PIN: dict[str, tuple[int, str]] = {
         2,
         "calendar-day grid twice: day-index window and the lag-{1,2,3,7} "
         "pairing join — both keyed on days (~3.7k/decade)",
-    ),
-    "revenue_concentration_8020": (
-        1,
-        "per-customer revenue grid — DIMENSION-bounded like "
-        "gini_coefficient_revenue; same sharded_running escape hatch",
     ),
     "rfm_segmentation": (1, "RFM cell grid (5x5x5 = 125 cells) over per-customer aggregates"),
     "ridge_lambda_path": (1, "lambda grid (fixed regularization path points)"),
