@@ -516,3 +516,207 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("loglik"), "doc_id")
         .limit(20)
     )
+
+
+def _unigram_vcost(src: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+      SELECT piece, cnt,
+             (-round(ln((2 * cnt + 1)::DOUBLE / (2 * t.total + t.nv)::DOUBLE) * 1e6))::BIGINT
+               AS cost
+      FROM {src}, (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nv FROM {src}) t
+    )"""
+
+
+def _unigram_oracle(n_rounds: int, extra_pass: bool, final_select: str) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/unigram_lm.py``.
+
+    Same discipline as ``_bpe_oracle``: the fixed-round Viterbi-EM loop
+    unrolls into identical relational steps — seed substring counts,
+    add-half-smoothed micro-nat costs, and per round a min-plus
+    path-doubling chain (4 squarings cover the 16-char word-length cap),
+    the best-path pick, and the weighted piece recount. Every multiply-
+    referenced CTE is MATERIALIZED (DuckDB's default inlining would expand
+    the chain exponentially, the _bpe_oracle lesson). ``extra_pass`` adds
+    one more Viterbi pass under the FINAL vocabulary — the encode side.
+    """
+    parts = [f"tok AS ({_DUCK_TOK_STREAM})"]
+    parts.append(
+        "words AS MATERIALIZED (SELECT token AS word, count(*)::BIGINT AS wcnt "
+        "FROM tok WHERE length(token) BETWEEN 1 AND 16 GROUP BY token)"
+    )
+    parts.append(
+        """edges AS MATERIALIZED (
+      SELECT word, wcnt, e.j AS j, e.i AS i, substr(word, e.j + 1, e.i - e.j) AS piece FROM (
+        SELECT word, wcnt,
+               unnest(flatten(list_transform(generate_series(0, length(word) - 1),
+                 j -> list_transform(generate_series(j + 1, least(j + 4, length(word))),
+                   i -> struct_pack(j := j, i := i))))) AS e
+        FROM words)
+    )"""
+    )
+    parts.append("seed AS (SELECT piece, sum(wcnt)::BIGINT AS cnt FROM edges GROUP BY piece)")
+    parts.append(
+        """v0c AS MATERIALIZED (
+      SELECT piece, cnt FROM seed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM seed WHERE length(piece) > 1) WHERE rn <= 40
+    )"""
+    )
+    parts.append(_unigram_vcost("v0c", "v0"))
+    n_pass = n_rounds + (1 if extra_pass else 0)
+    for r in range(1, n_pass + 1):
+        parts.append(
+            f"""a{r}_0 AS MATERIALIZED (
+      SELECT e.word, e.j, e.i, v.cost, e.piece AS path
+      FROM edges e JOIN v{r - 1} v ON v.piece = e.piece
+    )"""
+        )
+        for s in range(1, 5):
+            parts.append(
+                f"""a{r}_{s} AS MATERIALIZED (
+      SELECT word, j, i, cost, path FROM (
+        SELECT word, j, i, cost, path,
+               row_number() OVER (PARTITION BY word, j, i ORDER BY cost, path) AS rn
+        FROM (
+          SELECT word, j, i, cost, path FROM a{r}_{s - 1}
+          UNION ALL
+          SELECT x.word, x.j, y.i, x.cost + y.cost, x.path || ' ' || y.path
+          FROM a{r}_{s - 1} x JOIN a{r}_{s - 1} y ON y.word = x.word AND y.j = x.i
+        )
+      ) WHERE rn = 1
+    )"""
+            )
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+      SELECT w.word, w.wcnt, a.cost, a.path
+      FROM words w JOIN a{r}_4 a
+        ON a.word = w.word AND a.j = 0 AND a.i = length(w.word)
+    )"""
+        )
+        if r <= n_rounds:
+            parts.append(
+                f"""c{r} AS (SELECT piece, sum(wcnt)::BIGINT AS cnt FROM (
+          SELECT wcnt, unnest(string_split(path, ' ')) AS piece FROM b{r}) GROUP BY piece)"""
+            )
+            parts.append(
+                f"""v{r}c AS MATERIALIZED (
+          SELECT v.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
+          FROM v{r - 1} v LEFT JOIN c{r} c USING (piece))"""
+            )
+            parts.append(_unigram_vcost(f"v{r}c", f"v{r}"))
+    return "WITH " + ",\n    ".join(parts) + "\n" + final_select
+
+
+def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    return (
+        docs.select(F.explode(text_ops.tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=_unigram_oracle(
+        2, False, "SELECT piece, cnt AS em_cnt, cost AS cost_micro FROM v2"
+    ),
+    doc="unigram-LM (SentencePiece-family, Kudo ACL'18) tokenizer training "
+    "as relational Viterbi-EM — the OTHER major trained-subword family "
+    "beside bpe_train_merges: 2 hard-EM rounds over the word-frequency "
+    "dictionary (corpus touched ONCE, then everything is vocabulary-sized "
+    "by Heaps' law). The sequential Viterbi DP is made relational as a "
+    "MIN-PLUS shortest path via 4 path-doubling rounds (repeated squaring: "
+    "join the state to itself on the midpoint, keep the per-(word, span) "
+    "minimum) — covers any split of a word up to the 16-char training cap; "
+    "seeds are all <=4-char substrings (all single chars kept for coverage "
+    "+ top-40 multis via TakeOrderedAndProject). Costs freeze to BIGINT "
+    "micro-nats with add-half smoothing (-ln((2c+1)/(2*total+|V|))) so "
+    "path sums, argmins and the (cost, path) tiebreak are exact-integer "
+    "decisions on both engines. Oracle = the identical rounds unrolled "
+    "into MATERIALIZED CTEs (the _bpe_oracle discipline)",
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    return unigram_lm.unigram_train(_word_dictionary(spark, sf_dir), n_rounds=2).select(
+        "piece", F.col("cnt").alias("em_cnt"), F.col("cost").alias("cost_micro")
+    )
+
+
+@register(
+    "unigram_segment_words",
+    oracle=_unigram_oracle(
+        2, True, "SELECT word, wcnt, cost AS cost_micro, path FROM b3"
+    ),
+    doc="the ENCODE side of the unigram-LM tokenizer: every word type's "
+    "best (lowest-cost) segmentation under the trained vocabulary — one "
+    "more min-plus Viterbi pass with the final costs. Tokenization is per "
+    "WORD TYPE, so encoding a 100 TB corpus segments the vocabulary-sized "
+    "dictionary once and joins back to the token stream (the bpe_segment "
+    "posture). Deterministic: ties break on (cost, path string). Shares "
+    "the training rounds and unrolled-CTE oracle with unigram_lm_vocab",
+)
+def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    return unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2).select(
+        "word", "wcnt", F.col("cost").alias("cost_micro"), "path"
+    )
+
+
+@register(
+    "unigram_fertility",
+    oracle=_unigram_oracle(
+        2,
+        True,
+        r""", st AS (
+      SELECT source, token AS word, count(*)::BIGINT AS c FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> '' AND length(token) <= 16 GROUP BY source, token
+    )
+    SELECT st.source,
+           sum(st.c * len(string_split(b.path, ' ')))::BIGINT AS total_pieces,
+           sum(st.c)::BIGINT AS total_words,
+           round(sum(st.c * len(string_split(b.path, ' '))) * 1.0 / sum(st.c), 4)
+             AS fertility
+    FROM st JOIN b3 b ON b.word = st.word
+    GROUP BY st.source""",
+    ),
+    doc="per-source tokenizer fertility (pieces emitted per word) under "
+    "the trained unigram-LM vocabulary — the BPE-vs-unigram comparison "
+    "number a tokenizer bake-off reports per domain (bpe_fertility's twin "
+    "on the other tokenizer family). Segmentation runs once on the "
+    "vocabulary-sized dictionary; the per-word piece count joins the "
+    "per-(source, word) counts as a vocabulary-sized BROADCAST, and the "
+    "ratio divides exact integer sums (IEEE-exact). Shares the rounds and "
+    "unrolled-CTE oracle with unigram_lm_vocab",
+)
+def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2)
+    n_pieces = seg.select(
+        "word", F.size(F.split("path", " ")).cast("bigint").alias("n_pieces")
+    )
+    st = (
+        docs.select("source", F.explode(text_ops.tokens_col("text")).alias("word"))
+        .where(F.length("word") <= 16)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        st.join(F.broadcast(n_pieces), "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("n_pieces")).cast("bigint").alias("total_pieces"),
+            F.sum("c").cast("bigint").alias("total_words"),
+            F.round(F.sum(F.col("c") * F.col("n_pieces")) * 1.0 / F.sum("c"), 4).alias(
+                "fertility"
+            ),
+        )
+    )

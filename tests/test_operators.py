@@ -1297,3 +1297,68 @@ def test_sssp_known_weighted_graph(spark):
     seeds = spark.createDataFrame([("a",)], ["node"])
     got = {r["node"]: r["dist"] for r in sssp(edges, seeds, iterations=4).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": None, "y": None}
+
+
+def test_unigram_train_planted_dominant_piece(spark):
+    """A dictionary dominated by 'abab' repetitions must learn 'abab' as
+    the cheapest piece and segment 'ababab' as 'ab abab' (min-plus Viterbi
+    with the (cost, path) tiebreak) — the planted-structure check for the
+    unigram-LM trainer."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = spark.createDataFrame(
+        [("abab", 50), ("abx", 10), ("zq", 3), ("ababab", 20)], ["word", "wcnt"]
+    )
+    vocab = unigram_lm.unigram_train(words, n_rounds=2, n_multi=6)
+    by_cost = sorted((r.cost, r.piece) for r in vocab.collect())
+    assert by_cost[0][1] == "abab", by_cost[:3]
+    seg = {
+        r.word: r.path
+        for r in unigram_lm.unigram_segment(words, n_rounds=2, n_multi=6).collect()
+    }
+    assert seg["abab"] == "abab"
+    assert seg["ababab"] == "ab abab"
+    assert seg["zq"] == "z q"  # single-char coverage fallback
+
+
+def test_unigram_paths_cover_and_reconstruct(spark):
+    """Every trainable word gets exactly ONE best path; concatenating the
+    path's pieces reconstructs the word; the path cost equals the sum of
+    its pieces' costs under the trained vocabulary; words beyond the
+    16-char training cap are excluded."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = spark.createDataFrame(
+        [("hello", 5), ("help", 4), ("lop", 2), ("x" * 17, 9)], ["word", "wcnt"]
+    )
+    vocab = unigram_lm.unigram_train(words, n_rounds=1, n_multi=5)
+    seg = unigram_lm.unigram_segment(words, n_rounds=1, n_multi=5)
+    rows = seg.collect()
+    assert sorted(r.word for r in rows) == ["hello", "help", "lop"]  # cap excludes x*17
+    costs = {r.piece: r.cost for r in vocab.collect()}
+    # NOTE: unigram_segment retrains internally (n_rounds=1), so recompute
+    # the final vocab the same way for the cost cross-check.
+    for r in rows:
+        pieces = r.path.split(" ")
+        assert "".join(pieces) == r.word
+        assert all(1 <= len(p) <= unigram_lm.PIECE_MAX_LEN for p in pieces)
+        assert r.cost == sum(costs[p] for p in pieces)
+
+
+def test_unigram_train_deterministic(spark):
+    """Two independent trainings on the same dictionary produce the
+    identical vocabulary (counts, costs) — the engine/run/partitioning
+    independence the oracle comparison relies on."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = spark.createDataFrame(
+        [("spark", 7), ("spar", 3), ("park", 5), ("ark", 2)], ["word", "wcnt"]
+    )
+    a = sorted(map(tuple, unigram_lm.unigram_train(words, n_rounds=2, n_multi=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            unigram_lm.unigram_train(words.repartition(7), n_rounds=2, n_multi=8).collect(),
+        )
+    )
+    assert a == b

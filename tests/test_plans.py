@@ -686,6 +686,12 @@ _SANCTIONED_NESTED_LOOP = {
     "semantic_dedup": "verdict recomputation over the bounded sample",
     "levenshtein_brand_pairs": "brand vocabulary is dimension-bounded",
     # scalar (1-row aggregate) crossJoin folded into every row
+    "unigram_lm_vocab": "broadcasts the 1-row vocab totals (add-half "
+    "smoothing denominators), once per EM round",
+    "unigram_segment_words": "broadcasts the 1-row vocab totals "
+    "(smoothing denominators), once per EM round",
+    "unigram_fertility": "broadcasts the 1-row vocab totals (smoothing "
+    "denominators), once per EM round",
     "key_skew_report": "broadcasts the 1-row global count",
     "dq_audit": "broadcasts the 1-row audit totals",
     "copurchase_triangles": "broadcasts the 1-row triangle total",
