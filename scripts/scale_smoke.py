@@ -85,6 +85,28 @@ def main() -> int:
             ),
         }
 
+    # Tokenizer-trainer invariance: replication multiplies every word count
+    # by N but leaves the DICTIONARY identical, so the EM loop's work (and
+    # the selected piece set — rank order is invariant under count scaling)
+    # must stay ~flat while the corpus grows 16x. Timed end-to-end around
+    # construction + collect because the iterative trainer runs eager
+    # localCheckpoint jobs at BUILD time (a noop-write of the final frame
+    # would miss the loop cost entirely).
+    from map_reduce_engine_spark.operators import text as text_ops
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    def train_once(docs):
+        words = (
+            docs.select(F.explode(text_ops.tokens_col("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("wcnt"))
+        )
+        t0 = time.perf_counter()
+        vocab = unigram_lm.unigram_train(words, n_rounds=2)
+        pieces = sorted(r.piece for r in vocab.select("piece").collect())
+        return round(time.perf_counter() - t0, 3), pieces
+
+    piece_sets: dict[str, list[str]] = {}
     for n in args.factors:
         docs = replicate(base, n).localCheckpoint(eager=True)  # isolate op cost
         n_docs = docs.count()
@@ -92,8 +114,17 @@ def main() -> int:
         for name, df in op_suite(docs).items():
             row["sec"][name] = timed(df)
             row["rows"][name] = df.count()
+        sec, pieces = train_once(docs)
+        row["sec"]["unigram_train_2rounds"] = sec
+        row["rows"]["unigram_train_2rounds"] = len(pieces)
+        piece_sets[str(n)] = pieces
         results["ops"][str(n)] = row
         print(f"factor {n}: {row}", flush=True)
+
+    fmin_k = str(min(args.factors))
+    results["unigram_piece_set_invariant"] = all(
+        piece_sets[k] == piece_sets[fmin_k] for k in piece_sets
+    )
 
     # linearity verdict: per-op ratio of (sec at max factor) to
     # (sec at factor 1 x max factor) — <= ~1 means at-or-below linear
