@@ -526,11 +526,57 @@ def test_differential_dialect_edges(spark_views, duck, sql):
 RANK_FUNCS = ["row_number()", "rank()", "dense_rank()"]
 
 
+_PATH_ALPHABET = "abzABZ09_.-!~é"  # no spaces (the path separator), no quotes
+
+
 @st.composite
 def round7_queries(draw):
     kind = draw(
-        st.sampled_from(["clip", "rank_prune", "sharded_cumsum", "interval_join"])
+        st.sampled_from(
+            ["clip", "rank_prune", "sharded_cumsum", "interval_join", "minplus_tiebreak"]
+        )
     )
+    if kind == "minplus_tiebreak":
+        # one min-plus path-doubling squaring over hypothesis-random edge
+        # tables (the operators/unigram_lm.py Viterbi kernel): self-join on
+        # the midpoint, '||'-concatenated path labels, and the per-(grp, j,
+        # i) minimum picked by row_number ORDER BY (cost, path) — costs are
+        # drawn from a TINY range to force ties, so the cross-engine check
+        # is really about string-collation tiebreaks (both engines must
+        # compare UTF-8 binary, incl. the non-ASCII char in the alphabet).
+        rows = draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=2),  # grp
+                    st.integers(min_value=0, max_value=5),  # j
+                    st.integers(min_value=1, max_value=3),  # span (i = j + span)
+                    st.integers(min_value=0, max_value=9),  # cost (ties likely)
+                    st.text(alphabet=_PATH_ALPHABET, min_size=1, max_size=4),
+                ),
+                min_size=2,
+                max_size=20,
+            )
+        )
+        vals = ", ".join(
+            f"({g}, {j}, {j + s}, {c}, '{p}')" for g, j, s, c, p in rows
+        )
+        dedup = (
+            "SELECT grp, j, i, cost, path FROM ("
+            "SELECT grp, j, i, cost, path, "
+            "row_number() OVER (PARTITION BY grp, j, i ORDER BY cost, path) AS rn "
+            "FROM {src}) WHERE rn = 1"
+        )
+        return (
+            f"WITH e AS (SELECT * FROM (VALUES {vals}) AS t(grp, j, i, cost, path)), "
+            f"e1 AS ({dedup.format(src='e')}), "
+            f"u AS (SELECT grp, j, i, cost, path FROM e1 "
+            f"      UNION ALL "
+            f"      SELECT x.grp, x.j, y.i, x.cost + y.cost, x.path || ' ' || y.path "
+            f"      FROM e1 x JOIN e1 y ON y.grp = x.grp AND y.j = x.i) "
+            f"SELECT CAST(grp AS BIGINT) AS grp, CAST(j AS BIGINT) AS j, "
+            f"CAST(i AS BIGINT) AS i, CAST(cost AS BIGINT) AS cost, path "
+            f"FROM ({dedup.format(src='u')}) z"
+        )
     if kind == "interval_join":
         # non-equi BETWEEN join (the as-of / range-join dialect surface):
         # value intervals derived from one aggregate, points from another,
@@ -650,7 +696,7 @@ def round7_queries(draw):
 
 
 @settings(
-    max_examples=140,
+    max_examples=200,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
