@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     rev.add_argument("output_dir")
     rev.add_argument("--min-mean-ndcg-ppm", type=int, default=0)
     rev.add_argument("--min-common-at20", type=int, default=1)
+    tkb = sub.add_parser(
+        "tokenizer-bakeoff",
+        help="run the end-to-end tokenizer bake-off example (BPE vs "
+        "unigram-LM trained on the same dictionary: per-source fertility, "
+        "vocab utilization, per-domain winners, with a sign-off gate)",
+    )
+    tkb.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    tkb.add_argument("output_dir")
+    tkb.add_argument("--max-fertility-ppm", type=int, default=10_000_000)
     me = sub.add_parser(
         "model-eval",
         help="run the end-to-end model-evaluation example (Newton-trained "
@@ -391,6 +400,22 @@ def main(argv: list[str] | None = None) -> int:
                 args.output_dir,
                 max_dup_pairs=args.max_dup_pairs,
                 max_contaminated=args.max_contaminated,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "tokenizer-bakeoff":
+        from map_reduce_engine_spark.examples.tokenizer_bakeoff_job import run
+
+        spark = get_spark(app_name="mre-tokenizer-bakeoff")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                max_fertility_ppm=args.max_fertility_ppm,
             )
             gate.show(truncate=False)
         finally:

@@ -454,3 +454,39 @@ def test_retrieval_eval_job(spark, sf_dir, tmp_path):
     # every probe's rerank positives stay within [0, 10]
     for r in lift.collect():
         assert 0 <= r.n_pos_rerank <= 10 and 0 <= r.n_pos_initial <= 10
+
+
+def test_tokenizer_bakeoff_job(spark, sf_dir, tmp_path):
+    """The composed tokenizer bake-off writes all six artifacts; the gate
+    reconciles with them (corpus fertilities from summed totals, win
+    counts from the per-source winners, vocab utilization from the vocab
+    tables)."""
+    from map_reduce_engine_spark.examples.tokenizer_bakeoff_job import run
+
+    out = str(tmp_path / "tkb")
+    gate = run(spark, sf_dir, out)
+    row = gate.collect()[0]
+    assert row.tokenizer_approved
+    bake = spark.read.parquet(f"{out}/bakeoff").collect()
+    assert row.n_sources == len(bake) > 0
+    assert row.unigram_wins == sum(1 for r in bake if r.winner == "unigram")
+    assert row.bpe_wins == sum(1 for r in bake if r.winner == "bpe")
+    # corpus means reconcile against the raw totals (ppm values are
+    # positive, so Python floor-div == engine trunc-div)
+    bpe_f = spark.read.parquet(f"{out}/bpe_fertility").collect()
+    uni_f = spark.read.parquet(f"{out}/unigram_fertility").collect()
+    assert row.bpe_corpus_fert_ppm == (
+        1_000_000 * sum(r.total_subwords for r in bpe_f)
+        // sum(r.total_words for r in bpe_f)
+    )
+    assert row.uni_corpus_fert_ppm == (
+        1_000_000 * sum(r.total_pieces for r in uni_f)
+        // sum(r.total_words for r in uni_f)
+    )
+    # every fertility is >= 1 piece per word by construction
+    assert row.bpe_corpus_fert_ppm >= 1_000_000
+    assert row.uni_corpus_fert_ppm >= 1_000_000
+    uni_v = spark.read.parquet(f"{out}/unigram_vocab").collect()
+    assert row.uni_vocab_size == len(uni_v)
+    assert row.uni_vocab_used == sum(1 for r in uni_v if r.em_cnt > 0)
+    assert 0 < row.uni_vocab_used <= row.uni_vocab_size
