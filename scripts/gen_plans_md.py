@@ -49,6 +49,7 @@ HEADLINE = [
     ("quality_linear_score", "hashing-trick inference: broadcast weight-table join, no Python"),
     ("token_pmi", "skip-gram pairs from array transforms — no positional self-join"),
     ("bpe_train_merges", "iterative merge loop: rounds run off checkpoints, zero parquet re-scans"),
+    ("unigram_lm_vocab", "unigram-LM Viterbi-EM: min-plus path doubling off checkpoints, broadcast piece table, zero parquet re-scans"),
     ("incremental_batch_dedup", "new batch vs historical fingerprint index: one join + one window"),
     ("semantic_dedup", "SemDeDup: Arrow cell assignment, cell-local equi-self-join, min-id survivors"),
     ("hypertable_rollup", "multi-grain rollup off materialized hourly partials — one fact scan total"),
