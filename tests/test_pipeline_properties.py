@@ -187,3 +187,49 @@ def test_skipgram_counts_match_reference(spark_global, texts):
     rows = skipgram_pairs(df, "doc_id", "text", window=2, min_count=1).collect()
     got = {(r.w1, r.w2): r.pair_cnt for r in rows}
     assert got == dict(expected), (texts, got, dict(expected))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdxyz", min_size=1, max_size=10),
+            st.integers(min_value=1, max_value=99),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_unigram_viterbi_coverage_and_optimality(spark_global, words):
+    """Unigram-LM trainer guarantees over arbitrary dictionaries: every
+    word gets exactly one best path; the path reconstructs the word from
+    <=4-char vocab pieces; its cost equals the sum of piece costs; and NO
+    cheaper two-piece split exists at any cut point (local optimality of
+    the min-plus DP — a full exactness check would re-run the DP, but the
+    single-cut bound already fails on any broken squaring round)."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    df = spark_global.createDataFrame(words, ["word", "wcnt"])
+    vocab = unigram_lm.unigram_train(df, n_rounds=1, n_multi=8)
+    seg = unigram_lm.unigram_segment(df, n_rounds=1, n_multi=8)
+    costs = {r.piece: r.cost for r in vocab.collect()}
+    rows = seg.collect()
+    assert sorted(r.word for r in rows) == sorted(w for w, _ in words)
+    for r in rows:
+        pieces = r.path.split(" ")
+        assert "".join(pieces) == r.word
+        assert r.cost == sum(costs[p] for p in pieces)
+        # local optimality: no single piece-pair split beats the DP result
+        n = len(r.word)
+        if 2 <= n <= 8:
+            best_two = min(
+                (
+                    costs[r.word[:c]] + costs[r.word[c:]]
+                    for c in range(1, n)
+                    if r.word[:c] in costs and r.word[c:] in costs
+                ),
+                default=None,
+            )
+            if best_two is not None:
+                assert r.cost <= best_two
