@@ -74,6 +74,13 @@ SENTINELS = [
     # A regression here means the tile aggregate or the keyed window
     # degenerated (e.g. the map-side distinct stopped pruning the shuffle).
     ("q22_substring_dedup", "substring_dedup_spans", None),
+    # round-7 sentinel #2: unigram-LM tokenizer training (q14 covers BPE
+    # only; this pins the OTHER trained-tokenizer family). Wall time is
+    # vocabulary-sized — ~FLAT in corpus size (SCALE_SMOKE_r07) — so a
+    # regression here means the min-plus squaring state stopped being
+    # vocabulary-bounded or the loop lost its checkpoint truncation, not
+    # that the corpus grew.
+    ("q23_unigram_train", "unigram_lm_vocab", None),
 ]
 
 
