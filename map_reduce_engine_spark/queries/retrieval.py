@@ -720,3 +720,60 @@ def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "unigram_codelength",
+    oracle=_unigram_oracle(
+        2,
+        True,
+        r""", st AS (
+      SELECT source, token AS word, count(*)::BIGINT AS c FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE token <> '' AND length(token) <= 16 GROUP BY source, token
+    )
+    SELECT st.source,
+           sum(st.c * b.cost)::BIGINT AS total_micronats,
+           sum(st.c * length(b.word))::BIGINT AS total_chars,
+           (sum(st.c * b.cost) // sum(st.c * length(b.word)))::BIGINT
+             AS micronats_per_char
+    FROM st JOIN b3 b ON b.word = st.word
+    GROUP BY st.source""",
+    ),
+    doc="per-source corpus CODELENGTH under the trained unigram LM — the "
+    "compression number tokenizer papers actually report (bits/nats per "
+    "character): each word type's best-path cost is its exact negative "
+    "log-likelihood in frozen micro-nats, so the per-source total is an "
+    "exact BIGINT sum of count x path-cost and nats-per-char is one "
+    "integer division — NO float summation anywhere (the metric where "
+    "fertility ties break: two tokenizers emitting the same piece count "
+    "can still differ in how probable their pieces are). Completes the "
+    "tokenizer-eval trio: fertility (compute cost), vocabulary "
+    "utilization (embedding cost), codelength (modeling fit). Scale: the "
+    "per-(source, word) aggregate is the only corpus pass beyond "
+    "training; the segmented dictionary joins in as a vocabulary-sized "
+    "broadcast",
+)
+def unigram_codelength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2)
+    st = (
+        docs.select("source", F.explode(text_ops.tokens_col("text")).alias("word"))
+        .where(F.length("word") <= 16)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        st.join(F.broadcast(seg.select("word", "cost")), "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("cost")).cast("bigint").alias("total_micronats"),
+            F.sum(F.col("c") * F.length("word")).cast("bigint").alias("total_chars"),
+            F.expr("sum(c * cost) div sum(c * length(word))")
+            .cast("bigint")
+            .alias("micronats_per_char"),
+        )
+    )
