@@ -53,6 +53,7 @@ def run(
     uni_f = REGISTRY["unigram_fertility"].fn(spark, sf_dir).localCheckpoint(eager=True)
     bpe_v = REGISTRY["bpe_subword_vocab"].fn(spark, sf_dir).localCheckpoint(eager=True)
     uni_v = REGISTRY["unigram_lm_vocab"].fn(spark, sf_dir).localCheckpoint(eager=True)
+    uni_cl = REGISTRY["unigram_codelength"].fn(spark, sf_dir).localCheckpoint(eager=True)
 
     # per-source bake-off: exact integer-ppm fertilities from the raw
     # totals (the float `fertility` columns are display-rounded; the ppm
@@ -96,6 +97,7 @@ def run(
     write_parquet(uni_f, f"{out_dir}/unigram_fertility")
     write_parquet(bpe_v, f"{out_dir}/bpe_vocab")
     write_parquet(uni_v, f"{out_dir}/unigram_vocab")
+    write_parquet(uni_cl, f"{out_dir}/unigram_codelength")
     write_parquet(bakeoff, f"{out_dir}/bakeoff")
 
     # corpus-level means weight every WORD equally (micro totals over the
@@ -140,6 +142,17 @@ def run(
                 )
             )
         )
+        .crossJoin(
+            F.broadcast(
+                # modeling-fit leg of the trio: corpus-level nats/char under
+                # the unigram LM, exact integer division of summed totals
+                uni_cl.agg(
+                    F.expr("sum(total_micronats) div sum(total_chars)")
+                    .cast("bigint")
+                    .alias("uni_micronats_per_char")
+                )
+            )
+        )
         .select(
             "n_sources",
             "bpe_corpus_fert_ppm",
@@ -150,6 +163,7 @@ def run(
             "bpe_vocab_used",
             "uni_vocab_size",
             "uni_vocab_used",
+            "uni_micronats_per_char",
             (
                 (F.col("bpe_corpus_fert_ppm") <= max_fertility_ppm)
                 & (F.col("uni_corpus_fert_ppm") <= max_fertility_ppm)

@@ -490,3 +490,17 @@ def test_tokenizer_bakeoff_job(spark, sf_dir, tmp_path):
     assert row.uni_vocab_size == len(uni_v)
     assert row.uni_vocab_used == sum(1 for r in uni_v if r.em_cnt > 0)
     assert 0 < row.uni_vocab_used <= row.uni_vocab_size
+
+
+def test_tokenizer_bakeoff_codelength_leg(spark, sf_dir, tmp_path):
+    """The gate's corpus nats/char reconciles with the codelength artifact
+    and sits in a sane band (>0; below the uniform-over-vocab ceiling)."""
+    from map_reduce_engine_spark.examples.tokenizer_bakeoff_job import run
+
+    out = str(tmp_path / "tkb2")
+    row = run(spark, sf_dir, out).collect()[0]
+    cl = spark.read.parquet(f"{out}/unigram_codelength").collect()
+    assert row.uni_micronats_per_char == (
+        sum(r.total_micronats for r in cl) // sum(r.total_chars for r in cl)
+    )
+    assert 0 < row.uni_micronats_per_char < 20_000_000  # < 20 nats/char
