@@ -7,13 +7,16 @@ instead of greedy merges. This is the hard-EM (Viterbi-EM) variant, built so
 every step is an equi-join / hash aggregate the DuckDB oracle replays
 exactly:
 
-1. **Seed**: candidate pieces are all substrings up to ``PIECE_MAX_LEN``
-   chars, counted over the word-frequency dictionary — after ONE
-   corpus-sized aggregate (word counts) everything is vocabulary-sized by
-   Heaps' law, the same scale posture that makes BPE training feasible at
-   100 TB. All single characters are kept (guaranteeing full coverage) plus
-   the top-``n_multi`` multi-char pieces by weighted count
-   (``orderBy().limit`` → TakeOrderedAndProject, never a global window).
+1. **Seed LARGE**: candidate pieces are all substrings up to
+   ``PIECE_MAX_LEN`` chars, counted over the word-frequency dictionary —
+   after ONE corpus-sized aggregate (word counts) everything is
+   vocabulary-sized by Heaps' law, the same scale posture that makes BPE
+   training feasible at 100 TB. All single characters are kept
+   (guaranteeing full coverage) plus the top-``n_seed_multi`` multi-char
+   pieces above a weighted count floor (``orderBy().limit`` →
+   TakeOrderedAndProject, never a global window). The cap on the seed is
+   what makes the prune SCHEDULE static (a fixed round count the unrolled
+   DuckDB oracle can replay); the floor keeps hapax noise out of it.
 2. **E-step**: per-word-type Viterbi segmentation is a MIN-PLUS shortest
    path 0 → len(word) over piece edges. The sequential DP recursion is not
    relational, but its matrix-power form is: ``ceil(log2(len_cap))``
@@ -27,6 +30,19 @@ exactly:
    tokenizer split guarantees it — weighted by word count), then
    add-half-smoothed cost re-estimation so unseen pieces survive with a
    high cost instead of vanishing: cost = -ln((2c+1) / (2·total + |V|)).
+4. **PRUNE to target (Kudo §3.2)**: after each EM round, every multi-char
+   piece is scored by the likelihood LOSS its removal would cause: its
+   occurrences re-route through the best segmentation of the piece's OWN
+   string that does not use the piece itself — a second, tiny min-plus DP
+   over the piece strings (≤ ``PIECE_MAX_LEN`` chars → 2 squarings),
+   excluding the full-span self edge. loss = em_cnt · (alt_cost − cost),
+   an exact BIGINT in micro-nats. The bottom of the loss ranking is
+   dropped, keeping max(target, ceil(0.75·n)) pieces per round —
+   SentencePiece's default ``shrinking_factor`` of 0.75 — until the
+   multi-char vocabulary reaches ``target_multi``; single chars are never
+   pruned (coverage). A final EM round re-estimates counts and costs on
+   the target-size vocabulary, matching SentencePiece's loop (which always
+   exits through an EM step).
 
 Costs are frozen to BIGINT micro-nats (the zipf_law_fit recipe: ln on exact
 integer ratios → engine-identical doubles → one round) so path sums, argmins
@@ -57,7 +73,20 @@ from map_reduce_engine_spark.conf import loop_conf
 PIECE_MAX_LEN = 4
 WORD_LEN_CAP = 16  # 2^4: four path-doubling rounds cover any split
 N_DOUBLINGS = 4
-N_SEED_MULTI = 40
+N_SEED_MULTI = 70  # large seed, pruned down to TARGET_MULTI (Kudo §3.2)
+SEED_COUNT_FLOOR = 2  # weighted-count floor on seed multi-char pieces
+TARGET_MULTI = 40  # target multi-char vocabulary size after pruning
+N_PRUNE_ROUNDS = 2  # 70 → 53 → 40 under the 0.75 keep schedule
+_KEEP_NUM, _KEEP_DEN = 3, 4  # SentencePiece shrinking_factor = 0.75
+
+
+def keep_count(n_multi: int, target_multi: int) -> int:
+    """Multi-char pieces one prune round keeps: max(target, ceil(0.75·n)).
+
+    Integer-exact (no float ceil), so the Spark driver and the DuckDB
+    oracle's ``greatest(target, (3·n + 3) // 4)`` can never disagree.
+    """
+    return max(target_multi, (_KEEP_NUM * n_multi + _KEEP_DEN - 1) // _KEEP_DEN)
 
 
 def trainable_words(words: DataFrame, word_col: str = "word", cnt_col: str = "wcnt") -> DataFrame:
@@ -86,18 +115,23 @@ def piece_edges(words: DataFrame) -> DataFrame:
     )
 
 
-def seed_vocab(words: DataFrame, n_multi: int = N_SEED_MULTI) -> DataFrame:
+def seed_vocab(
+    words: DataFrame, n_multi: int = N_SEED_MULTI, count_floor: int = SEED_COUNT_FLOOR
+) -> DataFrame:
     """Seed piece counts: ALL single chars (coverage guarantee) + the
-    top-``n_multi`` multi-char substrings by weighted occurrence count.
+    top-``n_multi`` multi-char substrings at weighted count >=
+    ``count_floor``.
 
     The top-k is ``orderBy().limit()`` — TakeOrderedAndProject with the
     (count desc, piece asc) deterministic tiebreak, never a global window
-    over the piece grid.
+    over the piece grid. The cap makes the prune schedule STATIC (the
+    unrolled oracle needs a fixed round count); the floor keeps hapax
+    substrings from wasting seed slots.
     """
     cnts = piece_edges(words).groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
     singles = cnts.where(F.length("piece") == 1)
     multis = (
-        cnts.where(F.length("piece") > 1)
+        cnts.where((F.length("piece") > 1) & (F.col("cnt") >= count_floor))
         .orderBy(F.desc("cnt"), "piece")
         .limit(n_multi)
     )
@@ -188,13 +222,103 @@ def viterbi_paths(words: DataFrame, vocab: DataFrame, n_doublings: int = N_DOUBL
     )
 
 
-def unigram_train(words: DataFrame, n_rounds: int = 2, n_multi: int = N_SEED_MULTI) -> DataFrame:
-    """Train the unigram-LM vocabulary: ``n_rounds`` of Viterbi-EM.
+def piece_alt_costs(vocab: DataFrame, n_doublings: int = 2) -> DataFrame:
+    """(piece, alt_cost): the cheapest segmentation of every MULTI-char
+    piece's own string that does NOT use the piece itself as one edge —
+    the re-route its removal would force on all its occurrences, the
+    quantity Kudo's prune ranks by.
+
+    Same min-plus repeated-squaring as :func:`viterbi_paths`, but over the
+    PIECE strings (vocabulary-sized × O(PIECE_MAX_LEN²) rows; 2 squarings
+    cover the ≤``PIECE_MAX_LEN``-piece paths) with the full-span self edge
+    excluded — the only (0, len) edge is the piece's own string, so the
+    positional exclusion is exactly "segment p without p". Only the cost
+    matters here (no path string), so each round is a hash-aggregate MIN,
+    not a window. An alternative always exists: single chars are never
+    pruned, and every char of a piece occurs in some word.
+    """
+    pieces = vocab.where(F.length("piece") > 1).select(
+        F.col("piece").alias("pword"), F.length("piece").alias("plen")
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, length(pword) - 1), "
+        f"j -> transform(sequence(j + 1, least(j + {PIECE_MAX_LEN}, length(pword))), "
+        "i -> named_struct('j', j, 'i', i))))"
+    )
+    edges = (
+        pieces.select("pword", "plen", F.explode(pairs).alias("e"))
+        .select("pword", "plen", F.col("e.j").alias("j"), F.col("e.i").alias("i"))
+        .where(~((F.col("j") == 0) & (F.col("i") == F.col("plen"))))
+        .withColumn("sub", F.expr("substring(pword, j + 1, i - j)"))
+    )
+    state = edges.join(
+        F.broadcast(vocab.select(F.col("piece").alias("sub"), "cost")), "sub"
+    ).select("pword", "plen", "j", "i", "cost")
+    for _ in range(n_doublings):
+        comp = (
+            state.alias("x")
+            .join(
+                state.alias("y"),
+                (F.col("x.pword") == F.col("y.pword")) & (F.col("x.i") == F.col("y.j")),
+            )
+            .select(
+                F.col("x.pword").alias("pword"),
+                F.col("x.plen").alias("plen"),
+                F.col("x.j").alias("j"),
+                F.col("y.i").alias("i"),
+                (F.col("x.cost") + F.col("y.cost")).alias("cost"),
+            )
+        )
+        state = (
+            state.unionByName(comp)
+            .groupBy("pword", "plen", "j", "i")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return state.where((F.col("j") == 0) & (F.col("i") == F.col("plen"))).select(
+        F.col("pword").alias("piece"), F.col("cost").alias("alt_cost")
+    )
+
+
+def _reestimate(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One EM round: Viterbi E-step under ``vocab``, weighted piece recount
+    along the best paths, add-half-smoothed cost re-estimation. Pieces the
+    E-step never used survive with cnt 0 and a high smoothed cost."""
+    best = viterbi_paths(words, vocab)
+    counted = (
+        best.select("wcnt", F.explode(F.split("path", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+    )
+    return smoothed_costs(
+        vocab.select("piece")
+        .join(counted, "piece", "left")
+        .select("piece", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+    ).localCheckpoint(eager=True)
+
+
+def unigram_train(
+    words: DataFrame,
+    n_seed_multi: int = N_SEED_MULTI,
+    target_multi: int = TARGET_MULTI,
+    n_prune_rounds: int = N_PRUNE_ROUNDS,
+    seed_count_floor: int = SEED_COUNT_FLOOR,
+) -> DataFrame:
+    """Train the unigram-LM vocabulary with Kudo's (ACL'18 §3.2)
+    prune-to-target schedule: seed large, then ``n_prune_rounds`` of
+    [EM re-estimate → rank multi-char pieces by removal likelihood-loss →
+    keep max(target, ceil(0.75·n))], then one final EM round on the
+    target-size vocabulary.
 
     Input is the (word, wcnt) frequency dictionary (ONE corpus aggregate
     upstream). Returns the trained piece table (piece, cnt, cost) — cnt is
-    the final E-step's weighted piece count, cost its smoothed micro-nat
-    negative log-probability. Deterministic end to end.
+    the final E-step's weighted piece count under the final vocabulary,
+    cost its smoothed micro-nat negative log-probability. Deterministic
+    end to end: the loss ranking ties break on the piece string, the keep
+    count is integer-exact, and ``n_prune_rounds`` with the capped seed
+    guarantees the target is reached (70 → 53 → 40 at the defaults).
+    The mid-loop ``losses.count()`` is a vocabulary-sized driver action —
+    the same bounded-sizing pattern as the partition-count probe below.
     """
     words = trainable_words(words).localCheckpoint(eager=True)
     spark = words.sparkSession
@@ -202,28 +326,45 @@ def unigram_train(words: DataFrame, n_rounds: int = 2, n_multi: int = N_SEED_MUL
     # DP state is vocabulary-sized: |words| × O(len_cap²/2) rows
     nparts = max(1, min(session_parts, words.count() * 80 // 200_000 + 1))
     with loop_conf(spark, nparts):
-        vocab = smoothed_costs(seed_vocab(words, n_multi)).localCheckpoint(eager=True)
-        for _ in range(n_rounds):
-            best = viterbi_paths(words, vocab)
-            counted = (
-                best.select("wcnt", F.explode(F.split("path", " ")).alias("piece"))
-                .groupBy("piece")
-                .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+        vocab = smoothed_costs(
+            seed_vocab(words, n_seed_multi, seed_count_floor)
+        ).localCheckpoint(eager=True)
+        for _ in range(n_prune_rounds):
+            full = _reestimate(words, vocab)
+            losses = (
+                full.where(F.length("piece") > 1)
+                .join(piece_alt_costs(full), "piece")
+                .select(
+                    "piece",
+                    "cnt",
+                    (F.col("cnt") * (F.col("alt_cost") - F.col("cost"))).alias("loss"),
+                )
+                .localCheckpoint(eager=True)
             )
+            k = keep_count(losses.count(), target_multi)
+            keep = losses.orderBy(F.desc("loss"), "piece").limit(k).select("piece", "cnt")
             vocab = smoothed_costs(
-                vocab.select("piece")
-                .join(counted, "piece", "left")
-                .select("piece", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+                full.where(F.length("piece") == 1).select("piece", "cnt").unionByName(keep)
             ).localCheckpoint(eager=True)
-    return vocab
+        # final EM on the pruned (target-size) vocabulary: SentencePiece's
+        # prune loop always exits through an EM step, so em_cnt reflects
+        # the FINAL vocabulary's own segmentation
+        return _reestimate(words, vocab)
 
 
-def unigram_segment(words: DataFrame, n_rounds: int = 2, n_multi: int = N_SEED_MULTI) -> DataFrame:
+def unigram_segment(words: DataFrame, vocab: DataFrame | None = None, **train_kwargs) -> DataFrame:
     """ENCODE side: best segmentation of every word type under the trained
     vocabulary — one more Viterbi pass with the final costs. Encoding a
     100 TB corpus segments the vocabulary-sized dictionary once and joins
-    back to the token stream (the bpe_segment posture)."""
-    vocab = unigram_train(words, n_rounds=n_rounds, n_multi=n_multi)
+    back to the token stream (the bpe_segment posture).
+
+    Pass a pre-trained ``vocab`` (from :func:`unigram_train`) to reuse one
+    trained model across several downstream metrics (fertility,
+    codelength, the bake-off job) instead of retraining per call; without
+    it the model is trained here with ``train_kwargs``.
+    """
+    if vocab is None:
+        vocab = unigram_train(words, **train_kwargs)
     words = trainable_words(words).localCheckpoint(eager=True)
     spark = words.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -527,17 +527,141 @@ def _unigram_vcost(src: str, out: str) -> str:
     )"""
 
 
-def _unigram_oracle(n_rounds: int, extra_pass: bool, final_select: str) -> str:
-    """Unrolled-CTE DuckDB twin of ``operators/unigram_lm.py``.
+# Prune-schedule constants — must mirror operators/unigram_lm.py exactly
+# (seed cap 70 at count floor 2, target 40 multi-char pieces, 2 prune
+# rounds under the 0.75 keep fraction: 70 → 53 → 40, then one final
+# EM round on the target vocabulary). The cap at 70 (not larger) keeps the
+# schedule at 2 prune rounds so the 3-word-pass training chain stays under
+# the sweep's 10 s per-entry budget at sf0.01.
+_UNI_SEED_MULTI = 70
+_UNI_FLOOR = 2
+_UNI_TARGET = 40
+_UNI_PRUNE_ROUNDS = 2
+_UNI_VFINAL = f"e{_UNI_PRUNE_ROUNDS + 1}"  # final-EM vocabulary CTE (e3)
+_UNI_BFINAL = f"b{_UNI_PRUNE_ROUNDS + 2}"  # encode-pass best-path CTE (b4)
 
-    Same discipline as ``_bpe_oracle``: the fixed-round Viterbi-EM loop
-    unrolls into identical relational steps — seed substring counts,
-    add-half-smoothed micro-nat costs, and per round a min-plus
-    path-doubling chain (4 squarings cover the 16-char word-length cap),
-    the best-path pick, and the weighted piece recount. Every multiply-
-    referenced CTE is MATERIALIZED (DuckDB's default inlining would expand
-    the chain exponentially, the _bpe_oracle lesson). ``extra_pass`` adds
-    one more Viterbi pass under the FINAL vocabulary — the encode side.
+
+def _uni_word_pass(parts: list, r: int, vcte: str) -> None:
+    """Append one Viterbi word pass under vocabulary CTE ``vcte``: the
+    4-squaring min-plus chain a{r}_0..a{r}_4 plus the best-path pick b{r}."""
+    parts.append(
+        f"""a{r}_0 AS MATERIALIZED (
+      SELECT e.word, e.j, e.i, v.cost, e.piece AS path
+      FROM edges e JOIN {vcte} v ON v.piece = e.piece
+    )"""
+    )
+    for s in range(1, 5):
+        parts.append(
+            f"""a{r}_{s} AS MATERIALIZED (
+      SELECT word, j, i, cost, path FROM (
+        SELECT word, j, i, cost, path,
+               row_number() OVER (PARTITION BY word, j, i ORDER BY cost, path) AS rn
+        FROM (
+          SELECT word, j, i, cost, path FROM a{r}_{s - 1}
+          UNION ALL
+          SELECT x.word, x.j, y.i, x.cost + y.cost, x.path || ' ' || y.path
+          FROM a{r}_{s - 1} x JOIN a{r}_{s - 1} y ON y.word = x.word AND y.j = x.i
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""b{r} AS MATERIALIZED (
+      SELECT w.word, w.wcnt, a.cost, a.path
+      FROM words w JOIN a{r}_4 a
+        ON a.word = w.word AND a.j = 0 AND a.i = length(w.word)
+    )"""
+    )
+
+
+def _uni_recount(parts: list, r: int, vprev: str) -> None:
+    """Append the M-step: weighted piece recount c{r} along b{r}'s paths,
+    then the re-estimated full vocabulary e{r}c (counts) / e{r} (costs)."""
+    parts.append(
+        f"""c{r} AS (SELECT piece, sum(wcnt)::BIGINT AS cnt FROM (
+          SELECT wcnt, unnest(string_split(path, ' ')) AS piece FROM b{r}) GROUP BY piece)"""
+    )
+    parts.append(
+        f"""e{r}c AS MATERIALIZED (
+          SELECT v.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
+          FROM {vprev} v LEFT JOIN c{r} c USING (piece))"""
+    )
+    parts.append(_unigram_vcost(f"e{r}c", f"e{r}"))
+
+
+def _uni_prune(parts: list, r: int) -> None:
+    """Append the Kudo prune: alt-segmentation DP over the PIECE strings
+    (full-span self edge excluded; 2 squarings cover ≤4-char pieces, MIN
+    aggregate — no path needed), removal loss = cnt·(alt−cost), keep the
+    top max(target, ceil(0.75·n)) multi-char pieces, re-smooth → v{r}."""
+    parts.append(
+        f"""pw{r} AS (SELECT piece AS pword, length(piece) AS plen
+          FROM e{r} WHERE length(piece) > 1)"""
+    )
+    parts.append(
+        f"""p{r}_0 AS MATERIALIZED (
+      SELECT s.pword, s.plen, s.j, s.i, v.cost
+      FROM (
+        SELECT pword, plen, e.j AS j, e.i AS i,
+               substr(pword, e.j + 1, e.i - e.j) AS sub
+        FROM (
+          SELECT pword, plen,
+                 unnest(flatten(list_transform(generate_series(0, length(pword) - 1),
+                   j -> list_transform(generate_series(j + 1, least(j + 4, length(pword))),
+                     i -> struct_pack(j := j, i := i))))) AS e
+          FROM pw{r})
+      ) s JOIN e{r} v ON v.piece = s.sub
+      WHERE NOT (s.j = 0 AND s.i = s.plen)
+    )"""
+    )
+    for s in (1, 2):
+        parts.append(
+            f"""p{r}_{s} AS MATERIALIZED (
+      SELECT pword, plen, j, i, min(cost) AS cost FROM (
+        SELECT pword, plen, j, i, cost FROM p{r}_{s - 1}
+        UNION ALL
+        SELECT x.pword, x.plen, x.j, y.i, x.cost + y.cost
+        FROM p{r}_{s - 1} x JOIN p{r}_{s - 1} y ON y.pword = x.pword AND y.j = x.i
+      ) GROUP BY pword, plen, j, i
+    )"""
+        )
+    parts.append(
+        f"""l{r} AS MATERIALIZED (
+      SELECT v.piece, v.cnt, v.cnt * (p.cost - v.cost) AS loss
+      FROM e{r} v JOIN (SELECT pword, cost FROM p{r}_2 WHERE j = 0 AND i = plen) p
+        ON p.pword = v.piece
+    )"""
+    )
+    parts.append(
+        f"""v{r}c AS MATERIALIZED (
+      SELECT piece, cnt FROM e{r}c WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY loss DESC, piece) AS rn,
+               count(*) OVER () AS nm
+        FROM l{r}
+      ) WHERE rn <= greatest({_UNI_TARGET}, (3 * nm + 3) // 4)
+    )"""
+    )
+    parts.append(_unigram_vcost(f"v{r}c", f"v{r}"))
+
+
+def _unigram_oracle(extra_pass: bool, final_select: str) -> str:
+    """Unrolled-CTE DuckDB twin of ``operators/unigram_lm.py``'s
+    prune-to-target Viterbi-EM (Kudo ACL'18 §3.2).
+
+    Same discipline as ``_bpe_oracle``: the fixed-round loop unrolls into
+    identical relational steps — large floored seed, add-half-smoothed
+    micro-nat costs, and per prune round a min-plus path-doubling chain
+    (4 squarings cover the 16-char word cap), the best-path pick, the
+    weighted recount, the piece-string alt-cost DP (2 squarings, full-span
+    self edge excluded), the loss ranking with the integer-exact keep
+    count greatest(target, (3n+3)//4), and the survivor re-smooth; then a
+    final EM round on the target vocabulary. Every multiply-referenced CTE
+    is MATERIALIZED (DuckDB's default inlining would expand the chain
+    exponentially, the _bpe_oracle lesson). ``extra_pass`` adds one more
+    Viterbi pass under the FINAL vocabulary — the encode side (b5).
     """
     parts = [f"tok AS ({_DUCK_TOK_STREAM})"]
     parts.append(
@@ -556,56 +680,25 @@ def _unigram_oracle(n_rounds: int, extra_pass: bool, final_select: str) -> str:
     )
     parts.append("seed AS (SELECT piece, sum(wcnt)::BIGINT AS cnt FROM edges GROUP BY piece)")
     parts.append(
-        """v0c AS MATERIALIZED (
+        f"""v0c AS MATERIALIZED (
       SELECT piece, cnt FROM seed WHERE length(piece) = 1
       UNION ALL
       SELECT piece, cnt FROM (
         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-        FROM seed WHERE length(piece) > 1) WHERE rn <= 40
+        FROM seed WHERE length(piece) > 1 AND cnt >= {_UNI_FLOOR})
+      WHERE rn <= {_UNI_SEED_MULTI}
     )"""
     )
     parts.append(_unigram_vcost("v0c", "v0"))
-    n_pass = n_rounds + (1 if extra_pass else 0)
-    for r in range(1, n_pass + 1):
-        parts.append(
-            f"""a{r}_0 AS MATERIALIZED (
-      SELECT e.word, e.j, e.i, v.cost, e.piece AS path
-      FROM edges e JOIN v{r - 1} v ON v.piece = e.piece
-    )"""
-        )
-        for s in range(1, 5):
-            parts.append(
-                f"""a{r}_{s} AS MATERIALIZED (
-      SELECT word, j, i, cost, path FROM (
-        SELECT word, j, i, cost, path,
-               row_number() OVER (PARTITION BY word, j, i ORDER BY cost, path) AS rn
-        FROM (
-          SELECT word, j, i, cost, path FROM a{r}_{s - 1}
-          UNION ALL
-          SELECT x.word, x.j, y.i, x.cost + y.cost, x.path || ' ' || y.path
-          FROM a{r}_{s - 1} x JOIN a{r}_{s - 1} y ON y.word = x.word AND y.j = x.i
-        )
-      ) WHERE rn = 1
-    )"""
-            )
-        parts.append(
-            f"""b{r} AS MATERIALIZED (
-      SELECT w.word, w.wcnt, a.cost, a.path
-      FROM words w JOIN a{r}_4 a
-        ON a.word = w.word AND a.j = 0 AND a.i = length(w.word)
-    )"""
-        )
-        if r <= n_rounds:
-            parts.append(
-                f"""c{r} AS (SELECT piece, sum(wcnt)::BIGINT AS cnt FROM (
-          SELECT wcnt, unnest(string_split(path, ' ')) AS piece FROM b{r}) GROUP BY piece)"""
-            )
-            parts.append(
-                f"""v{r}c AS MATERIALIZED (
-          SELECT v.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
-          FROM v{r - 1} v LEFT JOIN c{r} c USING (piece))"""
-            )
-            parts.append(_unigram_vcost(f"v{r}c", f"v{r}"))
+    for r in range(1, _UNI_PRUNE_ROUNDS + 1):
+        _uni_word_pass(parts, r, f"v{r - 1}")
+        _uni_recount(parts, r, f"v{r - 1}")
+        _uni_prune(parts, r)
+    rf = _UNI_PRUNE_ROUNDS + 1
+    _uni_word_pass(parts, rf, f"v{_UNI_PRUNE_ROUNDS}")
+    _uni_recount(parts, rf, f"v{_UNI_PRUNE_ROUNDS}")
+    if extra_pass:
+        _uni_word_pass(parts, rf + 1, _UNI_VFINAL)
     return "WITH " + ",\n    ".join(parts) + "\n" + final_select
 
 
@@ -621,27 +714,35 @@ def _word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unigram_lm_vocab",
     oracle=_unigram_oracle(
-        2, False, "SELECT piece, cnt AS em_cnt, cost AS cost_micro FROM v2"
+        False, f"SELECT piece, cnt AS em_cnt, cost AS cost_micro FROM {_UNI_VFINAL}"
     ),
     doc="unigram-LM (SentencePiece-family, Kudo ACL'18) tokenizer training "
-    "as relational Viterbi-EM — the OTHER major trained-subword family "
-    "beside bpe_train_merges: 2 hard-EM rounds over the word-frequency "
-    "dictionary (corpus touched ONCE, then everything is vocabulary-sized "
-    "by Heaps' law). The sequential Viterbi DP is made relational as a "
-    "MIN-PLUS shortest path via 4 path-doubling rounds (repeated squaring: "
-    "join the state to itself on the midpoint, keep the per-(word, span) "
-    "minimum) — covers any split of a word up to the 16-char training cap; "
-    "seeds are all <=4-char substrings (all single chars kept for coverage "
-    "+ top-40 multis via TakeOrderedAndProject). Costs freeze to BIGINT "
+    "as relational Viterbi-EM with the ACTUAL §3.2 prune-to-target "
+    "schedule — the OTHER major trained-subword family beside "
+    "bpe_train_merges: seed LARGE (all <=4-char substrings at weighted "
+    "count >= 2, capped at the top 70 so the schedule is static), then 2 "
+    "rounds of [EM re-estimate -> rank every multi-char piece by the "
+    "likelihood LOSS its removal would cause -> keep "
+    "max(40, ceil(0.75*n)) pieces (SentencePiece's shrinking_factor) -> "
+    "re-smooth], then one final EM round on the 40-multi-piece target "
+    "vocabulary. The removal loss re-routes a piece's occurrences through "
+    "the best segmentation of its OWN string that excludes the piece — a "
+    "second tiny min-plus DP over piece strings (2 squarings, MIN "
+    "aggregate). The word-level Viterbi DP is 4 path-doubling rounds "
+    "(repeated squaring over the 16-char cap); costs freeze to BIGINT "
     "micro-nats with add-half smoothing (-ln((2c+1)/(2*total+|V|))) so "
-    "path sums, argmins and the (cost, path) tiebreak are exact-integer "
-    "decisions on both engines. Oracle = the identical rounds unrolled "
-    "into MATERIALIZED CTEs (the _bpe_oracle discipline)",
+    "path sums, argmins, the (cost, path) tiebreak, losses, and the "
+    "integer-exact keep count greatest(40, (3n+3)//4) are all exact-"
+    "integer decisions on both engines. Single chars are never pruned "
+    "(coverage). Corpus touched ONCE (the word-count aggregate); "
+    "everything after is vocabulary-sized by Heaps' law. Oracle = the "
+    "identical rounds unrolled into MATERIALIZED CTEs (the _bpe_oracle "
+    "discipline)",
 )
 def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators import unigram_lm
 
-    return unigram_lm.unigram_train(_word_dictionary(spark, sf_dir), n_rounds=2).select(
+    return unigram_lm.unigram_train(_word_dictionary(spark, sf_dir)).select(
         "piece", F.col("cnt").alias("em_cnt"), F.col("cost").alias("cost_micro")
     )
 
@@ -649,20 +750,21 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unigram_segment_words",
     oracle=_unigram_oracle(
-        2, True, "SELECT word, wcnt, cost AS cost_micro, path FROM b3"
+        True, f"SELECT word, wcnt, cost AS cost_micro, path FROM {_UNI_BFINAL}"
     ),
     doc="the ENCODE side of the unigram-LM tokenizer: every word type's "
-    "best (lowest-cost) segmentation under the trained vocabulary — one "
-    "more min-plus Viterbi pass with the final costs. Tokenization is per "
-    "WORD TYPE, so encoding a 100 TB corpus segments the vocabulary-sized "
-    "dictionary once and joins back to the token stream (the bpe_segment "
-    "posture). Deterministic: ties break on (cost, path string). Shares "
-    "the training rounds and unrolled-CTE oracle with unigram_lm_vocab",
+    "best (lowest-cost) segmentation under the pruned-to-target trained "
+    "vocabulary — one more min-plus Viterbi pass with the final costs. "
+    "Tokenization is per WORD TYPE, so encoding a 100 TB corpus segments "
+    "the vocabulary-sized dictionary once and joins back to the token "
+    "stream (the bpe_segment posture). Deterministic: ties break on "
+    "(cost, path string). Shares the prune-EM training rounds and "
+    "unrolled-CTE oracle with unigram_lm_vocab",
 )
 def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators import unigram_lm
 
-    return unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2).select(
+    return unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir)).select(
         "word", "wcnt", F.col("cost").alias("cost_micro"), "path"
     )
 
@@ -670,7 +772,6 @@ def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unigram_fertility",
     oracle=_unigram_oracle(
-        2,
         True,
         r""", st AS (
       SELECT source, token AS word, count(*)::BIGINT AS c FROM (
@@ -683,11 +784,11 @@ def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(st.c)::BIGINT AS total_words,
            round(sum(st.c * len(string_split(b.path, ' '))) * 1.0 / sum(st.c), 4)
              AS fertility
-    FROM st JOIN b3 b ON b.word = st.word
+    FROM st JOIN b4 b ON b.word = st.word
     GROUP BY st.source""",
     ),
     doc="per-source tokenizer fertility (pieces emitted per word) under "
-    "the trained unigram-LM vocabulary — the BPE-vs-unigram comparison "
+    "the pruned-to-target unigram-LM vocabulary — the BPE-vs-unigram comparison "
     "number a tokenizer bake-off reports per domain (bpe_fertility's twin "
     "on the other tokenizer family). Segmentation runs once on the "
     "vocabulary-sized dictionary; the per-word piece count joins the "
@@ -699,7 +800,7 @@ def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators import unigram_lm
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
-    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2)
+    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir))
     n_pieces = seg.select(
         "word", F.size(F.split("path", " ")).cast("bigint").alias("n_pieces")
     )
@@ -725,7 +826,6 @@ def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unigram_codelength",
     oracle=_unigram_oracle(
-        2,
         True,
         r""", st AS (
       SELECT source, token AS word, count(*)::BIGINT AS c FROM (
@@ -738,10 +838,10 @@ def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(st.c * length(b.word))::BIGINT AS total_chars,
            (sum(st.c * b.cost) // sum(st.c * length(b.word)))::BIGINT
              AS micronats_per_char
-    FROM st JOIN b3 b ON b.word = st.word
+    FROM st JOIN b4 b ON b.word = st.word
     GROUP BY st.source""",
     ),
-    doc="per-source corpus CODELENGTH under the trained unigram LM — the "
+    doc="per-source corpus CODELENGTH under the pruned-to-target trained unigram LM — the "
     "compression number tokenizer papers actually report (bits/nats per "
     "character): each word type's best-path cost is its exact negative "
     "log-likelihood in frozen micro-nats, so the per-source total is an "
@@ -759,7 +859,7 @@ def unigram_codelength(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators import unigram_lm
 
     docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
-    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir), n_rounds=2)
+    seg = unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir))
     st = (
         docs.select("source", F.explode(text_ops.tokens_col("text")).alias("word"))
         .where(F.length("word") <= 16)

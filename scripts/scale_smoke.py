@@ -102,7 +102,7 @@ def main() -> int:
             .agg(F.count("*").alias("wcnt"))
         )
         t0 = time.perf_counter()
-        vocab = unigram_lm.unigram_train(words, n_rounds=2)
+        vocab = unigram_lm.unigram_train(words)
         pieces = sorted(r.piece for r in vocab.select("piece").collect())
         return round(time.perf_counter() - t0, 3), pieces
 
@@ -115,8 +115,8 @@ def main() -> int:
             row["sec"][name] = timed(df)
             row["rows"][name] = df.count()
         sec, pieces = train_once(docs)
-        row["sec"]["unigram_train_2rounds"] = sec
-        row["rows"]["unigram_train_2rounds"] = len(pieces)
+        row["sec"]["unigram_train_pruned"] = sec
+        row["rows"]["unigram_train_pruned"] = len(pieces)
         piece_sets[str(n)] = pieces
         results["ops"][str(n)] = row
         print(f"factor {n}: {row}", flush=True)

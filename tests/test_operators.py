@@ -1309,13 +1309,13 @@ def test_unigram_train_planted_dominant_piece(spark):
     words = spark.createDataFrame(
         [("abab", 50), ("abx", 10), ("zq", 3), ("ababab", 20)], ["word", "wcnt"]
     )
-    vocab = unigram_lm.unigram_train(words, n_rounds=2, n_multi=6)
+    kw = dict(n_seed_multi=6, target_multi=4, n_prune_rounds=2, seed_count_floor=1)
+    vocab = unigram_lm.unigram_train(words, **kw)
     by_cost = sorted((r.cost, r.piece) for r in vocab.collect())
     assert by_cost[0][1] == "abab", by_cost[:3]
-    seg = {
-        r.word: r.path
-        for r in unigram_lm.unigram_segment(words, n_rounds=2, n_multi=6).collect()
-    }
+    # the prune schedule reached its target multi-char vocabulary size
+    assert sum(len(r.piece) > 1 for r in vocab.collect()) <= 4
+    seg = {r.word: r.path for r in unigram_lm.unigram_segment(words, **kw).collect()}
     assert seg["abab"] == "abab"
     assert seg["ababab"] == "ab abab"
     assert seg["zq"] == "z q"  # single-char coverage fallback
@@ -1331,13 +1331,12 @@ def test_unigram_paths_cover_and_reconstruct(spark):
     words = spark.createDataFrame(
         [("hello", 5), ("help", 4), ("lop", 2), ("x" * 17, 9)], ["word", "wcnt"]
     )
-    vocab = unigram_lm.unigram_train(words, n_rounds=1, n_multi=5)
-    seg = unigram_lm.unigram_segment(words, n_rounds=1, n_multi=5)
+    kw = dict(n_seed_multi=5, target_multi=3, n_prune_rounds=1, seed_count_floor=1)
+    vocab = unigram_lm.unigram_train(words, **kw)
+    seg = unigram_lm.unigram_segment(words, vocab=vocab)
     rows = seg.collect()
     assert sorted(r.word for r in rows) == ["hello", "help", "lop"]  # cap excludes x*17
     costs = {r.piece: r.cost for r in vocab.collect()}
-    # NOTE: unigram_segment retrains internally (n_rounds=1), so recompute
-    # the final vocab the same way for the cost cross-check.
     for r in rows:
         pieces = r.path.split(" ")
         assert "".join(pieces) == r.word
@@ -1354,11 +1353,9 @@ def test_unigram_train_deterministic(spark):
     words = spark.createDataFrame(
         [("spark", 7), ("spar", 3), ("park", 5), ("ark", 2)], ["word", "wcnt"]
     )
-    a = sorted(map(tuple, unigram_lm.unigram_train(words, n_rounds=2, n_multi=8).collect()))
+    kw = dict(n_seed_multi=8, target_multi=4, n_prune_rounds=2, seed_count_floor=1)
+    a = sorted(map(tuple, unigram_lm.unigram_train(words, **kw).collect()))
     b = sorted(
-        map(
-            tuple,
-            unigram_lm.unigram_train(words.repartition(7), n_rounds=2, n_multi=8).collect(),
-        )
+        map(tuple, unigram_lm.unigram_train(words.repartition(7), **kw).collect())
     )
     assert a == b

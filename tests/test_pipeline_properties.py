@@ -211,8 +211,10 @@ def test_unigram_viterbi_coverage_and_optimality(spark_global, words):
     from map_reduce_engine_spark.operators import unigram_lm
 
     df = spark_global.createDataFrame(words, ["word", "wcnt"])
-    vocab = unigram_lm.unigram_train(df, n_rounds=1, n_multi=8)
-    seg = unigram_lm.unigram_segment(df, n_rounds=1, n_multi=8)
+    vocab = unigram_lm.unigram_train(
+        df, n_seed_multi=8, target_multi=4, n_prune_rounds=1, seed_count_floor=1
+    )
+    seg = unigram_lm.unigram_segment(df, vocab=vocab)
     costs = {r.piece: r.cost for r in vocab.collect()}
     rows = seg.collect()
     assert sorted(r.word for r in rows) == sorted(w for w, _ in words)
