@@ -63,6 +63,16 @@ def bpe_train(words: DataFrame, n_merges: int = 6) -> DataFrame:
     return reduce(DataFrame.unionByName, merge_rows)
 
 
+def bpe_train_and_segment(words: DataFrame, n_merges: int = 6) -> tuple[DataFrame, DataFrame]:
+    """Both artifacts of ONE training run: (merge table, final symbol
+    table). Callers needing the learned merges AND the segmentation (the
+    tokenizer bake-off's vocabulary-inventory accounting) use this instead
+    of calling :func:`bpe_train` + :func:`bpe_segment` separately, which
+    would train the identical model twice."""
+    merge_rows, syms = _train_rounds(words, n_merges)
+    return reduce(DataFrame.unionByName, merge_rows), syms
+
+
 def bpe_segment(words: DataFrame, n_merges: int = 6) -> DataFrame:
     """Word-type segmentation after ``n_merges`` learned merges.
 

@@ -490,6 +490,32 @@ def test_tokenizer_bakeoff_job(spark, sf_dir, tmp_path):
     assert row.uni_vocab_size == len(uni_v)
     assert row.uni_vocab_used == sum(1 for r in uni_v if r.em_cnt > 0)
     assert 0 < row.uni_vocab_used <= row.uni_vocab_size
+    # BPE utilization counts the FULL learned inventory (alphabet + EOW +
+    # merge outputs; ADVICE r07 — the old final-symbol count was
+    # definitionally 100%): used <= size, merge outputs present, and
+    # never-emitted symbols carry occurrences = 0 rather than vanishing
+    bpe_v = spark.read.parquet(f"{out}/bpe_vocab").collect()
+    assert row.bpe_vocab_size == len(bpe_v)
+    assert row.bpe_vocab_used == sum(1 for r in bpe_v if r.occurrences > 0)
+    assert 0 < row.bpe_vocab_used <= row.bpe_vocab_size
+    assert any(len(r.sym) > 1 and r.sym != "</w>" for r in bpe_v)  # merges in inventory
+    # population rule: both legs score the identical <=16-char word set
+    assert all(r.bpe_words == r.uni_words for r in bake)
+
+
+def test_tokenizer_bakeoff_empty_corpus_rejects(spark, sf_dir, tmp_path):
+    """A zero-word corpus must REJECT explicitly (approved False, not a
+    silently-NULL gate row from the 0-denominator ppm divisions —
+    ADVICE r07)."""
+    from map_reduce_engine_spark.examples.tokenizer_bakeoff_job import run
+
+    empty_sf = str(tmp_path / "empty_sf")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0).write.parquet(
+        f"{empty_sf}/documents.parquet"
+    )
+    row = run(spark, empty_sf, str(tmp_path / "tkb_empty")).collect()[0]
+    assert row.n_sources == 0
+    assert row.tokenizer_approved is False
 
 
 def test_tokenizer_bakeoff_codelength_leg(spark, sf_dir, tmp_path):
