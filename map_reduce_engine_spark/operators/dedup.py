@@ -683,6 +683,63 @@ def substring_dedup_rewrite(
     )
 
 
+def incremental_substring_dedup(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """(id, n_tokens, removed_tokens, kept_tokens, removed_bp) — the
+    exact-substring survivorship ledger for a NEW batch probed against an
+    EXISTING corpus, without re-deduplicating the corpus.
+
+    The incremental twin of :func:`substring_dedup_survivors` — the
+    daily-crawl shape ``operators/incremental.py`` gives MinHash, applied
+    to the exact-substring tier (Lee et al. ACL'22): the historical corpus
+    reduces to its DISTINCT ``k``-token tile-hash set (at 100 TB this is
+    the PERSISTED canonical-tile index — one hash aggregate when first
+    built, then a stored table bucketed on the hash; the history is never
+    rescanned per batch), the batch's tile occurrences equi-join that
+    index, and matched positions merge into maximal spans per batch
+    document (doc-keyed windows). The corpus side always holds the
+    canonical copy — every batch occurrence of an indexed tile is
+    removable — so no survivorship tiebreak crosses the boundary; a batch
+    document sharing a run of length L >= k with ANY corpus document has
+    the full [start, start+L-1] span excised, while L < k overlaps are
+    invisible by design (the memorization-hazard threshold k encodes).
+    Batch-INTERNAL duplication is deliberately out of scope here: it is
+    the symmetric tier (``substring_dedup_survivors``) run on the batch
+    alone, and a pipeline chains the two.
+
+    Scale shape: candidate volume scales with the BATCH (tile joins key on
+    the hash; the index side is pre-distinct), mirroring
+    ``incremental_near_dup``'s band-bucket probe posture.
+    """
+    _, corpus_occ = _substring_occurrences(corpus_df, id_col, text_col, k)
+    index = corpus_occ.select("h").distinct()
+    base, occ = _substring_occurrences(batch_df, id_col, text_col, k)
+    rem = occ.join(index, "h").select("id", "i").distinct()
+    removed = _merge_spans(rem, k).groupBy("id").agg(
+        F.sum("span_tokens").alias("removed_tokens")
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(removed, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.expr("(10000 * coalesce(removed_tokens, 0)) div n_tokens").alias(
+                "removed_bp"
+            ),
+        )
+    )
+
+
 def cross_corpus_contamination_spans(
     test_df: DataFrame,
     train_df: DataFrame,

@@ -472,6 +472,49 @@ def test_substring_dedup_k50_catches_60_not_40(spark):
     assert rw2[2] == ("", 60) and rw2[1][1] == 0, rw2
 
 
+def test_incremental_substring_dedup_probes_corpus_index(spark):
+    """The batch-vs-corpus probe (VERDICT r07 ask #2): a batch document
+    sharing a 60-token run with the CORPUS is excised (full span), a
+    40-token overlap (below k=50) survives untouched, batch-internal
+    duplication is out of scope (two batch docs sharing 60 tokens absent
+    from the corpus keep everything), and the history side is never
+    reported."""
+    from map_reduce_engine_spark.operators.dedup import incremental_substring_dedup
+
+    shared60 = " ".join(f"s{i}" for i in range(60))
+    shared40 = " ".join(f"t{i}" for i in range(40))
+    batch_only60 = " ".join(f"u{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + f" {shared60}"),
+            (2, f"{shared40} " + " ".join(f"b{i}" for i in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # shares the 60-run with corpus doc 1 -> full span excised
+            (10, f"{shared60} " + " ".join(f"c{i}" for i in range(15))),
+            # shares only 40 tokens with corpus doc 2 -> invisible at k=50
+            (11, " ".join(f"d{i}" for i in range(20)) + f" {shared40}"),
+            # batch-internal pair, absent from the corpus -> untouched here
+            (12, batch_only60),
+            (13, f"{batch_only60} " + " ".join(f"e{i}" for i in range(5))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.removed_bp)
+        for r in incremental_substring_dedup(
+            corpus, batch, "doc_id", "text", k=50
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12, 13}, got  # corpus docs never reported
+    assert got[10] == (75, 60, 15, 10000 * 60 // 75), got
+    assert got[11] == (60, 0, 60, 0), got
+    assert got[12] == (60, 0, 60, 0) and got[13] == (65, 0, 65, 0), got
+
+
 def test_cross_corpus_contamination_spans_k13(spark):
     """GPT-3-style decontamination probe: a 13-token run shared between a
     test doc and ANY train doc is recovered as an exact span; a 12-token
