@@ -89,7 +89,7 @@ def random_hyperplane_buckets(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     seed: int = 42,
     dim: int = 64,
     out: str = "bucket",
@@ -100,7 +100,18 @@ def random_hyperplane_buckets(
     identical on every executor, no broadcast variable, no Python at eval
     time. Vectors with the same bucket are likely cosine-near neighbors;
     bucket count 2^n_planes bounds per-bucket join fan-out at scale.
+
+    ``n_planes=None`` auto-sizes from the corpus via
+    ``operators/sizing.py::planes_for_corpus`` (more planes for bigger
+    corpora — expected per-bucket population stays bounded); the count is
+    one driver-side action, same as the other sizing probes. Pass an
+    explicit value where a STATIC oracle inlines the matching plane set
+    (the registry's seeded-literal queries).
     """
+    if n_planes is None:
+        from map_reduce_engine_spark.operators.sizing import planes_for_corpus
+
+        n_planes = planes_for_corpus(df.count())
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     plane_cols = [_lit_double_array(row) for row in planes]

@@ -51,6 +51,35 @@ def cells_for_corpus(
     return max(min_cells, min(max_cells, math.ceil(n_rows / rows_per_cell)))
 
 
+def planes_for_corpus(
+    n_rows: int,
+    rows_per_bucket: int = 32,
+    min_planes: int = 2,
+    max_planes: int = 24,
+) -> int:
+    """Hyperplane count for sign-LSH bucketing (random_hyperplane_buckets)
+    keeping the EXPECTED per-bucket population n / 2^planes <=
+    ``rows_per_bucket`` — "more planes for bigger corpora", executable.
+
+    Monotone non-decreasing in ``n_rows``; wherever the ``max_planes``
+    ceiling is not hit, ``n_rows / 2**planes_for_corpus(n_rows) <=
+    rows_per_bucket`` (the property test's contract). Above the ceiling
+    the bound degrades linearly — past 2^24 buckets the plane count stops
+    being "a handful of inlined literal arrays" and a deployment shards
+    the corpus before bucketing (the cells_for_corpus posture). Per-bucket
+    pair volume is then ~(rows_per_bucket)²/2 — bounded, so total
+    candidate volume grows LINEARLY with the corpus.
+    """
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    if rows_per_bucket <= 0:
+        raise ValueError(f"rows_per_bucket must be > 0, got {rows_per_bucket}")
+    if not (0 < min_planes <= max_planes):
+        raise ValueError(f"need 0 < min_planes <= max_planes, got {min_planes}, {max_planes}")
+    need = math.ceil(math.log2(n_rows / rows_per_bucket)) if n_rows > rows_per_bucket else 0
+    return max(min_planes, min(max_planes, need))
+
+
 def bands_rows_for_threshold(threshold: float, n_perm: int = 64) -> tuple[int, int]:
     """(bands, rows_per_band) with ``bands * rows_per_band == n_perm`` whose
     LSH S-curve midpoint (1/bands)^(1/rows) is closest to ``threshold``.

@@ -1951,7 +1951,12 @@ def _reliability_lsh_oracle(n_planes: int = 4, seed: int = 7, dim: int = 64) -> 
     "embedding table instead of all-pairs on a bounded slice. 2^4 "
     "buckets bound the per-bucket join fan-out, so pair volume is "
     "~n^2/16 per bucket rather than n^2 global — the shape that survives "
-    "100x (more planes for bigger corpora, operators/sizing.py). The "
+    "100x: more planes for bigger corpora via operators/sizing.py::"
+    "planes_for_corpus (random_hyperplane_buckets auto-sizes with "
+    "n_planes=None; this registry entry PINS the value the sizing rule "
+    "yields at the driver fixture — 500 vectors -> 4 planes, asserted in "
+    "tests/test_sizing.py — because the static oracle inlines the "
+    "matching seeded plane set). The "
     "bucketed curve is biased TOWARD high-cosine pairs by construction "
     "(that is the point: those are the pairs ANN/dedup thresholds act "
     "on); the bounded-slice sibling remains the unbiased census. FULLY "
@@ -1961,6 +1966,9 @@ def _reliability_lsh_oracle(n_planes: int = 4, seed: int = 7, dim: int = 64) -> 
 )
 def embedding_similarity_reliability_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # 4 = sizing.planes_for_corpus(500) at the driver fixture — pinned (not
+    # auto-sized) because the static oracle inlines the 4 seeded planes;
+    # tests/test_sizing.py asserts the pin and the rule agree
     b = sim.random_hyperplane_buckets(emb, "vec_id", "embedding", n_planes=4, seed=7)
     e = b.select(
         "vec_id",

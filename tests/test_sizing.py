@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 from map_reduce_engine_spark.operators.sizing import (
     bands_rows_for_threshold,
     cells_for_corpus,
+    planes_for_corpus,
 )
 
 
@@ -90,6 +91,62 @@ def test_bands_rows_rejects_degenerate():
         bands_rows_for_threshold(1.0)
     with pytest.raises(ValueError):
         bands_rows_for_threshold(0.5, n_perm=7)  # prime — no factorization
+
+
+@given(n=st.integers(min_value=0, max_value=1 << 40))
+def test_planes_population_bounded(n):
+    """Below the max_planes ceiling, the expected per-bucket population
+    n / 2^planes never exceeds rows_per_bucket — the invariant that keeps
+    the sign-LSH bucket equi-join's pair volume linear in corpus size."""
+    p = planes_for_corpus(n, rows_per_bucket=32)
+    assert 2 <= p <= 24
+    if p < 24:
+        assert n / (1 << p) <= 32 or n <= 32
+
+
+@given(n=st.integers(min_value=1, max_value=1 << 32))
+def test_planes_monotone_under_100x_growth(n):
+    """Growing the corpus 100x never shrinks the plane count (more planes
+    for bigger corpora), and the population bound holds at both scales."""
+    small, big = planes_for_corpus(n), planes_for_corpus(100 * n)
+    assert big >= small
+    if big < 24:
+        assert 100 * n / (1 << big) <= 32
+
+
+def test_planes_pin_matches_driver_fixture():
+    """embedding_similarity_reliability_lsh pins n_planes=4 because its
+    static oracle inlines the seeded plane set; the pin must equal what
+    the sizing rule yields at the driver fixture (500 embedding rows) —
+    if the fixture grows, this fails and the pin + oracle get regenerated
+    together."""
+    assert planes_for_corpus(500) == 4
+
+
+def test_planes_rejects_bad_args():
+    with pytest.raises(ValueError):
+        planes_for_corpus(-1)
+    with pytest.raises(ValueError):
+        planes_for_corpus(10, rows_per_bucket=0)
+    with pytest.raises(ValueError):
+        planes_for_corpus(10, min_planes=5, max_planes=4)
+
+
+def test_auto_sized_hyperplane_buckets_path(spark):
+    """random_hyperplane_buckets(n_planes=None) sizes from the corpus
+    count: bucket ids stay inside [0, 2^planes) and the bucket count
+    follows the rule at two corpus sizes 64x apart."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.operators.similarity import random_hyperplane_buckets
+
+    for n in (100, 6400):
+        planes = planes_for_corpus(n)
+        out = random_hyperplane_buckets(
+            _synthetic_vectors(spark, n), "id", "vec", n_planes=None, dim=4
+        )
+        mx = out.agg(F.max("bucket").alias("m")).collect()[0].m
+        assert 0 <= mx < (1 << planes), (n, planes, mx)
 
 
 def _synthetic_vectors(spark, n: int):
