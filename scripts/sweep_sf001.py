@@ -22,6 +22,30 @@ and gets a ``sec_exclusive`` field; the cap is judged against
 numbers). Entries without ``sec_exclusive`` were under the cap even while
 contended.
 
+Cost anatomy of the entries that live near the 10 s cap (round-8 note, so
+a future breach is adjudicable without a re-run):
+
+- ``incremental_near_dup`` (~8 s exclusive): the DuckDB oracle recomputes
+  the FULL 64-slot MinHash signature table for both corpus sides from
+  scratch (64 affine min-aggregates over every token occurrence) before
+  the cross-side band probe — at sf0.01 the signature recompute IS the
+  cost, not the probe. Scale shape: in production the historical
+  signatures/band index are PERSISTED, so per-batch cost is the batch's
+  signatures + an index equi-join (linear in batch size); the oracle pays
+  the rebuild only because it must replay from raw fixtures.
+- ``golden_record_fields`` (~5 s exclusive): survivorship across N source
+  systems evaluates per-field quality votes over a multi-way union with
+  window ranks per field — several window passes over the same frame at
+  fixture scale. Each pass is doc-keyed (bounded state); wall time is
+  pass count x scheduling floor, flat in corpus size per partition.
+- ``unigram_segment_words`` / ``unigram_fertility`` / ``unigram_codelength``
+  (~6-7 s exclusive): training is 3 Viterbi word passes (2 prune rounds +
+  final EM) + the encode pass, each 4 path-doubling squarings, run on BOTH
+  engines (the oracle unrolls the identical chain). The ~0.1 s/job
+  scheduling floor x ~20 jobs dominates; corpus size is irrelevant past
+  the one word-count aggregate (dictionary is vocabulary-sized by Heaps'
+  law — SCALE_SMOKE: flat under 16x replication).
+
 Exit status is the number of failing queries (0 = all green).
 """
 
