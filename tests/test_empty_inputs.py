@@ -350,6 +350,42 @@ def test_substring_dedup_empty_and_short(spark):
     assert rw == {1: "a b c", 2: "a b c"}, rw
 
 
+def test_incremental_substring_dedup_empty_sides(spark):
+    """The batch-vs-corpus probe with an empty corpus (nothing indexed —
+    every batch doc keeps everything) and an empty batch (nothing to
+    report): full-retention ledgers and an empty frame respectively."""
+    shared = " ".join(f"s{i}" for i in range(60))
+    empty = _empty_docs(spark)
+    batch = spark.createDataFrame([(10, shared)], ["doc_id", "text"])
+    got = {
+        r.id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.removed_bp)
+        for r in dd.incremental_substring_dedup(
+            empty, batch, "doc_id", "text", k=50
+        ).collect()
+    }
+    assert got == {10: (60, 0, 60, 0)}, got
+    corpus = spark.createDataFrame([(1, shared)], ["doc_id", "text"])
+    out = dd.incremental_substring_dedup(corpus, empty, "doc_id", "text", k=50)
+    assert out.columns == ["id", "n_tokens", "removed_tokens", "kept_tokens", "removed_bp"]
+    assert out.count() == 0
+
+
+def test_unigram_train_empty_dictionary(spark):
+    """The prune-EM trainer on an empty dictionary returns an empty vocab
+    with the right schema (the bake-off's empty-corpus reject path crosses
+    this), and piece_alt_costs on a single-chars-only vocab is empty."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    empty = spark.createDataFrame([], "word string, wcnt bigint")
+    vocab = unigram_lm.unigram_train(empty)
+    assert vocab.columns == ["piece", "cnt", "cost"]
+    assert vocab.count() == 0
+    singles = spark.createDataFrame(
+        [("a", 3, 100), ("b", 1, 200)], "piece string, cnt bigint, cost bigint"
+    )
+    assert unigram_lm.piece_alt_costs(singles).count() == 0
+
+
 def test_cross_corpus_contamination_empty_sides(spark):
     """Decontamination with an empty train corpus (nothing can contaminate)
     and an empty test corpus (nothing to probe) both yield empty spans with
