@@ -89,6 +89,23 @@ def keep_count(n_multi: int, target_multi: int) -> int:
     return max(target_multi, (_KEEP_NUM * n_multi + _KEEP_DEN - 1) // _KEEP_DEN)
 
 
+def prune_rounds_for(n_seed_multi: int, target_multi: int) -> int:
+    """Prune rounds needed to take a (capped) seed of ``n_seed_multi``
+    multi-char pieces down to ``target_multi`` under the 0.75 keep
+    schedule — exact simulation of :func:`keep_count`, so the schedule is
+    a pure function of the two knobs (static for any unrolled oracle, and
+    correct for a real 32k-target training run without the caller doing
+    logarithm arithmetic). A seed at or below target needs 0 rounds.
+    """
+    if target_multi <= 0:
+        raise ValueError(f"target_multi must be > 0, got {target_multi}")
+    n, rounds = n_seed_multi, 0
+    while n > target_multi:
+        n = keep_count(n, target_multi)
+        rounds += 1
+    return rounds
+
+
 def trainable_words(words: DataFrame, word_col: str = "word", cnt_col: str = "wcnt") -> DataFrame:
     """Apply the training length cap (standard SentencePiece practice)."""
     return words.select(
@@ -301,7 +318,7 @@ def unigram_train(
     words: DataFrame,
     n_seed_multi: int = N_SEED_MULTI,
     target_multi: int = TARGET_MULTI,
-    n_prune_rounds: int = N_PRUNE_ROUNDS,
+    n_prune_rounds: int | None = None,
     seed_count_floor: int = SEED_COUNT_FLOOR,
 ) -> DataFrame:
     """Train the unigram-LM vocabulary with Kudo's (ACL'18 §3.2)
@@ -315,11 +332,16 @@ def unigram_train(
     the final E-step's weighted piece count under the final vocabulary,
     cost its smoothed micro-nat negative log-probability. Deterministic
     end to end: the loss ranking ties break on the piece string, the keep
-    count is integer-exact, and ``n_prune_rounds`` with the capped seed
-    guarantees the target is reached (70 → 53 → 40 at the defaults).
-    The mid-loop ``losses.count()`` is a vocabulary-sized driver action —
-    the same bounded-sizing pattern as the partition-count probe below.
+    count is integer-exact, and the round count — computed from the two
+    knobs by :func:`prune_rounds_for` when not given explicitly —
+    guarantees the target is reached (70 → 53 → 40 in 2 rounds at the
+    defaults; a 50k-seed / 32k-target production run gets its schedule
+    the same way). The mid-loop ``losses.count()`` is a vocabulary-sized
+    driver action — the same bounded-sizing pattern as the
+    partition-count probe below.
     """
+    if n_prune_rounds is None:
+        n_prune_rounds = prune_rounds_for(n_seed_multi, target_multi)
     words = trainable_words(words).localCheckpoint(eager=True)
     spark = words.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

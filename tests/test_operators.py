@@ -1387,6 +1387,43 @@ def test_unigram_paths_cover_and_reconstruct(spark):
         assert r.cost == sum(costs[p] for p in pieces)
 
 
+def test_unigram_prune_schedule_derivation(spark):
+    """The prune-round count is a pure function of (seed cap, target):
+    prune_rounds_for simulates the exact keep schedule, the module default
+    must equal it (the unrolled DuckDB oracle hardcodes the same count —
+    a knob change must regenerate both together), the schedule always
+    lands EXACTLY on the target when the seed exceeds it, and the trainer
+    reaches the target end-to-end without an explicit round count."""
+    from map_reduce_engine_spark.operators import unigram_lm
+    from map_reduce_engine_spark.queries.retrieval import _UNI_PRUNE_ROUNDS
+
+    assert (
+        unigram_lm.prune_rounds_for(unigram_lm.N_SEED_MULTI, unigram_lm.TARGET_MULTI)
+        == unigram_lm.N_PRUNE_ROUNDS
+        == _UNI_PRUNE_ROUNDS
+    )
+    for seed, target in [(70, 40), (50_000, 32_000), (12, 5), (5, 5), (3, 8), (1, 1)]:
+        r = unigram_lm.prune_rounds_for(seed, target)
+        n = seed
+        for _ in range(r):
+            n = unigram_lm.keep_count(n, target)
+        assert n == (target if seed > target else seed), (seed, target, r, n)
+        if r > 0:  # minimality: one fewer round must NOT reach the target
+            n = seed
+            for _ in range(r - 1):
+                n = unigram_lm.keep_count(n, target)
+            assert n > target, (seed, target, r, n)
+    # end-to-end: derived schedule, no explicit n_prune_rounds
+    words = spark.createDataFrame(
+        [("spark", 7), ("spar", 3), ("park", 5), ("ark", 2), ("rka", 2)],
+        ["word", "wcnt"],
+    )
+    vocab = unigram_lm.unigram_train(
+        words, n_seed_multi=12, target_multi=5, seed_count_floor=1
+    )
+    assert sum(len(r.piece) > 1 for r in vocab.collect()) <= 5
+
+
 def test_unigram_train_deterministic(spark):
     """Two independent trainings on the same dictionary produce the
     identical vocabulary (counts, costs) — the engine/run/partitioning
