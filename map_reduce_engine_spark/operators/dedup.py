@@ -656,6 +656,16 @@ def substring_dedup_rewrite(
         .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
         .distinct()
     )
+    return _excise_positions(base, rem_pos)
+
+
+def _excise_positions(base: DataFrame, rem_pos: DataFrame) -> DataFrame:
+    """(id, text, n_tokens, removed_tokens) — rebuild every document of
+    ``base`` (id, l, n_tokens) with the 1-based token positions in
+    ``rem_pos`` (id, p) cut out: position anti-join, then position-ordered
+    ``array_sort(collect_list(struct(pos, tok)))`` → ``concat_ws`` — one
+    shuffle keyed on the doc id. Shared by the symmetric rewrite and the
+    incremental batch rewrite."""
     toks = base.select("id", "n_tokens", F.posexplode("l").alias("p0", "tok")).select(
         "id", "n_tokens", (F.col("p0") + 1).cast("bigint").alias("p"), "tok"
     )
@@ -738,6 +748,35 @@ def incremental_substring_dedup(
             ),
         )
     )
+
+
+def incremental_substring_rewrite(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """(id, text, n_tokens, removed_tokens) — the NEW batch with every
+    occurrence of a corpus-indexed ``k``-token run EXCISED from its text:
+    the output a crawl pipeline actually appends to the training corpus.
+
+    The rewrite companion of :func:`incremental_substring_dedup` (same
+    probe: history reduces once to its distinct tile-hash index, batch
+    occurrences equi-join it) with :func:`substring_dedup_rewrite`'s
+    reassembly (position anti-join + ordered collect per document —
+    shared ``_excise_positions`` tail). Fully-indexed batch documents
+    empty rather than vanish, so the batch row set is stable.
+    """
+    _, corpus_occ = _substring_occurrences(corpus_df, id_col, text_col, k)
+    index = corpus_occ.select("h").distinct()
+    base, occ = _substring_occurrences(batch_df, id_col, text_col, k)
+    rem_pos = (
+        occ.join(index, "h")
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
+        .distinct()
+    )
+    return _excise_positions(base, rem_pos)
 
 
 def cross_corpus_contamination_spans(

@@ -542,6 +542,55 @@ def incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_substring_rewrite",
+    oracle=f"""
+    WITH {_DUCK_SUBSTR_G},
+    idx AS (SELECT DISTINCT h FROM g WHERE doc_id < 250),
+    rem AS (
+      SELECT DISTINCT g.doc_id, g.i + o.k AS p
+      FROM g JOIN idx USING (h) CROSS JOIN unnest(range(0, 50)) AS o(k)
+      WHERE g.doc_id >= 250
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, l[i] AS tok
+      FROM d, unnest(range(1, len(l) + 1)) AS u(i)
+      WHERE doc_id >= 250
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+             count(*) AS kept FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(reb.text, '') AS text,
+           len(d.l)::BIGINT AS n_tokens,
+           (len(d.l) - coalesce(reb.kept, 0))::BIGINT AS removed_tokens
+    FROM d LEFT JOIN reb USING (doc_id)
+    WHERE d.doc_id >= 250
+    """,
+    doc="the REWRITE side of incremental exact-substring dedup: the new "
+    "batch (doc_id >= 250) with every occurrence of a corpus-indexed "
+    "50-token run excised from its text — the output a crawl pipeline "
+    "actually appends to the training corpus (incremental_substring_dedup "
+    "is the accounting ledger; this is the data). Same batch-scaled probe "
+    "of the persisted canonical-tile index, then substring_dedup_rewrite's "
+    "position anti-join + ordered-collect reassembly (one doc-keyed "
+    "shuffle over the BATCH only). The rebuilt strings are part of the "
+    "oracle comparison, so the excision boundaries are verified "
+    "byte-for-byte; fully-indexed batch documents empty rather than vanish",
+)
+def incremental_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    return dd.incremental_substring_rewrite(corpus, batch, "doc_id", "text", k=50)
+
+
+@register(
     "incremental_batch_dedup",
     oracle="""
     WITH fp AS (

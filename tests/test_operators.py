@@ -514,6 +514,21 @@ def test_incremental_substring_dedup_probes_corpus_index(spark):
     assert got[11] == (60, 0, 60, 0), got
     assert got[12] == (60, 0, 60, 0) and got[13] == (65, 0, 65, 0), got
 
+    # the REWRITE leg: doc 10's shared block excised (unique suffix
+    # survives in order), everything else passes through verbatim
+    from map_reduce_engine_spark.operators.dedup import incremental_substring_rewrite
+
+    rw = {
+        r.id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in incremental_substring_rewrite(
+            corpus, batch, "doc_id", "text", k=50
+        ).collect()
+    }
+    assert set(rw) == {10, 11, 12, 13}, rw
+    assert rw[10] == (" ".join(f"c{i}" for i in range(15)), 75, 60), rw[10]
+    assert rw[11][2] == 0 and rw[12][2] == 0 and rw[13][2] == 0
+    assert rw[12][0] == batch_only60
+
 
 def test_cross_corpus_contamination_spans_k13(spark):
     """GPT-3-style decontamination probe: a 13-token run shared between a
