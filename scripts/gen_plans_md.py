@@ -282,6 +282,19 @@ HEADLINE = [
         "seeded-hyperplane LSH bucket self-equi-join feeding the decile "
         "aggregate — the corpus-scale pair generator (never all-pairs)",
     ),
+    (
+        "incremental_substring_dedup",
+        "batch-vs-corpus probe (round 8): the history reduces to its "
+        "distinct tile-hash index (one aggregate — persisted at scale), "
+        "batch occurrences equi-join it, per-BATCH-doc island windows; "
+        "candidate volume scales with the batch",
+    ),
+    (
+        "unigram_lm_vocab",
+        "Kudo prune-to-target EM (round 8): vocabulary-sized min-plus "
+        "squaring state off localCheckpoints; the prune's alt-cost DP is "
+        "piece-string-sized MIN aggregates; corpus touched once",
+    ),
 ]
 
 
