@@ -239,6 +239,79 @@ def viterbi_paths(words: DataFrame, vocab: DataFrame, n_doublings: int = N_DOUBL
     )
 
 
+def nbest_paths(
+    words: DataFrame, vocab: DataFrame, k: int = 2, n_doublings: int = N_DOUBLINGS
+) -> DataFrame:
+    """Top-``k`` distinct segmentations per word type under ``vocab`` —
+    the enumeration base of Kudo's SUBWORD REGULARIZATION (ACL'18 §3: the
+    paper's titular technique samples among the l-best segmentations at
+    training time; Viterbi is just l=1). Returns
+    (word, wcnt, rank, cost, path), rank 1..k by (cost, path).
+
+    k-best min-plus repeated squaring: the state keeps the k best DISTINCT
+    (cost, path) per (word, j, i); each round unions the midpoint
+    self-composition (≤ k×k candidates per decomposition), collapses
+    duplicate paths (the same path arises via several midpoints — its cost
+    is identical by construction, an exact BIGINT sum of the same pieces),
+    and re-ranks. Exact by the standard k-shortest-path induction: the
+    halves of a top-k path are top-k for their spans under the
+    compositional (cost, path) order (same-span paths never prefix each
+    other, so concatenation preserves comparisons). rank-1 rows equal
+    :func:`viterbi_paths` exactly — pinned by tests.
+    """
+    state = (
+        piece_edges(words)
+        .join(F.broadcast(vocab.select("piece", "cost")), "piece")
+        .select("word", "j", "i", "cost", F.col("piece").alias("path"))
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.partitionBy("word", "j", "i").orderBy("cost", "path")
+    for _ in range(n_doublings):
+        comp = (
+            state.alias("x")
+            .join(
+                state.alias("y"),
+                (F.col("x.word") == F.col("y.word")) & (F.col("x.i") == F.col("y.j")),
+            )
+            .select(
+                F.col("x.word").alias("word"),
+                F.col("x.j").alias("j"),
+                F.col("y.i").alias("i"),
+                (F.col("x.cost") + F.col("y.cost")).alias("cost"),
+                F.concat_ws(" ", "x.path", "y.path").alias("path"),
+            )
+        )
+        state = (
+            state.unionByName(comp)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    w2 = words.select("word", "wcnt").withColumn("_wlen", F.length("word"))
+    return (
+        w2.alias("w")
+        .join(
+            state.alias("s"),
+            (F.col("w.word") == F.col("s.word"))
+            & (F.col("s.j") == 0)
+            & (F.col("s.i") == F.col("w._wlen")),
+        )
+        .select(
+            F.col("w.word").alias("word"),
+            F.col("w.wcnt").alias("wcnt"),
+            F.col("s.cost").alias("cost"),
+            F.col("s.path").alias("path"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("word").orderBy("cost", "path")),
+        )
+        .select("word", "wcnt", "rank", "cost", "path")
+    )
+
+
 def piece_alt_costs(vocab: DataFrame, n_doublings: int = 2) -> DataFrame:
     """(piece, alt_cost): the cheapest segmentation of every MULTI-char
     piece's own string that does NOT use the piece itself as one edge —

@@ -647,6 +647,46 @@ def _uni_prune(parts: list, r: int) -> None:
     parts.append(_unigram_vcost(f"v{r}c", f"v{r}"))
 
 
+def _uni_nbest_pass(parts: list, vcte: str, k: int = 2) -> None:
+    """Append the k-best encode chain n_0..n_4 under vocabulary ``vcte``:
+    per squaring, union the midpoint self-composition, collapse duplicate
+    paths (same path via several midpoints — identical BIGINT cost), keep
+    the k best per (word, j, i) by (cost, path)."""
+    parts.append(
+        f"""n_0 AS MATERIALIZED (
+      SELECT e.word, e.j, e.i, v.cost, e.piece AS path
+      FROM edges e JOIN {vcte} v ON v.piece = e.piece
+    )"""
+    )
+    for s in range(1, 5):
+        parts.append(
+            f"""n_{s} AS MATERIALIZED (
+      SELECT word, j, i, cost, path FROM (
+        SELECT word, j, i, cost, path,
+               row_number() OVER (PARTITION BY word, j, i ORDER BY cost, path) AS rn
+        FROM (
+          SELECT DISTINCT word, j, i, cost, path FROM (
+            SELECT word, j, i, cost, path FROM n_{s - 1}
+            UNION ALL
+            SELECT x.word, x.j, y.i, x.cost + y.cost, x.path || ' ' || y.path
+            FROM n_{s - 1} x JOIN n_{s - 1} y ON y.word = x.word AND y.j = x.i
+          )
+        )
+      ) WHERE rn <= {k}
+    )"""
+    )
+    parts.append(
+        """nb AS MATERIALIZED (
+      SELECT w.word, w.wcnt,
+             row_number() OVER (PARTITION BY w.word ORDER BY s.cost, s.path)
+               AS rank,
+             s.cost, s.path
+      FROM words w JOIN n_4 s
+        ON s.word = w.word AND s.j = 0 AND s.i = length(w.word)
+    )"""
+    )
+
+
 def _unigram_oracle(extra_pass: bool, final_select: str) -> str:
     """Unrolled-CTE DuckDB twin of ``operators/unigram_lm.py``'s
     prune-to-target Viterbi-EM (Kudo ACL'18 §3.2).
@@ -660,8 +700,9 @@ def _unigram_oracle(extra_pass: bool, final_select: str) -> str:
     count greatest(target, (3n+3)//4), and the survivor re-smooth; then a
     final EM round on the target vocabulary. Every multiply-referenced CTE
     is MATERIALIZED (DuckDB's default inlining would expand the chain
-    exponentially, the _bpe_oracle lesson). ``extra_pass`` adds one more
-    Viterbi pass under the FINAL vocabulary — the encode side (b5).
+    exponentially, the _bpe_oracle lesson). ``extra_pass=True`` adds one
+    more Viterbi pass under the FINAL vocabulary — the encode side (b4);
+    ``extra_pass="nbest"`` adds the 2-best encode chain instead (nb).
     """
     parts = [f"tok AS ({_DUCK_TOK_STREAM})"]
     parts.append(
@@ -697,7 +738,9 @@ def _unigram_oracle(extra_pass: bool, final_select: str) -> str:
     rf = _UNI_PRUNE_ROUNDS + 1
     _uni_word_pass(parts, rf, f"v{_UNI_PRUNE_ROUNDS}")
     _uni_recount(parts, rf, f"v{_UNI_PRUNE_ROUNDS}")
-    if extra_pass:
+    if extra_pass == "nbest":
+        _uni_nbest_pass(parts, _UNI_VFINAL)
+    elif extra_pass:
         _uni_word_pass(parts, rf + 1, _UNI_VFINAL)
     return "WITH " + ",\n    ".join(parts) + "\n" + final_select
 
@@ -766,6 +809,50 @@ def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return unigram_lm.unigram_segment(_word_dictionary(spark, sf_dir)).select(
         "word", "wcnt", F.col("cost").alias("cost_micro"), "path"
+    )
+
+
+@register(
+    "unigram_nbest_segmentations",
+    oracle=_unigram_oracle(
+        "nbest",
+        "SELECT word, wcnt, rank::BIGINT AS rank, cost AS cost_micro, path FROM nb",
+    ),
+    doc="SUBWORD REGULARIZATION's enumeration base (Kudo ACL'18 §3 — the "
+    "paper's titular technique trains on segmentations SAMPLED from each "
+    "word's l-best list; Viterbi is l=1): the top-2 distinct "
+    "segmentations per word type under the pruned-to-target vocabulary, "
+    "via k-best min-plus repeated squaring — the state keeps the 2 best "
+    "distinct (cost, path) per (word, span); each squaring unions the "
+    "midpoint self-composition, collapses duplicate paths (same path via "
+    "several midpoints, identical BIGINT cost), and re-ranks. Exact by "
+    "the k-shortest-path induction (halves of a top-k path are top-k for "
+    "their spans under the compositional (cost, path) order). rank-1 "
+    "rows equal unigram_segment_words exactly (pinned in tests); a "
+    "sampler then draws among ranks with the usual alpha-smoothed "
+    "probabilities driver-side or via a seeded hash — the expensive "
+    "distributed part is THIS list. Shares the prune-EM training rounds "
+    "and unrolled-CTE oracle with unigram_lm_vocab",
+)
+def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = _word_dictionary(spark, sf_dir)
+    vocab = unigram_lm.unigram_train(words)
+    w = unigram_lm.trainable_words(words).localCheckpoint(eager=True)
+    spark_ = w.sparkSession
+    session_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(session_parts, w.count() * 80 // 200_000 + 1))
+    from map_reduce_engine_spark.conf import loop_conf
+
+    with loop_conf(spark_, nparts):
+        nb = unigram_lm.nbest_paths(w, vocab, k=2)
+    return nb.select(
+        "word",
+        "wcnt",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("cost").alias("cost_micro"),
+        "path",
     )
 
 

@@ -961,3 +961,36 @@ def test_fuzz_unigram_prune_em_vs_sequential(spark, case):
         for r in unigram_lm.unigram_train(df, **cfg).collect()
     }
     assert got == expected, (words, cfg)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=unigram_dictionaries())
+def test_fuzz_unigram_nbest_vs_exhaustive(spark, case):
+    """The k-best squaring enumeration (subword regularization's base)
+    over hypothesis dictionaries must equal the exhaustive top-2: for
+    every word, ALL segmentations under the trained vocab are enumerated
+    directly, sorted by (cost, joined string), and the first two must
+    match nbest_paths rank-for-rank, cost-for-cost, path-for-path."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words, cfg = case
+    df = spark.createDataFrame(list(words.items()), ["word", "wcnt"])
+    vocab_df = unigram_lm.unigram_train(df, **cfg)
+    vocab = {r.piece: (r.cnt, r.cost) for r in vocab_df.collect()}
+    got: dict = {}
+    for r in unigram_lm.nbest_paths(unigram_lm.trainable_words(df), vocab_df, k=2).collect():
+        got.setdefault(r.word, {})[r.rank] = (r.cost, r.path)
+    for w in words:
+        if not (1 <= len(w) <= 16):
+            continue
+        segs = sorted(
+            (sum(vocab[p][1] for p in seg), " ".join(seg))
+            for seg in _ref_segmentations(w, vocab)
+        )
+        exp = {i + 1: s for i, s in enumerate(segs[:2])}
+        assert got.get(w, {}) == exp, (w, got.get(w), exp)

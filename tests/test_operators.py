@@ -1439,6 +1439,41 @@ def test_unigram_prune_schedule_derivation(spark):
     assert sum(len(r.piece) > 1 for r in vocab.collect()) <= 5
 
 
+def test_unigram_nbest_rank1_is_viterbi(spark):
+    """k-best enumeration consistency: rank-1 rows of nbest_paths equal
+    viterbi_paths exactly; every path reconstructs its word from vocab
+    pieces with cost = sum of piece costs; rank-2 is (cost, path)-greater
+    than rank-1 and distinct; at most k rows per word."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = spark.createDataFrame(
+        [("abab", 50), ("abx", 10), ("zq", 3), ("ababab", 20), ("a", 9)],
+        ["word", "wcnt"],
+    )
+    kw = dict(n_seed_multi=6, target_multi=4, n_prune_rounds=2, seed_count_floor=1)
+    vocab = unigram_lm.unigram_train(words, **kw)
+    tw = unigram_lm.trainable_words(words)
+    vit = {r.word: (r.cost, r.path) for r in unigram_lm.viterbi_paths(tw, vocab).collect()}
+    rows = unigram_lm.nbest_paths(tw, vocab, k=2).collect()
+    costs = {r.piece: r.cost for r in vocab.collect()}
+    by_word: dict = {}
+    for r in rows:
+        by_word.setdefault(r.word, {})[r.rank] = (r.cost, r.path)
+        pieces = r.path.split(" ")
+        assert "".join(pieces) == r.word
+        assert r.cost == sum(costs[p] for p in pieces)
+    for w, ranked in by_word.items():
+        assert ranked[1] == vit[w], (w, ranked, vit[w])
+        assert len(ranked) <= 2
+        if 2 in ranked:
+            assert ranked[2] > ranked[1]
+            assert ranked[2][1] != ranked[1][1]
+    # 'ababab' has many segmentations -> a genuine 2nd best must exist
+    assert 2 in by_word["ababab"]
+    # 'a' has exactly one segmentation -> only rank 1
+    assert list(by_word["a"]) == [1]
+
+
 def test_unigram_train_deterministic(spark):
     """Two independent trainings on the same dictionary produce the
     identical vocabulary (counts, costs) — the engine/run/partitioning
