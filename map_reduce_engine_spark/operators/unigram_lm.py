@@ -312,6 +312,74 @@ def nbest_paths(
     )
 
 
+SAMPLE_ALPHA = 0.5  # inverse temperature on the n-best distribution
+
+
+def sampled_segmentations(nbest: DataFrame) -> DataFrame:
+    """(word, wcnt, p1_micro, draw_micro, sampled_rank, cost, path) — ONE
+    deterministic sample per word type from its 2-best segmentation list:
+    the subword-regularization draw (Kudo ACL'18 §3 samples x with
+    P(x) ∝ p(x)^α at training time) made reproducible and
+    oracle-replayable.
+
+    - P(rank 1) is the two-candidate softmax on micro-nat costs,
+      1 / (1 + exp(-α·(c2 − c1)/1e6)) with α = ``SAMPLE_ALPHA``, frozen
+      to micro-units by one fixed-order expression (identical text on
+      both engines — the temperature_mixture_weights discipline);
+    - the uniform draw is the portable md5-prefix hash of the WORD,
+      scaled to micro-units by integer division — engine-identical, so
+      the "random" choice is a pure function of the word string (an
+      augmentation epoch re-salts by prefixing the word upstream);
+    - rank 2 is chosen iff a rank-2 exists and draw_micro >= p1_micro.
+
+    Input is :func:`nbest_paths` output; the pivot is one hash aggregate
+    (conditional MINs per rank — at most one row per (word, rank), so MIN
+    is exact selection), no join. Words with a single segmentation keep
+    it with p1_micro = 1e6.
+    """
+    from map_reduce_engine_spark.operators.dedup import portable_base31
+
+    agg = nbest.groupBy("word", "wcnt").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("cost"))).alias("c1"),
+        F.min(F.when(F.col("rank") == 1, F.col("path"))).alias("path1"),
+        F.min(F.when(F.col("rank") == 2, F.col("cost"))).alias("c2"),
+        F.min(F.when(F.col("rank") == 2, F.col("path"))).alias("path2"),
+    )
+    out = (
+        agg.withColumn("_h", portable_base31(F.col("word")))
+        .withColumn(
+            "p1_micro",
+            F.when(F.col("c2").isNull(), F.lit(1_000_000).cast("bigint")).otherwise(
+                F.expr(
+                    f"CAST(round(1000000 / (1 + exp(-{SAMPLE_ALPHA} * (c2 - c1)"
+                    " / 1000000.0))) AS BIGINT)"
+                )
+            ),
+        )
+        .withColumn("draw_micro", F.expr("(1000000 * _h) div 2147483648").cast("bigint"))
+        .withColumn(
+            "sampled_rank",
+            F.when(
+                F.col("c2").isNotNull() & (F.col("draw_micro") >= F.col("p1_micro")),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .cast("bigint"),
+        )
+    )
+    return out.select(
+        "word",
+        "wcnt",
+        "p1_micro",
+        "draw_micro",
+        "sampled_rank",
+        F.when(F.col("sampled_rank") == 2, F.col("c2")).otherwise(F.col("c1")).alias("cost"),
+        F.when(F.col("sampled_rank") == 2, F.col("path2"))
+        .otherwise(F.col("path1"))
+        .alias("path"),
+    )
+
+
 def piece_alt_costs(vocab: DataFrame, n_doublings: int = 2) -> DataFrame:
     """(piece, alt_cost): the cheapest segmentation of every MULTI-char
     piece's own string that does NOT use the piece itself as one edge —

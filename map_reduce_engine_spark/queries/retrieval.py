@@ -857,6 +857,68 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_sampled_segmentation",
+    oracle=_unigram_oracle(
+        "nbest",
+        """, piv AS (
+      SELECT word, wcnt,
+             min(CASE WHEN rank = 1 THEN cost END) AS c1,
+             min(CASE WHEN rank = 1 THEN path END) AS path1,
+             min(CASE WHEN rank = 2 THEN cost END) AS c2,
+             min(CASE WHEN rank = 2 THEN path END) AS path2
+      FROM nb GROUP BY word, wcnt
+    ),
+    drawn AS (
+      SELECT word, wcnt, c1, path1, c2, path2,
+             CASE WHEN c2 IS NULL THEN 1000000
+                  ELSE CAST(round(1000000 / (1 + exp(-0.5 * (c2 - c1) / 1000000.0))) AS BIGINT)
+             END AS p1_micro,
+             ((1000000 * (('0x' || substr(md5(word), 1, 8))::BIGINT & 2147483647))
+               // 2147483648)::BIGINT AS draw_micro
+      FROM piv
+    )
+    SELECT word, wcnt, p1_micro, draw_micro,
+           (CASE WHEN c2 IS NOT NULL AND draw_micro >= p1_micro THEN 2 ELSE 1 END)::BIGINT
+             AS sampled_rank,
+           CASE WHEN c2 IS NOT NULL AND draw_micro >= p1_micro THEN c2 ELSE c1 END
+             AS cost_micro,
+           CASE WHEN c2 IS NOT NULL AND draw_micro >= p1_micro THEN path2 ELSE path1 END
+             AS path
+    FROM drawn""",
+    ),
+    doc="the subword-regularization DRAW itself (Kudo ACL'18 §3: train on "
+    "a segmentation SAMPLED with P(x) proportional to p(x)^alpha): one "
+    "deterministic sample per word type from its 2-best list — P(rank 1) "
+    "is the two-candidate softmax on micro-nat costs (alpha = 0.5), "
+    "frozen to micro-units by one fixed-order expression; the uniform "
+    "draw is the portable md5-prefix hash of the word scaled by integer "
+    "division, so the 'randomness' is a pure function of the word string "
+    "(an augmentation epoch re-salts by prefixing the word) and both "
+    "engines replay the identical choice. The pivot off the n-best list "
+    "is one conditional-MIN hash aggregate (at most one row per (word, "
+    "rank) — MIN is exact selection), no join; everything downstream of "
+    "the n-best enumeration is vocabulary-sized. Completes the "
+    "regularization pipeline: unigram_nbest_segmentations enumerates, "
+    "this samples",
+)
+def unigram_sampled_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    nb = unigram_nbest_segmentations(spark, sf_dir).select(
+        "word", "wcnt", "rank", F.col("cost_micro").alias("cost"), "path"
+    )
+    return unigram_lm.sampled_segmentations(nb).select(
+        "word",
+        "wcnt",
+        "p1_micro",
+        "draw_micro",
+        "sampled_rank",
+        F.col("cost").alias("cost_micro"),
+        "path",
+    )
+
+
+@register(
     "unigram_fertility",
     oracle=_unigram_oracle(
         True,

@@ -1474,6 +1474,41 @@ def test_unigram_nbest_rank1_is_viterbi(spark):
     assert list(by_word["a"]) == [1]
 
 
+def test_unigram_sampled_segmentation_draw(spark):
+    """The regularization draw is a pure function of the word string:
+    sampled path equals the chosen rank's path; single-segmentation words
+    always keep rank 1 with p1_micro = 1e6; p1_micro lives in
+    [500000, 1000000] (rank 1 is never the less-likely candidate; exactly
+    500000 on an equal-cost tie, where only the path string ranked); the
+    decision rule is exactly draw >= p1 -> rank 2; and two runs are
+    identical."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    words = spark.createDataFrame(
+        [("abab", 50), ("abx", 10), ("zq", 3), ("ababab", 20), ("a", 9)],
+        ["word", "wcnt"],
+    )
+    kw = dict(n_seed_multi=6, target_multi=4, n_prune_rounds=2, seed_count_floor=1)
+    vocab = unigram_lm.unigram_train(words, **kw)
+    tw = unigram_lm.trainable_words(words)
+    nb = unigram_lm.nbest_paths(tw, vocab, k=2).localCheckpoint(eager=True)
+    ranked = {}
+    for r in nb.collect():
+        ranked.setdefault(r.word, {})[r.rank] = (r.cost, r.path)
+    a = {r.word: tuple(r) for r in unigram_lm.sampled_segmentations(nb).collect()}
+    b = {r.word: tuple(r) for r in unigram_lm.sampled_segmentations(nb).collect()}
+    assert a == b  # deterministic
+    for w, (word, wcnt, p1, draw, srank, cost, path) in a.items():
+        assert 500_000 <= p1 <= 1_000_000, (w, p1)
+        assert 0 <= draw < 1_000_000
+        if 2 in ranked[w]:
+            assert srank == (2 if draw >= p1 else 1), (w, draw, p1, srank)
+        else:
+            assert srank == 1 and p1 == 1_000_000
+        assert (cost, path) == ranked[w][srank], (w, srank)
+    assert a["a"][4] == 1  # single segmentation -> rank 1
+
+
 def test_unigram_train_deterministic(spark):
     """Two independent trainings on the same dictionary produce the
     identical vocabulary (counts, costs) — the engine/run/partitioning

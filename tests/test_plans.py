@@ -696,6 +696,8 @@ _SANCTIONED_NESTED_LOOP = {
     "denominators), once per EM round",
     "unigram_nbest_segmentations": "broadcasts the 1-row vocab totals "
     "(smoothing denominators), once per EM round",
+    "unigram_sampled_segmentation": "broadcasts the 1-row vocab totals "
+    "(smoothing denominators), once per EM round",
     "key_skew_report": "broadcasts the 1-row global count",
     "dq_audit": "broadcasts the 1-row audit totals",
     "copurchase_triangles": "broadcasts the 1-row triangle total",
