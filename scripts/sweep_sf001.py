@@ -45,12 +45,14 @@ a future breach is adjudicable without a re-run):
   scheduling floor x ~20 jobs dominates; corpus size is irrelevant past
   the one word-count aggregate (dictionary is vocabulary-sized by Heaps'
   law — SCALE_SMOKE: flat under 16x replication).
-- ``unigram_nbest_segmentations`` (~8-10 s exclusive, the closest entry
-  to the cap): the same 3 training passes PLUS the k=2-best encode chain,
-  whose state is 2x the Viterbi pass and whose per-squaring DISTINCT
-  (duplicate paths arise via several midpoints) adds one extra aggregate
-  per round — on BOTH engines. Same vocabulary-bound scale shape as the
-  other unigram entries; a breach here under contention re-times clean.
+- ``unigram_nbest_segmentations`` / ``unigram_sampled_segmentation``
+  (~7-10 s exclusive, the closest entries to the cap): the same 3
+  training passes PLUS the k=2-best encode chain, whose state is 2x the
+  Viterbi pass and whose per-squaring DISTINCT (duplicate paths arise via
+  several midpoints) adds one extra aggregate per round — on BOTH
+  engines; the sampler adds only a conditional-MIN pivot on top. Same
+  vocabulary-bound scale shape as the other unigram entries; a breach
+  here under contention re-times clean.
 
 Exit status is the number of failing queries (0 = all green).
 """
