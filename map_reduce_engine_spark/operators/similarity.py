@@ -93,6 +93,7 @@ def random_hyperplane_buckets(
     seed: int = 42,
     dim: int = 64,
     out: str = "bucket",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Assign each vector an LSH bucket: sign pattern against random planes.
 
@@ -103,15 +104,17 @@ def random_hyperplane_buckets(
 
     ``n_planes=None`` auto-sizes from the corpus via
     ``operators/sizing.py::planes_for_corpus`` (more planes for bigger
-    corpora — expected per-bucket population stays bounded); the count is
-    one driver-side action, same as the other sizing probes. Pass an
-    explicit value where a STATIC oracle inlines the matching plane set
-    (the registry's seeded-literal queries).
+    corpora — expected per-bucket population stays bounded). The sizing
+    probe is ``df.count()`` — a FULL corpus action per call — unless the
+    caller passes the row count it already knows as ``n_rows`` (a pipeline
+    that just counted or checkpointed the frame should). Pass an explicit
+    ``n_planes`` where a STATIC oracle inlines the matching plane set
+    (the registry's seeded-literal queries); ``n_rows`` is ignored then.
     """
     if n_planes is None:
         from map_reduce_engine_spark.operators.sizing import planes_for_corpus
 
-        n_planes = planes_for_corpus(df.count())
+        n_planes = planes_for_corpus(df.count() if n_rows is None else n_rows)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     plane_cols = [_lit_double_array(row) for row in planes]

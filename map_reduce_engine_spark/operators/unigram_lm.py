@@ -65,6 +65,9 @@ side.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,6 +114,25 @@ def trainable_words(words: DataFrame, word_col: str = "word", cnt_col: str = "wc
     return words.select(
         F.col(word_col).alias("word"), F.col(cnt_col).cast("bigint").alias("wcnt")
     ).where((F.length("word") >= 1) & (F.length("word") <= WORD_LEN_CAP))
+
+
+@contextmanager
+def sized_loop(words: DataFrame) -> Iterator[DataFrame]:
+    """Scope a word-level DP loop: apply the training length cap, freeze the
+    dictionary (``localCheckpoint`` — every squaring round re-reads it), and
+    size ``spark.sql.shuffle.partitions`` to the DP state (|words| ×
+    O(len_cap²/2) rows ≈ 80·|words|) for the duration, restoring on exit.
+
+    The shared preamble of :func:`unigram_train`, :func:`unigram_segment`,
+    and the registry's n-best enumeration — one place for the sizing rule
+    instead of three inline copies. The ``count()`` is a dictionary-sized
+    driver action (the sanctioned bounded-sizing pattern)."""
+    w = trainable_words(words).localCheckpoint(eager=True)
+    spark = w.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(session_parts, w.count() * 80 // 200_000 + 1))
+    with loop_conf(spark, nparts):
+        yield w
 
 
 def piece_edges(words: DataFrame) -> DataFrame:
@@ -315,7 +337,7 @@ def nbest_paths(
 SAMPLE_ALPHA = 0.5  # inverse temperature on the n-best distribution
 
 
-def sampled_segmentations(nbest: DataFrame) -> DataFrame:
+def sampled_segmentations(nbest: DataFrame, salt: int = 0) -> DataFrame:
     """(word, wcnt, p1_micro, draw_micro, sampled_rank, cost, path) — ONE
     deterministic sample per word type from its 2-best segmentation list:
     the subword-regularization draw (Kudo ACL'18 §3 samples x with
@@ -326,11 +348,26 @@ def sampled_segmentations(nbest: DataFrame) -> DataFrame:
       1 / (1 + exp(-α·(c2 − c1)/1e6)) with α = ``SAMPLE_ALPHA``, frozen
       to micro-units by one fixed-order expression (identical text on
       both engines — the temperature_mixture_weights discipline);
-    - the uniform draw is the portable md5-prefix hash of the WORD,
-      scaled to micro-units by integer division — engine-identical, so
-      the "random" choice is a pure function of the word string (an
-      augmentation epoch re-salts by prefixing the word upstream);
+    - the uniform draw is the portable md5-prefix hash of the WORD
+      (prefixed ``"{salt}:"`` when ``salt`` != 0), scaled to micro-units
+      by integer division — engine-identical, so the "random" choice is a
+      pure function of (salt, word); a training epoch passes its epoch
+      number as ``salt`` to resample, and the default 0 hashes the bare
+      word (the registry oracle's pinned behavior);
     - rank 2 is chosen iff a rank-2 exists and draw_micro >= p1_micro.
+
+    Portability hazard (adjudicated): ``p1_micro`` is the repo's one
+    transcendental that feeds a hard BRANCH (the rank choice) rather than
+    a reported value — a 1-ulp ``exp()`` divergence between JVM StrictMath
+    and libm flips ``sampled_rank`` for a word whose sigmoid lands exactly
+    on a .5 micro-unit rounding boundary AND whose draw falls in that one
+    micro-unit. Both engines evaluate the identical expression text on
+    identical (c2−c1) BIGINTs, libm/StrictMath agree far beyond the 1e-6
+    scale for |x| ≤ ~60 sigmoid inputs, and the fuzz + registry history
+    has never produced a flip; accepted under the fixed-expression
+    discipline rather than rebuilt on integer-only math (an exact integer
+    sigmoid does not exist, and a rational approximation would change the
+    distribution the operator documents).
 
     Input is :func:`nbest_paths` output; the pivot is one hash aggregate
     (conditional MINs per rank — at most one row per (word, rank), so MIN
@@ -339,6 +376,11 @@ def sampled_segmentations(nbest: DataFrame) -> DataFrame:
     """
     from map_reduce_engine_spark.operators.dedup import portable_base31
 
+    draw_key = (
+        F.col("word")
+        if salt == 0
+        else F.concat(F.lit(f"{int(salt)}:"), F.col("word"))
+    )
     agg = nbest.groupBy("word", "wcnt").agg(
         F.min(F.when(F.col("rank") == 1, F.col("cost"))).alias("c1"),
         F.min(F.when(F.col("rank") == 1, F.col("path"))).alias("path1"),
@@ -346,7 +388,7 @@ def sampled_segmentations(nbest: DataFrame) -> DataFrame:
         F.min(F.when(F.col("rank") == 2, F.col("path"))).alias("path2"),
     )
     out = (
-        agg.withColumn("_h", portable_base31(F.col("word")))
+        agg.withColumn("_h", portable_base31(draw_key))
         .withColumn(
             "p1_micro",
             F.when(F.col("c2").isNull(), F.lit(1_000_000).cast("bigint")).otherwise(
@@ -483,12 +525,8 @@ def unigram_train(
     """
     if n_prune_rounds is None:
         n_prune_rounds = prune_rounds_for(n_seed_multi, target_multi)
-    words = trainable_words(words).localCheckpoint(eager=True)
-    spark = words.sparkSession
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # DP state is vocabulary-sized: |words| × O(len_cap²/2) rows
-    nparts = max(1, min(session_parts, words.count() * 80 // 200_000 + 1))
-    with loop_conf(spark, nparts):
+    # DP state is vocabulary-sized: |words| × O(len_cap²/2) rows (sized_loop)
+    with sized_loop(words) as words:
         vocab = smoothed_costs(
             seed_vocab(words, n_seed_multi, seed_count_floor)
         ).localCheckpoint(eager=True)
@@ -524,13 +562,17 @@ def unigram_segment(words: DataFrame, vocab: DataFrame | None = None, **train_kw
     Pass a pre-trained ``vocab`` (from :func:`unigram_train`) to reuse one
     trained model across several downstream metrics (fertility,
     codelength, the bake-off job) instead of retraining per call; without
-    it the model is trained here with ``train_kwargs``.
+    it the model is trained here with ``train_kwargs``. Passing BOTH is a
+    ``ValueError`` — training knobs cannot apply to an already-trained
+    model, and silently ignoring them would hide the mistake.
     """
     if vocab is None:
         vocab = unigram_train(words, **train_kwargs)
-    words = trainable_words(words).localCheckpoint(eager=True)
-    spark = words.sparkSession
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    nparts = max(1, min(session_parts, words.count() * 80 // 200_000 + 1))
-    with loop_conf(spark, nparts):
+    elif train_kwargs:
+        raise ValueError(
+            "unigram_segment got a pre-trained vocab AND training kwargs "
+            f"{sorted(train_kwargs)} — the knobs would be silently ignored; "
+            "pass one or the other"
+        )
+    with sized_loop(words) as words:
         return viterbi_paths(words, vocab)

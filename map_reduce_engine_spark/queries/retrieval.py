@@ -839,13 +839,7 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = _word_dictionary(spark, sf_dir)
     vocab = unigram_lm.unigram_train(words)
-    w = unigram_lm.trainable_words(words).localCheckpoint(eager=True)
-    spark_ = w.sparkSession
-    session_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
-    nparts = max(1, min(session_parts, w.count() * 80 // 200_000 + 1))
-    from map_reduce_engine_spark.conf import loop_conf
-
-    with loop_conf(spark_, nparts):
+    with unigram_lm.sized_loop(words) as w:
         nb = unigram_lm.nbest_paths(w, vocab, k=2)
     return nb.select(
         "word",
@@ -856,11 +850,16 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "unigram_sampled_segmentation",
-    oracle=_unigram_oracle(
+def sampled_segmentation_oracle(salt: int = 0) -> str:
+    """The `unigram_sampled_segmentation` DuckDB oracle, parameterized by
+    the same ``salt`` knob as the operator: salt 0 hashes the bare word
+    (the registry's pinned default); salt n hashes ``'n:' || word`` — the
+    per-epoch resample. Tests run both engines at a nonzero salt through
+    this same builder, so the salted path is oracle-checked too."""
+    draw_key = "word" if salt == 0 else f"'{int(salt)}:' || word"
+    return _unigram_oracle(
         "nbest",
-        """, piv AS (
+        f""", piv AS (
       SELECT word, wcnt,
              min(CASE WHEN rank = 1 THEN cost END) AS c1,
              min(CASE WHEN rank = 1 THEN path END) AS path1,
@@ -873,7 +872,7 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN c2 IS NULL THEN 1000000
                   ELSE CAST(round(1000000 / (1 + exp(-0.5 * (c2 - c1) / 1000000.0))) AS BIGINT)
              END AS p1_micro,
-             ((1000000 * (('0x' || substr(md5(word), 1, 8))::BIGINT & 2147483647))
+             ((1000000 * (('0x' || substr(md5({draw_key}), 1, 8))::BIGINT & 2147483647))
                // 2147483648)::BIGINT AS draw_micro
       FROM piv
     )
@@ -885,15 +884,21 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c2 IS NOT NULL AND draw_micro >= p1_micro THEN path2 ELSE path1 END
              AS path
     FROM drawn""",
-    ),
+    )
+
+
+@register(
+    "unigram_sampled_segmentation",
+    oracle=sampled_segmentation_oracle(salt=0),
     doc="the subword-regularization DRAW itself (Kudo ACL'18 §3: train on "
     "a segmentation SAMPLED with P(x) proportional to p(x)^alpha): one "
     "deterministic sample per word type from its 2-best list — P(rank 1) "
     "is the two-candidate softmax on micro-nat costs (alpha = 0.5), "
     "frozen to micro-units by one fixed-order expression; the uniform "
     "draw is the portable md5-prefix hash of the word scaled by integer "
-    "division, so the 'randomness' is a pure function of the word string "
-    "(an augmentation epoch re-salts by prefixing the word) and both "
+    "division, so the 'randomness' is a pure function of (salt, word) — "
+    "an augmentation epoch passes its epoch number as the operator's "
+    "salt knob (default 0 = bare word, this entry's pin) — and both "
     "engines replay the identical choice. The pivot off the n-best list "
     "is one conditional-MIN hash aggregate (at most one row per (word, "
     "rank) — MIN is exact selection), no join; everything downstream of "
@@ -901,13 +906,15 @@ def unigram_nbest_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regularization pipeline: unigram_nbest_segmentations enumerates, "
     "this samples",
 )
-def unigram_sampled_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_sampled_segmentation(
+    spark: SparkSession, sf_dir: str, salt: int = 0
+) -> DataFrame:
     from map_reduce_engine_spark.operators import unigram_lm
 
     nb = unigram_nbest_segmentations(spark, sf_dir).select(
         "word", "wcnt", "rank", F.col("cost_micro").alias("cost"), "path"
     )
-    return unigram_lm.sampled_segmentations(nb).select(
+    return unigram_lm.sampled_segmentations(nb, salt=salt).select(
         "word",
         "wcnt",
         "p1_micro",

@@ -530,6 +530,69 @@ def test_incremental_substring_dedup_probes_corpus_index(spark):
     assert rw[12][0] == batch_only60
 
 
+def test_substring_index_build_persist_probe_roundtrip(spark, tmp_path):
+    """The canonical-tile index's persist-and-probe contract (VERDICT r08
+    ask #2, executable): build writes the distinct tile-hash set as a
+    parquet table BUCKETED on h; the probe reads THAT table with
+    corpus_df=None — the corpus text is structurally out of reach — and
+    both incremental legs match the inline form row-for-row. Supplying
+    neither corpus nor index is a usage error."""
+    import pytest
+
+    from map_reduce_engine_spark.operators.dedup import (
+        build_substring_index,
+        incremental_substring_dedup,
+        incremental_substring_rewrite,
+        read_substring_index,
+        write_substring_index,
+    )
+
+    shared60 = " ".join(f"s{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + f" {shared60}"),
+            (2, " ".join(f"b{i}" for i in range(55))),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"{shared60} " + " ".join(f"c{i}" for i in range(15))),
+            (11, " ".join(f"d{i}" for i in range(70))),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_substring_index(corpus, "doc_id", "text", k=50)
+    write_substring_index(
+        idx, "tile_index_roundtrip_test", path=str(tmp_path / "tile_index"), n_buckets=4
+    )
+    try:
+        stored = read_substring_index(spark, "tile_index_roundtrip_test")
+        cols = {c.name: c for c in spark.catalog.listColumns("tile_index_roundtrip_test")}
+        assert "h" in cols and cols["h"].isBucket  # bucket spec survived
+        assert sorted(r.h for r in stored.collect()) == sorted(
+            r.h for r in idx.collect()
+        )
+        led_stored = incremental_substring_dedup(
+            None, batch, "doc_id", "text", k=50, index_df=stored
+        )
+        led_inline = incremental_substring_dedup(corpus, batch, "doc_id", "text", k=50)
+        assert sorted(map(tuple, led_stored.collect())) == sorted(
+            map(tuple, led_inline.collect())
+        )
+        rw_stored = incremental_substring_rewrite(
+            None, batch, "doc_id", "text", k=50, index_df=stored
+        )
+        rw_inline = incremental_substring_rewrite(corpus, batch, "doc_id", "text", k=50)
+        assert sorted(map(tuple, rw_stored.collect())) == sorted(
+            map(tuple, rw_inline.collect())
+        )
+        with pytest.raises(ValueError, match="corpus_df or index_df"):
+            incremental_substring_dedup(None, batch, "doc_id", "text", k=50)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tile_index_roundtrip_test")
+
+
 def test_cross_corpus_contamination_spans_k13(spark):
     """GPT-3-style decontamination probe: a 13-token run shared between a
     test doc and ANY train doc is recovered as an exact span; a 12-token
@@ -1507,6 +1570,54 @@ def test_unigram_sampled_segmentation_draw(spark):
             assert srank == 1 and p1 == 1_000_000
         assert (cost, path) == ranked[w][srank], (w, srank)
     assert a["a"][4] == 1  # single segmentation -> rank 1
+
+
+def test_unigram_sampled_segmentation_salt(spark):
+    """The per-epoch re-salt knob (VERDICT r08 ask #3): salt=0 is exactly
+    the unsalted draw (the registry pin); different salts produce
+    different draws for some word; and across many salts the rank-1
+    pick frequency approximates the softmax weight p1 (the distribution
+    Kudo §3 samples from), since the salted md5 draws are uniform."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    # words chosen to have genuine 2-candidate lists under a tiny vocab
+    rows = [(w, 10 + i) for i, w in enumerate(
+        ["abab", "ababab", "abx", "abba", "baba", "aabb", "bbaa", "abab" + "a"]
+    )]
+    words = spark.createDataFrame(rows, ["word", "wcnt"])
+    kw = dict(n_seed_multi=6, target_multi=4, n_prune_rounds=2, seed_count_floor=1)
+    vocab = unigram_lm.unigram_train(words, **kw)
+    tw = unigram_lm.trainable_words(words)
+    nb = unigram_lm.nbest_paths(tw, vocab, k=2).localCheckpoint(eager=True)
+
+    base = {r.word: tuple(r) for r in unigram_lm.sampled_segmentations(nb).collect()}
+    zero = {
+        r.word: tuple(r)
+        for r in unigram_lm.sampled_segmentations(nb, salt=0).collect()
+    }
+    assert base == zero  # default pin preserved
+
+    two_cand = {w for w, t in base.items() if t[2] < 1_000_000}  # p1 < 1e6
+    assert two_cand, "fixture must produce 2-candidate words"
+    n_salts = 24
+    picks, p1s = [], []
+    seen_diff = False
+    for s in range(1, n_salts + 1):
+        drawn = {
+            r.word: (r.p1_micro, r.sampled_rank)
+            for r in unigram_lm.sampled_segmentations(nb, salt=s).collect()
+        }
+        for w in two_cand:
+            p1, rank = drawn[w]
+            picks.append(1 if rank == 1 else 0)
+            p1s.append(p1 / 1e6)
+            if rank != base[w][4]:
+                seen_diff = True
+    assert seen_diff, "no draw ever differed from the unsalted pick across 24 salts"
+    share = sum(picks) / len(picks)
+    expect = sum(p1s) / len(p1s)
+    # ~100+ uniform draws: binomial std < 0.05, so 0.15 is a safe band
+    assert abs(share - expect) < 0.15, (share, expect)
 
 
 def test_unigram_train_deterministic(spark):

@@ -62,6 +62,23 @@ def test_matches_oracle(name, spark, duck, sf_dir):
         pytest.fail(f"{name}: value mismatch, first diffs (spark, duck): {diffs}")
 
 
+def test_sampled_segmentation_salted_oracle_parity(spark, duck, sf_dir):
+    """The salted draw is oracle-checked through the SAME parameterized
+    builder as the registry's salt=0 pin: both engines hash
+    '3:' || word and must agree row-for-row (VERDICT r08 ask #3's
+    done-criterion)."""
+    from map_reduce_engine_spark.queries.retrieval import (
+        sampled_segmentation_oracle,
+        unigram_sampled_segmentation,
+    )
+
+    sdf = unigram_sampled_segmentation(spark, sf_dir, salt=3)
+    rel = duck.sql(sampled_segmentation_oracle(salt=3))
+    s_cols, s_norm = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    d_cols, d_norm = _normalize(rel.fetchall(), rel.columns)
+    assert s_cols == d_cols and s_norm == d_norm
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_output_types_portable(name, duck):
     """No oracle may emit HUGEINT (or other non-portable) output columns.
