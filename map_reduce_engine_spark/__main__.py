@@ -95,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
     dsel.add_argument("output_dir")
     dsel.add_argument("--max-dup-pairs", type=int, default=5)
     dsel.add_argument("--max-contaminated", type=int, default=10)
+    inc = sub.add_parser(
+        "incremental-ingest",
+        help="run the daily-crawl incremental ingest example (batch-internal "
+        "substring dedup → persisted tile-index probe + rewrite → "
+        "incremental MinHash near-dup probe → eval decontamination → "
+        "append payload + rolled-forward index, with a sign-off gate)",
+    )
+    inc.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    inc.add_argument("output_dir")
+    inc.add_argument("--k", type=int, default=50, help="substring tile length")
+    inc.add_argument("--jaccard", type=float, default=0.7)
+    inc.add_argument("--max-near-dup-bp", type=int, default=2500)
+    inc.add_argument("--max-contaminated", type=int, default=10)
     rev = sub.add_parser(
         "retrieval-eval",
         help="run the end-to-end retrieval-evaluation example (BM25 + "
@@ -400,6 +413,25 @@ def main(argv: list[str] | None = None) -> int:
                 args.output_dir,
                 max_dup_pairs=args.max_dup_pairs,
                 max_contaminated=args.max_contaminated,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "incremental-ingest":
+        from map_reduce_engine_spark.examples.incremental_ingest_job import run
+
+        spark = get_spark(app_name="mre-incremental-ingest")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                k=args.k,
+                jaccard_threshold=args.jaccard,
+                max_near_dup_bp=args.max_near_dup_bp,
+                max_contaminated_docs=args.max_contaminated,
             )
             gate.show(truncate=False)
         finally:

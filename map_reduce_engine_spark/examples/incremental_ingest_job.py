@@ -1,0 +1,234 @@
+"""Daily-crawl incremental ingest as one composable, gated job.
+
+The 15th example composition — the pipeline the incremental dedup
+operators' docstrings promise, executed: a NEW batch of documents is
+cleaned against itself and against the EXISTING corpus, screened for
+benchmark contamination, and appended — with the canonical tile index
+persisted, probed, and rolled forward, never rebuilt from corpus text.
+
+Stages (history = doc_id < 250, batch = doc_id >= 250 — the registry's
+incremental convention; eval suite = history's held-out split
+doc_id % 100 >= 90, matching contamination_check / corpus_split):
+
+  1. batch-internal  — ``substring_dedup_survivors``' symmetric tier run
+                       on the batch ALONE (``substring_dedup_rewrite``):
+                       duplicated k-token spans inside the batch excised,
+                       canonical copies kept
+  2. index build     — the history's canonical tile-hash index built once
+                       (``build_substring_index``) and PERSISTED as a
+                       parquet table bucketed on the hash
+                       (``write_substring_index``); every later stage
+                       probes the STORED table — the corpus text is
+                       structurally out of reach (corpus_df=None)
+  3. corpus probe    — ``incremental_substring_dedup`` (the accounting
+                       ledger) + ``incremental_substring_rewrite`` (the
+                       excised text) against the stored index
+  4. near-dup probe  — batch MinHash band entries equi-join the history's
+                       band buckets (``minhash_cross_candidates``); exact
+                       Jaccard verifies only cross-side candidates; batch
+                       docs with a >= threshold historical match drop
+  5. decontamination — 13-gram spans shared with the eval suite
+                       (``cross_corpus_contamination_spans``); affected
+                       batch docs drop (GPT-3 appendix-C posture)
+  6. append + roll   — the surviving payload is written, and its tiles
+                       union into the index (distinct-of-union — the
+                       mergeable-state contract of operators/incremental)
+                       to produce TOMORROW's index table
+  7. gate            — one sign-off row reconciling every count; the
+                       batch ships only if the near-dup rate and the
+                       contaminated-doc count are under the caller's
+                       bounds (empty batch = explicit reject, the
+                       tokenizer-bakeoff lesson)
+
+Every drop set is DISJOINT by construction (emptied -> near-dup ->
+contaminated, each computed on the previous stage's survivors), so the
+gate reconciles exactly: n_appended = n_batch - n_emptied -
+n_near_dup_dropped - n_contaminated_dropped.
+
+Run: ``python -m map_reduce_engine_spark incremental-ingest <sf_dir>
+<out_dir>`` or call :func:`run` with a SparkSession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    k: int = 50,
+    jaccard_threshold: float = 0.7,
+    max_near_dup_bp: int = 2500,
+    max_contaminated_docs: int = 10,
+    index_table: str = "mre_tile_index",
+) -> DataFrame:
+    """Execute the ingest; returns the 1-row sign-off gate after writing
+    the append payload, the ledgers, and the rolled-forward tile index."""
+    from map_reduce_engine_spark.io import read_table, write_parquet
+    from map_reduce_engine_spark.operators import dedup as dd
+
+    docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    history = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    eval_suite = history.where(F.col("doc_id") % 100 >= 90)
+
+    # 1. batch-internal substring dedup (the symmetric tier on the batch
+    # alone — exactly the scope the incremental probe delegates)
+    internal = dd.substring_dedup_rewrite(batch, "doc_id", "text", k=k).select(
+        "id", "text", "n_tokens", F.col("removed_tokens").alias("internal_removed")
+    )
+
+    # 2. build + PERSIST the canonical tile index; read back the STORED
+    # table — from here on the history text is never rescanned
+    dd.write_substring_index(
+        dd.build_substring_index(history, "doc_id", "text", k=k),
+        index_table,
+        path=f"{out_dir}/tile_index",
+    )
+    stored = dd.read_substring_index(spark, index_table)
+
+    # 3. probe the stored index: accounting ledger + excised text
+    ledger = dd.incremental_substring_dedup(
+        None, internal, "id", "text", k=k, index_df=stored
+    )
+    rewritten = (
+        dd.incremental_substring_rewrite(
+            None, internal, "id", "text", k=k, index_df=stored
+        )
+        .select(
+            "id", "text", "n_tokens", F.col("removed_tokens").alias("corpus_removed")
+        )
+        .join(internal.select("id", "internal_removed"), "id")
+        # referenced by the empty-split, the near-dup probe, the payload
+        # writes AND the gate counts — freeze once (data_selection lesson)
+        .localCheckpoint(eager=True)
+    )
+    emptied = rewritten.where(F.trim("text") == "")
+    alive = rewritten.where(F.trim("text") != "")
+
+    # 4. incremental MinHash probe: batch band entries against the
+    # history's band buckets, exact Jaccard on cross-side candidates only
+    sig_hist = dd.minhash_signatures(history, "doc_id", "text")
+    sig_new = dd.minhash_signatures(alive, "id", "text")
+    cands = dd.minhash_cross_candidates(sig_new, sig_hist)
+    both_sides = alive.select("id", "text").unionByName(
+        history.select(F.col("doc_id").alias("id"), "text")
+    )
+    near_dups = (
+        dd.jaccard_pairs(
+            both_sides, "id", "text", min_jaccard=jaccard_threshold, candidates=cands
+        )
+        .groupBy(F.col("id1").alias("id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_hist_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .localCheckpoint(eager=True)  # written AND counted by the gate
+    )
+    after_neardup = alive.join(near_dups.select("id"), "id", "left_anti")
+
+    # 5. decontamination screen: 13-gram overlap with the eval suite
+    contaminated = (
+        dd.cross_corpus_contamination_spans(
+            after_neardup,
+            eval_suite.select(F.col("doc_id").alias("id"), "text"),
+            "id",
+            "text",
+            k=13,
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("contaminated_tokens"),
+        )
+        .localCheckpoint(eager=True)  # written AND counted by the gate
+    )
+    payload = after_neardup.join(
+        contaminated.select("id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)  # written, counted, and tile-sourced
+
+    # 6. roll the index forward: the appended payload's tiles union in —
+    # one aggregate over the BATCH, the history is never retouched
+    rolled = stored.unionByName(
+        dd.build_substring_index(payload, "id", "text", k=k)
+    ).distinct()
+    dd.write_substring_index(
+        rolled, f"{index_table}_next", path=f"{out_dir}/tile_index_next"
+    )
+
+    write_parquet(ledger, f"{out_dir}/ledger")
+    write_parquet(near_dups, f"{out_dir}/near_dup_drops")
+    write_parquet(contaminated, f"{out_dir}/contaminated_drops")
+    write_parquet(payload, f"{out_dir}/append_payload")
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    gate = (
+        n(batch, "n_batch")
+        .crossJoin(F.broadcast(n(emptied, "n_emptied")))
+        .crossJoin(F.broadcast(n(near_dups, "n_near_dup_dropped")))
+        .crossJoin(F.broadcast(n(contaminated, "n_contaminated_dropped")))
+        .crossJoin(
+            F.broadcast(
+                payload.agg(
+                    F.count("*").cast("bigint").alias("n_appended"),
+                    # the payload text is the rewrite output, so its token
+                    # count is exactly n_tokens - corpus_removed per doc
+                    F.coalesce(
+                        F.sum(F.col("n_tokens") - F.col("corpus_removed")),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("tokens_appended"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                # removal accounting covers the WHOLE probed batch,
+                # dropped docs included
+                rewritten.agg(
+                    F.coalesce(F.sum("internal_removed"), F.lit(0))
+                    .cast("bigint")
+                    .alias("internal_removed_tokens"),
+                    F.coalesce(F.sum("corpus_removed"), F.lit(0))
+                    .cast("bigint")
+                    .alias("corpus_removed_tokens"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n(spark.table(index_table), "index_tiles_before")))
+        .crossJoin(
+            F.broadcast(n(spark.table(f"{index_table}_next"), "index_tiles_after"))
+        )
+        .select(
+            "n_batch",
+            "n_emptied",
+            "n_near_dup_dropped",
+            "n_contaminated_dropped",
+            "n_appended",
+            "tokens_appended",
+            "internal_removed_tokens",
+            "corpus_removed_tokens",
+            "index_tiles_before",
+            "index_tiles_after",
+            F.expr("(10000 * n_near_dup_dropped) div greatest(n_batch, 1)").alias(
+                "near_dup_bp"
+            ),
+            F.coalesce(
+                (F.col("n_batch") > 0)
+                & (
+                    F.expr("(10000 * n_near_dup_dropped) div greatest(n_batch, 1)")
+                    <= F.lit(max_near_dup_bp)
+                )
+                & (F.col("n_contaminated_dropped") <= F.lit(max_contaminated_docs)),
+                F.lit(False),
+            ).alias("batch_approved"),
+        )
+    )
+    write_parquet(gate, f"{out_dir}/gate")
+    return gate

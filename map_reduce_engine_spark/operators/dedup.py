@@ -469,7 +469,7 @@ def repeated_span_coverage(
             "id",
             "n_tokens",
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.expr("(10000 * coalesce(covered_tokens, 0)) div n_tokens").alias("coverage_bp"),
+            F.expr("(10000 * coalesce(covered_tokens, 0)) div greatest(n_tokens, 1)").alias("coverage_bp"),
         )
     )
 
@@ -616,7 +616,7 @@ def substring_dedup_survivors(
             (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
             .cast("bigint")
             .alias("kept_tokens"),
-            F.expr("(10000 * coalesce(removed_tokens, 0)) div n_tokens").alias(
+            F.expr("(10000 * coalesce(removed_tokens, 0)) div greatest(n_tokens, 1)").alias(
                 "removed_bp"
             ),
         )
@@ -810,7 +810,7 @@ def incremental_substring_dedup(
             (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
             .cast("bigint")
             .alias("kept_tokens"),
-            F.expr("(10000 * coalesce(removed_tokens, 0)) div n_tokens").alias(
+            F.expr("(10000 * coalesce(removed_tokens, 0)) div greatest(n_tokens, 1)").alias(
                 "removed_bp"
             ),
         )

@@ -126,6 +126,41 @@ def main() -> int:
         piece_sets[k] == piece_sets[fmin_k] for k in piece_sets
     )
 
+    # Incremental probe at a FIXED index: the history reduces ONCE to its
+    # canonical tile-hash index; the batch grows 1x/4x/16x. Probe wall must
+    # scale with the BATCH (the daily-crawl contract) — the index is frozen
+    # (localCheckpoint stands in for the persisted bucketed table; the
+    # round-trip equivalence is pinned in tests) and the corpus text is
+    # structurally out of reach (corpus_df=None).
+    index = dd.build_substring_index(base, "doc_id", "text", k=50).localCheckpoint(
+        eager=True
+    )
+    probe: dict = {"index_tiles": index.count(), "sec": {}, "rows": {}}
+    for n in args.factors:
+        batch = replicate(base, n).localCheckpoint(eager=True)
+        ops = {
+            "incremental_substring_dedup": dd.incremental_substring_dedup(
+                None, batch, "doc_id", "text", k=50, index_df=index
+            ),
+            "incremental_substring_rewrite": dd.incremental_substring_rewrite(
+                None, batch, "doc_id", "text", k=50, index_df=index
+            ),
+        }
+        probe["sec"][str(n)] = {name: timed(df) for name, df in ops.items()}
+        probe["rows"][str(n)] = {name: df.count() for name, df in ops.items()}
+        print(f"probe factor {n}: {probe['sec'][str(n)]}", flush=True)
+    fmin_p, fmax_p = str(min(args.factors)), str(max(args.factors))
+    pscale = max(args.factors) / min(args.factors)
+    probe["linear_ratio_at_max"] = {
+        name: round(
+            probe["sec"][fmax_p][name] / (probe["sec"][fmin_p][name] * pscale), 3
+        )
+        if probe["sec"][fmin_p][name] > 0
+        else None
+        for name in probe["sec"][fmin_p]
+    }
+    results["incremental_probe_fixed_index"] = probe
+
     # linearity verdict: per-op ratio of (sec at max factor) to
     # (sec at factor 1 x max factor) — <= ~1 means at-or-below linear
     fmin, fmax = str(min(args.factors)), str(max(args.factors))

@@ -404,6 +404,89 @@ def test_data_selection_job(spark, sf_dir, tmp_path):
     assert {"source", "distinct1_ppm", "distinct2_ppm"} <= set(div.columns)
 
 
+def test_incremental_ingest_job(spark, sf_dir, tmp_path):
+    """The daily-crawl ingest chain (VERDICT r08 ask #1): every artifact is
+    written, the drop stages are disjoint, and the gate row reconciles
+    EXACTLY — n_batch = emptied + near-dup dropped + contaminated dropped +
+    appended; appended tokens re-counted from the payload text itself."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.examples.incremental_ingest_job import run
+
+    out = str(tmp_path / "ingest")
+    try:
+        gate = run(
+            spark,
+            sf_dir,
+            out,
+            max_near_dup_bp=10_000,
+            max_contaminated_docs=10**6,
+            index_table="mre_tile_index_test",
+        )
+        row = gate.collect()[0]
+        assert row.batch_approved  # generous bounds -> counts are the pin
+        assert (
+            row.n_batch
+            == row.n_emptied
+            + row.n_near_dup_dropped
+            + row.n_contaminated_dropped
+            + row.n_appended
+        ), row
+        ledger = spark.read.parquet(f"{out}/ledger")
+        assert ledger.count() == row.n_batch  # every batch doc accounted
+        drops = spark.read.parquet(f"{out}/near_dup_drops")
+        assert drops.count() == row.n_near_dup_dropped
+        cont = spark.read.parquet(f"{out}/contaminated_drops")
+        assert cont.count() == row.n_contaminated_dropped
+        payload = spark.read.parquet(f"{out}/append_payload")
+        assert payload.count() == row.n_appended
+        # stage outputs are disjoint: nothing appended was ever dropped
+        pay_ids = {r.id for r in payload.select("id").collect()}
+        assert not pay_ids & {r.id for r in drops.select("id").collect()}
+        assert not pay_ids & {r.id for r in cont.select("id").collect()}
+        assert payload.where(F.trim("text") == "").count() == 0
+        # byte-level token reconciliation: re-count the payload text
+        recount = payload.select(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n")
+        ).agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t")).collect()[0].t
+        assert recount == row.tokens_appended, (recount, row.tokens_appended)
+        # persisted index: the gate's counts are the stored tables' counts
+        assert spark.table("mre_tile_index_test").count() == row.index_tiles_before
+        assert (
+            spark.table("mre_tile_index_test_next").count() == row.index_tiles_after
+        )
+        assert row.index_tiles_after >= row.index_tiles_before  # roll-forward
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mre_tile_index_test")
+        spark.sql("DROP TABLE IF EXISTS mre_tile_index_test_next")
+
+
+def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
+    """An ingest with NO new documents is an explicit REJECT (coalesced
+    verdict — the tokenizer-bakeoff NULL-gate lesson), never a silent
+    approval."""
+    from map_reduce_engine_spark.examples.incremental_ingest_job import run
+    from map_reduce_engine_spark.io import read_table
+
+    hist_dir = tmp_path / "hist_only"
+    read_table(spark, sf_dir, "documents").where("doc_id < 250").write.parquet(
+        str(hist_dir / "documents.parquet")
+    )
+    try:
+        gate = run(
+            spark,
+            str(hist_dir),
+            str(tmp_path / "ingest_empty"),
+            index_table="mre_tile_index_empty_test",
+        )
+        row = gate.collect()[0]
+        assert row.n_batch == 0 and row.n_appended == 0
+        assert row.batch_approved is False
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mre_tile_index_empty_test")
+        spark.sql("DROP TABLE IF EXISTS mre_tile_index_empty_test_next")
+
+
 def test_plan_verb(spark, sf_dir, monkeypatch, capsys):
     """The `plan` CLI verb prints the scale-killer report for a registry
     query. The verb is pointed at the shared test session (and its stop()
