@@ -49,7 +49,6 @@ HEADLINE = [
     ("quality_linear_score", "hashing-trick inference: broadcast weight-table join, no Python"),
     ("token_pmi", "skip-gram pairs from array transforms — no positional self-join"),
     ("bpe_train_merges", "iterative merge loop: rounds run off checkpoints, zero parquet re-scans"),
-    ("unigram_lm_vocab", "unigram-LM Viterbi-EM: min-plus path doubling off checkpoints, broadcast piece table, zero parquet re-scans"),
     ("incremental_batch_dedup", "new batch vs historical fingerprint index: one join + one window"),
     ("semantic_dedup", "SemDeDup: Arrow cell assignment, cell-local equi-self-join, min-id survivors"),
     ("hypertable_rollup", "multi-grain rollup off materialized hourly partials — one fact scan total"),
@@ -294,6 +293,25 @@ HEADLINE = [
         "Kudo prune-to-target EM (round 8): vocabulary-sized min-plus "
         "squaring state off localCheckpoints; the prune's alt-cost DP is "
         "piece-string-sized MIN aggregates; corpus touched once",
+    ),
+    (
+        "incremental_substring_rewrite",
+        "the probe's REWRITE leg (round 9 per-span form): batch tile "
+        "occurrences equi-join the index, matched starts merge to maximal "
+        "per-doc spans, and one in-row filter-by-index excises them — the "
+        "token stream is never exploded or shuffled",
+    ),
+    (
+        "unigram_nbest_segmentations",
+        "k-best min-plus squaring (round 8): DISTINCT state before each "
+        "re-rank, vocabulary-sized throughout; rank-1 pinned equal to "
+        "Viterbi",
+    ),
+    (
+        "unigram_sampled_segmentation",
+        "the regularization draw (round 8): one conditional-MIN pivot off "
+        "the n-best list, micro-unit softmax vs a portable-hash uniform — "
+        "no join, no Python, everything vocabulary-sized",
     ),
 ]
 

@@ -826,6 +826,102 @@ def test_fuzz_substring_dedup_vs_bruteforce(spark, case):
     assert got_surv == exp_surv, (k, docs)
 
 
+def _brute_excise(toks, starts, k):
+    """(text, removed) after cutting the union of [s, s+k-1] for 1-based
+    ``starts`` out of ``toks`` — the byte-level mirror of _excise_spans."""
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + k))
+    kept = [t for i, t in enumerate(toks, start=1) if i not in covered]
+    return " ".join(kept), len(covered & set(range(1, len(toks) + 1)))
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=substring_corpus())
+def test_fuzz_substring_rewrite_and_incremental_vs_bruteforce(spark, case):
+    """The per-span excision tail and the batch-vs-corpus probe over the
+    same hypothesis corpora: the symmetric REWRITE's rebuilt strings must
+    byte-match the brute force (canonical-holder removal positions,
+    interval union, token cut), and with the corpus/batch split the
+    incremental ledger + rewrite must match the index-probe brute force —
+    including documents the probe empties entirely."""
+    from map_reduce_engine_spark.operators.dedup import (
+        incremental_substring_dedup,
+        incremental_substring_rewrite,
+        substring_dedup_rewrite,
+    )
+
+    k, doc_lists = case
+    docs = {i + 1: toks for i, toks in enumerate(doc_lists)}
+    tiles: dict[tuple, set] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            tiles.setdefault(tuple(toks[i : i + k]), set()).add(did)
+    canon = {t: min(h) for t, h in tiles.items() if len(h) >= 2}
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], ["doc_id", "text"]
+    )
+    exp_rw = {}
+    for did, toks in docs.items():
+        rem = {
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if canon.get(tuple(toks[i : i + k]), did) != did
+        }
+        text, removed = _brute_excise(toks, rem, k)
+        exp_rw[did] = (text, len(toks), removed)
+    got_rw = {
+        r.id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in substring_dedup_rewrite(df, "doc_id", "text", k=k).collect()
+    }
+    assert got_rw == exp_rw, (k, docs)
+
+    # corpus/batch split: first half is history, rest is the new batch
+    split = len(docs) // 2
+    corpus_ids = {d for d in docs if d <= split}
+    index = {
+        tuple(toks[i : i + k])
+        for did in corpus_ids
+        for toks in [docs[did]]
+        for i in range(len(toks) - k + 1)
+    }
+    exp_led, exp_inc = {}, {}
+    for did, toks in docs.items():
+        if did in corpus_ids:
+            continue
+        hits = {
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) in index
+        }
+        text, removed = _brute_excise(toks, hits, k)
+        n = len(toks)
+        exp_led[did] = (n, removed, n - removed, 10000 * removed // max(n, 1))
+        exp_inc[did] = (text, n, removed)
+    corpus_df = df.where(f"doc_id <= {split}")
+    batch_df = df.where(f"doc_id > {split}")
+    got_led = {
+        r.id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.removed_bp)
+        for r in incremental_substring_dedup(
+            corpus_df, batch_df, "doc_id", "text", k=k
+        ).collect()
+    }
+    assert got_led == exp_led, (k, docs, split)
+    got_inc = {
+        r.id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in incremental_substring_rewrite(
+            corpus_df, batch_df, "doc_id", "text", k=k
+        ).collect()
+    }
+    assert got_inc == exp_inc, (k, docs, split)
+
+
 def _half_up(y: float) -> int:
     """Spark round(): HALF_UP (away from zero) on doubles."""
     return math.floor(y + 0.5) if y >= 0 else -math.floor(-y + 0.5)
