@@ -23,17 +23,22 @@ doc_id % 100 >= 90, matching contamination_check / corpus_split):
   3. corpus probe    — ``incremental_substring_dedup`` (the accounting
                        ledger) + ``incremental_substring_rewrite`` (the
                        excised text) against the stored index
-  4. near-dup probe  — batch MinHash band entries equi-join the history's
-                       band buckets (``minhash_cross_candidates``); exact
-                       Jaccard verifies only cross-side candidates; batch
-                       docs with a >= threshold historical match drop
+  4. near-dup probe  — the history's MinHash band-bucket index is
+                       persisted the same way (``build_band_index`` +
+                       ``write_band_index``, bucketed on the probe's
+                       (band, bucket) join key) and the batch's band
+                       entries equi-join the STORED table — history
+                       signatures are never recomputed; exact Jaccard
+                       verifies only cross-side candidates; batch docs
+                       with a >= threshold historical match drop
   5. decontamination — 13-gram spans shared with the eval suite
                        (``cross_corpus_contamination_spans``); affected
                        batch docs drop (GPT-3 appendix-C posture)
   6. append + roll   — the surviving payload is written, and its tiles
-                       union into the index (distinct-of-union — the
+                       and band entries union into their indexes
+                       (distinct-of-union / per-doc union — the
                        mergeable-state contract of operators/incremental)
-                       to produce TOMORROW's index table
+                       to produce TOMORROW's index tables
   7. gate            — one sign-off row reconciling every count; the
                        batch ships only if the near-dup rate and the
                        contaminated-doc count are under the caller's
@@ -109,11 +114,18 @@ def run(
     emptied = rewritten.where(F.trim("text") == "")
     alive = rewritten.where(F.trim("text") != "")
 
-    # 4. incremental MinHash probe: batch band entries against the
-    # history's band buckets, exact Jaccard on cross-side candidates only
-    sig_hist = dd.minhash_signatures(history, "doc_id", "text")
+    # 4. incremental MinHash probe: the history's band-bucket index is
+    # PERSISTED too (bucketed on the probe's exact join key) and the batch
+    # band entries equi-join the STORED table — history signatures are
+    # never recomputed, exact Jaccard runs on cross-side candidates only
+    dd.write_band_index(
+        dd.build_band_index(history, "doc_id", "text"),
+        f"{index_table}_bands",
+        path=f"{out_dir}/band_index",
+    )
+    stored_bands = spark.table(f"{index_table}_bands")
     sig_new = dd.minhash_signatures(alive, "id", "text")
-    cands = dd.minhash_cross_candidates(sig_new, sig_hist)
+    cands = dd.minhash_cross_candidates(sig_new, None, hist_index_df=stored_bands)
     both_sides = alive.select("id", "text").unionByName(
         history.select(F.col("doc_id").alias("id"), "text")
     )
@@ -150,13 +162,18 @@ def run(
         contaminated.select("id"), "id", "left_anti"
     ).localCheckpoint(eager=True)  # written, counted, and tile-sourced
 
-    # 6. roll the index forward: the appended payload's tiles union in —
-    # one aggregate over the BATCH, the history is never retouched
+    # 6. roll both indexes forward: the appended payload's tiles and band
+    # entries union in — one pass over the BATCH each, the history is
+    # never retouched (mergeable-state contract)
     rolled = stored.unionByName(
         dd.build_substring_index(payload, "id", "text", k=k)
     ).distinct()
     dd.write_substring_index(
         rolled, f"{index_table}_next", path=f"{out_dir}/tile_index_next"
+    )
+    rolled_bands = stored_bands.unionByName(dd.build_band_index(payload, "id", "text"))
+    dd.write_band_index(
+        rolled_bands, f"{index_table}_bands_next", path=f"{out_dir}/band_index_next"
     )
 
     write_parquet(ledger, f"{out_dir}/ledger")

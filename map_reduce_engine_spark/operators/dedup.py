@@ -226,22 +226,71 @@ def band_buckets(sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4) -> 
     )
 
 
-def minhash_cross_candidates(
-    sig_new: DataFrame,
-    sig_hist: DataFrame,
+def build_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) — the corpus's MinHash band-bucket index: every
+    document's LSH band entries, the table an incremental near-dup probe
+    equi-joins on (band, bucket). One signature pass over the corpus when
+    built; :func:`write_band_index` persists it bucketed on the join key so
+    daily batches probe the STORED table and the history text/signatures
+    are never recomputed (the MinHash twin of
+    :func:`build_substring_index`). Rolling a deduplicated batch in is the
+    batch's own band entries unioned on — mergeable state, no rebuild."""
+    return band_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes), bands, rows_per_band
+    )
+
+
+def write_band_index(
+    index_df: DataFrame, table: str, path: str | None = None, n_buckets: int = 32
+) -> None:
+    """Persist a band-bucket index as a parquet table BUCKETED on
+    (band, bucket) — the probe join's exact key, so the stored side is
+    hash-clustered on disk. Catalog-addressed for the same reason as
+    :func:`write_substring_index` (Spark bucketing lives in the catalog);
+    read back with :func:`read_substring_index` / ``spark.table``."""
+    writer = (
+        index_df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def minhash_cross_candidates(
+    sig_new: DataFrame,
+    sig_hist: DataFrame | None,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hist_index_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id1=new, id2=historical) candidate pairs across two signature sets.
 
     The incremental formulation of LSH banding: the historical side is the
-    stored band-bucket index (here recomputed from its signatures; in a
-    deployment it is a persisted table bucketed on (band, bucket)), and the
-    NEW batch's entries equi-join it — candidate volume scales with the
-    batch, never the history size, and the history is never self-joined.
+    stored band-bucket index, and the NEW batch's entries equi-join it —
+    candidate volume scales with the batch, never the history size, and
+    the history is never self-joined. Pass ``hist_index_df`` (a
+    :func:`build_band_index` frame, usually the persisted bucketed table)
+    to probe WITHOUT recomputing the history's signatures at all —
+    ``sig_hist`` may then be ``None``; without it the index is recomputed
+    from ``sig_hist`` inline (the self-contained registry form).
     """
     a = band_buckets(sig_new, bands, rows_per_band).alias("a")
-    b = band_buckets(sig_hist, bands, rows_per_band).alias("b")
+    if hist_index_df is not None:
+        b = hist_index_df.select("id", "band", "bucket").alias("b")
+    elif sig_hist is not None:
+        b = band_buckets(sig_hist, bands, rows_per_band).alias("b")
+    else:
+        raise ValueError("minhash cross probe needs either sig_hist or hist_index_df")
     return (
         a.join(b, ["band", "bucket"])
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))

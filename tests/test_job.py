@@ -456,9 +456,25 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
             spark.table("mre_tile_index_test_next").count() == row.index_tiles_after
         )
         assert row.index_tiles_after >= row.index_tiles_before  # roll-forward
+        # the band index is persisted and rolled forward the same way:
+        # next = stored + exactly the payload docs' band entries (16/doc)
+        n_bands = spark.table("mre_tile_index_test_bands").count()
+        n_bands_next = spark.table("mre_tile_index_test_bands_next").count()
+        from pyspark.sql import functions as SF
+
+        n_payload_sigs = (
+            payload.where(SF.trim("text") != "").count()
+        )  # every non-empty payload doc contributes 16 band entries
+        assert n_bands > 0
+        assert n_bands_next == n_bands + 16 * n_payload_sigs
     finally:
-        spark.sql("DROP TABLE IF EXISTS mre_tile_index_test")
-        spark.sql("DROP TABLE IF EXISTS mre_tile_index_test_next")
+        for t in (
+            "mre_tile_index_test",
+            "mre_tile_index_test_next",
+            "mre_tile_index_test_bands",
+            "mre_tile_index_test_bands_next",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
@@ -483,8 +499,13 @@ def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
         assert row.n_batch == 0 and row.n_appended == 0
         assert row.batch_approved is False
     finally:
-        spark.sql("DROP TABLE IF EXISTS mre_tile_index_empty_test")
-        spark.sql("DROP TABLE IF EXISTS mre_tile_index_empty_test_next")
+        for t in (
+            "mre_tile_index_empty_test",
+            "mre_tile_index_empty_test_next",
+            "mre_tile_index_empty_test_bands",
+            "mre_tile_index_empty_test_bands_next",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_plan_verb(spark, sf_dir, monkeypatch, capsys):

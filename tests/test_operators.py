@@ -593,6 +593,50 @@ def test_substring_index_build_persist_probe_roundtrip(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS tile_index_roundtrip_test")
 
 
+def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
+    """The MinHash twin of the tile-index contract: the history's band
+    entries persist as a table bucketed on the probe's exact (band, bucket)
+    join key, and probing THROUGH the stored table (sig_hist=None — history
+    signatures never recomputed) yields the identical candidate set."""
+    import pytest
+
+    from map_reduce_engine_spark.operators.dedup import (
+        build_band_index,
+        minhash_cross_candidates,
+        minhash_signatures,
+        write_band_index,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(8)
+    ]
+    hist = spark.createDataFrame(docs[:5], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in docs[4:]], ["doc_id", "text"]
+    )
+    idx = build_band_index(hist, "doc_id", "text")
+    write_band_index(
+        idx, "band_index_roundtrip_test", path=str(tmp_path / "band_index"), n_buckets=4
+    )
+    try:
+        stored = spark.table("band_index_roundtrip_test")
+        cols = {c.name: c for c in spark.catalog.listColumns("band_index_roundtrip_test")}
+        assert cols["band"].isBucket and cols["bucket"].isBucket
+        sig_new = minhash_signatures(new, "doc_id", "text")
+        sig_hist = minhash_signatures(hist, "doc_id", "text")
+        via_stored = sorted(
+            map(tuple, minhash_cross_candidates(sig_new, None, hist_index_df=stored).collect())
+        )
+        inline = sorted(
+            map(tuple, minhash_cross_candidates(sig_new, sig_hist).collect())
+        )
+        assert via_stored == inline and via_stored  # identical, non-trivial
+        with pytest.raises(ValueError, match="sig_hist or hist_index_df"):
+            minhash_cross_candidates(sig_new, None)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_roundtrip_test")
+
+
 def test_cross_corpus_contamination_spans_k13(spark):
     """GPT-3-style decontamination probe: a 13-token run shared between a
     test doc and ANY train doc is recovered as an exact span; a 12-token
