@@ -239,33 +239,40 @@ def ann_topk(
     )
 
 
-def ivf_topk(
+def _ivf_cell_fn(centers: list[list[float]]):
+    """(C matrix, cells(V, n) -> (top-n cell ids, norms)) from a trained
+    centroid list — the shared assignment math of the build and probe
+    sides. On the unit sphere argmin ||u-c||^2 == argmin (||c||^2 - 2 u·c).
+    """
+    C = np.array(centers, dtype=np.float64)  # (n_cells, dim)
+    Csq = (C**2).sum(axis=1)
+
+    def _cells(V: "np.ndarray", n: int) -> "np.ndarray":
+        norms = np.sqrt((V**2).sum(axis=1))
+        U = V / np.where(norms > 0, norms, 1.0)[:, None]
+        d2 = Csq[None, :] - 2.0 * (U @ C.T)  # (n_rows, n_cells)
+        return np.argsort(d2, kind="stable", axis=1)[:, :n], norms
+
+    return C, _cells
+
+
+def ivf_train_assign(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
     n_cells: int | None = 32,
-    n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
-) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) partitioning — the
-    clustered alternative to ``ann_topk``'s hash-based LSH.
-
-    Train: seeded Lloyd's on a BOUNDED unit-normalized sample, driver-side
-    (cosine NN == euclidean NN on the unit sphere) — the FAISS recipe:
-    centroid quality saturates at ~tens of points per centroid, the sample
-    collect ships a few hundred KB at ANY corpus size, and a local numpy
-    fit costs milliseconds where a distributed KMeans pays multi-second
-    scheduling overhead per job. Serve: each corpus vector is assigned
-    to its nearest centroid and each query probes its ``n_probe`` nearest
-    cells — assignment is pure JVM expressions over literal centroid arrays
-    (no model.transform, no VectorUDT in the big join), so the candidate
-    join is an equi-join on ``cell`` exactly like a production IVF index.
-    Unlike data-independent LSH planes, centroids adapt to the corpus
-    distribution — better recall/candidate-count on clustered embeddings.
-    """
+) -> tuple[list[list[float]], DataFrame]:
+    """(centers, (neighbor_id, cv, cnorm, cell) frame) — the trained IVF
+    index: seeded Lloyd's centroids plus every corpus vector's cell
+    assignment. The expensive build half of :func:`ivf_topk`, split out so
+    a deployment trains/assigns ONCE and persists the result
+    (:func:`write_ivf_index` — the ANN sibling of the tile and band
+    indexes); queries then probe the stored table. Deterministic for a
+    fixed (corpus, n_cells, seed): the training sample is
+    content-deterministic (``_bounded_train_sample``), so rebuilding and
+    reading back yield identical indexes."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -283,19 +290,11 @@ def ivf_topk(
     X = _bounded_train_sample(corpus, id_col, unit(_vecd(F.col(vec_col))), target)
     centers = _lloyd_kmeans(X, n_cells, seed, max_iter)
 
-    # Cell assignment through one Arrow-batched pass per side (same
-    # rationale as pq_topk: the JVM-literal alternative builds n_cells
-    # dot-product expressions through py4j, whose driver-side construction
-    # cost dwarfs the arithmetic). On the unit sphere
-    # argmin ||u-c||^2 == argmin (||c||^2 - 2 u·c).
-    C = np.array(centers, dtype=np.float64)  # (n_cells, dim)
-    Csq = (C**2).sum(axis=1)
-
-    def _cells(V: "np.ndarray", n: int) -> "np.ndarray":
-        norms = np.sqrt((V**2).sum(axis=1))
-        U = V / np.where(norms > 0, norms, 1.0)[:, None]
-        d2 = Csq[None, :] - 2.0 * (U @ C.T)  # (n_rows, n_cells)
-        return np.argsort(d2, kind="stable", axis=1)[:, :n], norms
+    # Cell assignment through one Arrow-batched pass (same rationale as
+    # pq_topk: the JVM-literal alternative builds n_cells dot-product
+    # expressions through py4j, whose driver-side construction cost dwarfs
+    # the arithmetic).
+    C, _cells = _ivf_cell_fn(centers)
 
     cb_schema = T.StructType(
         [
@@ -318,6 +317,100 @@ def ivf_topk(
                     "cell": cells[:, 0].astype("int32"),
                 }
             )
+
+    cb = corpus.select(
+        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
+    ).mapInPandas(assign_corpus, schema=cb_schema)
+    return centers, cb
+
+
+def write_ivf_index(
+    centers: list[list[float]],
+    index_df: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a trained IVF index: the cell-assignment frame as a parquet
+    table BUCKETED on ``cell`` (the probe join's key) and the centroids as
+    the tiny companion table ``{table}_centroids`` (one row per cell —
+    query assignment needs them back). Catalog-addressed for the same
+    reason as the tile/band indexes (Spark bucketing lives in the
+    catalog)."""
+    spark = index_df.sparkSession
+    writer = (
+        index_df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    cwriter = cent.write.mode("overwrite").format("parquet")
+    if path is not None:
+        cwriter = cwriter.option("path", f"{path}_centroids")
+    cwriter.saveAsTable(f"{table}_centroids")
+
+
+def read_ivf_index(spark, table: str) -> tuple[list[list[float]], DataFrame]:
+    """(centers, cell-assignment frame) read back from
+    :func:`write_ivf_index` — the assignment via ``spark.table`` (bucket
+    spec preserved), the centroids via one |cells|-sized collect."""
+    centers = [
+        r.center
+        for r in spark.table(f"{table}_centroids").orderBy("cell").collect()
+    ]
+    return centers, spark.table(table)
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int | None = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+    index: tuple[list[list[float]], DataFrame] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    clustered alternative to ``ann_topk``'s hash-based LSH.
+
+    Train: seeded Lloyd's on a BOUNDED unit-normalized sample, driver-side
+    (cosine NN == euclidean NN on the unit sphere) — the FAISS recipe:
+    centroid quality saturates at ~tens of points per centroid, the sample
+    collect ships a few hundred KB at ANY corpus size, and a local numpy
+    fit costs milliseconds where a distributed KMeans pays multi-second
+    scheduling overhead per job. Serve: each corpus vector is assigned
+    to its nearest centroid and each query probes its ``n_probe`` nearest
+    cells — the candidate join is an equi-join on ``cell`` exactly like a
+    production IVF index. Unlike data-independent LSH planes, centroids
+    adapt to the corpus distribution — better recall/candidate-count on
+    clustered embeddings.
+
+    Pass ``index`` (a (centers, assignment-frame) pair from
+    :func:`ivf_train_assign` / :func:`read_ivf_index`) to serve queries
+    against the PERSISTED index — no retrain, no corpus re-assignment,
+    ``corpus`` may be ``None``; without it the index is built inline (the
+    self-contained registry form).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if index is not None:
+        centers, cb = index
+    elif corpus is not None:
+        centers, cb = ivf_train_assign(corpus, id_col, vec_col, n_cells, seed, max_iter)
+    else:
+        raise ValueError("ivf_topk needs either corpus or index")
+    C, _cells = _ivf_cell_fn(centers)
 
     qb_schema = T.StructType(
         [
@@ -342,9 +435,6 @@ def ivf_topk(
                 }
             )
 
-    cb = corpus.select(
-        F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
-    ).mapInPandas(assign_corpus, schema=cb_schema)
     qb = queries.select(
         F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
     ).mapInPandas(assign_queries, schema=qb_schema)

@@ -660,8 +660,10 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="incremental NEAR-dup of a new batch against a historical MinHash "
     "index — the fuzzy twin of incremental_batch_dedup: the historical "
     "side is the stored band-bucket index (recomputed here from doc_id < "
-    "250; a deployment reads the persisted table bucketed on (band, "
-    "bucket)), the new batch's band entries equi-join it, and exact "
+    "250 so the registry entry stays self-contained; build_band_index/"
+    "write_band_index persist it bucketed on (band, bucket) and the "
+    "incremental-ingest job probes THAT table via hist_index_df), the "
+    "new batch's band entries equi-join it, and exact "
     "Jaccard verifies only cross-batch candidates — candidate volume "
     "scales with the BATCH, the history is never self-joined or "
     "rescanned. Output: each new doc with >= 0.7 matches, its match "

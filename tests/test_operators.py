@@ -593,6 +593,58 @@ def test_substring_index_build_persist_probe_roundtrip(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS tile_index_roundtrip_test")
 
 
+def test_ivf_index_build_persist_probe_roundtrip(spark, sf_dir, tmp_path):
+    """The ANN sibling of the tile/band index contract: the trained IVF
+    index (centroids + cell assignment) persists as a cell-bucketed table
+    plus a centroid companion; serving queries through the STORED index
+    (corpus=None — no retrain, no re-assignment) yields exactly the inline
+    result, because the training sample is content-deterministic."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_assign,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(SF.col("vec_id") < 5)
+    centers, cb = ivf_train_assign(emb, "vec_id", "embedding", n_cells=16)
+    write_ivf_index(
+        centers, cb, "ivf_index_roundtrip_test", path=str(tmp_path / "ivf_index")
+    )
+    try:
+        stored = read_ivf_index(spark, "ivf_index_roundtrip_test")
+        assert [list(c) for c in stored[0]] == [list(c) for c in centers]
+        cols = {c.name: c for c in spark.catalog.listColumns("ivf_index_roundtrip_test")}
+        assert cols["cell"].isBucket
+        via_stored = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    None, queries, "vec_id", "embedding", k=5, n_probe=4, index=stored
+                ).collect(),
+            )
+        )
+        inline = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4
+                ).collect(),
+            )
+        )
+        assert via_stored == inline and via_stored
+        with pytest.raises(ValueError, match="corpus or index"):
+            ivf_topk(None, queries, "vec_id", "embedding", k=5)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_index_roundtrip_test")
+        spark.sql("DROP TABLE IF EXISTS ivf_index_roundtrip_test_centroids")
+
+
 def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
     """The MinHash twin of the tile-index contract: the history's band
     entries persist as a table bucketed on the probe's exact (band, bucket)
