@@ -645,6 +645,50 @@ def test_ivf_index_build_persist_probe_roundtrip(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ivf_index_roundtrip_test_centroids")
 
 
+def test_rolled_index_catches_next_day_repeats(spark):
+    """The roll-forward contract that makes the ingest loop actually
+    iterate: after day 1 appends a novel document and unions its tiles
+    into the index (distinct-of-union — mergeable state), a day-2 batch
+    repeating that document's run is fully excised even though the run
+    never appeared in the ORIGINAL corpus; day-2 novelty still passes."""
+    from map_reduce_engine_spark.operators.dedup import (
+        build_substring_index,
+        incremental_substring_dedup,
+    )
+
+    k = 50
+    corpus_run = " ".join(f"c{i}" for i in range(60))
+    day1_novel = " ".join(f"n{i}" for i in range(60))
+    day2_novel = " ".join(f"m{i}" for i in range(60))
+    corpus = spark.createDataFrame([(1, corpus_run)], ["doc_id", "text"])
+    day1_payload = spark.createDataFrame([(10, day1_novel)], ["doc_id", "text"])
+    day2 = spark.createDataFrame(
+        [(20, day1_novel), (21, day2_novel)], ["doc_id", "text"]
+    )
+
+    index0 = build_substring_index(corpus, "doc_id", "text", k=k)
+    rolled = index0.unionByName(
+        build_substring_index(day1_payload, "doc_id", "text", k=k)
+    ).distinct()
+
+    # against the ORIGINAL index, day-1's text is still novel
+    led0 = {
+        r.id: r.removed_tokens
+        for r in incremental_substring_dedup(
+            None, day2, "doc_id", "text", k=k, index_df=index0
+        ).collect()
+    }
+    assert led0 == {20: 0, 21: 0}, led0
+    # against the ROLLED index, the day-1 repeat is fully excised
+    led1 = {
+        r.id: r.removed_tokens
+        for r in incremental_substring_dedup(
+            None, day2, "doc_id", "text", k=k, index_df=rolled
+        ).collect()
+    }
+    assert led1 == {20: 60, 21: 0}, led1
+
+
 def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
     """The MinHash twin of the tile-index contract: the history's band
     entries persist as a table bucketed on the probe's exact (band, bucket)
