@@ -283,6 +283,10 @@ def minhash_cross_candidates(
     to probe WITHOUT recomputing the history's signatures at all —
     ``sig_hist`` may then be ``None``; without it the index is recomputed
     from ``sig_hist`` inline (the self-contained registry form).
+    ``bands``/``rows_per_band`` still band the NEW side and MUST equal the
+    values the stored index was built with — mismatched banding silently
+    probes disjoint bucket spaces (zero candidates), so a deployment pins
+    them next to the index, exactly like the tile index pins its ``k``.
     """
     a = band_buckets(sig_new, bands, rows_per_band).alias("a")
     if hist_index_df is not None:

@@ -399,7 +399,10 @@ def ivf_topk(
     :func:`ivf_train_assign` / :func:`read_ivf_index`) to serve queries
     against the PERSISTED index — no retrain, no corpus re-assignment,
     ``corpus`` may be ``None``; without it the index is built inline (the
-    self-contained registry form).
+    self-contained registry form). The training knobs (``n_cells``,
+    ``seed``, ``max_iter``) belong to the BUILD and take no effect when
+    ``index`` is given — the stored index already fixes them; only ``k``
+    and ``n_probe`` shape the probe.
     """
     import pandas as pd
     from pyspark.sql import types as T
