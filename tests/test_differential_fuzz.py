@@ -1090,3 +1090,73 @@ def test_fuzz_unigram_nbest_vs_exhaustive(spark, case):
         )
         exp = {i + 1: s for i, s in enumerate(segs[:2])}
         assert got.get(w, {}) == exp, (w, got.get(w), exp)
+
+
+@st.composite
+def sampled_draw_cases(draw):
+    """Synthetic 2-best lists: unique words over a wide alphabet (the md5
+    draw sweeps its full range), c1 <= c2 micro-nat costs spanning sigmoid
+    inputs from 0 to far saturation, a single-rank minority, and a salt."""
+    n = draw(st.integers(3, 10))
+    words = draw(
+        st.lists(
+            st.text(alphabet="abcdefgxyz0", min_size=1, max_size=10),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    rows = []
+    for i, w in enumerate(words):
+        c1 = draw(st.integers(0, 40_000_000))
+        rows.append((w, i + 1, 1, c1, f"{w} p1"))
+        if draw(st.integers(0, 3)) > 0:  # ~3/4 of words have a rank 2
+            c2 = c1 + draw(st.integers(0, 30_000_000))
+            rows.append((w, i + 1, 2, c2, f"{w} p2"))
+    return rows, draw(st.integers(0, 5))
+
+
+def _py_base31(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=sampled_draw_cases())
+def test_fuzz_sampled_draw_vs_python_mirror(spark, case):
+    """The regularization draw's full output — p1_micro (the repo's one
+    transcendental feeding a BRANCH, the adjudicated exp() hazard),
+    draw_micro (salted portable hash), sampled_rank, and the chosen
+    (cost, path) — against a pure-Python mirror: math.exp + sign-aware
+    HALF_UP replays the engine's sigmoid freeze exactly over the whole
+    (c2-c1) range, and the salt prefixes the hash precisely as documented
+    (salt 0 = bare word)."""
+    from map_reduce_engine_spark.operators import unigram_lm
+
+    rows, salt = case
+    nb = spark.createDataFrame(rows, ["word", "wcnt", "rank", "cost", "path"])
+    got = {
+        r.word: (r.p1_micro, r.draw_micro, r.sampled_rank, r.cost, r.path)
+        for r in unigram_lm.sampled_segmentations(nb, salt=salt).collect()
+    }
+    by_word: dict = {}
+    for w, wc, rank, cost, path in rows:
+        by_word.setdefault(w, {})[rank] = (cost, path)
+    assert set(got) == set(by_word)
+    for w, ranked in by_word.items():
+        c1, path1 = ranked[1]
+        if 2 in ranked:
+            c2, _ = ranked[2]
+            p1 = _half_up(1_000_000 / (1 + math.exp(-0.5 * (c2 - c1) / 1_000_000)))
+        else:
+            p1 = 1_000_000
+        key = w if salt == 0 else f"{salt}:{w}"
+        dm = (1_000_000 * _py_base31(key)) // 2_147_483_648
+        srank = 2 if (2 in ranked and dm >= p1) else 1
+        assert got[w] == (p1, dm, srank, *ranked[srank]), (w, salt, got[w])
