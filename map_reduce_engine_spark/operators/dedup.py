@@ -765,7 +765,45 @@ def write_substring_index(
 def read_substring_index(spark, table: str) -> DataFrame:
     """Read a persisted canonical tile-hash index back WITH its bucketing
     metadata (``spark.table``, never a bare parquet-path read, which would
-    drop the bucket spec) — the probe side of build-once/probe-daily."""
+    drop the bucket spec) — the probe side of build-once/probe-daily.
+
+    Catalog durability: the table registration lives in the SESSION's
+    catalog. On a cluster with a persistent metastore (Hive/derby — works
+    in this repo via ``enableHiveSupport()``, verified cross-JVM — Glue,
+    Unity, ...) tomorrow's session reads it directly; under Spark's
+    default in-memory catalog only the registration dies with the session
+    while the parquet FILES persist at the external path —
+    :func:`register_bucketed_table` re-registers them (metadata-only DDL,
+    no data rewrite)."""
+    return spark.table(table)
+
+
+def register_bucketed_table(
+    spark,
+    table: str,
+    path: str,
+    columns_sql: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Re-register existing bucketed parquet files under the current
+    catalog: ``CREATE TABLE ... USING parquet CLUSTERED BY ... LOCATION`` —
+    metadata-only DDL, zero data movement. The recovery/migration path
+    when the catalog that held an index is gone (an in-memory-catalog
+    session ended; a metastore migration): the index FILES are durable at
+    the external path, and this restores the bucket spec over them.
+
+    ``n_buckets`` and ``bucket_cols`` MUST match the original writer's
+    (``write_substring_index``/``write_band_index``/``write_ivf_index``
+    defaults: 32) — bucket ids are baked into the file layout, and a
+    mismatched registration would make bucket-pruned reads silently
+    wrong. ``columns_sql`` is the column-list DDL, e.g. ``"h BIGINT"``."""
+    cluster = ", ".join(bucket_cols)
+    spark.sql(
+        f"CREATE TABLE {table} ({columns_sql}) USING parquet "
+        f"CLUSTERED BY ({cluster}) SORTED BY ({cluster}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
     return spark.table(table)
 
 

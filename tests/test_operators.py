@@ -645,6 +645,68 @@ def test_ivf_index_build_persist_probe_roundtrip(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ivf_index_roundtrip_test_centroids")
 
 
+def test_register_bucketed_table_recovers_dropped_index(spark, tmp_path):
+    """Catalog-loss recovery: dropping an external index table leaves its
+    bucketed parquet files intact, and register_bucketed_table restores
+    the registration (bucket spec included) with metadata-only DDL — the
+    stored-probe result is identical before and after the recovery."""
+    from map_reduce_engine_spark.operators.dedup import (
+        build_substring_index,
+        incremental_substring_dedup,
+        read_substring_index,
+        register_bucketed_table,
+        write_substring_index,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    corpus = spark.createDataFrame([(1, shared)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, f"{shared} " + " ".join(f"c{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "recoverable_idx")
+    write_substring_index(
+        build_substring_index(corpus, "doc_id", "text", k=50),
+        "recoverable_idx_test",
+        path=path,
+        n_buckets=4,
+    )
+    try:
+        before = sorted(
+            map(
+                tuple,
+                incremental_substring_dedup(
+                    None,
+                    batch,
+                    "doc_id",
+                    "text",
+                    k=50,
+                    index_df=read_substring_index(spark, "recoverable_idx_test"),
+                ).collect(),
+            )
+        )
+        # the catalog entry dies (external table -> files survive) ...
+        spark.sql("DROP TABLE recoverable_idx_test")
+        # ... and the DDL re-registration restores spec + content
+        restored = register_bucketed_table(
+            spark, "recoverable_idx_test", path, "h BIGINT", ["h"], n_buckets=4
+        )
+        cols = {c.name: c for c in spark.catalog.listColumns("recoverable_idx_test")}
+        assert cols["h"].isBucket
+        after = sorted(
+            map(
+                tuple,
+                incremental_substring_dedup(
+                    None, batch, "doc_id", "text", k=50, index_df=restored
+                ).collect(),
+            )
+        )
+        # identical results, and the probe genuinely excised the shared run
+        assert after == before and before[0][2] == 60, before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS recoverable_idx_test")
+
+
 def test_rolled_index_catches_next_day_repeats(spark):
     """The roll-forward contract that makes the ingest loop actually
     iterate: after day 1 appends a novel document and unions its tiles
