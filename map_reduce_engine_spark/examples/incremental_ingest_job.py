@@ -123,7 +123,9 @@ def run(
         f"{index_table}_bands",
         path=f"{out_dir}/band_index",
     )
-    stored_bands = spark.table(f"{index_table}_bands")
+    # read_band_index asserts the stored banding parameters match the
+    # probe's (ADVICE r09: a silent mismatch = zero candidates)
+    stored_bands = dd.read_band_index(spark, f"{index_table}_bands")
     sig_new = dd.minhash_signatures(alive, "id", "text")
     cands = dd.minhash_cross_candidates(sig_new, None, hist_index_df=stored_bands)
     both_sides = alive.select("id", "text").unionByName(
@@ -171,7 +173,13 @@ def run(
     dd.write_substring_index(
         rolled, f"{index_table}_next", path=f"{out_dir}/tile_index_next"
     )
-    rolled_bands = stored_bands.unionByName(dd.build_band_index(payload, "id", "text"))
+    # .distinct() is the re-run/id-reuse guard (ADVICE r09): band entries
+    # are unique per (id, band), so distinct-of-union IS the per-doc union
+    # — a payload doc already present in the stored index cannot duplicate
+    # its rows or break count-based reconciliation on a repeat
+    rolled_bands = stored_bands.unionByName(
+        dd.build_band_index(payload, "id", "text")
+    ).distinct()
     dd.write_band_index(
         rolled_bands, f"{index_table}_bands_next", path=f"{out_dir}/band_index_next"
     )

@@ -16,6 +16,8 @@ pass that scales to 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -248,13 +250,26 @@ def build_band_index(
 
 
 def write_band_index(
-    index_df: DataFrame, table: str, path: str | None = None, n_buckets: int = 32
+    index_df: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    num_hashes: int = 64,
 ) -> None:
     """Persist a band-bucket index as a parquet table BUCKETED on
     (band, bucket) — the probe join's exact key, so the stored side is
     hash-clustered on disk. Catalog-addressed for the same reason as
-    :func:`write_substring_index` (Spark bucketing lives in the catalog);
-    read back with :func:`read_substring_index` / ``spark.table``."""
+    :func:`write_substring_index` (Spark bucketing lives in the catalog).
+
+    The banding parameters the index was BUILT with (``bands`` /
+    ``rows_per_band`` / ``num_hashes`` — :func:`build_band_index`'s knobs)
+    are recorded as table properties: a probe banded differently from the
+    stored side silently lands in a disjoint bucket space (zero
+    candidates), so the parameters travel WITH the table and
+    :func:`read_band_index` asserts them at probe time — the band twin of
+    the tile index pinning its ``k``."""
     writer = (
         index_df.write.mode("overwrite")
         .format("parquet")
@@ -264,6 +279,49 @@ def write_band_index(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+    index_df.sparkSession.sql(
+        f"ALTER TABLE {_quote_ident(table)} SET TBLPROPERTIES ("
+        f"'mre.bands' = '{int(bands)}', "
+        f"'mre.rows_per_band' = '{int(rows_per_band)}', "
+        f"'mre.num_hashes' = '{int(num_hashes)}')"
+    )
+
+
+def read_band_index(
+    spark,
+    table: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Read a persisted band-bucket index back, ASSERTING that the banding
+    the caller is about to probe with matches what the index was built
+    with (recorded by :func:`write_band_index` as table properties).
+    A mismatch is the silent-zero-candidates failure mode — this turns it
+    into a loud ValueError at read time. Tables written before the
+    properties existed (or registered by hand via
+    :func:`register_bucketed_table`) have no recorded parameters and pass
+    through with the caller's word taken."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {_quote_ident(table)}"
+        ).collect()
+    }
+    expected = {
+        "mre.bands": bands,
+        "mre.rows_per_band": rows_per_band,
+        "mre.num_hashes": num_hashes,
+    }
+    for key, want in expected.items():
+        got = props.get(key)
+        if got is not None and int(got) != int(want):
+            raise ValueError(
+                f"band index {table!r} was built with {key}={got}, "
+                f"probe requested {int(want)} — mismatched banding probes a "
+                "disjoint bucket space (zero candidates)"
+            )
+    return spark.table(table)
 
 
 def minhash_cross_candidates(
@@ -778,6 +836,21 @@ def read_substring_index(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly dot-qualified) SQL identifier, validating
+    each part against the plain-identifier grammar — these names are
+    interpolated into DDL strings, so a hostile or merely odd name must
+    not be able to alter the statement."""
+    parts = name.split(".")
+    for p in parts:
+        if not _IDENT_RE.match(p):
+            raise ValueError(f"invalid SQL identifier: {name!r}")
+    return ".".join(f"`{p}`" for p in parts)
+
+
 def register_bucketed_table(
     spark,
     table: str,
@@ -797,12 +870,25 @@ def register_bucketed_table(
     (``write_substring_index``/``write_band_index``/``write_ivf_index``
     defaults: 32) — bucket ids are baked into the file layout, and a
     mismatched registration would make bucket-pruned reads silently
-    wrong. ``columns_sql`` is the column-list DDL, e.g. ``"h BIGINT"``."""
-    cluster = ", ".join(bucket_cols)
+    wrong. ``columns_sql`` is the column-list DDL, e.g. ``"h BIGINT"``.
+
+    This is the documented by-hand recovery path, so every interpolated
+    fragment is validated before it reaches the DDL string: identifiers
+    are backtick-quoted (plain-identifier grammar enforced), the path may
+    not contain quotes, and ``columns_sql`` may not smuggle statement
+    punctuation."""
+    if "'" in path or '"' in path:
+        raise ValueError(f"path may not contain quote characters: {path!r}")
+    if any(ch in columns_sql for ch in ";'\"`()"):
+        raise ValueError(
+            f"columns_sql must be a plain column list (e.g. \"h BIGINT\"), "
+            f"got {columns_sql!r}"
+        )
+    cluster = ", ".join(_quote_ident(c) for c in bucket_cols)
     spark.sql(
-        f"CREATE TABLE {table} ({columns_sql}) USING parquet "
+        f"CREATE TABLE {_quote_ident(table)} ({columns_sql}) USING parquet "
         f"CLUSTERED BY ({cluster}) SORTED BY ({cluster}) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        f"INTO {int(n_buckets)} BUCKETS LOCATION '{path}'"
     )
     return spark.table(table)
 

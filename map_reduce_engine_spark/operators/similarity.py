@@ -336,7 +336,16 @@ def write_ivf_index(
     the tiny companion table ``{table}_centroids`` (one row per cell —
     query assignment needs them back). Catalog-addressed for the same
     reason as the tile/band indexes (Spark bucketing lives in the
-    catalog)."""
+    catalog).
+
+    When ``path`` is given, the centroid files live at
+    ``{path}/_centroids`` — NESTED under the index directory, so
+    relocating or deleting the index moves/removes both halves together
+    (they are one index). The underscore prefix keeps the subdirectory
+    invisible to the assignment table's own file listing (Hadoop's
+    default path filter hides ``_``/``.``-prefixed paths — the
+    ``_SUCCESS``-marker convention), so the nesting never pollutes the
+    cell scan."""
     spark = index_df.sparkSession
     writer = (
         index_df.write.mode("overwrite")
@@ -353,7 +362,7 @@ def write_ivf_index(
     )
     cwriter = cent.write.mode("overwrite").format("parquet")
     if path is not None:
-        cwriter = cwriter.option("path", f"{path}_centroids")
+        cwriter = cwriter.option("path", f"{path}/_centroids")
     cwriter.saveAsTable(f"{table}_centroids")
 
 

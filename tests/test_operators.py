@@ -707,6 +707,56 @@ def test_register_bucketed_table_recovers_dropped_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS recoverable_idx_test")
 
 
+def test_register_bucketed_table_rejects_injectable_fragments(spark, tmp_path):
+    """The recovery DDL is the one statement users type by hand (ADVICE
+    r09): identifiers are validated + backtick-quoted and the path/column
+    list may not smuggle statement punctuation — a quote in any fragment
+    is a loud ValueError, never an altered statement."""
+    import pytest
+
+    from map_reduce_engine_spark.operators.dedup import register_bucketed_table
+
+    ok = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="identifier"):
+        register_bucketed_table(spark, "t; DROP TABLE x", ok, "h BIGINT", ["h"])
+    with pytest.raises(ValueError, match="identifier"):
+        register_bucketed_table(spark, "t", ok, "h BIGINT", ["h`x"])
+    with pytest.raises(ValueError, match="quote"):
+        register_bucketed_table(spark, "t", ok + "' OPTIONS ('a'='b", "h BIGINT", ["h"])
+    with pytest.raises(ValueError, match="plain column list"):
+        register_bucketed_table(spark, "t", ok, "h BIGINT); DROP TABLE x; --", ["h"])
+
+
+def test_ivf_centroid_companion_nested_under_index_path(spark, sf_dir, tmp_path):
+    """The centroid half of a persisted IVF index lives INSIDE the index
+    directory (``{path}/_centroids`` — ADVICE r09: a sibling directory
+    orphans on relocate/delete), and the underscore prefix keeps it out of
+    the assignment table's own scan."""
+    from pyspark.sql import functions as SF
+
+    from map_reduce_engine_spark.io import read_table
+    from map_reduce_engine_spark.operators.similarity import (
+        ivf_train_assign,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").where(SF.col("vec_id") < 100)
+    centers, cb = ivf_train_assign(emb, "vec_id", "embedding", n_cells=4)
+    path = tmp_path / "ivf_nested"
+    write_ivf_index(centers, cb, "ivf_nested_layout_test", path=str(path))
+    try:
+        assert (path / "_centroids").is_dir()  # one directory == one index
+        stored_centers, stored_cb = read_ivf_index(spark, "ivf_nested_layout_test")
+        assert [list(c) for c in stored_centers] == [list(c) for c in centers]
+        # the hidden subdir does not pollute the assignment scan
+        assert stored_cb.count() == cb.count() == emb.count()
+        assert stored_cb.columns == ["neighbor_id", "cv", "cnorm", "cell"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_nested_layout_test")
+        spark.sql("DROP TABLE IF EXISTS ivf_nested_layout_test_centroids")
+
+
 def test_rolled_index_catches_next_day_repeats(spark):
     """The roll-forward contract that makes the ingest loop actually
     iterate: after day 1 appends a novel document and unions its tiles
@@ -762,6 +812,7 @@ def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
         build_band_index,
         minhash_cross_candidates,
         minhash_signatures,
+        read_band_index,
         write_band_index,
     )
 
@@ -777,7 +828,14 @@ def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
         idx, "band_index_roundtrip_test", path=str(tmp_path / "band_index"), n_buckets=4
     )
     try:
-        stored = spark.table("band_index_roundtrip_test")
+        # the banding parameters travel WITH the table (ADVICE r09):
+        # reading back with matching parameters passes, a mismatch is a
+        # loud ValueError instead of a silent zero-candidate probe
+        stored = read_band_index(spark, "band_index_roundtrip_test")
+        with pytest.raises(ValueError, match="mre.bands"):
+            read_band_index(spark, "band_index_roundtrip_test", bands=8)
+        with pytest.raises(ValueError, match="rows_per_band"):
+            read_band_index(spark, "band_index_roundtrip_test", rows_per_band=8)
         cols = {c.name: c for c in spark.catalog.listColumns("band_index_roundtrip_test")}
         assert cols["band"].isBucket and cols["bucket"].isBucket
         sig_new = minhash_signatures(new, "doc_id", "text")
