@@ -28,17 +28,23 @@ doc_id % 100 >= 90, matching contamination_check / corpus_split):
                        ``write_band_index``, bucketed on the probe's
                        (band, bucket) join key) and the batch's band
                        entries equi-join the STORED table — history
-                       signatures are never recomputed; exact Jaccard
-                       verifies only cross-side candidates; batch docs
-                       with a >= threshold historical match drop
+                       signatures are never recomputed; the exact-Jaccard
+                       verify joins candidates to a SECOND stored
+                       companion, the (id, toks) token table
+                       (``build_token_table`` + ``write_token_table``,
+                       bucketed on id), so the history text is never
+                       re-tokenized either — every stage-4 cost scales
+                       with the day, not the corpus; batch docs with a
+                       >= threshold historical match drop
   5. decontamination — 13-gram spans shared with the eval suite
                        (``cross_corpus_contamination_spans``); affected
                        batch docs drop (GPT-3 appendix-C posture)
-  6. append + roll   — the surviving payload is written, and its tiles
-                       and band entries union into their indexes
-                       (distinct-of-union / per-doc union — the
-                       mergeable-state contract of operators/incremental)
-                       to produce TOMORROW's index tables
+  6. append + roll   — the surviving payload is written, and its tiles,
+                       band entries, and token arrays union into their
+                       three stored tables (distinct-of-union / per-doc
+                       union — the mergeable-state contract of
+                       operators/incremental) to produce TOMORROW's
+                       index tables
   7. gate            — one sign-off row reconciling every count; the
                        batch ships only if the near-dup rate and the
                        contaminated-doc count are under the caller's
@@ -117,23 +123,35 @@ def run(
     # 4. incremental MinHash probe: the history's band-bucket index is
     # PERSISTED too (bucketed on the probe's exact join key) and the batch
     # band entries equi-join the STORED table — history signatures are
-    # never recomputed, exact Jaccard runs on cross-side candidates only
+    # never recomputed. The exact-Jaccard verify probes a SECOND stored
+    # companion, the (id, toks) token table (bucketed on the verify join's
+    # id), so the history TEXT is out of reach for this stage too — verify
+    # cost scales with the day, not the corpus (VERDICT r09 #1)
     dd.write_band_index(
         dd.build_band_index(history, "doc_id", "text"),
         f"{index_table}_bands",
         path=f"{out_dir}/band_index",
     )
-    # read_band_index asserts the stored banding parameters match the
-    # probe's (ADVICE r09: a silent mismatch = zero candidates)
+    dd.write_token_table(
+        dd.build_token_table(history, "doc_id", "text"),
+        f"{index_table}_toks",
+        path=f"{out_dir}/token_table",
+    )
+    # the read-back asserts the stored banding/tokenization parameters
+    # match the probe's (ADVICE r09: a silent mismatch = zero candidates
+    # on the band side, silently-wrong similarities on the verify side)
     stored_bands = dd.read_band_index(spark, f"{index_table}_bands")
+    stored_toks = dd.read_token_table(spark, f"{index_table}_toks")
     sig_new = dd.minhash_signatures(alive, "id", "text")
     cands = dd.minhash_cross_candidates(sig_new, None, hist_index_df=stored_bands)
-    both_sides = alive.select("id", "text").unionByName(
-        history.select(F.col("doc_id").alias("id"), "text")
-    )
     near_dups = (
         dd.jaccard_pairs(
-            both_sides, "id", "text", min_jaccard=jaccard_threshold, candidates=cands
+            alive,
+            "id",
+            "text",
+            min_jaccard=jaccard_threshold,
+            candidates=cands,
+            hist_toks_df=stored_toks,
         )
         .groupBy(F.col("id1").alias("id"))
         .agg(
@@ -182,6 +200,16 @@ def run(
     ).distinct()
     dd.write_band_index(
         rolled_bands, f"{index_table}_bands_next", path=f"{out_dir}/band_index_next"
+    )
+    # the verify token table rolls forward with the same guard shape —
+    # left_anti on id (one row per doc; array rows don't need a distinct)
+    rolled_toks = stored_toks.unionByName(
+        dd.build_token_table(payload, "id", "text").join(
+            stored_toks.select("id"), "id", "left_anti"
+        )
+    )
+    dd.write_token_table(
+        rolled_toks, f"{index_table}_toks_next", path=f"{out_dir}/token_table_next"
     )
 
     write_parquet(ledger, f"{out_dir}/ledger")

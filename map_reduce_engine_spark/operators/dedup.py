@@ -324,6 +324,71 @@ def read_band_index(
     return spark.table(table)
 
 
+def build_token_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int | None = None
+) -> DataFrame:
+    """(id, toks) — every document's DISTINCT token (or ``shingle_n``-gram)
+    array: the verify-side companion of the band index. The exact-Jaccard
+    verify joins candidate pairs to the two sides' token arrays; building
+    this table once and persisting it (:func:`write_token_table`, bucketed
+    on ``id`` — the verify join's key) means a daily batch's verify never
+    re-tokenizes the history text — the cost that made the ingest verify
+    history-sized (VERDICT r09 #1). Mergeable state like the band index:
+    rolling a deduplicated batch in is the batch's own rows unioned on."""
+    unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
+    return df.select(F.col(id_col).alias("id"), F.array_distinct(unit).alias("toks"))
+
+
+def write_token_table(
+    tok_df: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = 32,
+    shingle_n: int | None = None,
+) -> None:
+    """Persist a verify token table as a parquet table BUCKETED on ``id``
+    (the verify join's key). The tokenization unit it was built with
+    (``shingle_n`` — None = whitespace tokens) is recorded as a table
+    property and asserted by :func:`read_token_table`: verifying
+    word-token Jaccard against a shingle-built table silently reports
+    wrong similarities, the same failure family as mismatched banding."""
+    writer = (
+        tok_df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    tok_df.sparkSession.sql(
+        f"ALTER TABLE {_quote_ident(table)} SET TBLPROPERTIES ("
+        f"'mre.shingle_n' = '{'none' if shingle_n is None else int(shingle_n)}')"
+    )
+
+
+def read_token_table(
+    spark, table: str, shingle_n: int | None = None
+) -> DataFrame:
+    """Read a persisted verify token table back, asserting the caller's
+    tokenization unit matches what the table was built with (recorded by
+    :func:`write_token_table`). Tables without the property (hand-registered
+    via :func:`register_bucketed_table`) pass through unchecked."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {_quote_ident(table)}").collect()
+    }
+    got = props.get("mre.shingle_n")
+    want = "none" if shingle_n is None else str(int(shingle_n))
+    if got is not None and got != want:
+        raise ValueError(
+            f"token table {table!r} was built with shingle_n={got}, "
+            f"verify requested {want} — mismatched tokenization units make "
+            "every Jaccard value silently wrong"
+        )
+    return spark.table(table)
+
+
 def minhash_cross_candidates(
     sig_new: DataFrame,
     sig_hist: DataFrame | None,
@@ -368,6 +433,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     max_id: int | None = None,
     shingle_n: int | None = None,
+    hist_toks_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity join: (id1, id2, jaccard).
 
@@ -383,21 +449,34 @@ def jaccard_pairs(
       inverted-index formulation — explode distinct tokens, self-join on
       token, count intersections. Exact and shuffle-co-located, but
       quadratic in per-token document frequency; keep the corpus bounded.
-    """
+
+    ``hist_toks_df`` (requires ``candidates``) is the incremental verify's
+    scale knob: a stored ``(id, toks)`` table (:func:`build_token_table` /
+    :func:`read_token_table`) supplying the ``id2`` side's token arrays, so
+    ``df`` need only hold the NEW batch and the history text is never
+    re-tokenized — the verify's cost scales with the day, not the corpus
+    (the same contract as ``hist_index_df`` on the candidate side). Every
+    ``candidates.id2`` must be covered by the stored table (the band-index
+    probe guarantees it: candidates only arise from stored entries)."""
     base = df
     if max_id is not None:
         base = base.where(F.col(id_col) < max_id)
 
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
+    if hist_toks_df is not None and candidates is None:
+        raise ValueError("hist_toks_df is only meaningful with candidates")
     if candidates is not None:
         toks_arr = base.select(
             F.col(id_col).alias("id"), F.array_distinct(unit).alias("toks")
+        )
+        toks2 = (
+            hist_toks_df.select("id", "toks") if hist_toks_df is not None else toks_arr
         )
         joined = (
             candidates.join(
                 toks_arr.select(F.col("id").alias("id1"), F.col("toks").alias("t1")), "id1"
             ).join(
-                toks_arr.select(F.col("id").alias("id2"), F.col("toks").alias("t2")), "id2"
+                toks2.select(F.col("id").alias("id2"), F.col("toks").alias("t2")), "id2"
             )
         )
         inter = F.size(F.array_intersect("t1", "t2"))

@@ -161,6 +161,56 @@ def main() -> int:
     }
     results["incremental_probe_fixed_index"] = probe
 
+    # Fixed-index exact-Jaccard VERIFY (VERDICT r09 #1): the history
+    # reduces ONCE to its band index + (id, toks) verify companion; the
+    # batch grows 1x/4x/16x. The whole stage-4 chain — batch signatures,
+    # band-bucket candidate equi-join, exact-Jaccard verify through the
+    # stored token table — must scale with the BATCH: the history text is
+    # structurally out of reach (hist_index_df + hist_toks_df; the
+    # localCheckpoints stand in for the persisted bucketed tables, whose
+    # round-trip equality is pinned in tests). Output is one row per
+    # batch doc with a >=0.7 historical match — linear in the batch by
+    # construction (the history side is frozen).
+    band_idx = dd.build_band_index(base, "doc_id", "text").localCheckpoint(eager=True)
+    toks_tbl = dd.build_token_table(base, "doc_id", "text").localCheckpoint(eager=True)
+    verify: dict = {
+        "hist_docs": base.count(),
+        "band_entries": band_idx.count(),
+        "sec": {},
+        "rows": {},
+    }
+    for n in args.factors:
+        batch = (
+            replicate(base, n)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100 * ID_OFFSET))
+            .localCheckpoint(eager=True)
+        )
+        sig_new = dd.minhash_signatures(batch, "doc_id", "text")
+        cands = dd.minhash_cross_candidates(sig_new, None, hist_index_df=band_idx)
+        nd = (
+            dd.jaccard_pairs(
+                batch,
+                "doc_id",
+                "text",
+                min_jaccard=0.7,
+                candidates=cands,
+                hist_toks_df=toks_tbl,
+            )
+            .groupBy("id1")
+            .agg(F.max("jaccard").alias("best_jaccard"))
+        )
+        verify["sec"][str(n)] = timed(nd)
+        verify["rows"][str(n)] = nd.count()
+        print(f"verify factor {n}: {verify['sec'][str(n)]}s", flush=True)
+    verify["linear_ratio_at_max"] = (
+        round(
+            verify["sec"][fmax_p] / (verify["sec"][fmin_p] * pscale), 3
+        )
+        if verify["sec"][fmin_p] > 0
+        else None
+    )
+    results["incremental_verify_fixed_index"] = verify
+
     # linearity verdict: per-op ratio of (sec at max factor) to
     # (sec at factor 1 x max factor) — <= ~1 means at-or-below linear
     fmin, fmax = str(min(args.factors)), str(max(args.factors))

@@ -467,12 +467,20 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
         )  # every non-empty payload doc contributes 16 band entries
         assert n_bands > 0
         assert n_bands_next == n_bands + 16 * n_payload_sigs
+        # the verify token table is persisted and rolled forward the same
+        # way: one row per history doc, next = stored + payload docs
+        n_toks = spark.table("mre_tile_index_test_toks").count()
+        n_toks_next = spark.table("mre_tile_index_test_toks_next").count()
+        assert n_toks > 0
+        assert n_toks_next == n_toks + row.n_appended
     finally:
         for t in (
             "mre_tile_index_test",
             "mre_tile_index_test_next",
             "mre_tile_index_test_bands",
             "mre_tile_index_test_bands_next",
+            "mre_tile_index_test_toks",
+            "mre_tile_index_test_toks_next",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -504,6 +512,8 @@ def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
             "mre_tile_index_empty_test_next",
             "mre_tile_index_empty_test_bands",
             "mre_tile_index_empty_test_bands_next",
+            "mre_tile_index_empty_test_toks",
+            "mre_tile_index_empty_test_toks_next",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
