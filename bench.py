@@ -193,6 +193,76 @@ IDLE_MC_REF_SEC = resolve_idle_mc_ref()
 GATE_THRESHOLD_SEC = round(IDLE_MC_REF_SEC * 1.25, 3)
 
 
+# Per-query idle-host pins from BASELINE.md's two tables (Q1-Q10 round-1
+# headline, q11-q23 sentinel pins with their documented re-pin history).
+# Used by the in-run over-pin re-time rule below — keep in sync with
+# BASELINE.md when a pin is formally re-recorded there.
+BASELINE_PINS = {
+    "q1_wordcount": 0.40, "q2_wordlength": 0.39, "q3_filter_project": 0.27,
+    "q4_group_agg": 0.70, "q5_join_revenue": 1.80, "q6_topk_per_nation": 0.44,
+    "q7_dedup_exact": 0.21, "q8_minhash_neardup": 2.55, "q9_knn_cosine": 0.45,
+    "q10_sessionization": 0.40, "q11_pagerank": 3.09, "q12_components": 0.56,
+    "q13_tpch_q9": 0.77, "q14_bpe_train": 2.96, "q15_bm25": 0.44,
+    "q16_semantic_dedup": 1.55, "q17_textrank": 1.24, "q18_ams_f2": 0.98,
+    "q19_pareto": 0.36, "q20_spatial_join": 1.28, "q21_total_order_rank": 0.69,
+    "q22_substring_dedup": 1.58, "q23_unigram_train": 5.18,
+}
+
+
+def overpin_retime_fields(
+    timings: dict[str, float],
+    retime,
+    pins: dict[str, float] | None = None,
+    factor: float = 1.5,
+) -> dict:
+    """The in-run half of the mid-run-burst defense (VERDICT r09 #2): any
+    query whose in-sweep median landed over ``factor``x its BASELINE.md
+    pin is re-timed ONCE in isolation after the sweep (``retime(name) ->
+    sec``), and BOTH numbers are recorded — a contended burst that hit a
+    contiguous block re-times clean and self-adjudicates in the artifact;
+    a real regression re-times slow and stands. Pure function over the
+    timing dict (the r09 q4-q9 replay is pinned in tests); returns {} when
+    nothing is over pin."""
+    pins = BASELINE_PINS if pins is None else pins
+    over = {
+        k: round(v / pins[k], 3)
+        for k, v in timings.items()
+        if pins.get(k) and v / pins[k] > factor
+    }
+    if not over:
+        return {}
+    retimed = {
+        k: {
+            "in_sweep_sec": timings[k],
+            "isolated_sec": round(retime(k), 3),
+            "pin_sec": pins[k],
+        }
+        for k in sorted(over)
+    }
+    for k, rec in retimed.items():
+        rec["isolated_over_pin"] = round(rec["isolated_sec"] / rec["pin_sec"], 3)
+    return {"over_pin_1_5x": over, "retimed_in_isolation": retimed}
+
+
+def post_probe_fields(gate: dict | None, post_mc: float) -> dict:
+    """The trailing half of the mid-run-burst defense: the idle gate only
+    probes BEFORE the run, so a co-tenant burst that arrives mid-sweep is
+    invisible to probe1_clean (exactly the BENCH_r09 driver artifact). A
+    second calibration probe AFTER the timings, compared against the same
+    gate threshold, brackets the run — ``midrun_suspect`` means the host
+    was clean going in and contended coming out, so a contiguous slow
+    block in this artifact should be adjudicated as a burst, not a
+    regression. Pure function (replay pinned in tests)."""
+    fields = {"post_probe_mc_sec": post_mc}
+    threshold = (gate or {}).get("threshold_sec", GATE_THRESHOLD_SEC)
+    fields["post_probe_clean"] = post_mc <= threshold
+    if gate is not None:
+        fields["midrun_suspect"] = bool(
+            gate.get("probe1_clean") and post_mc > threshold
+        )
+    return fields
+
+
 def regression_fields(
     timings: dict[str, float], cur_mc: float, prev_doc: dict, prev_name: str
 ) -> dict:
@@ -342,6 +412,30 @@ def main() -> None:
     }
     if gate is not None:
         out["idle_host_gate"] = gate
+    # trailing calibration probe: brackets the run so a mid-sweep co-tenant
+    # burst (invisible to the leading gate) flags the artifact itself
+    out.update(post_probe_fields(gate, host_calibration_mc_sec()))
+    if out.get("midrun_suspect"):
+        print(
+            "# WARNING: post-run probe contended "
+            f"({out['post_probe_mc_sec']}s > gate) on a probe1-clean run — "
+            "a burst arrived mid-sweep; slow blocks below are suspect",
+            file=sys.stderr,
+        )
+    # in-run over-pin rule: anything >1.5x its BASELINE.md pin re-times
+    # once in isolation, both numbers recorded (self-adjudicating artifact)
+    def _retime(name: str) -> float:
+        bench_row = next(r for r in HEADLINE + SENTINELS if r[0] == name)
+        fn = REGISTRY[bench_row[1]].fn
+        return run_once(spark, fn, bench_row[2] or SF_DIR)
+
+    retime_out = overpin_retime_fields(timings, _retime)
+    out.update(retime_out)
+    if retime_out:
+        print(
+            f"# over-pin re-times: {retime_out['retimed_in_isolation']}",
+            file=sys.stderr,
+        )
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
     # one-line contract read metric/value/queries/sf as before.

@@ -122,3 +122,75 @@ def test_resolve_idle_mc_ref_precedence(tmp_path, monkeypatch):
     # env var overrides everything (the slower-host escape hatch)
     monkeypatch.setenv("SPARK_GRAFT_IDLE_MC_REF", "5.0")
     assert resolve_idle_mc_ref(tmp_path) == 5.0
+
+
+def test_overpin_retime_replays_r09_contended_block():
+    """The BENCH_r09 driver scenario (VERDICT r09 #2): a mid-run burst
+    inflated q4-q9 to 1.6-2.6x their pins while the rest of the board sat
+    clean. The over-pin rule must re-time exactly the inflated block and
+    record both numbers — a clean isolated re-time self-adjudicates the
+    artifact as burst, not regression."""
+    from bench import BASELINE_PINS, overpin_retime_fields
+
+    # r09 driver artifact shape: q8 at 4.047 (pin 2.55), q5 at 3.1 (pin
+    # 1.80), everything else within band
+    timings = {k: v for k, v in BASELINE_PINS.items()}
+    timings["q8_minhash_neardup"] = 4.047
+    timings["q5_join_revenue"] = 3.1
+    retimed_names = []
+
+    def retime(name):
+        retimed_names.append(name)
+        return BASELINE_PINS[name] * 0.9  # isolation re-times clean
+
+    out = overpin_retime_fields(timings, retime)
+    assert sorted(out["over_pin_1_5x"]) == ["q5_join_revenue", "q8_minhash_neardup"]
+    assert sorted(retimed_names) == ["q5_join_revenue", "q8_minhash_neardup"]
+    rec = out["retimed_in_isolation"]["q8_minhash_neardup"]
+    assert rec["in_sweep_sec"] == 4.047 and rec["pin_sec"] == 2.55
+    assert rec["isolated_over_pin"] == 0.9
+
+
+def test_overpin_retime_quiet_board_is_empty_and_never_retimes():
+    from bench import BASELINE_PINS, overpin_retime_fields
+
+    calls = []
+    out = overpin_retime_fields(
+        {k: v * 1.2 for k, v in BASELINE_PINS.items()},
+        lambda n: calls.append(n) or 0.0,
+    )
+    assert out == {} and calls == []
+
+
+def test_overpin_real_regression_stands_in_isolation():
+    from bench import overpin_retime_fields
+
+    out = overpin_retime_fields(
+        {"q1": 2.0}, lambda n: 1.9, pins={"q1": 1.0}
+    )
+    assert out["retimed_in_isolation"]["q1"]["isolated_over_pin"] == 1.9
+
+
+def test_post_probe_flags_midrun_burst_only_on_clean_gate():
+    """midrun_suspect = clean going in AND contended coming out — the one
+    combination the leading gate cannot see. A run whose gate never passed
+    is already suspect (no new flag), and a clean-out run is clean."""
+    from bench import post_probe_fields
+
+    gate_clean = {"probe1_clean": True, "passed": True, "threshold_sec": 2.633}
+    out = post_probe_fields(gate_clean, 6.0)
+    assert out["midrun_suspect"] is True and out["post_probe_clean"] is False
+    assert post_probe_fields(gate_clean, 2.1)["midrun_suspect"] is False
+    gate_dirty = {"probe1_clean": False, "passed": True, "threshold_sec": 2.633}
+    assert post_probe_fields(gate_dirty, 6.0)["midrun_suspect"] is False
+    # gateless run (SPARK_GRAFT_BENCH_GATE=0): probe still recorded, no flag
+    out = post_probe_fields(None, 6.0)
+    assert "midrun_suspect" not in out and out["post_probe_mc_sec"] == 6.0
+
+
+def test_baseline_pins_cover_every_bench_query():
+    """The pins dict must track HEADLINE+SENTINELS exactly — a new bench
+    query without a pin silently escapes the over-pin rule."""
+    from bench import BASELINE_PINS, HEADLINE, SENTINELS
+
+    assert {b for b, _, _ in HEADLINE + SENTINELS} == set(BASELINE_PINS)
