@@ -108,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("--jaccard", type=float, default=0.7)
     inc.add_argument("--max-near-dup-bp", type=int, default=2500)
     inc.add_argument("--max-contaminated", type=int, default=10)
+    ann = sub.add_parser(
+        "ann-serve",
+        help="run the ANN serving example (train + persist the IVF index on "
+        "the history → roll today's batch forward with no retrain → "
+        "staleness diagnostic → serve queries from the stored index → "
+        "recall report vs exact kNN, with a sign-off gate)",
+    )
+    ann.add_argument("sf_dir", help="fixture dir containing embeddings.parquet")
+    ann.add_argument("output_dir")
+    ann.add_argument("--k", type=int, default=10)
+    ann.add_argument("--n-probe", type=int, default=4)
+    ann.add_argument("--batch-size", type=int, default=50)
+    ann.add_argument("--min-recall-permille", type=int, default=500)
     rev = sub.add_parser(
         "retrieval-eval",
         help="run the end-to-end retrieval-evaluation example (BM25 + "
@@ -432,6 +445,25 @@ def main(argv: list[str] | None = None) -> int:
                 jaccard_threshold=args.jaccard,
                 max_near_dup_bp=args.max_near_dup_bp,
                 max_contaminated_docs=args.max_contaminated,
+            )
+            gate.show(truncate=False)
+        finally:
+            spark.stop()
+        return 0
+
+    if args.verb == "ann-serve":
+        from map_reduce_engine_spark.examples.ann_serve_job import run
+
+        spark = get_spark(app_name="mre-ann-serve")
+        try:
+            gate = run(
+                spark,
+                args.sf_dir,
+                args.output_dir,
+                k=args.k,
+                n_probe=args.n_probe,
+                batch_size=args.batch_size,
+                min_recall_permille=args.min_recall_permille,
             )
             gate.show(truncate=False)
         finally:

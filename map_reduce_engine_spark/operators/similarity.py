@@ -273,9 +273,6 @@ def ivf_train_assign(
     fixed (corpus, n_cells, seed): the training sample is
     content-deterministic (``_bounded_train_sample``), so rebuilding and
     reading back yield identical indexes."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     unit = lambda v: F.transform(v, lambda x: x / F.nullif(l2_norm(v), F.lit(0.0)))  # noqa: E731
 
     if n_cells is None:
@@ -294,6 +291,21 @@ def ivf_train_assign(
     # pq_topk: the JVM-literal alternative builds n_cells dot-product
     # expressions through py4j, whose driver-side construction cost dwarfs
     # the arithmetic).
+    return centers, ivf_assign(centers, corpus, id_col, vec_col)
+
+
+def ivf_assign(
+    centers: list[list[float]], df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cv, cnorm, cell) — assign ``df``'s vectors to their
+    nearest stored centroid: the append half of the IVF index's
+    mergeable-state story, shared by the initial build
+    (:func:`ivf_train_assign`) and the daily roll-forward
+    (:func:`ivf_roll_forward`). One Arrow-batched pass over ``df`` only —
+    cost scales with the rows being assigned, never the stored index."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     C, _cells = _ivf_cell_fn(centers)
 
     cb_schema = T.StructType(
@@ -305,7 +317,7 @@ def ivf_train_assign(
         ]
     )
 
-    def assign_corpus(batches):
+    def assign_batch(batches):
         for pdf in batches:
             V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
             cells, norms = _cells(V, 1)
@@ -318,10 +330,81 @@ def ivf_train_assign(
                 }
             )
 
-    cb = corpus.select(
+    return df.select(
         F.col(id_col).alias("id"), _vecd(F.col(vec_col)).alias("v")
-    ).mapInPandas(assign_corpus, schema=cb_schema)
-    return centers, cb
+    ).mapInPandas(assign_batch, schema=cb_schema)
+
+
+def ivf_roll_forward(
+    index: tuple[list[list[float]], DataFrame],
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[list[float]], DataFrame]:
+    """Absorb an appended batch into a stored IVF index WITHOUT retraining:
+    only the batch's vectors are assigned (to the STORED centroids —
+    :func:`ivf_assign`) and unioned into the assignment frame; the history
+    is never re-read. The same mergeable-state contract as the tile and
+    band indexes' distinct-of-union — rows already present in the stored
+    assignment are left-anti'd out, so a re-run of the same day cannot
+    duplicate entries. Persist the result with :func:`write_ivf_index`
+    (same centroids) to produce tomorrow's index table.
+
+    The centroids themselves go STALE as the corpus grows or drifts —
+    check :func:`ivf_staleness` after rolling; when it flags
+    ``retrain_due`` the next build should be a fresh
+    :func:`ivf_train_assign` over the full corpus."""
+    centers, cb = index
+    fresh = ivf_assign(centers, batch, id_col, vec_col).join(
+        cb.select("neighbor_id"), "neighbor_id", "left_anti"
+    )
+    return centers, cb.unionByName(fresh)
+
+
+def ivf_staleness(
+    index: tuple[list[list[float]], DataFrame],
+    rows_per_cell: int = 4096,
+    skew_factor: int = 4,
+) -> dict:
+    """Staleness diagnostic for a stored IVF index: is a retrain due?
+
+    Two triggers, both from the property-tested sizing rule
+    (``operators/sizing.py::cells_for_corpus``):
+
+    - **capacity**: the corpus has grown past what the trained cell count
+      keeps bounded — ``cells_for_corpus(n_vectors, rows_per_cell) >
+      n_cells`` means expected per-cell population exceeds the bound the
+      index was sized for;
+    - **skew**: distribution drift piled vectors into few cells —
+      ``max_cell_pop > skew_factor * rows_per_cell`` degrades the probe
+      join's fan-out even when the average is fine.
+
+    Cost: one |cells|-sized aggregate over the assignment table (the scan
+    is cell-bucket-pruned parquet metadata at 100 TB, never the vectors).
+    Returns a dict with the counts and both trigger verdicts — job gates
+    lift it into their sign-off row (``ann-serve``)."""
+    from map_reduce_engine_spark.operators.sizing import cells_for_corpus
+
+    centers, cb = index
+    n_cells = len(centers)
+    pops = cb.groupBy("cell").agg(F.count("*").alias("pop")).agg(
+        F.coalesce(F.sum("pop"), F.lit(0)).alias("n_vectors"),
+        F.coalesce(F.max("pop"), F.lit(0)).alias("max_cell_pop"),
+    ).collect()[0]
+    n_vectors, max_pop = int(pops.n_vectors), int(pops.max_cell_pop)
+    cells_needed = cells_for_corpus(n_vectors, rows_per_cell=rows_per_cell)
+    capacity_exceeded = cells_needed > n_cells
+    skewed = max_pop > skew_factor * rows_per_cell
+    return {
+        "n_cells": n_cells,
+        "n_vectors": n_vectors,
+        "max_cell_pop": max_pop,
+        "cells_needed": cells_needed,
+        "rows_per_cell": rows_per_cell,
+        "capacity_exceeded": capacity_exceeded,
+        "skewed": skewed,
+        "retrain_due": capacity_exceeded or skewed,
+    }
 
 
 def write_ivf_index(
