@@ -16,6 +16,10 @@ from pathlib import Path
 
 from bench import GATE_THRESHOLD_SEC, IDLE_MC_REF_SEC, regression_fields
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 R05_MC = 7.44
 IDLE_RERUN_MC = 2.522
 

@@ -2,6 +2,10 @@
 
 from map_reduce_engine_spark.conf import loop_conf, scoped_conf
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 KEY = "spark.sql.shuffle.partitions"
 AQE = "spark.sql.adaptive.enabled"
 

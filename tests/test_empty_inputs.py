@@ -15,6 +15,10 @@ from map_reduce_engine_spark.operators import dedup as dd
 from map_reduce_engine_spark.operators import wordcount
 from map_reduce_engine_spark.operators.packing import pack_bins, winnow_fingerprints
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def _empty_docs(spark):
     return spark.createDataFrame([], "doc_id bigint, text string")

@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 from map_reduce_engine_spark import io as mio
 from map_reduce_engine_spark.operators import wordcount
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def test_text_source_line_model(spark, tmp_path):
     """One row per line; a directory input unions all its files into one

@@ -15,6 +15,8 @@ import pytest
 from map_reduce_engine_spark import mapreduce
 from map_reduce_engine_spark.operators import text as text_ops
 
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 # inputdir3-shaped prose fixture (FIXTURES.md §1): repeated words, hyphenated
 # words (reference's hyphen-key bug is NOT replicated), multi-space runs.
 PROSE = [

@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from map_reduce_engine_spark.queries import REGISTRY
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def test_pca_power_iteration_invariants(spark, sf_dir):
     rows = REGISTRY["pca_power_iteration"].fn(spark, sf_dir).collect()

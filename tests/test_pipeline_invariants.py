@@ -12,6 +12,10 @@ from collections import defaultdict
 
 from map_reduce_engine_spark.queries import REGISTRY
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def _run(name, spark, sf_dir):
     return REGISTRY[name].fn(spark, sf_dir).collect()

@@ -24,6 +24,8 @@ from map_reduce_engine_spark.operators.rankselect import (
     value_grid_cum,
 )
 
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def _naive_grid_cum(df, col, cnt="cnt", cum="cum"):
     g = df.groupBy(col).agg(F.count("*").cast("bigint").alias(cnt))

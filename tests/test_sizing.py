@@ -20,6 +20,8 @@ from map_reduce_engine_spark.operators.sizing import (
     planes_for_corpus,
 )
 
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 @given(n=st.integers(min_value=0, max_value=1 << 32))
 def test_cells_population_bounded(n):

@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 from map_reduce_engine_spark.io import read_table, write_bucketed
 from map_reduce_engine_spark.operators.skew import salted_agg, salted_join
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def _plan(df) -> str:
     buf = _io.StringIO()

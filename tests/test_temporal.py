@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.operators.temporal import asof_join, range_self_join
 
+import pytest
+
+pytestmark = pytest.mark.quick  # registry-independent: the builder inner loop
+
 
 def _ts(s: str) -> datetime:
     return datetime.fromisoformat(s)
