@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("--jaccard", type=float, default=0.7)
     inc.add_argument("--max-near-dup-bp", type=int, default=2500)
     inc.add_argument("--max-contaminated", type=int, default=10)
+    inc.add_argument("--index-table", default="mre_tile_index")
+    inc.add_argument(
+        "--prebuilt",
+        action="store_true",
+        help="day-2+ mode: probe the EXISTING index tables named by "
+        "--index-table (yesterday's *_next trio) instead of building them "
+        "from the history",
+    )
     ann = sub.add_parser(
         "ann-serve",
         help="run the ANN serving example (train + persist the IVF index on "
@@ -445,6 +453,8 @@ def main(argv: list[str] | None = None) -> int:
                 jaccard_threshold=args.jaccard,
                 max_near_dup_bp=args.max_near_dup_bp,
                 max_contaminated_docs=args.max_contaminated,
+                index_table=args.index_table,
+                prebuilt=args.prebuilt,
             )
             gate.show(truncate=False)
         finally:

@@ -75,9 +75,21 @@ def run(
     max_near_dup_bp: int = 2500,
     max_contaminated_docs: int = 10,
     index_table: str = "mre_tile_index",
+    prebuilt: bool = False,
 ) -> DataFrame:
     """Execute the ingest; returns the 1-row sign-off gate after writing
-    the append payload, the ledgers, and the rolled-forward tile index."""
+    the append payload, the ledgers, and the rolled-forward tile index.
+
+    ``prebuilt=False`` (day 1) builds and persists all three index tables
+    from the history before probing. ``prebuilt=True`` is the DAY-2+
+    shape — the loop this job exists for: the three tables named by
+    ``index_table`` (``<t>``, ``<t>_bands``, ``<t>_toks``) must already
+    exist (yesterday's ``<t>_next`` trio, re-pointed), the history TEXT is
+    read only for the eval suite (a real deployment stores its benchmark
+    suite separately anyway), and every probe runs against yesterday's
+    rolled state — so a document appended on day 1 is caught as a
+    duplicate on day 2 even though it never appeared in the original
+    corpus."""
     from map_reduce_engine_spark.io import read_table, write_parquet
     from map_reduce_engine_spark.operators import dedup as dd
 
@@ -92,13 +104,15 @@ def run(
         "id", "text", "n_tokens", F.col("removed_tokens").alias("internal_removed")
     )
 
-    # 2. build + PERSIST the canonical tile index; read back the STORED
-    # table — from here on the history text is never rescanned
-    dd.write_substring_index(
-        dd.build_substring_index(history, "doc_id", "text", k=k),
-        index_table,
-        path=f"{out_dir}/tile_index",
-    )
+    # 2. build + PERSIST the canonical tile index (day 1), or read
+    # yesterday's rolled table (day 2+) — either way, from here on the
+    # history text is never rescanned
+    if not prebuilt:
+        dd.write_substring_index(
+            dd.build_substring_index(history, "doc_id", "text", k=k),
+            index_table,
+            path=f"{out_dir}/tile_index",
+        )
     stored = dd.read_substring_index(spark, index_table)
 
     # 3. probe the stored index: accounting ledger + excised text
@@ -127,16 +141,17 @@ def run(
     # companion, the (id, toks) token table (bucketed on the verify join's
     # id), so the history TEXT is out of reach for this stage too — verify
     # cost scales with the day, not the corpus (VERDICT r09 #1)
-    dd.write_band_index(
-        dd.build_band_index(history, "doc_id", "text"),
-        f"{index_table}_bands",
-        path=f"{out_dir}/band_index",
-    )
-    dd.write_token_table(
-        dd.build_token_table(history, "doc_id", "text"),
-        f"{index_table}_toks",
-        path=f"{out_dir}/token_table",
-    )
+    if not prebuilt:
+        dd.write_band_index(
+            dd.build_band_index(history, "doc_id", "text"),
+            f"{index_table}_bands",
+            path=f"{out_dir}/band_index",
+        )
+        dd.write_token_table(
+            dd.build_token_table(history, "doc_id", "text"),
+            f"{index_table}_toks",
+            path=f"{out_dir}/token_table",
+        )
     # the read-back asserts the stored banding/tokenization parameters
     # match the probe's (ADVICE r09: a silent mismatch = zero candidates
     # on the band side, silently-wrong similarities on the verify side)
@@ -198,8 +213,11 @@ def run(
     rolled_bands = stored_bands.unionByName(
         dd.build_band_index(payload, "id", "text")
     ).distinct()
+    # tomorrow's trio is named <t>_next / <t>_next_bands / <t>_next_toks —
+    # the same shape today's trio has under <t>, so a day-2 run chains by
+    # just re-pointing index_table at <t>_next (prebuilt=True)
     dd.write_band_index(
-        rolled_bands, f"{index_table}_bands_next", path=f"{out_dir}/band_index_next"
+        rolled_bands, f"{index_table}_next_bands", path=f"{out_dir}/band_index_next"
     )
     # the verify token table rolls forward with the same guard shape —
     # left_anti on id (one row per doc; array rows don't need a distinct)
@@ -209,7 +227,7 @@ def run(
         )
     )
     dd.write_token_table(
-        rolled_toks, f"{index_table}_toks_next", path=f"{out_dir}/token_table_next"
+        rolled_toks, f"{index_table}_next_toks", path=f"{out_dir}/token_table_next"
     )
 
     write_parquet(ledger, f"{out_dir}/ledger")

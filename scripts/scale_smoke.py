@@ -167,14 +167,30 @@ def main() -> int:
     # band-bucket candidate equi-join, exact-Jaccard verify through the
     # stored token table — must scale with the BATCH: the history text is
     # structurally out of reach (hist_index_df + hist_toks_df; the
-    # localCheckpoints stand in for the persisted bucketed tables, whose
-    # round-trip equality is pinned in tests). Output is one row per
-    # batch doc with a >=0.7 historical match — linear in the batch by
-    # construction (the history side is frozen).
-    band_idx = dd.build_band_index(base, "doc_id", "text").localCheckpoint(eager=True)
-    toks_tbl = dd.build_token_table(base, "doc_id", "text").localCheckpoint(eager=True)
+    # repartition(32)+localCheckpoint stand-ins mirror the 32-bucket
+    # persisted tables, whose round-trip equality is pinned in tests).
+    # Output is one row per batch doc with a >=0.7 historical match —
+    # linear in the batch by construction (the history side is frozen).
+    # The verify HISTORY is bounded to 500 docs: the fixture's ~30-word
+    # vocabulary co-buckets nearly every cross pair (measured at sf0.1:
+    # 18.6M candidates for a 5000x5000 cross probe = 74% of ALL pairs —
+    # an adversarial density no real corpus approaches), so an unbounded
+    # history measures the fixture's degeneracy, not the contract. The
+    # contract under test — verify wall scales with the batch at a FIXED
+    # index — is independent of the history's size.
+    verify_hist = base.where(F.col("doc_id") < 500)
+    band_idx = (
+        dd.build_band_index(verify_hist, "doc_id", "text")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    toks_tbl = (
+        dd.build_token_table(verify_hist, "doc_id", "text")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
     verify: dict = {
-        "hist_docs": base.count(),
+        "hist_docs": verify_hist.count(),
         "band_entries": band_idx.count(),
         "sec": {},
         "rows": {},

@@ -459,7 +459,7 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
         # the band index is persisted and rolled forward the same way:
         # next = stored + exactly the payload docs' band entries (16/doc)
         n_bands = spark.table("mre_tile_index_test_bands").count()
-        n_bands_next = spark.table("mre_tile_index_test_bands_next").count()
+        n_bands_next = spark.table("mre_tile_index_test_next_bands").count()
         from pyspark.sql import functions as SF
 
         n_payload_sigs = (
@@ -470,7 +470,7 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
         # the verify token table is persisted and rolled forward the same
         # way: one row per history doc, next = stored + payload docs
         n_toks = spark.table("mre_tile_index_test_toks").count()
-        n_toks_next = spark.table("mre_tile_index_test_toks_next").count()
+        n_toks_next = spark.table("mre_tile_index_test_next_toks").count()
         assert n_toks > 0
         assert n_toks_next == n_toks + row.n_appended
     finally:
@@ -478,9 +478,9 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
             "mre_tile_index_test",
             "mre_tile_index_test_next",
             "mre_tile_index_test_bands",
-            "mre_tile_index_test_bands_next",
+            "mre_tile_index_test_next_bands",
             "mre_tile_index_test_toks",
-            "mre_tile_index_test_toks_next",
+            "mre_tile_index_test_next_toks",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -511,9 +511,9 @@ def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
             "mre_tile_index_empty_test",
             "mre_tile_index_empty_test_next",
             "mre_tile_index_empty_test_bands",
-            "mre_tile_index_empty_test_bands_next",
+            "mre_tile_index_empty_test_next_bands",
             "mre_tile_index_empty_test_toks",
-            "mre_tile_index_empty_test_toks_next",
+            "mre_tile_index_empty_test_next_toks",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -721,3 +721,70 @@ def test_ann_serve_job_empty_queries_reject(spark, sf_dir, tmp_path):
             "mre_ivf_serve_empty_test_next_centroids",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_ingest_day2_prebuilt_loop(spark, sf_dir, tmp_path):
+    """The daily loop executed END-TO-END through the job surface: day 1
+    builds + rolls the three index tables; day 2 runs with prebuilt=True
+    against yesterday's *_next trio and catches a repeat of a document
+    that was APPENDED on day 1 — it never appeared in the original corpus,
+    so only the rolled (mergeable) state can catch it — while novel day-2
+    content still ships."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_spark.examples.incremental_ingest_job import run
+    from map_reduce_engine_spark.io import read_table
+
+    t = "mre_ingest_d2_test"
+    out1 = str(tmp_path / "day1")
+    try:
+        day1 = run(
+            spark, sf_dir, out1,
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=t,
+        ).collect()[0]
+        assert day1.n_appended > 0
+        payload1 = spark.read.parquet(f"{out1}/append_payload")
+        repeat_text = payload1.orderBy("id").limit(1).collect()[0].text
+
+        # day-2 fixture: same history (eval suite source) + a batch of one
+        # repeat of yesterday's append and one genuinely novel document
+        docs2 = tmp_path / "day2_fixture"
+        history = read_table(spark, sf_dir, "documents").where("doc_id < 250")
+        batch2 = spark.createDataFrame(
+            [
+                (300, repeat_text),
+                (301, " ".join(f"zz{i} qq{i}" for i in range(40))),
+            ],
+            ["doc_id", "text"],
+        )
+        history.select("doc_id", "text").unionByName(batch2).write.parquet(
+            str(docs2 / "documents.parquet")
+        )
+
+        day2 = run(
+            spark, str(docs2), str(tmp_path / "day2_out"),
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=f"{t}_next", prebuilt=True,
+        ).collect()[0]
+        assert day2.n_batch == 2
+        # yesterday's append is caught by the ROLLED state (excised to
+        # empty by its own rolled tiles, or dropped as a 1.0-Jaccard
+        # near-dup via the rolled band index — both are the rolled trio)
+        assert day2.n_emptied + day2.n_near_dup_dropped >= 1
+        payload2 = spark.read.parquet(str(tmp_path / "day2_out" / "append_payload"))
+        pay_ids = {r.id for r in payload2.select("id").collect()}
+        assert 300 not in pay_ids  # the repeat never ships twice
+        assert 301 in pay_ids  # novel content ships
+        # the loop keeps rolling: day 2 wrote its own *_next trio on top
+        # of day 1's, and the tile index is monotone across the chain
+        assert spark.table(f"{t}_next_next").count() >= spark.table(f"{t}_next").count()
+        assert spark.table(f"{t}_next_next_toks").count() == (
+            spark.table(f"{t}_next_toks").count() + day2.n_appended
+        )
+    finally:
+        for suffix in (
+            "", "_next", "_bands", "_next_bands", "_toks", "_next_toks",
+            "_next_next", "_next_next_bands", "_next_next_toks",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
