@@ -1160,3 +1160,92 @@ def test_fuzz_sampled_draw_vs_python_mirror(spark, case):
         dm = (1_000_000 * _py_base31(key)) // 2_147_483_648
         srank = 2 if (2 in ranked and dm >= p1) else 1
         assert got[w] == (p1, dm, srank, *ranked[srank]), (w, salt, got[w])
+
+
+# -------------------------------------------- stored-token-table verify
+
+
+@st.composite
+def verify_cases(draw):
+    """(hist docs, batch docs, candidate pairs, threshold): small corpora
+    over a 12-token vocabulary (overlaps are common by construction) and
+    an ARBITRARY candidate set — the verify must be correct for whatever
+    pair list the banding stage hands it, not just band-generated ones."""
+    vocab = [f"w{i}" for i in range(12)]
+    toklist = st.lists(st.sampled_from(vocab), min_size=2, max_size=14)
+    hist = draw(st.lists(toklist, min_size=2, max_size=6))
+    batch = draw(st.lists(toklist, min_size=1, max_size=5))
+    hist_ids = list(range(1, len(hist) + 1))
+    batch_ids = list(range(101, 101 + len(batch)))
+    all_pairs = [(b, h) for b in batch_ids for h in hist_ids]
+    cands = draw(
+        st.lists(st.sampled_from(all_pairs), min_size=1, unique=True)
+        if all_pairs
+        else st.just([])
+    )
+    threshold = draw(st.sampled_from([0.1, 0.3, 0.5, 0.8]))
+    return hist, batch, cands, threshold
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=verify_cases())
+def test_fuzz_jaccard_verify_stored_toks_vs_inline_and_mirror(spark, case):
+    """The round-10 batch-scaled verify (jaccard_pairs with hist_toks_df):
+    probing through a stored (id, toks) table must equal (a) the inline
+    both-sides form EXACTLY — same rows, same rounded values — and (b) a
+    Fraction-arithmetic Python mirror of set-Jaccard over the candidate
+    pairs, for every hypothesis corpus and every arbitrary candidate set."""
+    from fractions import Fraction
+
+    from map_reduce_engine_spark.operators.dedup import (
+        build_token_table,
+        jaccard_pairs,
+    )
+
+    hist, batch, cands, threshold = case
+    hist_rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(hist)]
+    batch_rows = [(101 + i, " ".join(toks)) for i, toks in enumerate(batch)]
+    hist_df = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    batch_df = spark.createDataFrame(batch_rows, ["id", "text"])
+    cands_df = spark.createDataFrame(cands, ["id1", "id2"])
+    toks_tbl = build_token_table(hist_df, "doc_id", "text")
+
+    via_stored = sorted(
+        map(
+            tuple,
+            jaccard_pairs(
+                batch_df, "id", "text", min_jaccard=threshold,
+                candidates=cands_df, hist_toks_df=toks_tbl,
+            ).collect(),
+        )
+    )
+    both = batch_df.unionByName(
+        hist_df.selectExpr("doc_id AS id", "text")
+    )
+    inline = sorted(
+        map(
+            tuple,
+            jaccard_pairs(
+                both, "id", "text", min_jaccard=threshold, candidates=cands_df
+            ).collect(),
+        )
+    )
+    assert via_stored == inline, (case,)
+
+    # Python mirror: exact set-Jaccard as a Fraction per candidate pair
+    hset = {i + 1: set(toks) for i, toks in enumerate(hist)}
+    bset = {101 + i: set(toks) for i, toks in enumerate(batch)}
+    expected = {}
+    for id1, id2 in cands:
+        a, b = bset[id1], hset[id2]
+        j = Fraction(len(a & b), len(a | b))
+        if j >= Fraction(threshold).limit_denominator(10):
+            expected[(id1, id2)] = j
+    assert {(r[0], r[1]) for r in via_stored} == set(expected), (case,)
+    for id1, id2, val in via_stored:
+        assert abs(val - float(expected[(id1, id2)])) < 5e-7, (case, id1, id2)
