@@ -197,33 +197,39 @@ def run(
         contaminated.select("id"), "id", "left_anti"
     ).localCheckpoint(eager=True)  # written, counted, and tile-sourced
 
-    # 6. roll both indexes forward: the appended payload's tiles and band
-    # entries union in — one pass over the BATCH each, the history is
-    # never retouched (mergeable-state contract)
+    # 6. roll all three stored tables forward: the appended payload's
+    # tiles, band entries, and token arrays union in — one pass over the
+    # BATCH each, the history is never retouched and (deliberately) never
+    # SHUFFLED: each roll's dedup guard is roll_forward_guard's broadcast-
+    # semi overlap probe (a linear scan of the stored side, wide work
+    # batch-sized), never a corpus-wide distinct()/left_anti exchange.
+    # Tiles have no doc id, so their guard is the anti-join on the hash
+    # itself — bucket-co-located with the stored table's layout.
     rolled = stored.unionByName(
-        dd.build_substring_index(payload, "id", "text", k=k)
-    ).distinct()
+        dd.build_substring_index(payload, "id", "text", k=k).join(
+            stored, "h", "left_anti"
+        )
+    )
     dd.write_substring_index(
         rolled, f"{index_table}_next", path=f"{out_dir}/tile_index_next"
     )
-    # .distinct() is the re-run/id-reuse guard (ADVICE r09): band entries
-    # are unique per (id, band), so distinct-of-union IS the per-doc union
-    # — a payload doc already present in the stored index cannot duplicate
-    # its rows or break count-based reconciliation on a repeat
+    # the guard makes a re-run/id-reuse repeat a no-op (ADVICE r09): a
+    # payload doc already present in the stored index contributes nothing,
+    # so count-based reconciliation survives repeats
     rolled_bands = stored_bands.unionByName(
-        dd.build_band_index(payload, "id", "text")
-    ).distinct()
+        dd.roll_forward_guard(
+            dd.build_band_index(payload, "id", "text"), stored_bands, ["id"]
+        )
+    )
     # tomorrow's trio is named <t>_next / <t>_next_bands / <t>_next_toks —
     # the same shape today's trio has under <t>, so a day-2 run chains by
     # just re-pointing index_table at <t>_next (prebuilt=True)
     dd.write_band_index(
         rolled_bands, f"{index_table}_next_bands", path=f"{out_dir}/band_index_next"
     )
-    # the verify token table rolls forward with the same guard shape —
-    # left_anti on id (one row per doc; array rows don't need a distinct)
     rolled_toks = stored_toks.unionByName(
-        dd.build_token_table(payload, "id", "text").join(
-            stored_toks.select("id"), "id", "left_anti"
+        dd.roll_forward_guard(
+            dd.build_token_table(payload, "id", "text"), stored_toks, ["id"]
         )
     )
     dd.write_token_table(

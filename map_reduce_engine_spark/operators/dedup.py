@@ -389,6 +389,30 @@ def read_token_table(
     return spark.table(table)
 
 
+def roll_forward_guard(
+    new_df: DataFrame, stored_df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """``new_df`` minus the rows whose key already exists in ``stored_df``
+    — the re-run/id-reuse guard every index roll-forward needs, built so
+    the STORED side is never shuffled.
+
+    The naive forms both pay a corpus-sized wide exchange every day: a
+    ``new_df.join(stored_df, key, "left_anti")`` hash-shuffles the whole
+    stored index (LeftAnti can only broadcast its right side, and the
+    stored side is the big one), and a ``distinct()`` over the rolled
+    union re-clusters the union. Instead: (1) semi-join the stored side
+    against a BROADCAST of the batch's (tiny, distinct) key set — one
+    linear scan of the stored table with an in-memory probe, no exchange;
+    the result is only the overlap, at most batch-sized; (2) anti-join
+    ``new_df`` against that small overlap — also broadcastable. Total
+    wide work is batch-sized; the stored table is read once, moved never.
+    """
+    overlap = stored_df.select(*key_cols).join(
+        F.broadcast(new_df.select(*key_cols).distinct()), key_cols, "left_semi"
+    )
+    return new_df.join(F.broadcast(overlap), key_cols, "left_anti")
+
+
 def minhash_cross_candidates(
     sig_new: DataFrame,
     sig_hist: DataFrame | None,

@@ -353,10 +353,18 @@ def ivf_roll_forward(
     The centroids themselves go STALE as the corpus grows or drifts —
     check :func:`ivf_staleness` after rolling; when it flags
     ``retrain_due`` the next build should be a fresh
-    :func:`ivf_train_assign` over the full corpus."""
+    :func:`ivf_train_assign` over the full corpus.
+
+    The re-run guard is ``dedup.roll_forward_guard``'s broadcast-semi
+    overlap probe, not a naive anti-join: LeftAnti can only broadcast its
+    right side, so anti-joining the batch against the stored assignment
+    would hash-shuffle the whole corpus-sized table every day — the guard
+    scans it once with an in-memory probe instead."""
+    from map_reduce_engine_spark.operators.dedup import roll_forward_guard
+
     centers, cb = index
-    fresh = ivf_assign(centers, batch, id_col, vec_col).join(
-        cb.select("neighbor_id"), "neighbor_id", "left_anti"
+    fresh = roll_forward_guard(
+        ivf_assign(centers, batch, id_col, vec_col), cb, ["neighbor_id"]
     )
     return centers, cb.unionByName(fresh)
 

@@ -780,6 +780,43 @@ def test_register_bucketed_table_recovers_dropped_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS recoverable_idx_test")
 
 
+def test_roll_forward_guard_semantics_and_plan(spark, tmp_path):
+    """The daily dedup guard never moves the stored side: correct rows
+    (new minus already-stored keys; a full re-run yields nothing) AND a
+    plan made of two broadcast hash joins — no sort-merge join, no hash
+    exchange of the stored table (LeftAnti could only broadcast its right
+    side, so the naive anti would shuffle the corpus-sized index)."""
+    from map_reduce_engine_spark.operators.dedup import roll_forward_guard
+
+    stored_path = str(tmp_path / "stored_idx")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 101)], ["id", "payload"]
+    ).write.parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    new = spark.createDataFrame(
+        [(99, "re-run"), (100, "re-run"), (101, "fresh"), (102, "fresh")],
+        ["id", "payload"],
+    )
+    guarded = roll_forward_guard(new, stored, ["id"])
+    assert sorted(r.id for r in guarded.collect()) == [101, 102]
+    # a pure re-run (everything already stored) contributes nothing
+    rerun = roll_forward_guard(new.where("id <= 100"), stored, ["id"])
+    assert rerun.count() == 0
+    # AQE prints Final + Initial plans; assert on the final one only
+    plan = (
+        guarded._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # semi probe + anti
+    assert "SortMergeJoin" not in plan, plan
+    # the only repartitioning exchange is the BATCH-key distinct feeding
+    # the broadcast (batch-sized by construction); the stored relation
+    # reaches its semi join un-exchanged
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_register_bucketed_table_rejects_injectable_fragments(spark, tmp_path):
     """The recovery DDL is the one statement users type by hand (ADVICE
     r09): identifiers are validated + backtick-quoted and the path/column
