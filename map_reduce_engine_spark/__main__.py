@@ -114,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="day-2+ mode: probe the EXISTING index tables named by "
         "--index-table (yesterday's *_next trio) instead of building them "
-        "from the history",
+        "from the history; needs a FRESH output_dir per day (the run "
+        "refuses to overwrite the files backing the stored tables)",
     )
     ann = sub.add_parser(
         "ann-serve",

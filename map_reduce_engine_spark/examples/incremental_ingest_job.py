@@ -89,7 +89,13 @@ def run(
     suite separately anyway), and every probe runs against yesterday's
     rolled state — so a document appended on day 1 is caught as a
     duplicate on day 2 even though it never appeared in the original
-    corpus."""
+    corpus.
+
+    Each day needs a FRESH ``out_dir``: stage 6 writes tomorrow's trio to
+    ``{out_dir}/*_next``, and reusing yesterday's directory would
+    overwrite the very files backing the stored tables being read in the
+    same plan — the run refuses (``assert_fresh_write_target``) before
+    touching anything (ADVICE r10)."""
     from map_reduce_engine_spark.io import read_table, write_parquet
     from map_reduce_engine_spark.operators import dedup as dd
 
@@ -157,6 +163,17 @@ def run(
     # on the band side, silently-wrong similarities on the verify side)
     stored_bands = dd.read_band_index(spark, f"{index_table}_bands")
     stored_toks = dd.read_token_table(spark, f"{index_table}_toks")
+    # overwrite guard (ADVICE r10): stage 6 writes tomorrow's trio to
+    # {out_dir}/*_next — if a prebuilt run reused yesterday's output_dir,
+    # those targets ARE the files backing the stored tables read above
+    # (lazy scans — overwriting them mid-plan deletes the only copy of the
+    # rolled state). Fail fast, before any stage runs or file moves.
+    for tbl, target in (
+        (index_table, f"{out_dir}/tile_index_next"),
+        (f"{index_table}_bands", f"{out_dir}/band_index_next"),
+        (f"{index_table}_toks", f"{out_dir}/token_table_next"),
+    ):
+        dd.assert_fresh_write_target(spark, tbl, target)
     sig_new = dd.minhash_signatures(alive, "id", "text")
     cands = dd.minhash_cross_candidates(sig_new, None, hist_index_df=stored_bands)
     near_dups = (

@@ -17,6 +17,7 @@ pass that scales to 100 TB:
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -243,10 +244,68 @@ def build_band_index(
     daily batches probe the STORED table and the history text/signatures
     are never recomputed (the MinHash twin of
     :func:`build_substring_index`). Rolling a deduplicated batch in is the
-    batch's own band entries unioned on — mergeable state, no rebuild."""
+    batch's own band entries unioned on — mergeable state, no rebuild.
+
+    The banding knobs are ANNOTATED on the returned frame (column metadata
+    on ``band``) so they travel WITH the build: :func:`write_band_index`
+    records exactly what the index was built with, never a caller's
+    re-statement of it (ADVICE r10 — a writer re-asking for the knobs can
+    record defaults for a non-default build, arming the read-time
+    assertion against the CORRECT probe)."""
     return band_buckets(
         minhash_signatures(df, id_col, text_col, num_hashes), bands, rows_per_band
+    ).withMetadata(
+        "band",
+        {
+            "mre.bands": int(bands),
+            "mre.rows_per_band": int(rows_per_band),
+            "mre.num_hashes": int(num_hashes),
+        },
     )
+
+
+def _resolve_build_params(
+    embedded: dict,
+    requested: dict[str, int | None],
+    defaults: dict[str, int],
+    what: str,
+) -> dict[str, int]:
+    """Reconcile a writer's keyword overrides against the knob metadata the
+    build annotated on the frame (ADVICE r10): embedded values win; an
+    explicit override that CONTRADICTS them is a loud error (recording the
+    wrong provenance would arm the read-time assertion against the correct
+    probe); with no annotation (a hand-built frame) the overrides — else
+    the documented defaults — are taken at the caller's word."""
+    out = {}
+    for key, default in defaults.items():
+        got = embedded.get(key)
+        want = requested.get(key)
+        if got is not None and want is not None and int(got) != int(want):
+            raise ValueError(
+                f"{what} was BUILT with {key}={int(got)} but the writer was "
+                f"told {int(want)} — the build's annotation is authoritative; "
+                "drop the writer override or rebuild with the intended knobs"
+            )
+        out[key] = int(got) if got is not None else (
+            int(want) if want is not None else default
+        )
+    return out
+
+
+def _set_tblproperties(spark, table: str, props: dict[str, str]) -> None:
+    """ALTER TABLE SET TBLPROPERTIES, with the half-written-state hazard
+    closed (ADVICE r10): if the ALTER fails after ``saveAsTable``
+    succeeded, the table would persist WITHOUT its parameter provenance —
+    indistinguishable from a legacy table, so ``read_*`` would silently
+    bless any probe. Drop the registration (files at an external path
+    survive; :func:`register_bucketed_table` restores them) and re-raise
+    so the failure is loud and the unprotected state never persists."""
+    kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+    try:
+        spark.sql(f"ALTER TABLE {_quote_ident(table)} SET TBLPROPERTIES ({kv})")
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(table)}")
+        raise
 
 
 def write_band_index(
@@ -254,22 +313,41 @@ def write_band_index(
     table: str,
     path: str | None = None,
     n_buckets: int = 32,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    num_hashes: int = 64,
+    *,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    num_hashes: int | None = None,
 ) -> None:
     """Persist a band-bucket index as a parquet table BUCKETED on
     (band, bucket) — the probe join's exact key, so the stored side is
     hash-clustered on disk. Catalog-addressed for the same reason as
     :func:`write_substring_index` (Spark bucketing lives in the catalog).
 
-    The banding parameters the index was BUILT with (``bands`` /
-    ``rows_per_band`` / ``num_hashes`` — :func:`build_band_index`'s knobs)
-    are recorded as table properties: a probe banded differently from the
-    stored side silently lands in a disjoint bucket space (zero
-    candidates), so the parameters travel WITH the table and
-    :func:`read_band_index` asserts them at probe time — the band twin of
-    the tile index pinning its ``k``."""
+    The banding parameters the index was BUILT with are recorded as table
+    properties: a probe banded differently from the stored side silently
+    lands in a disjoint bucket space (zero candidates), so the parameters
+    travel WITH the table and :func:`read_band_index` asserts them at
+    probe time — the band twin of the tile index pinning its ``k``.
+
+    The values come from the BUILD, not the caller: :func:`build_band_index`
+    (and :func:`read_band_index` on read-back, so roll-forward unions keep
+    provenance) annotates its knobs on the ``band`` column's metadata, and
+    this writer records those. The keyword overrides exist only for
+    hand-built frames with no annotation; passing one that contradicts the
+    annotation is a loud error (ADVICE r10 — recording a caller's
+    re-statement instead of the build's truth turns the read-time
+    assertion into an authoritative-looking wrong answer)."""
+    _quote_ident(table)  # fail on a bad name BEFORE any files move
+    params = _resolve_build_params(
+        dict(index_df.schema["band"].metadata),
+        {
+            "mre.bands": bands,
+            "mre.rows_per_band": rows_per_band,
+            "mre.num_hashes": num_hashes,
+        },
+        {"mre.bands": 16, "mre.rows_per_band": 4, "mre.num_hashes": 64},
+        f"band index {table!r}",
+    )
     writer = (
         index_df.write.mode("overwrite")
         .format("parquet")
@@ -279,11 +357,8 @@ def write_band_index(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    index_df.sparkSession.sql(
-        f"ALTER TABLE {_quote_ident(table)} SET TBLPROPERTIES ("
-        f"'mre.bands' = '{int(bands)}', "
-        f"'mre.rows_per_band' = '{int(rows_per_band)}', "
-        f"'mre.num_hashes' = '{int(num_hashes)}')"
+    _set_tblproperties(
+        index_df.sparkSession, table, {k: str(v) for k, v in params.items()}
     )
 
 
@@ -301,7 +376,11 @@ def read_band_index(
     into a loud ValueError at read time. Tables written before the
     properties existed (or registered by hand via
     :func:`register_bucketed_table`) have no recorded parameters and pass
-    through with the caller's word taken."""
+    through with the caller's word taken — LOUDLY (a ``UserWarning``), so
+    an unprotected table is never mistaken for an asserted one (ADVICE
+    r10). The recorded parameters are re-annotated on the returned frame's
+    ``band`` column metadata, so a roll-forward union headed by this frame
+    carries the build's provenance into :func:`write_band_index`."""
     props = {
         r["key"]: r["value"]
         for r in spark.sql(
@@ -321,7 +400,20 @@ def read_band_index(
                 f"probe requested {int(want)} — mismatched banding probes a "
                 "disjoint bucket space (zero candidates)"
             )
-    return spark.table(table)
+    df = spark.table(table)
+    if all(k in props for k in expected):
+        return df.withMetadata(
+            "band", {k: int(props[k]) for k in expected}
+        )
+    warnings.warn(
+        f"band index {table!r} has no recorded banding parameters "
+        "(legacy or hand-registered table) — the probe's banding is taken "
+        "at the caller's word, a mismatch would silently yield zero "
+        "candidates",
+        UserWarning,
+        stacklevel=2,
+    )
+    return df
 
 
 def build_token_table(
@@ -334,9 +426,22 @@ def build_token_table(
     on ``id`` — the verify join's key) means a daily batch's verify never
     re-tokenizes the history text — the cost that made the ingest verify
     history-sized (VERDICT r09 #1). Mergeable state like the band index:
-    rolling a deduplicated batch in is the batch's own rows unioned on."""
+    rolling a deduplicated batch in is the batch's own rows unioned on.
+
+    The tokenization unit is ANNOTATED on the returned frame (column
+    metadata on ``toks``) so :func:`write_token_table` records what the
+    table was actually built with, never a caller's re-statement of it
+    (ADVICE r10)."""
     unit = tokens_col(text_col) if shingle_n is None else shingles_col(text_col, shingle_n)
-    return df.select(F.col(id_col).alias("id"), F.array_distinct(unit).alias("toks"))
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(unit).alias("toks")
+    ).withMetadata(
+        "toks",
+        {"mre.shingle_n": "none" if shingle_n is None else str(int(shingle_n))},
+    )
+
+
+_UNSPECIFIED = object()  # distinguishes "no override" from shingle_n=None
 
 
 def write_token_table(
@@ -344,14 +449,35 @@ def write_token_table(
     table: str,
     path: str | None = None,
     n_buckets: int = 32,
-    shingle_n: int | None = None,
+    *,
+    shingle_n: object = _UNSPECIFIED,
 ) -> None:
     """Persist a verify token table as a parquet table BUCKETED on ``id``
-    (the verify join's key). The tokenization unit it was built with
-    (``shingle_n`` — None = whitespace tokens) is recorded as a table
+    (the verify join's key). The tokenization unit the table was built
+    with (``shingle_n`` — None = whitespace tokens) is recorded as a table
     property and asserted by :func:`read_token_table`: verifying
     word-token Jaccard against a shingle-built table silently reports
-    wrong similarities, the same failure family as mismatched banding."""
+    wrong similarities, the same failure family as mismatched banding.
+
+    The recorded value comes from :func:`build_token_table`'s annotation
+    on the ``toks`` column metadata (re-attached by
+    :func:`read_token_table`, so roll-forward unions keep it) — the
+    ``shingle_n`` keyword exists only for hand-built frames with no
+    annotation, and contradicting the annotation is a loud error
+    (ADVICE r10)."""
+    _quote_ident(table)  # fail on a bad name BEFORE any files move
+    embedded = dict(tok_df.schema["toks"].metadata).get("mre.shingle_n")
+    if shingle_n is _UNSPECIFIED:
+        unit = embedded if embedded is not None else "none"
+    else:
+        unit = "none" if shingle_n is None else str(int(shingle_n))  # type: ignore[arg-type]
+        if embedded is not None and str(embedded) != unit:
+            raise ValueError(
+                f"token table {table!r} was BUILT with shingle_n={embedded} "
+                f"but the writer was told {unit} — the build's annotation is "
+                "authoritative; drop the writer override or rebuild with the "
+                "intended unit"
+            )
     writer = (
         tok_df.write.mode("overwrite")
         .format("parquet")
@@ -361,9 +487,8 @@ def write_token_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    tok_df.sparkSession.sql(
-        f"ALTER TABLE {_quote_ident(table)} SET TBLPROPERTIES ("
-        f"'mre.shingle_n' = '{'none' if shingle_n is None else int(shingle_n)}')"
+    _set_tblproperties(
+        tok_df.sparkSession, table, {"mre.shingle_n": str(unit)}
     )
 
 
@@ -372,8 +497,11 @@ def read_token_table(
 ) -> DataFrame:
     """Read a persisted verify token table back, asserting the caller's
     tokenization unit matches what the table was built with (recorded by
-    :func:`write_token_table`). Tables without the property (hand-registered
-    via :func:`register_bucketed_table`) pass through unchecked."""
+    :func:`write_token_table`). Tables without the property
+    (hand-registered via :func:`register_bucketed_table`) pass through
+    with a ``UserWarning`` (ADVICE r10 — unprotected is never silent).
+    The recorded unit is re-annotated on the returned frame's ``toks``
+    column metadata so roll-forward unions keep the provenance."""
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {_quote_ident(table)}").collect()
@@ -386,7 +514,17 @@ def read_token_table(
             f"verify requested {want} — mismatched tokenization units make "
             "every Jaccard value silently wrong"
         )
-    return spark.table(table)
+    df = spark.table(table)
+    if got is not None:
+        return df.withMetadata("toks", {"mre.shingle_n": str(got)})
+    warnings.warn(
+        f"token table {table!r} has no recorded tokenization unit (legacy "
+        "or hand-registered table) — the verify's unit is taken at the "
+        "caller's word, a mismatch would make every Jaccard silently wrong",
+        UserWarning,
+        stacklevel=2,
+    )
+    return df
 
 
 def roll_forward_guard(
@@ -954,6 +1092,92 @@ def _quote_ident(name: str) -> str:
     return ".".join(f"`{p}`" for p in parts)
 
 
+_TYPE_CHARS_RE = re.compile(r"^[A-Za-z0-9_<>(), ]+$")
+
+
+def _validate_columns_sql(columns_sql: str) -> None:
+    """Validate a ``CREATE TABLE`` column-list fragment as a comma-separated
+    list of ``ident TYPE`` pairs before it is interpolated into DDL.
+
+    Statement punctuation (``;'"`` and backticks) is banned outright, but
+    parentheses and angle brackets are ALLOWED where a type legitimately
+    needs them — ``DECIMAL(10,2)``, ``VARCHAR(64)``, ``ARRAY<DOUBLE>``,
+    ``MAP<STRING,INT>`` — as long as they are balanced (ADVICE r10: the
+    previous blanket ``(``/``)`` ban over-blocked every parameterized type
+    from the documented catalog-recovery path). Splitting on commas at
+    nesting depth 0 keeps ``DECIMAL(10,2)``'s comma inside its own column
+    entry; an unbalanced bracket (the injection shape — closing the DDL's
+    own column list early) is a loud error."""
+    if any(ch in columns_sql for ch in ";'\"`"):
+        raise ValueError(
+            "columns_sql must be a plain column list of `ident TYPE` pairs "
+            f'(e.g. "h BIGINT, score DECIMAL(10,2)"), got {columns_sql!r}'
+        )
+    entries, depth, cur = [], 0, []
+    for ch in columns_sql:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    f"unbalanced brackets in columns_sql: {columns_sql!r}"
+                )
+        if ch == "," and depth == 0:
+            entries.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced brackets in columns_sql: {columns_sql!r}")
+    entries.append("".join(cur))
+    for entry in entries:
+        parts = entry.strip().split(None, 1)
+        if len(parts) != 2 or not _IDENT_RE.match(parts[0]) or not _TYPE_CHARS_RE.match(parts[1]):
+            raise ValueError(
+                f"columns_sql entry {entry.strip()!r} is not an "
+                "`ident TYPE` pair"
+            )
+
+
+def table_location(spark, table: str) -> str | None:
+    """The storage location of a catalog table (normalized: scheme prefix
+    and trailing slashes stripped), or None for a managed table with no
+    explicit location row. Used by the example jobs' overwrite guards: a
+    prebuilt (day-2+) run must never write tomorrow's index over the very
+    files backing the stored table it is reading in the same plan
+    (ADVICE r10 — mid-read file deletion at best, loss of the only dedup
+    state at worst)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {_quote_ident(table)}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            return _normalize_location(r["data_type"])
+    return None
+
+
+def _normalize_location(loc: str) -> str:
+    loc = (loc or "").strip()
+    if "://" in loc:
+        loc = loc.split("://", 1)[1]
+    elif loc.startswith("file:"):
+        loc = loc[len("file:"):]
+    return loc.rstrip("/")
+
+
+def assert_fresh_write_target(spark, table: str, write_path: str) -> None:
+    """Raise if ``write_path`` is the very location backing catalog
+    ``table`` — the guard the prebuilt loops run BEFORE any overwrite
+    (reads of ``table`` are lazy; overwriting its files mid-plan deletes
+    them out from under the scan)."""
+    loc = table_location(spark, table)
+    if loc is not None and loc == _normalize_location(write_path):
+        raise ValueError(
+            f"refusing to overwrite {write_path!r}: it backs the stored "
+            f"table {table!r} being read in this run — prebuilt (day-2+) "
+            "runs need a FRESH output_dir per day (yesterday's files are "
+            "the only copy of the rolled index state)"
+        )
+
+
 def register_bucketed_table(
     spark,
     table: str,
@@ -982,11 +1206,7 @@ def register_bucketed_table(
     punctuation."""
     if "'" in path or '"' in path:
         raise ValueError(f"path may not contain quote characters: {path!r}")
-    if any(ch in columns_sql for ch in ";'\"`()"):
-        raise ValueError(
-            f"columns_sql must be a plain column list (e.g. \"h BIGINT\"), "
-            f"got {columns_sql!r}"
-        )
+    _validate_columns_sql(columns_sql)
     cluster = ", ".join(_quote_ident(c) for c in bucket_cols)
     spark.sql(
         f"CREATE TABLE {_quote_ident(table)} ({columns_sql}) USING parquet "

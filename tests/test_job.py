@@ -404,6 +404,7 @@ def test_data_selection_job(spark, sf_dir, tmp_path):
     assert {"source", "distinct1_ppm", "distinct2_ppm"} <= set(div.columns)
 
 
+@pytest.mark.indexes
 def test_incremental_ingest_job(spark, sf_dir, tmp_path):
     """The daily-crawl ingest chain (VERDICT r08 ask #1): every artifact is
     written, the drop stages are disjoint, and the gate row reconciles
@@ -485,6 +486,7 @@ def test_incremental_ingest_job(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.indexes
 def test_incremental_ingest_job_empty_batch_rejects(spark, sf_dir, tmp_path):
     """An ingest with NO new documents is an explicit REJECT (coalesced
     verdict — the tokenizer-bakeoff NULL-gate lesson), never a silent
@@ -646,6 +648,7 @@ def test_tokenizer_bakeoff_codelength_leg(spark, sf_dir, tmp_path):
     assert 0 < row.uni_micronats_per_char < 20_000_000  # < 20 nats/char
 
 
+@pytest.mark.indexes
 def test_ann_serve_job(spark, sf_dir, tmp_path):
     """The ANN tier's product composition (VERDICT r09 #4): train + persist
     on the history, roll today's batch forward with NO retrain, serve from
@@ -690,6 +693,7 @@ def test_ann_serve_job(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.indexes
 def test_ann_serve_job_empty_queries_reject(spark, sf_dir, tmp_path):
     """No queries (or an empty history) is an explicit REJECT, never a
     silent NULL-gate approval."""
@@ -723,6 +727,7 @@ def test_ann_serve_job_empty_queries_reject(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.indexes
 def test_incremental_ingest_day2_prebuilt_loop(spark, sf_dir, tmp_path):
     """The daily loop executed END-TO-END through the job surface: day 1
     builds + rolls the three index tables; day 2 runs with prebuilt=True
@@ -782,6 +787,47 @@ def test_incremental_ingest_day2_prebuilt_loop(spark, sf_dir, tmp_path):
         assert spark.table(f"{t}_next_next_toks").count() == (
             spark.table(f"{t}_next_toks").count() + day2.n_appended
         )
+    finally:
+        for suffix in (
+            "", "_next", "_bands", "_next_bands", "_toks", "_next_toks",
+            "_next_next", "_next_next_bands", "_next_next_toks",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+@pytest.mark.indexes
+def test_incremental_ingest_prebuilt_refuses_stale_output_dir(spark, sf_dir, tmp_path):
+    """ADVICE r10: a prebuilt (day-2+) run that reuses yesterday's
+    output_dir would overwrite the very files backing the stored *_next
+    trio it is reading in the same plan — the run must refuse up front,
+    before any stage computes or any file moves."""
+    import pytest as _pytest
+
+    from map_reduce_engine_spark.examples.incremental_ingest_job import run
+
+    t = "mre_ingest_freshdir_test"
+    out1 = str(tmp_path / "day1")
+    try:
+        run(
+            spark, sf_dir, out1,
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=t,
+        ).collect()
+        # day 2 re-points at yesterday's *_next trio but REUSES out1:
+        # the _next write targets are the stored tables' own files
+        with _pytest.raises(ValueError, match="FRESH output_dir"):
+            run(
+                spark, sf_dir, out1,
+                max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+                index_table=f"{t}_next", prebuilt=True,
+            )
+        # the stored trio survived untouched and a fresh dir works
+        assert spark.table(f"{t}_next").count() > 0
+        run(
+            spark, sf_dir, str(tmp_path / "day2"),
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=f"{t}_next", prebuilt=True,
+        ).collect()
     finally:
         for suffix in (
             "", "_next", "_bands", "_next_bands", "_toks", "_next_toks",

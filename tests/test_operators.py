@@ -472,6 +472,7 @@ def test_substring_dedup_k50_catches_60_not_40(spark):
     assert rw2[2] == ("", 60) and rw2[1][1] == 0, rw2
 
 
+@pytest.mark.indexes
 def test_incremental_substring_dedup_probes_corpus_index(spark):
     """The batch-vs-corpus probe (VERDICT r07 ask #2): a batch document
     sharing a 60-token run with the CORPUS is excised (full span), a
@@ -530,6 +531,7 @@ def test_incremental_substring_dedup_probes_corpus_index(spark):
     assert rw[12][0] == batch_only60
 
 
+@pytest.mark.indexes
 def test_substring_index_build_persist_probe_roundtrip(spark, tmp_path):
     """The canonical-tile index's persist-and-probe contract (VERDICT r08
     ask #2, executable): build writes the distinct tile-hash set as a
@@ -593,6 +595,7 @@ def test_substring_index_build_persist_probe_roundtrip(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS tile_index_roundtrip_test")
 
 
+@pytest.mark.indexes
 def test_ivf_index_build_persist_probe_roundtrip(spark, sf_dir, tmp_path):
     """The ANN sibling of the tile/band index contract: the trained IVF
     index (centroids + cell assignment) persists as a cell-bucketed table
@@ -645,6 +648,7 @@ def test_ivf_index_build_persist_probe_roundtrip(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ivf_index_roundtrip_test_centroids")
 
 
+@pytest.mark.indexes
 def test_ivf_roll_forward_matches_full_assign_and_iterates(spark, sf_dir, tmp_path):
     """The ANN tier's mergeable-state story (VERDICT r09 #3): rolling an
     appended batch into a stored IVF index — batch-only assignment against
@@ -718,6 +722,7 @@ def test_ivf_roll_forward_matches_full_assign_and_iterates(spark, sf_dir, tmp_pa
     assert skew["skewed"] and skew["retrain_due"]
 
 
+@pytest.mark.indexes
 def test_register_bucketed_table_recovers_dropped_index(spark, tmp_path):
     """Catalog-loss recovery: dropping an external index table leaves its
     bucketed parquet files intact, and register_bucketed_table restores
@@ -780,6 +785,7 @@ def test_register_bucketed_table_recovers_dropped_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS recoverable_idx_test")
 
 
+@pytest.mark.indexes
 def test_roll_forward_guard_semantics_and_plan(spark, tmp_path):
     """The daily dedup guard never moves the stored side: correct rows
     (new minus already-stored keys; a full re-run yields nothing) AND a
@@ -817,6 +823,7 @@ def test_roll_forward_guard_semantics_and_plan(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+@pytest.mark.indexes
 def test_register_bucketed_table_rejects_injectable_fragments(spark, tmp_path):
     """The recovery DDL is the one statement users type by hand (ADVICE
     r09): identifiers are validated + backtick-quoted and the path/column
@@ -837,6 +844,7 @@ def test_register_bucketed_table_rejects_injectable_fragments(spark, tmp_path):
         register_bucketed_table(spark, "t", ok, "h BIGINT); DROP TABLE x; --", ["h"])
 
 
+@pytest.mark.indexes
 def test_ivf_centroid_companion_nested_under_index_path(spark, sf_dir, tmp_path):
     """The centroid half of a persisted IVF index lives INSIDE the index
     directory (``{path}/_centroids`` — ADVICE r09: a sibling directory
@@ -867,6 +875,7 @@ def test_ivf_centroid_companion_nested_under_index_path(spark, sf_dir, tmp_path)
         spark.sql("DROP TABLE IF EXISTS ivf_nested_layout_test_centroids")
 
 
+@pytest.mark.indexes
 def test_rolled_index_catches_next_day_repeats(spark):
     """The roll-forward contract that makes the ingest loop actually
     iterate: after day 1 appends a novel document and unions its tiles
@@ -911,6 +920,7 @@ def test_rolled_index_catches_next_day_repeats(spark):
     assert led1 == {20: 60, 21: 0}, led1
 
 
+@pytest.mark.indexes
 def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
     """The MinHash twin of the tile-index contract: the history's band
     entries persist as a table bucketed on the probe's exact (band, bucket)
@@ -963,6 +973,7 @@ def test_band_index_build_persist_probe_roundtrip(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_index_roundtrip_test")
 
 
+@pytest.mark.indexes
 def test_token_table_persist_verify_roundtrip(spark, tmp_path):
     """The verify-side companion of the band index (VERDICT r09 #1): the
     history's (id, toks) arrays persist bucketed on id, and the exact-
@@ -2083,3 +2094,208 @@ def test_unigram_train_deterministic(spark):
         map(tuple, unigram_lm.unigram_train(words.repartition(7), **kw).collect())
     )
     assert a == b
+
+
+@pytest.mark.indexes
+def test_index_params_travel_with_the_build_not_the_writer(spark, tmp_path):
+    """ADVICE r10 (medium): a NON-DEFAULT build written without forwarding
+    its knobs must record the build's true parameters — the build
+    annotates them on the frame and the writer consumes the annotation.
+    The exact failure this closes: defaults recorded for a (8,8)-banded
+    index, so the read-time assertion rejected the CORRECT probe and
+    silently blessed a default-banded one."""
+    from map_reduce_engine_spark.operators.dedup import (
+        build_band_index,
+        build_token_table,
+        read_band_index,
+        read_token_table,
+        write_band_index,
+        write_token_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    try:
+        # non-default banding, writer NOT told about it
+        write_band_index(
+            build_band_index(docs, "doc_id", "text", bands=8, rows_per_band=8),
+            "prov_bands_test",
+            path=str(tmp_path / "bands"),
+            n_buckets=4,
+        )
+        # the CORRECT probe passes; the default-banded probe is rejected
+        read_band_index(spark, "prov_bands_test", bands=8, rows_per_band=8)
+        with pytest.raises(ValueError, match="mre.bands"):
+            read_band_index(spark, "prov_bands_test")
+        # a writer override CONTRADICTING the build annotation is loud
+        with pytest.raises(ValueError, match="annotation is authoritative"):
+            write_band_index(
+                build_band_index(docs, "doc_id", "text", bands=8, rows_per_band=8),
+                "prov_bands_test2",
+                path=str(tmp_path / "bands2"),
+                bands=16,
+            )
+        # same contract for the token table's tokenization unit
+        write_token_table(
+            build_token_table(docs, "doc_id", "text", shingle_n=3),
+            "prov_toks_test",
+            path=str(tmp_path / "toks"),
+            n_buckets=4,
+        )
+        read_token_table(spark, "prov_toks_test", shingle_n=3)
+        with pytest.raises(ValueError, match="shingle_n"):
+            read_token_table(spark, "prov_toks_test")
+        with pytest.raises(ValueError, match="annotation is authoritative"):
+            write_token_table(
+                build_token_table(docs, "doc_id", "text", shingle_n=3),
+                "prov_toks_test2",
+                path=str(tmp_path / "toks2"),
+                shingle_n=None,
+            )
+    finally:
+        for t in ("prov_bands_test", "prov_bands_test2", "prov_toks_test", "prov_toks_test2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.indexes
+def test_index_params_survive_read_rollforward_union_rewrite(spark, tmp_path):
+    """The roll-forward loop keeps provenance: day 2 reads the stored
+    (non-default) index, unions a guarded batch in, and writes tomorrow's
+    table WITHOUT restating any knobs — the read-back re-annotation must
+    carry the build's parameters through the union into the new table."""
+    from map_reduce_engine_spark.operators.dedup import (
+        build_band_index,
+        read_band_index,
+        roll_forward_guard,
+        write_band_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    day2 = spark.createDataFrame(
+        [(100 + i, " ".join(f"z{(i * 5 + j) % 37}" for j in range(30))) for i in range(3)],
+        ["doc_id", "text"],
+    )
+    try:
+        write_band_index(
+            build_band_index(day1, "doc_id", "text", bands=8, rows_per_band=8),
+            "prov_roll_test",
+            path=str(tmp_path / "roll"),
+            n_buckets=4,
+        )
+        stored = read_band_index(spark, "prov_roll_test", bands=8, rows_per_band=8)
+        batch = build_band_index(day2, "doc_id", "text", bands=8, rows_per_band=8)
+        rolled = stored.unionByName(roll_forward_guard(batch, stored, ["id"]))
+        write_band_index(
+            rolled, "prov_roll_test_next", path=str(tmp_path / "roll_next"), n_buckets=4
+        )
+        # tomorrow's table still records the (8,8) build — NOT the defaults
+        read_band_index(spark, "prov_roll_test_next", bands=8, rows_per_band=8)
+        with pytest.raises(ValueError, match="mre.bands"):
+            read_band_index(spark, "prov_roll_test_next")
+    finally:
+        for t in ("prov_roll_test", "prov_roll_test_next"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.indexes
+def test_register_bucketed_table_allows_parameterized_types(spark, tmp_path):
+    """ADVICE r10: the recovery DDL must accept parameterized column types
+    (DECIMAL(10,2), ARRAY<DOUBLE>, MAP<STRING,INT>) — the previous blanket
+    paren ban over-blocked legitimate schemas — while unbalanced brackets
+    (the injection shape) and statement punctuation stay loud errors."""
+    from map_reduce_engine_spark.operators.dedup import (
+        register_bucketed_table,
+    )
+
+    # a real round-trip with a DECIMAL column
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "h BIGINT, score DOUBLE").selectExpr(
+        "h", "CAST(score AS DECIMAL(10,2)) AS score"
+    )
+    path = str(tmp_path / "decidx")
+    df.write.format("parquet").bucketBy(4, "h").sortBy("h").option(
+        "path", path
+    ).saveAsTable("dec_idx_test")
+    try:
+        spark.sql("DROP TABLE dec_idx_test")  # registration lost, files remain
+        back = register_bucketed_table(
+            spark,
+            "dec_idx_test",
+            path,
+            "h BIGINT, score DECIMAL(10,2)",
+            ["h"],
+            n_buckets=4,
+        )
+        assert back.count() == 2
+        cols = {c.name: c for c in spark.catalog.listColumns("dec_idx_test")}
+        assert cols["h"].isBucket
+        # nested generics with inner commas are fine too (validation only)
+        from map_reduce_engine_spark.operators.dedup import _validate_columns_sql
+
+        _validate_columns_sql("id BIGINT, emb ARRAY<DOUBLE>, m MAP<STRING,INT>")
+        _validate_columns_sql("v VARCHAR(64), d DECIMAL(10,2)")
+        for bad in (
+            "h BIGINT) LOCATION '/x'",   # quote + unbalanced
+            "h BIGINT)",                  # unbalanced close
+            "h DECIMAL(10,2",             # unbalanced open
+            "h BIGINT; DROP TABLE x",     # statement punctuation
+            "h",                          # not an ident TYPE pair
+            "1h BIGINT",                  # bad identifier
+        ):
+            with pytest.raises(ValueError):
+                _validate_columns_sql(bad)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dec_idx_test")
+
+
+@pytest.mark.indexes
+def test_read_index_warns_on_unprotected_tables(spark, tmp_path):
+    """ADVICE r10: a property-less (legacy / hand-registered) table passes
+    through at the caller's word — but LOUDLY, with a UserWarning, so the
+    unprotected state is never mistaken for an asserted one."""
+    import warnings as _w
+
+    from map_reduce_engine_spark.operators.dedup import (
+        build_band_index,
+        build_token_table,
+        read_band_index,
+        read_token_table,
+        register_bucketed_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    bpath, tpath = str(tmp_path / "wb"), str(tmp_path / "wt")
+    build_band_index(docs, "doc_id", "text").write.format("parquet").bucketBy(
+        4, "band", "bucket"
+    ).sortBy("band", "bucket").option("path", bpath).saveAsTable("warn_bands_raw")
+    build_token_table(docs, "doc_id", "text").write.format("parquet").bucketBy(
+        4, "id"
+    ).sortBy("id").option("path", tpath).saveAsTable("warn_toks_raw")
+    try:
+        spark.sql("DROP TABLE warn_bands_raw")
+        spark.sql("DROP TABLE warn_toks_raw")
+        register_bucketed_table(
+            spark, "warn_bands_raw", bpath,
+            "id BIGINT, band INT, bucket BIGINT", ["band", "bucket"], n_buckets=4,
+        )
+        register_bucketed_table(
+            spark, "warn_toks_raw", tpath,
+            "id BIGINT, toks ARRAY<STRING>", ["id"], n_buckets=4,
+        )
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            read_band_index(spark, "warn_bands_raw")
+            read_token_table(spark, "warn_toks_raw")
+        msgs = [str(r.message) for r in rec if issubclass(r.category, UserWarning)]
+        assert any("no recorded banding parameters" in m for m in msgs)
+        assert any("no recorded tokenization unit" in m for m in msgs)
+    finally:
+        for t in ("warn_bands_raw", "warn_toks_raw"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
