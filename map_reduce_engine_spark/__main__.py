@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("--max-near-dup-bp", type=int, default=2500)
     inc.add_argument("--max-contaminated", type=int, default=10)
     inc.add_argument("--index-table", default="mre_tile_index")
+    inc.add_argument("--eval-dir", default=None, help="separately stored benchmark suite (a dir with documents.parquet) for the decontamination screen — with it a prebuilt run never reads history text; sf_dir can be just today's crawl")
     inc.add_argument("--metastore-dir", default=None, help="persist the catalog (derby metastore + warehouse under this dir) so the daily loop chains across CLI runs — required for --prebuilt to resolve yesterday's stored tables in a new process")
     inc.add_argument(
         "--prebuilt",
@@ -476,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_contaminated_docs=args.max_contaminated,
                 index_table=args.index_table,
                 prebuilt=args.prebuilt,
+                eval_dir=args.eval_dir,
             )
             gate.show(truncate=False)
         finally:

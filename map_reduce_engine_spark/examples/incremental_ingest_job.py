@@ -76,6 +76,7 @@ def run(
     max_contaminated_docs: int = 10,
     index_table: str = "mre_tile_index",
     prebuilt: bool = False,
+    eval_dir: str | None = None,
 ) -> DataFrame:
     """Execute the ingest; returns the 1-row sign-off gate after writing
     the append payload, the ledgers, and the rolled-forward tile index.
@@ -84,12 +85,18 @@ def run(
     from the history before probing. ``prebuilt=True`` is the DAY-2+
     shape — the loop this job exists for: the three tables named by
     ``index_table`` (``<t>``, ``<t>_bands``, ``<t>_toks``) must already
-    exist (yesterday's ``<t>_next`` trio, re-pointed), the history TEXT is
-    read only for the eval suite (a real deployment stores its benchmark
-    suite separately anyway), and every probe runs against yesterday's
-    rolled state — so a document appended on day 1 is caught as a
-    duplicate on day 2 even though it never appeared in the original
-    corpus.
+    exist (yesterday's ``<t>_next`` trio, re-pointed) and every probe
+    runs against yesterday's rolled state — so a document appended on
+    day 1 is caught as a duplicate on day 2 even though it never
+    appeared in the original corpus.
+
+    ``eval_dir`` points the decontamination screen at a SEPARATELY stored
+    benchmark suite (a ``documents.parquet`` of eval docs — the way a
+    real deployment stores one). With it, a prebuilt run never touches
+    the history text at all: ``sf_dir`` can be JUST today's crawl, and
+    the only history state read is the three stored index tables.
+    Without it, the eval suite is carved from ``sf_dir``'s history slice
+    (the self-contained fixture form).
 
     Each day needs a FRESH ``out_dir``: stage 6 writes tomorrow's trio to
     ``{out_dir}/*_next``, and reusing yesterday's directory would
@@ -102,7 +109,12 @@ def run(
     docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
     history = docs.where(F.col("doc_id") < 250)
     batch = docs.where(F.col("doc_id") >= 250)
-    eval_suite = history.where(F.col("doc_id") % 100 >= 90)
+    if eval_dir is not None:
+        eval_suite = read_table(spark, eval_dir, "documents").where(
+            F.trim("text") != ""
+        )
+    else:
+        eval_suite = history.where(F.col("doc_id") % 100 >= 90)
 
     # 1. batch-internal substring dedup (the symmetric tier on the batch
     # alone — exactly the scope the incremental probe delegates)

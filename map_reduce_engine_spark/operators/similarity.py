@@ -256,6 +256,22 @@ def _ivf_cell_fn(centers: list[list[float]]):
     return C, _cells
 
 
+def _check_vec_dims(pdf, dim: int, what: str) -> None:
+    """Loud dimensionality guard for the Arrow assignment passes: a batch
+    whose vectors don't match the trained centroids' dimensionality must
+    fail with a diagnosis, not a reshape traceback deep in an executor —
+    rolling a wrong-dim batch into a stored index is the
+    mismatched-banding failure family for the ANN tier. O(batch) length
+    scan, trivial beside the matmul it guards."""
+    dims = {len(v) for v in pdf["v"]}
+    if dims - {dim}:
+        raise ValueError(
+            f"{what} expects dim-{dim} vectors (the trained centroids'), "
+            f"got dims {sorted(dims)} — a different embedding model/column "
+            "cannot probe or roll into this index"
+        )
+
+
 def ivf_train_assign(
     corpus: DataFrame,
     id_col: str,
@@ -319,6 +335,7 @@ def ivf_assign(
 
     def assign_batch(batches):
         for pdf in batches:
+            _check_vec_dims(pdf, C.shape[1], "ivf_assign: stored IVF index")
             V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
             cells, norms = _cells(V, 1)
             yield pd.DataFrame(
@@ -528,6 +545,7 @@ def ivf_topk(
 
     def assign_queries(batches):
         for pdf in batches:
+            _check_vec_dims(pdf, C.shape[1], "ivf_topk: IVF index")
             V = np.array(pdf["v"].tolist(), dtype=np.float64).reshape(-1, C.shape[1])
             cells, norms = _cells(V, n_probe)
             n = len(V)

@@ -992,3 +992,71 @@ def test_ann_serve_prebuilt_refuses_stale_output_dir(spark, sf_dir, tmp_path):
         for suffix in ("", "_next", "_next_next", "_retrained"):
             for c in ("", "_centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{c}")
+
+
+@pytest.mark.indexes
+def test_incremental_ingest_prebuilt_history_free_with_eval_dir(spark, sf_dir, tmp_path):
+    """With eval_dir, a prebuilt run reads NO history text at all: sf_dir
+    is just today's crawl (no doc_id < 250 rows exist), the benchmark
+    suite comes from its own store, and the stored trio is the only
+    history state — yesterday's append is still caught by the rolled
+    state and a planted eval leak is still screened."""
+    from pyspark.sql import functions as SF
+
+    from map_reduce_engine_spark.examples.incremental_ingest_job import run
+    from map_reduce_engine_spark.io import read_table
+
+    t = "mre_ingest_evaldir_test"
+    out1 = str(tmp_path / "day1")
+    try:
+        run(
+            spark, sf_dir, out1,
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=t,
+        ).collect()
+        repeat_text = (
+            spark.read.parquet(f"{out1}/append_payload")
+            .orderBy("id").limit(1).collect()[0].text
+        )
+
+        # the separately stored benchmark suite + a day-2 crawl that
+        # contains ONLY today's docs: a repeat of yesterday's append, a
+        # doc leaking a 13-gram from the eval suite, and a novel doc
+        eval_docs = tmp_path / "eval_store"
+        leak = " ".join(f"ev{i}" for i in range(13))
+        spark.createDataFrame(
+            [(9000, leak + " " + " ".join(f"fill{i}" for i in range(20)))],
+            ["doc_id", "text"],
+        ).write.parquet(str(eval_docs / "documents.parquet"))
+        crawl2 = tmp_path / "day2_crawl"
+        spark.createDataFrame(
+            [
+                (300, repeat_text),
+                (301, " ".join(f"aa{i} bb{i}" for i in range(30)) + f" {leak}"),
+                (302, " ".join(f"zz{i} qq{i}" for i in range(40))),
+            ],
+            ["doc_id", "text"],
+        ).write.parquet(str(crawl2 / "documents.parquet"))
+
+        day2 = run(
+            spark, str(crawl2), str(tmp_path / "day2_out"),
+            max_near_dup_bp=10_000, max_contaminated_docs=10**6,
+            index_table=f"{t}_next", prebuilt=True,
+            eval_dir=str(eval_docs),
+        ).collect()[0]
+        assert day2.n_batch == 3
+        payload = spark.read.parquet(str(tmp_path / "day2_out" / "append_payload"))
+        pay_ids = {r.id for r in payload.select("id").collect()}
+        assert 300 not in pay_ids  # yesterday's append: caught by rolled state
+        assert 301 not in pay_ids  # eval leak: caught by the separate suite
+        assert 302 in pay_ids      # novel content ships
+        contaminated = spark.read.parquet(
+            str(tmp_path / "day2_out" / "contaminated_drops")
+        )
+        assert {r.id for r in contaminated.collect()} == {301}
+    finally:
+        for suffix in (
+            "", "_next", "_bands", "_next_bands", "_toks", "_next_toks",
+            "_next_next", "_next_next_bands", "_next_next_toks",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")

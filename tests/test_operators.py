@@ -2299,3 +2299,34 @@ def test_read_index_warns_on_unprotected_tables(spark, tmp_path):
     finally:
         for t in ("warn_bands_raw", "warn_toks_raw"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.indexes
+def test_ivf_dim_mismatch_is_loud(spark, sf_dir):
+    """A batch/query set whose vectors don't match the trained centroids'
+    dimensionality must fail with a diagnosis naming both dims — not a
+    numpy reshape traceback in an executor, and never a silent corrupt
+    roll (the ANN twin of the mismatched-banding loud error)."""
+    from py4j.protocol import Py4JJavaError
+
+    from map_reduce_engine_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centers, cb = sim.ivf_train_assign(
+        emb.where(F.col("vec_id") >= 100), "vec_id", "embedding", n_cells=8
+    )
+    bad = emb.where(F.col("vec_id") < 5).select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    with pytest.raises(Exception, match="dim-64"):
+        try:
+            sim.ivf_topk(
+                None, bad, "vec_id", "embedding", k=3, index=(centers, cb)
+            ).collect()
+        except Py4JJavaError as e:  # surface the executor-side ValueError text
+            raise AssertionError(str(e)) from e
+    with pytest.raises(Exception, match="dim-64"):
+        try:
+            sim.ivf_roll_forward((centers, cb), bad, "vec_id", "embedding")[1].count()
+        except Py4JJavaError as e:
+            raise AssertionError(str(e)) from e
