@@ -36,7 +36,15 @@ today's appended embeddings; history = yesterday's corpus):
                        re-read), sized for the corpus the index now
                        holds, persisted as ``<t>_retrained``; the serve
                        moves to the retrained index and the gate row
-                       reports the old-vs-new recall delta
+                       reports the old-vs-new recall delta. A retrain
+                       GROWS the cell count, so at a fixed ``n_probe``
+                       the probed cell fraction shrinks and recall can
+                       drop — that is precisely what
+                       ``recall_delta_permille`` surfaces (measured at
+                       sf0.01 with a forced 8→62-cell retrain: 733‰ →
+                       300‰, gate reject); the deployment answers by
+                       raising ``n_probe`` alongside the retrain, the
+                       same dial FAISS deployments tune as nprobe
   5. serve           — queries probe the persisted serving index
                        (``ivf_topk(index=...)`` — no corpus, no retrain)
   6. recall audit    — the served top-k is scored against exact
