@@ -18,13 +18,21 @@ exactly:
    what makes the prune SCHEDULE static (a fixed round count the unrolled
    DuckDB oracle can replay); the floor keeps hapax noise out of it.
 2. **E-step**: per-word-type Viterbi segmentation is a MIN-PLUS shortest
-   path 0 → len(word) over piece edges. The sequential DP recursion is not
-   relational, but its matrix-power form is: ``ceil(log2(len_cap))``
-   path-doubling rounds (join the state table to itself on the midpoint,
-   keep the per-(word, j, i) minimum) cover every split of a word up to
-   ``len_cap`` chars — the classic repeated-squaring shortest-path trick.
-   Ties break on (cost, path-string), so the chosen segmentation is
-   identical on any engine, run, and partitioning.
+   path 0 → len(word) over piece edges. Each word's DP is INDEPENDENT of
+   every other word's, so after one broadcast equi-join prices the edges
+   (piece → cost, a hash lookup at any vocabulary size) and one
+   vocabulary-sized aggregate collects each word's edge list to an array,
+   the whole sequential recursion dp[i] = min over edges (j → i) of
+   dp[j] + cost runs IN-ROW as a single ``aggregate`` higher-order
+   function — no joins, no shuffles, no per-round lineage to truncate.
+   (Rounds 1–10 ran the matrix-power form instead — ceil(log2(len_cap))
+   path-doubling self-joins with a window argmin per round; at
+   vocabulary-sized state its wall time was pure stage scheduling, ~25
+   Spark jobs per training run. The in-row form computes the identical
+   argmin in one projection.) Ties break on (cost, path-string) — the
+   ``array_min`` struct ordering — so the chosen segmentation is
+   identical on any engine, run, and partitioning, and equals the old
+   squaring form's by the compositional-tiebreak argument below.
 3. **M-step**: piece counts along the best paths (explode the
    space-joined path string — pieces can never contain whitespace, the
    tokenizer split guarantees it — weighted by word count), then
@@ -33,8 +41,8 @@ exactly:
 4. **PRUNE to target (Kudo §3.2)**: after each EM round, every multi-char
    piece is scored by the likelihood LOSS its removal would cause: its
    occurrences re-route through the best segmentation of the piece's OWN
-   string that does not use the piece itself — a second, tiny min-plus DP
-   over the piece strings (≤ ``PIECE_MAX_LEN`` chars → 2 squarings),
+   string that does not use the piece itself — a second, tiny in-row
+   min-plus DP over the piece strings (≤ ``PIECE_MAX_LEN`` chars),
    excluding the full-span self edge. loss = em_cnt · (alt_cost − cost),
    an exact BIGINT in micro-nats. The bottom of the loss ranking is
    dropped, keeping max(target, ceil(0.75·n)) pieces per round —
@@ -53,9 +61,9 @@ SentencePiece practice of capping trainable token length; at corpus scale
 such outliers are URLs/DNA-strings that would only bloat the seed set.
 
 Scale shape: the corpus is touched once (the word-count aggregate); the DP
-state is |vocabulary| × O(len_cap²) rows, localCheckpoint-truncated per
-doubling round (operators/graph.py discipline), and the piece table is a
-broadcast at any corpus size.
+edge list is |vocabulary| × O(len_cap · PIECE_MAX_LEN) rows collected to one
+array per word type, the DP itself is in-row (state bounded by
+len_cap ≤ 16), and the piece table is a broadcast at any corpus size.
 
 Reference parity anchor: the reference ships no tokenizer trainer (its jobs
 are WordCount/WordLength, wordcount-src/WordCount.java:13-35); this extends
@@ -68,14 +76,13 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import Iterator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.conf import loop_conf
 
 PIECE_MAX_LEN = 4
-WORD_LEN_CAP = 16  # 2^4: four path-doubling rounds cover any split
-N_DOUBLINGS = 4
+WORD_LEN_CAP = 16  # trainable-token length cap (SentencePiece practice)
 N_SEED_MULTI = 70  # large seed, pruned down to TARGET_MULTI (Kudo §3.2)
 SEED_COUNT_FLOOR = 2  # weighted-count floor on seed multi-char pieces
 TARGET_MULTI = 40  # target multi-char vocabulary size after pruning
@@ -118,10 +125,11 @@ def trainable_words(words: DataFrame, word_col: str = "word", cnt_col: str = "wc
 
 @contextmanager
 def sized_loop(words: DataFrame) -> Iterator[DataFrame]:
-    """Scope a word-level DP loop: apply the training length cap, freeze the
-    dictionary (``localCheckpoint`` — every squaring round re-reads it), and
-    size ``spark.sql.shuffle.partitions`` to the DP state (|words| ×
-    O(len_cap²/2) rows ≈ 80·|words|) for the duration, restoring on exit.
+    """Scope a word-level DP pass: apply the training length cap, freeze the
+    dictionary (``localCheckpoint`` — EM re-reads it every round), and size
+    ``spark.sql.shuffle.partitions`` to the priced edge table (|words| ×
+    O(len_cap · PIECE_MAX_LEN) rows ≈ 80·|words|) for the duration,
+    restoring on exit.
 
     The shared preamble of :func:`unigram_train`, :func:`unigram_segment`,
     and the registry's n-best enumeration — one place for the sizing rule
@@ -205,132 +213,123 @@ def smoothed_costs(vocab_cnts: DataFrame) -> DataFrame:
     )
 
 
-def viterbi_paths(words: DataFrame, vocab: DataFrame, n_doublings: int = N_DOUBLINGS) -> DataFrame:
-    """Best (min-cost) segmentation per word type under ``vocab`` costs.
-
-    Min-plus repeated squaring: state rows are (word, j, i, cost, path);
-    each round unions the composition of the state with itself (equi-join
-    on the midpoint) and keeps the per-(word, j, i) minimum by
-    (cost, path) — after ``n_doublings`` rounds every path of up to
-    2^n_doublings pieces is represented. Returns (word, wcnt, cost, path).
-    """
-    state = (
+def _word_edges(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, wcnt, _edges): each word type's vocab-priced DP edge list
+    collected to ONE array column — the broadcast equi-join prices pieces
+    (hash lookup at any vocabulary size), then one vocabulary-sized
+    aggregate gathers the ≤ len·PIECE_MAX_LEN edges per word. Words none
+    of whose substrings price drop out here, exactly as they dropped out
+    of the old squaring form's final inner join (cannot happen while
+    single chars are never pruned)."""
+    return (
         piece_edges(words)
         .join(F.broadcast(vocab.select("piece", "cost")), "piece")
-        .select("word", "j", "i", "cost", F.col("piece").alias("path"))
-        .localCheckpoint(eager=True)
+        .groupBy("word", "wcnt")
+        .agg(F.collect_list(F.struct("j", "i", "cost", "piece")).alias("_edges"))
     )
-    w_min = Window.partitionBy("word", "j", "i").orderBy("cost", "path")
-    for _ in range(n_doublings):
-        comp = (
-            state.alias("x")
-            .join(
-                state.alias("y"),
-                (F.col("x.word") == F.col("y.word")) & (F.col("x.i") == F.col("y.j")),
-            )
-            .select(
-                F.col("x.word").alias("word"),
-                F.col("x.j").alias("j"),
-                F.col("y.i").alias("i"),
-                (F.col("x.cost") + F.col("y.cost")).alias("cost"),
-                F.concat_ws(" ", "x.path", "y.path").alias("path"),
-            )
-        )
-        state = (
-            state.unionByName(comp)
-            .withColumn("rn", F.row_number().over(w_min))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .localCheckpoint(eager=True)
-        )
-    w2 = words.select("word", "wcnt").withColumn("_wlen", F.length("word"))
+
+
+# In-row Viterbi: fold positions 1..len; dp[0] = (0, ''). Each step appends
+# the (cost, path)-minimum over the priced edges ending at i (array_min's
+# struct ordering = the (cost asc, path asc) tiebreak). Unreachable
+# positions append NULL (array_min of the empty candidate list) and are
+# excluded as predecessors by the IS NOT NULL guard. Edge order inside the
+# collected array is partitioning-dependent — array_min is order-invariant,
+# so the result is deterministic anyway.
+_DP_BEST = """
+aggregate(
+  sequence(1, length(word)),
+  array(named_struct('cost', CAST(0 AS BIGINT), 'path', '')),
+  (acc, i) -> concat(acc, array(
+    array_min(transform(
+      filter(_edges, e -> e.i = i AND element_at(acc, e.j + 1) IS NOT NULL),
+      e -> named_struct(
+        'cost', element_at(acc, e.j + 1).cost + e.cost,
+        'path', if(e.j = 0, e.piece,
+                   concat(element_at(acc, e.j + 1).path, ' ', e.piece)))))))
+)
+"""
+
+
+def viterbi_paths(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Best (min-cost) segmentation per word type under ``vocab`` costs.
+    Returns (word, wcnt, cost, path).
+
+    One broadcast join + one aggregate + one in-row min-plus fold
+    (``_DP_BEST``) — the per-word DP is embarrassingly row-local, so no
+    squaring self-joins, no windows, no per-round checkpoints. Equality
+    with the old path-doubling form follows from the compositional
+    tiebreak: equal-cost same-span paths are never prefixes of each other
+    (same chars, spaces differ), so the per-prefix (cost, path) argmin
+    extends to the global one — both forms compute the identical
+    lexicographic argmin over all segmentations. The struct is extracted
+    through ``inline`` (a generator) so the fold evaluates ONCE per row —
+    a plain aliased projection would re-inline the whole DP into every
+    field reference (projection-collapse, the known O(dim²) trap).
+    """
+    best = F.element_at(F.expr(_DP_BEST), F.length("word") + 1)
     return (
-        w2.alias("w")
-        .join(
-            state.alias("s"),
-            (F.col("w.word") == F.col("s.word"))
-            & (F.col("s.j") == 0)
-            & (F.col("s.i") == F.col("w._wlen")),
-        )
-        .select(
-            F.col("w.word").alias("word"),
-            F.col("w.wcnt").alias("wcnt"),
-            F.col("s.cost").alias("cost"),
-            F.col("s.path").alias("path"),
-        )
+        _word_edges(words, vocab)
+        .select("word", "wcnt", F.inline(F.array(best)))
+        .where(F.col("cost").isNotNull())
+        .select("word", "wcnt", "cost", "path")
     )
 
 
-def nbest_paths(
-    words: DataFrame, vocab: DataFrame, k: int = 2, n_doublings: int = N_DOUBLINGS
-) -> DataFrame:
+# In-row k-best Viterbi: dp[i] is the list of the k best DISTINCT
+# (cost, path) for the prefix [0, i); each step expands every edge ending
+# at i by every predecessor entry (≤ PIECE_MAX_LEN·k candidates), collapses
+# duplicate paths (same path via several predecessors — identical BIGINT
+# cost by construction), sorts by the struct (cost, path) order and keeps
+# k. Unreachable positions hold the empty list (transform over it yields
+# no candidates). {k} is interpolated as a literal.
+_DP_NBEST = """
+aggregate(
+  sequence(1, length(word)),
+  array(array(named_struct('cost', CAST(0 AS BIGINT), 'path', ''))),
+  (acc, i) -> concat(acc, array(
+    slice(
+      array_sort(array_distinct(
+        flatten(transform(
+          filter(_edges, e -> e.i = i),
+          e -> transform(element_at(acc, e.j + 1),
+                         p -> named_struct(
+                           'cost', p.cost + e.cost,
+                           'path', if(e.j = 0, e.piece,
+                                      concat(p.path, ' ', e.piece)))))))),
+      1, {k})))
+)
+"""
+
+
+def nbest_paths(words: DataFrame, vocab: DataFrame, k: int = 2) -> DataFrame:
     """Top-``k`` distinct segmentations per word type under ``vocab`` —
     the enumeration base of Kudo's SUBWORD REGULARIZATION (ACL'18 §3: the
     paper's titular technique samples among the l-best segmentations at
     training time; Viterbi is just l=1). Returns
     (word, wcnt, rank, cost, path), rank 1..k by (cost, path).
 
-    k-best min-plus repeated squaring: the state keeps the k best DISTINCT
-    (cost, path) per (word, j, i); each round unions the midpoint
-    self-composition (≤ k×k candidates per decomposition), collapses
-    duplicate paths (the same path arises via several midpoints — its cost
-    is identical by construction, an exact BIGINT sum of the same pieces),
-    and re-ranks. Exact by the standard k-shortest-path induction: the
-    halves of a top-k path are top-k for their spans under the
-    compositional (cost, path) order (same-span paths never prefix each
-    other, so concatenation preserves comparisons). rank-1 rows equal
-    :func:`viterbi_paths` exactly — pinned by tests.
+    Same in-row fold as :func:`viterbi_paths` with a k-list accumulator
+    (``_DP_NBEST``). Exact by the standard k-shortest-path induction: the
+    prefix of a top-k path is top-k for its span under the compositional
+    (cost, path) order (same-span paths never prefix each other, so
+    concatenation preserves comparisons); duplicates collapse BEFORE the
+    rank (``array_distinct``) so equal paths never waste slots. rank-1
+    rows equal :func:`viterbi_paths` exactly — pinned by tests. The final
+    k-list is unpacked by ``posexplode`` (rank = position + 1), a
+    generator, so the fold evaluates once per row.
     """
-    state = (
-        piece_edges(words)
-        .join(F.broadcast(vocab.select("piece", "cost")), "piece")
-        .select("word", "j", "i", "cost", F.col("piece").alias("path"))
-        .localCheckpoint(eager=True)
-    )
-    w_rank = Window.partitionBy("word", "j", "i").orderBy("cost", "path")
-    for _ in range(n_doublings):
-        comp = (
-            state.alias("x")
-            .join(
-                state.alias("y"),
-                (F.col("x.word") == F.col("y.word")) & (F.col("x.i") == F.col("y.j")),
-            )
-            .select(
-                F.col("x.word").alias("word"),
-                F.col("x.j").alias("j"),
-                F.col("y.i").alias("i"),
-                (F.col("x.cost") + F.col("y.cost")).alias("cost"),
-                F.concat_ws(" ", "x.path", "y.path").alias("path"),
-            )
-        )
-        state = (
-            state.unionByName(comp)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w_rank))
-            .where(F.col("rn") <= k)
-            .drop("rn")
-            .localCheckpoint(eager=True)
-        )
-    w2 = words.select("word", "wcnt").withColumn("_wlen", F.length("word"))
+    lst = F.element_at(F.expr(_DP_NBEST.format(k=int(k))), F.length("word") + 1)
     return (
-        w2.alias("w")
-        .join(
-            state.alias("s"),
-            (F.col("w.word") == F.col("s.word"))
-            & (F.col("s.j") == 0)
-            & (F.col("s.i") == F.col("w._wlen")),
-        )
+        _word_edges(words, vocab)
+        .select("word", "wcnt", F.posexplode(lst).alias("_pos0", "_seg"))
         .select(
-            F.col("w.word").alias("word"),
-            F.col("w.wcnt").alias("wcnt"),
-            F.col("s.cost").alias("cost"),
-            F.col("s.path").alias("path"),
+            "word",
+            "wcnt",
+            (F.col("_pos0") + 1).cast("int").alias("rank"),
+            F.col("_seg.cost").alias("cost"),
+            F.col("_seg.path").alias("path"),
         )
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.partitionBy("word").orderBy("cost", "path")),
-        )
-        .select("word", "wcnt", "rank", "cost", "path")
     )
 
 
@@ -422,61 +421,43 @@ def sampled_segmentations(nbest: DataFrame, salt: int = 0) -> DataFrame:
     )
 
 
-def piece_alt_costs(vocab: DataFrame, n_doublings: int = 2) -> DataFrame:
+# Cost-only in-row fold with the full-span self edge excluded — the only
+# (0, len) edge is the piece's own string, so the positional exclusion is
+# exactly "segment p without p".
+_DP_ALT_COST = """
+aggregate(
+  sequence(1, length(word)),
+  array(CAST(0 AS BIGINT)),
+  (acc, i) -> concat(acc, array(
+    array_min(transform(
+      filter(_edges, e -> e.i = i AND element_at(acc, e.j + 1) IS NOT NULL
+                     AND NOT (e.j = 0 AND e.i = length(word))),
+      e -> element_at(acc, e.j + 1) + e.cost))))
+)
+"""
+
+
+def piece_alt_costs(vocab: DataFrame) -> DataFrame:
     """(piece, alt_cost): the cheapest segmentation of every MULTI-char
     piece's own string that does NOT use the piece itself as one edge —
     the re-route its removal would force on all its occurrences, the
     quantity Kudo's prune ranks by.
 
-    Same min-plus repeated-squaring as :func:`viterbi_paths`, but over the
-    PIECE strings (vocabulary-sized × O(PIECE_MAX_LEN²) rows; 2 squarings
-    cover the ≤``PIECE_MAX_LEN``-piece paths) with the full-span self edge
-    excluded — the only (0, len) edge is the piece's own string, so the
-    positional exclusion is exactly "segment p without p". Only the cost
-    matters here (no path string), so each round is a hash-aggregate MIN,
-    not a window. An alternative always exists: single chars are never
-    pruned, and every char of a piece occurs in some word.
+    Same in-row min-plus fold as :func:`viterbi_paths`, over the PIECE
+    strings (vocabulary-sized rows, ≤ ``PIECE_MAX_LEN`` chars each) with
+    the full-span self edge excluded positionally inside the fold. Only
+    the cost matters here (a BIGINT accumulator, no path string). An
+    alternative always exists: single chars are never pruned, and every
+    char of a piece occurs in some word.
     """
     pieces = vocab.where(F.length("piece") > 1).select(
-        F.col("piece").alias("pword"), F.length("piece").alias("plen")
+        F.col("piece").alias("word"), F.lit(0).cast("bigint").alias("wcnt")
     )
-    pairs = F.expr(
-        "flatten(transform(sequence(0, length(pword) - 1), "
-        f"j -> transform(sequence(j + 1, least(j + {PIECE_MAX_LEN}, length(pword))), "
-        "i -> named_struct('j', j, 'i', i))))"
-    )
-    edges = (
-        pieces.select("pword", "plen", F.explode(pairs).alias("e"))
-        .select("pword", "plen", F.col("e.j").alias("j"), F.col("e.i").alias("i"))
-        .where(~((F.col("j") == 0) & (F.col("i") == F.col("plen"))))
-        .withColumn("sub", F.expr("substring(pword, j + 1, i - j)"))
-    )
-    state = edges.join(
-        F.broadcast(vocab.select(F.col("piece").alias("sub"), "cost")), "sub"
-    ).select("pword", "plen", "j", "i", "cost")
-    for _ in range(n_doublings):
-        comp = (
-            state.alias("x")
-            .join(
-                state.alias("y"),
-                (F.col("x.pword") == F.col("y.pword")) & (F.col("x.i") == F.col("y.j")),
-            )
-            .select(
-                F.col("x.pword").alias("pword"),
-                F.col("x.plen").alias("plen"),
-                F.col("x.j").alias("j"),
-                F.col("y.i").alias("i"),
-                (F.col("x.cost") + F.col("y.cost")).alias("cost"),
-            )
-        )
-        state = (
-            state.unionByName(comp)
-            .groupBy("pword", "plen", "j", "i")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
-        )
-    return state.where((F.col("j") == 0) & (F.col("i") == F.col("plen"))).select(
-        F.col("pword").alias("piece"), F.col("cost").alias("alt_cost")
+    alt = F.element_at(F.expr(_DP_ALT_COST), F.length("word") + 1)
+    return (
+        _word_edges(pieces, vocab)
+        .select(F.col("word").alias("piece"), alt.alias("alt_cost"))
+        .where(F.col("alt_cost").isNotNull())
     )
 
 
