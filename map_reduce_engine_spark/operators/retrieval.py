@@ -66,7 +66,14 @@ def bm25_scores(
     deterministic across engines.
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl feeds BOTH the corpus stats and the score join, tf feeds BOTH the
+    # df aggregate and the score join — Spark does not share common
+    # subplans across those subtrees, so without materialization each pair
+    # re-scans and re-tokenizes the corpus (4 scans total, measured in the
+    # plan). localCheckpoint the two doc-sized intermediates: the corpus is
+    # now tokenized exactly TWICE (once per aggregate), and everything
+    # downstream runs off |docs|- and |docs × query|-sized tables.
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -74,6 +81,7 @@ def bm25_scores(
         toks.where(F.col("token").isin(query_terms))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dft = tf.groupBy("token").agg(F.count("*").alias("dft"))
     idf = F.log(

@@ -184,7 +184,11 @@ def join_size_estimate(
 
 
 def ams_f2_sketch(
-    df: DataFrame, item_col: str, depth: int = 128, group_size: int = 32
+    df: DataFrame,
+    item_col: str,
+    depth: int = 128,
+    group_size: int = 32,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """1-row (f2_group_means: array<double>) — AMS second-moment sketch,
     median-of-means form.
@@ -204,6 +208,12 @@ def ams_f2_sketch(
     Signs derive from the md5-prefix base via the ``minhash_family``
     re-hashes: bit 30 of ``(a_d·h + b_d) & MASK31`` is an unbiased coin,
     so a SQL oracle recomputes the identical sketch.
+
+    ``weight_col`` treats each input row as ``weight`` occurrences of the
+    item (Z_d = Σ rows w · s_d(item) — the identical BIGINT sum as raw
+    rows, since integer addition is associative): pass a pre-grouped
+    (item, count) table to share ONE scan between the sketch and an exact
+    companion aggregate instead of scanning the fact table twice.
     """
     if depth % group_size:
         raise ValueError(f"depth {depth} must be a multiple of group_size {group_size}")
@@ -220,10 +230,13 @@ def ams_f2_sketch(
     # only on the key, so aggregating (h, count) before the depth-explode
     # cuts the explode input from |rows| to |distinct keys| (and the md5 to
     # once per occurrence, absorbed by partial aggregation).
+    w = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    )
     hashed = (
-        df.select(portable_base31(F.col(item_col).cast("string")).alias("h"))
+        df.select(portable_base31(F.col(item_col).cast("string")).alias("h"), w.alias("w"))
         .groupBy("h")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("w").alias("c"))
     )
     pairs = F.expr(
         "array(" + ",".join(f"struct({av[d]}L as a, {bv[d]}L as b)" for d in range(depth)) + ")"

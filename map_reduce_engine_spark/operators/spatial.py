@@ -81,13 +81,21 @@ def grid_radius_pairs(
     dist = haversine_km(
         F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
     )
+    # The rounded distance is both an output column and the radius filter.
+    # A plain alias would let Catalyst push the filter into the JOIN
+    # CONDITION by substitution, evaluating the haversine TWICE per
+    # surviving pair (once in the condition, again in the projection —
+    # measured in the plan). Emitting it through inline() puts a Generate
+    # between the join and the filter: the filter references the generator
+    # OUTPUT attribute, cannot be pushed through, and the trig expression
+    # runs exactly once per candidate.
     return (
         a.join(b, ["cy", "cx"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.round(dist, 4).alias("dist_km"),
+            F.inline(F.array(F.struct(F.round(dist, 4).alias("dist_km")))),
         )
         .where(F.col("dist_km") <= radius_km)
     )

@@ -2384,12 +2384,18 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_spark.operators.sketch import ams_f2_sketch as ams
 
     orders = t(spark, sf_dir, "orders")
-    sk = ams(orders, "o_custkey", depth=128, group_size=32)
-    exact = (
+    # ONE fact scan for both sides: the per-key counts feed the sketch as
+    # weights (Z_d = Σ_k c_k·s_d(k), bit-identical to raw rows) AND the
+    # exact F2 — without the shared localCheckpoint the two subtrees each
+    # re-scan and re-aggregate orders (guide: Spark shares no common
+    # subplans across crossJoin branches).
+    grouped = (
         orders.groupBy("o_custkey")
-        .agg(F.count("*").alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    sk = ams(grouped, "o_custkey", depth=128, group_size=32, weight_col="c")
+    exact = grouped.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
     return sk.crossJoin(F.broadcast(exact)).select(
         F.element_at("f2_group_means", 2).alias("f2_median_low"),
         "exact_f2",
