@@ -166,15 +166,22 @@ def resolve_idle_mc_ref(bench_dir: Path | None = None) -> float:
        hardcoded pin made the gate unconditionally fail on slower machines,
        burning ~4x45 s of sleeps per run — ADVICE r06);
     2. the FASTEST parseable ``BENCH_r*.json`` whose own idle-host gate
-       PASSED (a gated round's mc number is a verified-idle observation of
-       whatever host recorded it; the minimum is the tightest honest pin,
-       and ungated or contended rounds — r05 ran at mc 7.44 s — can never
-       loosen the gate);
+       PASSED **and whose thread count matches this run's** (a gated
+       round's mc number is a verified-idle observation of whatever host
+       recorded it; the minimum is the tightest honest pin, and ungated or
+       contended rounds — r05 ran at mc 7.44 s — can never loosen the
+       gate). The thread-count match matters: the mc probe runs
+       SPARK_GRAFT_CPUS threads, and an 8-thread idle probe (~1.4 s) is
+       mechanically faster than a 32-thread one (~2.0 s) — BENCH_r11_c8's
+       8-core pin made the 32-core gate unpassable on a perfectly idle
+       host. Rounds recorded before the ``cpus`` field existed were all
+       32-thread runs and are treated as such.
     3. the first recorded idle pin (2.106 s) when no gated round exists.
     """
     env = os.environ.get("SPARK_GRAFT_IDLE_MC_REF")
     if env:
         return float(env)
+    n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     gated: list[float] = []
     for f in (bench_dir or Path(__file__).resolve().parent).glob("BENCH_r*.json"):
         try:
@@ -184,7 +191,13 @@ def resolve_idle_mc_ref(bench_dir: Path | None = None) -> float:
         parsed = doc.get("parsed", doc)
         gate = parsed.get("idle_host_gate") or {}
         mc = parsed.get("host_calibration_mc_sec")
-        if gate.get("passed") and isinstance(mc, (int, float)) and mc > 0:
+        cpus = doc.get("cpus") or parsed.get("cpus") or 32
+        if (
+            gate.get("passed")
+            and isinstance(mc, (int, float))
+            and mc > 0
+            and int(cpus) == n_threads
+        ):
             gated.append(float(mc))
     return min(gated) if gated else _IDLE_MC_FALLBACK_SEC
 
@@ -407,6 +420,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_value,
+        # additive field (round 12): the mc probe's thread count, so
+        # resolve_idle_mc_ref can match pins to runs of the same width
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "host_calibration_sec": host_calibration_sec(),
         "host_calibration_mc_sec": host_calibration_mc_sec(),
     }
@@ -436,6 +452,18 @@ def main() -> None:
             f"# over-pin re-times: {retime_out['retimed_in_isolation']}",
             file=sys.stderr,
         )
+    # ADDITIVE entry (round 12, VERDICT r11 #6): one recorded COLD pass for
+    # the MinHash pipeline. q8's warm runs legitimately reuse the persisted
+    # signatures/candidates (steady-state semantics, documented in run_once);
+    # clearing the cache and timing one full build makes that reuse explicit
+    # in the artifact instead of implicit. Runs AFTER all timed sweeps and
+    # re-times so the eviction cannot perturb any other measurement; not a
+    # headline query, no pin, single run (informational).
+    spark.catalog.clearCache()
+    timings["q8_minhash_neardup_cold"] = round(
+        run_once(spark, REGISTRY["minhash_near_dup"].fn, SF001_DIR), 3
+    )
+    print(f"# q8_minhash_neardup_cold: {timings['q8_minhash_neardup_cold']}s", file=sys.stderr)
     # Regression guard: per-query ratio vs the newest recorded round
     # (BENCH_r{N}.json). Purely informational fields — consumers of the
     # one-line contract read metric/value/queries/sf as before.

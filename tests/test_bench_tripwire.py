@@ -123,6 +123,29 @@ def test_resolve_idle_mc_ref_precedence(tmp_path, monkeypatch):
     (tmp_path / "BENCH_r07.json").write_text("")
     assert resolve_idle_mc_ref(tmp_path) == 2.371
 
+    # a gated round at a DIFFERENT thread count must not move the pin: the
+    # mc probe runs SPARK_GRAFT_CPUS threads, so an 8-thread idle probe is
+    # mechanically faster than a 32-thread one — BENCH_r11_c8's 1.42 s pin
+    # made the 32-core gate unpassable on a perfectly idle host (r12 fix)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    (tmp_path / "BENCH_r11_c8.json").write_text(
+        json.dumps(
+            {
+                "cpus": 8,
+                "parsed": {
+                    "queries": {},
+                    "host_calibration_mc_sec": 1.42,
+                    "idle_host_gate": {"passed": True},
+                },
+            }
+        )
+    )
+    assert resolve_idle_mc_ref(tmp_path) == 2.371
+    # ... but it IS the pin for a run at the matching width
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert resolve_idle_mc_ref(tmp_path) == 1.42
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+
     # env var overrides everything (the slower-host escape hatch)
     monkeypatch.setenv("SPARK_GRAFT_IDLE_MC_REF", "5.0")
     assert resolve_idle_mc_ref(tmp_path) == 5.0
