@@ -148,15 +148,33 @@ def _train_rounds(words: DataFrame, n_merges: int) -> tuple[list[DataFrame], Dat
     # pair-aggregate task-launch latency.
     spark = words.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    nparts = max(1, min(session_parts, syms.count() // 200_000 + 1))
+    # Size loop partitions to the EXPLODED pair volume the per-round
+    # aggregate actually shuffles (Σ symbols per word), not the word-type
+    # row count: the array-form state is one row per word TYPE, ~8x fewer
+    # rows than the symbol stream the 200k divisor was tuned for
+    # (ADVICE r11). One cheap aggregate over the checkpointed seed.
+    n_syms = syms.agg(F.sum(F.size("syms"))).first()[0] or 0
+    nparts = max(1, min(session_parts, n_syms // 200_000 + 1))
     with loop_conf(spark, nparts):
         merge_rows, syms = _train_rounds_inner(syms, n_merges)
     return merge_rows, syms
 
 
+_STATE_CHECKPOINT_EVERY = 32
+
+
 def _train_rounds_inner(syms: DataFrame, n_merges: int) -> tuple[list[DataFrame], DataFrame]:
     merge_rows = []
     for r in range(1, n_merges + 1):
+        # Re-truncate the symbol-array state every K rounds: only the 1-row
+        # argmax is checkpointed per round, so round r's pair-count job
+        # re-executes the (r-1 mod K) prior merge folds — bounded at K, the
+        # total fold work stays O(n_merges·K·Σ|word|) instead of quadratic
+        # in n_merges (ADVICE r11; realistic BPE runs use thousands of
+        # merges). At the pinned bench n_merges=6 this never fires, so the
+        # cheap lazy chain between checkpoints is unchanged there.
+        if r > 1 and (r - 1) % _STATE_CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint(eager=True)
         best = (
             syms.select("wcnt", F.explode(F.expr(_PAIRS)).alias("p"))
             .groupBy("p.l", "p.r")

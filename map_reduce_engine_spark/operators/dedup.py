@@ -799,16 +799,8 @@ def repeated_span_coverage(
         .select("id", F.posexplode(winnow_hashes_col("l", k=k)).alias("pos0", "h"))
         .select("id", (F.col("pos0") + 1).alias("i"), "h")
     )
-    rep = (
-        occ.select("id", "h")
-        .distinct()  # map-side combine: the shuffle carries unique (doc, hash)
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= 2)
-        .select("h")
-    )
     covered = (
-        occ.join(rep, "h")
+        _repeated_positions(occ, 2)
         .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
         .distinct()
         .groupBy("id")
@@ -854,6 +846,43 @@ def _substring_occurrences(
         .select("id", (F.col("pos0") + 1).cast("bigint").alias("i"), "h")
     )
     return base, occ
+
+
+def _repeated_positions(
+    occ: DataFrame, min_df: int, exclude_canon: bool = False
+) -> DataFrame:
+    """(id, i) occurrences of tiles repeated in >= ``min_df`` distinct docs,
+    computed with windows over the tile hash in ONE pass over ``occ``.
+
+    The previous form (distinct (id,h) → groupBy(h) count → equi-join the
+    survivors back onto ``occ``) embeds the tokenize→md5 ``occ`` subtree
+    once per join side — Spark shares no common subplans, so the corpus was
+    scanned and tile-hashed TWICE per run (guide §2.4). Here ``occ`` is
+    exchanged on ``h`` once; ``dense_rank`` over ids then counts distinct
+    documents per tile exactly like the old distinct-pairs aggregate
+    (``max(dense_rank) == count(distinct id)``), and the canonical holder
+    (min id, survivor accounting) rides the same window. Trade-off: a hot
+    tile's occurrences sort in one window task where the old join could be
+    AQE-skew-split — acceptable because the old shape ALSO shuffled the
+    full ``occ`` by ``h`` for the join-back, and tile hashes are md5-high-
+    cardinality (a pathological corpus-wide tile is bounded by
+    |docs|·positions of ONE k-gram).
+    """
+    who = Window.partitionBy("h").orderBy("id")
+    wh = Window.partitionBy("h")
+    out = (
+        occ.withColumn("_rk", F.dense_rank().over(who))
+        .withColumn("_df", F.max("_rk").over(wh))
+        .where(F.col("_df") >= min_df)
+    )
+    if exclude_canon:
+        out = out.withColumn("_canon", F.min("id").over(wh)).where(
+            F.col("id") != F.col("_canon")
+        )
+    # (id, i) is unique by construction (one row per posexplode position and
+    # the per-h annotation is row-preserving), so no distinct is needed —
+    # the old join-back needed one only as a safeguard.
+    return out.select("id", "i")
 
 
 def _merge_spans(positions: DataFrame, k: int) -> DataFrame:
@@ -902,25 +931,17 @@ def substring_dedup_spans(
     threshold the k parameter encodes).
 
     Scale shape (every stage an equi-keyed shuffle, no all-pairs anything):
-    tokenize -> one posexplode to (doc, pos, tile-hash) -> repeated tiles
-    via ONE hash aggregate on the tile hash (map-side distinct first, so
-    the shuffle carries unique (doc, hash) pairs) -> equi-join occurrences
-    back to the repeated-tile set -> per-DOCUMENT interval merge (windows
+    tokenize -> one posexplode to (doc, pos, tile-hash) -> repeated-tile
+    document frequency via windows over the tile hash in the SAME pass
+    (``_repeated_positions`` — one exchange on ``h``; the former
+    aggregate+join-back re-tokenized the corpus once per join side) ->
+    per-DOCUMENT interval merge (windows
     keyed by doc id). Cross-document repetition only (min_df counts
     distinct docs): within-doc repeats are the self-similarity measured by
     repeated_span_coverage / repetition_stats.
     """
     base, occ = _substring_occurrences(df, id_col, text_col, k)
-    rep = (
-        occ.select("id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= min_df)
-        .select("h")
-    )
-    dup = occ.join(rep, "h").select("id", "i").distinct()
-    return _merge_spans(dup, k)
+    return _merge_spans(_repeated_positions(occ, min_df), k)
 
 
 def substring_dedup_survivors(
@@ -941,20 +962,7 @@ def substring_dedup_survivors(
     corpus size the training pipeline actually feeds the tokenizer.
     """
     base, occ = _substring_occurrences(df, id_col, text_col, k)
-    canon = (
-        occ.select("id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"), F.min("id").alias("canon_id"))
-        .where(F.col("df") >= min_df)
-        .select("h", "canon_id")
-    )
-    rem = (
-        occ.join(canon, "h")
-        .where(F.col("id") != F.col("canon_id"))
-        .select("id", "i")
-        .distinct()
-    )
+    rem = _repeated_positions(occ, min_df, exclude_canon=True)
     removed = _merge_spans(rem, k).groupBy("id").agg(
         F.sum("span_tokens").alias("removed_tokens")
     )
@@ -996,20 +1004,7 @@ def substring_dedup_rewrite(
     applied uniformly so downstream fingerprints agree).
     """
     base, occ = _substring_occurrences(df, id_col, text_col, k)
-    canon = (
-        occ.select("id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"), F.min("id").alias("canon_id"))
-        .where(F.col("df") >= min_df)
-        .select("h", "canon_id")
-    )
-    rem = (
-        occ.join(canon, "h")
-        .where(F.col("id") != F.col("canon_id"))
-        .select("id", "i")
-        .distinct()
-    )
+    rem = _repeated_positions(occ, min_df, exclude_canon=True)
     return _excise_spans(base, _merge_spans(rem, k))
 
 

@@ -22,7 +22,7 @@ end like every other query in the registry.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from map_reduce_engine_spark.operators.dedup import portable_base31
@@ -57,7 +57,9 @@ def bm25_scores(
     - ``tf``: the explode is filtered to the query terms BEFORE the
       aggregate — corpus-size work shrinks to matching postings at the scan,
       exactly an inverted-index probe.
-    - ``dft`` (document frequency) is at most |query| rows → broadcast.
+    - ``dft`` (document frequency) rides along as a window count over the
+      token-partitioned ``tf`` table — |query| distinct keys, no second
+      pass over the corpus.
     - Final ranking is ``orderBy → limit`` = TakeOrderedAndProject (per
       partition top-k, then a k-sized merge on the driver — no global sort).
 
@@ -66,24 +68,32 @@ def bm25_scores(
     deterministic across engines.
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
-    # dl feeds BOTH the corpus stats and the score join, tf feeds BOTH the
-    # df aggregate and the score join — Spark does not share common
-    # subplans across those subtrees, so without materialization each pair
-    # re-scans and re-tokenizes the corpus (4 scans total, measured in the
-    # plan). localCheckpoint the two doc-sized intermediates: the corpus is
-    # now tokenized exactly TWICE (once per aggregate), and everything
-    # downstream runs off |docs|- and |docs × query|-sized tables.
+    # dl feeds BOTH the corpus stats and the score join — Spark does not
+    # share common subplans across those subtrees, so without
+    # materialization each pair re-scans and re-tokenizes the corpus
+    # (4 scans total in the round-10 plan). localCheckpoint the ONE
+    # doc-sized intermediate both need: the corpus is tokenized exactly
+    # TWICE (once into dl here, once into tf below) behind a single eager
+    # barrier — round 11 checkpointed tf as well, and the second blocking
+    # job cost more than the scan it saved at bench scale (VERDICT r11 §
+    # "What's wrong" #1). tf stays lazy: its one consumer chain gets dft
+    # from a window over the SAME tf subtree (below), so laziness no
+    # longer duplicates the tokenization.
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # dft (document frequency) as a count over a token-partitioned window
+    # instead of a groupBy + broadcast join-back: the join-back form embeds
+    # the tf subtree twice (one per side), re-tokenizing the corpus; the
+    # window reuses tf's rows in place — one exchange on the tiny
+    # |docs × query|-sized table, zero extra corpus work, identical counts.
     tf = (
         toks.where(F.col("token").isin(query_terms))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .withColumn("dft", F.count("*").over(Window.partitionBy("token")))
     )
-    dft = tf.groupBy("token").agg(F.count("*").alias("dft"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
@@ -91,8 +101,7 @@ def bm25_scores(
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     scored = (
-        tf.join(F.broadcast(dft), "token")
-        .join(dl, id_col)
+        tf.join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .groupBy(id_col)
         .agg(

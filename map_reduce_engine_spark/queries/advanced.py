@@ -2313,9 +2313,21 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = adj.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
-    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # Symmetrize IN-ROW (explode both directions) rather than via
+    # union(canon, swap(canon)): a union embeds the corpus-sized
+    # tokenize→explode→distinct subtree once PER BRANCH, and pagerank's
+    # edge materialization then runs that pipeline twice (Spark shares no
+    # common subplans across union branches). The explode emits the same
+    # edge multiset from ONE pass — canon is duplicate-free and a != b, so
+    # the two directions never collide (r12, guide §2.4).
+    edges = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank(edges, iterations=6)
     w = Window.orderBy(F.desc("rank"), "word")
     return (

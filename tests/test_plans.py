@@ -375,10 +375,13 @@ def test_repeated_span_plan_no_cartesian_and_partial_aggs(spark, sf_dir):
 
 
 def test_substring_dedup_plan_shapes(spark, sf_dir):
-    """The exact-substring tier (Lee et al. k=50): joins key on the tile
-    hash or doc id only (no all-pairs), interval-merge windows partition by
-    the DOCUMENT id (no single-partition grid anywhere), and the rewrite's
-    reassembly stays JVM-side (zero Python eval nodes)."""
+    """The exact-substring tier (Lee et al. k=50): the tokenize→md5 tile
+    pipeline runs ONCE per query (r12 — the former df-aggregate+join-back
+    embedded it once per join side, re-scanning the corpus; repeated-tile
+    document frequency now rides windows over the tile hash), interval-merge
+    windows partition by the DOCUMENT id (no single-partition grid
+    anywhere), and the rewrite's reassembly stays JVM-side (zero Python
+    eval nodes)."""
     from map_reduce_engine_spark.operators.dedup import (
         substring_dedup_rewrite,
         substring_dedup_spans,
@@ -387,16 +390,21 @@ def test_substring_dedup_plan_shapes(spark, sf_dir):
     from map_reduce_engine_spark.plans import plan_report
 
     docs = read_table(spark, sf_dir, "documents").where(F.trim("text") != "")
-    for op in (substring_dedup_spans, substring_dedup_survivors, substring_dedup_rewrite):
+    # (op, expected corpus scans): spans needs only the occurrence pipeline;
+    # survivors/rewrite also read the per-doc base (n_tokens / text)
+    for op, n_scans in (
+        (substring_dedup_spans, 1),
+        (substring_dedup_survivors, 2),
+        (substring_dedup_rewrite, 2),
+    ):
         df = op(docs, "doc_id", "text", k=50)
         p = plan(df)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, op
+        # each scan node appears twice in formatted output (tree + detail)
+        assert p.count("Scan parquet") == 2 * n_scans, (op, p.count("Scan parquet"))
         r = plan_report(df)
         assert r.single_partition_grid == 0 and r.single_partition_raw == 0, (op, r)
         assert r.row_python_evals == 0 and r.arrow_python_stages == 0, (op, r)
-        # the repeated-tile set is tiny relative to the corpus — it must
-        # come back as a broadcast, never a shuffled corpus-sized join
-        assert r.broadcast_exchanges >= 1, (op, r)
 
 
 def test_bm25_plan_broadcasts_stats_and_takes_ordered(spark, sf_dir):
