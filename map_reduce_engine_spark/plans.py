@@ -16,9 +16,7 @@ String-level plan inspection is the stable public surface (the same thing
 
 from __future__ import annotations
 
-import io
 import re
-from contextlib import redirect_stdout
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -36,10 +34,13 @@ _SANCTIONED_PYTHON = (
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    # The JVM explainString call, not redirect_stdout around df.explain():
+    # identical text, but thread-safe — redirect_stdout swaps the GLOBAL
+    # sys.stdout, so concurrent plan inspections (the parallel registry
+    # plan gate, r12) would interleave captures.
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
 
 
 # Operators that bound the data volume flowing up through them: after one of

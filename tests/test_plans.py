@@ -1118,27 +1118,56 @@ def test_registry_all_scalable(spark, sf_dir):
     single-partition windows over KEYED aggregate grids are budgeted by
     _GRID_WINDOW_PIN — a new one must state its key-domain bound there or
     shard the walk instead."""
+    import threading
+    from queue import Empty, SimpleQueue
+
     from map_reduce_engine_spark.plans import assert_scalable
 
     failures = []
     grid_excess = {}
-    for name, q in REGISTRY.items():
-        try:
-            r = assert_scalable(
-                q.fn(spark, sf_dir),
-                allow_nested_loop=name in _SANCTIONED_NESTED_LOOP,
-                allow_row_python=name in _SANCTIONED_ROW_PYTHON,
-                allow_single_partition_raw=name in _SANCTIONED_SINGLE_PARTITION,
-            )
-            budget, bound = _GRID_WINDOW_PIN.get(name, (0, "UNPINNED"))
-            if r.single_partition_grid > budget:
-                grid_excess[name] = (
-                    f"{r.single_partition_grid} grid windows > budget "
-                    f"{budget} (pinned bound: {bound})"
+    lock = threading.Lock()
+    work: SimpleQueue = SimpleQueue()
+    for name in REGISTRY:
+        work.put(name)
+
+    # 4-way parallel over newSession clones (r12, VERDICT r11 #5: the suite
+    # must fit the driver's window — this was a 300 s sequential walk of
+    # 483 plans). Planning is driver-side py4j work that releases the GIL;
+    # separate SQLConf per worker keeps loop-scoped overrides isolated,
+    # exactly the sweep/parity-fixture discipline.
+    def worker(session) -> None:
+        while True:
+            try:
+                name = work.get_nowait()
+            except Empty:
+                return
+            q = REGISTRY[name]
+            try:
+                r = assert_scalable(
+                    q.fn(session, sf_dir),
+                    allow_nested_loop=name in _SANCTIONED_NESTED_LOOP,
+                    allow_row_python=name in _SANCTIONED_ROW_PYTHON,
+                    allow_single_partition_raw=name in _SANCTIONED_SINGLE_PARTITION,
                 )
-        except Exception as e:  # noqa: BLE001 — collect all, report once
-            failures.append(f"{name}: {str(e)[:100]}")
-    assert not failures, "\n".join(failures)
+                budget, bound = _GRID_WINDOW_PIN.get(name, (0, "UNPINNED"))
+                if r.single_partition_grid > budget:
+                    with lock:
+                        grid_excess[name] = (
+                            f"{r.single_partition_grid} grid windows > budget "
+                            f"{budget} (pinned bound: {bound})"
+                        )
+            except Exception as e:  # noqa: BLE001 — collect all, report once
+                with lock:
+                    failures.append(f"{name}: {str(e)[:100]}")
+
+    threads = [
+        threading.Thread(target=worker, args=(spark.newSession(),)) for _ in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not failures, "\n".join(sorted(failures))
     assert not grid_excess, (
         "unpinned single-partition grid windows (state the key-domain bound "
         f"in _GRID_WINDOW_PIN or shard via operators/rankselect.py): {grid_excess}"
